@@ -1,0 +1,129 @@
+"""Ray Data execution layer: run a CompiledRuleSet over a Dataset.
+
+Replaces the reference's synchronous single-record driver (validator.go:32-49) with a
+streaming ``map_batches`` pipeline:
+
+    read (column-pruned)  ->  map_batches(RuleStage, batch_format="pyarrow")  ->
+      violations Dataset  (streamed, never accumulated driver-side)
+      + per-partition verdict rows (pre-aggregated per batch, merged via groupby)
+
+Design notes for 100 TB scale:
+- The stage ships the *spec* (tiny) and compiles once per worker on first batch —
+  regex compilation and type dispatch are NOT paid per batch.
+- Verdict aggregation is a partial/combiner pattern: one summary row per (partition,
+  batch) leaves the stage; the global/groupby reduce touches only those partials.
+- Violations stream out per batch (unlike the reference's unbounded error slice).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .compile import CompiledRuleSet, compile_ruleset, violations_schema
+from .registry import Registry
+
+
+class RuleStage:
+    """Callable-class stage for ``map_batches``: compiles the spec once per
+    actor/worker process, then evaluates batches vectorized.
+
+    mode:
+      "violations" -> emit violation rows only
+      "verdict"    -> emit one partial-summary row per (partition, batch)
+      "annotate"   -> pass rows through with an appended ``_valid`` bool column
+    """
+
+    def __init__(self, spec, *, id_column: str | None = None,
+                 mode: str = "violations", partition_column: str | None = None,
+                 registry: Registry | None = None):
+        self.spec = spec
+        self.id_column = id_column
+        self.mode = mode
+        self.partition_column = partition_column
+        self.registry = registry
+        self._compiled: CompiledRuleSet | None = None
+
+    def _get(self, schema: pa.Schema) -> CompiledRuleSet:
+        if self._compiled is None:
+            self._compiled = compile_ruleset(self.spec, schema, registry=self.registry)
+        return self._compiled
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cs = self._get(batch.schema)
+        pass_mask, violations = cs.evaluate(batch, id_column=self.id_column)
+        if self.mode == "violations":
+            return violations
+        if self.mode == "annotate":
+            return batch.append_column("_valid", pa.array(pass_mask))
+        # verdict: pre-aggregated partials, one row per partition value per batch
+        return self._verdict_partials(batch, pass_mask, violations)
+
+    def _verdict_partials(self, batch, pass_mask, violations) -> pa.Table:
+        if self.partition_column is None:
+            return pa.table({
+                "partition": pa.array(["__all__"]),
+                "rows": pa.array([batch.num_rows], type=pa.int64()),
+                "failed_rows": pa.array([int((~pass_mask).sum())], type=pa.int64()),
+                "violations": pa.array([violations.num_rows], type=pa.int64()),
+            })
+        part = batch[self.partition_column]
+        if isinstance(part, pa.ChunkedArray):
+            part = part.combine_chunks()
+        part_str = pc.cast(part, pa.string())
+        agg = pa.table({
+            "partition": part_str,
+            "ok": pa.array(pass_mask),
+        }).group_by("partition").aggregate([("ok", "count"), ("ok", "sum")])
+        rows = agg["ok_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        passed = agg["ok_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "partition": agg["partition"],
+            "rows": pa.array(rows, type=pa.int64()),
+            "failed_rows": pa.array(rows - passed, type=pa.int64()),
+            "violations": pa.array(np.zeros(len(rows), dtype=np.int64), type=pa.int64()),
+        })
+
+
+def validate(ds, spec, *, id_column: str | None = None,
+             partition_column: str | None = None,
+             batch_size: int | None = 8192,
+             concurrency: int | None = None,
+             registry: Registry | None = None):
+    """Main entry: returns a dict of lazy Datasets:
+       ``violations`` (one row per rule violation) and ``verdicts`` (one row per
+       partition with rows / failed_rows counts, merged from per-batch partials).
+    """
+    from ray.data.aggregate import Sum
+
+    kwargs: dict[str, Any] = {"batch_format": "pyarrow"}
+    if batch_size is not None:
+        kwargs["batch_size"] = batch_size
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+
+    violations = ds.map_batches(
+        RuleStage(spec, id_column=id_column, mode="violations", registry=registry),
+        **kwargs)
+
+    partials = ds.map_batches(
+        RuleStage(spec, id_column=id_column, mode="verdict",
+                  partition_column=partition_column, registry=registry),
+        **kwargs)
+    verdicts = (partials
+                .groupby("partition")
+                .aggregate(Sum("rows", alias_name="rows"),
+                           Sum("failed_rows", alias_name="failed_rows"),
+                           Sum("violations", alias_name="violations")))
+    return {"violations": violations, "verdicts": verdicts}
+
+
+def validate_table(tbl: pa.Table, spec, *, id_column: str | None = None,
+                   registry: Registry | None = None):
+    """Driver-side single-batch convenience (test harness parity with the
+    reference's NewContext+Validate shape, schema/context.go:46-54)."""
+    cs = compile_ruleset(spec, tbl.schema, registry=registry)
+    return cs.evaluate(tbl, id_column=id_column)
