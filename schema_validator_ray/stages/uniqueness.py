@@ -1,0 +1,118 @@
+"""Distributed uniqueness check — real semantics for the reference's `unique`
+placeholder (rule/other.go:311-316: always-pass).
+
+Scale design (SURVEY §7.3): a naive ``groupby(key).count`` shuffles EVERY row. We
+pre-aggregate inside ``map_batches`` first — one (key, count) row per distinct key
+per batch — so only per-batch distinct keys enter the shuffle. For skewed keys (the
+hot-phash fixture) this per-batch combine IS the salting: each batch acts as one
+salt bucket, hot keys collapse to ≤1 row per batch before the exchange, so no single
+reducer sees more than num_batches rows for any key (two-phase salted aggregate).
+
+Violation listing broadcasts the (small) duplicate-key set via ``ray.put`` and
+filters inside ``map_batches`` — a broadcast semi-join, no second shuffle. The
+duplicate-key set is bounded by the violation rate, not the data size; if it ever
+exceeded driver memory the same filter composes with a bucketed shuffle join
+(documented fallback, not needed at any tested scale).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class _PartialCounts:
+    """Per-batch combiner: (key, count) per distinct key in the batch."""
+
+    def __init__(self, key: str):
+        self.key = key
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        agg = (batch.select([self.key])
+               .group_by(self.key)
+               .aggregate([([], "count_all")]))
+        return pa.table({
+            self.key: agg[self.key],
+            "cnt": pc.cast(agg["count_all"], pa.int64()),
+        })
+
+
+def duplicate_keys(ds, key: str, *, batch_size: int = 65536):
+    """Dataset of (key, dup_count) for keys appearing more than once.
+    Lazy; the groupby shuffle sees only pre-aggregated partials."""
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(_PartialCounts(key), batch_format="pyarrow",
+                              batch_size=batch_size)
+    totals = partials.groupby(key).aggregate(Sum("cnt", alias_name="dup_count"))
+    return totals.filter(expr="dup_count > 1")
+
+
+class _EmitDupViolations:
+    def __init__(self, key: str, dup_ref, id_column: str, rule_id: str):
+        self.key = key
+        self.dup_ref = dup_ref
+        self.id_column = id_column
+        self.rule_id = rule_id
+        self._dups: set | None = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._dups is None:
+            import ray
+
+            self._dups = ray.get(self.dup_ref)
+        col = batch[self.key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mask = pc.is_in(col, value_set=pa.array(sorted(self._dups), type=col.type))
+        bad = batch.filter(mask)
+        vals = pc.cast(bad[self.key], pa.string())
+        return pa.table({
+            self.id_column: pc.cast(bad[self.id_column], pa.string()),
+            "rule_id": pa.array([self.rule_id] * bad.num_rows, pa.string()),
+            "column": pa.array([self.key] * bad.num_rows, pa.string()),
+            "offending_value": vals,
+        })
+
+
+def uniqueness_violations(ds, key: str, *, id_column: str,
+                          rule_id: str | None = None,
+                          batch_size: int = 65536,
+                          max_broadcast_keys: int = 5_000_000):
+    """Violation rows (id, rule_id, column, offending_value) — one per row whose
+    ``key`` value occurs more than once across the whole dataset.
+
+    Two passes over the input (count, then emit); pass 1 ships only pre-aggregated
+    (key, count) partials through the shuffle, pass 2 is a broadcast filter.
+    """
+    import ray
+
+    rule_id = rule_id or f"unique:{key}"
+    dups_tbl = duplicate_keys(ds, key, batch_size=batch_size)
+    dup_values = set()
+    for b in dups_tbl.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        dup_values.update(b[key].to_pylist())
+        if len(dup_values) > max_broadcast_keys:
+            raise MemoryError(
+                f"duplicate-key set for {key!r} exceeds broadcast budget "
+                f"({max_broadcast_keys}); use a bucketed shuffle join instead")
+    dup_ref = ray.put(dup_values)
+    return ds.map_batches(
+        _EmitDupViolations(key, dup_ref, id_column, rule_id),
+        batch_format="pyarrow", batch_size=batch_size)
+
+
+def dedup_exact(ds, key: str, *, order_col: str | None = None):
+    """Exact dedup: hash-partitioned ``groupby(key)``, keep one deterministic
+    representative per group (the row minimizing ``order_col``, or the first row
+    if no order column is given). The shuffle moves every row — use this only
+    when the surviving rows are needed; for a *duplicate check* use
+    :func:`duplicate_keys`, whose shuffle sees only per-batch partials."""
+
+    def head1(g):
+        if order_col is not None:
+            g = g.sort_values(order_col, kind="stable")
+        return g.head(1)
+
+    return ds.groupby(key).map_groups(head1, batch_format="pandas")

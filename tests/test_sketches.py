@@ -1,0 +1,71 @@
+"""Sketch accuracy + mergeability bounds (FIXTURES.md F6)."""
+
+import numpy as np
+
+from schema_validator_ray.functions.sketches import (
+    HLL,
+    CountMin,
+    TDigest,
+    hash64_ints,
+)
+
+
+def test_hll_accuracy_and_merge():
+    h = HLL()
+    parts = []
+    for i in range(8):
+        p = HLL()
+        p.add_hashes(hash64_ints(np.arange(i * 10000, i * 10000 + 15000,
+                                           dtype=np.int64)))
+        parts.append(p)
+    for p in parts:
+        h.merge(p)
+    true = 7 * 10000 + 15000  # overlapping ranges -> 85000 distinct
+    assert abs(h.estimate() - true) / true < 0.05
+
+
+def test_hll_serialization_roundtrip():
+    h = HLL()
+    h.add_hashes(hash64_ints(np.arange(1000, dtype=np.int64)))
+    h2 = HLL.loads(h.dumps())
+    assert h2.estimate() == h.estimate()
+
+
+def test_tdigest_quantiles_known_distribution():
+    rng = np.random.default_rng(42)
+    data = rng.uniform(0, 1000, 100000)
+    t = TDigest()
+    for chunk in np.array_split(data, 20):
+        part = TDigest()
+        part.add(chunk)
+        t.merge(part)
+    for q in (0.05, 0.5, 0.95):
+        assert abs(t.quantile(q) - 1000 * q) < 15, q
+    assert t.quantile(0.0) == data.min()
+
+
+def test_tdigest_serialization():
+    t = TDigest()
+    t.add(np.arange(1000.0))
+    t2 = TDigest.loads(t.dumps())
+    assert abs(t2.quantile(0.5) - t.quantile(0.5)) < 1e-9
+
+
+def test_countmin_planted_heavy_hitters():
+    keys = (["hot"] * 9000 + ["warm"] * 3000
+            + [f"tail{i}" for i in range(5000)])
+    rng = np.random.default_rng(0)
+    rng.shuffle(keys)
+    parts = []
+    for chunk in np.array_split(np.array(keys, object), 6):
+        c = CountMin()
+        c.add(list(chunk))
+        parts.append(c)
+    total = parts[0]
+    for p in parts[1:]:
+        total.merge(p)
+    top = total.top(2)
+    assert top[0][0] == "hot" and top[1][0] == "warm"
+    # CMS overestimates only
+    assert top[0][1] >= 9000
+    assert top[0][1] <= 9000 + 200
