@@ -1,0 +1,170 @@
+"""Text-analysis kernels for the documents table: token counting, quality
+scoring, language-ID heuristic, document fingerprinting, shingling.
+
+All batch-vectorized where Arrow has a kernel (token counts, lengths, ratios via
+RE2 ``count_substring_regex``); the per-doc set operations (shingles, minhash)
+use numpy inside a batch loop — they feed the dedup stages, which are actor-pool
+``map_batches`` stages.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .sketches import hash64_ints
+
+# RE2 \w == [0-9A-Za-z_] — same class DuckDB uses, so the SQL oracle can express
+# token_count as len(regexp_extract_all(text, '\w+')) exactly.
+TOKEN_RE = r"\w+"
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "you", "that"},
+    "de": {"der", "die", "das", "und", "ist", "ich", "nicht", "ein", "zu", "mit"},
+    "fr": {"le", "la", "les", "et", "est", "je", "pas", "un", "une", "dans"},
+    "es": {"el", "la", "los", "y", "es", "yo", "no", "un", "una", "en"},
+}
+
+
+def token_count(col: pa.Array) -> pa.Array:
+    """Whitespace-free token count: number of \\w+ matches (int64)."""
+    return pc.cast(pc.count_substring_regex(
+        pc.fill_null(col, ""), TOKEN_RE), pa.int64())
+
+
+def char_stats(col: pa.Array) -> dict[str, pa.Array]:
+    """Vectorized per-doc character statistics used by the quality score."""
+    s = pc.fill_null(col, "")
+    n = pc.cast(pc.utf8_length(s), pa.float64())
+    safe_n = pc.max_element_wise(n, 1.0)
+    alpha = pc.cast(pc.count_substring_regex(s, r"[A-Za-z]"), pa.float64())
+    digit = pc.cast(pc.count_substring_regex(s, r"[0-9]"), pa.float64())
+    punct = pc.cast(pc.count_substring_regex(s, r"[^\w\s]"), pa.float64())
+    space = pc.cast(pc.count_substring_regex(s, r"\s"), pa.float64())
+    upper = pc.cast(pc.count_substring_regex(s, r"[A-Z]"), pa.float64())
+    return {
+        "n_chars": pc.cast(n, pa.int64()),
+        "alpha_ratio": pc.divide(alpha, safe_n),
+        "digit_ratio": pc.divide(digit, safe_n),
+        "punct_ratio": pc.divide(punct, safe_n),
+        "space_ratio": pc.divide(space, safe_n),
+        "upper_ratio": pc.divide(upper, safe_n),
+    }
+
+
+def quality_score(col: pa.Array) -> pa.Array:
+    """[0,1] heuristic quality score: length band + alpha ratio − punct/upper
+    excess. Deterministic, fully vectorized; the exact formula is pinned by tests
+    and reproduced in SQL for the oracle."""
+    stats = char_stats(col)
+    n = pc.cast(stats["n_chars"], pa.float64())
+    len_score = pc.min_element_wise(pc.divide(n, 200.0), 1.0)
+    score = pc.add(
+        pc.multiply(0.4, len_score),
+        pc.add(pc.multiply(0.4, stats["alpha_ratio"]),
+               pc.multiply(0.2, pc.subtract(
+                   1.0, pc.min_element_wise(
+                       pc.multiply(stats["punct_ratio"], 4.0), 1.0)))))
+    return pc.round(score, ndigits=6)
+
+
+def lang_id(col: pa.Array) -> pa.Array:
+    """Heuristic language ID: CJK character fraction -> "zh"; Cyrillic -> "ru";
+    else argmax of per-language stopword hits; ties/no-hits -> "und"."""
+    s = pc.fill_null(col, "")
+    n = pc.cast(pc.utf8_length(s), pa.float64())
+    safe_n = pc.max_element_wise(n, 1.0)
+    cjk = pc.divide(pc.cast(pc.count_substring_regex(
+        s, r"[\x{4e00}-\x{9fff}]"), pa.float64()), safe_n)
+    cyr = pc.divide(pc.cast(pc.count_substring_regex(
+        s, r"[\x{0400}-\x{04ff}]"), pa.float64()), safe_n)
+    lower = pc.utf8_lower(s)
+    hits = {}
+    for lang, words in _STOPWORDS.items():
+        pat = r"\b(" + "|".join(sorted(words)) + r")\b"
+        hits[lang] = pc.count_substring_regex(lower, pat).to_numpy(
+            zero_copy_only=False)
+    langs = sorted(_STOPWORDS)
+    mat = np.vstack([hits[l] for l in langs])
+    best = mat.argmax(axis=0)
+    best_hits = mat.max(axis=0)
+    out = np.array([langs[i] for i in best], dtype=object)
+    out[best_hits == 0] = "und"
+    cjk_np = cjk.to_numpy(zero_copy_only=False)
+    cyr_np = cyr.to_numpy(zero_copy_only=False)
+    out[cyr_np > 0.2] = "ru"
+    out[cjk_np > 0.2] = "zh"
+    return pa.array(out, type=pa.string())
+
+
+def content_hash(col: pa.Array) -> pa.Array:
+    """Stable 64-bit content hash (hex) of the exact bytes — exact-dedup key.
+    blake2b-8; DuckDB oracle uses md5 comparisons instead, so queries compare
+    group structure, not hash values."""
+    vals = pc.fill_null(col, "").to_pylist()
+    return pa.array(
+        [hashlib.blake2b(v.encode(), digest_size=8).hexdigest() for v in vals],
+        type=pa.string())
+
+
+def fingerprint64(col: pa.Array, window: int = 8) -> pa.Array:
+    """Winnowing-style document fingerprint: min rolling-hash over byte
+    ``window``-grams, avalanched. Similar-prefix docs get unrelated prints;
+    identical docs identical prints (int64)."""
+    vals = pc.fill_null(col, "").to_pylist()
+    out = np.empty(len(vals), np.int64)
+    for i, v in enumerate(vals):
+        b = np.frombuffer(v.encode(), dtype=np.uint8)
+        if len(b) < window:
+            h = int.from_bytes(hashlib.blake2b(v.encode(), digest_size=8).digest(),
+                               "little")
+            out[i] = np.uint64(h).astype(np.int64)
+            continue
+        # rolling polynomial hash over sliding windows, vectorized
+        k = len(b) - window + 1
+        mat = np.lib.stride_tricks.sliding_window_view(b, window).astype(np.uint64)
+        weights = np.power(np.uint64(257), np.arange(window, dtype=np.uint64),
+                           dtype=np.uint64)
+        hashes = (mat * weights).sum(axis=1, dtype=np.uint64)
+        out[i] = hash64_ints(hashes).min().astype(np.int64)
+    return pa.array(out, type=pa.int64())
+
+
+def char_shingles(text: str, k: int = 5) -> np.ndarray:
+    """Hashed character k-gram set (uint64, deduplicated)."""
+    b = np.frombuffer(text.encode(), dtype=np.uint8)
+    if len(b) < k:
+        b = np.pad(b, (0, k - len(b)), constant_values=32)
+    mat = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    weights = np.power(np.uint64(1315423911), np.arange(k, dtype=np.uint64),
+                       dtype=np.uint64)
+    return np.unique(hash64_ints((mat * weights).sum(axis=1, dtype=np.uint64)))
+
+
+def word_shingles(text: str, k: int = 3) -> np.ndarray:
+    """Hashed word k-gram set (uint64, deduplicated)."""
+    import re
+
+    toks = re.findall(r"\w+", text.lower())
+    if not toks:
+        return np.empty(0, np.uint64)
+    hs = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                        "little") for t in toks), np.uint64, len(toks))
+    if len(hs) < k:
+        return np.unique(hash64_ints(hs))
+    mat = np.lib.stride_tricks.sliding_window_view(hs, k)
+    weights = np.power(np.uint64(0x100000001B3), np.arange(k, dtype=np.uint64),
+                       dtype=np.uint64)
+    return np.unique(hash64_ints((mat * weights).sum(axis=1, dtype=np.uint64)))
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = len(a) + len(b) - inter
+    return inter / union if union else 1.0

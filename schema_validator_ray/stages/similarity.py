@@ -1,0 +1,186 @@
+"""Similarity search over an embedding column (list<float>).
+
+- **Brute-force top-k** (baseline): the query matrix is normalized once, shipped
+  via ``ray.put`` and read once per worker; each batch computes a matmul against
+  it and emits only its per-query top-k partials (k rows per query per batch);
+  the global top-k merges partials — the full score matrix never materializes.
+- **IVF-style scale path**: coarse centroids from a seeded sample (k-means, few
+  iterations, driver-side on the sample only), vectors assigned to nearest cell
+  inside ``map_batches``; a query probes the ``n_probe`` nearest cells so only
+  those partitions are scanned. Assignment is a narrow column; at cluster scale
+  the cell id becomes the partitioning key of the stored table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _to_matrix(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.asarray(col.flatten().to_numpy(zero_copy_only=False),
+                      np.float64).reshape(len(col), -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+class _BruteTopK:
+    def __init__(self, emb_col: str, id_col: str, q_ref, k: int):
+        self.emb_col = emb_col
+        self.id_col = id_col
+        self.q_ref = q_ref
+        self.k = k
+        self._q: np.ndarray | None = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if self._q is None:
+            self._q = ray.get(self.q_ref)
+        mat = _normalize(_to_matrix(batch[self.emb_col]))
+        ids = batch[self.id_col].combine_chunks() if isinstance(
+            batch[self.id_col], pa.ChunkedArray) else batch[self.id_col]
+        ids = ids.to_numpy(zero_copy_only=False)
+        sims = mat @ self._q.T                       # (batch, n_queries)
+        k = min(self.k, sims.shape[0])
+        top = np.argpartition(-sims, k - 1, axis=0)[:k]   # (k, n_queries)
+        nq = sims.shape[1]
+        out_q = np.repeat(np.arange(nq), k)
+        out_id = ids[top.T.ravel()]
+        out_s = sims[top.T.ravel(), out_q]
+        return pa.table({
+            "query_id": pa.array(out_q.astype(np.int64)),
+            "neighbor_id": pa.array(out_id),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+
+def knn_brute(ds, queries: np.ndarray, *, emb_col: str = "embedding",
+              id_col: str = "vec_id", k: int = 10,
+              batch_size: int = 8192) -> pa.Table:
+    """Exact cosine top-k for each query row. Returns
+    (query_id, neighbor_id, score) sorted by (query_id, -score, neighbor_id);
+    scores rounded to 6 decimals for cross-engine comparability."""
+    import ray
+
+    q = _normalize(np.asarray(queries, np.float64))
+    q_ref = ray.put(q)
+    partials = ds.select_columns([id_col, emb_col]).map_batches(
+        _BruteTopK(emb_col, id_col, q_ref, k),
+        batch_format="pyarrow", batch_size=batch_size)
+    # merge partials (k rows per query per batch — tiny)
+    import pandas as pd
+
+    frames = [b.to_pandas() for b in partials.iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow")]
+    df = pd.concat(frames) if frames else pd.DataFrame(
+        columns=["query_id", "neighbor_id", "score"])
+    df["score"] = df["score"].round(6)
+    df = (df.sort_values(["query_id", "score", "neighbor_id"],
+                         ascending=[True, False, True])
+          .groupby("query_id", sort=True).head(k).reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# IVF
+
+
+def train_centroids(sample: np.ndarray, n_cells: int, iters: int = 8,
+                    seed: int = 11) -> np.ndarray:
+    """Seeded mini k-means on a driver-side sample (the sample is small by
+    construction; at scale this is a `random_sample` of the dataset)."""
+    rng = np.random.default_rng(seed)
+    s = _normalize(np.asarray(sample, np.float64))
+    cent = s[rng.choice(len(s), size=min(n_cells, len(s)), replace=False)]
+    for _ in range(iters):
+        assign = (s @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            m = s[assign == c]
+            if len(m):
+                cent[c] = m.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+class AssignCellStage:
+    def __init__(self, emb_col: str, cent_ref):
+        self.emb_col = emb_col
+        self.cent_ref = cent_ref
+        self._cent = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if self._cent is None:
+            self._cent = ray.get(self.cent_ref)
+        mat = _normalize(_to_matrix(batch[self.emb_col]))
+        cell = (mat @ self._cent.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("cell", pa.array(cell, pa.int32()))
+
+
+class IVFIndex:
+    """IVF over a Ray Dataset: build assigns every vector to a cell (one pass);
+    search scans only the ``n_probe`` closest cells per query."""
+
+    def __init__(self, n_cells: int = 16, n_probe: int = 4):
+        self.n_cells = n_cells
+        self.n_probe = n_probe
+        self.centroids: np.ndarray | None = None
+        self._assigned = None
+        self.emb_col = "embedding"
+        self.id_col = "vec_id"
+
+    def build(self, ds, *, emb_col: str = "embedding", id_col: str = "vec_id",
+              sample_rows: int = 2048):
+        import ray
+
+        self.emb_col, self.id_col = emb_col, id_col
+        sample = ds.select_columns([emb_col]).limit(sample_rows)
+        mat = np.vstack([
+            _to_matrix(b[emb_col]) for b in
+            sample.iter_batches(batch_size=sample_rows, batch_format="pyarrow")])
+        self.centroids = train_centroids(mat, self.n_cells)
+        cent_ref = ray.put(self.centroids)
+        self._assigned = ds.select_columns([id_col, emb_col]).map_batches(
+            AssignCellStage(emb_col, cent_ref), batch_format="pyarrow"
+        ).materialize()
+        return self
+
+    def search(self, queries: np.ndarray, k: int = 10) -> pa.Table:
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        q = _normalize(np.asarray(queries, np.float64))
+        probe = np.argsort(-(q @ self.centroids.T), axis=1)[:, : self.n_probe]
+        frames = []
+        cells_needed = pa.array(sorted({int(c) for c in probe.ravel()}),
+                                pa.int32())
+        sub = self._assigned.map_batches(
+            lambda b: b.filter(pc.is_in(b["cell"], value_set=cells_needed)),
+            batch_format="pyarrow")
+        for b in sub.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+            mat = _normalize(_to_matrix(b[self.emb_col]))
+            ids = b[self.id_col].to_numpy(zero_copy_only=False)
+            cells = b["cell"].to_numpy(zero_copy_only=False)
+            sims = mat @ q.T
+            for qi in range(len(q)):
+                mask = np.isin(cells, probe[qi])
+                if not mask.any():
+                    continue
+                s = sims[mask, qi]
+                kk = min(k, len(s))
+                sel = np.argpartition(-s, kk - 1)[:kk]
+                frames.append(pd.DataFrame({
+                    "query_id": qi, "neighbor_id": ids[mask][sel],
+                    "score": np.round(s[sel], 6)}))
+        df = (pd.concat(frames) if frames else
+              pd.DataFrame(columns=["query_id", "neighbor_id", "score"]))
+        df = (df.sort_values(["query_id", "score", "neighbor_id"],
+                             ascending=[True, False, True])
+              .groupby("query_id", sort=True).head(k).reset_index(drop=True))
+        return pa.Table.from_pandas(df, preserve_index=False)

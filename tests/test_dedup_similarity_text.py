@@ -1,0 +1,154 @@
+"""Dedup suite, similarity search, text analysis — planted-duplicate fixtures."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_table():
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest chasing birds")
+    rows = []
+    for i in range(40):
+        rows.append((i, f"unique document number {i} about topic {i * 7} "
+                     f"with its own content body {i * 13}"))
+    rows.append((100, base))
+    rows.append((101, base))                           # exact dup of 100
+    rows.append((102, base.replace("lazy", "sleepy")))  # near dup of 100
+    rows.append((103, "totally different text entirely unrelated content"))
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(_docs_table())
+
+
+def test_exact_dedup(docs_ds, ray_session):
+    from schema_validator_ray.stages.dedup import (
+        dedup_exact_keep_min,
+        exact_duplicate_groups,
+    )
+
+    groups = exact_duplicate_groups(docs_ds, "text", "doc_id").to_pandas()
+    assert len(groups) == 1 and groups.dup_count.iloc[0] == 2
+    kept = dedup_exact_keep_min(docs_ds, "text", "doc_id").to_pandas()
+    assert len(kept) == 43  # 44 rows, one exact dup removed
+    assert 100 in set(kept.doc_id) and 101 not in set(kept.doc_id)
+
+
+def test_minhash_lsh_finds_near_dups(docs_ds, ray_session):
+    from schema_validator_ray.stages.dedup import (
+        minhash_lsh_pairs,
+        verify_pairs_exact_jaccard,
+    )
+
+    pairs = minhash_lsh_pairs(docs_ds, "text", "doc_id", threshold=0.5)
+    got = {(a, b) for a, b in zip(pairs["a"].to_pylist(), pairs["b"].to_pylist())}
+    assert (100, 101) in got          # exact dup: jaccard 1.0
+    assert (100, 102) in got or (101, 102) in got  # near dup
+    assert all(a < 40 or a >= 100 for a, _ in got)
+
+    exact = verify_pairs_exact_jaccard(docs_ds, pairs, "text", "doc_id",
+                                       threshold=0.5)
+    d = {(a, b): j for a, b, j in zip(exact["a"].to_pylist(),
+                                      exact["b"].to_pylist(),
+                                      exact["jaccard"].to_pylist())}
+    assert d[(100, 101)] == 1.0
+    assert 0.5 < d.get((100, 102), d.get((101, 102), 0)) < 1.0
+
+
+def test_simhash_near_dups(docs_ds, ray_session):
+    from schema_validator_ray.stages.dedup import simhash_pairs
+
+    pairs = simhash_pairs(docs_ds, "text", "doc_id")
+    got = {(a, b): h for a, b, h in zip(pairs["a"].to_pylist(),
+                                        pairs["b"].to_pylist(),
+                                        pairs["hamming"].to_pylist())}
+    assert got.get((100, 101)) == 0   # identical text -> identical simhash
+    assert (100, 103) not in got
+
+
+def test_embedding_near_dup_and_knn(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.dedup import embedding_near_dup_pairs
+    from schema_validator_ray.stages.similarity import IVFIndex, knn_brute
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((50, 16))
+    # rows 50/51 are near-identical to row 0
+    extra = np.vstack([base[0] + 0.01 * rng.standard_normal(16),
+                       base[0] + 0.01 * rng.standard_normal(16)])
+    mat = np.vstack([base, extra])
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(52), pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.ravel(), pa.float32()), 16),
+    })
+    ds = rd.from_arrow(tbl)
+
+    dups = embedding_near_dup_pairs(ds, "embedding", "vec_id", 16,
+                                    threshold=0.99)
+    got = {(a, b) for a, b in zip(dups["a"].to_pylist(), dups["b"].to_pylist())}
+    assert {(0, 50), (0, 51), (50, 51)} <= got
+
+    # brute top-k matches numpy reference exactly
+    queries = mat[:3]
+    knn = knn_brute(ds, queries, k=5).to_pandas()
+    q = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    m = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = m @ q.T
+    for qi in range(3):
+        order = np.lexsort((np.arange(52), -np.round(sims[:, qi], 6)))[:5]
+        want = list(order)
+        got_ids = knn[knn.query_id == qi].neighbor_id.tolist()
+        assert got_ids == want, (qi, got_ids, want)
+
+    # IVF with full probe set == brute results
+    ivf = IVFIndex(n_cells=4, n_probe=4).build(ds)
+    ivf_res = ivf.search(queries, k=5).to_pandas()
+    for qi in range(3):
+        assert (ivf_res[ivf_res.query_id == qi].neighbor_id.tolist()
+                == knn[knn.query_id == qi].neighbor_id.tolist())
+
+
+def test_text_functions():
+    import pyarrow.compute as pc
+
+    from schema_validator_ray.functions.text import (
+        content_hash,
+        fingerprint64,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    col = pa.array(["hello world foo", "", None, "a b", "der die das und ist"])
+    assert token_count(col).to_pylist() == [3, 0, 0, 2, 5]
+
+    langs = lang_id(pa.array([
+        "the cat and the dog is in a house",
+        "der hund und die katze ist nicht da",
+        "el perro y la casa es un lugar",
+        "le chien est dans la maison et je suis la",
+        "你好世界你好世界你好",
+        "xyzzy qwerty",
+    ])).to_pylist()
+    assert langs == ["en", "de", "es", "fr", "zh", "und"]
+
+    q = quality_score(pa.array(["good plain text " * 20, "!!!???!!!", ""]))
+    vals = q.to_pylist()
+    assert vals[0] > 0.7 and vals[1] < 0.5 and vals[2] < 0.3
+
+    ch = content_hash(pa.array(["x", "x", "y"])).to_pylist()
+    assert ch[0] == ch[1] != ch[2]
+
+    fp = fingerprint64(pa.array(["same doc text here", "same doc text here",
+                                 "other"])).to_pylist()
+    assert fp[0] == fp[1] != fp[2]
