@@ -1,44 +1,712 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry()      — flagship image-validation pipeline over a table derived
+               deterministically from /root/testdata/sf0.001 (captions come from
+               documents.text; pixels/phash from the seeded stand-in codec).
+queries()    — one callable per implemented operator family (SURVEY.md §2 +
+               the training-data ops); each takes sf_dir.
+oracle_sql() — DuckDB-equivalent SQL for every SQL-expressible query, with
+               matching column names/types. Approximate / image / sketch ops are
+               rows-only by design (no oracle entry).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE import: nothing here calls ray.init().
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SEGMENTS = "BUILDING,AUTOMOBILE,MACHINERY,HOUSEHOLD"  # FURNITURE -> violation
+EVENT_TYPES = "click,signup,view,purchase"            # error -> violation
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns)
+
+
+def _collect(ds, empty_schema: pa.Schema) -> pa.Table:
+    """Materialize a (small) result Dataset to an Arrow table. Ray loses the
+    schema of an all-empty Dataset, so callers pass the expected schema for the
+    zero-row case (to_pandas on an empty Dataset would drop column names)."""
+    batches = [b for b in ds.iter_batches(batch_size=1 << 20,
+                                          batch_format="pyarrow") if b.num_rows]
+    if batches:
+        return pa.concat_tables(batches, promote_options="default")
+    return empty_schema.empty_table()
+
+
+def _violations(ds, spec, id_column: str):
+    """Run the rule engine, return (id, rule_id, col) rows (offending values are
+    covered by unit tests; float-formatting differences make them a poor
+    cross-engine hash target)."""
+    from schema_validator_ray.engine import RuleStage
+
+    out = ds.map_batches(RuleStage(spec, id_column=id_column, mode="violations"),
+                         batch_format="pyarrow", batch_size=16384)
+    return out.map_batches(
+        lambda b: pa.table({id_column: b[id_column],
+                            "rule_id": b["rule_id"],
+                            "col": b["column"]}),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# relational / rule-pack queries (SQL-oracled)
+
+
+def q_rules_customer(sf_dir: str):
+    ds = _read(sf_dir, "customer",
+               ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"])
+    spec = {
+        "c_name": "required",
+        "c_mktsegment": f"required|oneof={SEGMENTS}",
+        "c_acctbal": "min=0",
+        "c_custkey": "min=1",
+    }
+    return _violations(ds, spec, "c_custkey")
+
+
+def q_rules_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"])
+    spec = {
+        "o_orderstatus": "required|oneof=O,F",
+        "o_totalprice": "gt=0",
+        "o_orderpriority": "required|contains=-",
+    }
+    return _violations(ds, spec, "o_orderkey")
+
+
+def q_rules_orders_cond(sf_dir: str):
+    """Conditional rules (SchemaModifier equivalent): orders with status F must
+    have o_totalprice >= 100000."""
+    from schema_validator_ray import when
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+    spec = [when("o_orderstatus", "eq", "F", {"o_totalprice": "min=100000"})]
+    return _violations(ds, spec, "o_orderkey")
+
+
+def q_rules_events(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value", "props"])
+    spec = {
+        "props": "required|json",
+        "event_type": f"required|oneof={EVENT_TYPES}",
+        "value": "gte=1",
+    }
+    return _violations(ds, spec, "event_id")
+
+
+def q_rules_lineitem_crossfield(sf_dir: str):
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_quantity", "l_discount", "l_tax"])
+    spec = {"l_discount": "ltefield=l_tax", "l_quantity": "gt=0"}
+    return _violations(ds, spec, "l_orderkey")
+
+
+def q_rules_embeddings(sf_dir: str):
+    """List-column rules: embedding length must be exactly 64 (compareValue's
+    slice-length dispatch); label in [0, 100]."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    spec = {"embedding": "min=64|max=64", "label": "min=0|max=100"}
+    return _collect(_violations(ds, spec, "vec_id"), pa.schema(
+        [("vec_id", pa.int64()), ("rule_id", pa.string()), ("col", pa.string())]))
+
+
+def q_rules_documents(sf_dir: str):
+    """Includes a computed-column cross-field check: n_chars must equal
+    byte-length of text (added via add_column, then eqfield)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    ds = ds.map_batches(
+        lambda b: b.append_column(
+            "text_len", pc.cast(pc.binary_length(b["text"]), pa.int64())),
+        batch_format="pyarrow")
+    spec = {
+        "text": "required|printascii|min=100",
+        "lang": "required|oneof=en,de,fr,es,zh",
+        "n_chars": "eqfield=text_len",
+    }
+    return _violations(ds, spec, "doc_id")
+
+
+def q_violation_counts_customer(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    v = q_rules_customer(sf_dir)
+    out = v.groupby("rule_id").aggregate(Count(alias_name="n"))
+    return out.map_batches(
+        lambda b: pa.table({"rule_id": b["rule_id"],
+                            "n": pc.cast(b["n"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# wide ops (SQL-oracled)
+
+
+def q_dup_custkeys_orders(sf_dir: str):
+    from schema_validator_ray.stages.uniqueness import duplicate_keys
+
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    return duplicate_keys(ds, "o_custkey")
+
+
+def q_unique_orderkeys(sf_dir: str):
+    """Uniqueness violations on a genuinely-unique key: must be empty."""
+    from schema_validator_ray.stages.uniqueness import duplicate_keys
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+    return _collect(duplicate_keys(ds, "o_orderkey"), pa.schema(
+        [("o_orderkey", pa.int64()), ("dup_count", pa.int64())]))
+
+
+def q_dedup_docs_keep_min(sf_dir: str):
+    from schema_validator_ray.stages.dedup import dedup_exact_keep_min
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup_exact_keep_min(ds, "text", "doc_id")
+    return out.map_batches(lambda b: pa.table({"doc_id": b["doc_id"]}),
+                           batch_format="pyarrow")
+
+
+def q_anti_join_customers_without_orders(sf_dir: str):
+    from schema_validator_ray.stages.referential import referential_violations
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda b: pa.table({"c_custkey": b["o_custkey"]}),
+        batch_format="pyarrow")
+    out = referential_violations(cust, orders, "c_custkey")
+    return _collect(out.map_batches(
+        lambda b: pa.table({"c_custkey": pc.cast(b["c_custkey"], pa.int64())}),
+        batch_format="pyarrow"), pa.schema([("c_custkey", pa.int64())]))
+
+
+def q_events_hourly(sf_dir: str):
+    """Streaming-shaped aggregation with the partial/combiner pattern: per-batch
+    (event_type, hour) partials, merged by a small groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(b["ts"], unit="hour")
+        t = pa.table({"event_type": b["event_type"], "hour": hour,
+                      "value": b["value"]})
+        agg = t.group_by(["event_type", "hour"]).aggregate(
+            [("value", "count"), ("value", "sum")])
+        return pa.table({
+            "event_type": agg["event_type"], "hour": agg["hour"],
+            "n": pc.cast(agg["value_count"], pa.int64()),
+            "total": agg["value_sum"],
+        })
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "hour"])
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("total", alias_name="total")))
+    return merged.map_batches(
+        lambda b: pa.table({"event_type": b["event_type"], "hour": b["hour"],
+                            "n": pc.cast(b["n"], pa.int64()),
+                            "total": pc.round(b["total"], ndigits=2)}),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# text analysis (SQL-oracled where exact)
+
+
+def q_token_counts(sf_dir: str):
+    from schema_validator_ray.functions.text import token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"],
+                            "n_tokens": token_count(b["text"])}),
+        batch_format="pyarrow")
+
+
+def q_text_quality(sf_dir: str):
+    from schema_validator_ray.functions.text import quality_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"],
+                            "quality": quality_score(b["text"])}),
+        batch_format="pyarrow")
+
+
+def q_lang_distribution(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["lang"])
+    out = ds.groupby("lang").aggregate(Count(alias_name="n"))
+    return out.map_batches(
+        lambda b: pa.table({"lang": b["lang"], "n": pc.cast(b["n"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_doc_langid(sf_dir: str):
+    """Heuristic language ID (rows-only: the heuristic is not SQL)."""
+    from schema_validator_ray.functions.text import lang_id
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"],
+                            "lang_pred": lang_id(b["text"])}),
+        batch_format="pyarrow")
+
+
+def q_fingerprint_docs(sf_dir: str):
+    from schema_validator_ray.functions.text import fingerprint64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"],
+                            "fingerprint": fingerprint64(b["text"])}),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# similarity / near-dup
+
+
+def _query_vectors(sf_dir: str, n: int = 3) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    order = pc.sort_indices(t["vec_id"])
+    t = t.take(order[:n])
+    return np.vstack(t["embedding"].to_pylist()).astype(np.float64)
+
+
+def q_knn_embeddings(sf_dir: str):
+    """Exact cosine top-5 for the first 3 vectors (query_id = their vec_id).
+    Scores excluded from the compared projection (float-ulp safety); membership
+    and pairing are exact."""
+    from schema_validator_ray.stages.similarity import knn_brute
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_brute(ds, _query_vectors(sf_dir), k=5)
+    return pa.table({"query_id": out["query_id"],
+                     "neighbor_id": out["neighbor_id"]})
+
+
+def q_embedding_pairs_cos03(sf_dir: str):
+    """All pairs with cosine >= 0.3 — brute verification baseline (the LSH
+    variant is q_embedding_near_dup_lsh, rows-only)."""
+    import ray
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # broadcast the full normalized matrix once; per-batch matmul against it
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids_all = np.asarray(t["vec_id"].to_numpy())
+    mat_all = np.vstack(t["embedding"].to_pylist()).astype(np.float64)
+    mat_all /= np.maximum(np.linalg.norm(mat_all, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids_all, mat_all))
+
+    def pairs(b: pa.Table) -> pa.Table:
+        ids_a, mat_a = ray.get(ref)
+        emb = b["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        m = np.asarray(emb.flatten().to_numpy(zero_copy_only=False),
+                       np.float64).reshape(len(emb), -1)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        my_ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        sims = m @ mat_a.T
+        ii, jj = np.nonzero(sims >= 0.3)
+        keep = my_ids[ii] < ids_a[jj]  # each unordered pair once
+        return pa.table({"a": pa.array(my_ids[ii][keep], pa.int64()),
+                         "b": pa.array(ids_a[jj][keep], pa.int64())})
+
+    return ds.map_batches(pairs, batch_format="pyarrow", batch_size=2048)
+
+
+def q_embedding_near_dup_lsh(sf_dir: str):
+    from schema_validator_ray.stages.dedup import embedding_near_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dup_pairs(ds, "embedding", "vec_id", 64, threshold=0.3,
+                                    n_planes=6)
+
+
+def q_minhash_pairs_docs(sf_dir: str):
+    from schema_validator_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.4)
+
+
+def q_simhash_pairs_docs(sf_dir: str):
+    from schema_validator_ray.stages.dedup import simhash_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(ds, "text", "doc_id", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# profiling / sketches
+
+
+def q_profile_lineitem(sf_dir: str):
+    """Exact per-column stats via the partial/merge profiler (SQL-checkable)."""
+    from schema_validator_ray.stages.stats import profile_dataset
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_discount"])
+    profs = profile_dataset(ds, numeric=("l_quantity", "l_extendedprice",
+                                         "l_discount"))
+    rows = sorted(profs.values(), key=lambda p: p.column)
+    return pa.table({
+        "column_name": pa.array([p.column for p in rows], pa.string()),
+        "cnt": pa.array([p.count for p in rows], pa.int64()),
+        "nulls": pa.array([p.nulls for p in rows], pa.int64()),
+        "vmin": pa.array([round(p.vmin, 6) for p in rows], pa.float64()),
+        "vmax": pa.array([round(p.vmax, 6) for p in rows], pa.float64()),
+    })
+
+
+def q_profile_sketches(sf_dir: str):
+    """Approximate profile (rows-only): HLL distinct + t-digest median."""
+    from schema_validator_ray.stages.stats import profile_dataset
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_orderkey", "l_partkey"])
+    profs = profile_dataset(ds, numeric=("l_quantity",),
+                            keys=("l_orderkey", "l_partkey"))
+    rows = sorted(profs.values(), key=lambda p: p.column)
+    return pa.table({
+        "column_name": pa.array([p.column for p in rows], pa.string()),
+        "distinct_est": pa.array(
+            [float(p.hll.estimate()) if p.hll else None for p in rows],
+            pa.float64()),
+        "p50": pa.array(
+            [p.tdigest.quantile(0.5) if p.tdigest else None for p in rows],
+            pa.float64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# image pipeline (rows-only: the stand-in codec is not SQL-expressible)
+
+
+def _images_dir(sf_dir: str, n_rows: int) -> str:
+    from schema_validator_ray.sources.synth import write_images_dataset
+
+    key = hashlib.blake2b(f"{sf_dir}-{n_rows}".encode(), digest_size=6).hexdigest()
+    out = f"/tmp/svr_images/{key}"
+    import pyarrow.parquet as pq
+
+    caps = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])["text"].to_pylist()
+    write_images_dataset(out, n_rows, seed=42, shards=8, captions=caps)
+    return out
+
+
+def _images_rows_for(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    return max(2000, min(20000, n_docs * 4))
+
+
+def q_images_validate(sf_dir: str):
+    from schema_validator_ray.pipelines.validate_images import validate_images
+
+    d = _images_dir(sf_dir, _images_rows_for(sf_dir))
+    return validate_images(d, decode=True)["violations"]
+
+
+def q_images_rule_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    v = q_images_validate(sf_dir)
+    out = v.groupby("rule_id").aggregate(Count(alias_name="n"))
+    return out.map_batches(
+        lambda b: pa.table({"rule_id": b["rule_id"],
+                            "n": pc.cast(b["n"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_images_drift(sf_dir: str):
+    """Drift verdicts of the synthetic table against its own clean profile
+    (rows-only; KS/PSI on sketches)."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from schema_validator_ray.sources.synth import synth_batch
+    from schema_validator_ray.stages.drift import compare_profiles
+    from schema_validator_ray.stages.stats import profile_dataset
+
+    d = _images_dir(sf_dir, _images_rows_for(sf_dir))
+    ref_tbl = synth_batch(0, 4000, seed=42, clean=True)
+    prof_ref = profile_dataset(rd.from_arrow(ref_tbl), numeric=("w", "h"),
+                               categorical=("fmt",))
+    meta = rd.read_parquet(d, columns=["w", "h", "fmt"])
+    prof_new = profile_dataset(meta, numeric=("w", "h"), categorical=("fmt",))
+    rows = compare_profiles(prof_ref, prof_new)
+    return pd.DataFrame(rows)[["column", "metric", "ok"]]
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    sf = "/root/testdata/sf0.001"
+    from schema_validator_ray.i18n import translate
+
+    violations = q_images_validate(sf)
+    return translate(violations, locale="en")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rules_customer": q_rules_customer,
+        "rules_orders": q_rules_orders,
+        "rules_orders_cond": q_rules_orders_cond,
+        "rules_events": q_rules_events,
+        "rules_lineitem_crossfield": q_rules_lineitem_crossfield,
+        "rules_embeddings": q_rules_embeddings,
+        "rules_documents": q_rules_documents,
+        "violation_counts_customer": q_violation_counts_customer,
+        "dup_custkeys_orders": q_dup_custkeys_orders,
+        "unique_orderkeys": q_unique_orderkeys,
+        "dedup_docs_keep_min": q_dedup_docs_keep_min,
+        "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
+        "events_hourly": q_events_hourly,
+        "token_counts": q_token_counts,
+        "text_quality": q_text_quality,
+        "lang_distribution": q_lang_distribution,
+        "doc_langid": q_doc_langid,
+        "fingerprint_docs": q_fingerprint_docs,
+        "knn_embeddings": q_knn_embeddings,
+        "embedding_pairs_cos03": q_embedding_pairs_cos03,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "minhash_pairs_docs": q_minhash_pairs_docs,
+        "simhash_pairs_docs": q_simhash_pairs_docs,
+        "profile_lineitem": q_profile_lineitem,
+        "profile_sketches": q_profile_sketches,
+        "images_validate": q_images_validate,
+        "images_rule_counts": q_images_rule_counts,
+        "images_drift": q_images_drift,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    seg_list = ",".join(f"'{s}'" for s in SEGMENTS.split(","))
+    evt_list = ",".join(f"'{s}'" for s in EVENT_TYPES.split(","))
+    return {
+        "rules_customer": f"""
+            SELECT c_custkey, 'required' AS rule_id, 'c_name' AS col
+              FROM customer WHERE c_name IS NULL OR c_name = ''
+            UNION ALL
+            SELECT c_custkey, 'required', 'c_mktsegment'
+              FROM customer WHERE c_mktsegment IS NULL OR c_mktsegment = ''
+            UNION ALL
+            SELECT c_custkey, 'oneof', 'c_mktsegment'
+              FROM customer WHERE c_mktsegment IS NULL
+                OR c_mktsegment NOT IN ({seg_list})
+            UNION ALL
+            SELECT c_custkey, 'min', 'c_acctbal'
+              FROM customer WHERE COALESCE(c_acctbal, 0) < 0
+            UNION ALL
+            SELECT c_custkey, 'min', 'c_custkey'
+              FROM customer WHERE COALESCE(c_custkey, 0) < 1
+        """,
+        "rules_orders": """
+            SELECT o_orderkey, 'required' AS rule_id, 'o_orderstatus' AS col
+              FROM orders WHERE o_orderstatus IS NULL OR o_orderstatus = ''
+            UNION ALL
+            SELECT o_orderkey, 'oneof', 'o_orderstatus'
+              FROM orders WHERE o_orderstatus IS NULL
+                OR o_orderstatus NOT IN ('O','F')
+            UNION ALL
+            SELECT o_orderkey, 'gt', 'o_totalprice'
+              FROM orders WHERE COALESCE(o_totalprice, 0) <= 0
+            UNION ALL
+            SELECT o_orderkey, 'required', 'o_orderpriority'
+              FROM orders WHERE o_orderpriority IS NULL OR o_orderpriority = ''
+            UNION ALL
+            SELECT o_orderkey, 'contains', 'o_orderpriority'
+              FROM orders WHERE NOT contains(COALESCE(o_orderpriority, ''), '-')
+        """,
+        "rules_orders_cond": """
+            SELECT o_orderkey, 'min' AS rule_id, 'o_totalprice' AS col
+              FROM orders
+             WHERE o_orderstatus = 'F' AND COALESCE(o_totalprice, 0) < 100000
+        """,
+        "rules_events": f"""
+            SELECT event_id, 'required' AS rule_id, 'props' AS col
+              FROM events WHERE props IS NULL OR props = ''
+            UNION ALL
+            SELECT event_id, 'json', 'props'
+              FROM events WHERE NOT (
+                (starts_with(COALESCE(props, ''), '{{') AND COALESCE(props,'') LIKE '%}}')
+                OR (starts_with(COALESCE(props, ''), '[') AND COALESCE(props,'') LIKE '%]'))
+            UNION ALL
+            SELECT event_id, 'required', 'event_type'
+              FROM events WHERE event_type IS NULL OR event_type = ''
+            UNION ALL
+            SELECT event_id, 'oneof', 'event_type'
+              FROM events WHERE event_type IS NULL
+                OR event_type NOT IN ({evt_list})
+            UNION ALL
+            SELECT event_id, 'gte', 'value'
+              FROM events WHERE COALESCE(value, 0) < 1
+        """,
+        "rules_lineitem_crossfield": """
+            SELECT l_orderkey, 'ltefield' AS rule_id, 'l_discount' AS col
+              FROM lineitem WHERE COALESCE(l_discount,0) > COALESCE(l_tax,0)
+            UNION ALL
+            SELECT l_orderkey, 'gt', 'l_quantity'
+              FROM lineitem WHERE COALESCE(l_quantity, 0) <= 0
+        """,
+        "rules_embeddings": """
+            SELECT vec_id, 'min' AS rule_id, 'embedding' AS col
+              FROM embeddings WHERE len(embedding) < 64
+            UNION ALL
+            SELECT vec_id, 'max', 'embedding'
+              FROM embeddings WHERE len(embedding) > 64
+            UNION ALL
+            SELECT vec_id, 'min', 'label'
+              FROM embeddings WHERE COALESCE(label, 0) < 0
+            UNION ALL
+            SELECT vec_id, 'max', 'label'
+              FROM embeddings WHERE COALESCE(label, 0) > 100
+        """,
+        "rules_documents": """
+            SELECT doc_id, 'required' AS rule_id, 'text' AS col
+              FROM documents WHERE text IS NULL OR text = ''
+            UNION ALL
+            SELECT doc_id, 'printascii', 'text'
+              FROM documents WHERE NOT regexp_matches(COALESCE(text, ''), '^[ -~]*$')
+            UNION ALL
+            SELECT doc_id, 'min', 'text'
+              FROM documents WHERE strlen(COALESCE(text, '')) < 100
+            UNION ALL
+            SELECT doc_id, 'required', 'lang'
+              FROM documents WHERE lang IS NULL OR lang = ''
+            UNION ALL
+            SELECT doc_id, 'oneof', 'lang'
+              FROM documents WHERE lang IS NULL
+                OR lang NOT IN ('en','de','fr','es','zh')
+            UNION ALL
+            SELECT doc_id, 'eqfield', 'n_chars'
+              FROM documents
+             WHERE COALESCE(n_chars, 0) != strlen(COALESCE(text, ''))
+        """,
+        "violation_counts_customer": f"""
+            WITH v AS (
+              SELECT 'required' AS rule_id FROM customer
+               WHERE c_name IS NULL OR c_name = ''
+              UNION ALL
+              SELECT 'required' FROM customer
+               WHERE c_mktsegment IS NULL OR c_mktsegment = ''
+              UNION ALL
+              SELECT 'oneof' FROM customer
+               WHERE c_mktsegment IS NULL OR c_mktsegment NOT IN ({seg_list})
+              UNION ALL
+              SELECT 'min' FROM customer WHERE COALESCE(c_acctbal, 0) < 0
+              UNION ALL
+              SELECT 'min' FROM customer WHERE COALESCE(c_custkey, 0) < 1)
+            SELECT rule_id, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY rule_id
+        """,
+        "dup_custkeys_orders": """
+            SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS dup_count
+              FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
+        """,
+        "unique_orderkeys": """
+            SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS dup_count
+              FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+        """,
+        "dedup_docs_keep_min": """
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+              FROM documents GROUP BY text
+        """,
+        "anti_join_customers_without_orders": """
+            SELECT c_custkey FROM customer
+             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(value), 2) AS total
+              FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(COALESCE(text, ''), '\w+'))
+                        AS BIGINT) AS n_tokens
+              FROM documents
+        """,
+        "text_quality": r"""
+            SELECT doc_id, ROUND(
+                0.4 * LEAST(strlen(COALESCE(text,'')) / 200.0, 1.0)
+              + 0.4 * (len(regexp_extract_all(COALESCE(text,''), '[A-Za-z]'))
+                       / GREATEST(strlen(COALESCE(text,'')), 1.0))
+              + 0.2 * (1.0 - LEAST(4.0 *
+                       len(regexp_extract_all(COALESCE(text,''), '[^\w\s]'))
+                       / GREATEST(strlen(COALESCE(text,'')), 1.0), 1.0)),
+              6) AS quality
+              FROM documents
+        """,
+        "lang_distribution": """
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents GROUP BY lang
+        """,
+        "knn_embeddings": """
+            WITH q AS (SELECT vec_id AS query_id, embedding
+                         FROM embeddings ORDER BY vec_id LIMIT 3),
+                 qn AS (SELECT query_id,
+                               ROW_NUMBER() OVER (ORDER BY query_id) - 1 AS qidx,
+                               embedding FROM q)
+            SELECT CAST(qn.qidx AS BIGINT) AS query_id,
+                   e.vec_id AS neighbor_id
+              FROM qn CROSS JOIN embeddings e
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY qn.qidx
+                ORDER BY round(list_cosine_similarity(
+                    CAST(qn.embedding AS DOUBLE[]),
+                    CAST(e.embedding AS DOUBLE[])), 6) DESC, e.vec_id) <= 5
+        """,
+        "embedding_pairs_cos03": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])) >= 0.3
+        """,
+        "profile_lineitem": """
+            SELECT 'l_discount' AS column_name,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(COUNT(*) - COUNT(l_discount) AS BIGINT) AS nulls,
+                   ROUND(MIN(l_discount), 6) AS vmin,
+                   ROUND(MAX(l_discount), 6) AS vmax
+              FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+                   ROUND(MIN(l_extendedprice), 6), ROUND(MAX(l_extendedprice), 6)
+              FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT),
+                   ROUND(MIN(l_quantity), 6), ROUND(MAX(l_quantity), 6)
+              FROM lineitem
+        """,
+    }
