@@ -406,7 +406,10 @@ def q_profile_sketches(sf_dir: str):
 def _images_dir(sf_dir: str, n_rows: int) -> str:
     from schema_validator_ray.sources.synth import write_images_dataset
 
-    key = hashlib.blake2b(f"{sf_dir}-{n_rows}".encode(), digest_size=6).hexdigest()
+    from schema_validator_ray.sources.synth import SYNTH_VERSION
+
+    key = hashlib.blake2b(f"{sf_dir}-{n_rows}-v{SYNTH_VERSION}".encode(),
+                          digest_size=6).hexdigest()
     out = f"/tmp/svr_images/{key}"
     import pyarrow.parquet as pq
 

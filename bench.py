@@ -1,0 +1,169 @@
+"""Benchmark harness.
+
+Headline: validated images/sec — the full flagship pipeline (metadata rules +
+decode/phash/PSNR checks + uniqueness on image_id and phash + referential +
+column profile) over a deterministic synthetic image/caption table sized to the
+scale factor. Plus per-query timings of representative pipelines over
+$GRAFT_SF_DIR tables.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "images_per_sec": ...}
+
+--scaling: runs the same job in two fresh processes (num_cpus=8 and 32) on the
+same input and reports both throughputs + scaling efficiency (the sandbox proxy
+for the N vs 4N cluster criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_IMAGES = int(os.environ.get("SVR_BENCH_IMAGES", "20000"))
+# realistic payload sizes: real pipelines are decode-bound, so the headline uses
+# ~0.06 MP images (stand-in codec ~60 KB payloads), not test-sized thumbnails
+BENCH_DIMS = os.environ.get("SVR_BENCH_DIMS", "160x384")
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def _prepare_images(n_rows: int) -> tuple[str, str]:
+    """Synthesize (once, cached on disk) the bench image table + captions side."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from schema_validator_ray.sources.synth import (
+        write_captions_side_table,
+        write_images_dataset,
+    )
+
+    from schema_validator_ray.sources.synth import SYNTH_VERSION
+
+    lo, hi = (int(x) for x in BENCH_DIMS.split("x"))
+    key = hashlib.blake2b(
+        f"bench-{n_rows}-{lo}-{hi}-v{SYNTH_VERSION}".encode(),
+        digest_size=6).hexdigest()
+    d = f"/tmp/svr_bench/{key}"
+    caps_path = os.path.join(d, "captions.parquet")
+    import ray
+
+    ray.init(address="local", num_cpus=os.cpu_count(), include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    write_images_dataset(os.path.join(d, "images"), n_rows, seed=42, shards=64,
+                         min_dim=lo, max_dim=hi, parallel=True)
+    ray.shutdown()
+    if not os.path.exists(caps_path):
+        write_captions_side_table(caps_path, os.path.join(d, "images"))
+    return os.path.join(d, "images"), caps_path
+
+
+def run_headline(images_dir: str, captions_path: str) -> dict:
+    from schema_validator_ray.pipelines.validate_images import validate_images
+
+    t0 = time.perf_counter()
+    res = validate_images(images_dir, captions_path=captions_path, decode=True)
+    n_viol = res["violations"].count()
+    wall = time.perf_counter() - t0
+    return {"sec": wall, "violations": n_viol}
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    import __ray_entry__ as m
+
+    picks = [
+        "rules_lineitem_crossfield",
+        "rules_customer",
+        "rules_events",
+        "events_hourly",
+        "dup_custkeys_orders",
+        "dedup_docs_keep_min",
+        "token_counts",
+        "minhash_pairs_docs",
+        "knn_embeddings",
+        "profile_lineitem",
+    ]
+    qs = m.queries()
+    out = {}
+    for name in picks:
+        t0 = time.perf_counter()
+        res = qs[name](sf_dir)
+        # consume (lazy Datasets execute on count/iter)
+        if hasattr(res, "count") and not hasattr(res, "num_rows"):
+            res.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    n_images = BENCH_IMAGES
+    images_dir, caps = _prepare_images(n_images)  # synth before the clock
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    # warm the page cache (untimed read)
+    rd.read_parquet(images_dir).count()
+
+    head = run_headline(images_dir, caps)
+    qtimes = run_queries(SF_DIR)
+    ray.shutdown()
+
+    print(json.dumps({
+        "metric": "flagship image validation wall time",
+        "value": round(head["sec"], 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": _sf_from_dir(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "images": n_images,
+        "images_per_sec": round(n_images / head["sec"], 1),
+        "violations": head["violations"],
+    }))
+
+
+def scaling() -> None:
+    import subprocess
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True, check=True)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling efficiency (num_cpus 8 -> 32, same input)",
+        "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+        "images_per_sec_8": r_lo["images_per_sec"],
+        "images_per_sec_32": r_hi["images_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

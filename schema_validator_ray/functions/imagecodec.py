@@ -43,9 +43,10 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
     return header + zlib.compress(payload, level=1)
 
 
-def decode(data: bytes) -> tuple[np.ndarray, str, int, int]:
-    """Returns (pixels HxW uint8, fmt, w, h). Raises CodecError on bad input."""
-    if len(data) < 13 or data[:4] != MAGIC:
+def decode(data) -> tuple[np.ndarray, str, int, int]:
+    """Returns (pixels HxW uint8, fmt, w, h). Raises CodecError on bad input.
+    Accepts bytes or any buffer (e.g. a zero-copy Arrow memoryview)."""
+    if len(data) < 13 or bytes(data[:4]) != MAGIC:
         raise CodecError("bad magic / truncated header")
     code, w, h = struct.unpack("<BII", data[4:13])
     fmt = FMT_NAMES.get(code)
@@ -75,24 +76,38 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def phash64(pixels: np.ndarray) -> int:
-    """8x8 average-hash of the image -> signed int64 (the table's phash column)."""
+    """8x8 block-mean average-hash -> signed int64 (the table's phash column).
+    Vectorized with two axis reductions (np.add.reduceat) — one pass over the
+    pixels instead of an integral image, so memory traffic is ~1x the image.
+    Block sums of uint8 stay < 2^53: float means are bit-identical to a direct
+    ``.mean()`` per block."""
     h, w = pixels.shape
-    # block-mean downsample to 8x8 (pad to a multiple of 8 by edge-clipping)
-    ys = (np.arange(8 + 1) * h) // 8
-    xs = (np.arange(8 + 1) * w) // 8
-    blocks = np.empty((8, 8), dtype=np.float64)
-    for i in range(8):
-        for j in range(8):
-            blocks[i, j] = pixels[ys[i]:max(ys[i + 1], ys[i] + 1),
-                                  xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
-    bits = (blocks > blocks.mean()).astype(np.uint64).ravel()
-    val = np.uint64(0)
-    for b in bits:
-        val = (val << np.uint64(1)) | b
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
+    x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
+    # guards only matter for h<8 / w<8 (y1/x1 may then repeat — recompute edges)
+    row_red = np.add.reduceat(pixels, y0, axis=0, dtype=np.int64)  # (8, w)
+    sums = np.add.reduceat(row_red, x0, axis=1)                    # (8, 8)
+    if h < 8 or w < 8:
+        # reduceat's degenerate-segment semantics differ; fall back to slices
+        blocks = np.empty((8, 8))
+        for i in range(8):
+            for j in range(8):
+                blocks[i, j] = pixels[y0[i]:y1[i], x0[j]:x1[j]].mean()
+    else:
+        areas = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+        blocks = sums / areas
+    bits = (blocks > blocks.mean()).ravel()
+    val = np.bitwise_or.reduce(_PHASH_POW[bits]) if bits.any() else np.uint64(0)
     return int(val.astype(np.int64))
 
 
+_PHASH_POW = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
+
+
 def intensity_histogram(pixels: np.ndarray, bins: int = 16) -> np.ndarray:
-    """Fixed-bin pixel-intensity histogram (drift feature), int64[bins]."""
-    hist, _ = np.histogram(pixels, bins=bins, range=(0, 256))
-    return hist.astype(np.int64)
+    """Fixed-bin pixel-intensity histogram (drift feature), int64[bins].
+    bincount over the top bits == np.histogram with uniform bins on [0,256)."""
+    shift = 8 - (bins - 1).bit_length()
+    return np.bincount((pixels.ravel() >> shift), minlength=bins).astype(np.int64)

@@ -78,10 +78,12 @@ class HLL:
     def add_hashes(self, h: np.ndarray) -> None:
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         rest = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
-        # rank = leading zeros of rest + 1 (bounded by 64-p+1)
+        # rank = leading zeros + 1 = 65 - bit_length; bit_length via float log2
+        # (guard bit makes rest nonzero; values rounding up at a 2^k boundary
+        # shift rank by 1 with probability ~2^-40 — negligible HLL bias)
         nz = 64 - self.p + 1
-        rank = np.minimum(
-            nz, 65 - np.frompyfunc(int.bit_length, 1, 1)(rest.astype(object)).astype(np.int64))
+        bl = np.floor(np.log2(rest.astype(np.float64))).astype(np.int64) + 1
+        rank = np.clip(65 - bl, 1, nz)
         np.maximum.at(self.registers, idx, rank.astype(np.uint8))
 
     def merge(self, other: "HLL") -> "HLL":

@@ -47,15 +47,294 @@ def _std(ds):
     return ds.select_columns(VIOLATION_COLUMNS)
 
 
+# ---------------------------------------------------------------------------
+# fused two-scan flagship
+#
+# Scan 1 (meta columns only): ONE map_batches computes row-local rule violations
+# + per-batch (key, count) partials for image_id/phash + profile sketch partials,
+# emitted as a tagged narrow stream that is materialized (it is ~2 narrow rows
+# per input row at worst — violations + distinct keys; at extreme scale swap the
+# materialize for a second column-pruned scan, see validate_images()).
+# Scan 2 (decode columns): decode/dims/phash/PSNR checks AND the broadcast
+# membership checks (duplicate ids, duplicate phashes, missing captions) fused
+# into one stage — no third pass over the input.
+
+_MIXED_SCHEMA = pa.schema([
+    ("kind", pa.string()),          # v=violation, k=keycount, p=profile partial
+    ("image_id", pa.string()),
+    ("rule_id", pa.string()),
+    ("column", pa.string()),
+    ("offending_value", pa.string()),
+    ("key_kind", pa.string()),
+    ("key", pa.string()),
+    ("cnt", pa.int64()),
+    ("pcol", pa.string()),
+    ("pcount", pa.int64()),
+    ("pnulls", pa.int64()),
+    ("blob", pa.binary()),
+])
+
+
+class FusedMetaStage:
+    """One pass over the metadata columns: rule violations + uniqueness key
+    partials + profile sketch partials, as one tagged narrow table."""
+
+    def __init__(self, spec, key_columns=("image_id", "phash")):
+        self.spec = spec
+        self.key_columns = list(key_columns)
+        self._compiled = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..compile import compile_ruleset
+        from ..stages.stats import ColumnProfilerStage
+
+        if self._compiled is None:
+            self._compiled = compile_ruleset(self.spec, batch.schema)
+            self._profiler = ColumnProfilerStage(
+                numeric_columns=("w", "h"), categorical_columns=("fmt",),
+                key_columns=self.key_columns)
+
+        _, viol = self._compiled.evaluate(batch, id_column="image_id")
+        n_v = viol.num_rows
+        parts = [pa.table({
+            "kind": pa.array(["v"] * n_v),
+            "image_id": viol["image_id"],
+            "rule_id": viol["rule_id"],
+            "column": viol["column"],
+            "offending_value": viol["offending_value"],
+        })]
+
+        for key in self.key_columns:
+            agg = (batch.select([key]).group_by(key)
+                   .aggregate([([], "count_all")]))
+            n_k = agg.num_rows
+            parts.append(pa.table({
+                "kind": pa.array(["k"] * n_k),
+                "key_kind": pa.array([key] * n_k),
+                "key": pc.cast(agg[key], pa.string()),
+                "cnt": pc.cast(agg["count_all"], pa.int64()),
+            }))
+
+        prof = self._profiler(batch)
+        n_p = prof.num_rows
+        parts.append(pa.table({
+            "kind": pa.array(["p"] * n_p),
+            "pcol": prof["column"],
+            "pcount": prof["count"],
+            "pnulls": prof["nulls"],
+            "blob": prof["blob"],
+        }))
+
+        unified = [_conform(t) for t in parts]
+        return pa.concat_tables(unified)
+
+
+def _conform(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    cols = []
+    for f in _MIXED_SCHEMA:
+        if f.name in t.column_names:
+            # cast pins the declared type even for empty columns (a bare
+            # pa.array([]) is null-typed and would poison concat_tables)
+            cols.append(pc.cast(t[f.name], f.type))
+        else:
+            cols.append(pa.nulls(t.num_rows, f.type))
+    return pa.Table.from_arrays(cols, schema=_MIXED_SCHEMA)
+
+
+class _DecodeAndMembership:
+    """Scan-2 stage: image payload checks + broadcast-set membership violations
+    (duplicate image_id / phash, missing caption) in one pass."""
+
+    def __init__(self, dup_ids_ref, dup_phash_ref, caption_keys_ref,
+                 do_decode: bool = True):
+        self.dup_ids_ref = dup_ids_ref
+        self.dup_phash_ref = dup_phash_ref
+        self.caption_keys_ref = caption_keys_ref
+        self.do_decode = do_decode
+        self._sets = None
+        self._img = ImageViolationsStage()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        import ray
+
+        if self._sets is None:
+            get = lambda r: ray.get(r) if r is not None else None
+            self._sets = (get(self.dup_ids_ref), get(self.dup_phash_ref),
+                          get(self.caption_keys_ref))
+        dup_ids, dup_ph, cap_keys = self._sets
+
+        out = []
+        if self.do_decode:
+            out.append(self._img(batch))
+        ids = batch["image_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+
+        def emit(mask, rule_id, column, values):
+            idx = mask.to_numpy(zero_copy_only=False).nonzero()[0] \
+                if hasattr(mask, "to_numpy") else mask.nonzero()[0]
+            if not len(idx):
+                return
+            take = pa.array(idx)
+            out.append(pa.table({
+                "image_id": ids.take(take),
+                "rule_id": pa.array([rule_id] * len(idx)),
+                "column": pa.array([column] * len(idx)),
+                "offending_value": pc.cast(values.take(take), pa.string()),
+            }))
+
+        if dup_ids is not None:
+            emit(pc.is_in(ids, value_set=dup_ids).fill_null(False),
+                 "unique:image_id", "image_id", ids)
+        if dup_ph is not None:
+            ph = batch["phash"]
+            if isinstance(ph, pa.ChunkedArray):
+                ph = ph.combine_chunks()
+            emit(pc.is_in(pc.cast(ph, pa.string()), value_set=dup_ph)
+                 .fill_null(False), "unique:phash", "phash", ph)
+        if cap_keys is not None:
+            emit(pc.invert(pc.is_in(ids, value_set=cap_keys)).fill_null(True),
+                 "referential", "image_id", ids)
+        if not out:
+            return pa.schema([(c, pa.string()) for c in VIOLATION_COLUMNS]
+                             ).empty_table()
+        return pa.concat_tables(out)
+
+
 def validate_images(input_dir: str, *, captions_path: str | None = None,
                     reference_profile: dict | None = None,
                     decode: bool = True,
                     meta_batch_size: int = 8192,
-                    decode_batch_size: int = 512,
+                    decode_batch_size: int | None = None,
                     decode_concurrency: int | None = None) -> dict[str, Any]:
-    """Returns lazy Datasets + driver-side small results:
-       {violations: Dataset, profile: {col: ColumnProfile}, drift: [verdicts],
-        summary: fn() -> dict}  — callers consume/write what they need."""
+    """Fused two-scan flagship. Returns {violations: Dataset (lazy),
+    profile: {col: ColumnProfile}, drift: [verdicts]}.
+
+    Scan 1 reads only the metadata columns and computes rules + key partials +
+    sketches in one stage; its compact tagged output is materialized (swap for a
+    re-scan at scales where even the narrow stream is too big to pin). Scan 2
+    reads the bytes column once and fuses decode checks with the broadcast
+    membership checks. Total input passes: metadata 1x, bytes 1x."""
+    import pickle
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.referential import _side_key_column
+    from ..stages.stats import ColumnProfile
+
+    # block count sized to the session's CPUs (4 blocks per core): Ray otherwise
+    # coalesces small input files into target_max_block_size blocks, capping the
+    # decode stage's parallelism below the core count
+    try:
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        n_cpus = 8
+    n_blocks = max(16, n_cpus * 4)
+
+    meta = rd.read_parquet(input_dir, columns=META_COLUMNS,
+                           override_num_blocks=n_blocks)
+    mixed = meta.map_batches(FusedMetaStage(IMAGE_SPEC),
+                             batch_format="pyarrow",
+                             batch_size=meta_batch_size).materialize()
+
+    # duplicate-key sets from the (key_kind, key, cnt) partials. Below the
+    # threshold the partials are merged on the driver with one pyarrow group_by
+    # (they are already in the object store — milliseconds); above it, the
+    # distributed groupby path (cluster scale: per-batch combine means each
+    # reducer sees at most num_batches rows per key even for hot keys).
+    dup_sets: dict[str, set] = {"image_id": set(), "phash": set()}
+    kc = mixed.filter(expr="kind == 'k'").select_columns(
+        ["key_kind", "key", "cnt"])
+    DRIVER_MERGE_MAX = 5_000_000
+    parts, total_rows = [], 0
+    for b in kc.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        parts.append(b)
+        total_rows += b.num_rows
+        if total_rows > DRIVER_MERGE_MAX:
+            break
+    if total_rows <= DRIVER_MERGE_MAX:
+        if parts:
+            merged = (pa.concat_tables(parts)
+                      .group_by(["key_kind", "key"])
+                      .aggregate([("cnt", "sum")]))
+            import pyarrow.compute as _pc
+
+            dup = merged.filter(_pc.greater(merged["cnt_sum"], 1))
+            for kk, k in zip(dup["key_kind"].to_pylist(),
+                             dup["key"].to_pylist()):
+                dup_sets[kk].add(k)
+    else:
+        dups = (kc.repartition(64)
+                .groupby(["key_kind", "key"])
+                .aggregate(Sum("cnt", alias_name="total"))
+                .filter(expr="total > 1"))
+        for b in dups.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+            for kk, k in zip(b["key_kind"].to_pylist(), b["key"].to_pylist()):
+                dup_sets[kk].add(k)
+
+    # profile merge from sketch partials (tiny: one row per column per batch)
+    profile: dict[str, ColumnProfile] = {}
+    for b in (mixed.filter(expr="kind == 'p'")
+              .select_columns(["pcol", "pcount", "pnulls", "blob"])
+              .iter_batches(batch_size=4096, batch_format="pyarrow")):
+        for cname, cnt, nl, blob in zip(b["pcol"].to_pylist(),
+                                        b["pcount"].to_pylist(),
+                                        b["pnulls"].to_pylist(),
+                                        b["blob"].to_pylist()):
+            vmin, vmax, vsum, td, hll, cms = pickle.loads(blob)
+            p = ColumnProfile(cname, cnt, nl, vmin, vmax, vsum, td, hll, cms)
+            if cname in profile:
+                profile[cname].merge(p)
+            else:
+                profile[cname] = p
+
+    viol_meta = (mixed.filter(expr="kind == 'v'")
+                 .select_columns(VIOLATION_COLUMNS))
+
+    def _ref(s):
+        return ray.put(pa.array(sorted(s))) if s else None
+
+    dup_ids_ref = _ref(dup_sets["image_id"])
+    dup_ph_ref = _ref(dup_sets["phash"])
+    cap_ref = None
+    if captions_path is not None:
+        cap_ref = ray.put(_side_key_column(captions_path, "image_id"))
+
+    cols = DECODE_COLUMNS if decode else ["image_id", "phash"]
+    scan2 = rd.read_parquet(input_dir, columns=cols,
+                            override_num_blocks=n_blocks)
+    kwargs: dict[str, Any] = {"batch_format": "pyarrow"}
+    if decode_batch_size:  # None = one batch per block (max parallelism)
+        kwargs["batch_size"] = decode_batch_size
+    if decode_concurrency:
+        kwargs["concurrency"] = decode_concurrency
+    scan2_out = scan2.map_batches(
+        _DecodeAndMembership(dup_ids_ref, dup_ph_ref, cap_ref,
+                             do_decode=decode), **kwargs)
+
+    violations = viol_meta.union(scan2_out)
+    drift = (compare_profiles(reference_profile, profile)
+             if reference_profile else [])
+    return {"violations": violations, "profile": profile, "drift": drift}
+
+
+def validate_images_multiscan(input_dir: str, *, captions_path: str | None = None,
+                              reference_profile: dict | None = None,
+                              decode: bool = True,
+                              meta_batch_size: int = 8192,
+                              decode_batch_size: int = 512,
+                              decode_concurrency: int | None = None) -> dict[str, Any]:
+    """Original one-leg-per-check composition (each check an independent lazy
+    Dataset over its own column-pruned read). Kept as the reference composition
+    and for A/B-ing against the fused path."""
     import ray.data as rd
 
     meta = rd.read_parquet(input_dir, columns=META_COLUMNS)

@@ -52,10 +52,21 @@ R_HOT_PHASH = 0.02  # rows funneled into ~10 shared phash values (skew fixture)
 
 MIN_DIM, MAX_DIM = 16, 96  # kept small so synthesis stays cheap at test scale
 
+SYNTH_VERSION = 2  # bump when generation changes — busts /tmp caches
+
+
+def _row_image_id(seed: int, i: int) -> str:
+    """image_id from a DEDICATED RNG stream (independent of the pixel stream),
+    so the duplicate-id fixture can reproduce row i-1's id exactly."""
+    rng = np.random.default_rng([seed, i, 101])
+    return str(uuid.UUID(int=int(rng.integers(0, 2 ** 63)) << 64
+                         | int(rng.integers(0, 2 ** 63)), version=4))
+
 
 def synth_batch(start: int, n: int, seed: int = 42,
                 captions: list[str] | None = None,
-                clean: bool = False) -> pa.Table:
+                clean: bool = False,
+                min_dim: int = MIN_DIM, max_dim: int = MAX_DIM) -> pa.Table:
     """Generate rows [start, start+n) deterministically."""
     ids, blobs, ws, hs, fmts, caps, phashes = [], [], [], [], [], [], []
     hot_rng = np.random.default_rng(seed)
@@ -66,15 +77,14 @@ def synth_batch(start: int, n: int, seed: int = 42,
         u = rng.random(12)
 
         # dims (log-uniform-ish)
-        w = int(np.exp(rng.uniform(np.log(MIN_DIM), np.log(MAX_DIM))))
-        h = int(np.exp(rng.uniform(np.log(MIN_DIM), np.log(MAX_DIM))))
+        w = int(np.exp(rng.uniform(np.log(min_dim), np.log(max_dim))))
+        h = int(np.exp(rng.uniform(np.log(min_dim), np.log(max_dim))))
         fmt = FMTS[int(rng.integers(0, 3))]
         px = rng.integers(0, 256, size=(h, w), dtype=np.uint8).astype(np.uint8)
         blob = codec.encode(px, fmt)
         ph = codec.phash64(codec.decode(blob)[0])
 
-        image_id = str(uuid.UUID(int=int(rng.integers(0, 2 ** 63)) << 64
-                                 | int(rng.integers(0, 2 ** 63)), version=4))
+        image_id = _row_image_id(seed, i)
         if captions is not None:
             caption = captions[i % len(captions)]
         else:
@@ -89,11 +99,7 @@ def synth_batch(start: int, n: int, seed: int = 42,
             elif u[0] < R_EMPTY_ID + R_BAD_UUID:
                 image_id = "not-a-uuid-" + str(i)               # uuid
             elif u[0] < R_EMPTY_ID + R_BAD_UUID + R_DUP_ID and i > 0:
-                dup_rng = np.random.default_rng((seed << 20) ^ (i - 1))
-                _ = dup_rng.random(12)
-                image_id = str(uuid.UUID(
-                    int=int(dup_rng.integers(0, 2 ** 63)) << 64
-                    | int(dup_rng.integers(0, 2 ** 63)), version=4))  # duplicate
+                image_id = _row_image_id(seed, i - 1)  # exact duplicate of row i-1
             if u[1] < R_TRUNCATED:
                 blob = blob[: max(4, len(blob) // 2)]            # decode check
             elif u[1] < R_TRUNCATED + R_DIM_MISMATCH:
@@ -136,23 +142,42 @@ def synth_batch(start: int, n: int, seed: int = 42,
 
 def write_images_dataset(out_dir: str, n_rows: int, *, seed: int = 42,
                          shards: int = 8, captions: list[str] | None = None,
-                         clean: bool = False) -> list[str]:
+                         clean: bool = False,
+                         min_dim: int = MIN_DIM, max_dim: int = MAX_DIM,
+                         parallel: bool = False) -> list[str]:
     """Write a sharded parquet dataset (the Lance stand-in — lance is not in this
     container; each shard is an independent partition for the manifest/resume
-    path). Returns shard paths."""
+    path). Returns shard paths. ``parallel=True`` synthesizes shards as Ray
+    tasks (needs an active session; rows are a pure function of (seed, i), so
+    output is identical either way)."""
     os.makedirs(out_dir, exist_ok=True)
-    paths = []
     per = (n_rows + shards - 1) // shards
+    jobs, paths = [], []
     for s in range(shards):
         start = s * per
         n = min(per, n_rows - start)
         if n <= 0:
             break
         path = os.path.join(out_dir, f"part-{s:05d}.parquet")
-        if not os.path.exists(path):
-            tbl = synth_batch(start, n, seed=seed, captions=captions, clean=clean)
-            pq.write_table(tbl, path)
         paths.append(path)
+        if not os.path.exists(path):
+            jobs.append((start, n, path))
+
+    def _write(start: int, n: int, path: str) -> None:
+        tbl = synth_batch(start, n, seed=seed, captions=captions, clean=clean,
+                          min_dim=min_dim, max_dim=max_dim)
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+
+    if parallel and jobs:
+        import ray
+
+        task = ray.remote(num_cpus=1)(_write)
+        ray.get([task.remote(*j) for j in jobs])
+    else:
+        for j in jobs:
+            _write(*j)
     return paths
 
 

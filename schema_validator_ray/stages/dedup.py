@@ -63,7 +63,7 @@ def dedup_exact_keep_min(ds, text_col: str, id_col: str):
         return agg.rename_columns(["content_hash", id_col])
 
     partials = hashed.map_batches(partial_min, batch_format="pyarrow")
-    return partials.groupby("content_hash").aggregate(
+    return partials.repartition(8).groupby("content_hash").aggregate(
         Min(id_col, alias_name=id_col))
 
 
@@ -111,6 +111,9 @@ class MinHashStage:
 
 
 class _BandExplode:
+    """Emit one (bucket, id) row per band: bucket = "<band>:<hash-of-segment>".
+    Only these two narrow columns ever shuffle — never text or signatures."""
+
     def __init__(self, id_col: str, bands: int, rows: int):
         self.id_col = id_col
         self.bands = bands
@@ -120,17 +123,15 @@ class _BandExplode:
         ids = batch[self.id_col].to_pylist()
         sig = np.asarray(batch["sig"].combine_chunks().flatten()
                          .to_numpy(zero_copy_only=False)).reshape(len(ids), -1)
-        out_band, out_hash, out_id = [], [], []
+        out_bucket, out_id = [], []
         for b in range(self.bands):
             seg = sig[:, b * self.rows:(b + 1) * self.rows]
-            hs = [hashlib.blake2b(seg[i].tobytes(), digest_size=8).hexdigest()
-                  for i in range(len(ids))]
-            out_band.extend([b] * len(ids))
-            out_hash.extend(hs)
+            for i in range(len(ids)):
+                out_bucket.append(
+                    f"{b}:{hashlib.blake2b(seg[i].tobytes(), digest_size=8).hexdigest()}")
             out_id.extend(ids)
         return pa.table({
-            "band": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.string()),
+            "bucket": pa.array(out_bucket, pa.string()),
             self.id_col: pa.array(out_id),
         })
 
@@ -154,27 +155,38 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, *, num_perm: int = 128,
     banded = sigs_mat.map_batches(_BandExplode(id_col, bands, rows),
                                   batch_format="pyarrow")
 
-    def emit_pairs(g):
-        ids = sorted(g[id_col].tolist())
-        if len(ids) < 2:
-            return g.head(0)[[id_col]].rename(columns={id_col: "a"}).assign(b=[])
-        import pandas as pd
+    # collided buckets via the pre-aggregated uniqueness pattern (per-batch
+    # (bucket,count) partials -> small groupby); then broadcast-filter the
+    # banded rows down to members of collided buckets — tiny by construction
+    import ray
 
-        pairs = list(itertools.combinations(ids, 2))
-        return pd.DataFrame({"a": [p[0] for p in pairs],
-                             "b": [p[1] for p in pairs]})
-
-    cand = (banded.groupby(["band", "band_hash"])
-            .map_groups(emit_pairs, batch_format="pandas"))
-    cand_tbl = pa.concat_tables(
-        list(cand.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-        or [pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})])
-    if cand_tbl.num_rows == 0:
-        return pa.table({"a": cand_tbl["a"], "b": cand_tbl["b"],
+    dup_buckets = set()
+    for b in duplicate_keys(banded, "bucket").iter_batches(
+            batch_size=1 << 16, batch_format="pyarrow"):
+        dup_buckets.update(b["bucket"].to_pylist())
+    if not dup_buckets:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
                          "jaccard_est": pa.array([], pa.float64())})
+    dup_ref = ray.put(pa.array(sorted(dup_buckets)))
+
+    def members(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["bucket"], value_set=ray.get(dup_ref)))
+
     import pandas as pd
 
-    pairs = cand_tbl.to_pandas().drop_duplicates().reset_index(drop=True)
+    mem = pa.concat_tables(list(
+        banded.map_batches(members, batch_format="pyarrow")
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+    pair_rows: set[tuple] = set()
+    for _, g in mem.to_pandas().groupby("bucket")[id_col]:
+        pair_rows.update(itertools.combinations(sorted(g.tolist()), 2))
+    if not pair_rows:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "jaccard_est": pa.array([], pa.float64())})
+    srt = sorted(pair_rows)
+    pairs = pd.DataFrame({"a": [p[0] for p in srt], "b": [p[1] for p in srt]})
 
     # verify via signatures: est J = fraction of equal minhash components
     need = set(pairs.a) | set(pairs.b)
@@ -278,27 +290,35 @@ def simhash_pairs(ds, text_col: str, id_col: str, *, max_hamming: int = 3,
                   batch_size: int = 4096) -> pa.Table:
     """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidates from
     4x16-bit bank equality (complete for Hamming<=3), verified exactly."""
+    import ray
+
     sigs = ds.select_columns([id_col, text_col]).map_batches(
         SimHashStage(text_col, id_col), batch_format="pyarrow",
         batch_size=batch_size).materialize()
 
     pair_set = set()
     for bank in range(4):
-        def emit(g, _bank=bank):
-            import pandas as pd
+        col = f"bank{bank}"
+        # collided bank values (pre-aggregated counts), then broadcast filter
+        dup_vals = set()
+        for b in duplicate_keys(sigs.select_columns([col]), col).iter_batches(
+                batch_size=1 << 16, batch_format="pyarrow"):
+            dup_vals.update(b[col].to_pylist())
+        if not dup_vals:
+            continue
+        ref = ray.put(pa.array(sorted(dup_vals), pa.int32()))
 
-            ids = sorted(g[id_col].tolist())
+        def pick(t: pa.Table, _col=col) -> pa.Table:
+            return t.select([_col, id_col, "simhash"]).filter(
+                pc.is_in(t[_col], value_set=ray.get(ref)))
+
+        mem = pa.concat_tables(list(
+            sigs.map_batches(pick, batch_format="pyarrow")
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+        for _, g in mem.to_pandas().groupby(col):
             sh = dict(zip(g[id_col], g["simhash"]))
-            rows = [(a, b, int(sh[a]), int(sh[b]))
-                    for a, b in itertools.combinations(ids, 2)]
-            return pd.DataFrame(rows, columns=["a", "b", "sa", "sb"])
-
-        got = (sigs.groupby(f"bank{bank}")
-               .map_groups(emit, batch_format="pandas"))
-        for b in got.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
-            for a, bb, sa, sb in zip(b["a"].to_pylist(), b["b"].to_pylist(),
-                                     b["sa"].to_pylist(), b["sb"].to_pylist()):
-                ham = bin((sa ^ sb) & 0xFFFFFFFFFFFFFFFF).count("1")
+            for a, bb in itertools.combinations(sorted(g[id_col].tolist()), 2):
+                ham = bin((int(sh[a]) ^ int(sh[bb])) & 0xFFFFFFFFFFFFFFFF).count("1")
                 if ham <= max_hamming:
                     pair_set.add((a, bb, ham))
     rows = sorted(pair_set)

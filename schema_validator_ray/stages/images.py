@@ -23,6 +23,36 @@ from ..functions import imagecodec as codec
 
 HIST_BINS = 16
 
+def _binary_views(col) -> list:
+    """Zero-copy memoryview per row of a binary column (no per-blob memcpy;
+    the decode stage reads straight from the Arrow data buffer). None for null
+    rows."""
+    if isinstance(col, pa.ChunkedArray):
+        chunks = col.chunks
+    else:
+        chunks = [col]
+    out: list = []
+    for arr in chunks:
+        if arr.null_count == len(arr):
+            out.extend([None] * len(arr))
+            continue
+        bufs = arr.buffers()
+        offsets = (np.frombuffer(bufs[1], dtype=np.int32,
+                                 count=len(arr) + 1 + arr.offset)
+                   [arr.offset:])
+        data = memoryview(bufs[2])
+        if arr.null_count:
+            valid = arr.is_valid().to_numpy(zero_copy_only=False)
+        else:
+            valid = None
+        for i in range(len(arr)):
+            if valid is not None and not valid[i]:
+                out.append(None)
+            else:
+                out.append(data[offsets[i]:offsets[i + 1]])
+    return out
+
+
 RULE_DECODE = "image_decode"
 RULE_DIMS = "image_dims"
 RULE_PHASH = "image_phash"
@@ -41,7 +71,7 @@ class DecodeCheckStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         ids = batch["image_id"].to_pylist()
-        blobs = batch["bytes"].to_pylist()
+        blobs = _binary_views(batch["bytes"])  # zero-copy memoryviews
         ws = batch["w"].to_pylist()
         hs = batch["h"].to_pylist()
         phs = batch["phash"].to_pylist()

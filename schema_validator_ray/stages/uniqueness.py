@@ -38,13 +38,22 @@ class _PartialCounts:
         })
 
 
-def duplicate_keys(ds, key: str, *, batch_size: int = 65536):
+def duplicate_keys(ds, key: str, *, batch_size: int = 65536,
+                   reduce_partitions: int | None = 8):
     """Dataset of (key, dup_count) for keys appearing more than once.
-    Lazy; the groupby shuffle sees only pre-aggregated partials."""
+    Lazy; the groupby shuffle sees only pre-aggregated partials.
+
+    ``reduce_partitions`` coalesces the partials before the groupby — Ray's
+    sort-based aggregate pays per-partition fixed costs, so many tiny partial
+    blocks make small inputs disproportionately slow. 8 is right for single
+    -node scales; at cluster scale set it ≈ number of cores (or None to keep
+    the input partitioning)."""
     from ray.data.aggregate import Sum
 
     partials = ds.map_batches(_PartialCounts(key), batch_format="pyarrow",
                               batch_size=batch_size)
+    if reduce_partitions:
+        partials = partials.repartition(reduce_partitions)
     totals = partials.groupby(key).aggregate(Sum("cnt", alias_name="dup_count"))
     return totals.filter(expr="dup_count > 1")
 
