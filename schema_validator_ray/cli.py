@@ -1,0 +1,126 @@
+"""CLI entry point — the ``ray job submit`` surface.
+
+    ray job submit -- python -m schema_validator_ray validate \
+        --input /data/images --captions /data/captions.parquet \
+        --out /data/out --resume
+
+Owns the Ray session (library code never calls ray.init). ``--resume`` skips
+partitions whose manifest row is done with a matching input digest.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None) -> bool:
+    """Returns True if WE initialized the session (then we own the shutdown;
+    an externally-owned session — driver, pytest fixture — is left alone)."""
+    import ray
+
+    owned = False
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "ignore_reinit_error": True,
+                  "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+            kwargs["address"] = "local"
+        ray.init(**kwargs)
+        owned = True
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return owned
+
+
+def cmd_validate(args) -> int:
+    import ray
+
+    owned = _init_ray(args.num_cpus)
+    try:
+        if args.out:
+            from .pipelines.validate_images import run_resumable
+            from .sources.lance_io import fragment_paths
+
+            paths = fragment_paths(args.input)
+            res = run_resumable(paths, args.out, captions_path=args.captions,
+                                decode=not args.no_decode, job_id=args.job_id)
+            summary = {
+                "ran": len(res["ran"]), "skipped": len(res["skipped"]),
+                "partitions": {pid: {"rows": row["rows"],
+                                     "violations": row["violations"],
+                                     "status": row["status"]}
+                               for pid, row in res["manifest"].items()},
+            }
+        else:
+            from .pipelines.validate_images import validate_images
+
+            res = validate_images(args.input, captions_path=args.captions,
+                                  decode=not args.no_decode)
+            vio = res["violations"]
+            counts: dict[str, int] = {}
+            for b in vio.iter_batches(batch_size=1 << 16,
+                                      batch_format="pyarrow"):
+                for r in b["rule_id"].to_pylist():
+                    counts[r] = counts.get(r, 0) + 1
+            summary = {"violations_by_rule": dict(sorted(counts.items())),
+                       "profile": {k: p.summary()
+                                   for k, p in res["profile"].items()}}
+        print(json.dumps(summary, default=str))
+        return 0
+    finally:
+        if owned:
+            ray.shutdown()
+
+
+def cmd_profile(args) -> int:
+    import ray
+
+    owned = _init_ray(args.num_cpus)
+    try:
+        from .sources.lance_io import read_table
+        from .stages.stats import profile_dataset
+
+        ds = read_table(args.input)
+        numeric = args.numeric.split(",") if args.numeric else []
+        categorical = args.categorical.split(",") if args.categorical else []
+        keys = args.keys.split(",") if args.keys else []
+        profs = profile_dataset(ds, numeric=numeric, categorical=categorical,
+                                keys=keys)
+        print(json.dumps({k: p.summary() for k, p in profs.items()},
+                         default=str))
+        return 0
+    finally:
+        if owned:
+            ray.shutdown()
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="schema_validator_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="run the image validation pipeline")
+    v.add_argument("--input", required=True)
+    v.add_argument("--captions")
+    v.add_argument("--out", help="output dir (enables resumable manifest mode)")
+    v.add_argument("--no-decode", action="store_true")
+    v.add_argument("--job-id", default="job")
+    v.add_argument("--num-cpus", type=int)
+    v.set_defaults(fn=cmd_validate)
+
+    pr = sub.add_parser("profile", help="column statistics profile")
+    pr.add_argument("--input", required=True)
+    pr.add_argument("--numeric", default="")
+    pr.add_argument("--categorical", default="")
+    pr.add_argument("--keys", default="")
+    pr.add_argument("--num-cpus", type=int)
+    pr.set_defaults(fn=cmd_profile)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

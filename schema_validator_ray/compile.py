@@ -206,7 +206,7 @@ def _offending_strings(col: pa.Array) -> list[str]:
         return [f"<list len={ln}>" for ln in lens]
     try:
         vals = as_str(col).to_pylist()
-    except pa.ArrowInvalid:
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
         vals = [str(v) for v in col.to_pylist()]
     return [v if len(v) <= MAX_OFFENDING_LEN else v[:MAX_OFFENDING_LEN] + "…"
             for v in vals]

@@ -1,0 +1,186 @@
+"""Multimodal transform stages: image resize / thumbnail, video frame-sampling,
+audio feature extraction.
+
+Images are REAL against the stand-in codec (decode -> block-mean resize ->
+re-encode); swapping in PIL is confined to functions/imagecodec.py. Video/audio
+libraries are not in this container, so those stages implement the full Ray-side
+plumbing (schema, actor signature, batch sizing, output layout) over a
+deterministic fake payload format, with the actual media parsing isolated behind
+``_decode_video`` / ``_decode_audio`` which raise ``NotImplementedError`` for
+real payloads — clearly-marked swap points.
+
+All are actor-pool stages: pass the CLASS to ``map_batches(Cls, concurrency=N,
+num_cpus=1, batch_size=...)`` so any decoder/model state initializes once per
+actor.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import imagecodec as codec
+from .images import _binary_views
+
+
+def block_mean_resize(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area-style resize via block means (exact for integer grids, approximate
+    otherwise) — the deterministic stand-in for a real resampling kernel."""
+    h, w = px.shape
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
+    ys1 = np.maximum(ys[1:], ys[:-1] + 1)
+    xs1 = np.maximum(xs[1:], xs[:-1] + 1)
+    row_red = np.add.reduceat(px, ys[:-1], axis=0, dtype=np.int64)
+    sums = np.add.reduceat(row_red, xs[:-1], axis=1)
+    areas = (ys1 - ys[:-1])[:, None] * (xs1 - xs[:-1])[None, :]
+    if h < out_h or w < out_w:  # upsample: fall back to nearest
+        yi = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+        xi = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+        return px[np.ix_(yi, xi)]
+    return np.clip(sums / areas, 0, 255).astype(np.uint8)
+
+
+class ImageResizeStage:
+    """(image_id, bytes, fmt) -> (image_id, bytes, w, h, fmt) resized to fit
+    within (max_w, max_h), preserving aspect. Undecodable payloads pass through
+    with ``resize_ok=False`` instead of failing the task (lineage-safe)."""
+
+    def __init__(self, max_w: int = 64, max_h: int = 64, out_fmt: str | None = None):
+        self.max_w = max_w
+        self.max_h = max_h
+        self.out_fmt = out_fmt
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = _binary_views(batch["bytes"])
+        ids = batch["image_id"].to_pylist()
+        out_b, out_w, out_h, out_f, ok = [], [], [], [], []
+        for i, blob in enumerate(blobs):
+            if blob is None:
+                out_b.append(None); out_w.append(None); out_h.append(None)
+                out_f.append(None); ok.append(False)
+                continue
+            try:
+                px, fmt, w, h = codec.decode(blob)
+            except codec.CodecError:
+                out_b.append(bytes(blob)); out_w.append(None); out_h.append(None)
+                out_f.append(None); ok.append(False)
+                continue
+            scale = min(self.max_w / w, self.max_h / h, 1.0)
+            nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+            small = block_mean_resize(px, nh, nw)
+            fmt_out = self.out_fmt or fmt
+            out_b.append(codec.encode(small, fmt_out))
+            out_w.append(nw); out_h.append(nh); out_f.append(fmt_out)
+            ok.append(True)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(out_b, pa.binary()),
+            "w": pa.array(out_w, pa.int32()),
+            "h": pa.array(out_h, pa.int32()),
+            "fmt": pa.array(out_f, pa.string()),
+            "resize_ok": pa.array(ok, pa.bool_()),
+        })
+
+
+# ---------------------------------------------------------------------------
+# video / audio (stub decoders, real plumbing)
+
+_FVID = b"FVID"  # fake payload: FVID | n_frames u32 | w u16 | h u16 | frames…
+_FAUD = b"FAUD"  # fake payload: FAUD | n_samples u32 | i16 samples
+
+
+def make_fake_video(n_frames: int, w: int, h: int, seed: int = 0) -> bytes:
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, (n_frames, h, w), dtype=np.uint8)
+    return _FVID + struct.pack("<IHH", n_frames, w, h) + frames.tobytes()
+
+
+def make_fake_audio(n_samples: int, seed: int = 0) -> bytes:
+    rng = np.random.default_rng(seed)
+    samples = (rng.standard_normal(n_samples) * 8000).astype(np.int16)
+    return _FAUD + struct.pack("<I", n_samples) + samples.tobytes()
+
+
+def _decode_video(blob) -> np.ndarray:
+    """-> frames (n, h, w) uint8. REAL DECODER SWAP POINT: plug pyav/cv2 here.
+    Non-fake payloads raise NotImplementedError (no video libs in container)."""
+    if bytes(blob[:4]) != _FVID:
+        raise NotImplementedError("real video decoding requires pyav/cv2")
+    n, w, h = struct.unpack("<IHH", bytes(blob[4:12]))
+    return np.frombuffer(blob, dtype=np.uint8, count=n * h * w,
+                         offset=12).reshape(n, h, w)
+
+
+def _decode_audio(blob) -> np.ndarray:
+    """-> mono int16 samples. REAL DECODER SWAP POINT (soundfile/librosa)."""
+    if bytes(blob[:4]) != _FAUD:
+        raise NotImplementedError("real audio decoding requires soundfile")
+    (n,) = struct.unpack("<I", bytes(blob[4:8]))
+    return np.frombuffer(blob, dtype=np.int16, count=n, offset=8)
+
+
+class VideoFrameSampleStage:
+    """(video_id, bytes) -> one row per sampled frame:
+    (video_id, frame_index, frame: binary (encoded png via the image codec)).
+    Deterministic uniform sampling of ``n_sample`` frames."""
+
+    def __init__(self, n_sample: int = 4):
+        self.n_sample = n_sample
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["video_id"].to_pylist()
+        blobs = _binary_views(batch["bytes"])
+        out_id, out_idx, out_frame = [], [], []
+        for vid, blob in zip(ids, blobs):
+            if blob is None:
+                continue
+            frames = _decode_video(blob)
+            n = len(frames)
+            picks = np.unique((np.arange(self.n_sample) * n)
+                              // max(self.n_sample, 1))[: self.n_sample]
+            for j in picks:
+                out_id.append(vid)
+                out_idx.append(int(j))
+                out_frame.append(codec.encode(frames[j], "png"))
+        return pa.table({
+            "video_id": pa.array(out_id, pa.string()),
+            "frame_index": pa.array(out_idx, pa.int32()),
+            "frame": pa.array(out_frame, pa.binary()),
+        })
+
+
+class AudioFeatureStage:
+    """(audio_id, bytes) -> (audio_id, n_samples, rms, zero_crossings,
+    band_energy: list<double>[8]) — cheap spectral-ish features, vectorized."""
+
+    BANDS = 8
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["audio_id"].to_pylist()
+        blobs = _binary_views(batch["bytes"])
+        ns, rms, zc, bands = [], [], [], []
+        for blob in blobs:
+            if blob is None:
+                ns.append(0); rms.append(0.0); zc.append(0)
+                bands.append([0.0] * self.BANDS)
+                continue
+            s = _decode_audio(blob).astype(np.float64)
+            ns.append(len(s))
+            rms.append(float(np.sqrt(np.mean(s * s))) if len(s) else 0.0)
+            zc.append(int(np.count_nonzero(np.diff(np.signbit(s)))))
+            if len(s) >= 2 * self.BANDS:
+                spec = np.abs(np.fft.rfft(s))
+                chunks = np.array_split(spec, self.BANDS)
+                bands.append([float(np.mean(c * c)) for c in chunks])
+            else:
+                bands.append([0.0] * self.BANDS)
+        return pa.table({
+            "audio_id": pa.array(ids, pa.string()),
+            "n_samples": pa.array(ns, pa.int64()),
+            "rms": pa.array(rms, pa.float64()),
+            "zero_crossings": pa.array(zc, pa.int64()),
+            "band_energy": pa.array(bands, pa.list_(pa.float64())),
+        })

@@ -1,0 +1,222 @@
+"""Extension surface + structural fixtures.
+
+Mirrors the reference's extension tests (rule/registry_test.go:11-66: custom
+`between` / `enum` rules; tag.Config separators; builder API) and the
+nested/array fixtures (FIXTURES.md F5, validator_test.go:172-272)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from schema_validator_ray import (
+    CompileError,
+    Registry,
+    array,
+    compile_ruleset,
+    field,
+    obj,
+    parse_tag,
+    when,
+)
+from schema_validator_ray.dsl import DslConfig, Rule
+from schema_validator_ray.registry import default_registry
+
+
+# --- tag DSL grammar ---------------------------------------------------------
+
+
+def test_parse_basic():
+    assert parse_tag("required|min=8|oneof=a,b") == [
+        Rule("required"), Rule("min", ("8",)), Rule("oneof", ("a", "b"))]
+
+
+def test_parse_pipe_kept_inside_param():
+    # next |-segment is not a validator name nor name=param -> the | belongs to
+    # the param (the reference's regex-friendly heuristic, tag/tag.go:57-75)
+    rules = parse_tag("contains=a|b-c")
+    assert rules == [Rule("contains", ("a|b-c",))]
+
+
+def test_parse_pipe_splits_before_validator_name():
+    rules = parse_tag("contains=a|required")
+    assert rules == [Rule("contains", ("a",)), Rule("required")]
+
+
+def test_parse_custom_separators():
+    cfg = DslConfig(rule_splitter=";", name_param_separator=":",
+                    params_separator=" ")
+    assert parse_tag("required;oneof:a b", cfg) == [
+        Rule("required"), Rule("oneof", ("a", "b"))]
+
+
+def test_parse_empty_and_whitespace():
+    assert parse_tag("") == []
+    assert parse_tag("  min = 3 ") == [Rule("min", ("3",))]
+
+
+# --- registry extension ------------------------------------------------------
+
+
+def test_custom_rule_registration():
+    """Parity with registry_test.go: register `between` and `enum` into an
+    isolated registry, use them via the DSL."""
+    import pyarrow.compute as pc
+
+    from schema_validator_ray.rules.kernels import np_bool
+
+    reg = Registry()
+
+    def between(ctx):
+        lo, hi = int(ctx.param(0)), int(ctx.param(1))
+
+        def kernel(col, tbl):
+            m = np_bool(pc.greater_equal(col, lo))
+            return m & np_bool(pc.less_equal(col, hi))
+
+        return kernel
+
+    reg.register("between", between)
+
+    def enum(ctx):
+        values = pa.array(list(ctx.params))
+
+        def kernel(col, tbl):
+            return np_bool(pc.is_in(col, value_set=values))
+
+        return kernel
+
+    reg.register("enum", enum)
+    reg.alias("one_of_enum", "enum")
+
+    tbl = pa.table({"age": pa.array([25, 5, 200], pa.int64()),
+                    "color": pa.array(["red", "blue", "pink"])})
+    cs = compile_ruleset({"age": "between=10,150",
+                          "color": "one_of_enum=red,green,blue"},
+                         tbl.schema, registry=reg)
+    pm, v = cs.evaluate(tbl)
+    assert list(pm) == [True, False, False]
+    got = {(r["row_index"], r["rule_id"]) for r in v.to_pylist()}
+    assert got == {(1, "between"), (2, "between"), (2, "one_of_enum")}
+
+
+def test_unknown_rule_is_compile_error():
+    tbl = pa.table({"x": pa.array([1])})
+    with pytest.raises(CompileError):
+        compile_ruleset({"x": "definitely_not_a_rule"}, tbl.schema)
+
+
+def test_type_mismatch_is_compile_error():
+    """The reference's abort channel (unsupported comparison) surfaces at
+    compile time (SURVEY §7.4.3)."""
+    tbl = pa.table({"flag": pa.array([True, False])})
+    with pytest.raises(CompileError):
+        compile_ruleset({"flag": "min=3"}, tbl.schema)
+
+
+def test_all_161_rules_registered():
+    assert len(default_registry.names()) == 161
+
+
+# --- builder API -------------------------------------------------------------
+
+
+def test_builder_equivalent_to_dsl():
+    spec = obj(
+        name=field().required().rule("min", 3),
+        tags=array().rule("min", 1).dive(field().required().rule("len", 2)),
+        address=obj(street=field().required()),
+    ).build()
+    tbl = pa.table({
+        "name": pa.array(["abcd", "x", None]),
+        "tags": pa.array([["ab", "cd"], [], ["x"]],
+                         type=pa.list_(pa.string())),
+        "address": pa.array([{"street": "s"}, {"street": ""}, {"street": "t"}],
+                            type=pa.struct([("street", pa.string())])),
+    })
+    cs = compile_ruleset(spec, tbl.schema)
+    pm, v = cs.evaluate(tbl)
+    rows = {(r["row_index"], r["rule_id"], r["column"]) for r in v.to_pylist()}
+    assert (0, "min", "name") not in rows
+    assert (1, "min", "name") in rows           # len("x") < 3
+    assert (1, "min", "tags") in rows           # empty list fails min=1
+    assert (2, "len", "tags.[0]") in rows       # element "x" fails len=2
+    assert (1, "required", "address.street") in rows
+
+
+# --- nested / array fixtures (F5) -------------------------------------------
+
+
+def test_dive_element_rules_and_paths():
+    tbl = pa.table({
+        "items": pa.array([["aaaa", "bb"], [], None, ["cccc"]],
+                          type=pa.list_(pa.string()))})
+    cs = compile_ruleset({"items": "min=1|max=10|dive|len=4"}, tbl.schema)
+    pm, v = cs.evaluate(tbl)
+    rows = {(r["row_index"], r["rule_id"], r["column"]) for r in v.to_pylist()}
+    assert (0, "len", "items.[1]") in rows      # "bb"
+    assert (1, "min", "items") in rows          # empty list
+    # pinned: a null list has no length -> fails min (row 2); row 3 passes
+    assert list(pm) == [False, False, False, True]
+
+
+def test_null_list_min_pinned():
+    tbl = pa.table({"items": pa.array([None, []],
+                                      type=pa.list_(pa.string()))})
+    cs = compile_ruleset({"items": "min=1"}, tbl.schema)
+    pm, _ = cs.evaluate(tbl)
+    # pinned: null list fails min (no length), empty list fails min=1
+    assert list(pm) == [False, False]
+
+
+def test_map_column_contents_unvalidated():
+    """Parity with parser.go:160-162: map-kind fields produce an empty object
+    schema — contents are not validated. Compiling rules for a map column's
+    values is simply not expressible in the spec, and a required on the map
+    itself checks null-ness only."""
+    tbl = pa.table({"attrs": pa.array(
+        [[("a", "1")], [], None], type=pa.map_(pa.string(), pa.string()))})
+    cs = compile_ruleset({"attrs": "required"}, tbl.schema)
+    pm, _ = cs.evaluate(tbl)
+    assert list(pm) == [True, True, False]
+
+
+def test_when_conditional_rules():
+    """SchemaModifier equivalent (validator_test.go:377-431): `value` required
+    only where type == special."""
+    tbl = pa.table({
+        "type": pa.array(["special", "special", "normal"]),
+        "value": pa.array(["filled", "", ""]),
+    })
+    cs = compile_ruleset([when("type", "eq", "special",
+                               {"value": "required|min=3"})], tbl.schema)
+    pm, v = cs.evaluate(tbl)
+    assert list(pm) == [True, False, True]
+
+
+# --- i18n --------------------------------------------------------------------
+
+
+def test_i18n_translate_batch():
+    from schema_validator_ray.i18n import message_for, translate_batch
+
+    v = pa.table({
+        "image_id": pa.array(["a"]),
+        "rule_id": pa.array(["required"]),
+        "column": pa.array(["caption"]),
+        "offending_value": pa.array([""]),
+    })
+    out = translate_batch(v, "en")
+    assert out["message"][0].as_py() == "caption is required"
+    out_zh = translate_batch(v, "zh-CN")
+    assert out_zh["message"][0].as_py() == "caption为必填字段"
+    assert message_for("min", "w", ("1",)) == "w must be at least 1"
+    # every registered rule renders something
+    for name in default_registry.names():
+        assert isinstance(message_for(name, "f", ("1", "2")), str)
+
+
+def test_i18n_register_locale():
+    from schema_validator_ray.i18n import message_for, register_locale
+
+    register_locale("fr", {"required": "{field} est requis"})
+    assert message_for("required", "nom", (), "fr") == "nom est requis"

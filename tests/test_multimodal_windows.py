@@ -1,0 +1,176 @@
+"""Multimodal stages (resize real, video/audio stubbed decoders) + windowed
+aggregates vs pandas/duckdb references."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from schema_validator_ray.functions import imagecodec as codec
+from schema_validator_ray.stages.multimodal import (
+    AudioFeatureStage,
+    ImageResizeStage,
+    VideoFrameSampleStage,
+    make_fake_audio,
+    make_fake_video,
+)
+
+
+def test_image_resize_stage():
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(5):
+        px = rng.integers(0, 256, (120, 200), dtype=np.uint8)
+        rows.append((f"img{i}", codec.encode(px, "png")))
+    rows.append(("bad", b"not an image"))
+    batch = pa.table({"image_id": pa.array([r[0] for r in rows]),
+                      "bytes": pa.array([r[1] for r in rows], pa.binary())})
+    out = ImageResizeStage(max_w=64, max_h=64)(batch)
+    d = out.to_pydict()
+    assert d["resize_ok"] == [True] * 5 + [False]
+    assert all(w <= 64 and h <= 64 for w, h in zip(d["w"][:5], d["h"][:5]))
+    px2, fmt, w, h = codec.decode(d["bytes"][0])
+    assert (h, w) == (d["h"][0], d["w"][0])
+    # aspect preserved: 200x120 -> 64x38
+    assert (d["w"][0], d["h"][0]) == (64, 38)
+
+
+def test_video_frame_sampling():
+    batch = pa.table({
+        "video_id": pa.array(["v1", "v2"]),
+        "bytes": pa.array([make_fake_video(10, 32, 24, seed=1),
+                           make_fake_video(3, 16, 16, seed=2)], pa.binary()),
+    })
+    out = VideoFrameSampleStage(n_sample=4)(batch)
+    d = out.to_pydict()
+    assert d["video_id"].count("v1") == 4
+    assert d["video_id"].count("v2") == 3  # only 3 frames exist
+    px, fmt, w, h = codec.decode(d["frame"][0])
+    assert (w, h) == (32, 24) and fmt == "png"
+
+
+def test_video_real_payload_raises_not_implemented():
+    from schema_validator_ray.stages.multimodal import _decode_video
+
+    with pytest.raises(NotImplementedError):
+        _decode_video(b"\x00\x00\x00\x20ftypmp42 pretend mp4")
+
+
+def test_audio_features():
+    batch = pa.table({
+        "audio_id": pa.array(["a1", "a2"]),
+        "bytes": pa.array([make_fake_audio(16000, seed=3),
+                           make_fake_audio(100, seed=4)], pa.binary()),
+    })
+    out = AudioFeatureStage()(batch)
+    d = out.to_pydict()
+    assert d["n_samples"] == [16000, 100]
+    assert d["rms"][0] > 1000
+    assert len(d["band_energy"][0]) == 8
+
+
+@pytest.fixture(scope="module")
+def events_ds(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    ts = (pd.Timestamp("2024-01-01")
+          + pd.to_timedelta(np.sort(rng.integers(0, 86400 * 3, n)), unit="s"))
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 40, n).astype(np.int64),
+        "ts": ts.astype("datetime64[us]"),
+        "value": rng.random(n).round(3),
+    })
+    return rd.from_pandas(df), df
+
+
+def test_tumbling_window_vs_duckdb(events_ds, ray_session):
+    from schema_validator_ray.stages.windows import tumbling_window
+
+    ds, df = events_ds
+    got = tumbling_window(ds, key="user_id", ts="ts", value="value",
+                          every="hour").to_pandas()
+    want = duckdb.sql("""
+        SELECT user_id, date_trunc('hour', ts) AS window_start,
+               CAST(COUNT(*) AS BIGINT) AS n, SUM(value) AS total FROM df
+        GROUP BY 1, 2""").df()
+    g = got.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    w = want.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        g[["user_id", "n"]], w[["user_id", "n"]], check_dtype=False)
+    assert np.allclose(g.total, w.total)
+
+
+def test_sliding_count_vs_duckdb(events_ds, ray_session):
+    from schema_validator_ray.stages.windows import sliding_count
+
+    ds, df = events_ds
+    got = (sliding_count(ds, key="user_id", ts="ts", window="1h")
+           .to_pandas()[["event_id", "cnt_window"]]
+           .sort_values("event_id").reset_index(drop=True))
+    want = duckdb.sql("""
+        SELECT event_id, CAST(COUNT(*) OVER (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cnt_window
+          FROM df ORDER BY event_id""").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_session_windows_vs_duckdb(events_ds, ray_session):
+    from schema_validator_ray.stages.windows import session_windows
+
+    ds, df = events_ds
+    got = (session_windows(ds, key="user_id", ts="ts", gap="30min").to_pandas()
+           .sort_values(["user_id", "session_start"]).reset_index(drop=True))
+    want = duckdb.sql("""
+        WITH s AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+            FROM df),
+        g AS (SELECT user_id, ts,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM s)
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM g GROUP BY user_id, sid
+          ORDER BY user_id, session_start""").df()
+    pd.testing.assert_frame_equal(
+        got[["user_id", "n_events"]], want[["user_id", "n_events"]],
+        check_dtype=False)
+    assert (got.session_start.to_numpy() == want.session_start.to_numpy()).all()
+
+
+def test_cli_validate(ray_session, tmp_path):
+    """Drive the CLI end-to-end (it owns no session here: ray_session active ->
+    _init_ray no-ops; validates the argparse wiring + summary output)."""
+    import json
+
+    from schema_validator_ray.cli import main
+    from schema_validator_ray.sources.synth import write_images_dataset
+
+    d = tmp_path / "imgs"
+    write_images_dataset(str(d), 400, seed=5, shards=2)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["validate", "--input", str(d), "--no-decode"])
+    assert rc == 0
+    summary = json.loads(buf.getvalue())
+    assert "violations_by_rule" in summary and "required" in summary["violations_by_rule"]
+
+    buf = io.StringIO()
+    out_dir = tmp_path / "out"
+    with contextlib.redirect_stdout(buf):
+        rc = main(["validate", "--input", str(d), "--out", str(out_dir),
+                   "--no-decode"])
+    assert rc == 0
+    s2 = json.loads(buf.getvalue())
+    assert s2["ran"] == 2 and s2["skipped"] == 0
