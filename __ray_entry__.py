@@ -222,6 +222,92 @@ def q_events_hourly(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_events_sliding_1h(sf_dir: str):
+    """Per-event trailing-1h count per user (RANGE window semantics)."""
+    from schema_validator_ray.stages.windows import sliding_count
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = sliding_count(ds, key="user_id", ts="ts", window="1h")
+    return out.map_batches(
+        lambda b: pa.table({"event_id": b["event_id"],
+                            "cnt_window": b["cnt_window"]}),
+        batch_format="pyarrow")
+
+
+def q_events_sessions_30m(sf_dir: str):
+    """Session windows (30min gap) per user."""
+    from schema_validator_ray.stages.windows import session_windows
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    out = session_windows(ds, key="user_id", ts="ts", gap="30min")
+    return out.map_batches(
+        lambda b: pa.table({
+            "user_id": b["user_id"],
+            "session_start": b["session_start"],
+            "session_end": b["session_end"],
+            "n_events": pc.cast(b["n_events"], pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def q_images_resize(sf_dir: str):
+    """Thumbnail stage over the synthetic image table (rows-only)."""
+    import ray.data as rd
+
+    from schema_validator_ray.stages.multimodal import ImageResizeStage
+
+    d = _images_dir(sf_dir, _images_rows_for(sf_dir))
+    ds = rd.read_parquet(d, columns=["image_id", "bytes"])
+    out = ds.map_batches(ImageResizeStage(max_w=32, max_h=32),
+                         batch_format="pyarrow", batch_size=512)
+    ok_rows, rows = 0, 0
+    for b in out.map_batches(
+            lambda b: pa.table({"ok": pc.cast(b["resize_ok"], pa.int64())}),
+            batch_format="pyarrow").iter_batches(batch_size=1 << 16,
+                                                 batch_format="pyarrow"):
+        ok_rows += int(pc.sum(b["ok"]).as_py() or 0)
+        rows += b.num_rows
+    return pa.table({"rows": pa.array([rows], pa.int64()),
+                     "ok_rows": pa.array([ok_rows], pa.int64())})
+
+
+def q_multimodal_audio(sf_dir: str):
+    """Audio feature extraction over deterministic fake payloads (rows-only;
+    audio libs absent — plumbing and features are real)."""
+    import ray.data as rd
+
+    from schema_validator_ray.stages.multimodal import (
+        AudioFeatureStage,
+        make_fake_audio,
+    )
+
+    tbl = pa.table({
+        "audio_id": pa.array([f"a{i}" for i in range(200)]),
+        "bytes": pa.array([make_fake_audio(4000 + i * 13, seed=i)
+                           for i in range(200)], pa.binary()),
+    })
+    out = rd.from_arrow(tbl).map_batches(AudioFeatureStage(),
+                                         batch_format="pyarrow", batch_size=64)
+    return out
+
+
+def q_multimodal_video(sf_dir: str):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.multimodal import (
+        VideoFrameSampleStage,
+        make_fake_video,
+    )
+
+    tbl = pa.table({
+        "video_id": pa.array([f"v{i}" for i in range(60)]),
+        "bytes": pa.array([make_fake_video(5 + i % 20, 32, 24, seed=i)
+                           for i in range(60)], pa.binary()),
+    })
+    return rd.from_arrow(tbl).map_batches(VideoFrameSampleStage(n_sample=4),
+                                          batch_format="pyarrow",
+                                          batch_size=16)
+
+
 # ---------------------------------------------------------------------------
 # text analysis (SQL-oracled where exact)
 
@@ -493,6 +579,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_docs_keep_min": q_dedup_docs_keep_min,
         "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
         "events_hourly": q_events_hourly,
+        "events_sliding_1h": q_events_sliding_1h,
+        "events_sessions_30m": q_events_sessions_30m,
+        "images_resize": q_images_resize,
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_video": q_multimodal_video,
         "token_counts": q_token_counts,
         "text_quality": q_text_quality,
         "lang_distribution": q_lang_distribution,
@@ -651,6 +742,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n,
                    ROUND(SUM(value), 2) AS total
               FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "events_sliding_1h": """
+            SELECT event_id, CAST(COUNT(*) OVER (
+                PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cnt_window
+              FROM events
+        """,
+        "events_sessions_30m": """
+            WITH s AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts)
+                          > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+                FROM events),
+            g AS (SELECT user_id, ts,
+                         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM s)
+            SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM g GROUP BY user_id, sid
         """,
         "token_counts": r"""
             SELECT doc_id,
