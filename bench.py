@@ -141,29 +141,113 @@ def main() -> None:
     }))
 
 
+def _ceiling_work(_):
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    px = rng.integers(0, 256, (300, 220), dtype=np.uint8)
+    for _ in range(30):
+        c = zlib.compress(px.tobytes(), 1)
+        zlib.decompress(c)
+        np.cumsum(np.cumsum(px, 0, dtype=np.int64), 1)
+
+
+def _hardware_ceiling(n_workers: list[int]) -> dict[int, float]:
+    """Control experiment: speedup of a decode-shaped workload (zlib + numpy,
+    no Ray, no pipeline) at each worker count. On this VM per-core throughput
+    drops as workers rise (shared memory bandwidth / turbo), so this is the
+    hardware ceiling any pipeline scaling measurement is bounded by. On a real
+    N- vs 4N-node cluster, per-core capability is constant across sizes."""
+    import multiprocessing as mp
+    import time as _t
+
+    t0 = _t.perf_counter()
+    for _ in range(4):
+        _ceiling_work(0)
+    serial = (_t.perf_counter() - t0) / 4
+    total = 64
+    out = {}
+    for n in n_workers:
+        best = float("inf")
+        for _ in range(2):
+            with mp.Pool(n) as p:
+                t0 = _t.perf_counter()
+                p.map(_ceiling_work, range(total))
+                best = min(best, _t.perf_counter() - t0)
+        out[n] = round(serial * total / best, 2)
+    return out
+
+
 def scaling() -> None:
     import subprocess
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True, check=True)
-        return json.loads(out.stdout.strip().splitlines()[-1])
+        best = None
+        for _ in range(2):  # best-of-2: absorb noisy-neighbor variance
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run([sys.executable, os.path.abspath(__file__),
+                                  "--headline-only"],
+                                 env=env, capture_output=True, text=True,
+                                 check=True)
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        return best
 
-    lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
-    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    pairs = [(4, 16), (8, 32)]
+    levels = sorted({n for p in pairs for n in p})
+    ceiling = _hardware_ceiling(levels)
+    results = {n: run(n) for n in levels}
+    report = {
+        "metric": "scaling efficiency (same input, fresh ray.init per level)",
+        "throughput_images_per_sec": {n: results[n]["images_per_sec"]
+                                      for n in levels},
+        "wall_sec": {n: results[n]["value"] for n in levels},
+        "hardware_speedup_control": ceiling,
+        "pairs": {},
+    }
+    for lo, hi in pairs:
+        raw = (results[lo]["value"] / results[hi]["value"]) / (hi / lo)
+        ceil = (ceiling[hi] / ceiling[lo]) / (hi / lo)
+        report["pairs"][f"{lo}->{hi}"] = {
+            "raw_efficiency": round(raw, 3),
+            "hardware_ceiling_efficiency": round(ceil, 3),
+            "normalized_efficiency": round(min(raw / ceil, 1.0), 3)
+            if ceil > 0 else None,
+        }
+    print(json.dumps(report))
+
+
+def headline_only() -> None:
+    import ray
+
+    n_images = BENCH_IMAGES
+    images_dir, caps = _prepare_images(n_images)
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    rd.read_parquet(images_dir).count()
+    head = run_headline(images_dir, caps)
+    ray.shutdown()
     print(json.dumps({
-        "metric": "scaling efficiency (num_cpus 8 -> 32, same input)",
-        "sec_8": r_lo["value"], "sec_32": r_hi["value"],
-        "images_per_sec_8": r_lo["images_per_sec"],
-        "images_per_sec_32": r_hi["images_per_sec"],
-        "scaling_efficiency": round(eff, 3),
+        "metric": "flagship image validation wall time", "unit": "sec",
+        "value": round(head["sec"], 3), "num_cpus": NUM_CPUS,
+        "images": n_images,
+        "images_per_sec": round(n_images / head["sec"], 1),
+        "violations": head["violations"],
     }))
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--headline-only" in sys.argv:
+        headline_only()
     else:
         main()
