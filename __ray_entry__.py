@@ -139,6 +139,40 @@ def q_rules_documents(sf_dir: str):
     return _violations(ds, spec, "doc_id")
 
 
+def q_verdicts_customer_by_segment(sf_dir: str):
+    """Per-partition verdict aggregation (the north rule's per-partition
+    pass/fail surface) partitioned by market segment: per-batch partials ->
+    small groupby merge."""
+    from schema_validator_ray.engine import validate
+
+    ds = _read(sf_dir, "customer",
+               ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"])
+    spec = {
+        "c_name": "required",
+        "c_mktsegment": f"required|oneof={SEGMENTS}",
+        "c_acctbal": "min=0",
+        "c_custkey": "min=1",
+    }
+    verdicts = validate(ds, spec, id_column="c_custkey",
+                        partition_column="c_mktsegment")["verdicts"]
+    return verdicts.map_batches(
+        lambda b: pa.table({
+            "partition": b["partition"],
+            "rows": pc.cast(b["rows"], pa.int64()),
+            "failed_rows": pc.cast(b["failed_rows"], pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def q_knn_ivf(sf_dir: str):
+    """IVF approximate top-k (rows-only: recall depends on n_probe; the exact
+    baseline is q_knn_embeddings)."""
+    from schema_validator_ray.stages.similarity import IVFIndex
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    idx = IVFIndex(n_cells=8, n_probe=3).build(ds)
+    return idx.search(_query_vectors(sf_dir), k=5)
+
+
 def q_violation_counts_customer(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -574,6 +608,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rules_embeddings": q_rules_embeddings,
         "rules_documents": q_rules_documents,
         "violation_counts_customer": q_violation_counts_customer,
+        "verdicts_customer_by_segment": q_verdicts_customer_by_segment,
+        "knn_ivf": q_knn_ivf,
         "dup_custkeys_orders": q_dup_custkeys_orders,
         "unique_orderkeys": q_unique_orderkeys,
         "dedup_docs_keep_min": q_dedup_docs_keep_min,
@@ -720,6 +756,17 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 'min' FROM customer WHERE COALESCE(c_custkey, 0) < 1)
             SELECT rule_id, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY rule_id
+        """,
+        "verdicts_customer_by_segment": f"""
+            SELECT c_mktsegment AS partition,
+                   CAST(COUNT(*) AS BIGINT) AS rows,
+                   CAST(SUM(CASE WHEN (c_name IS NULL OR c_name = '')
+                              OR (c_mktsegment IS NULL
+                                  OR c_mktsegment NOT IN ({seg_list}))
+                              OR COALESCE(c_acctbal, 0) < 0
+                              OR COALESCE(c_custkey, 0) < 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS failed_rows
+              FROM customer GROUP BY c_mktsegment
         """,
         "dup_custkeys_orders": """
             SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS dup_count

@@ -36,7 +36,18 @@ def _init_ray(num_cpus: int | None) -> bool:
 
 
 def cmd_validate(args) -> int:
+    import os
+
     import ray
+
+    if not os.path.exists(args.input):
+        print(f"error: input path does not exist: {args.input}",
+              file=sys.stderr)
+        return 2
+    if args.captions and not os.path.exists(args.captions):
+        print(f"error: captions path does not exist: {args.captions}",
+              file=sys.stderr)
+        return 2
 
     owned = _init_ray(args.num_cpus)
     try:
