@@ -51,6 +51,11 @@ def cmd_validate(args) -> int:
 
     owned = _init_ray(args.num_cpus)
     try:
+        reference_profile = None
+        if args.drift_profile:
+            from .stages.stats import load_profiles
+
+            reference_profile = load_profiles(args.drift_profile)
         if args.out:
             from .pipelines.validate_images import run_resumable
             from .sources.lance_io import fragment_paths
@@ -69,6 +74,7 @@ def cmd_validate(args) -> int:
             from .pipelines.validate_images import validate_images
 
             res = validate_images(args.input, captions_path=args.captions,
+                                  reference_profile=reference_profile,
                                   decode=not args.no_decode)
             vio = res["violations"]
             counts: dict[str, int] = {}
@@ -79,6 +85,13 @@ def cmd_validate(args) -> int:
             summary = {"violations_by_rule": dict(sorted(counts.items())),
                        "profile": {k: p.summary()
                                    for k, p in res["profile"].items()}}
+            if reference_profile is not None:
+                summary["drift"] = res["drift"]
+            if args.save_profile:
+                from .stages.stats import save_profiles
+
+                save_profiles(res["profile"], args.save_profile)
+                summary["profile_saved"] = args.save_profile
         print(json.dumps(summary, default=str))
         return 0
     finally:
@@ -119,6 +132,10 @@ def main(argv=None) -> int:
     v.add_argument("--no-decode", action="store_true")
     v.add_argument("--job-id", default="job")
     v.add_argument("--num-cpus", type=int)
+    v.add_argument("--drift-profile",
+                   help="reference profile file: run KS/PSI drift checks")
+    v.add_argument("--save-profile",
+                   help="save this run's column profile (future drift reference)")
     v.set_defaults(fn=cmd_validate)
 
     pr = sub.add_parser("profile", help="column statistics profile")

@@ -98,11 +98,27 @@ class MinHashStage:
         prod = np.multiply.outer(self.a, sh)  # (num_perm, |sh|) with wraparound
         return (prod + self.b[:, None]).min(axis=1)
 
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        """Batch-vectorized: shingle sets concatenated, one numpy pass per
+        permutation with a segmented min (np.minimum.reduceat) — no per-doc
+        Python/numpy-call overhead."""
+        shingle_sets = [char_shingles(t or "", self.shingle_k) for t in texts]
+        lens = np.array([s.size for s in shingle_sets], np.int64)
+        sigs = np.zeros((len(texts), self.num_perm), np.uint64)
+        nonempty = lens > 0
+        if not nonempty.any():
+            return sigs
+        concat = np.concatenate([s for s in shingle_sets if s.size])
+        starts = np.zeros(int(nonempty.sum()), np.int64)
+        np.cumsum(lens[nonempty][:-1], out=starts[1:])
+        for p in range(self.num_perm):
+            vals = self.a[p] * concat + self.b[p]
+            sigs[nonempty, p] = np.minimum.reduceat(vals, starts)
+        return sigs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = pc.fill_null(batch[self.text_col], "").to_pylist()
-        sigs = np.empty((len(texts), self.num_perm), np.uint64)
-        for i, t in enumerate(texts):
-            sigs[i] = self.signature(t)
+        sigs = self.signatures(texts)
         return pa.table({
             self.id_col: batch[self.id_col],
             "sig": pa.FixedSizeListArray.from_arrays(

@@ -127,6 +127,27 @@ def merge_profiles(partials_ds) -> dict[str, ColumnProfile]:
     return profiles
 
 
+def save_profiles(profiles: dict[str, ColumnProfile], path: str) -> str:
+    """Persist a profile set (the drift reference) — pickle of the dataclasses,
+    written atomically."""
+    import os
+    import uuid
+
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "wb") as f:
+        pickle.dump({k: (p.column, p.count, p.nulls, p.vmin, p.vmax, p.vsum,
+                         p.tdigest, p.hll, p.cms)
+                     for k, p in profiles.items()}, f)
+    os.replace(tmp, path)
+    return path
+
+
+def load_profiles(path: str) -> dict[str, ColumnProfile]:
+    with open(path, "rb") as f:
+        raw = pickle.load(f)
+    return {k: ColumnProfile(*v) for k, v in raw.items()}
+
+
 def profile_dataset(ds, *, numeric=(), categorical=(), keys=(),
                     batch_size: int = 65536) -> dict[str, ColumnProfile]:
     cols = list(dict.fromkeys(list(numeric) + list(categorical) + list(keys)))
