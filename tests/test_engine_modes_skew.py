@@ -1,0 +1,70 @@
+"""Engine verdict/annotate modes + skew-boundedness evidence for the
+uniqueness shuffle (the pre-batch combine IS the salting: shuffle rows per key
+are bounded by the number of batches, not by the key's row count)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_verdict_mode_partitioned(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.engine import validate
+
+    tbl = pa.table({
+        "id": pa.array([f"r{i}" for i in range(100)]),
+        "grp": pa.array(["a"] * 50 + ["b"] * 50),
+        "v": pa.array([i % 10 for i in range(100)], pa.int64()),
+    })
+    res = validate(rd.from_arrow(tbl), {"v": "min=3"}, id_column="id",
+                   partition_column="grp")
+    verdicts = res["verdicts"].to_pandas().set_index("partition")
+    # per group: i%10 in 0..9, 30% < 3 -> 15 failed of 50
+    assert verdicts.loc["a", "rows"] == 50
+    assert verdicts.loc["a", "failed_rows"] == 15
+    assert verdicts.loc["b", "failed_rows"] == 15
+    viol = res["violations"].to_pandas()
+    assert len(viol) == 30
+
+
+def test_annotate_mode(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.engine import RuleStage
+
+    tbl = pa.table({"v": pa.array([1, 5, 0], pa.int64())})
+    out = (rd.from_arrow(tbl)
+           .map_batches(RuleStage({"v": "min=2"}, mode="annotate"),
+                        batch_format="pyarrow")
+           .to_pandas())
+    assert list(out["_valid"]) == [False, True, False]
+
+
+def test_uniqueness_shuffle_rows_bounded_under_skew(ray_session):
+    """200k rows where ONE key holds 50% of rows: the per-batch combiner must
+    emit at most (distinct keys per batch) rows — i.e. the hot key contributes
+    one row per batch to the shuffle, never 100k."""
+    import ray.data as rd
+
+    from schema_validator_ray.stages.uniqueness import (
+        _PartialCounts,
+        duplicate_keys,
+    )
+
+    n = 200_000
+    rng = np.random.default_rng(0)
+    hot = rng.random(n) < 0.5
+    keys = np.where(hot, -1, np.arange(n)).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys)})).repartition(10)
+
+    partials = ds.map_batches(_PartialCounts("k"), batch_format="pyarrow",
+                              batch_size=20_000)
+    shuffle_rows = partials.count()
+    # ~100k distinct cold keys + <=1 hot-key row per batch (~10-ish batches)
+    distinct_cold = int((~hot).sum())
+    assert shuffle_rows <= distinct_cold + 32
+    # and the duplicate detection is still exact
+    dups = duplicate_keys(ds, "k").to_pandas()
+    assert len(dups) == 1 and dups.k.iloc[0] == -1
+    assert dups.dup_count.iloc[0] == int(hot.sum())
