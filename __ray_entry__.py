@@ -204,6 +204,51 @@ def q_unique_orderkeys(sf_dir: str):
         [("o_orderkey", pa.int64()), ("dup_count", pa.int64())]))
 
 
+def q_top_customers(sf_dir: str):
+    """Top-10 customers by order count (pre-aggregated partials -> groupby ->
+    Dataset.sort -> limit; deterministic tie-break on key)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        agg = b.group_by("o_custkey").aggregate([([], "count_all")])
+        return pa.table({"o_custkey": agg["o_custkey"],
+                         "cnt": pc.cast(agg["count_all"], pa.int64())})
+
+    totals = (ds.map_batches(partial, batch_format="pyarrow")
+              .repartition(8)
+              .groupby("o_custkey")
+              .aggregate(Sum("cnt", alias_name="n_orders")))
+    top = (totals.map_batches(
+        lambda b: pa.table({"o_custkey": b["o_custkey"],
+                            "n_orders": pc.cast(b["n_orders"], pa.int64()),
+                            "neg_key": pc.negate(b["o_custkey"])}),
+        batch_format="pyarrow")
+        .sort(["n_orders", "neg_key"], descending=True)
+        .limit(10))
+    return top.map_batches(
+        lambda b: pa.table({"o_custkey": b["o_custkey"],
+                            "n_orders": b["n_orders"]}),
+        batch_format="pyarrow")
+
+
+def q_distinct_parts(sf_dir: str):
+    """Exact distinct count via two-stage aggregation (per-batch unique ->
+    groupby) — the exact sibling of the HLL estimate in profile_sketches."""
+    ds = _read(sf_dir, "lineitem", ["l_partkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({"l_partkey": pc.unique(
+            b["l_partkey"].combine_chunks() if isinstance(
+                b["l_partkey"], pa.ChunkedArray) else b["l_partkey"])})
+
+    distinct = (ds.map_batches(partial, batch_format="pyarrow")
+                .repartition(8).groupby("l_partkey").count())
+    n = distinct.count()
+    return pa.table({"n_distinct": pa.array([n], pa.int64())})
+
+
 def q_dedup_docs_keep_min(sf_dir: str):
     from schema_validator_ray.stages.dedup import dedup_exact_keep_min
 
@@ -613,6 +658,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_custkeys_orders": q_dup_custkeys_orders,
         "unique_orderkeys": q_unique_orderkeys,
         "dedup_docs_keep_min": q_dedup_docs_keep_min,
+        "top_customers": q_top_customers,
+        "distinct_parts": q_distinct_parts,
         "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
         "events_hourly": q_events_hourly,
         "events_sliding_1h": q_events_sliding_1h,
@@ -779,6 +826,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_docs_keep_min": """
             SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
               FROM documents GROUP BY text
+        """,
+        "top_customers": """
+            SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+              FROM orders GROUP BY o_custkey
+             ORDER BY n_orders DESC, o_custkey ASC LIMIT 10
+        """,
+        "distinct_parts": """
+            SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+              FROM lineitem
         """,
         "anti_join_customers_without_orders": """
             SELECT c_custkey FROM customer

@@ -76,6 +76,8 @@ def run_headline(images_dir: str, captions_path: str) -> dict:
     res = validate_images(images_dir, captions_path=captions_path, decode=True)
     n_viol = res["violations"].count()
     wall = time.perf_counter() - t0
+    if os.environ.get("SVR_BENCH_STATS"):
+        print(res["violations"].stats(), file=sys.stderr)
     return {"sec": wall, "violations": n_viol}
 
 
