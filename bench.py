@@ -185,23 +185,26 @@ def _hardware_ceiling(n_workers: list[int]) -> dict[int, float]:
 def scaling() -> None:
     import subprocess
 
-    def run(ncpu: int) -> dict:
-        best = None
-        for _ in range(2):  # best-of-2: absorb noisy-neighbor variance
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-            out = subprocess.run([sys.executable, os.path.abspath(__file__),
-                                  "--headline-only"],
-                                 env=env, capture_output=True, text=True,
-                                 check=True)
-            r = json.loads(out.stdout.strip().splitlines()[-1])
-            if best is None or r["value"] < best["value"]:
-                best = r
-        return best
+    def run_once(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__),
+                              "--headline-only"],
+                             env=env, capture_output=True, text=True,
+                             check=True)
+        return json.loads(out.stdout.strip().splitlines()[-1])
 
     pairs = [(4, 16), (8, 32)]
     levels = sorted({n for p in pairs for n in p})
     ceiling = _hardware_ceiling(levels)
-    results = {n: run(n) for n in levels}
+    # interleaved best-of-N: this VM has minutes-scale noisy-neighbor phases,
+    # so consecutive trials of one level share the same fate — alternate levels
+    trials = int(os.environ.get("SVR_SCALING_TRIALS", "3"))
+    results: dict[int, dict] = {}
+    for _ in range(trials):
+        for n in levels:
+            r = run_once(n)
+            if n not in results or r["value"] < results[n]["value"]:
+                results[n] = r
     report = {
         "metric": "scaling efficiency (same input, fresh ray.init per level)",
         "throughput_images_per_sec": {n: results[n]["images_per_sec"]
