@@ -83,7 +83,8 @@ def cmd_validate(args) -> int:
                 for r in b["rule_id"].to_pylist():
                     counts[r] = counts.get(r, 0) + 1
             summary = {"violations_by_rule": dict(sorted(counts.items())),
-                       "profile": {k: p.summary()
+                       "profile": {k: (p.summary() if hasattr(p, "summary")
+                                       else list(map(int, p)))
                                    for k, p in res["profile"].items()}}
             if reference_profile is not None:
                 summary["drift"] = res["drift"]

@@ -149,19 +149,28 @@ class _DecodeAndMembership:
     """Scan-2 stage: image payload checks + broadcast-set membership violations
     (duplicate image_id / phash, missing caption) in one pass."""
 
+    # tag row for per-batch intensity-histogram partials riding in the
+    # violations schema (filtered back out and summed by the flagship)
+    HIST_RULE = "__intensity_hist__"
+
     def __init__(self, dup_ids_ref, dup_phash_ref, caption_keys_ref,
-                 do_decode: bool = True):
+                 do_decode: bool = True, collect_hist: bool = False):
+        from ..stages.images import DecodeCheckStage
+
         self.dup_ids_ref = dup_ids_ref
         self.dup_phash_ref = dup_phash_ref
         self.caption_keys_ref = caption_keys_ref
         self.do_decode = do_decode
+        self.collect_hist = collect_hist
         self._sets = None
-        self._img = ImageViolationsStage()
+        self._decode = DecodeCheckStage()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         import ray
+
+        from ..stages.images import image_violations
 
         if self._sets is None:
             get = lambda r: ray.get(r) if r is not None else None
@@ -171,7 +180,22 @@ class _DecodeAndMembership:
 
         out = []
         if self.do_decode:
-            out.append(self._img(batch))
+            decoded = self._decode(batch)
+            out.append(image_violations(decoded))
+            if self.collect_hist:
+                import numpy as np
+
+                hist = np.asarray(
+                    decoded["hist"].combine_chunks().flatten()
+                    .to_numpy(zero_copy_only=False)
+                ).reshape(decoded.num_rows, -1).sum(axis=0)
+                out.append(pa.table({
+                    "image_id": pa.array([""], pa.string()),
+                    "rule_id": pa.array([self.HIST_RULE], pa.string()),
+                    "column": pa.array(["bytes"], pa.string()),
+                    "offending_value": pa.array(
+                        [",".join(str(int(v)) for v in hist)], pa.string()),
+                }))
         ids = batch["image_id"]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
@@ -318,7 +342,25 @@ def validate_images(input_dir: str, *, captions_path: str | None = None,
         kwargs["concurrency"] = decode_concurrency
     scan2_out = scan2.map_batches(
         _DecodeAndMembership(dup_ids_ref, dup_ph_ref, cap_ref,
-                             do_decode=decode), **kwargs)
+                             do_decode=decode, collect_hist=decode), **kwargs)
+
+    if decode:
+        # split the per-batch intensity-histogram partials from the violation
+        # rows (scan2 output is narrow — violations + 1 hist row per batch)
+        import numpy as np
+
+        scan2_mat = scan2_out.materialize()
+        hist_total = None
+        for b in (scan2_mat
+                  .filter(expr=f"rule_id == '{_DecodeAndMembership.HIST_RULE}'")
+                  .iter_batches(batch_size=4096, batch_format="pyarrow")):
+            for s in b["offending_value"].to_pylist():
+                h = np.array([int(x) for x in s.split(",")], np.int64)
+                hist_total = h if hist_total is None else hist_total + h
+        if hist_total is not None:
+            profile["__intensity__"] = hist_total
+        scan2_out = scan2_mat.filter(
+            expr=f"rule_id != '{_DecodeAndMembership.HIST_RULE}'")
 
     violations = viol_meta.union(scan2_out)
     drift = (compare_profiles(reference_profile, profile)

@@ -62,6 +62,11 @@ def compare_profiles(ref: dict[str, ColumnProfile], new: dict[str, ColumnProfile
         np_ = new.get(name)
         if np_ is None:
             continue
+        if isinstance(rp, np.ndarray):  # fixed-bin histogram (e.g. __intensity__)
+            v = psi_hist(rp, np.asarray(np_))
+            out.append({"column": name, "metric": "psi", "value": v,
+                        "threshold": psi_threshold, "ok": v <= psi_threshold})
+            continue
         if rp.tdigest is not None and np_.tdigest is not None:
             ks = ks_statistic(rp.tdigest, np_.tdigest)
             out.append({"column": name, "metric": "ks", "value": ks,

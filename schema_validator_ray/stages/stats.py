@@ -134,18 +134,26 @@ def save_profiles(profiles: dict[str, ColumnProfile], path: str) -> str:
     import uuid
 
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    payload = {}
+    for k, p in profiles.items():
+        if isinstance(p, ColumnProfile):
+            payload[k] = ("col", (p.column, p.count, p.nulls, p.vmin, p.vmax,
+                                  p.vsum, p.tdigest, p.hll, p.cms))
+        else:  # raw histogram entries (e.g. "__intensity__")
+            payload[k] = ("hist", np.asarray(p))
     with open(tmp, "wb") as f:
-        pickle.dump({k: (p.column, p.count, p.nulls, p.vmin, p.vmax, p.vsum,
-                         p.tdigest, p.hll, p.cms)
-                     for k, p in profiles.items()}, f)
+        pickle.dump(payload, f)
     os.replace(tmp, path)
     return path
 
 
-def load_profiles(path: str) -> dict[str, ColumnProfile]:
+def load_profiles(path: str) -> dict:
     with open(path, "rb") as f:
         raw = pickle.load(f)
-    return {k: ColumnProfile(*v) for k, v in raw.items()}
+    out = {}
+    for k, (kind, v) in raw.items():
+        out[k] = ColumnProfile(*v) if kind == "col" else v
+    return out
 
 
 def profile_dataset(ds, *, numeric=(), categorical=(), keys=(),
