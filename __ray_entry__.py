@@ -271,6 +271,46 @@ def q_anti_join_customers_without_orders(sf_dir: str):
         batch_format="pyarrow"), pa.schema([("c_custkey", pa.int64())]))
 
 
+def q_orders_join_customer(sf_dir: str):
+    """Hash-partitioned inner join (Dataset.join) + grouped revenue by market
+    segment — the both-sides-large join path."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda b: b.rename_columns(["c_custkey", "o_totalprice"]),
+        batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.join(cust, join_type="inner", num_partitions=8,
+                         on=("c_custkey",))
+    agg = (joined.groupby("c_mktsegment")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("o_totalprice", alias_name="revenue")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "c_mktsegment": b["c_mktsegment"],
+            "n_orders": pc.cast(b["n_orders"], pa.int64()),
+            "revenue": pc.round(b["revenue"], ndigits=2),
+        }), batch_format="pyarrow")
+
+
+def q_anti_join_shuffle(sf_dir: str):
+    """Shuffle anti-join variant (left_anti Dataset.join) of the referential
+    check — must agree with the broadcast variant."""
+    from schema_validator_ray.stages.referential import (
+        referential_violations_shuffle,
+    )
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda b: pa.table({"c_custkey": b["o_custkey"]}),
+        batch_format="pyarrow")
+    out = referential_violations_shuffle(cust, orders, "c_custkey",
+                                         num_partitions=8)
+    return _collect(out.map_batches(
+        lambda b: pa.table({"c_custkey": pc.cast(b["c_custkey"], pa.int64())}),
+        batch_format="pyarrow"), pa.schema([("c_custkey", pa.int64())]))
+
+
 def q_events_hourly(sf_dir: str):
     """Streaming-shaped aggregation with the partial/combiner pattern: per-batch
     (event_type, hour) partials, merged by a small groupby."""
@@ -661,6 +701,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": q_top_customers,
         "distinct_parts": q_distinct_parts,
         "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
+        "anti_join_shuffle": q_anti_join_shuffle,
+        "orders_join_customer": q_orders_join_customer,
         "events_hourly": q_events_hourly,
         "events_sliding_1h": q_events_sliding_1h,
         "events_sessions_30m": q_events_sessions_30m,
@@ -839,6 +881,16 @@ def oracle_sql() -> dict[str, str]:
         "anti_join_customers_without_orders": """
             SELECT c_custkey FROM customer
              WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "anti_join_shuffle": """
+            SELECT c_custkey FROM customer
+             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "orders_join_customer": """
+            SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   ROUND(SUM(o.o_totalprice), 2) AS revenue
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             GROUP BY c.c_mktsegment
         """,
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour,

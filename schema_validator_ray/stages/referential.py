@@ -108,6 +108,34 @@ class _AntiJoinStage:
         })
 
 
+def referential_violations_shuffle(ds, side_ds, key: str, *,
+                                   rule_id: str = RULE_REFERENTIAL,
+                                   num_partitions: int = 32):
+    """Shuffle-based anti-join (``Dataset.join(join_type="left_anti")``) — the
+    path for side tables too large to broadcast: both sides hash-partition on
+    the key, no driver materialization of either side."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    if isinstance(side_ds, str):
+        side_ds = rd.read_parquet(side_ds, columns=[key])
+    elif isinstance(side_ds, pa.Table):
+        side_ds = rd.from_arrow(side_ds.select([key]))
+    else:
+        side_ds = side_ds.select_columns([key])
+    missing = ds.select_columns([key]).join(
+        side_ds, join_type="left_anti", num_partitions=num_partitions,
+        on=(key,))
+    return missing.map_batches(
+        lambda b: pa.table({
+            key: pc.cast(b[key], pa.string()),
+            "rule_id": pa.array([rule_id] * b.num_rows, pa.string()),
+            "column": pa.array([key] * b.num_rows, pa.string()),
+            "offending_value": pc.cast(b[key], pa.string()),
+        }), batch_format="pyarrow")
+
+
 def referential_violations(ds, side_ds, key: str, *,
                            rule_id: str = RULE_REFERENTIAL,
                            bloom_bits: int | None = None,
@@ -116,6 +144,8 @@ def referential_violations(ds, side_ds, key: str, *,
 
     ``side_ds`` may be a ray Dataset, a pyarrow Table, or a path readable by
     pyarrow. Only the key column of the side table is ever materialized.
+    For key sides beyond broadcast budget use
+    :func:`referential_violations_shuffle` (hash-partitioned anti-join).
     """
     import ray
 
