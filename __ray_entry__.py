@@ -204,6 +204,52 @@ def q_unique_orderkeys(sf_dir: str):
         [("o_orderkey", pa.int64()), ("dup_count", pa.int64())]))
 
 
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped pricing summary: per-batch partials -> small groupby
+    (the canonical pre-aggregated wide aggregation)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        disc = pc.multiply(b["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        t = pa.table({"l_returnflag": b["l_returnflag"],
+                      "l_linestatus": b["l_linestatus"],
+                      "qty": b["l_quantity"], "price": b["l_extendedprice"],
+                      "disc_price": disc})
+        agg = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price", "sum"), ("disc_price", "sum"),
+             ([], "count_all")])
+        return pa.table({
+            "l_returnflag": agg["l_returnflag"],
+            "l_linestatus": agg["l_linestatus"],
+            "sum_qty": agg["qty_sum"],
+            "sum_base_price": agg["price_sum"],
+            "sum_disc_price": agg["disc_price_sum"],
+            "count_order": pc.cast(agg["count_all"], pa.int64()),
+        })
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .repartition(4)
+              .groupby(["l_returnflag", "l_linestatus"])
+              .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                         Sum("sum_base_price", alias_name="sum_base_price"),
+                         Sum("sum_disc_price", alias_name="sum_disc_price"),
+                         Sum("count_order", alias_name="count_order")))
+    return merged.map_batches(
+        lambda b: pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "sum_qty": pc.round(b["sum_qty"], ndigits=2),
+            "sum_base_price": pc.round(b["sum_base_price"], ndigits=2),
+            "sum_disc_price": pc.round(b["sum_disc_price"], ndigits=2),
+            "count_order": pc.cast(b["count_order"], pa.int64()),
+        }), batch_format="pyarrow")
+
+
 def q_top_customers(sf_dir: str):
     """Top-10 customers by order count (pre-aggregated partials -> groupby ->
     Dataset.sort -> limit; deterministic tie-break on key)."""
@@ -698,6 +744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_custkeys_orders": q_dup_custkeys_orders,
         "unique_orderkeys": q_unique_orderkeys,
         "dedup_docs_keep_min": q_dedup_docs_keep_min,
+        "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "distinct_parts": q_distinct_parts,
         "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
@@ -873,6 +920,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
               FROM orders GROUP BY o_custkey
              ORDER BY n_orders DESC, o_custkey ASC LIMIT 10
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+              FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "distinct_parts": """
             SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct

@@ -68,3 +68,18 @@ def test_uniqueness_shuffle_rows_bounded_under_skew(ray_session):
     dups = duplicate_keys(ds, "k").to_pandas()
     assert len(dups) == 1 and dups.k.iloc[0] == -1
     assert dups.dup_count.iloc[0] == int(hot.sum())
+
+
+def test_compile_error_surfaces_as_job_error(ray_session):
+    """The abort channel through Ray: a spec that cannot compile for the
+    column type fails the job loudly (never silently recorded as violations)."""
+    import pytest
+    import ray.data as rd
+
+    from schema_validator_ray.engine import RuleStage
+
+    tbl = pa.table({"flag": pa.array([True, False])})
+    ds = rd.from_arrow(tbl).map_batches(
+        RuleStage({"flag": "min=3"}), batch_format="pyarrow")
+    with pytest.raises(Exception):
+        ds.count()
