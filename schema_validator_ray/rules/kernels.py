@@ -228,6 +228,15 @@ def compare_literal_kernel(op: str, dtype: pa.DataType, param: str, column: str)
 
         return kernel
 
+    if pa.types.is_boolean(dtype) and op in ("eq", "ne"):
+        # bool equality (cast-coerced param, e.g. when("required","eq","true"))
+        want = param.strip().lower() in ("true", "1")
+
+        def kernel(col, tbl):
+            return np_bool(pc_op(col.fill_null(False), want))
+
+        return kernel
+
     raise CompileError(f"unsupported type {dtype} for comparison on column {column!r}")
 
 
