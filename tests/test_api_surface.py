@@ -220,3 +220,28 @@ def test_i18n_register_locale():
 
     register_locale("fr", {"required": "{field} est requis"})
     assert message_for("required", "nom", (), "fr") == "nom est requis"
+
+
+def test_lance_io_parquet_fallback(tmp_path, ray_session):
+    """lance is absent in this container: read_table/fragment_paths must fall
+    back to parquet transparently."""
+    import pyarrow.parquet as pq
+
+    from schema_validator_ray.sources.lance_io import (
+        HAVE_LANCE,
+        fragment_paths,
+        read_table,
+        write_table,
+    )
+
+    assert not HAVE_LANCE  # this container
+    t = pa.table({"a": pa.array([1, 2, 3], pa.int64())})
+    d = tmp_path / "tbl"
+    d.mkdir()
+    pq.write_table(t, str(d / "part-0.parquet"))
+    pq.write_table(t, str(d / "part-1.parquet"))
+    assert len(fragment_paths(str(d))) == 2
+    ds = read_table(str(d), columns=["a"])
+    assert ds.count() == 6
+    out = write_table(t, str(tmp_path / "out"))
+    assert out.endswith(".parquet") or out == str(tmp_path / "out")
