@@ -96,23 +96,30 @@ def validate(ds, spec, *, id_column: str | None = None,
     """Main entry: returns a dict of lazy Datasets:
        ``violations`` (one row per rule violation) and ``verdicts`` (one row per
        partition with rows / failed_rows counts, merged from per-batch partials).
+
+    ``concurrency=N`` runs the stage as an ACTOR POOL of N workers: the spec
+    compiles once per actor (regexes, type dispatch) instead of once per task —
+    the stateful-stage pattern; without it, stateless tasks (cheap, elastic).
     """
     from ray.data.aggregate import Sum
 
     kwargs: dict[str, Any] = {"batch_format": "pyarrow"}
     if batch_size is not None:
         kwargs["batch_size"] = batch_size
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
 
-    violations = ds.map_batches(
-        RuleStage(spec, id_column=id_column, mode="violations", registry=registry),
-        **kwargs)
+    def stage(mode, part_col=None):
+        ctor = dict(spec=spec, id_column=id_column, mode=mode,
+                    partition_column=part_col, registry=registry)
+        if concurrency is not None:
+            return dict(fn=RuleStage, fn_constructor_kwargs=ctor,
+                        concurrency=concurrency)
+        return dict(fn=RuleStage(**ctor))
 
-    partials = ds.map_batches(
-        RuleStage(spec, id_column=id_column, mode="verdict",
-                  partition_column=partition_column, registry=registry),
-        **kwargs)
+    s = stage("violations")
+    violations = ds.map_batches(s.pop("fn"), **s, **kwargs)
+
+    s = stage("verdict", partition_column)
+    partials = ds.map_batches(s.pop("fn"), **s, **kwargs)
     verdicts = (partials
                 .groupby("partition")
                 .aggregate(Sum("rows", alias_name="rows"),

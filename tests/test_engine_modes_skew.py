@@ -83,3 +83,21 @@ def test_compile_error_surfaces_as_job_error(ray_session):
         RuleStage({"flag": "min=3"}), batch_format="pyarrow")
     with pytest.raises(Exception):
         ds.count()
+
+
+def test_actor_pool_mode(ray_session):
+    """concurrency=N runs RuleStage as an actor pool (compile once per actor)
+    with identical results to task mode."""
+    import ray.data as rd
+
+    from schema_validator_ray.engine import validate
+
+    tbl = pa.table({"id": pa.array([f"r{i}" for i in range(500)]),
+                    "v": pa.array([i % 7 for i in range(500)], pa.int64())})
+    ds = rd.from_arrow(tbl)
+    task = validate(ds, {"v": "min=2"}, id_column="id")["violations"].to_pandas()
+    actor = validate(ds, {"v": "min=2"}, id_column="id",
+                     concurrency=2)["violations"].to_pandas()
+    key = ["id", "rule_id"]
+    assert (task.sort_values(key).reset_index(drop=True)[key]
+            .equals(actor.sort_values(key).reset_index(drop=True)[key]))
