@@ -77,6 +77,8 @@ def cmd_validate(args) -> int:
                                   reference_profile=reference_profile,
                                   decode=not args.no_decode)
             vio = res["violations"]
+            if args.violations_out:
+                vio = vio.materialize()  # count + write without re-executing
             counts: dict[str, int] = {}
             for b in vio.iter_batches(batch_size=1 << 16,
                                       batch_format="pyarrow"):
@@ -93,6 +95,9 @@ def cmd_validate(args) -> int:
 
                 save_profiles(res["profile"], args.save_profile)
                 summary["profile_saved"] = args.save_profile
+            if args.violations_out:
+                vio.write_parquet(args.violations_out)
+                summary["violations_written"] = args.violations_out
         print(json.dumps(summary, default=str))
         return 0
     finally:
@@ -133,6 +138,8 @@ def main(argv=None) -> int:
     v.add_argument("--no-decode", action="store_true")
     v.add_argument("--job-id", default="job")
     v.add_argument("--num-cpus", type=int)
+    v.add_argument("--violations-out",
+                   help="write violation rows as partitioned parquet here")
     v.add_argument("--drift-profile",
                    help="reference profile file: run KS/PSI drift checks")
     v.add_argument("--save-profile",
