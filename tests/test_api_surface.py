@@ -245,3 +245,28 @@ def test_lance_io_parquet_fallback(tmp_path, ray_session):
     assert ds.count() == 6
     out = write_table(t, str(tmp_path / "out"))
     assert out.endswith(".parquet") or out == str(tmp_path / "out")
+
+
+def test_error_helpers():
+    """HasFieldError / HasErrorCode / Translate parity (schema/error.go:65-93)."""
+    from schema_validator_ray.errors import (
+        error_counts,
+        field_errors,
+        has_error_code,
+        has_field_error,
+        translate,
+    )
+
+    tbl = pa.table({"name": pa.array(["", "ok"]),
+                    "age": pa.array([0, 5], pa.int64())})
+    cs = compile_ruleset({"name": "required", "age": "required|min=1"},
+                         tbl.schema)
+    _, v = cs.evaluate(tbl)
+    assert has_field_error(v, "name") and has_field_error(v, "age")
+    assert not has_field_error(v, "other")
+    assert has_error_code(v, "required") and not has_error_code(v, "uuid")
+    assert field_errors(v, "name").num_rows == 1
+    counts = error_counts(v)
+    assert counts["required"] == 2 and counts["min"] == 1
+    msgs = translate(v)["message"].to_pylist()
+    assert "name is required" in msgs
