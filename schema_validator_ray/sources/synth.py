@@ -52,7 +52,11 @@ R_HOT_PHASH = 0.02  # rows funneled into ~10 shared phash values (skew fixture)
 
 MIN_DIM, MAX_DIM = 16, 96  # kept small so synthesis stays cheap at test scale
 
-SYNTH_VERSION = 2  # bump when generation changes — busts /tmp caches
+SYNTH_VERSION = 3  # bump when generation changes — busts /tmp caches
+
+# small row groups so Ray's block splitting has real split points (a shard with
+# ONE row group makes override_num_blocks re-read the same group per split)
+ROW_GROUP_SIZE = 256
 
 
 def _row_image_id(seed: int, i: int) -> str:
@@ -167,7 +171,7 @@ def write_images_dataset(out_dir: str, n_rows: int, *, seed: int = 42,
         tbl = synth_batch(start, n, seed=seed, captions=captions, clean=clean,
                           min_dim=min_dim, max_dim=max_dim)
         tmp = path + ".tmp"
-        pq.write_table(tbl, tmp)
+        pq.write_table(tbl, tmp, row_group_size=ROW_GROUP_SIZE)
         os.replace(tmp, path)
 
     if parallel and jobs:
