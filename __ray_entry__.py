@@ -477,6 +477,18 @@ def q_multimodal_video(sf_dir: str):
 # text analysis (SQL-oracled where exact)
 
 
+def q_curated_docs(sf_dir: str):
+    """Text-curation flagship: quality/token filter + exact dedup keep-min.
+    The curated id set is fully SQL-expressible (lang_pred column excluded)."""
+    from schema_validator_ray.pipelines.curate_documents import curate_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    res = curate_documents(ds, min_quality=0.75, min_tokens=15)
+    out = res["curated"].map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"]}), batch_format="pyarrow")
+    return _collect(out, pa.schema([("doc_id", pa.int64())]))
+
+
 def q_token_counts(sf_dir: str):
     from schema_validator_ray.functions.text import token_count
 
@@ -756,6 +768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_resize": q_images_resize,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_video": q_multimodal_video,
+        "curated_docs": q_curated_docs,
         "token_counts": q_token_counts,
         "text_quality": q_text_quality,
         "lang_distribution": q_lang_distribution,
@@ -975,6 +988,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
                    CAST(COUNT(*) AS BIGINT) AS n_events
               FROM g GROUP BY user_id, sid
+        """,
+        "curated_docs": r"""
+            WITH annotated AS (
+              SELECT doc_id, text,
+                     0.4 * LEAST(strlen(COALESCE(text,'')) / 200.0, 1.0)
+                   + 0.4 * (len(regexp_extract_all(COALESCE(text,''), '[A-Za-z]'))
+                            / GREATEST(strlen(COALESCE(text,'')), 1.0))
+                   + 0.2 * (1.0 - LEAST(4.0 *
+                            len(regexp_extract_all(COALESCE(text,''), '[^\w\s]'))
+                            / GREATEST(strlen(COALESCE(text,'')), 1.0), 1.0))
+                       AS q,
+                     len(regexp_extract_all(COALESCE(text,''), '\w+')) AS nt
+                FROM documents)
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+              FROM annotated
+             WHERE ROUND(q, 6) >= 0.75 AND nt >= 15
+             GROUP BY text
         """,
         "token_counts": r"""
             SELECT doc_id,

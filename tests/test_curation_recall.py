@@ -1,0 +1,87 @@
+"""Curation pipeline behavior + ANN recall measurements."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_curate_documents(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.pipelines.curate_documents import curate_documents
+
+    rows = []
+    good = ("a perfectly reasonable document with plenty of words and letters "
+            "that clearly passes every quality bar we could set here today")
+    for i in range(30):
+        rows.append((i, f"{good} variant {i}"))
+    rows.append((100, good + " variant 0"))      # exact dup of doc 0... no:
+    rows[-1] = (100, rows[0][1])                 # exact duplicate of doc 0
+    rows.append((101, "!!! ??? ###"))            # low quality
+    rows.append((102, "too short"))              # too few tokens
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }))
+    res = curate_documents(ds, min_quality=0.5, min_tokens=10)
+    kept = set(res["curated"].to_pandas().doc_id)
+    assert 0 in kept and 100 not in kept          # dedup keeps min id
+    assert 101 not in kept and 102 not in kept    # filters
+    assert res["stats"]["kept"] == len(kept) == 30
+
+
+def test_ivf_recall_at_5(ray_session):
+    """IVF with n_probe=2 of 8 cells must recover most of the brute-force
+    top-5 (deterministic seeded data — the measured recall is stable)."""
+    import ray.data as rd
+
+    from schema_validator_ray.stages.similarity import IVFIndex, knn_brute
+
+    rng = np.random.default_rng(17)
+    mat = rng.standard_normal((600, 32))
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(600), pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.ravel(), pa.float32()), 32),
+    })
+    ds = rd.from_arrow(tbl)
+    queries = mat[:10]
+    exact = knn_brute(ds, queries, k=5).to_pandas()
+    ivf = IVFIndex(n_cells=8, n_probe=2).build(ds).search(queries, k=5).to_pandas()
+    hits = tot = 0
+    for qi in range(10):
+        want = set(exact[exact.query_id == qi].neighbor_id)
+        got = set(ivf[ivf.query_id == qi].neighbor_id)
+        hits += len(want & got)
+        tot += len(want)
+    recall = hits / tot
+    assert recall >= 0.5, recall   # 2/8 cells probed; recall well above chance
+    # full probe == exact (already covered elsewhere, re-assert cheaply)
+    full = IVFIndex(n_cells=8, n_probe=8).build(ds).search(queries, k=5).to_pandas()
+    for qi in range(10):
+        assert (set(full[full.query_id == qi].neighbor_id)
+                == set(exact[exact.query_id == qi].neighbor_id))
+
+
+def test_manifest_digest_change_triggers_rerun(ray_session, tmp_path):
+    import os
+
+    from schema_validator_ray.pipelines.validate_images import run_resumable
+    from schema_validator_ray.sources.synth import write_images_dataset
+
+    d = tmp_path / "imgs"
+    paths = write_images_dataset(str(d), 600, seed=3, shards=2)
+    out = str(tmp_path / "out")
+    r1 = run_resumable(paths, out, decode=False, job_id="a")
+    assert len(r1["ran"]) == 2
+    # touch one input file's content -> its digest changes -> re-run just it
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(paths[0])
+    pq.write_table(t, paths[0])  # rewrite => new mtime/size-digest
+    os.utime(paths[0], (0, 0))
+    os.utime(paths[0])
+    r2 = run_resumable(paths, out, decode=False, job_id="b")
+    assert len(r2["ran"]) == 1 and len(r2["skipped"]) == 1
+    pid = r2["ran"][0]
+    assert r2["manifest"][pid]["attempt"] == 2

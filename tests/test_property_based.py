@@ -95,3 +95,26 @@ def test_len_rule_is_byte_length(values, n):
     pm, _ = cs.evaluate(tbl)
     want = [len(v.encode()) == n for v in values]
     assert list(pm) == want
+
+
+@settings(max_examples=150, deadline=None)
+@given(rules=st.lists(
+    st.tuples(
+        st.sampled_from(["required", "alpha", "uuid", "min", "max", "oneof"]),
+        st.lists(st.text(alphabet="abcdef123", min_size=1, max_size=6),
+                 min_size=0, max_size=3)),
+    min_size=1, max_size=6))
+def test_dsl_roundtrip(rules):
+    """Render a rule list to a tag string and parse it back (grammar
+    round-trip; params restricted to separator-free tokens)."""
+    from schema_validator_ray.dsl import Rule, parse_tag
+
+    want = []
+    parts = []
+    for name, params in rules:
+        if name in ("min", "max") and not params:
+            params = ["1"]
+        want.append(Rule(name, tuple(params)))
+        parts.append(name + ("=" + ",".join(params) if params else ""))
+    tag = "|".join(parts)
+    assert parse_tag(tag) == want
