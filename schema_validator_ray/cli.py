@@ -53,6 +53,11 @@ def cmd_validate(args) -> int:
     try:
         reference_profile = None
         if args.drift_profile:
+            if args.out:
+                print("error: --drift-profile is not supported together with "
+                      "--out (resumable mode runs per-partition; drift is a "
+                      "whole-run check). Run without --out.", file=sys.stderr)
+                return 2
             from .stages.stats import load_profiles
 
             reference_profile = load_profiles(args.drift_profile)

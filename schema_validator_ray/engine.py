@@ -59,6 +59,11 @@ class RuleStage:
             return violations
         if self.mode == "annotate":
             return batch.append_column("_valid", pa.array(pass_mask))
+        if self.mode == "tagged":
+            # one evaluation, both outputs: violation rows (kind='v') + verdict
+            # partials (kind='p') in a union schema — the caller splits
+            part = self._verdict_partials(batch, pass_mask, violations)
+            return _tag_union(violations, part)
         # verdict: pre-aggregated partials, one row per partition value per batch
         return self._verdict_partials(batch, pass_mask, violations)
 
@@ -73,29 +78,62 @@ class RuleStage:
         part = batch[self.partition_column]
         if isinstance(part, pa.ChunkedArray):
             part = part.combine_chunks()
-        part_str = pc.cast(part, pa.string())
-        agg = pa.table({
-            "partition": part_str,
-            "ok": pa.array(pass_mask),
-        }).group_by("partition").aggregate([("ok", "count"), ("ok", "sum")])
-        rows = agg["ok_count"].to_numpy(zero_copy_only=False).astype(np.int64)
-        passed = agg["ok_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        part_str = pc.cast(part, pa.string()).fill_null("__null__")
+        # per-partition violation counts via the violation rows' row_index
+        codes = part_str.dictionary_encode()
+        idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_parts = len(codes.dictionary)
+        viol_counts = np.zeros(n_parts, np.int64)
+        if violations.num_rows:
+            vrows = violations["row_index"].to_numpy(zero_copy_only=False)
+            np.add.at(viol_counts, idx[vrows], 1)
+        rows = np.bincount(idx, minlength=n_parts).astype(np.int64)
+        failed = np.zeros(n_parts, np.int64)
+        np.add.at(failed, idx, (~pass_mask).astype(np.int64))
         return pa.table({
-            "partition": agg["partition"],
+            "partition": codes.dictionary,
             "rows": pa.array(rows, type=pa.int64()),
-            "failed_rows": pa.array(rows - passed, type=pa.int64()),
-            "violations": pa.array(np.zeros(len(rows), dtype=np.int64), type=pa.int64()),
+            "failed_rows": pa.array(failed, type=pa.int64()),
+            "violations": pa.array(viol_counts, type=pa.int64()),
         })
+
+
+def _tag_union(violations: pa.Table, partials: pa.Table) -> pa.Table:
+    fields = ([pa.field("kind", pa.string())]
+              + list(violations.schema)
+              + [f for f in partials.schema])
+    schema = pa.schema(fields)
+
+    def conform(t: pa.Table, kind: str) -> pa.Table:
+        cols = [pa.array([kind] * t.num_rows, pa.string())]
+        for f in schema:
+            if f.name == "kind":
+                continue
+            if f.name in t.column_names:
+                cols.append(pc.cast(t[f.name], f.type))
+            else:
+                cols.append(pa.nulls(t.num_rows, f.type))
+        return pa.Table.from_arrays(cols, schema=schema)
+
+    return pa.concat_tables([conform(violations, "v"), conform(partials, "p")])
 
 
 def validate(ds, spec, *, id_column: str | None = None,
              partition_column: str | None = None,
              batch_size: int | None = 8192,
              concurrency: int | None = None,
+             fused: bool = True,
              registry: Registry | None = None):
     """Main entry: returns a dict of lazy Datasets:
        ``violations`` (one row per rule violation) and ``verdicts`` (one row per
-       partition with rows / failed_rows counts, merged from per-batch partials).
+       partition with rows / failed_rows / violations counts merged from
+       per-batch partials).
+
+    ``fused=True`` (default): ONE scan + one rule evaluation per batch emits a
+    tagged stream (violations + verdict partials) that is materialized and
+    split — materialization is bounded by the violation rate. ``fused=False``
+    keeps two independent lazy legs (each scans and evaluates; use when
+    violations must stream unmaterialized).
 
     ``concurrency=N`` runs the stage as an ACTOR POOL of N workers: the spec
     compiles once per actor (regexes, type dispatch) instead of once per task —
@@ -115,17 +153,31 @@ def validate(ds, spec, *, id_column: str | None = None,
                         concurrency=concurrency)
         return dict(fn=RuleStage(**ctor))
 
-    s = stage("violations")
-    violations = ds.map_batches(s.pop("fn"), **s, **kwargs)
-
-    s = stage("verdict", partition_column)
-    partials = ds.map_batches(s.pop("fn"), **s, **kwargs)
-    verdicts = (partials
+    def merge(partials):
+        return (partials
                 .groupby("partition")
                 .aggregate(Sum("rows", alias_name="rows"),
                            Sum("failed_rows", alias_name="failed_rows"),
                            Sum("violations", alias_name="violations")))
-    return {"violations": violations, "verdicts": verdicts}
+
+    if fused:
+        s = stage("tagged", partition_column)
+        mixed = ds.map_batches(s.pop("fn"), **s, **kwargs).materialize()
+        viol_cols = ["row_index", "rule_id", "column", "offending_value"]
+        if id_column:
+            viol_cols.insert(1, id_column)
+        violations = (mixed.filter(expr="kind == 'v'")
+                      .select_columns(viol_cols))
+        partials = (mixed.filter(expr="kind == 'p'")
+                    .select_columns(["partition", "rows", "failed_rows",
+                                     "violations"]))
+        return {"violations": violations, "verdicts": merge(partials)}
+
+    s = stage("violations")
+    violations = ds.map_batches(s.pop("fn"), **s, **kwargs)
+    s = stage("verdict", partition_column)
+    partials = ds.map_batches(s.pop("fn"), **s, **kwargs)
+    return {"violations": violations, "verdicts": merge(partials)}
 
 
 def validate_table(tbl: pa.Table, spec, *, id_column: str | None = None,

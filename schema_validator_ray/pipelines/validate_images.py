@@ -324,13 +324,15 @@ def validate_images(input_dir: str, *, captions_path: str | None = None,
                  .select_columns(VIOLATION_COLUMNS))
 
     def _ref(s):
-        return ray.put(pa.array(sorted(s))) if s else None
+        vals = sorted(v for v in s if v is not None)
+        return ray.put(pa.array(vals)) if vals else None
 
     dup_ids_ref = _ref(dup_sets["image_id"])
     dup_ph_ref = _ref(dup_sets["phash"])
     cap_ref = None
     if captions_path is not None:
-        cap_ref = ray.put(_side_key_column(captions_path, "image_id"))
+        cap_keys = _side_key_column(captions_path, "image_id").drop_null()
+        cap_ref = ray.put(cap_keys)
 
     cols = DECODE_COLUMNS if decode else ["image_id", "phash"]
     scan2 = rd.read_parquet(input_dir, columns=cols,

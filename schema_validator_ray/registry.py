@@ -42,11 +42,6 @@ class CompileContext:
             )
         return self.params[i]
 
-    def sibling_type(self, name: str) -> pa.DataType:
-        if self.schema is None or self.schema.field(name) is None:
-            raise CompileError(f"referenced field {name!r} not in schema")
-        return self.schema.field(name).type
-
 
 # Marker object returned by the `omitempty` factory: the engine interprets it as
 # "gate off all later rules of this column where the value is empty"

@@ -248,27 +248,72 @@ def _widen(t: pa.DataType) -> pa.DataType:
     return pa.float64()
 
 
-def compare_field_kernel(op: str, cur_type: pa.DataType, other: str, column: str):
-    """compareValue against a sibling column (row-local, no shuffle)."""
+def compare_field_kernel(op: str, cur_type: pa.DataType, other: str, column: str,
+                         schema: pa.Schema | None = None):
+    """compareValue against a sibling column (row-local, no shuffle). The type
+    pair is resolved at COMPILE time from the table schema, so unsupported
+    pairs reject the spec up front (the abort channel) instead of killing Ray
+    tasks mid-job."""
     from ..registry import CompileError
 
     pc_op = _OPS[op]
+    ot = _schema_path_type(schema, other) if schema is not None else None
 
-    def kernel(col, tbl):
-        other_col = get_path(tbl, other)
-        ot = other_col.type
-        if is_numeric(cur_type) and is_numeric(ot):
-            return np_bool(pc_op(col.fill_null(0), other_col.fill_null(0)))
-        if is_stringlike(cur_type) and is_numeric(ot):
+    def pick(other_type):
+        if is_numeric(cur_type) and is_numeric(other_type):
+            return lambda col, oc: np_bool(pc_op(col.fill_null(0),
+                                                 oc.fill_null(0)))
+        if is_stringlike(cur_type) and is_numeric(other_type):
             # string vs numeric sibling -> byte-length compare (cast quirk)
-            return np_bool(pc_op(pc.binary_length(as_str(col)), pc.cast(other_col, pa.int64())))
+            return lambda col, oc: np_bool(
+                pc_op(pc.binary_length(as_str(col)), pc.cast(oc, pa.int64())))
         if is_stringlike(cur_type):
-            return np_bool(pc_op(as_str(col), as_str(other_col)))
-        if is_listlike(cur_type):
-            return np_bool(pc_op(pc.list_value_length(col), pc.cast(other_col, pa.int32())))
-        raise CompileError(f"unsupported types for {op}field on {column!r}")
+            return lambda col, oc: np_bool(pc_op(as_str(col), as_str(oc)))
+        if is_listlike(cur_type) and is_numeric(other_type):
+            return lambda col, oc: np_bool(
+                pc_op(pc.list_value_length(col), pc.cast(oc, pa.int32())))
+        return None
+
+    if ot is not None:
+        impl = pick(ot)
+        if impl is None:
+            raise CompileError(
+                f"unsupported types for {op}field on {column!r}: "
+                f"{cur_type} vs sibling {other!r} ({ot})")
+
+        def kernel(col, tbl):
+            return impl(col, get_path(tbl, other))
+
+        return kernel
+
+    # no schema available (direct kernel use): resolve on first batch
+    def kernel(col, tbl):
+        oc = get_path(tbl, other)
+        impl = pick(oc.type)
+        if impl is None:
+            raise CompileError(f"unsupported types for {op}field on {column!r}")
+        return impl(col, oc)
 
     return kernel
+
+
+def _schema_path_type(schema: pa.Schema, path: str):
+    """Dotted-path type lookup; raises CompileError for missing fields."""
+    from ..registry import CompileError
+
+    parts = path.split(".")
+    try:
+        t = schema.field(parts[0]).type
+    except KeyError:
+        raise CompileError(f"referenced field {parts[0]!r} not in schema") from None
+    for p in parts[1:]:
+        if not pa.types.is_struct(t):
+            raise CompileError(f"{path!r}: {p!r} parent is not a struct")
+        idx = t.get_field_index(p)
+        if idx < 0:
+            raise CompileError(f"{path!r}: no struct field {p!r}")
+        t = t.field(idx).type
+    return t
 
 
 def get_path(tbl: pa.Table, path: str) -> pa.Array:

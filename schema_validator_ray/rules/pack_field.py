@@ -18,7 +18,8 @@ from .kernels import as_str, compare_field_kernel, get_path
 
 def _field(op: str):
     def factory(ctx: CompileContext):
-        return compare_field_kernel(op, ctx.dtype, ctx.param(0), ctx.column)
+        return compare_field_kernel(op, ctx.dtype, ctx.param(0), ctx.column,
+                                    schema=ctx.schema)
 
     return factory
 

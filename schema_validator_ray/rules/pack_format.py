@@ -191,18 +191,23 @@ def _datetime(ctx: CompileContext):
                  | np_bool(pc.match_substring_regex(s, _SIMPLE_DT)))
         if not shape.any():
             return shape
-        # range-check the date/time digits vectorized
+        # range-check only the shape-matching rows: their date/time positions
+        # are guaranteed digits by the regex, so the casts cannot fail (a
+        # whole-batch cast would abort on any non-datetime row in the batch)
+        idx = np.nonzero(shape)[0]
+        sub = s.take(pa.array(idx))
+
         def part(i, j):
-            return pc.cast(pc.utf8_slice_codeunits(s, i, j), pa.int32(), safe=False
-                           ).to_numpy(zero_copy_only=False)
-        try:
-            mo, dy = part(5, 7), part(8, 10)
-            hh, mi, ss = part(11, 13), part(14, 16), part(17, 19)
-            rng = ((mo >= 1) & (mo <= 12) & (dy >= 1) & (dy <= 31)
-                   & (hh <= 23) & (mi <= 59) & (ss <= 59))
-        except pa.ArrowInvalid:
-            rng = np.ones(len(s), bool)
-        return shape & rng
+            return pc.cast(pc.utf8_slice_codeunits(sub, i, j),
+                           pa.int32()).to_numpy(zero_copy_only=False)
+
+        mo, dy = part(5, 7), part(8, 10)
+        hh, mi, ss = part(11, 13), part(14, 16), part(17, 19)
+        ok = ((mo >= 1) & (mo <= 12) & (dy >= 1) & (dy <= 31)
+              & (hh <= 23) & (mi <= 59) & (ss <= 59))
+        out = shape.copy()
+        out[idx] = ok
+        return out
 
     return kernel
 
@@ -223,16 +228,16 @@ def _tz_names() -> set[str]:
     return names
 
 
-_TZ_SET: set[str] | None = None
+_TZ_ARR: "pa.Array | None" = None
 
 
 @register("timezone")
 def _timezone(ctx: CompileContext):
     def kernel(col, tbl):
-        global _TZ_SET
-        if _TZ_SET is None:
-            _TZ_SET = _tz_names()
-        return np_bool(pc.is_in(as_str(col), value_set=pa.array(sorted(_TZ_SET))))
+        global _TZ_ARR
+        if _TZ_ARR is None:  # build the probe array once per worker process
+            _TZ_ARR = pa.array(sorted(_tz_names()))
+        return np_bool(pc.is_in(as_str(col), value_set=_TZ_ARR))
 
     return kernel
 

@@ -37,7 +37,10 @@ def _binary_views(col) -> list:
             out.extend([None] * len(arr))
             continue
         bufs = arr.buffers()
-        offsets = (np.frombuffer(bufs[1], dtype=np.int32,
+        # binary uses int32 offsets, large_binary int64 — honor the type
+        off_dtype = (np.int64 if pa.types.is_large_binary(arr.type)
+                     else np.int32)
+        offsets = (np.frombuffer(bufs[1], dtype=off_dtype,
                                  count=len(arr) + 1 + arr.offset)
                    [arr.offset:])
         data = memoryview(bufs[2])

@@ -80,7 +80,7 @@ class _AntiJoinStage:
         self.keyset_ref = keyset_ref
         self.bloom_ref = bloom_ref
         self.rule_id = rule_id
-        self._keys = None
+        self._keys_arr = None
         self._bloom = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -94,11 +94,13 @@ class _AntiJoinStage:
                 self._bloom = ray.get(self.bloom_ref)
             missing = ~self._bloom.contains(_hash_keys(col))
         else:
-            if self._keys is None:
-                self._keys = ray.get(self.keyset_ref)
-            mask = pc.is_in(col, value_set=pa.array(sorted(self._keys),
-                                                    type=col.type))
-            missing = ~mask.to_numpy(zero_copy_only=False)
+            if self._keys_arr is None:
+                # build the probe array ONCE per worker (nulls in the side
+                # table are not matchable keys)
+                vals = [v for v in ray.get(self.keyset_ref) if v is not None]
+                self._keys_arr = pa.array(sorted(vals), type=col.type)
+            mask = pc.is_in(col, value_set=self._keys_arr)
+            missing = ~mask.fill_null(False).to_numpy(zero_copy_only=False)
         bad = batch.filter(pa.array(missing))
         return pa.table({
             self.key: pc.cast(bad[self.key], pa.string()),

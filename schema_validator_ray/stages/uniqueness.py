@@ -29,7 +29,9 @@ class _PartialCounts:
         self.key = key
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        agg = (batch.select([self.key])
+        # null keys are not "duplicates of each other" (missing keys are the
+        # `required` rule's business) — drop them before counting
+        agg = (batch.select([self.key]).drop_null()
                .group_by(self.key)
                .aggregate([([], "count_all")]))
         return pa.table({
@@ -64,17 +66,18 @@ class _EmitDupViolations:
         self.dup_ref = dup_ref
         self.id_column = id_column
         self.rule_id = rule_id
-        self._dups: set | None = None
+        self._dups_arr: pa.Array | None = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self._dups is None:
-            import ray
-
-            self._dups = ray.get(self.dup_ref)
         col = batch[self.key]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        mask = pc.is_in(col, value_set=pa.array(sorted(self._dups), type=col.type))
+        if self._dups_arr is None:
+            import ray
+
+            vals = [v for v in ray.get(self.dup_ref) if v is not None]
+            self._dups_arr = pa.array(sorted(vals), type=col.type)
+        mask = pc.is_in(col, value_set=self._dups_arr)
         bad = batch.filter(mask)
         vals = pc.cast(bad[self.key], pa.string())
         return pa.table({

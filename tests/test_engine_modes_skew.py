@@ -24,8 +24,18 @@ def test_verdict_mode_partitioned(ray_session):
     assert verdicts.loc["a", "rows"] == 50
     assert verdicts.loc["a", "failed_rows"] == 15
     assert verdicts.loc["b", "failed_rows"] == 15
+    assert verdicts.loc["a", "violations"] == 15  # per-partition counts real
+    assert verdicts.loc["b", "violations"] == 15
     viol = res["violations"].to_pandas()
     assert len(viol) == 30
+    # fused and unfused paths agree
+    from schema_validator_ray.engine import validate as _validate
+
+    res2 = _validate(rd.from_arrow(tbl), {"v": "min=3"}, id_column="id",
+                     partition_column="grp", fused=False)
+    v2 = res2["verdicts"].to_pandas().set_index("partition")
+    assert v2.loc["a", "failed_rows"] == 15
+    assert v2.loc["a", "violations"] == 15
 
 
 def test_annotate_mode(ray_session):
@@ -101,3 +111,69 @@ def test_actor_pool_mode(ray_session):
     key = ["id", "rule_id"]
     assert (task.sort_values(key).reset_index(drop=True)[key]
             .equals(actor.sort_values(key).reset_index(drop=True)[key]))
+
+
+def test_null_keys_do_not_crash_uniqueness(ray_session):
+    """Null keys are dropped from duplicate counting (they are `required`'s
+    business) and never crash the broadcast set construction."""
+    import ray.data as rd
+
+    from schema_validator_ray.stages.uniqueness import (
+        duplicate_keys,
+        uniqueness_violations,
+    )
+
+    tbl = pa.table({
+        "id": pa.array([f"r{i}" for i in range(8)]),
+        "k": pa.array(["a", "a", None, None, None, "b", "c", None]),
+    })
+    ds = rd.from_arrow(tbl)
+    dups = duplicate_keys(ds, "k").to_pandas()
+    assert set(dups.k) == {"a"}          # nulls are not duplicates
+    v = uniqueness_violations(ds, "k", id_column="id").to_pandas()
+    assert sorted(v.id) == ["r0", "r1"]
+
+
+def test_null_keys_referential(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.referential import referential_violations
+
+    main = rd.from_arrow(pa.table({"k": pa.array(["x", "y", None])}))
+    side = pa.table({"k": pa.array(["x", None])})
+    out = referential_violations(main, side, "k").to_pandas()
+    # y missing; null key has no match either -> flagged
+    assert sorted(out.k.fillna("<null>")) == ["<null>", "y"]
+
+
+def test_eqfield_type_mismatch_rejected_at_compile(ray_session):
+    import pytest
+
+    from schema_validator_ray import CompileError, compile_ruleset
+
+    tbl = pa.table({"w": pa.array([1], pa.int64()), "fmt": pa.array(["png"])})
+    with pytest.raises(CompileError):
+        compile_ruleset({"w": "eqfield=fmt"}, tbl.schema)
+    with pytest.raises(CompileError):
+        compile_ruleset({"w": "eqfield=missing_col"}, tbl.schema)
+
+
+def test_datetime_range_check_batch_independent():
+    """A non-datetime row in the batch must not disable range checks for
+    other rows (fixed: range check runs on the shape-matching subset)."""
+    from schema_validator_ray import compile_ruleset
+
+    tbl = pa.table({"d": pa.array(["hello", "2024-13-41 25:70:99",
+                                   "2024-01-15 10:30:00", None])})
+    cs = compile_ruleset({"d": "datetime"}, tbl.schema)
+    pm, _ = cs.evaluate(tbl)
+    assert list(pm) == [False, False, True, False]
+
+
+def test_binary_views_large_binary():
+    from schema_validator_ray.stages.images import _binary_views
+
+    arr = pa.array([b"abc", None, b"defg"], pa.large_binary())
+    views = _binary_views(arr)
+    assert bytes(views[0]) == b"abc" and views[1] is None
+    assert bytes(views[2]) == b"defg"
