@@ -14,6 +14,7 @@ from . import rules  # populate the default registry  # noqa: F401
 from .builder import array, field, obj
 from .compile import CompiledRuleSet, When, compile_ruleset, when
 from .dsl import DslConfig, Rule, parse_tag
+from .errors import error_counts, has_error_code, has_field_error
 from .registry import CompileError, Registry, default_registry, register
 
 __all__ = [
@@ -26,7 +27,10 @@ __all__ = [
     "array",
     "compile_ruleset",
     "default_registry",
+    "error_counts",
     "field",
+    "has_error_code",
+    "has_field_error",
     "obj",
     "parse_tag",
     "register",

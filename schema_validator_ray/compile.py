@@ -116,6 +116,15 @@ class CompiledRuleSet:
         self.plans = plans
         self.schema = schema
 
+    def rule_params(self) -> dict[str, tuple[str, ...]]:
+        """rule_id -> params of its first occurrence (for i18n message
+        rendering; parity with the reference's ArgN template args)."""
+        out: dict[str, tuple[str, ...]] = {}
+        for plan in self.plans:
+            for r in list(plan.rules) + list(plan.element_rules):
+                out.setdefault(r.rule_id, r.params)
+        return out
+
     # -- evaluation -----------------------------------------------------------
 
     def evaluate(self, tbl: pa.Table, id_column: str | None = None):

@@ -270,3 +270,15 @@ def test_error_helpers():
     assert counts["required"] == 2 and counts["min"] == 1
     msgs = translate(v)["message"].to_pylist()
     assert "name is required" in msgs
+
+
+def test_i18n_with_rule_params_from_compiled_set():
+    """Messages render the actual rule params (ArgN parity) pulled from the
+    compiled plan."""
+    from schema_validator_ray.i18n import translate_batch
+
+    tbl = pa.table({"w": pa.array([0], pa.int64())})
+    cs = compile_ruleset({"w": "min=5"}, tbl.schema)
+    _, v = cs.evaluate(tbl)
+    out = translate_batch(v, "en", rule_params=cs.rule_params())
+    assert out["message"][0].as_py() == "w must be at least 5"
