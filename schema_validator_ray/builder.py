@@ -64,10 +64,7 @@ class ObjectBuilder:
         return self
 
     def build(self) -> dict:
-        out: dict[str, Any] = {}
-        for name, fb in self._fields.items():
-            out[name] = fb.build() if not isinstance(fb, ObjectBuilder) else fb.build()
-        return out
+        return {name: fb.build() for name, fb in self._fields.items()}
 
 
 def obj(**fields) -> ObjectBuilder:

@@ -116,14 +116,17 @@ class CompiledRuleSet:
         self.plans = plans
         self.schema = schema
 
-    def rule_params(self) -> dict[str, tuple[str, ...]]:
-        """rule_id -> params of its first occurrence (for i18n message
-        rendering; parity with the reference's ArgN template args)."""
-        out: dict[str, tuple[str, ...]] = {}
+    def rule_params(self) -> dict:
+        """(column, rule_id) -> params, plus rule_id -> params fallback for
+        rules used with a single param set (i18n ArgN rendering; the (column,
+        rule) key disambiguates e.g. max=65535 on w vs max=2000 on caption)."""
+        out: dict = {}
         for plan in self.plans:
             for r in list(plan.rules) + list(plan.element_rules):
-                out.setdefault(r.rule_id, r.params)
-        return out
+                out[(plan.column, r.rule_id)] = r.params
+                if out.setdefault(r.rule_id, r.params) != r.params:
+                    out[r.rule_id] = None  # ambiguous without the column
+        return {k: v for k, v in out.items() if v is not None}
 
     # -- evaluation -----------------------------------------------------------
 

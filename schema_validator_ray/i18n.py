@@ -106,7 +106,10 @@ def translate_batch(violations: pa.Table, locale: str = "en",
     rule_params = rule_params or {}
     rules = violations["rule_id"].to_pylist()
     cols = violations["column"].to_pylist()
-    msgs = [message_for(r, c, rule_params.get(r, ()), locale)
+    msgs = [message_for(
+                r, c,
+                rule_params.get((c, r)) or rule_params.get(r) or (),
+                locale)
             for r, c in zip(rules, cols)]
     return violations.append_column("message", pa.array(msgs, pa.string()))
 

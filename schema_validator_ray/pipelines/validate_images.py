@@ -182,7 +182,7 @@ class _DecodeAndMembership:
         if self.do_decode:
             decoded = self._decode(batch)
             out.append(image_violations(decoded))
-            if self.collect_hist:
+            if self.collect_hist and decoded.num_rows:
                 import numpy as np
 
                 hist = np.asarray(
@@ -429,7 +429,8 @@ def run_partition(input_path: str, *, captions_path: str | None = None,
         [b for b in res["violations"].iter_batches(batch_size=65536,
                                                    batch_format="pyarrow")]
         or [pa.schema([(c, pa.string()) for c in VIOLATION_COLUMNS]).empty_table()])
-    n_rows = rd.read_parquet(input_path, columns=["image_id"]).count()
+    # row count comes from scan 1's profile — no extra read
+    n_rows = res["profile"]["image_id"].count
     failed = len(set(vio["image_id"].to_pylist()))
     return {"violations": vio, "rows": n_rows, "failed_rows": failed,
             "profile": res["profile"]}

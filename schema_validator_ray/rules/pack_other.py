@@ -138,6 +138,15 @@ def _unique(ctx: CompileContext):
 # --- conditional requirement families ----------------------------------------
 
 
+def _check_sibling(ctx: CompileContext, field: str) -> None:
+    """Compile-time existence check for referenced sibling columns — the abort
+    channel fires at compile, not inside a Ray task."""
+    if ctx.schema is not None:
+        from .kernels import _schema_path_type
+
+        _schema_path_type(ctx.schema, field)
+
+
 def _sibling_eq_mask(tbl: pa.Table, field: str, expected: str) -> np.ndarray:
     """compareValue(Equal, sibling, expected) with the type dispatch resolved on
     the sibling column's Arrow type (string params per the tag DSL)."""
@@ -165,6 +174,7 @@ def _sibling_eq_mask(tbl: pa.Table, field: str, expected: str) -> np.ndarray:
 def _required_cond(invert: bool):
     def factory(ctx: CompileContext):
         field, expected = ctx.param(0), ctx.param(1)
+        _check_sibling(ctx, field)
 
         def kernel(col, tbl):
             cond = _sibling_eq_mask(tbl, field, expected)
@@ -184,6 +194,7 @@ register("required_unless")(_required_cond(invert=True))
 def _excluded_cond(invert: bool):
     def factory(ctx: CompileContext):
         field, expected = ctx.param(0), ctx.param(1)
+        _check_sibling(ctx, field)
 
         def kernel(col, tbl):
             cond = _sibling_eq_mask(tbl, field, expected)
@@ -211,6 +222,8 @@ def _presence_family(kind: str, required: bool):
             from ..registry import CompileError
 
             raise CompileError(f"{kind}: needs at least one field name")
+        for f in fields:
+            _check_sibling(ctx, f)
 
         def kernel(col, tbl):
             present = [~is_empty_mask(get_path(tbl, f)) for f in fields]

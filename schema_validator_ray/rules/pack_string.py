@@ -40,11 +40,18 @@ register("numeric")(_const(r"^[\p{Nd}.+-]*$"))
 register("printascii")(_const(r"^[ -~]*$"))
 
 
+_BOOLEAN_SET = None
+
+
 @register("boolean")
 def _boolean(ctx: CompileContext):
     def kernel(col, tbl):
-        return np_bool(pc.is_in(as_str(col), value_set=__import__("pyarrow").array(
-            ["true", "false", "1", "0"])))
+        global _BOOLEAN_SET
+        if _BOOLEAN_SET is None:
+            import pyarrow as pa
+
+            _BOOLEAN_SET = pa.array(["true", "false", "1", "0"])
+        return np_bool(pc.is_in(as_str(col), value_set=_BOOLEAN_SET))
 
     return kernel
 

@@ -53,13 +53,15 @@ def write_table(tbl, path: str) -> str:
 
 
 def fragment_paths(path: str) -> list[str]:
-    """Input shards usable as resume partitions: Lance fragments or parquet
-    part files."""
+    """Input shards usable as resume partitions (filesystem paths readable by
+    the partition runner). Lance fragment-level resume needs a lance-aware
+    per-fragment reader which cannot be exercised in this container — raise
+    loudly rather than hand fragment IDs to a parquet reader."""
     if HAVE_LANCE and is_lance_dataset(path):
-        import lance
-
-        ds = lance.dataset(path)
-        return [str(f.fragment_id) for f in ds.get_fragments()]
+        raise NotImplementedError(
+            "Lance fragment-level resume is not wired: partition the dataset "
+            "into per-fragment readers via lance.dataset(path).get_fragments() "
+            "and a fragment-scan source before using run_resumable")
     if os.path.isdir(path):
         return sorted(os.path.join(path, f) for f in os.listdir(path)
                       if f.endswith(".parquet"))

@@ -137,6 +137,9 @@ class _BandExplode:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pylist()
+        if not ids:
+            return pa.table({"bucket": pa.array([], pa.string()),
+                             self.id_col: batch[self.id_col]})
         sig = np.asarray(batch["sig"].combine_chunks().flatten()
                          .to_numpy(zero_copy_only=False)).reshape(len(ids), -1)
         out_bucket, out_id = [], []
@@ -235,11 +238,10 @@ def verify_pairs_exact_jaccard(ds, pairs: pa.Table, text_col: str, id_col: str,
     if not need:
         return pa.table({"a": pairs["a"], "b": pairs["b"],
                          "jaccard": pa.array([], pa.float64())})
-    ref = ray.put(need)
+    ref = ray.put(pa.array(sorted(need)))
 
     def pick(b: pa.Table) -> pa.Table:
-        ids = b[id_col]
-        mask = pc.is_in(ids, value_set=pa.array(sorted(ray.get(ref))))
+        mask = pc.is_in(b[id_col], value_set=ray.get(ref))
         return b.filter(mask)
 
     docs = {}
@@ -361,6 +363,10 @@ class HyperplaneLSHStage:
         self.planes = rng.standard_normal((dim, n_planes))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({self.id_col: batch[self.id_col],
+                             "bucket": pa.array([], pa.int32()),
+                             self.emb_col: batch[self.emb_col]})
         emb = batch[self.emb_col]
         if isinstance(emb, pa.ChunkedArray):
             emb = emb.combine_chunks()

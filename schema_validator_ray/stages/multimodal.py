@@ -139,6 +139,8 @@ class VideoFrameSampleStage:
                 continue
             frames = _decode_video(blob)
             n = len(frames)
+            if n == 0:
+                continue  # decodable but frameless: nothing to sample
             picks = np.unique((np.arange(self.n_sample) * n)
                               // max(self.n_sample, 1))[: self.n_sample]
             for j in picks:

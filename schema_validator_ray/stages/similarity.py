@@ -20,6 +20,8 @@ import pyarrow as pa
 def _to_matrix(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if len(col) == 0:
+        return np.zeros((0, 1), np.float64)
     return np.asarray(col.flatten().to_numpy(zero_copy_only=False),
                       np.float64).reshape(len(col), -1)
 
@@ -37,6 +39,10 @@ class _BruteTopK:
         self._q: np.ndarray | None = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
         import ray
 
         if self._q is None:
@@ -114,6 +120,8 @@ class AssignCellStage:
         self._cent = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("cell", pa.array([], pa.int32()))
         import ray
 
         if self._cent is None:

@@ -67,3 +67,30 @@ def test_country_dependent_zip():
     cs = compile_ruleset(spec, tbl.schema)
     pm, v = cs.evaluate(tbl)
     assert list(pm) == [True, False, True, False]
+
+
+def test_conditional_sibling_typo_rejected_at_compile():
+    import pytest
+
+    from schema_validator_ray import CompileError
+
+    tbl = pa.table({"a": pa.array(["x"]), "b": pa.array(["y"])})
+    for tag in ("required_if=nonexistent,x", "required_with=nonexistent",
+                "excluded_without_all=a,missing"):
+        with pytest.raises(CompileError):
+            compile_ruleset({"a": tag}, tbl.schema)
+
+
+def test_i18n_per_column_params():
+    """max=65535 on w and max=2000 on caption must each render THEIR limit."""
+    from schema_validator_ray.i18n import translate_batch
+
+    tbl = pa.table({"w": pa.array([70000], pa.int64()),
+                    "caption": pa.array(["x" * 3000])})
+    cs = compile_ruleset({"w": "max=65535", "caption": "max=2000"}, tbl.schema)
+    _, v = cs.evaluate(tbl)
+    msgs = dict(zip(
+        translate_batch(v, "en", cs.rule_params())["column"].to_pylist(),
+        translate_batch(v, "en", cs.rule_params())["message"].to_pylist()))
+    assert msgs["w"] == "w must be at most 65535"
+    assert msgs["caption"] == "caption must be at most 2000"
