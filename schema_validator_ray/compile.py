@@ -149,8 +149,6 @@ class CompiledRuleSet:
             if plan.condition is not None:
                 active &= plan.condition(tbl)
 
-            offending_str = None  # lazy string form of the column
-
             for rule in plan.rules:
                 if isinstance(rule.kernel, SkipRestIfEmpty):
                     active &= ~is_empty_mask(col)
@@ -160,12 +158,11 @@ class CompiledRuleSet:
                 if viol.any():
                     row_pass &= ~viol
                     idx = np.nonzero(viol)[0]
-                    if offending_str is None:
-                        offending_str = _offending_strings(col)
                     v_idx.append(idx)
                     v_rule.append(rule.rule_id)
                     v_col.append(plan.column)
-                    v_val.append([offending_str[i] for i in idx])
+                    # stringify ONLY the violating rows (never the full column)
+                    v_val.append(_offending_array(col.take(pa.array(idx))))
 
             if plan.element_rules:
                 self._eval_elements(tbl, plan, active, row_pass,
@@ -187,7 +184,6 @@ class CompiledRuleSet:
         offsets -= np.repeat(offsets[starts], np.diff(np.r_[starts, len(parents)]))
 
         elem_active = active[parents].copy()
-        offending_str = None
         for rule in plan.element_rules:
             if isinstance(rule.kernel, SkipRestIfEmpty):
                 elem_active &= ~is_empty_mask(flat)
@@ -198,30 +194,31 @@ class CompiledRuleSet:
                 idx = np.nonzero(viol)[0]
                 bad_parents = parents[idx]
                 row_pass[bad_parents] = False
-                if offending_str is None:
-                    offending_str = _offending_strings(flat)
+                vals = _offending_array(flat.take(pa.array(idx)))
                 # one violation row per failing element, path column.[i]
-                for i in idx:
+                for k, i in enumerate(idx):
                     v_idx.append(np.array([parents[i]]))
                     v_rule.append(rule.rule_id)
                     v_col.append(f"{plan.column}.[{offsets[i]}]")
-                    v_val.append([offending_str[i]])
+                    v_val.append(vals.slice(k, 1))
 
 
-def _offending_strings(col: pa.Array) -> list[str]:
+def _offending_array(col: pa.Array) -> pa.Array:
+    """String form of (already violation-filtered) values, truncated — stays
+    in Arrow, no Python round-trip."""
     t = col.type
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
         lens = pc.binary_length(col).fill_null(0).to_pylist()
-        return [f"<binary {ln}B>" for ln in lens]
+        return pa.array([f"<binary {ln}B>" for ln in lens], pa.string())
     if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
         lens = pc.list_value_length(col).fill_null(0).to_pylist()
-        return [f"<list len={ln}>" for ln in lens]
+        return pa.array([f"<list len={ln}>" for ln in lens], pa.string())
     try:
-        vals = as_str(col).to_pylist()
+        vals = as_str(col)
     except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-        vals = [str(v) for v in col.to_pylist()]
-    return [v if len(v) <= MAX_OFFENDING_LEN else v[:MAX_OFFENDING_LEN] + "…"
-            for v in vals]
+        return pa.array([str(v)[:MAX_OFFENDING_LEN] for v in col.to_pylist()],
+                        pa.string())
+    return combine(pc.utf8_slice_codeunits(vals, 0, MAX_OFFENDING_LEN))
 
 
 _VIOLATION_FIELDS = [
@@ -244,13 +241,18 @@ def _violations_table(tbl, id_column, v_idx, v_rule, v_col, v_val) -> pa.Table:
         id_t = tbl.schema.field(id_column).type if id_column else pa.string()
         return violations_schema(id_column, id_t).empty_table()
     idx = np.concatenate(v_idx)
-    rule_ids = pa.array(
-        np.repeat(np.array(v_rule, dtype=object), [len(a) for a in v_idx]),
-        type=pa.string())
-    cols = pa.array(
-        np.repeat(np.array(v_col, dtype=object), [len(a) for a in v_idx]),
-        type=pa.string())
-    vals = pa.array([v for chunk in v_val for v in chunk], type=pa.string())
+    lens = [len(a) for a in v_idx]
+    codes = pa.array(np.repeat(np.arange(len(v_rule)), lens).astype(np.int32))
+
+    def expand(labels: list[str]) -> pa.Array:
+        # dictionary-decode instead of repeating Python objects per row
+        return pc.cast(pa.DictionaryArray.from_arrays(
+            codes, pa.array(labels, pa.string())), pa.string())
+
+    rule_ids = expand(v_rule)
+    cols = expand(v_col)
+    vals = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                             else a for a in v_val])
     arrays = [pa.array(idx, type=pa.int64()), rule_ids, cols, vals]
     names = ["row_index", "rule_id", "column", "offending_value"]
     if id_column:

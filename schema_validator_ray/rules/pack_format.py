@@ -245,40 +245,44 @@ def _timezone(ctx: CompileContext):
 # --- checksum rules (vectorized numpy) ---------------------------------------
 
 
-def _byte_matrix(strings: list[bytes], width: int) -> np.ndarray:
-    """Right-aligned byte matrix padded on the left with b'0' (contributes 0 to
-    weighted sums without shifting the from-the-right alternation pattern)."""
-    m = np.full((len(strings), width), ord("0"), dtype=np.int64)
-    for i, b in enumerate(strings):
-        if len(b) <= width:
-            m[i, width - len(b):] = np.frombuffer(b, dtype=np.uint8)
-    return m
+def _luhn_kernel(s: pa.Array) -> np.ndarray:
+    """Flat-buffer Luhn: per-byte contributions computed on the Arrow data
+    buffer with a segmented sum (no padded matrix) — one pass over the bytes."""
+    from .kernels import combine
 
-
-def _luhn_sum(mat: np.ndarray) -> np.ndarray:
-    """Go-parity Luhn: digits = byte-48 (no validation — garbage in, garbage sum,
-    matching rule/format.go:378-397), doubling every 2nd from the right."""
-    d = mat - ord("0")
-    w = mat.shape[1]
-    alt = (np.arange(w)[::-1] % 2).astype(bool)  # True where doubled (2nd from right)
-    dd = np.where(alt, d * 2, d)
+    s = combine(s)
+    if len(s) == 0:
+        return np.zeros(0, bool)
+    bufs = s.buffers()
+    off_dtype = np.int64 if pa.types.is_large_string(s.type) else np.int32
+    offs = np.frombuffer(bufs[1], dtype=off_dtype,
+                         count=len(s) + 1 + s.offset)[s.offset:].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    lens = np.diff(offs)
+    total = int(lens.sum())
+    if total == 0:
+        return (np.zeros(len(s), np.int64) % 10) == 0  # empty strings: sum 0
+    flat = data[offs[0]:offs[0] + total].astype(np.int64) - ord("0")
+    ends = np.repeat(np.cumsum(lens), lens)          # segment end (local)
+    local = np.arange(total)
+    pos_from_right = ends - 1 - local                # 0 = rightmost char
+    alt = (pos_from_right % 2) == 1                  # doubled positions
+    dd = np.where(alt, flat * 2, flat)
     dd = np.where(alt & (dd > 9), dd - 9, dd)
-    return dd.sum(axis=1)
-
-
-def _luhn_kernel(strings: list[str]) -> np.ndarray:
-    bs = [s.encode("utf-8", "replace") for s in strings]
-    width = max((len(b) for b in bs), default=1) or 1
-    mat = _byte_matrix(bs, width)
-    too_long = np.array([len(b) > width for b in bs])
-    ok = _luhn_sum(mat) % 10 == 0
-    return ok & ~too_long
+    starts = np.zeros(len(s), np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    sums = np.zeros(len(s), np.int64)
+    nonempty = lens > 0
+    seg_starts = starts[nonempty]
+    seg_sums = np.add.reduceat(dd, seg_starts)
+    sums[nonempty] = seg_sums
+    return sums % 10 == 0
 
 
 @register("luhn_checksum")
 def _luhn(ctx: CompileContext):
     def kernel(col, tbl):
-        return _luhn_kernel(as_str(col).to_pylist())
+        return _luhn_kernel(as_str(col))
 
     return kernel
 
@@ -290,7 +294,7 @@ def _credit_card(ctx: CompileContext):
         s = pc.replace_substring(s, " ", "")
         s = pc.replace_substring(s, "-", "")
         digits = np_bool(pc.match_substring_regex(s, r"^\d{13,19}$"))
-        luhn = _luhn_kernel(s.to_pylist())
+        luhn = _luhn_kernel(s)
         return digits & luhn
 
     return kernel
