@@ -85,3 +85,25 @@ def test_manifest_digest_change_triggers_rerun(ray_session, tmp_path):
     assert len(r2["ran"]) == 1 and len(r2["skipped"]) == 1
     pid = r2["ran"][0]
     assert r2["manifest"][pid]["attempt"] == 2
+
+
+def test_curate_near_dup_removal(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.pipelines.curate_documents import curate_documents
+
+    base = ("the quick brown fox jumps over the lazy dog while the river "
+            "flows gently through the quiet green valley under a pale sky")
+    rows = [(i, f"distinct document {i} with unrelated content body "
+             + " ".join(f"tok{i}_{j}" for j in range(15))) for i in range(20)]
+    rows.append((200, base))
+    rows.append((201, base.replace("quiet", "silent")))  # near dup of 200
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }))
+    res = curate_documents(ds, min_quality=0.3, min_tokens=5, near_dup=True,
+                           near_dup_threshold=0.7)
+    kept = set(res["curated"].to_pandas().doc_id)
+    assert 200 in kept and 201 not in kept   # near-dup drops the higher id
+    assert res["stats"]["near_dup_dropped"] == 1
