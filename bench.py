@@ -187,13 +187,17 @@ def scaling() -> None:
 
     def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # scaling needs a compute-dominated headline: default to 60k images
+        env.setdefault("SVR_BENCH_IMAGES", "60000")
         out = subprocess.run([sys.executable, os.path.abspath(__file__),
                               "--headline-only"],
                              env=env, capture_output=True, text=True,
                              check=True)
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    pairs = [(4, 16), (8, 32)]
+    # three N->4N pairs; this VM's effective parallel capacity saturates near
+    # 16 workers, so (2,8) is the cleanest strong-scaling signal (BASELINE.md)
+    pairs = [(2, 8), (4, 16), (8, 32)]
     levels = sorted({n for p in pairs for n in p})
     ceiling = _hardware_ceiling(levels)
     # interleaved best-of-N: this VM has minutes-scale noisy-neighbor phases,
