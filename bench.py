@@ -229,6 +229,40 @@ def scaling() -> None:
     print(json.dumps(report))
 
 
+def weak_scaling() -> None:
+    """Weak scaling: work grows with cores (the cluster regime the north rule
+    describes — at 4N nodes you process 4N× the data). Efficiency =
+    T(N, W) / T(4N, 4W); 1.0 = perfect."""
+    import subprocess
+
+    def run(ncpu: int, images: int) -> dict:
+        best = None
+        for _ in range(2):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       SVR_BENCH_IMAGES=str(images))
+            out = subprocess.run([sys.executable, os.path.abspath(__file__),
+                                  "--headline-only"],
+                                 env=env, capture_output=True, text=True,
+                                 check=True)
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        return best
+
+    base_images = int(os.environ.get("SVR_WEAK_BASE_IMAGES", "15000"))
+    pairs = [(2, 8), (4, 16)]
+    report = {"metric": "weak scaling (work prop. to cores)", "pairs": {}}
+    for lo, hi in pairs:
+        r_lo = run(lo, base_images * lo // 2)
+        r_hi = run(hi, base_images * hi // 2)
+        report["pairs"][f"{lo}->{hi}"] = {
+            "sec_lo": r_lo["value"], "images_lo": r_lo["images"],
+            "sec_hi": r_hi["value"], "images_hi": r_hi["images"],
+            "weak_efficiency": round(r_lo["value"] / r_hi["value"], 3),
+        }
+    print(json.dumps(report))
+
+
 def headline_only() -> None:
     import ray
 
@@ -256,6 +290,8 @@ def headline_only() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--weak-scaling" in sys.argv:
+        weak_scaling()
     elif "--headline-only" in sys.argv:
         headline_only()
     else:

@@ -7,10 +7,10 @@ The reference has no joins at all (SURVEY §2.7) — this is north-rule-new. Str
   per actor/worker, then each batch filters against it — no shuffle at all. Right
   whenever the key set fits in worker memory (at 10^12 rows the captions *keys*
   would not; see below).
-- **Bloom-filter broadcast** (`bloom_bits`): constant-size broadcast with a false
-  -negative-free / small-false-positive membership test — violations it emits are
-  a superset-free UNDER-approximation (a row flagged missing is truly missing);
-  exact mode re-checks flagged rows against the real key set.
+- **Bloom-filter broadcast** (`bloom_bits`): constant-size broadcast. Bloom
+  membership has false positives, so "missing" determinations are SOUND (every
+  row it flags is truly missing) but violations can be under-reported at the
+  filter's false-positive rate — size ``bloom_bits`` ≈ 10 bits/key for <1% miss.
 - Documented fallback for key sets beyond memory: bucket both sides by
   ``hash(key) % B`` and anti-join per bucket (the guide's partitioned hash join).
 """
