@@ -194,13 +194,14 @@ class CompiledRuleSet:
                 idx = np.nonzero(viol)[0]
                 bad_parents = parents[idx]
                 row_pass[bad_parents] = False
-                vals = _offending_array(flat.take(pa.array(idx)))
-                # one violation row per failing element, path column.[i]
-                for k, i in enumerate(idx):
-                    v_idx.append(np.array([parents[i]]))
-                    v_rule.append(rule.rule_id)
-                    v_col.append(f"{plan.column}.[{offsets[i]}]")
-                    v_val.append(vals.slice(k, 1))
+                # one violation row per failing element, appended in BULK; the
+                # per-row `column.[i]` paths ride as an array-valued entry
+                v_idx.append(bad_parents)
+                v_rule.append(rule.rule_id)
+                v_col.append(pa.array(
+                    [f"{plan.column}.[{offsets[i]}]" for i in idx],
+                    pa.string()))
+                v_val.append(_offending_array(flat.take(pa.array(idx))))
 
 
 def _offending_array(col: pa.Array) -> pa.Array:
@@ -244,13 +245,21 @@ def _violations_table(tbl, id_column, v_idx, v_rule, v_col, v_val) -> pa.Table:
     lens = [len(a) for a in v_idx]
     codes = pa.array(np.repeat(np.arange(len(v_rule)), lens).astype(np.int32))
 
-    def expand(labels: list[str]) -> pa.Array:
-        # dictionary-decode instead of repeating Python objects per row
-        return pc.cast(pa.DictionaryArray.from_arrays(
-            codes, pa.array(labels, pa.string())), pa.string())
+    # rule ids are one constant per group: dictionary-decode, no Python repeat
+    rule_ids = pc.cast(pa.DictionaryArray.from_arrays(
+        codes, pa.array(v_rule, pa.string())), pa.string())
 
-    rule_ids = expand(v_rule)
-    cols = expand(v_col)
+    # column entries are a constant str per group OR a per-row array (dive)
+    col_parts = []
+    for entry, ln in zip(v_col, lens):
+        if isinstance(entry, str):
+            entry = pc.cast(pa.DictionaryArray.from_arrays(
+                pa.array(np.zeros(ln, np.int32)), pa.array([entry])),
+                pa.string())
+        col_parts.append(entry)
+    cols = pa.concat_arrays(
+        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+         for c in col_parts])
     vals = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray)
                              else a for a in v_val])
     arrays = [pa.array(idx, type=pa.int64()), rule_ids, cols, vals]

@@ -54,10 +54,14 @@ def hash_column(col) -> np.ndarray:
     """Hash a pyarrow array to uint64 (ints avalanche; strings blake2b)."""
     import pyarrow as pa
 
+    import pyarrow.compute as pc
+
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_integer(col.type):
-        return hash64_ints(col.fill_null(-(2 ** 63)).to_numpy(zero_copy_only=False))
+        # widen before filling: the sentinel does not fit narrow int types
+        return hash64_ints(pc.cast(col, pa.int64()).fill_null(-(2 ** 63))
+                           .to_numpy(zero_copy_only=False))
     if pa.types.is_floating(col.type):
         v = col.fill_null(np.nan).to_numpy(zero_copy_only=False)
         return hash64_ints(v.view(np.uint64) if v.dtype == np.float64

@@ -103,13 +103,19 @@ def translate_batch(violations: pa.Table, locale: str = "en",
                     ) -> pa.Table:
     """Append a ``message`` column to a violations batch. ``rule_params`` maps
     rule_id -> the compiled params (available from the CompiledRuleSet plans)."""
+    import re
+
     rule_params = rule_params or {}
     rules = violations["rule_id"].to_pylist()
     cols = violations["column"].to_pylist()
-    msgs = [message_for(
-                r, c,
-                rule_params.get((c, r)) or rule_params.get(r) or (),
-                locale)
+    elem = re.compile(r"\.\[\d+\]$")  # element paths carry a `.[i]` suffix
+
+    def params_for(c: str, r: str):
+        base = elem.sub("", c)
+        return (rule_params.get((c, r)) or rule_params.get((base, r))
+                or rule_params.get(r) or ())
+
+    msgs = [message_for(r, c, params_for(c, r), locale)
             for r, c in zip(rules, cols)]
     return violations.append_column("message", pa.array(msgs, pa.string()))
 

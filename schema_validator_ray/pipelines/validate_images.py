@@ -96,7 +96,7 @@ class FusedMetaStage:
                 numeric_columns=("w", "h"), categorical_columns=("fmt",),
                 key_columns=self.key_columns)
 
-        _, viol = self._compiled.evaluate(batch, id_column="image_id")
+        pass_mask, viol = self._compiled.evaluate(batch, id_column="image_id")
         n_v = viol.num_rows
         parts = [pa.table({
             "kind": pa.array(["v"] * n_v),
@@ -105,6 +105,13 @@ class FusedMetaStage:
             "column": viol["column"],
             "offending_value": viol["offending_value"],
         })]
+
+        # per-batch failed-row partial (exact: from the pass mask)
+        parts.append(pa.table({
+            "kind": pa.array(["f"]),
+            "key_kind": pa.array(["meta_failed"]),
+            "cnt": pa.array([int((~pass_mask).sum())], pa.int64()),
+        }))
 
         for key in self.key_columns:
             agg = (batch.select([key]).group_by(key)
@@ -149,9 +156,10 @@ class _DecodeAndMembership:
     """Scan-2 stage: image payload checks + broadcast-set membership violations
     (duplicate image_id / phash, missing caption) in one pass."""
 
-    # tag row for per-batch intensity-histogram partials riding in the
-    # violations schema (filtered back out and summed by the flagship)
+    # tag rows for per-batch partials riding in the violations schema
+    # (filtered back out and summed by the flagship)
     HIST_RULE = "__intensity_hist__"
+    FAILED_RULE = "__scan2_failed__"
 
     def __init__(self, dup_ids_ref, dup_phash_ref, caption_keys_ref,
                  do_decode: bool = True, collect_hist: bool = False):
@@ -178,13 +186,21 @@ class _DecodeAndMembership:
                           get(self.caption_keys_ref))
         dup_ids, dup_ph, cap_keys = self._sets
 
+        import numpy as np
+
+        n = batch.num_rows
+        flagged = np.zeros(n, bool)  # rows failing ANY scan-2 check
         out = []
         if self.do_decode:
             decoded = self._decode(batch)
             out.append(image_violations(decoded))
+            if decoded.num_rows:
+                ok = np.ones(n, bool)
+                for c in ("decode_ok", "dims_ok", "phash_ok", "psnr_ok"):
+                    ok &= decoded[c].combine_chunks().to_numpy(
+                        zero_copy_only=False)
+                flagged |= ~ok
             if self.collect_hist and decoded.num_rows:
-                import numpy as np
-
                 hist = np.asarray(
                     decoded["hist"].combine_chunks().flatten()
                     .to_numpy(zero_copy_only=False)
@@ -201,8 +217,10 @@ class _DecodeAndMembership:
             ids = ids.combine_chunks()
 
         def emit(mask, rule_id, column, values):
-            idx = mask.to_numpy(zero_copy_only=False).nonzero()[0] \
-                if hasattr(mask, "to_numpy") else mask.nonzero()[0]
+            m = (mask.to_numpy(zero_copy_only=False)
+                 if hasattr(mask, "to_numpy") else mask)
+            flagged[:] |= m
+            idx = m.nonzero()[0]
             if not len(idx):
                 return
             take = pa.array(idx)
@@ -225,6 +243,15 @@ class _DecodeAndMembership:
         if cap_keys is not None:
             emit(pc.invert(pc.is_in(ids, value_set=cap_keys)).fill_null(True),
                  "referential", "image_id", ids)
+        if self.collect_hist:
+            # exact per-batch count of rows failing any scan-2 check
+            out.append(pa.table({
+                "image_id": pa.array([""], pa.string()),
+                "rule_id": pa.array([self.FAILED_RULE], pa.string()),
+                "column": pa.array(["image_id"], pa.string()),
+                "offending_value": pa.array([str(int(flagged.sum()))],
+                                            pa.string()),
+            }))
         if not out:
             return pa.schema([(c, pa.string()) for c in VIOLATION_COLUMNS]
                              ).empty_table()
@@ -323,6 +350,12 @@ def validate_images(input_dir: str, *, captions_path: str | None = None,
     viol_meta = (mixed.filter(expr="kind == 'v'")
                  .select_columns(VIOLATION_COLUMNS))
 
+    # exact metadata-leg failed-row count from the per-batch 'f' partials
+    meta_failed = 0
+    for b in (mixed.filter(expr="kind == 'f'").select_columns(["cnt"])
+              .iter_batches(batch_size=1 << 16, batch_format="pyarrow")):
+        meta_failed += int(pa.compute.sum(b["cnt"]).as_py() or 0)
+
     def _ref(s):
         vals = sorted(v for v in s if v is not None)
         return ray.put(pa.array(vals)) if vals else None
@@ -346,28 +379,38 @@ def validate_images(input_dir: str, *, captions_path: str | None = None,
         _DecodeAndMembership(dup_ids_ref, dup_ph_ref, cap_ref,
                              do_decode=decode, collect_hist=decode), **kwargs)
 
+    scan2_failed = 0
     if decode:
-        # split the per-batch intensity-histogram partials from the violation
-        # rows (scan2 output is narrow — violations + 1 hist row per batch)
+        # split the per-batch partial rows (intensity histograms, failed-row
+        # counts) from the violation rows — scan2 output is narrow
         import numpy as np
 
         scan2_mat = scan2_out.materialize()
         hist_total = None
-        for b in (scan2_mat
-                  .filter(expr=f"rule_id == '{_DecodeAndMembership.HIST_RULE}'")
+        specials = (f"rule_id == '{_DecodeAndMembership.HIST_RULE}' or "
+                    f"rule_id == '{_DecodeAndMembership.FAILED_RULE}'")
+        for b in (scan2_mat.filter(expr=specials)
                   .iter_batches(batch_size=4096, batch_format="pyarrow")):
-            for s in b["offending_value"].to_pylist():
-                h = np.array([int(x) for x in s.split(",")], np.int64)
-                hist_total = h if hist_total is None else hist_total + h
+            for rid, s in zip(b["rule_id"].to_pylist(),
+                              b["offending_value"].to_pylist()):
+                if rid == _DecodeAndMembership.HIST_RULE:
+                    h = np.array([int(x) for x in s.split(",")], np.int64)
+                    hist_total = h if hist_total is None else hist_total + h
+                else:
+                    scan2_failed += int(s)
         if hist_total is not None:
             profile["__intensity__"] = hist_total
+        # Ray's expr grammar has no `not`: filter the complement directly
         scan2_out = scan2_mat.filter(
-            expr=f"rule_id != '{_DecodeAndMembership.HIST_RULE}'")
+            expr=(f"rule_id != '{_DecodeAndMembership.HIST_RULE}' and "
+                  f"rule_id != '{_DecodeAndMembership.FAILED_RULE}'"))
 
     violations = viol_meta.union(scan2_out)
     drift = (compare_profiles(reference_profile, profile)
              if reference_profile else [])
-    return {"violations": violations, "profile": profile, "drift": drift}
+    return {"violations": violations, "profile": profile, "drift": drift,
+            # upper bound: a row failing in both scans is counted twice
+            "failed_rows": meta_failed + scan2_failed}
 
 
 def validate_images_multiscan(input_dir: str, *, captions_path: str | None = None,
@@ -429,9 +472,10 @@ def run_partition(input_path: str, *, captions_path: str | None = None,
         [b for b in res["violations"].iter_batches(batch_size=65536,
                                                    batch_format="pyarrow")]
         or [pa.schema([(c, pa.string()) for c in VIOLATION_COLUMNS]).empty_table()])
-    # row count comes from scan 1's profile — no extra read
+    # row count comes from scan 1's profile — no extra read; failed rows from
+    # the exact per-batch pass-mask partials (upper bound across the two scans)
     n_rows = res["profile"]["image_id"].count
-    failed = len(set(vio["image_id"].to_pylist()))
+    failed = res["failed_rows"]
     return {"violations": vio, "rows": n_rows, "failed_rows": failed,
             "profile": res["profile"]}
 

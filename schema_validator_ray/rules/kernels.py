@@ -6,8 +6,10 @@ from the reference in each pack):
 
 - string-class kernels see nulls as ``""`` (the reference coerces nil -> "" via cast,
   so e.g. ``alpha`` passes vacuously on nil — we match that);
-- numeric comparison kernels FAIL on null (the reference aborts on un-castable values;
-  a vectorized engine records a violation instead — divergence documented in SURVEY §7.4);
+- numeric comparison kernels coerce null to the type's ZERO (the same cast-style
+  weak typing: null fails ``min=1`` but passes ``max=N`` — missing values are
+  `required`'s business; the reference's abort-on-nil channel is surfaced by
+  `required`, divergence documented in SURVEY §7.4 and pinned by tests);
 - emptiness semantics (``required`` / ``isdefault`` / ``excluded_*``) follow
   ``IsNilOrZero`` (/root/reference/data/value.go:101-118): null OR the type's zero value
   (0, "", empty binary, false); list columns: null only (a non-nil empty Go slice is not
@@ -184,21 +186,38 @@ def compare_literal_kernel(op: str, dtype: pa.DataType, param: str, column: str)
             raise CompileError(
                 f"rule {op}={param!r} on numeric column {column!r}: param is not numeric"
             )
+        try:
+            # built ONCE at compile time: an out-of-range param (min=-1 on an
+            # unsigned column) hits the abort channel here, not inside Ray tasks
+            lit = pa.scalar(num, type=_widen(dtype))
+        except (OverflowError, pa.ArrowInvalid) as e:
+            raise CompileError(
+                f"rule {op}={param!r} on column {column!r}: {e}") from None
 
         def kernel(col, tbl):
             # nil coerces to the type's zero value (cast-style weak typing; the
             # reference's abort-on-nil channel is covered by `required` instead)
-            return np_bool(pc_op(col.fill_null(0), pa.scalar(num, type=_widen(dtype))))
+            return np_bool(pc_op(col.fill_null(0), lit))
 
         return kernel
 
-    if is_stringlike(dtype) or pa.types.is_binary(dtype) or pa.types.is_large_binary(dtype):
+    is_bin = pa.types.is_binary(dtype) or pa.types.is_large_binary(dtype)
+    if is_stringlike(dtype) or is_bin:
         iv = _try_int(param)
         if iv is not None:
-            # the string-length quirk: min=8 on a string is a byte-length bound
+            # the string-length quirk: min=8 on a string is a byte-length
+            # bound; binary columns are measured directly (no UTF-8 cast —
+            # image payloads are not valid UTF-8)
             def kernel(col, tbl):
-                ln = pc.binary_length(as_str(col))
-                return np_bool(pc_op(ln, pa.scalar(iv, type=pa.int32())))
+                src = col if is_bin else as_str(col)
+                ln = pc.binary_length(src).fill_null(0)
+                return np_bool(pc_op(ln, pa.scalar(iv, type=pa.int64())))
+
+            return kernel
+
+        if is_bin:
+            def kernel(col, tbl):
+                return np_bool(pc_op(col, param.encode()))
 
             return kernel
 

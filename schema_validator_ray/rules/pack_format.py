@@ -141,7 +141,11 @@ def _float_range(lo: float, hi: float):
     def factory(ctx: CompileContext):
         def kernel(col, tbl):
             s = as_str(col)
-            # strconv.ParseFloat-equivalent: regex shape + cast
+            # strconv.ParseFloat-equivalent: regex shape + cast. Go parity:
+            # ParseFloat("NaN") succeeds and NaN fails neither bound -> PASS
+            # (rule/format.go:360-376); hex-float literals remain a documented
+            # divergence (rejected here)
+            nan = np_bool(pc.match_substring_regex(s, r"^[+-]?[nN][aA][nN]$"))
             shape = np_bool(pc.match_substring_regex(
                 s, r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$"))
             vals = np.full(len(s), np.nan)
@@ -156,7 +160,7 @@ def _float_range(lo: float, hi: float):
                     except (TypeError, ValueError):
                         pass
             with np.errstate(invalid="ignore"):
-                return shape & (vals >= lo) & (vals <= hi)
+                return nan | (shape & (vals >= lo) & (vals <= hi))
 
         return kernel
 

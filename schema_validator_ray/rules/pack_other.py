@@ -53,9 +53,12 @@ def _omitempty(ctx: CompileContext):
 @register("len")
 def _len(ctx: CompileContext):
     n = int(ctx.param(0))
+    is_bin = (pa.types.is_binary(ctx.dtype)
+              or pa.types.is_large_binary(ctx.dtype))
 
     def kernel(col, tbl):
-        return np_bool(pc.equal(pc.binary_length(as_str(col)), n))
+        src = col if is_bin else as_str(col)  # no UTF-8 cast for raw bytes
+        return np_bool(pc.equal(pc.binary_length(src).fill_null(0), n))
 
     return kernel
 

@@ -61,7 +61,9 @@ class _BloomFilter:
 def _hash_keys(col: pa.Array) -> np.ndarray:
     """Stable 64-bit hashes of a key column (string or int)."""
     if pa.types.is_integer(col.type):
-        v = col.fill_null(-(2 ** 63)).to_numpy(zero_copy_only=False).astype(np.uint64)
+        # widen BEFORE filling: the null sentinel does not fit narrow ints
+        v = (pc.cast(col, pa.int64()).fill_null(-(2 ** 63))
+             .to_numpy(zero_copy_only=False).astype(np.uint64))
         v = v * np.uint64(0xFF51AFD7ED558CCD)
         v ^= v >> np.uint64(33)
         return v
@@ -93,6 +95,10 @@ class _AntiJoinStage:
             if self._bloom is None:
                 self._bloom = ray.get(self.bloom_ref)
             missing = ~self._bloom.contains(_hash_keys(col))
+            if col.null_count:
+                # null keys are always missing (keep parity with the exact
+                # path; hashing would conflate null with "")
+                missing |= pc.is_null(col).to_numpy(zero_copy_only=False)
         else:
             if self._keys_arr is None:
                 # build the probe array ONCE per worker (nulls in the side

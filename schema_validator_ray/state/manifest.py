@@ -56,7 +56,7 @@ class Manifest:
         rows: dict[str, dict] = {}
         files = sorted(os.listdir(self.dir))
         for f in files:
-            if not f.endswith(".parquet"):
+            if not (f.startswith("part-") and f.endswith(".parquet")):
                 continue
             t = pq.read_table(os.path.join(self.dir, f))
             for r in t.to_pylist():
@@ -89,7 +89,9 @@ class Manifest:
             "wall_seconds": [wall_seconds],
             "job_id": [job_id],
         }, schema=MANIFEST_SCHEMA)
-        tmp = os.path.join(self.dir, f".tmp-{uuid.uuid4().hex}.parquet")
+        # tmp name must NOT end in .parquet: a crash between write and rename
+        # would otherwise leave a truncated file that load() picks up forever
+        tmp = os.path.join(self.dir, f".tmp-{uuid.uuid4().hex}")
         pq.write_table(tbl, tmp)
         os.replace(tmp, os.path.join(
             self.dir, f"part-{partition_id}-attempt{attempt}.parquet"))
