@@ -139,6 +139,90 @@ def q_rules_documents(sf_dir: str):
     return _violations(ds, spec, "doc_id")
 
 
+def q_rules_part_supplier(sf_dir: str):
+    """Rule packs over the part and supplier tables (string prefix + numeric
+    range + cross-field), unioned into one violations stream."""
+    parts = _read(sf_dir, "part",
+                  ["p_partkey", "p_name", "p_brand", "p_size", "p_retailprice"])
+    spec_p = {
+        "p_name": "required",
+        "p_brand": "required|startswith=Brand#",
+        "p_size": "min=1|max=40",
+        "p_retailprice": "gt=1000",
+    }
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_acctbal"])
+    spec_s = {"s_name": "required|startswith=Supplier", "s_acctbal": "min=0"}
+    vp = _violations(parts, spec_p, "p_partkey").map_batches(
+        lambda b: pa.table({"row_key": b["p_partkey"], "rule_id": b["rule_id"],
+                            "col": b["col"],
+                            "tbl": pa.array(["part"] * b.num_rows)}),
+        batch_format="pyarrow")
+    vs = _violations(supp, spec_s, "s_suppkey").map_batches(
+        lambda b: pa.table({"row_key": b["s_suppkey"], "rule_id": b["rule_id"],
+                            "col": b["col"],
+                            "tbl": pa.array(["supplier"] * b.num_rows)}),
+        batch_format="pyarrow")
+    return vp.union(vs)
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """Two-hop hash join (orders -> customer -> nation) + grouped revenue —
+    the multi-join chain over the dimension tables."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: pa.table({"o_custkey": b["c_custkey"],
+                            "n_nationkey": pc.cast(b["c_nationkey"],
+                                                   pa.int32())}),
+        batch_format="pyarrow")
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    j1 = orders.join(cust, join_type="inner", num_partitions=8,
+                     on=("o_custkey",))
+    j2 = j1.join(nation, join_type="inner", num_partitions=8,
+                 on=("n_nationkey",))
+    agg = (j2.groupby("n_name")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("o_totalprice", alias_name="revenue")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "n_name": b["n_name"],
+            "n_orders": pc.cast(b["n_orders"], pa.int64()),
+            "revenue": pc.round(b["revenue"], ndigits=2),
+        }), batch_format="pyarrow")
+
+
+def q_region_nation_counts(sf_dir: str):
+    """Broadcast-join the tiny region dim onto nation (ray.put lookup inside
+    map_batches — no shuffle for a 5-row side)."""
+    import ray
+
+    region = {}
+    import pyarrow.parquet as pq
+
+    rt = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    for k, nm in zip(rt["r_regionkey"].to_pylist(), rt["r_name"].to_pylist()):
+        region[k] = nm
+    ref = ray.put(region)
+
+    def tag(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        lut = _r.get(ref)
+        names = [lut.get(k) for k in b["n_regionkey"].to_pylist()]
+        return pa.table({"r_name": pa.array(names, pa.string())})
+
+    from ray.data.aggregate import Count
+
+    out = (_read(sf_dir, "nation", ["n_regionkey"])
+           .map_batches(tag, batch_format="pyarrow")
+           .groupby("r_name").aggregate(Count(alias_name="n_nations")))
+    return out.map_batches(
+        lambda b: pa.table({"r_name": b["r_name"],
+                            "n_nations": pc.cast(b["n_nations"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_verdicts_customer_by_segment(sf_dir: str):
     """Per-partition verdict aggregation (the north rule's per-partition
     pass/fail surface) partitioned by market segment: per-batch partials ->
@@ -750,6 +834,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rules_lineitem_crossfield": q_rules_lineitem_crossfield,
         "rules_embeddings": q_rules_embeddings,
         "rules_documents": q_rules_documents,
+        "rules_part_supplier": q_rules_part_supplier,
+        "revenue_by_nation": q_revenue_by_nation,
+        "region_nation_counts": q_region_nation_counts,
         "violation_counts_customer": q_violation_counts_customer,
         "verdicts_customer_by_segment": q_verdicts_customer_by_segment,
         "knn_ivf": q_knn_ivf,
@@ -905,6 +992,49 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 'min' FROM customer WHERE COALESCE(c_custkey, 0) < 1)
             SELECT rule_id, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY rule_id
+        """,
+        "rules_part_supplier": """
+            SELECT p_partkey AS row_key, 'required' AS rule_id,
+                   'p_name' AS col, 'part' AS tbl
+              FROM part WHERE p_name IS NULL OR p_name = ''
+            UNION ALL
+            SELECT p_partkey, 'required', 'p_brand', 'part'
+              FROM part WHERE p_brand IS NULL OR p_brand = ''
+            UNION ALL
+            SELECT p_partkey, 'startswith', 'p_brand', 'part'
+              FROM part WHERE NOT starts_with(COALESCE(p_brand, ''), 'Brand#')
+            UNION ALL
+            SELECT p_partkey, 'min', 'p_size', 'part'
+              FROM part WHERE COALESCE(p_size, 0) < 1
+            UNION ALL
+            SELECT p_partkey, 'max', 'p_size', 'part'
+              FROM part WHERE COALESCE(p_size, 0) > 40
+            UNION ALL
+            SELECT p_partkey, 'gt', 'p_retailprice', 'part'
+              FROM part WHERE COALESCE(p_retailprice, 0) <= 1000
+            UNION ALL
+            SELECT s_suppkey, 'required', 's_name', 'supplier'
+              FROM supplier WHERE s_name IS NULL OR s_name = ''
+            UNION ALL
+            SELECT s_suppkey, 'startswith', 's_name', 'supplier'
+              FROM supplier WHERE NOT starts_with(COALESCE(s_name, ''),
+                                                  'Supplier')
+            UNION ALL
+            SELECT s_suppkey, 'min', 's_acctbal', 'supplier'
+              FROM supplier WHERE COALESCE(s_acctbal, 0) < 0
+        """,
+        "revenue_by_nation": """
+            SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   ROUND(SUM(o.o_totalprice), 2) AS revenue
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+             GROUP BY n.n_name
+        """,
+        "region_nation_counts": """
+            SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_nations
+              FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+             GROUP BY r.r_name
         """,
         "verdicts_customer_by_segment": f"""
             SELECT c_mktsegment AS partition,
