@@ -293,7 +293,222 @@ class SimHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = pc.fill_null(batch[self.text_col], "").to_pylist()
-        sh = np.fromiter((self.simhash64(t) for t in texts), np.int64, len(texts))
+        sigs = self.signatures(texts)
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.ravel().astype(np.int64), pa.int64()), self.num_perm),
+        })
+
+
+class _BandExplode:
+    """Emit one (bucket, id) row per band: bucket = "<band>:<hash-of-segment>".
+    Only these two narrow columns ever shuffle — never text or signatures."""
+
+    def __init__(self, id_col: str, bands: int, rows: int):
+        self.id_col = id_col
+        self.bands = bands
+        self.rows = rows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        if not ids:
+            return pa.table({"bucket": pa.array([], pa.string()),
+                             self.id_col: batch[self.id_col]})
+        sig = np.asarray(batch["sig"].combine_chunks().flatten()
+                         .to_numpy(zero_copy_only=False)).reshape(len(ids), -1)
+        out_bucket, out_id = [], []
+        for b in range(self.bands):
+            seg = sig[:, b * self.rows:(b + 1) * self.rows]
+            for i in range(len(ids)):
+                out_bucket.append(
+                    f"{b}:{hashlib.blake2b(seg[i].tobytes(), digest_size=8).hexdigest()}")
+            out_id.extend(ids)
+        return pa.table({
+            "bucket": pa.array(out_bucket, pa.string()),
+            self.id_col: pa.array(out_id),
+        })
+
+
+def minhash_lsh_pairs(ds, text_col: str, id_col: str, *, num_perm: int = 128,
+                      bands: int = 16, threshold: float = 0.5,
+                      batch_size: int = 4096, concurrency: int | None = None):
+    """Near-duplicate pairs (id_a, id_b, jaccard_est >= threshold).
+
+    Returns a pyarrow Table (candidate pairs are tiny relative to input by
+    construction — if they weren't, the corpus is mostly duplicates and exact
+    dedup should run first)."""
+    rows = num_perm // bands
+    kwargs: dict = {"batch_format": "pyarrow", "batch_size": batch_size}
+    if concurrency:
+        kwargs["concurrency"] = concurrency
+    sigs = ds.select_columns([id_col, text_col]).map_batches(
+        MinHashStage(text_col, id_col, num_perm), **kwargs)
+    sigs_mat = sigs.materialize()  # reused twice (banding + verification)
+
+    banded = sigs_mat.map_batches(_BandExplode(id_col, bands, rows),
+                                  batch_format="pyarrow")
+
+    # collided buckets via the pre-aggregated uniqueness pattern (per-batch
+    # (bucket,count) partials -> small groupby); then broadcast-filter the
+    # banded rows down to members of collided buckets — tiny by construction
+    import ray
+
+    dup_buckets = set()
+    for b in duplicate_keys(banded, "bucket").iter_batches(
+            batch_size=1 << 16, batch_format="pyarrow"):
+        dup_buckets.update(b["bucket"].to_pylist())
+    if not dup_buckets:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "jaccard_est": pa.array([], pa.float64())})
+    dup_ref = ray.put(pa.array(sorted(dup_buckets)))
+
+    def members(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["bucket"], value_set=ray.get(dup_ref)))
+
+    import pandas as pd
+
+    mem = pa.concat_tables(list(
+        banded.map_batches(members, batch_format="pyarrow")
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+    pair_rows: set[tuple] = set()
+    for _, g in mem.to_pandas().groupby("bucket")[id_col]:
+        pair_rows.update(itertools.combinations(sorted(g.tolist()), 2))
+    if not pair_rows:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "jaccard_est": pa.array([], pa.float64())})
+    srt = sorted(pair_rows)
+    pairs = pd.DataFrame({"a": [p[0] for p in srt], "b": [p[1] for p in srt]})
+
+    # verify via signatures: est J = fraction of equal minhash components
+    need = set(pairs.a) | set(pairs.b)
+    sig_map: dict = {}
+    for b in sigs_mat.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        ids = b[id_col].to_pylist()
+        mat = np.asarray(b["sig"].combine_chunks().flatten()
+                         .to_numpy(zero_copy_only=False)).reshape(len(ids), -1)
+        for i, d in enumerate(ids):
+            if d in need:
+                sig_map[d] = mat[i]
+    est = np.array([
+        float((sig_map[a] == sig_map[b]).mean()) for a, b in zip(pairs.a, pairs.b)])
+    keep = est >= threshold
+    return pa.table({
+        "a": pa.array(pairs.a[keep].to_numpy()),
+        "b": pa.array(pairs.b[keep].to_numpy()),
+        "jaccard_est": pa.array(np.round(est[keep], 6)),
+    })
+
+
+def verify_pairs_exact_jaccard(ds, pairs: pa.Table, text_col: str, id_col: str,
+                               *, shingle_k: int = 5,
+                               threshold: float = 0.5) -> pa.Table:
+    """Exact n-gram Jaccard over candidate pairs: re-reads ONLY candidate docs
+    (broadcast id-set filter), computes set Jaccard."""
+    import ray
+
+    need = set(pairs["a"].to_pylist()) | set(pairs["b"].to_pylist())
+    if not need:
+        return pa.table({"a": pairs["a"], "b": pairs["b"],
+                         "jaccard": pa.array([], pa.float64())})
+    ref = ray.put(pa.array(sorted(need)))
+
+    def pick(b: pa.Table) -> pa.Table:
+        mask = pc.is_in(b[id_col], value_set=ray.get(ref))
+        return b.filter(mask)
+
+    docs = {}
+    for b in (ds.select_columns([id_col, text_col])
+              .map_batches(pick, batch_format="pyarrow")
+              .iter_batches(batch_size=1 << 16, batch_format="pyarrow")):
+        for d, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            docs[d] = char_shingles(t or "", shingle_k)
+    a_l, b_l, j_l = [], [], []
+    for a, bb in zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()):
+        j = jaccard(docs[a], docs[bb])
+        if j >= threshold:
+            a_l.append(a)
+            b_l.append(bb)
+            j_l.append(round(j, 6))
+    return pa.table({"a": pa.array(a_l), "b": pa.array(b_l),
+                     "jaccard": pa.array(j_l, pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+class SimHashStage:
+    """(id, text) -> (id, simhash:int64, bank0..bank3:int32) — 16-bit banks for
+    Hamming<=3 candidate generation by pigeonhole."""
+
+    def __init__(self, text_col: str, id_col: str):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    @staticmethod
+    def simhash64(text: str) -> int:
+        import re
+
+        toks = re.findall(r"\w+", (text or "").lower())
+        if not toks:
+            return 0
+        hs = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                            "little") for t in toks), np.uint64, len(toks))
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+        score = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        val = np.uint64(0)
+        for i in range(64):
+            if score[i] > 0:
+                val |= np.uint64(1) << np.uint64(i)
+        return int(val.astype(np.int64))
+
+    @staticmethod
+    def simhash_batch(texts: list[str]) -> np.ndarray:
+        """Batch-vectorized: tokens hashed once per UNIQUE token across the
+        batch, per-doc bit scores via a segmented sum — no per-doc numpy-call
+        overhead. Bit-identical to simhash64 per doc."""
+        import re
+
+        tok_lists = [re.findall(r"\w+", (t or "").lower()) for t in texts]
+        vocab: dict = {}
+        for toks in tok_lists:
+            for t in toks:
+                vocab[t] = None
+        out = np.zeros(len(texts), np.int64)
+        if not vocab:
+            return out
+        keys = list(vocab)
+        from ..functions.sketches import hash64_strings
+
+        hs = dict(zip(keys, hash64_strings(keys)))
+        lens = np.array([len(t) for t in tok_lists], np.int64)
+        flat = np.fromiter((hs[t] for toks in tok_lists for t in toks),
+                           np.uint64, int(lens.sum()))
+        if flat.size == 0:
+            return out
+        bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64))
+                & np.uint64(1)).astype(np.int32)
+        contrib = 2 * bits - 1
+        starts = np.zeros(len(texts), np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        nonempty = lens > 0
+        sums = np.add.reduceat(contrib, starts[nonempty], axis=0)
+        pos = sums > 0
+        vals = (pos.astype(np.uint64)
+                @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
+        out[nonempty] = vals.astype(np.int64)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[self.text_col], "").to_pylist()
+        # per-doc loop is cache-resident and beats a batched (tokens x 64)
+        # matrix here (measured: the batch variant was ~3x slower)
+        sh = np.fromiter((self.simhash64(t) for t in texts), np.int64,
+                         len(texts))
         u = sh.view(np.uint64)
         banks = [((u >> np.uint64(16 * i)) & np.uint64(0xFFFF)).astype(np.int32)
                  for i in range(4)]
