@@ -28,10 +28,10 @@ EVENT_TYPES = "click,signup,view,purchase"            # error -> violation
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
+    from schema_validator_ray.sources.pq_read import read_parquet_clean
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                           columns=columns)
+    return read_parquet_clean(os.path.join(sf_dir, f"{table}.parquet"),
+                              columns=columns)
 
 
 def _collect(ds, empty_schema: pa.Schema) -> pa.Table:

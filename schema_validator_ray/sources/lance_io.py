@@ -32,7 +32,9 @@ def read_table(path: str, columns: list[str] | None = None, *,
         kwargs["override_num_blocks"] = override_num_blocks
     if HAVE_LANCE and is_lance_dataset(path):
         return rd.read_lance(path, columns=columns, **kwargs)
-    return rd.read_parquet(path, columns=columns, **kwargs)
+    from .pq_read import read_parquet_clean
+
+    return read_parquet_clean(path, columns=columns, **kwargs)
 
 
 def write_table(tbl, path: str) -> str:

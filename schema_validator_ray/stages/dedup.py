@@ -7,19 +7,24 @@ Scale shapes (each documented where it deviates from naive):
   *detection* reuses the pre-aggregated uniqueness stage (only per-batch distinct
   hashes shuffle); duplicate *removal* is groupby(hash).head(1).
 - **MinHash-LSH**: signatures per batch (actor-friendly stage) -> explode to
-  (band, band_hash, id) rows — the only shuffled payload is 3 small columns,
-  never text -> groupby bands -> candidate pairs -> verify by signature-estimated
-  Jaccard (no second pass over text). Exact-Jaccard verification is a separate
-  opt-in that re-reads only candidate docs via broadcast id-set filter.
+  narrow (bucket, id) rows -> collided buckets via the pre-aggregated
+  uniqueness pattern (bounded by the duplicate rate, broadcast once) -> member
+  rows re-derived WITH their signatures riding along -> pair generation AND
+  signature verification inside ``groupby("bucket").map_groups`` — nothing but
+  the final (a, b, est) pairs ever reaches the driver. Mega-buckets above
+  ``max_bucket_size`` are skipped (logged worker-side): a degenerate bucket
+  (e.g. empty docs colliding in every band) would otherwise be O(b^2).
 - **SimHash**: 64-bit signs of weighted token hashes; candidates = equal 16-bit
-  bank (4 banks = Hamming<=3 guarantee via pigeonhole); verify exact Hamming.
-- **embedding**: random-hyperplane LSH buckets -> within-bucket pairwise cosine.
+  bank (4 banks = Hamming<=3 guarantee via pigeonhole); the simhash rides with
+  the (bank-bucket, id) rows so exact-Hamming verification also happens inside
+  ``groupby(bucket).map_groups`` — same fully-distributed shape as MinHash.
+- **embedding**: random-hyperplane LSH buckets -> within-bucket pairwise cosine
+  (distributed via ``groupby("bucket").map_groups``).
 """
 
 from __future__ import annotations
 
 import hashlib
-import itertools
 
 import numpy as np
 import pyarrow as pa
@@ -27,6 +32,10 @@ import pyarrow.compute as pc
 
 from ..functions.text import char_shingles, content_hash, jaccard
 from .uniqueness import duplicate_keys
+
+# pair-enumeration chunk: bounds the (pairs x num_perm) comparison matrix a
+# single map_groups call holds (2^18 pairs x 128 bytes ~= 32 MB)
+_PAIR_CHUNK = 1 << 18
 
 
 # ---------------------------------------------------------------------------
@@ -79,7 +88,7 @@ def _perm_params(num_perm: int, seed: int = 1234) -> tuple[np.ndarray, np.ndarra
 
 
 class MinHashStage:
-    """(id, text) -> (id, sig: fixed_size_list<uint64>[num_perm]). Permutation
+    """(id, text) -> (id, sig: fixed_size_list<int64>[num_perm]). Permutation
     params are built once per actor in __init__."""
 
     def __init__(self, text_col: str, id_col: str, num_perm: int = 128,
@@ -126,9 +135,30 @@ class MinHashStage:
         })
 
 
+def _sig_matrix(col) -> np.ndarray:
+    """fixed_size_list<int64> column -> (n, num_perm) int64 matrix."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.asarray(col.flatten().to_numpy(zero_copy_only=False)
+                      ).reshape(len(col), -1)
+
+
+def _band_buckets(sig: np.ndarray, bands: int, rows: int) -> list[list[str]]:
+    """Per band, the bucket string of every row: "<band>:<hash-of-segment>".
+    Shared by the narrow explode and the member (sig-carrying) explode so the
+    two phases agree bit-for-bit."""
+    out = []
+    for b in range(bands):
+        seg = np.ascontiguousarray(sig[:, b * rows:(b + 1) * rows])
+        out.append([
+            f"{b}:{hashlib.blake2b(seg[i].tobytes(), digest_size=8).hexdigest()}"
+            for i in range(sig.shape[0])])
+    return out
+
+
 class _BandExplode:
-    """Emit one (bucket, id) row per band: bucket = "<band>:<hash-of-segment>".
-    Only these two narrow columns ever shuffle — never text or signatures."""
+    """Emit one narrow (bucket, id) row per band — never text or signatures.
+    This feeds collided-bucket detection only."""
 
     def __init__(self, id_col: str, bands: int, rows: int):
         self.id_col = id_col
@@ -136,270 +166,172 @@ class _BandExplode:
         self.rows = rows
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        if not ids:
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if len(ids) == 0:
             return pa.table({"bucket": pa.array([], pa.string()),
-                             self.id_col: batch[self.id_col]})
-        sig = np.asarray(batch["sig"].combine_chunks().flatten()
-                         .to_numpy(zero_copy_only=False)).reshape(len(ids), -1)
-        out_bucket, out_id = [], []
-        for b in range(self.bands):
-            seg = sig[:, b * self.rows:(b + 1) * self.rows]
-            for i in range(len(ids)):
-                out_bucket.append(
-                    f"{b}:{hashlib.blake2b(seg[i].tobytes(), digest_size=8).hexdigest()}")
-            out_id.extend(ids)
+                             self.id_col: ids})
+        sig = _sig_matrix(batch["sig"])
+        per_band = _band_buckets(sig, self.bands, self.rows)
+        out_bucket: list[str] = []
+        for bk in per_band:
+            out_bucket.extend(bk)
+        out_ids = pa.concat_arrays([ids] * self.bands)
         return pa.table({
             "bucket": pa.array(out_bucket, pa.string()),
-            self.id_col: pa.array(out_id),
+            self.id_col: out_ids,
         })
 
 
-def minhash_lsh_pairs(ds, text_col: str, id_col: str, *, num_perm: int = 128,
-                      bands: int = 16, threshold: float = 0.5,
-                      batch_size: int = 4096, concurrency: int | None = None):
-    """Near-duplicate pairs (id_a, id_b, jaccard_est >= threshold).
+class _MemberExplode:
+    """Second pass over the signature table: emit (bucket, id, sig) ONLY for
+    rows landing in a collided bucket. The collided-bucket set is broadcast via
+    ``ray.put`` (bounded by the duplicate rate, same argument as
+    ``uniqueness_violations``); signatures ride along so verification happens
+    inside the bucket group without any further lookup."""
 
-    Returns a pyarrow Table (candidate pairs are tiny relative to input by
-    construction — if they weren't, the corpus is mostly duplicates and exact
-    dedup should run first)."""
-    rows = num_perm // bands
-    kwargs: dict = {"batch_format": "pyarrow", "batch_size": batch_size}
-    if concurrency:
-        kwargs["concurrency"] = concurrency
-    sigs = ds.select_columns([id_col, text_col]).map_batches(
-        MinHashStage(text_col, id_col, num_perm), **kwargs)
-    sigs_mat = sigs.materialize()  # reused twice (banding + verification)
-
-    banded = sigs_mat.map_batches(_BandExplode(id_col, bands, rows),
-                                  batch_format="pyarrow")
-
-    # collided buckets via the pre-aggregated uniqueness pattern (per-batch
-    # (bucket,count) partials -> small groupby); then broadcast-filter the
-    # banded rows down to members of collided buckets — tiny by construction
-    import ray
-
-    dup_buckets = set()
-    for b in duplicate_keys(banded, "bucket").iter_batches(
-            batch_size=1 << 16, batch_format="pyarrow"):
-        dup_buckets.update(b["bucket"].to_pylist())
-    if not dup_buckets:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64()),
-                         "jaccard_est": pa.array([], pa.float64())})
-    dup_ref = ray.put(pa.array(sorted(dup_buckets)))
-
-    def members(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t["bucket"], value_set=ray.get(dup_ref)))
-
-    import pandas as pd
-
-    mem = pa.concat_tables(list(
-        banded.map_batches(members, batch_format="pyarrow")
-        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
-    pair_rows: set[tuple] = set()
-    for _, g in mem.to_pandas().groupby("bucket")[id_col]:
-        pair_rows.update(itertools.combinations(sorted(g.tolist()), 2))
-    if not pair_rows:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64()),
-                         "jaccard_est": pa.array([], pa.float64())})
-    srt = sorted(pair_rows)
-    pairs = pd.DataFrame({"a": [p[0] for p in srt], "b": [p[1] for p in srt]})
-
-    # verify via signatures: est J = fraction of equal minhash components
-    need = set(pairs.a) | set(pairs.b)
-    sig_map: dict = {}
-    for b in sigs_mat.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
-        ids = b[id_col].to_pylist()
-        mat = np.asarray(b["sig"].combine_chunks().flatten()
-                         .to_numpy(zero_copy_only=False)).reshape(len(ids), -1)
-        for i, d in enumerate(ids):
-            if d in need:
-                sig_map[d] = mat[i]
-    est = np.array([
-        float((sig_map[a] == sig_map[b]).mean()) for a, b in zip(pairs.a, pairs.b)])
-    keep = est >= threshold
-    return pa.table({
-        "a": pa.array(pairs.a[keep].to_numpy()),
-        "b": pa.array(pairs.b[keep].to_numpy()),
-        "jaccard_est": pa.array(np.round(est[keep], 6)),
-    })
-
-
-def verify_pairs_exact_jaccard(ds, pairs: pa.Table, text_col: str, id_col: str,
-                               *, shingle_k: int = 5,
-                               threshold: float = 0.5) -> pa.Table:
-    """Exact n-gram Jaccard over candidate pairs: re-reads ONLY candidate docs
-    (broadcast id-set filter), computes set Jaccard."""
-    import ray
-
-    need = set(pairs["a"].to_pylist()) | set(pairs["b"].to_pylist())
-    if not need:
-        return pa.table({"a": pairs["a"], "b": pairs["b"],
-                         "jaccard": pa.array([], pa.float64())})
-    ref = ray.put(pa.array(sorted(need)))
-
-    def pick(b: pa.Table) -> pa.Table:
-        mask = pc.is_in(b[id_col], value_set=ray.get(ref))
-        return b.filter(mask)
-
-    docs = {}
-    for b in (ds.select_columns([id_col, text_col])
-              .map_batches(pick, batch_format="pyarrow")
-              .iter_batches(batch_size=1 << 16, batch_format="pyarrow")):
-        for d, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
-            docs[d] = char_shingles(t or "", shingle_k)
-    a_l, b_l, j_l = [], [], []
-    for a, bb in zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()):
-        j = jaccard(docs[a], docs[bb])
-        if j >= threshold:
-            a_l.append(a)
-            b_l.append(bb)
-            j_l.append(round(j, 6))
-    return pa.table({"a": pa.array(a_l), "b": pa.array(b_l),
-                     "jaccard": pa.array(j_l, pa.float64())})
-
-
-# ---------------------------------------------------------------------------
-# SimHash
-
-
-class SimHashStage:
-    """(id, text) -> (id, simhash:int64, bank0..bank3:int32) — 16-bit banks for
-    Hamming<=3 candidate generation by pigeonhole."""
-
-    def __init__(self, text_col: str, id_col: str):
-        self.text_col = text_col
-        self.id_col = id_col
-
-    @staticmethod
-    def simhash64(text: str) -> int:
-        import re
-
-        toks = re.findall(r"\w+", (text or "").lower())
-        if not toks:
-            return 0
-        hs = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                            "little") for t in toks), np.uint64, len(toks))
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-        score = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-        val = np.uint64(0)
-        for i in range(64):
-            if score[i] > 0:
-                val |= np.uint64(1) << np.uint64(i)
-        return int(val.astype(np.int64))
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = pc.fill_null(batch[self.text_col], "").to_pylist()
-        sigs = self.signatures(texts)
-        return pa.table({
-            self.id_col: batch[self.id_col],
-            "sig": pa.FixedSizeListArray.from_arrays(
-                pa.array(sigs.ravel().astype(np.int64), pa.int64()), self.num_perm),
-        })
-
-
-class _BandExplode:
-    """Emit one (bucket, id) row per band: bucket = "<band>:<hash-of-segment>".
-    Only these two narrow columns ever shuffle — never text or signatures."""
-
-    def __init__(self, id_col: str, bands: int, rows: int):
+    def __init__(self, id_col: str, bands: int, rows: int, dup_ref):
         self.id_col = id_col
         self.bands = bands
         self.rows = rows
+        self.dup_ref = dup_ref
+        self._dups: pa.Array | None = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        if not ids:
+        import ray
+
+        if self._dups is None:
+            self._dups = ray.get(self.dup_ref)
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        sig_col = batch["sig"]
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        if len(ids) == 0:
             return pa.table({"bucket": pa.array([], pa.string()),
-                             self.id_col: batch[self.id_col]})
-        sig = np.asarray(batch["sig"].combine_chunks().flatten()
-                         .to_numpy(zero_copy_only=False)).reshape(len(ids), -1)
-        out_bucket, out_id = [], []
-        for b in range(self.bands):
-            seg = sig[:, b * self.rows:(b + 1) * self.rows]
-            for i in range(len(ids)):
-                out_bucket.append(
-                    f"{b}:{hashlib.blake2b(seg[i].tobytes(), digest_size=8).hexdigest()}")
-            out_id.extend(ids)
+                             self.id_col: ids, "sig": sig_col})
+        sig = _sig_matrix(sig_col)
+        per_band = _band_buckets(sig, self.bands, self.rows)
+        parts = []
+        for bk in per_band:
+            t = pa.table({"bucket": pa.array(bk, pa.string()),
+                          self.id_col: ids, "sig": sig_col})
+            parts.append(t.filter(pc.is_in(t["bucket"], value_set=self._dups)))
+        return pa.concat_tables(parts)
+
+
+class _BucketPairsEst:
+    """map_groups worker: one collided bucket -> verified pairs
+    (a, b, jaccard_est >= threshold). est = fraction of equal minhash
+    components; all signatures are present on the group rows."""
+
+    def __init__(self, id_col: str, threshold: float, max_bucket_size: int):
+        self.id_col = id_col
+        self.threshold = threshold
+        self.max_bucket_size = max_bucket_size
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        ids_col = g[self.id_col]
+        if isinstance(ids_col, pa.ChunkedArray):
+            ids_col = ids_col.combine_chunks()
+        empty = pa.table({"a": ids_col.slice(0, 0), "b": ids_col.slice(0, 0),
+                          "jaccard_est": pa.array([], pa.float64())})
+        n = g.num_rows
+        if n < 2:
+            return empty
+        if n > self.max_bucket_size:
+            print(f"[minhash-lsh] skipping mega-bucket of size {n} "
+                  f"(cap {self.max_bucket_size})")
+            return empty
+        ids = ids_col.to_numpy(zero_copy_only=False)
+        sig = _sig_matrix(g["sig"])
+        order = np.argsort(ids, kind="stable")
+        ids, sig = ids[order], sig[order]
+        ii, jj = np.triu_indices(n, k=1)
+        a_out, b_out, e_out = [], [], []
+        for s in range(0, len(ii), _PAIR_CHUNK):
+            ci, cj = ii[s:s + _PAIR_CHUNK], jj[s:s + _PAIR_CHUNK]
+            est = (sig[ci] == sig[cj]).mean(axis=1)
+            keep = est >= self.threshold
+            a_out.append(ids[ci[keep]])
+            b_out.append(ids[cj[keep]])
+            e_out.append(np.round(est[keep], 6))
+        a_np = np.concatenate(a_out)
+        if a_np.size == 0:
+            return empty
         return pa.table({
-            "bucket": pa.array(out_bucket, pa.string()),
-            self.id_col: pa.array(out_id),
+            "a": pa.array(a_np, type=ids_col.type),
+            "b": pa.array(np.concatenate(b_out), type=ids_col.type),
+            "jaccard_est": pa.array(np.concatenate(e_out), pa.float64()),
         })
 
 
 def minhash_lsh_pairs(ds, text_col: str, id_col: str, *, num_perm: int = 128,
                       bands: int = 16, threshold: float = 0.5,
-                      batch_size: int = 4096, concurrency: int | None = None):
-    """Near-duplicate pairs (id_a, id_b, jaccard_est >= threshold).
+                      batch_size: int = 4096, concurrency: int | None = None,
+                      max_bucket_size: int = 1024,
+                      max_broadcast_buckets: int = 5_000_000) -> pa.Table:
+    """Near-duplicate pairs (id_a, id_b, jaccard_est >= threshold), fully
+    distributed: candidate generation AND signature verification run inside
+    ``groupby("bucket").map_groups`` over collided-bucket members; the driver
+    only ever holds the collided-bucket id set (bounded by the duplicate rate)
+    and the final pair table (tiny relative to input by construction — if it
+    weren't, the corpus is mostly duplicates and exact dedup should run first).
+    """
+    import ray
+    from ray.data.aggregate import Min
 
-    Returns a pyarrow Table (candidate pairs are tiny relative to input by
-    construction — if they weren't, the corpus is mostly duplicates and exact
-    dedup should run first)."""
     rows = num_perm // bands
     kwargs: dict = {"batch_format": "pyarrow", "batch_size": batch_size}
     if concurrency:
         kwargs["concurrency"] = concurrency
     sigs = ds.select_columns([id_col, text_col]).map_batches(
         MinHashStage(text_col, id_col, num_perm), **kwargs)
-    sigs_mat = sigs.materialize()  # reused twice (banding + verification)
+    sigs_mat = sigs.materialize()  # reused twice (bucket detect + member pass)
 
     banded = sigs_mat.map_batches(_BandExplode(id_col, bands, rows),
                                   batch_format="pyarrow")
 
-    # collided buckets via the pre-aggregated uniqueness pattern (per-batch
-    # (bucket,count) partials -> small groupby); then broadcast-filter the
-    # banded rows down to members of collided buckets — tiny by construction
-    import ray
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "jaccard_est": pa.array([], pa.float64())})
 
-    dup_buckets = set()
+    # collided buckets via the pre-aggregated uniqueness pattern (per-batch
+    # (bucket,count) partials -> small groupby); broadcast once
+    dup_buckets: set = set()
     for b in duplicate_keys(banded, "bucket").iter_batches(
             batch_size=1 << 16, batch_format="pyarrow"):
         dup_buckets.update(b["bucket"].to_pylist())
+        if len(dup_buckets) > max_broadcast_buckets:
+            raise MemoryError(
+                f"collided-bucket set exceeds broadcast budget "
+                f"({max_broadcast_buckets}); run exact dedup first")
     if not dup_buckets:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64()),
-                         "jaccard_est": pa.array([], pa.float64())})
+        return empty
     dup_ref = ray.put(pa.array(sorted(dup_buckets)))
 
-    def members(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t["bucket"], value_set=ray.get(dup_ref)))
+    members = sigs_mat.map_batches(
+        _MemberExplode(id_col, bands, rows, dup_ref), batch_format="pyarrow")
+    est_fn = _BucketPairsEst(id_col, threshold, max_bucket_size)
 
-    import pandas as pd
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        return est_fn(g)
 
-    mem = pa.concat_tables(list(
-        banded.map_batches(members, batch_format="pyarrow")
-        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
-    pair_rows: set[tuple] = set()
-    for _, g in mem.to_pandas().groupby("bucket")[id_col]:
-        pair_rows.update(itertools.combinations(sorted(g.tolist()), 2))
-    if not pair_rows:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64()),
-                         "jaccard_est": pa.array([], pa.float64())})
-    srt = sorted(pair_rows)
-    pairs = pd.DataFrame({"a": [p[0] for p in srt], "b": [p[1] for p in srt]})
+    pairs = members.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    # the same pair surfaces once per colliding band with the identical est —
+    # distributed dedup, only (a, b, est) rows shuffle
+    deduped = pairs.groupby(["a", "b"]).aggregate(
+        Min("jaccard_est", alias_name="jaccard_est"))
 
-    # verify via signatures: est J = fraction of equal minhash components
-    need = set(pairs.a) | set(pairs.b)
-    sig_map: dict = {}
-    for b in sigs_mat.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
-        ids = b[id_col].to_pylist()
-        mat = np.asarray(b["sig"].combine_chunks().flatten()
-                         .to_numpy(zero_copy_only=False)).reshape(len(ids), -1)
-        for i, d in enumerate(ids):
-            if d in need:
-                sig_map[d] = mat[i]
-    est = np.array([
-        float((sig_map[a] == sig_map[b]).mean()) for a, b in zip(pairs.a, pairs.b)])
-    keep = est >= threshold
-    return pa.table({
-        "a": pa.array(pairs.a[keep].to_numpy()),
-        "b": pa.array(pairs.b[keep].to_numpy()),
-        "jaccard_est": pa.array(np.round(est[keep], 6)),
-    })
+    chunks = list(deduped.iter_batches(batch_size=1 << 20,
+                                       batch_format="pyarrow"))
+    if not chunks:
+        return empty
+    tbl = pa.concat_tables(chunks)
+    return tbl.sort_by([("a", "ascending"), ("b", "ascending")])
 
 
 def verify_pairs_exact_jaccard(ds, pairs: pa.Table, text_col: str, id_col: str,
@@ -519,47 +451,138 @@ class SimHashStage:
         return pa.table(cols)
 
 
+class _BankBucketExplode:
+    """(id, simhash, bank0..3) -> 4 narrow rows (bkt:int32, id, simhash) where
+    bkt = bank_index*2^16 + bank_value — one combined key for all 4 banks so a
+    single groupby covers the whole candidate space. The simhash rides along
+    for in-group verification."""
+
+    def __init__(self, id_col: str):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        sh = batch["simhash"]
+        if isinstance(sh, pa.ChunkedArray):
+            sh = sh.combine_chunks()
+        parts = []
+        for bank in range(4):
+            bv = batch[f"bank{bank}"].to_numpy(zero_copy_only=False)
+            bkt = (bank << 16) | bv.astype(np.int64)
+            parts.append(pa.table({
+                "bkt": pa.array(bkt.astype(np.int32), pa.int32()),
+                self.id_col: ids,
+                "simhash": sh,
+            }))
+        return pa.concat_tables(parts)
+
+
+class _BankPairsHamming:
+    """map_groups worker: one collided bank bucket -> pairs with exact
+    Hamming(simhash) <= max_hamming."""
+
+    def __init__(self, id_col: str, max_hamming: int, max_bucket_size: int):
+        self.id_col = id_col
+        self.max_hamming = max_hamming
+        self.max_bucket_size = max_bucket_size
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        ids_col = g[self.id_col]
+        if isinstance(ids_col, pa.ChunkedArray):
+            ids_col = ids_col.combine_chunks()
+        empty = pa.table({"a": ids_col.slice(0, 0), "b": ids_col.slice(0, 0),
+                          "hamming": pa.array([], pa.int32())})
+        n = g.num_rows
+        if n < 2:
+            return empty
+        if n > self.max_bucket_size:
+            print(f"[simhash] skipping mega-bucket of size {n} "
+                  f"(cap {self.max_bucket_size})")
+            return empty
+        ids = ids_col.to_numpy(zero_copy_only=False)
+        sh = g["simhash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, sh = ids[order], sh[order].view(np.uint64)
+        ii, jj = np.triu_indices(n, k=1)
+        a_out, b_out, h_out = [], [], []
+        for s in range(0, len(ii), _PAIR_CHUNK):
+            ci, cj = ii[s:s + _PAIR_CHUNK], jj[s:s + _PAIR_CHUNK]
+            xors = sh[ci] ^ sh[cj]
+            ham = np.unpackbits(
+                xors.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+            keep = ham <= self.max_hamming
+            a_out.append(ids[ci[keep]])
+            b_out.append(ids[cj[keep]])
+            h_out.append(ham[keep].astype(np.int32))
+        a_np = np.concatenate(a_out)
+        if a_np.size == 0:
+            return empty
+        return pa.table({
+            "a": pa.array(a_np, type=ids_col.type),
+            "b": pa.array(np.concatenate(b_out), type=ids_col.type),
+            "hamming": pa.array(np.concatenate(h_out), pa.int32()),
+        })
+
+
 def simhash_pairs(ds, text_col: str, id_col: str, *, max_hamming: int = 3,
-                  batch_size: int = 4096) -> pa.Table:
+                  batch_size: int = 4096, max_bucket_size: int = 1024,
+                  max_broadcast_buckets: int = 5_000_000) -> pa.Table:
     """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidates from
-    4x16-bit bank equality (complete for Hamming<=3), verified exactly."""
+    4x16-bit bank equality (complete for Hamming<=3), verified exactly inside
+    ``groupby(bucket).map_groups`` — the simhash travels with the bucket rows,
+    so the driver only holds the collided-bucket set and the final pairs."""
     import ray
+    from ray.data.aggregate import Min
 
     sigs = ds.select_columns([id_col, text_col]).map_batches(
         SimHashStage(text_col, id_col), batch_format="pyarrow",
-        batch_size=batch_size).materialize()
+        batch_size=batch_size)
 
-    pair_set = set()
-    for bank in range(4):
-        col = f"bank{bank}"
-        # collided bank values (pre-aggregated counts), then broadcast filter
-        dup_vals = set()
-        for b in duplicate_keys(sigs.select_columns([col]), col).iter_batches(
-                batch_size=1 << 16, batch_format="pyarrow"):
-            dup_vals.update(b[col].to_pylist())
-        if not dup_vals:
-            continue
-        ref = ray.put(pa.array(sorted(dup_vals), pa.int32()))
+    exploded = sigs.map_batches(_BankBucketExplode(id_col),
+                                batch_format="pyarrow").materialize()
 
-        def pick(t: pa.Table, _col=col) -> pa.Table:
-            return t.select([_col, id_col, "simhash"]).filter(
-                pc.is_in(t[_col], value_set=ray.get(ref)))
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int32())})
 
-        mem = pa.concat_tables(list(
-            sigs.map_batches(pick, batch_format="pyarrow")
-            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
-        for _, g in mem.to_pandas().groupby(col):
-            sh = dict(zip(g[id_col], g["simhash"]))
-            for a, bb in itertools.combinations(sorted(g[id_col].tolist()), 2):
-                ham = bin((int(sh[a]) ^ int(sh[bb])) & 0xFFFFFFFFFFFFFFFF).count("1")
-                if ham <= max_hamming:
-                    pair_set.add((a, bb, ham))
-    rows = sorted(pair_set)
-    return pa.table({
-        "a": pa.array([r[0] for r in rows]),
-        "b": pa.array([r[1] for r in rows]),
-        "hamming": pa.array([r[2] for r in rows], pa.int32()),
-    })
+    dup_vals: set = set()
+    for b in duplicate_keys(exploded.select_columns(["bkt"]), "bkt"
+                            ).iter_batches(batch_size=1 << 16,
+                                           batch_format="pyarrow"):
+        dup_vals.update(b["bkt"].to_pylist())
+        if len(dup_vals) > max_broadcast_buckets:
+            raise MemoryError(
+                f"collided-bucket set exceeds broadcast budget "
+                f"({max_broadcast_buckets}); run exact dedup first")
+    if not dup_vals:
+        return empty
+    ref = ray.put(pa.array(sorted(dup_vals), pa.int32()))
+
+    def members(t: pa.Table, _ref=ref) -> pa.Table:
+        import ray as _ray
+
+        return t.filter(pc.is_in(t["bkt"], value_set=_ray.get(_ref)))
+
+    ham_fn = _BankPairsHamming(id_col, max_hamming, max_bucket_size)
+
+    def bank_pairs(g: pa.Table) -> pa.Table:
+        return ham_fn(g)
+
+    pairs = exploded.map_batches(members, batch_format="pyarrow").groupby(
+        "bkt").map_groups(bank_pairs, batch_format="pyarrow")
+    deduped = pairs.groupby(["a", "b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
+
+    chunks = list(deduped.iter_batches(batch_size=1 << 20,
+                                       batch_format="pyarrow"))
+    if not chunks:
+        return empty
+    tbl = pa.concat_tables(chunks).sort_by(
+        [("a", "ascending"), ("b", "ascending")])
+    return pa.table({"a": tbl["a"], "b": tbl["b"],
+                     "hamming": pc.cast(tbl["hamming"], pa.int32())})
 
 
 # ---------------------------------------------------------------------------
@@ -599,10 +622,11 @@ class HyperplaneLSHStage:
 
 
 def embedding_near_dup_pairs(ds, emb_col: str, id_col: str, dim: int, *,
-                             threshold: float = 0.95,
-                             n_planes: int = 12) -> pa.Table:
+                             threshold: float = 0.95, n_planes: int = 12,
+                             max_bucket_size: int = 8192) -> pa.Table:
     """Pairs with cosine >= threshold found within LSH buckets. High-cosine pairs
-    collide with high probability; brute-force inside each bucket only."""
+    collide with high probability; brute-force inside each bucket only (buckets
+    above ``max_bucket_size`` are skipped with a worker-side log)."""
     bucketed = ds.select_columns([id_col, emb_col]).map_batches(
         HyperplaneLSHStage(emb_col, id_col, dim, n_planes),
         batch_format="pyarrow")
@@ -611,6 +635,10 @@ def embedding_near_dup_pairs(ds, emb_col: str, id_col: str, dim: int, *,
         import pandas as pd
 
         ids = g[id_col].to_numpy()
+        if len(ids) > max_bucket_size:
+            print(f"[emb-lsh] skipping mega-bucket of size {len(ids)} "
+                  f"(cap {max_bucket_size})")
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
         mat = np.vstack(g[emb_col].to_numpy()).astype(np.float64)
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         sims = mat @ mat.T

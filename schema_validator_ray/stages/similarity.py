@@ -3,7 +3,8 @@
 - **Brute-force top-k** (baseline): the query matrix is normalized once, shipped
   via ``ray.put`` and read once per worker; each batch computes a matmul against
   it and emits only its per-query top-k partials (k rows per query per batch);
-  the global top-k merges partials — the full score matrix never materializes.
+  the global top-k is a ``groupby(query_id)`` second-stage reduce — the full
+  score matrix never materializes and the driver sees k rows per query.
 - **IVF-style scale path**: coarse centroids from a seeded sample (k-means, few
   iterations, driver-side on the sample only), vectors assigned to nearest cell
   inside ``map_batches``; a query probes the ``n_probe`` nearest cells so only
@@ -78,17 +79,26 @@ def knn_brute(ds, queries: np.ndarray, *, emb_col: str = "embedding",
     partials = ds.select_columns([id_col, emb_col]).map_batches(
         _BruteTopK(emb_col, id_col, q_ref, k),
         batch_format="pyarrow", batch_size=batch_size)
-    # merge partials (k rows per query per batch — tiny)
+    # merge partials DISTRIBUTED: groupby(query_id) second-stage top-k — each
+    # reducer sees only that query's k-per-batch partials and emits k rows, so
+    # the driver collects exactly k x n_queries rows no matter the block count
+
+    def topk_group(df):
+        df = df.copy()
+        df["score"] = df["score"].round(6)
+        return (df.sort_values(["score", "neighbor_id"],
+                               ascending=[False, True]).head(k))
+
+    merged = partials.groupby("query_id").map_groups(
+        topk_group, batch_format="pandas")
     import pandas as pd
 
-    frames = [b.to_pandas() for b in partials.iter_batches(
+    frames = [b.to_pandas() for b in merged.iter_batches(
         batch_size=1 << 20, batch_format="pyarrow")]
     df = pd.concat(frames) if frames else pd.DataFrame(
         columns=["query_id", "neighbor_id", "score"])
-    df["score"] = df["score"].round(6)
     df = (df.sort_values(["query_id", "score", "neighbor_id"],
-                         ascending=[True, False, True])
-          .groupby("query_id", sort=True).head(k).reset_index(drop=True))
+                         ascending=[True, False, True]).reset_index(drop=True))
     return pa.Table.from_pandas(df, preserve_index=False)
 
 

@@ -51,3 +51,44 @@ def test_golden_stable_across_batch_splits():
                       for r in v.to_pylist())
 
     assert keyset(va) + keyset(vb, offset=1000) == keyset(v_full)
+
+
+# ---------------------------------------------------------------------------
+# near-dup pair pins: outputs of the round-1 (driver-side) LSH implementations
+# captured on /root/testdata/sf0.001 — the distributed rewrites must reproduce
+# them bit-for-bit (rows sorted, json-dumped, blake2b-12).
+
+GOLDEN_MINHASH_SF0001 = ("fdd550239242e8c37b6715ec", 28)
+GOLDEN_SIMHASH_SF0001 = ("4b053973062093abf3bf61e6", 22)
+
+
+def _hash_pairs(t: pa.Table) -> str:
+    import json
+
+    rows = sorted(map(list, zip(*[t[c].to_pylist() for c in t.column_names])))
+    rows = [tuple(r) for r in rows]
+    return hashlib.blake2b(json.dumps(rows).encode(), digest_size=12).hexdigest()
+
+
+def test_golden_minhash_pairs(ray_session):
+    from schema_validator_ray.stages.dedup import minhash_lsh_pairs
+    import ray.data as rd
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    t = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.4)
+    assert t.column_names == ["a", "b", "jaccard_est"]
+    assert t.num_rows == GOLDEN_MINHASH_SF0001[1]
+    assert _hash_pairs(t) == GOLDEN_MINHASH_SF0001[0]
+
+
+def test_golden_simhash_pairs(ray_session):
+    from schema_validator_ray.stages.dedup import simhash_pairs
+    import ray.data as rd
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    t = simhash_pairs(ds, "text", "doc_id", max_hamming=3)
+    assert t.column_names == ["a", "b", "hamming"]
+    assert t.num_rows == GOLDEN_SIMHASH_SF0001[1]
+    assert _hash_pairs(t) == GOLDEN_SIMHASH_SF0001[0]
