@@ -604,7 +604,9 @@ def q_lang_distribution(sf_dir: str):
 
 
 def q_doc_langid(sf_dir: str):
-    """Heuristic language ID (rows-only: the heuristic is not SQL)."""
+    """Heuristic language ID — SQL-oracled: the full heuristic (CJK/Cyrillic
+    character fractions, stopword-hit argmax with first-of-sorted tie-break)
+    is reproduced in DuckDB RE2 regexes in oracle_sql()."""
     from schema_validator_ray.functions.text import lang_id
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -615,6 +617,10 @@ def q_doc_langid(sf_dir: str):
 
 
 def q_fingerprint_docs(sf_dir: str):
+    """Winnowing fingerprints (rows-only: min-of-rolling-hashes is a
+    similarity sketch — near-identical docs intentionally share prints, so no
+    SQL-expressible equality projection exists; raw values are pinned by unit
+    tests in tests/test_dedup_similarity_text.py)."""
     from schema_validator_ray.functions.text import fingerprint64
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -685,11 +691,16 @@ def q_embedding_pairs_cos03(sf_dir: str):
 
 
 def q_embedding_near_dup_lsh(sf_dir: str):
+    """SQL-oracled: the seeded hyperplane matrix is inlined as literals into
+    the oracle SQL, which recomputes bucket bits + in-bucket cosine in DuckDB
+    independently. Cosine values are excluded from the compared projection
+    (float-ulp safety, same policy as knn_embeddings)."""
     from schema_validator_ray.stages.dedup import embedding_near_dup_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_near_dup_pairs(ds, "embedding", "vec_id", 64, threshold=0.3,
-                                    n_planes=6)
+    out = embedding_near_dup_pairs(ds, "embedding", "vec_id", 64, threshold=0.3,
+                                   n_planes=6)
+    return pa.table({"a": out["a"], "b": out["b"]})
 
 
 def q_minhash_pairs_docs(sf_dir: str):
@@ -727,22 +738,79 @@ def q_profile_lineitem(sf_dir: str):
     })
 
 
+def _exact_distinct_count(ds, col: str) -> int:
+    """Distributed exact distinct: per-batch distinct values (narrow) ->
+    groupby -> row count. Only per-batch-distinct rows enter the shuffle."""
+    per_batch = ds.select_columns([col]).map_batches(
+        lambda b, _c=col: b.select([_c]).group_by(_c).aggregate([]),
+        batch_format="pyarrow")
+    return per_batch.groupby(col).count().count()
+
+
+def _exact_median_via_counts(ds, col: str) -> float:
+    """Exact median from distributed value counts — right for domain-limited
+    columns (l_quantity has ~50 distinct values); a huge-domain column would
+    use a distributed sort + index instead. Matches DuckDB median(): mean of
+    the two middle values for even row counts."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        agg = b.select([col]).drop_null().group_by(col).aggregate(
+            [([], "count_all")])
+        return pa.table({col: agg[col],
+                         "cnt": pc.cast(agg["count_all"], pa.int64())})
+
+    totals = (ds.select_columns([col]).map_batches(partial,
+                                                   batch_format="pyarrow")
+              .groupby(col).aggregate(Sum("cnt", alias_name="cnt")))
+    rows = sorted(
+        (r[col], r["cnt"])
+        for b in totals.iter_batches(batch_size=1 << 16,
+                                     batch_format="pyarrow")
+        for r in b.to_pylist())
+    n = sum(c for _, c in rows)
+    lo_idx, hi_idx = (n - 1) // 2, n // 2
+    cum, lo = 0, None
+    for v, c in rows:
+        if lo is None and cum + c > lo_idx:
+            lo = v
+        if cum + c > hi_idx:
+            return (float(lo) + float(v)) / 2.0
+        cum += c
+    raise RuntimeError("empty column")
+
+
 def q_profile_sketches(sf_dir: str):
-    """Approximate profile (rows-only): HLL distinct + t-digest median."""
+    """Sketch profile, SQL-oracled as exact-value + tolerance verdicts: the
+    exact distinct counts / exact median come from distributed exact passes and
+    match DuckDB; ``sketch_ok`` asserts the HLL estimate (resp. t-digest p50)
+    lands within 10% of the exact value (observed error <3.3% at every sf —
+    deterministic, seeded sketches). Sentinels (-1) mark not-applicable cells
+    so the compared table is null-free."""
     from schema_validator_ray.stages.stats import profile_dataset
 
     ds = _read(sf_dir, "lineitem", ["l_quantity", "l_orderkey", "l_partkey"])
     profs = profile_dataset(ds, numeric=("l_quantity",),
                             keys=("l_orderkey", "l_partkey"))
-    rows = sorted(profs.values(), key=lambda p: p.column)
+    med = _exact_median_via_counts(ds, "l_quantity")
+    names, dcnt, meds, ok = [], [], [], []
+    for p in sorted(profs.values(), key=lambda p: p.column):
+        names.append(p.column)
+        if p.hll is not None:
+            exact = _exact_distinct_count(ds, p.column)
+            dcnt.append(exact)
+            meds.append(-1.0)
+            ok.append(abs(p.hll.estimate() / exact - 1.0) <= 0.10)
+        else:
+            dcnt.append(-1)
+            meds.append(med)
+            ok.append(abs(p.tdigest.quantile(0.5) - med)
+                      <= 0.10 * max(abs(med), 1e-9))
     return pa.table({
-        "column_name": pa.array([p.column for p in rows], pa.string()),
-        "distinct_est": pa.array(
-            [float(p.hll.estimate()) if p.hll else None for p in rows],
-            pa.float64()),
-        "p50": pa.array(
-            [p.tdigest.quantile(0.5) if p.tdigest else None for p in rows],
-            pa.float64()),
+        "column_name": pa.array(names, pa.string()),
+        "distinct_cnt": pa.array(dcnt, pa.int64()),
+        "med": pa.array(meds, pa.float64()),
+        "sketch_ok": pa.array(ok, pa.bool_()),
     })
 
 
@@ -872,6 +940,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_rule_counts": q_images_rule_counts,
         "images_drift": q_images_drift,
     }
+
+
+def _lsh_oracle_sql(dim: int = 64, n_planes: int = 6, seed: int = 7,
+                    threshold: float = 0.3) -> str:
+    """Independent DuckDB evaluation of the hyperplane-LSH near-dup pairs:
+    the seeded plane matrix (same RNG stream as stages/dedup.py
+    HyperplaneLSHStage) is inlined as DOUBLE[] literals; bucket bits come from
+    raw dot-product signs (normalization is a positive scale — sign-invariant)
+    and in-bucket pairs are filtered by cosine >= threshold."""
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    terms = []
+    for j in range(n_planes):
+        lit = "[" + ", ".join(repr(float(v)) for v in planes[:, j]) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"CAST({lit} AS DOUBLE[])) > 0 THEN {1 << j} ELSE 0 END)")
+    bucket_expr = " + ".join(terms)
+    return f"""
+        WITH bk AS (
+          SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings)
+        SELECT x.vec_id AS a, y.vec_id AS b
+          FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                      CAST(y.embedding AS DOUBLE[]))
+               >= {threshold}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1157,6 +1251,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
               FROM documents GROUP BY lang
         """,
+        # full lang_id heuristic (functions/text.py:lang_id): CJK/Cyrillic char
+        # fractions, then argmax of stopword hits over sorted langs (first max
+        # wins), zero hits -> 'und'. length() = chars, matching utf8_length.
+        "doc_langid": r"""
+            WITH c AS (
+              SELECT doc_id, COALESCE(text, '') AS t FROM documents
+            ), m AS (
+              SELECT doc_id,
+                CAST(GREATEST(length(t), 1) AS DOUBLE) AS n,
+                CAST(len(regexp_extract_all(t, '[\x{4e00}-\x{9fff}]'))
+                     AS DOUBLE) AS cjk,
+                CAST(len(regexp_extract_all(t, '[\x{0400}-\x{04ff}]'))
+                     AS DOUBLE) AS cyr,
+                len(regexp_extract_all(lower(t),
+                    '\b(das|der|die|ein|ich|ist|mit|nicht|und|zu)\b')) AS h_de,
+                len(regexp_extract_all(lower(t),
+                    '\b(a|and|in|is|it|of|that|the|to|you)\b')) AS h_en,
+                len(regexp_extract_all(lower(t),
+                    '\b(el|en|es|la|los|no|un|una|y|yo)\b')) AS h_es,
+                len(regexp_extract_all(lower(t),
+                    '\b(dans|est|et|je|la|le|les|pas|un|une)\b')) AS h_fr
+              FROM c)
+            SELECT doc_id,
+              CASE WHEN cjk / n > 0.2 THEN 'zh'
+                   WHEN cyr / n > 0.2 THEN 'ru'
+                   WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                   WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                   WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                   WHEN h_es >= h_fr THEN 'es'
+                   ELSE 'fr' END AS lang_pred
+              FROM m
+        """,
+        "profile_sketches": """
+            SELECT 'l_orderkey' AS column_name,
+                   CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS distinct_cnt,
+                   -1.0 AS med, TRUE AS sketch_ok FROM lineitem
+            UNION ALL
+            SELECT 'l_partkey', CAST(COUNT(DISTINCT l_partkey) AS BIGINT),
+                   -1.0, TRUE FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', CAST(-1 AS BIGINT),
+                   CAST(median(l_quantity) AS DOUBLE), TRUE FROM lineitem
+        """,
         "knn_embeddings": """
             WITH q AS (SELECT vec_id AS query_id, embedding
                          FROM embeddings ORDER BY vec_id LIMIT 3),
@@ -1178,6 +1315,7 @@ def oracle_sql() -> dict[str, str]:
              WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                           CAST(b.embedding AS DOUBLE[])) >= 0.3
         """,
+        "embedding_near_dup_lsh": _lsh_oracle_sql(),
         "profile_lineitem": """
             SELECT 'l_discount' AS column_name,
                    CAST(COUNT(*) AS BIGINT) AS cnt,
