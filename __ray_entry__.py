@@ -177,9 +177,13 @@ def q_revenue_by_nation(sf_dir: str):
                                                    pa.int32())}),
         batch_format="pyarrow")
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
-    j1 = orders.join(cust, join_type="inner", num_partitions=8,
+    from schema_validator_ray.stages.referential import default_join_partitions
+
+    j1 = orders.join(cust, join_type="inner",
+                     num_partitions=default_join_partitions(8),
                      on=("o_custkey",))
-    j2 = j1.join(nation, join_type="inner", num_partitions=8,
+    j2 = j1.join(nation, join_type="inner",
+                 num_partitions=default_join_partitions(8),
                  on=("n_nationkey",))
     agg = (j2.groupby("n_name")
            .aggregate(Count(alias_name="n_orders"),
@@ -410,7 +414,10 @@ def q_orders_join_customer(sf_dir: str):
         lambda b: b.rename_columns(["c_custkey", "o_totalprice"]),
         batch_format="pyarrow")
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    joined = orders.join(cust, join_type="inner", num_partitions=8,
+    from schema_validator_ray.stages.referential import default_join_partitions
+
+    joined = orders.join(cust, join_type="inner",
+                         num_partitions=default_join_partitions(8),
                          on=("c_custkey",))
     agg = (joined.groupby("c_mktsegment")
            .aggregate(Count(alias_name="n_orders"),

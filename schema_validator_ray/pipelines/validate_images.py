@@ -162,15 +162,18 @@ class _DecodeAndMembership:
     FAILED_RULE = "__scan2_failed__"
 
     def __init__(self, dup_ids_ref, dup_phash_ref, caption_keys_ref,
-                 do_decode: bool = True, collect_hist: bool = False):
+                 do_decode: bool = True, collect_hist: bool = False,
+                 caption_bloom_ref=None):
         from ..stages.images import DecodeCheckStage
 
         self.dup_ids_ref = dup_ids_ref
         self.dup_phash_ref = dup_phash_ref
         self.caption_keys_ref = caption_keys_ref
+        self.caption_bloom_ref = caption_bloom_ref
         self.do_decode = do_decode
         self.collect_hist = collect_hist
         self._sets = None
+        self._bloom = None
         self._decode = DecodeCheckStage()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -243,6 +246,17 @@ class _DecodeAndMembership:
         if cap_keys is not None:
             emit(pc.invert(pc.is_in(ids, value_set=cap_keys)).fill_null(True),
                  "referential", "image_id", ids)
+        elif self.caption_bloom_ref is not None:
+            # constant-size broadcast: sound (flagged rows are truly missing)
+            # but incomplete at the filter's false-positive rate
+            from ..stages.referential import _hash_keys
+
+            if self._bloom is None:
+                self._bloom = ray.get(self.caption_bloom_ref)
+            missing = ~self._bloom.contains(_hash_keys(ids))
+            if ids.null_count:
+                missing |= pc.is_null(ids).to_numpy(zero_copy_only=False)
+            emit(missing, "referential", "image_id", ids)
         if self.collect_hist:
             # exact per-batch count of rows failing any scan-2 check
             out.append(pa.table({
@@ -263,7 +277,10 @@ def validate_images(input_dir: str, *, captions_path: str | None = None,
                     decode: bool = True,
                     meta_batch_size: int = 8192,
                     decode_batch_size: int | None = None,
-                    decode_concurrency: int | None = None) -> dict[str, Any]:
+                    decode_concurrency: int | None = None,
+                    ref_strategy: str = "auto",
+                    ref_broadcast_max: int = 5_000_000,
+                    ref_bloom_bits: int | None = None) -> dict[str, Any]:
     """Fused two-scan flagship. Returns {violations: Dataset (lazy),
     profile: {col: ColumnProfile}, drift: [verdicts]}.
 
@@ -271,7 +288,18 @@ def validate_images(input_dir: str, *, captions_path: str | None = None,
     sketches in one stage; its compact tagged output is materialized (swap for a
     re-scan at scales where even the narrow stream is too big to pin). Scan 2
     reads the bytes column once and fuses decode checks with the broadcast
-    membership checks. Total input passes: metadata 1x, bytes 1x."""
+    membership checks. Total input passes: metadata 1x, bytes 1x.
+
+    ``ref_strategy`` picks how the captions referential leg runs:
+    - "auto" (default): a footer-metadata row count of the side table chooses
+      exact broadcast when it fits (<= ``ref_broadcast_max`` keys) and the
+      hash-partitioned shuffle anti-join otherwise — both exact.
+    - "broadcast" / "shuffle": force the respective exact path.
+    - "bloom": constant-size broadcast filter (sound but under-reports at the
+      false-positive rate; explicit opt-in only, never chosen by auto).
+    With "shuffle" the referential leg runs as its own narrow (image_id-only)
+    scan unioned into violations, and its failures are not folded into
+    ``failed_rows`` (which is an upper bound either way)."""
     import pickle
 
     import ray
@@ -363,9 +391,33 @@ def validate_images(input_dir: str, *, captions_path: str | None = None,
     dup_ids_ref = _ref(dup_sets["image_id"])
     dup_ph_ref = _ref(dup_sets["phash"])
     cap_ref = None
+    cap_bloom_ref = None
+    ref_extra = None
     if captions_path is not None:
-        cap_keys = _side_key_column(captions_path, "image_id").drop_null()
-        cap_ref = ray.put(cap_keys)
+        from ..stages.referential import (bloom_from_side,
+                                          referential_violations_shuffle,
+                                          side_key_count)
+
+        strat = ref_strategy
+        if strat == "auto":
+            strat = ("broadcast"
+                     if side_key_count(captions_path) <= ref_broadcast_max
+                     else "shuffle")
+        if strat == "broadcast":
+            cap_keys = _side_key_column(captions_path, "image_id").drop_null()
+            cap_ref = ray.put(cap_keys)
+        elif strat == "bloom":
+            bits = ref_bloom_bits or max(
+                1024, 10 * side_key_count(captions_path))
+            cap_bloom_ref = ray.put(
+                bloom_from_side(captions_path, "image_id", bits))
+        elif strat == "shuffle":
+            ids_scan = rd.read_parquet(input_dir, columns=["image_id"],
+                                       override_num_blocks=n_blocks)
+            ref_extra = _std(referential_violations_shuffle(
+                ids_scan, captions_path, "image_id"))
+        else:
+            raise ValueError(f"unknown ref_strategy {ref_strategy!r}")
 
     cols = DECODE_COLUMNS if decode else ["image_id", "phash"]
     scan2 = rd.read_parquet(input_dir, columns=cols,
@@ -377,7 +429,8 @@ def validate_images(input_dir: str, *, captions_path: str | None = None,
         kwargs["concurrency"] = decode_concurrency
     scan2_out = scan2.map_batches(
         _DecodeAndMembership(dup_ids_ref, dup_ph_ref, cap_ref,
-                             do_decode=decode, collect_hist=decode), **kwargs)
+                             do_decode=decode, collect_hist=decode,
+                             caption_bloom_ref=cap_bloom_ref), **kwargs)
 
     scan2_failed = 0
     if decode:
@@ -406,6 +459,8 @@ def validate_images(input_dir: str, *, captions_path: str | None = None,
                   f"rule_id != '{_DecodeAndMembership.FAILED_RULE}'"))
 
     violations = viol_meta.union(scan2_out)
+    if ref_extra is not None:
+        violations = violations.union(ref_extra)
     drift = (compare_profiles(reference_profile, profile)
              if reference_profile else [])
     return {"violations": violations, "profile": profile, "drift": drift,

@@ -116,15 +116,32 @@ class _AntiJoinStage:
         })
 
 
+def default_join_partitions(cap: int = 64) -> int:
+    """Join partition count sized to the session: Ray's JoinOperator keeps one
+    receiver actor per partition ALIVE CONCURRENTLY, so asking for more
+    partitions than CPUs deadlocks the scheduler (observed: num_partitions=32
+    on a 4-CPU session never completes). Clamp to the cluster CPU count."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, min(cap, cpus))
+
+
 def referential_violations_shuffle(ds, side_ds, key: str, *,
                                    rule_id: str = RULE_REFERENTIAL,
-                                   num_partitions: int = 32):
+                                   num_partitions: int | None = None):
     """Shuffle-based anti-join (``Dataset.join(join_type="left_anti")``) — the
     path for side tables too large to broadcast: both sides hash-partition on
     the key, no driver materialization of either side."""
     import pyarrow.compute as pc
 
     import ray.data as rd
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
 
     if isinstance(side_ds, str):
         side_ds = rd.read_parquet(side_ds, columns=[key])
@@ -167,6 +184,45 @@ def referential_violations(ds, side_ds, key: str, *,
     return ds.map_batches(
         _AntiJoinStage(key, refs[0], refs[1], rule_id),
         batch_format="pyarrow", batch_size=batch_size)
+
+
+def side_key_count(side) -> int:
+    """Row count of the side table WITHOUT materializing it: parquet footer
+    metadata for paths, ``num_rows`` for in-memory tables, a distributed
+    ``count()`` for Datasets. This is the cheap pre-flight that drives the
+    broadcast / bloom / shuffle strategy choice."""
+    if isinstance(side, pa.Table):
+        return side.num_rows
+    if isinstance(side, str):
+        import pyarrow.dataset as pads
+
+        return sum(f.count_rows() for f in pads.dataset(side).get_fragments())
+    return side.count()
+
+
+def bloom_from_side(side, key: str, n_bits: int,
+                    batch_size: int = 1 << 16) -> "_BloomFilter":
+    """Build the broadcastable Bloom filter by STREAMING the side keys — peak
+    driver memory is the bit array plus one batch, never the full key column."""
+    bloom = _BloomFilter(n_bits)
+    if isinstance(side, pa.Table):
+        it = [side.select([key])]
+    elif isinstance(side, str):
+        import pyarrow.dataset as pads
+
+        it = pads.dataset(side).to_batches(columns=[key],
+                                           batch_size=batch_size)
+    else:
+        it = side.select_columns([key]).iter_batches(batch_size=batch_size,
+                                                     batch_format="pyarrow")
+    for b in it:
+        col = b[key] if not isinstance(b, pa.RecordBatch) else b.column(0)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.drop_null()
+        if len(col):
+            bloom.add(_hash_keys(col))
+    return bloom
 
 
 def _side_key_column(side, key: str) -> pa.Array:

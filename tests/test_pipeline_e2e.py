@@ -222,3 +222,44 @@ def test_resume_skips_done_partitions(data_dir, ray_session, tmp_path):
 
     pd1, pd2 = all_viol(out), all_viol(fresh_dir)
     assert pd1.equals(pd2)
+
+
+def _vio_keyset(res):
+    df = res["violations"].to_pandas()
+    return set(map(tuple, df[["image_id", "rule_id", "column",
+                              "offending_value"]].itertuples(index=False)))
+
+
+def test_ref_strategy_shuffle_matches_broadcast(data_dir, ray_session):
+    """Forcing the hash-partitioned shuffle anti-join through the flagship
+    yields the identical violation multiset as the broadcast default, and the
+    auto switch picks shuffle when the side exceeds the broadcast budget."""
+    imgs, caps = str(data_dir / "images"), str(data_dir / "captions.parquet")
+    base = _vio_keyset(validate_images(imgs, captions_path=caps, decode=False,
+                                       ref_strategy="broadcast"))
+    shuf = _vio_keyset(validate_images(imgs, captions_path=caps, decode=False,
+                                       ref_strategy="shuffle"))
+    assert shuf == base
+    # auto + tiny budget must route to shuffle and still match
+    auto = _vio_keyset(validate_images(imgs, captions_path=caps, decode=False,
+                                       ref_strategy="auto",
+                                       ref_broadcast_max=10))
+    assert auto == base
+
+
+def test_ref_strategy_bloom_is_sound(data_dir, ray_session):
+    """Bloom referential: every flagged row is truly missing (soundness) and
+    with 16 bits/key the seeded fixture's misses are all found; non-referential
+    rules are untouched."""
+    imgs, caps = str(data_dir / "images"), str(data_dir / "captions.parquet")
+    base = _vio_keyset(validate_images(imgs, captions_path=caps, decode=False,
+                                       ref_strategy="broadcast"))
+    bloom = _vio_keyset(validate_images(imgs, captions_path=caps, decode=False,
+                                        ref_strategy="bloom",
+                                        ref_bloom_bits=16 * N_ROWS))
+    base_ref = {t for t in base if t[1] == "referential"}
+    bloom_ref = {t for t in bloom if t[1] == "referential"}
+    assert bloom_ref <= base_ref                      # sound
+    assert len(bloom_ref) >= 0.9 * len(base_ref)      # near-complete here
+    assert {t for t in bloom if t[1] != "referential"} == \
+        {t for t in base if t[1] != "referential"}
