@@ -174,3 +174,74 @@ def test_cli_validate(ray_session, tmp_path):
     assert rc == 0
     s2 = json.loads(buf.getvalue())
     assert s2["ran"] == 2 and s2["skipped"] == 0
+
+
+def test_windows_hot_key_bucketed(ray_session):
+    """One hot key spanning many time buckets: the bucketed implementations
+    must equal a naive single-partition pandas computation exactly (including
+    sessions that chain across bucket boundaries and duplicate timestamps)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_validator_ray.stages.windows import (session_windows,
+                                                     sliding_count)
+
+    rng = np.random.default_rng(5)
+    n = 20000
+    # hot key "hot" has 90% of events; gaps drawn so sessions cross buckets
+    base = pd.Timestamp("2024-01-01").value
+    steps = rng.integers(1, 40 * 60 * 10 ** 9, n).cumsum()  # 1ns..40min steps
+    ts = pd.to_datetime(base + steps)
+    ts = ts.insert(0, pd.Timestamp("2024-01-01"))  # duplicate-ts edge
+    ts = ts.insert(0, pd.Timestamp("2024-01-01"))
+    keys = np.where(rng.random(len(ts)) < 0.9, "hot", "cold")
+    df = pd.DataFrame({"user_id": keys, "ts": ts}).sample(
+        frac=1.0, random_state=7).reset_index(drop=True)  # shuffle input order
+
+    ds = rd.from_pandas(df).repartition(8)
+
+    # --- sliding (small bucket_multiple to force many bucket crossings)
+    got = (sliding_count(ds, key="user_id", ts="ts", window="1h",
+                         bucket_multiple=3).to_pandas()
+           .sort_values(["user_id", "ts"], kind="stable")
+           .reset_index(drop=True))
+    delta = pd.Timedelta("1h")
+
+    def naive_sliding(g):
+        g = g.sort_values("ts", kind="stable").reset_index(drop=True)
+        t = g["ts"].to_numpy()
+        left = np.searchsorted(t, t - delta.to_numpy(), side="left")
+        right = np.searchsorted(t, t, side="right")
+        g["cnt_window"] = (right - left).astype(np.int64)
+        return g
+
+    want = (df.groupby("user_id", group_keys=False)[df.columns.tolist()]
+            .apply(naive_sliding)
+            .sort_values(["user_id", "ts"], kind="stable")
+            .reset_index(drop=True))
+    assert (got["cnt_window"].to_numpy() == want["cnt_window"].to_numpy()).all()
+    assert len(got) == len(df)
+
+    # --- sessions
+    got_s = (session_windows(ds, key="user_id", ts="ts", gap="30min",
+                             bucket_multiple=3).to_pandas()
+             .sort_values(["user_id", "session_start"])
+             .reset_index(drop=True))
+
+    def naive_sessions(g):
+        g = g.sort_values("ts", kind="stable").reset_index(drop=True)
+        new_s = (g["ts"].diff() > pd.Timedelta("30min")).cumsum()
+        out = g.groupby(new_s).agg(session_start=("ts", "min"),
+                                   session_end=("ts", "max"),
+                                   n_events=("ts", "size"))
+        out["user_id"] = g["user_id"].iloc[0]
+        return out[["user_id", "session_start", "session_end", "n_events"]]
+
+    want_s = (df.groupby("user_id", group_keys=False)[df.columns.tolist()]
+              .apply(naive_sessions)
+              .sort_values(["user_id", "session_start"])
+              .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got_s[["user_id", "session_start", "session_end", "n_events"]],
+        want_s, check_dtype=False)
