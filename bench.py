@@ -24,7 +24,9 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_IMAGES = int(os.environ.get("SVR_BENCH_IMAGES", "20000"))
+# 60k matches BASELINE.md's reference campaign scale, so the driver-recorded
+# headline and the baseline are a clean same-scale ratio
+BENCH_IMAGES = int(os.environ.get("SVR_BENCH_IMAGES", "60000"))
 # realistic payload sizes: real pipelines are decode-bound, so the headline uses
 # ~0.06 MP images (stand-in codec ~60 KB payloads), not test-sized thumbnails
 BENCH_DIMS = os.environ.get("SVR_BENCH_DIMS", "160x384")

@@ -282,3 +282,30 @@ def test_i18n_with_rule_params_from_compiled_set():
     _, v = cs.evaluate(tbl)
     out = translate_batch(v, "en", rule_params=cs.rule_params())
     assert out["message"][0].as_py() == "w must be at least 5"
+
+
+def test_i18n_every_rule_has_explicit_templates():
+    """Catalog-completeness parity with the reference's per-locale YAML files
+    (msg.en.yaml / msg.zh-CN.yaml, 162 explicit keys each): every registered
+    rule resolves to an explicit own-wording template in BOTH locales, and the
+    template renders its params (no fallback to the generic default)."""
+    from schema_validator_ray.i18n import has_explicit_template, message_for
+    from schema_validator_ray.registry import default_registry
+
+    names = default_registry.names()
+    assert len(names) == 161
+    for locale in ("en", "zh-CN"):
+        for rule in names:
+            assert has_explicit_template(rule, locale), (rule, locale)
+            msg = message_for(rule, "myfield", ("A", "B"), locale)
+            if rule == "omitempty":   # explicit empty skip-marker
+                assert msg == ""
+                continue
+            assert "failed rule" not in msg and "未通过规则" not in msg, (
+                rule, locale, msg)
+            assert "myfield" in msg, (rule, locale, msg)
+        # parameterized rules must actually render the ArgN params
+        assert "A" in message_for("min", "f", ("A",), locale)
+        assert "A,B" in message_for("oneof", "f", ("A", "B"), locale)
+        assert "A" in message_for("required_with", "f", ("A", "B"), locale)
+        assert "A" in message_for("datetime", "f", ("A",), locale)
