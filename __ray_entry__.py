@@ -27,11 +27,19 @@ SEGMENTS = "BUILDING,AUTOMOBILE,MACHINERY,HOUSEHOLD"  # FURNITURE -> violation
 EVENT_TYPES = "click,signup,view,purchase"            # error -> violation
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, blocks: int | None = None):
+    """``blocks`` pre-splits the read (override_num_blocks) for compute-heavy
+    per-doc stages: the testdata files are single-row-group, so Ray would
+    otherwise hand the whole table to one task and serialize the stage. At
+    cluster scale inputs arrive in many files/row-groups and callers leave
+    this None."""
     from schema_validator_ray.sources.pq_read import read_parquet_clean
 
+    kw = {}
+    if blocks:
+        kw["override_num_blocks"] = blocks
     return read_parquet_clean(os.path.join(sf_dir, f"{table}.parquet"),
-                              columns=columns)
+                              columns=columns, **kw)
 
 
 def _collect(ds, empty_schema: pa.Schema) -> pa.Table:
@@ -713,15 +721,19 @@ def q_embedding_near_dup_lsh(sf_dir: str):
 def q_minhash_pairs_docs(sf_dir: str):
     from schema_validator_ray.stages.dedup import minhash_lsh_pairs
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.4)
+    # read once, split blocks for the compute stage (the single-row-group test
+    # file would otherwise serialize signatures into one task; override_num_
+    # blocks would re-read the row group per split)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).repartition(32)
+    return minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.4,
+                             batch_size=256)
 
 
 def q_simhash_pairs_docs(sf_dir: str):
     from schema_validator_ray.stages.dedup import simhash_pairs
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_pairs(ds, "text", "doc_id", max_hamming=3)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).repartition(32)
+    return simhash_pairs(ds, "text", "doc_id", max_hamming=3, batch_size=256)
 
 
 # ---------------------------------------------------------------------------

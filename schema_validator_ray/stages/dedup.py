@@ -38,6 +38,47 @@ from .uniqueness import duplicate_keys
 _PAIR_CHUNK = 1 << 18
 
 
+def _collided_keys(ds, col: str, *, driver_merge_max: int = 5_000_000,
+                   max_broadcast: int = 5_000_000) -> set:
+    """Keys of ``ds[col]`` occurring more than once, as a broadcastable set.
+
+    Below ``driver_merge_max`` partial rows the per-batch (key, count) partials
+    are merged with ONE driver-side pyarrow group_by — they are already narrow
+    and in the object store, so this is milliseconds and skips a full Ray
+    sort-groupby's fixed stage costs (the same pattern the flagship uses for
+    its duplicate-key sets). Above it, falls back to the distributed
+    ``duplicate_keys`` groupby (per-batch combine bounds hot keys)."""
+    from .uniqueness import _PartialCounts
+
+    partials = ds.map_batches(_PartialCounts(col), batch_format="pyarrow")
+    parts: list[pa.Table] = []
+    total = 0
+    over = False
+    for b in partials.iter_batches(batch_size=1 << 20,
+                                   batch_format="pyarrow"):
+        parts.append(b)
+        total += b.num_rows
+        if total > driver_merge_max:
+            over = True
+            break
+    if not over:
+        if not parts:
+            return set()
+        merged = pa.concat_tables(parts).group_by(col).aggregate(
+            [("cnt", "sum")])
+        dup = merged.filter(pc.greater(merged["cnt_sum"], 1))
+        return set(dup[col].to_pylist())
+    out: set = set()
+    for b in duplicate_keys(ds, col).iter_batches(batch_size=1 << 16,
+                                                  batch_format="pyarrow"):
+        out.update(b[col].to_pylist())
+        if len(out) > max_broadcast:
+            raise MemoryError(
+                f"collided-key set for {col!r} exceeds broadcast budget "
+                f"({max_broadcast}); run exact dedup first")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 
@@ -298,16 +339,11 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, *, num_perm: int = 128,
                       "b": pa.array([], pa.int64()),
                       "jaccard_est": pa.array([], pa.float64())})
 
-    # collided buckets via the pre-aggregated uniqueness pattern (per-batch
-    # (bucket,count) partials -> small groupby); broadcast once
-    dup_buckets: set = set()
-    for b in duplicate_keys(banded, "bucket").iter_batches(
-            batch_size=1 << 16, batch_format="pyarrow"):
-        dup_buckets.update(b["bucket"].to_pylist())
-        if len(dup_buckets) > max_broadcast_buckets:
-            raise MemoryError(
-                f"collided-bucket set exceeds broadcast budget "
-                f"({max_broadcast_buckets}); run exact dedup first")
+    # collided buckets via the pre-aggregated uniqueness pattern: per-batch
+    # (bucket,count) partials, driver-merged below threshold with distributed
+    # fallback; broadcast once
+    dup_buckets = _collided_keys(banded, "bucket",
+                                 max_broadcast=max_broadcast_buckets)
     if not dup_buckets:
         return empty
     dup_ref = ray.put(pa.array(sorted(dup_buckets)))
@@ -547,15 +583,8 @@ def simhash_pairs(ds, text_col: str, id_col: str, *, max_hamming: int = 3,
                       "b": pa.array([], pa.int64()),
                       "hamming": pa.array([], pa.int32())})
 
-    dup_vals: set = set()
-    for b in duplicate_keys(exploded.select_columns(["bkt"]), "bkt"
-                            ).iter_batches(batch_size=1 << 16,
-                                           batch_format="pyarrow"):
-        dup_vals.update(b["bkt"].to_pylist())
-        if len(dup_vals) > max_broadcast_buckets:
-            raise MemoryError(
-                f"collided-bucket set exceeds broadcast budget "
-                f"({max_broadcast_buckets}); run exact dedup first")
+    dup_vals = _collided_keys(exploded.select_columns(["bkt"]), "bkt",
+                              max_broadcast=max_broadcast_buckets)
     if not dup_vals:
         return empty
     ref = ray.put(pa.array(sorted(dup_vals), pa.int32()))
