@@ -170,35 +170,70 @@ class IVFIndex:
         return self
 
     def search(self, queries: np.ndarray, k: int = 10) -> pa.Table:
+        """Distributed probe: the (query matrix, probe lists) broadcast once;
+        each batch of the assigned table filters to probed cells, computes the
+        matmul and emits per-query top-k partials; a groupby(query_id) second
+        stage reduces them so the driver sees k rows per query — same shape as
+        ``knn_brute``, no driver-side matmul loop."""
         import pandas as pd
         import pyarrow.compute as pc
 
+        import ray
+
         q = _normalize(np.asarray(queries, np.float64))
         probe = np.argsort(-(q @ self.centroids.T), axis=1)[:, : self.n_probe]
-        frames = []
         cells_needed = pa.array(sorted({int(c) for c in probe.ravel()}),
                                 pa.int32())
-        sub = self._assigned.map_batches(
-            lambda b: b.filter(pc.is_in(b["cell"], value_set=cells_needed)),
-            batch_format="pyarrow")
-        for b in sub.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
-            mat = _normalize(_to_matrix(b[self.emb_col]))
-            ids = b[self.id_col].to_numpy(zero_copy_only=False)
+        ref = ray.put((q, probe))
+        emb_col, id_col = self.emb_col, self.id_col
+
+        def partial_topk(b: pa.Table) -> pa.Table:
+            empty = pa.table({"query_id": pa.array([], pa.int64()),
+                              "neighbor_id": pa.array([], pa.int64()),
+                              "score": pa.array([], pa.float64())})
+            b = b.filter(pc.is_in(b["cell"], value_set=cells_needed))
+            if b.num_rows == 0:
+                return empty
+            qm, pr = ray.get(ref)
+            mat = _normalize(_to_matrix(b[emb_col]))
+            ids = b[id_col].to_numpy(zero_copy_only=False)
             cells = b["cell"].to_numpy(zero_copy_only=False)
-            sims = mat @ q.T
-            for qi in range(len(q)):
-                mask = np.isin(cells, probe[qi])
+            sims = mat @ qm.T
+            out_q, out_id, out_s = [], [], []
+            for qi in range(len(qm)):
+                mask = np.isin(cells, pr[qi])
                 if not mask.any():
                     continue
                 s = sims[mask, qi]
                 kk = min(k, len(s))
                 sel = np.argpartition(-s, kk - 1)[:kk]
-                frames.append(pd.DataFrame({
-                    "query_id": qi, "neighbor_id": ids[mask][sel],
-                    "score": np.round(s[sel], 6)}))
-        df = (pd.concat(frames) if frames else
-              pd.DataFrame(columns=["query_id", "neighbor_id", "score"]))
+                out_q.append(np.full(kk, qi, np.int64))
+                out_id.append(ids[mask][sel])
+                out_s.append(s[sel])
+            if not out_q:
+                return empty
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_id)),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            })
+
+        partials = self._assigned.map_batches(partial_topk,
+                                              batch_format="pyarrow")
+
+        def topk_group(df):
+            df = df.copy()
+            df["score"] = df["score"].round(6)
+            return (df.sort_values(["score", "neighbor_id"],
+                                   ascending=[False, True]).head(k))
+
+        merged = partials.groupby("query_id").map_groups(
+            topk_group, batch_format="pandas")
+        frames = [b.to_pandas() for b in merged.iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow")]
+        df = pd.concat(frames) if frames else pd.DataFrame(
+            columns=["query_id", "neighbor_id", "score"])
         df = (df.sort_values(["query_id", "score", "neighbor_id"],
                              ascending=[True, False, True])
-              .groupby("query_id", sort=True).head(k).reset_index(drop=True))
+              .reset_index(drop=True))
         return pa.Table.from_pandas(df, preserve_index=False)
