@@ -645,6 +645,25 @@ def q_fingerprint_docs(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_sample_docs_hash(sf_dir: str):
+    """Deterministic 20% hash sample (restart-safe training-data sampling);
+    the multiplicative hash is reproduced exactly in the SQL oracle."""
+    from schema_validator_ray.stages.sampling import hash_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return hash_sample(ds, "doc_id", 0.2, seed=0)
+
+
+def q_stratified_docs_by_lang(sf_dir: str):
+    """Stratified downsample: every language capped toward 50 docs in
+    expectation (tiny count groupby + map-only hash filter)."""
+    from schema_validator_ray.stages.sampling import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(ds, "doc_id", "lang", target_per_stratum=50,
+                             seed=0)
+
+
 # ---------------------------------------------------------------------------
 # similarity / near-dup
 
@@ -948,6 +967,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": q_lang_distribution,
         "doc_langid": q_doc_langid,
         "fingerprint_docs": q_fingerprint_docs,
+        "sample_docs_hash": q_sample_docs_hash,
+        "stratified_docs_by_lang": q_stratified_docs_by_lang,
         "knn_embeddings": q_knn_embeddings,
         "embedding_pairs_cos03": q_embedding_pairs_cos03,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -959,6 +980,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_rule_counts": q_images_rule_counts,
         "images_drift": q_images_drift,
     }
+
+
+def _sampling_threshold(rate: float) -> int:
+    from schema_validator_ray.stages.sampling import threshold_for
+
+    return threshold_for(rate)
 
 
 def _lsh_oracle_sql(dim: int = 64, n_planes: int = 6, seed: int = 7,
@@ -1301,6 +1328,22 @@ def oracle_sql() -> dict[str, str]:
                    WHEN h_es >= h_fr THEN 'es'
                    ELSE 'fr' END AS lang_pred
               FROM m
+        """,
+        # the sampler's 32-bit multiplicative hash, reproduced bit-for-bit
+        # (floor matches Python's int() truncation for non-negative values)
+        "sample_docs_hash": f"""
+            SELECT doc_id FROM documents
+             WHERE (doc_id * 2654435761) % 4294967296
+                   < {_sampling_threshold(0.2)}
+        """,
+        "stratified_docs_by_lang": """
+            WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents
+                         GROUP BY lang)
+            SELECT d.doc_id, d.lang
+              FROM documents d JOIN cnt ON d.lang = cnt.lang
+             WHERE (d.doc_id * 2654435761) % 4294967296
+                   < CAST(floor(least(1.0, 50.0 / cnt.n) * 4294967296)
+                          AS BIGINT)
         """,
         "profile_sketches": """
             SELECT 'l_orderkey' AS column_name,

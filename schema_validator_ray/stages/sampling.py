@@ -1,0 +1,92 @@
+"""Deterministic sampling for training-data curation.
+
+Reservoir/random sampling is wrong for resumable 100-TB jobs: re-running a
+failed partition must select the SAME rows. Both samplers here are pure
+functions of the row id — map-only (no shuffle, no driver state), restart-safe,
+and exactly reproducible in SQL for the oracle gate.
+
+- ``hash_sample``: keep rows where a 32-bit multiplicative hash of the id
+  lands under ``rate`` (Knuth's 2654435761 constant). Map-only.
+- ``stratified_sample``: equalize strata (e.g. languages): pass 1 is a
+  pre-aggregated count per stratum (tiny groupby — only per-batch (stratum,
+  count) partials shuffle); the per-stratum keep-thresholds broadcast; pass 2
+  is the same map-only hash filter with a per-row threshold lookup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+KNUTH = 2654435761  # golden-ratio multiplicative hashing constant
+M32 = 1 << 32
+
+
+def _hash32(ids: np.ndarray, seed: int) -> np.ndarray:
+    """((id + seed) * KNUTH) mod 2^32 — matches the SQL expression
+    ``((id + seed) * 2654435761) % 4294967296`` exactly for non-negative ids.
+    The seed is mixed BEFORE the multiply: an additive post-multiply seed only
+    rotates the keep-interval by seed/2^32 and barely changes the sample."""
+    return ((ids.astype(np.uint64) + np.uint64(seed))
+            * np.uint64(KNUTH)) % np.uint64(M32)
+
+
+def threshold_for(rate: float) -> int:
+    """Integer keep-threshold: float64 multiply + truncation, the same
+    operation DuckDB's CAST(x * 4294967296 AS BIGINT) performs."""
+    return int(min(max(rate, 0.0), 1.0) * M32)
+
+
+def hash_sample(ds, id_col: str, rate: float, *, seed: int = 0):
+    """Keep ~``rate`` of rows, deterministically by id. Map-only."""
+    thr = threshold_for(rate)
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(_hash32(ids, seed) < thr))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def stratum_counts(ds, strata_col: str):
+    """Tiny distributed count per stratum (pre-agg partials only)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        agg = (b.select([strata_col]).drop_null().group_by(strata_col)
+               .aggregate([([], "count_all")]))
+        return pa.table({strata_col: agg[strata_col],
+                         "cnt": pc.cast(agg["count_all"], pa.int64())})
+
+    totals = (ds.map_batches(partial, batch_format="pyarrow")
+              .repartition(8).groupby(strata_col)
+              .aggregate(Sum("cnt", alias_name="cnt")))
+    out: dict = {}
+    for b in totals.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        out.update(zip(b[strata_col].to_pylist(), b["cnt"].to_pylist()))
+    return out
+
+
+def stratified_sample(ds, id_col: str, strata_col: str, *, target_per_stratum: int,
+                      seed: int = 0):
+    """Downsample every stratum toward ``target_per_stratum`` rows
+    (deterministic expectation, not exact count): stratum s keeps rows at rate
+    min(1, target/count_s). Two passes: tiny count groupby, then a map-only
+    hash filter with the per-stratum thresholds broadcast via ``ray.put``."""
+    import ray
+
+    counts = stratum_counts(ds, strata_col)
+    thresholds = {s: threshold_for(min(1.0, target_per_stratum / c))
+                  for s, c in counts.items()}
+    ref = ray.put(thresholds)
+
+    def pick(b: pa.Table) -> pa.Table:
+        thr_map = ray.get(ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        strata = b[strata_col].to_pylist()
+        thr = np.fromiter((thr_map.get(s, 0) for s in strata), np.uint64,
+                          len(strata))
+        return b.filter(pa.array(_hash32(ids, seed) < thr))
+
+    return ds.map_batches(pick, batch_format="pyarrow")

@@ -1,0 +1,64 @@
+"""Deterministic sampling: restart-safety (identical rows across runs and
+re-blocking), rate accuracy, stratified balancing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.sources.pq_read import read_parquet_clean
+
+    return read_parquet_clean("/root/testdata/sf0.01/documents.parquet",
+                              columns=["doc_id", "lang"])
+
+
+def _ids(ds):
+    return sorted(r["doc_id"] for r in ds.take_all())
+
+
+def test_hash_sample_deterministic_and_rate(docs_ds, ray_session):
+    from schema_validator_ray.stages.sampling import hash_sample
+
+    a = _ids(hash_sample(docs_ds, "doc_id", 0.2))
+    b = _ids(hash_sample(docs_ds.repartition(7), "doc_id", 0.2))
+    assert a == b                          # re-blocking invariant
+    n = docs_ds.count()
+    assert 0.1 * n <= len(a) <= 0.3 * n    # rate in the right band
+    assert _ids(hash_sample(docs_ds, "doc_id", 1.0)) == _ids(docs_ds)
+    assert _ids(hash_sample(docs_ds, "doc_id", 0.0)) == []
+
+
+def test_hash_sample_seed_varies(docs_ds, ray_session):
+    from schema_validator_ray.stages.sampling import hash_sample
+
+    a = set(_ids(hash_sample(docs_ds, "doc_id", 0.2, seed=0)))
+    b = set(_ids(hash_sample(docs_ds, "doc_id", 0.2, seed=12345)))
+    assert a != b
+
+
+def test_stratified_balances_strata(docs_ds, ray_session):
+    import pandas as pd
+
+    from schema_validator_ray.stages.sampling import (stratified_sample,
+                                                      stratum_counts)
+
+    counts = stratum_counts(docs_ds, "lang")
+    target = 50
+    out = stratified_sample(docs_ds, "doc_id", "lang",
+                            target_per_stratum=target).to_pandas()
+    got = out.groupby("lang").size()
+    for lang, c in counts.items():
+        if c <= target:        # small strata keep everything
+            assert got.get(lang, 0) == c
+        else:                  # large strata land near the target
+            assert 0.4 * target <= got.get(lang, 0) <= 2.0 * target
+    # determinism across runs
+    out2 = stratified_sample(docs_ds, "doc_id", "lang",
+                             target_per_stratum=target).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        out2.sort_values("doc_id").reset_index(drop=True))
