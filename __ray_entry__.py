@@ -664,6 +664,39 @@ def q_stratified_docs_by_lang(sf_dir: str):
                              seed=0)
 
 
+def q_asof_join_events(sf_dir: str):
+    """Distributed as-of join: each event matched to the latest earlier-or-
+    equal 'checkpoint' (a deterministic 10% hash sample of events, pre-
+    aggregated to one row per (user_id, ts)) of the same user. Oracled against
+    DuckDB's native ASOF LEFT JOIN."""
+    from schema_validator_ray.stages.asof import asof_join
+    from schema_validator_ray.stages.sampling import hash_sample
+
+    left = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    right = hash_sample(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        "event_id", 0.1, seed=3)
+
+    def dedupe_ts(b: pa.Table) -> pa.Table:
+        agg = b.group_by(["user_id", "ts"]).aggregate([("value", "max")])
+        return pa.table({"user_id": agg["user_id"], "ts": agg["ts"],
+                         "ckpt_value": agg["value_max"]})
+
+    from ray.data.aggregate import Max
+
+    right = (right.map_batches(dedupe_ts, batch_format="pyarrow")
+             .groupby(["user_id", "ts"])
+             .aggregate(Max("ckpt_value", alias_name="ckpt_value")))
+    out = asof_join(left, right, key="user_id", ts="ts",
+                    value_cols=["ckpt_value"], bucket="6h")
+    return out.map_batches(
+        lambda b: pa.table({
+            "event_id": b["event_id"],
+            "ckpt_ts": b["ts_r"],
+            "ckpt_value": b["ckpt_value_r"],
+        }), batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # similarity / near-dup
 
@@ -969,6 +1002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": q_fingerprint_docs,
         "sample_docs_hash": q_sample_docs_hash,
         "stratified_docs_by_lang": q_stratified_docs_by_lang,
+        "asof_join_events": q_asof_join_events,
         "knn_embeddings": q_knn_embeddings,
         "embedding_pairs_cos03": q_embedding_pairs_cos03,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -1328,6 +1362,17 @@ def oracle_sql() -> dict[str, str]:
                    WHEN h_es >= h_fr THEN 'es'
                    ELSE 'fr' END AS lang_pred
               FROM m
+        """,
+        "asof_join_events": f"""
+            WITH ckpt AS (
+              SELECT user_id, ts, MAX(value) AS ckpt_value
+                FROM events
+               WHERE ((event_id + 3) * 2654435761) % 4294967296
+                     < {_sampling_threshold(0.1)}
+               GROUP BY user_id, ts)
+            SELECT e.event_id, c.ts AS ckpt_ts, c.ckpt_value
+              FROM events e ASOF LEFT JOIN ckpt c
+                ON e.user_id = c.user_id AND e.ts >= c.ts
         """,
         # the sampler's 32-bit multiplicative hash, reproduced bit-for-bit
         # (floor matches Python's int() truncation for non-negative values)

@@ -1,0 +1,61 @@
+"""Distributed as-of join vs pandas merge_asof ground truth, including a hot
+key, sparse right side (carry-ins spanning many buckets), and exact-ts ties."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _mk(n_left, seed):
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2024-03-01").value
+    lts = pd.to_datetime(base + rng.integers(0, 30 * 24 * 3600 * 10 ** 9,
+                                             n_left))
+    keys = np.where(rng.random(n_left) < 0.8, 7, rng.integers(0, 5, n_left))
+    left = pd.DataFrame({
+        "ev_id": np.arange(n_left, dtype=np.int64),
+        "k": keys.astype(np.int64), "ts": lts})
+    # sparse right: few checkpoints, none for key 3, exact-ts tie for ev 0
+    rights = []
+    for k in [7, 0, 1, 2, 4]:
+        m = 8 if k == 7 else 2
+        rts = pd.to_datetime(base + rng.integers(
+            0, 30 * 24 * 3600 * 10 ** 9, m))
+        rights.append(pd.DataFrame({
+            "k": np.full(m, k, np.int64), "ts": rts,
+            "v": rng.random(m).round(3)}))
+    right = pd.concat(rights, ignore_index=True)
+    right = pd.concat([right, left.iloc[[0]].assign(v=0.5)[["k", "ts", "v"]]],
+                      ignore_index=True)  # exact-ts match for ev 0
+    right = right.groupby(["k", "ts"], as_index=False)["v"].max()
+    return left, right
+
+
+def test_asof_join_matches_merge_asof(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.asof import asof_join
+
+    left, right = _mk(4000, seed=9)
+    got = (asof_join(rd.from_pandas(left).repartition(6),
+                     rd.from_pandas(right).repartition(3),
+                     key="k", ts="ts", value_cols=["v"], bucket="12h")
+           .to_pandas().sort_values("ev_id").reset_index(drop=True))
+
+    want = pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        right.sort_values("ts", kind="stable").rename(
+            columns={"ts": "ts_r", "v": "v_r"}),
+        left_on="ts", right_on="ts_r", by="k",
+        direction="backward", allow_exact_matches=True,
+    ).sort_values("ev_id").reset_index(drop=True)
+
+    assert len(got) == len(left)
+    pd.testing.assert_series_equal(got["v_r"], want["v_r"], check_names=False)
+    pd.testing.assert_series_equal(got["ts_r"], want["ts_r"],
+                                   check_names=False, check_dtype=False)
+    # exact-ts tie matched itself
+    assert got.loc[got.ev_id == 0, "v_r"].iloc[0] == 0.5
+    # key 3 has no checkpoints at all -> all null
+    k3 = got[got.k == 3]
+    assert k3["v_r"].isna().all() and len(k3) > 0
