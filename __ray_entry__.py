@@ -697,6 +697,27 @@ def q_asof_join_events(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def q_events_in_sessions(sf_dir: str):
+    """Distributed interval (range) join: each event matched to its containing
+    session window (gap 30min) — point-in-interval semantics, oracled against
+    a DuckDB BETWEEN join over the identical session derivation."""
+    from schema_validator_ray.stages.interval import interval_join
+    from schema_validator_ray.stages.windows import session_windows
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    sessions = session_windows(
+        _read(sf_dir, "events", ["user_id", "ts"]),
+        key="user_id", ts="ts", gap="30min")
+    out = interval_join(events, sessions, key="user_id", ts="ts",
+                        start="session_start", end="session_end",
+                        payload_cols=[], bucket="6h", how="inner")
+    return out.map_batches(
+        lambda b: pa.table({"event_id": b["event_id"],
+                            "session_start": b["session_start"],
+                            "session_end": b["session_end"]}),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # similarity / near-dup
 
@@ -1003,6 +1024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs_hash": q_sample_docs_hash,
         "stratified_docs_by_lang": q_stratified_docs_by_lang,
         "asof_join_events": q_asof_join_events,
+        "events_in_sessions": q_events_in_sessions,
         "knn_embeddings": q_knn_embeddings,
         "embedding_pairs_cos03": q_embedding_pairs_cos03,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -1362,6 +1384,25 @@ def oracle_sql() -> dict[str, str]:
                    WHEN h_es >= h_fr THEN 'es'
                    ELSE 'fr' END AS lang_pred
               FROM m
+        """,
+        "events_in_sessions": """
+            WITH s AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts)
+                          > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+                FROM events),
+            g AS (SELECT user_id, ts,
+                         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM s),
+            sess AS (SELECT user_id, MIN(ts) AS session_start,
+                            MAX(ts) AS session_end
+                       FROM g GROUP BY user_id, sid)
+            SELECT e.event_id, sess.session_start, sess.session_end
+              FROM events e JOIN sess
+                ON e.user_id = sess.user_id
+               AND e.ts BETWEEN sess.session_start AND sess.session_end
         """,
         "asof_join_events": f"""
             WITH ckpt AS (

@@ -1,0 +1,132 @@
+"""Distributed interval (range) join — point-in-interval matching.
+
+For every left row, attach the interval row(s) of the same key whose
+``[start, end]`` contains the left row's ``ts`` (SQL: ``JOIN ... ON key AND ts
+BETWEEN start AND end``). Ray Data has no native range join; the distributed
+shape mirrors the skew-safe window/as-of pattern:
+
+1. Left rows bucket on (key, floor(ts / bucket)).
+2. Each interval row is replicated into EVERY bucket it overlaps — the only
+   data expansion, bounded by interval_span / bucket. Intervals longer than
+   ``max_span_buckets`` buckets are rejected loudly rather than silently
+   exploding (pick a bucket ≳ the typical interval length).
+3. groupby(key, bucket): inside each group a sort + searchsorted range scan
+   emits one output row per (left row, containing interval).
+
+Left rows with no containing interval are dropped (inner join) or kept with
+nulls (``how="left"``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .asof import _conform
+
+
+def interval_join(left_ds, intervals_ds, *, key: str, ts: str,
+                  start: str, end: str, payload_cols: list[str],
+                  bucket: str = "6h", how: str = "inner",
+                  max_span_buckets: int = 1024):
+    """Returns left columns + ``start``/``end`` + ``payload_cols`` of every
+    containing interval. ``payload_cols`` must be numeric (ride as float64)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    bucket_ns = pd.Timedelta(bucket).value
+
+    left_schema = left_ds.schema()
+    lsch = pa.schema(list(zip(left_schema.names, left_schema.types)))
+    ts_type = lsch.field(ts).type
+    left_cols = list(lsch.names)
+
+    uschema = pa.schema(
+        [lsch.field(c) for c in left_cols]
+        + [pa.field("_bkt", pa.int64()), pa.field("_side", pa.int8()),
+           pa.field(start, ts_type), pa.field(end, ts_type)]
+        + [pa.field(c, pa.float64()) for c in payload_cols])
+
+    def _ns(a: np.ndarray) -> np.ndarray:
+        return a.astype("datetime64[ns]").astype(np.int64)
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        bkt = _ns(b[ts].to_numpy(zero_copy_only=False)) // bucket_ns
+        t = b.append_column("_bkt", pa.array(bkt, pa.int64()))
+        t = t.append_column("_side", pa.array(np.zeros(len(bkt), np.int8)))
+        return _conform(t, uschema)
+
+    def explode_intervals(b: pa.Table) -> pa.Table:
+        s_ns = _ns(b[start].to_numpy(zero_copy_only=False))
+        e_ns = _ns(b[end].to_numpy(zero_copy_only=False))
+        b0 = s_ns // bucket_ns
+        b1 = e_ns // bucket_ns
+        span = b1 - b0 + 1
+        if (span > max_span_buckets).any():
+            worst = int(span.max())
+            raise ValueError(
+                f"interval spans {worst} buckets (> {max_span_buckets}); "
+                f"raise `bucket` toward the typical interval length")
+        reps = span.astype(np.int64)
+        idx = np.repeat(np.arange(len(reps)), reps)
+        offs = np.concatenate([np.arange(r) for r in reps]) if len(reps) else \
+            np.array([], np.int64)
+        cols = {key: b[key].take(pa.array(idx)),
+                "_bkt": pa.array(b0[idx] + offs, pa.int64()),
+                "_side": pa.array(np.ones(len(idx), np.int8)),
+                start: b[start].take(pa.array(idx)),
+                end: b[end].take(pa.array(idx))}
+        for c in payload_cols:
+            cols[c] = pc.cast(b[c].take(pa.array(idx)), pa.float64())
+        return _conform(pa.table(cols), uschema)
+
+    left_tagged = left_ds.map_batches(tag_left, batch_format="pyarrow")
+    iv_tagged = intervals_ds.map_batches(explode_intervals,
+                                         batch_format="pyarrow")
+
+    def group_join(g: pd.DataFrame) -> pd.DataFrame:
+        iv = g[g["_side"] == 1].sort_values(start, kind="stable")
+        left = g[g["_side"] == 0]
+        out_cols = left_cols + [start, end, *payload_cols]
+        if len(left) == 0:
+            return g.iloc[0:0][out_cols]
+        lts = left[ts].to_numpy()
+        s = iv[start].to_numpy()
+        e = iv[end].to_numpy()
+        li, ii = [], []
+        matched = np.zeros(len(left), bool)
+        # intervals may overlap: scan candidates with start <= ts, test end
+        hi = np.searchsorted(s, lts, side="right")
+        for j in range(len(left)):
+            cand = np.nonzero(e[:hi[j]] >= lts[j])[0]
+            if len(cand):
+                matched[j] = True
+                li.extend([j] * len(cand))
+                ii.extend(cand.tolist())
+        out = left.iloc[li][left_cols].reset_index(drop=True)
+        ivm = iv.iloc[ii].reset_index(drop=True)
+        out[start] = ivm[start].to_numpy() if len(ivm) else \
+            np.array([], dtype=lts.dtype)
+        out[end] = ivm[end].to_numpy() if len(ivm) else \
+            np.array([], dtype=lts.dtype)
+        for c in payload_cols:
+            out[c] = ivm[c].to_numpy() if len(ivm) else np.array([])
+        if how == "left" and (~matched).any():
+            um = left[~matched][left_cols].copy()
+            um[start] = np.full((~matched).sum(), np.datetime64("NaT"),
+                                lts.dtype)
+            um[end] = um[start]
+            for c in payload_cols:
+                um[c] = np.nan
+            out = pd.concat([out, um], ignore_index=True)
+        return out[out_cols]
+
+    grouped = left_tagged.union(iv_tagged).groupby([key, "_bkt"]).map_groups(
+        group_join, batch_format="pandas")
+    out_schema = pa.schema(
+        [lsch.field(c) for c in left_cols]
+        + [pa.field(start, ts_type), pa.field(end, ts_type)]
+        + [pa.field(c, pa.float64()) for c in payload_cols])
+    return grouped.map_batches(lambda b: _conform(b, out_schema),
+                               batch_format="pyarrow")

@@ -59,3 +59,47 @@ def test_asof_join_matches_merge_asof(ray_session):
     # key 3 has no checkpoints at all -> all null
     k3 = got[got.k == 3]
     assert k3["v_r"].isna().all() and len(k3) > 0
+
+
+def test_interval_join_overlaps_left_and_span_guard(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.interval import interval_join
+
+    base = pd.Timestamp("2024-05-01")
+    left = pd.DataFrame({
+        "ev": np.arange(6, dtype=np.int64),
+        "k": np.array([1, 1, 1, 1, 2, 2], np.int64),
+        "ts": pd.to_datetime([base + pd.Timedelta(h, "h")
+                              for h in [1, 5, 30, 100, 2, 50]]),
+    })
+    iv = pd.DataFrame({
+        "k": np.array([1, 1, 2], np.int64),
+        "s": pd.to_datetime([base, base + pd.Timedelta("4h"), base]),
+        "e": pd.to_datetime([base + pd.Timedelta("6h"),
+                             base + pd.Timedelta("40h"),
+                             base + pd.Timedelta("3h")]),
+        "w": np.array([1.0, 2.0, 3.0]),
+    })
+
+    got = (interval_join(rd.from_pandas(left).repartition(3),
+                         rd.from_pandas(iv), key="k", ts="ts",
+                         start="s", end="e", payload_cols=["w"], bucket="2h")
+           .to_pandas().sort_values(["ev", "w"]).reset_index(drop=True))
+    # ev0 in iv0 only; ev1 overlaps iv0 AND iv1 (two rows); ev2 in iv1
+    # (bucket-crossing interval); ev3 matches nothing; ev4 in iv2; ev5 nothing
+    assert list(map(tuple, got[["ev", "w"]].itertuples(index=False))) == [
+        (0, 1.0), (1, 1.0), (1, 2.0), (2, 2.0), (4, 3.0)]
+
+    lft = (interval_join(rd.from_pandas(left), rd.from_pandas(iv),
+                         key="k", ts="ts", start="s", end="e",
+                         payload_cols=["w"], bucket="2h", how="left")
+           .to_pandas())
+    assert len(lft) == 7                              # 5 matches + 2 unmatched
+    assert lft[lft.ev == 3]["w"].isna().all()
+
+    with pytest.raises(Exception):                    # span guard trips
+        interval_join(rd.from_pandas(left), rd.from_pandas(iv),
+                      key="k", ts="ts", start="s", end="e",
+                      payload_cols=["w"], bucket="2h",
+                      max_span_buckets=2).to_pandas()
