@@ -69,8 +69,8 @@ def _collided_keys(ds, col: str, *, driver_merge_max: int = 5_000_000,
         dup = merged.filter(pc.greater(merged["cnt_sum"], 1))
         return set(dup[col].to_pylist())
     out: set = set()
-    for b in duplicate_keys(ds, col).iter_batches(batch_size=1 << 16,
-                                                  batch_format="pyarrow"):
+    for b in duplicate_keys(ds, col, driver_merge_max=0).iter_batches(
+            batch_size=1 << 16, batch_format="pyarrow"):
         out.update(b[col].to_pylist())
         if len(out) > max_broadcast:
             raise MemoryError(
@@ -99,10 +99,14 @@ def exact_duplicate_groups(ds, text_col: str, id_col: str):
     return duplicate_keys(hashed, "content_hash")
 
 
-def dedup_exact_keep_min(ds, text_col: str, id_col: str):
+def dedup_exact_keep_min(ds, text_col: str, id_col: str, *,
+                         driver_merge_max: int = 5_000_000):
     """Survivors of exact dedup: per distinct text keep the row with min id.
-    Pre-aggregates (hash, min_id) per batch before the shuffle, then a tiny
-    groupby-min — the full rows never shuffle."""
+    Pre-aggregates (hash, min_id) per batch before the exchange — the full
+    rows never shuffle. Below ``driver_merge_max`` partial rows the partials
+    merge with one driver-side pyarrow group_by (same threshold pattern as
+    ``duplicate_keys``); above it, a distributed groupby-min."""
+    import ray.data as rd
     from ray.data.aggregate import Min
 
     hashed = ds.select_columns([id_col, text_col]).map_batches(
@@ -113,6 +117,21 @@ def dedup_exact_keep_min(ds, text_col: str, id_col: str):
         return agg.rename_columns(["content_hash", id_col])
 
     partials = hashed.map_batches(partial_min, batch_format="pyarrow")
+    if driver_merge_max:
+        parts, total, over = [], 0, False
+        for b in partials.iter_batches(batch_size=1 << 20,
+                                       batch_format="pyarrow"):
+            parts.append(b)
+            total += b.num_rows
+            if total > driver_merge_max:
+                over = True
+                break
+        if not over:
+            merged = (pa.concat_tables(parts).group_by("content_hash")
+                      .aggregate([(id_col, "min")])
+                      .rename_columns(["content_hash", id_col]))
+            return rd.from_arrow(merged)
+        partials = hashed.map_batches(partial_min, batch_format="pyarrow")
     return partials.repartition(8).groupby("content_hash").aggregate(
         Min(id_col, alias_name=id_col))
 

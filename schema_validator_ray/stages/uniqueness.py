@@ -41,19 +41,50 @@ class _PartialCounts:
 
 
 def duplicate_keys(ds, key: str, *, batch_size: int = 65536,
-                   reduce_partitions: int | None = 8):
+                   reduce_partitions: int | None = 8,
+                   driver_merge_max: int = 5_000_000):
     """Dataset of (key, dup_count) for keys appearing more than once.
-    Lazy; the groupby shuffle sees only pre-aggregated partials.
+    The shuffle (or driver merge) sees only pre-aggregated partials.
 
-    ``reduce_partitions`` coalesces the partials before the groupby — Ray's
-    sort-based aggregate pays per-partition fixed costs, so many tiny partial
-    blocks make small inputs disproportionately slow. 8 is right for single
-    -node scales; at cluster scale set it ≈ number of cores (or None to keep
-    the input partitioning)."""
+    Below ``driver_merge_max`` partial rows, the narrow (key, count) partials
+    are merged with ONE driver-side pyarrow group_by and returned as a
+    from_arrow Dataset — Ray's sort-based aggregate pays fixed per-stage costs
+    that dwarf small inputs (the flagship uses the identical threshold
+    pattern). Above it, the distributed groupby path runs; per-batch combine
+    bounds hot keys at ≤1 row per batch either way. ``reduce_partitions``
+    coalesces partials before the distributed groupby (≈ cores at cluster
+    scale, or None to keep input partitioning)."""
+    import ray.data as rd
     from ray.data.aggregate import Sum
 
     partials = ds.map_batches(_PartialCounts(key), batch_format="pyarrow",
                               batch_size=batch_size)
+    if driver_merge_max:
+        parts, total, over = [], 0, False
+        for b in partials.iter_batches(batch_size=1 << 20,
+                                       batch_format="pyarrow"):
+            parts.append(b)
+            total += b.num_rows
+            if total > driver_merge_max:
+                over = True
+                break
+        if not over:
+            if not parts:
+                sch = ds.schema()
+                ktype = dict(zip(sch.names, sch.types))[key]
+                merged = pa.table({key: pa.array([], ktype),
+                                   "dup_count": pa.array([], pa.int64())})
+                return rd.from_arrow(merged)
+            agg = (pa.concat_tables(parts).group_by(key)
+                   .aggregate([("cnt", "sum")]))
+            dup = agg.filter(pc.greater(agg["cnt_sum"], 1))
+            return rd.from_arrow(pa.table({
+                key: dup[key],
+                "dup_count": pc.cast(dup["cnt_sum"], pa.int64())}))
+        # fall through: too many partials — recompute distributed from source
+        partials = ds.map_batches(_PartialCounts(key),
+                                  batch_format="pyarrow",
+                                  batch_size=batch_size)
     if reduce_partitions:
         partials = partials.repartition(reduce_partitions)
     totals = partials.groupby(key).aggregate(Sum("cnt", alias_name="dup_count"))
