@@ -682,11 +682,20 @@ def q_asof_join_events(sf_dir: str):
         return pa.table({"user_id": agg["user_id"], "ts": agg["ts"],
                          "ckpt_value": agg["value_max"]})
 
-    from ray.data.aggregate import Max
+    # the checkpoint stream is 10% of events pre-reduced per batch — merge the
+    # partials with one driver group_by (flagship threshold pattern; a full
+    # Ray sort-groupby costs seconds of fixed overhead at this size)
+    import ray.data as rd
 
-    right = (right.map_batches(dedupe_ts, batch_format="pyarrow")
-             .groupby(["user_id", "ts"])
-             .aggregate(Max("ckpt_value", alias_name="ckpt_value")))
+    partials = right.map_batches(dedupe_ts, batch_format="pyarrow")
+    parts = [b for b in partials.iter_batches(batch_size=1 << 20,
+                                              batch_format="pyarrow")
+             if b.num_rows]
+    merged = (pa.concat_tables(parts).group_by(["user_id", "ts"])
+              .aggregate([("ckpt_value", "max")]))
+    right = rd.from_arrow(pa.table({
+        "user_id": merged["user_id"], "ts": merged["ts"],
+        "ckpt_value": merged["ckpt_value_max"]}))
     out = asof_join(left, right, key="user_id", ts="ts",
                     value_cols=["ckpt_value"], bucket="6h")
     return out.map_batches(

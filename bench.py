@@ -97,6 +97,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "minhash_pairs_docs",
         "knn_embeddings",
         "profile_lineitem",
+        "asof_join_events",
+        "sample_docs_hash",
     ]
     qs = m.queries()
     out = {}

@@ -3,19 +3,24 @@
 For every left row, attach the latest right row of the same key with
 ``right.ts <= left.ts`` (SQL: ``ASOF LEFT JOIN``). The naive expression
 (groupby(key) with both sides' full history in one group) has the same hot-key
-failure as naive windows, so this uses the skew-safe (key, coarse time-bucket)
-shuffle plus a carry-in pass:
+failure as naive windows, so this uses a skew-safe sharded-bucket shuffle plus
+a carry-in pass:
 
-1. Both sides bucket on (key, floor(ts / bucket)).
+1. Both sides bucket on floor(ts / bucket); the shuffle key is
+   (hash(key) % n_shards, bucket // blk_factor) — coarse enough that Ray's
+   per-group overhead stays negligible (a few hundred groups, not one per
+   (key, bucket)), fine enough that a hot key is bounded by its event rate
+   over blk_factor buckets, never its total history.
 2. Per (key, bucket), the LAST right row is reduced out (per-batch partial,
-   then a tiny groupby) — the "summary" stream, O(active buckets), not rows.
-3. Left-active buckets (distinct (key, bucket) of the left side — another tiny
-   summary) merge with the right summaries per key, sorted by bucket: a single
-   forward walk emits one carry-in row per LEFT-active bucket holding the
-   latest right row from any EARLIER bucket. Group size here is #buckets per
-   key, never #rows — sparse right sides don't explode into per-bucket copies.
-4. Left rows + right rows + carry-in rows shuffle on (key, bucket); inside
-   each group a sorted searchsorted resolves the as-of match exactly.
+   then a vectorized per-shard forward-fill) — the "summary" stream,
+   O(active buckets), not rows.
+3. Left-active buckets merge with the right summaries per shard; a groupby-
+   ffill emits one carry-in row per LEFT-active bucket holding the latest
+   right row from any EARLIER bucket. Sparse right sides never explode into
+   per-bucket copies.
+4. Left rows + right rows + carry-in rows shuffle on the sharded-bucket key;
+   inside each group one ``pd.merge_asof(by=key)`` resolves every key's
+   matches vectorized.
 
 Assumptions (documented): right side has at most one row per (key, ts) — ties
 at equal ts have no deterministic order, so pre-aggregate the right side
@@ -30,9 +35,17 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .referential import _hash_keys
+
 
 def _bkt_of(arr: np.ndarray, bucket_ns: int) -> np.ndarray:
     return arr.astype("datetime64[ns]").astype(np.int64) // bucket_ns
+
+
+def _shard_of(col: pa.Array | pa.ChunkedArray, n_shards: int) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return (_hash_keys(col) % np.uint64(n_shards)).astype(np.int32)
 
 
 def _conform(t: pa.Table, schema: pa.Schema) -> pa.Table:
@@ -47,7 +60,8 @@ def _conform(t: pa.Table, schema: pa.Schema) -> pa.Table:
 
 def asof_join(left_ds, right_ds, *, key: str, ts: str,
               value_cols: list[str], bucket: str = "6h",
-              right_suffix: str = "_r"):
+              right_suffix: str = "_r", n_shards: int = 32,
+              blk_factor: int = 16):
     """Returns a Dataset of all left columns plus, per ``value_cols`` entry,
     ``<col><right_suffix>`` (and ``<ts><right_suffix>``) from the matched
     right row; nulls when the key has no earlier-or-equal right row."""
@@ -63,25 +77,32 @@ def asof_join(left_ds, right_ds, *, key: str, ts: str,
     # unified schema for the (left ∪ right ∪ carry) grouped shuffle
     uschema = pa.schema(
         [lsch.field(c) for c in left_cols]
-        + [pa.field("_bkt", pa.int64()), pa.field("_side", pa.int8())]
-        + [pa.field(oc, pa.float64()) for oc in out_vals])
+        + [pa.field("_shard", pa.int32()), pa.field("_blk", pa.int64()),
+           pa.field("_side", pa.int8())]
+        + [pa.field(oc, pa.float64()) for oc in out_vals]
+        + [pa.field(out_ts, ts_type)])
     # summaries: markers (kind 0) + right-lasts (kind 1)
     sschema = pa.schema(
-        [lsch.field(key), pa.field("_bkt", pa.int64()),
-         pa.field("_kind", pa.int8()), pa.field(ts, ts_type)]
+        [lsch.field(key), pa.field("_shard", pa.int32()),
+         pa.field("_bkt", pa.int64()), pa.field("_kind", pa.int8()),
+         pa.field(ts, ts_type)]
         + [pa.field(oc, pa.float64()) for oc in out_vals])
 
     def tag_left(b: pa.Table) -> pa.Table:
         bkt = _bkt_of(b[ts].to_numpy(zero_copy_only=False), bucket_ns)
-        t = b.append_column("_bkt", pa.array(bkt, pa.int64()))
+        t = b.append_column("_shard",
+                            pa.array(_shard_of(b[key], n_shards)))
+        t = t.append_column("_blk", pa.array(bkt // blk_factor, pa.int64()))
         t = t.append_column("_side", pa.array(np.zeros(len(bkt), np.int8)))
         return _conform(t, uschema)
 
     def tag_right(b: pa.Table) -> pa.Table:
         bkt = _bkt_of(b[ts].to_numpy(zero_copy_only=False), bucket_ns)
-        cols = {key: b[key], ts: b[ts],
-                "_bkt": pa.array(bkt, pa.int64()),
-                "_side": pa.array(np.ones(len(bkt), np.int8))}
+        cols = {key: b[key],
+                "_shard": pa.array(_shard_of(b[key], n_shards)),
+                "_blk": pa.array(bkt // blk_factor, pa.int64()),
+                "_side": pa.array(np.ones(len(bkt), np.int8)),
+                out_ts: b[ts]}
         for c, oc in zip(value_cols, out_vals):
             cols[oc] = pc.cast(b[c], pa.float64())
         return _conform(pa.table(cols), uschema)
@@ -94,8 +115,9 @@ def asof_join(left_ds, right_ds, *, key: str, ts: str,
         bkt = _bkt_of(b[ts].to_numpy(zero_copy_only=False), bucket_ns)
         d = (pa.table({key: b[key], "_bkt": pa.array(bkt, pa.int64())})
              .group_by([key, "_bkt"]).aggregate([]))
-        d = d.append_column("_kind",
-                            pa.array(np.zeros(d.num_rows, np.int8)))
+        d = d.append_column("_shard",
+                            pa.array(_shard_of(d[key], n_shards)))
+        d = d.append_column("_kind", pa.array(np.zeros(d.num_rows, np.int8)))
         return _conform(d, sschema)
 
     def right_last_partial(b: pa.Table) -> pa.Table:
@@ -109,69 +131,100 @@ def asof_join(left_ds, right_ds, *, key: str, ts: str,
         df = (df.sort_values(ts, kind="stable")
               .groupby([key, "_bkt"], as_index=False).last())
         df["_kind"] = np.int8(1)
-        return _conform(pa.Table.from_pandas(df, preserve_index=False),
-                        sschema)
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        t = t.append_column("_shard", pa.array(_shard_of(t[key], n_shards)))
+        return _conform(t, sschema)
 
     lb = left_ds.map_batches(left_bucket_partial, batch_format="pyarrow")
     rl = right_ds.map_batches(right_last_partial, batch_format="pyarrow")
 
     def carry_fill(g: pd.DataFrame) -> pd.DataFrame:
-        # markers (_kind 0) sort before right-lasts within a bucket, so a
-        # marker at bucket b sees only right state from buckets < b; multiple
-        # right-last partials for one bucket resolve by ts (last wins)
-        g = g.sort_values(["_bkt", "_kind", ts], kind="stable")
-        prev_ts, prev_vals = None, None
-        rows = []
-        seen: set = set()
-        kvals = g[key].to_numpy()
-        bvals = g["_bkt"].to_numpy()
-        kinds = g["_kind"].to_numpy()
-        tvals = g[ts].to_numpy()
-        vmat = g[out_vals].to_numpy() if out_vals else None
-        for i in range(len(g)):
-            if kinds[i] == 0:
-                b = bvals[i]
-                if prev_ts is not None and b not in seen:
-                    rows.append((kvals[i], b, prev_ts, *prev_vals))
-                seen.add(b)
-            else:
-                prev_ts = tvals[i]
-                prev_vals = tuple(vmat[i]) if vmat is not None else ()
-        return pd.DataFrame(rows, columns=[key, "_bkt", ts, *out_vals])
+        # one shard = many keys; vectorized: sort so that within a key and
+        # bucket every marker (_kind 0) precedes the right-lasts, then a
+        # per-key forward-fill carries the latest EARLIER right state onto
+        # each marker row
+        g = g.sort_values([key, "_bkt", "_kind", ts],
+                          kind="stable").reset_index(drop=True)
+        is_r = (g["_kind"] == 1).to_numpy()
+        state = g[[ts, *out_vals]].where(pd.Series(is_r, index=g.index))
+        filled = state.groupby(g[key]).ffill()
+        markers = (~is_r) & filled[ts].notna().to_numpy()
+        out = pd.DataFrame({key: g.loc[markers, key].to_numpy(),
+                            "_bkt": g.loc[markers, "_bkt"].to_numpy(),
+                            ts: filled.loc[markers, ts].to_numpy()})
+        for oc in out_vals:
+            out[oc] = filled.loc[markers, oc].to_numpy()
+        # markers can repeat across per-batch partials — one carry per bucket
+        return out.drop_duplicates([key, "_bkt"])
 
-    carries = lb.union(rl).groupby(key).map_groups(carry_fill,
-                                                   batch_format="pandas")
+    # the summary stream is O(active buckets); below the threshold one driver
+    # pandas pass replaces a full distributed sort-groupby (same pattern as
+    # duplicate_keys); above it, the per-shard distributed path runs
+    summaries = lb.union(rl)
+    carries = None
+    driver_merge_max = 5_000_000
+    parts, total, over = [], 0, False
+    for b in summaries.iter_batches(batch_size=1 << 20,
+                                    batch_format="pyarrow"):
+        if b.num_rows:
+            parts.append(b)
+            total += b.num_rows
+        if total > driver_merge_max:
+            over = True
+            break
+    if not over:
+        import ray.data as rd
+
+        if parts:
+            df = pa.concat_tables(parts).to_pandas()
+            cdf = carry_fill(df)
+            carries = rd.from_arrow(_conform(
+                pa.Table.from_pandas(cdf, preserve_index=False),
+                pa.schema([lsch.field(key), pa.field("_bkt", pa.int64()),
+                           pa.field(ts, ts_type)]
+                          + [pa.field(oc, pa.float64())
+                             for oc in out_vals])))
+        else:
+            carries = rd.from_arrow(pa.schema(
+                [lsch.field(key), pa.field("_bkt", pa.int64()),
+                 pa.field(ts, ts_type)]
+                + [pa.field(oc, pa.float64())
+                   for oc in out_vals]).empty_table())
+    else:
+        lb2 = left_ds.map_batches(left_bucket_partial,
+                                  batch_format="pyarrow")
+        rl2 = right_ds.map_batches(right_last_partial,
+                                   batch_format="pyarrow")
+        carries = lb2.union(rl2).groupby("_shard").map_groups(
+            carry_fill, batch_format="pandas")
 
     def tag_carry(b: pa.Table) -> pa.Table:
-        t = b.append_column("_side",
-                            pa.array(np.ones(b.num_rows, np.int8)))
+        bkt = b["_bkt"].to_numpy(zero_copy_only=False)
+        t = pa.table({key: b[key],
+                      "_shard": pa.array(_shard_of(b[key], n_shards)),
+                      "_blk": pa.array(bkt // blk_factor, pa.int64()),
+                      "_side": pa.array(np.ones(b.num_rows, np.int8)),
+                      out_ts: b[ts]})
+        for oc in out_vals:
+            t = t.append_column(oc, pc.cast(b[oc], pa.float64()))
         return _conform(t, uschema)
 
     carry_tagged = carries.map_batches(tag_carry, batch_format="pyarrow")
 
-    # --- main grouped as-of ----------------------------------------------
+    # --- main grouped as-of: one merge_asof per (shard, bucket-block) -----
     def group_asof(g: pd.DataFrame) -> pd.DataFrame:
-        right = g[g["_side"] == 1].sort_values(ts, kind="stable")
-        left = g[g["_side"] == 0].copy()
-        rts = right[ts].to_numpy()
-        lts = left[ts].to_numpy()
-        idx = np.searchsorted(rts, lts, side="right") - 1
-        ok = idx >= 0
-        matched_ts = np.full(
-            len(left), np.datetime64("NaT"),
-            dtype=rts.dtype if len(rts) else lts.dtype)
-        if len(rts):
-            matched_ts[ok] = rts[idx[ok]]
-        left[out_ts] = matched_ts
-        for oc in out_vals:
-            vals = np.full(len(left), np.nan)
-            if len(right):
-                vals[ok] = right[oc].to_numpy()[idx[ok]]
-            left[oc] = vals
-        return left[left_cols + [out_ts, *out_vals]]
+        left = g[g["_side"] == 0]
+        right = g[g["_side"] == 1]
+        l = left[left_cols].sort_values(ts, kind="stable")
+        r = (right[[key, out_ts, *out_vals]]
+             .sort_values(out_ts, kind="stable"))
+        merged = pd.merge_asof(l, r, left_on=ts, right_on=out_ts,
+                               by=key, direction="backward",
+                               allow_exact_matches=True)
+        return merged[left_cols + [out_ts, *out_vals]]
 
     everything = left_tagged.union(right_tagged).union(carry_tagged)
-    grouped = everything.groupby([key, "_bkt"]).map_groups(
+    grouped = everything.groupby(["_shard", "_blk"]).map_groups(
         group_asof, batch_format="pandas")
     # pandas promotes int left-columns to float through the null-bearing
     # union (right/carry rows have null left payloads) — cast back

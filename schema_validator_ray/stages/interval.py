@@ -3,15 +3,19 @@
 For every left row, attach the interval row(s) of the same key whose
 ``[start, end]`` contains the left row's ``ts`` (SQL: ``JOIN ... ON key AND ts
 BETWEEN start AND end``). Ray Data has no native range join; the distributed
-shape mirrors the skew-safe window/as-of pattern:
+shape mirrors the sharded skew-safe window/as-of pattern:
 
-1. Left rows bucket on (key, floor(ts / bucket)).
+1. Left rows bucket on floor(ts / bucket); the shuffle key is
+   (hash(key) % n_shards, bucket // blk_factor) — a few hundred coarse groups
+   (Ray's per-group overhead would dominate with one group per (key, bucket)),
+   hot keys bounded by rate x blk_factor x bucket.
 2. Each interval row is replicated into EVERY bucket it overlaps — the only
    data expansion, bounded by interval_span / bucket. Intervals longer than
    ``max_span_buckets`` buckets are rejected loudly rather than silently
-   exploding (pick a bucket ≳ the typical interval length).
-3. groupby(key, bucket): inside each group a sort + searchsorted range scan
-   emits one output row per (left row, containing interval).
+   exploding (pick a bucket ≳ the typical interval length). Replicas landing
+   in the same (shard, block) dedupe before matching.
+3. Inside each group a per-key sorted range scan emits one output row per
+   (left row, containing interval).
 
 Left rows with no containing interval are dropped (inner join) or kept with
 nulls (``how="left"``).
@@ -24,13 +28,14 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .asof import _conform
+from .asof import _conform, _shard_of
 
 
 def interval_join(left_ds, intervals_ds, *, key: str, ts: str,
                   start: str, end: str, payload_cols: list[str],
                   bucket: str = "6h", how: str = "inner",
-                  max_span_buckets: int = 1024):
+                  max_span_buckets: int = 1024, n_shards: int = 32,
+                  blk_factor: int = 16):
     """Returns left columns + ``start``/``end`` + ``payload_cols`` of every
     containing interval. ``payload_cols`` must be numeric (ride as float64)."""
     if how not in ("inner", "left"):
@@ -44,7 +49,8 @@ def interval_join(left_ds, intervals_ds, *, key: str, ts: str,
 
     uschema = pa.schema(
         [lsch.field(c) for c in left_cols]
-        + [pa.field("_bkt", pa.int64()), pa.field("_side", pa.int8()),
+        + [pa.field("_shard", pa.int32()), pa.field("_blk", pa.int64()),
+           pa.field("_side", pa.int8()),
            pa.field(start, ts_type), pa.field(end, ts_type)]
         + [pa.field(c, pa.float64()) for c in payload_cols])
 
@@ -53,7 +59,8 @@ def interval_join(left_ds, intervals_ds, *, key: str, ts: str,
 
     def tag_left(b: pa.Table) -> pa.Table:
         bkt = _ns(b[ts].to_numpy(zero_copy_only=False)) // bucket_ns
-        t = b.append_column("_bkt", pa.array(bkt, pa.int64()))
+        t = b.append_column("_shard", pa.array(_shard_of(b[key], n_shards)))
+        t = t.append_column("_blk", pa.array(bkt // blk_factor, pa.int64()))
         t = t.append_column("_side", pa.array(np.zeros(len(bkt), np.int8)))
         return _conform(t, uschema)
 
@@ -68,62 +75,88 @@ def interval_join(left_ds, intervals_ds, *, key: str, ts: str,
             raise ValueError(
                 f"interval spans {worst} buckets (> {max_span_buckets}); "
                 f"raise `bucket` toward the typical interval length")
-        reps = span.astype(np.int64)
+        # replicate per covered BLOCK (coarser than bucket: fewer copies)
+        blk0 = b0 // blk_factor
+        blk1 = b1 // blk_factor
+        reps = (blk1 - blk0 + 1).astype(np.int64)
         idx = np.repeat(np.arange(len(reps)), reps)
-        offs = np.concatenate([np.arange(r) for r in reps]) if len(reps) else \
-            np.array([], np.int64)
-        cols = {key: b[key].take(pa.array(idx)),
-                "_bkt": pa.array(b0[idx] + offs, pa.int64()),
+        offs = (np.concatenate([np.arange(r) for r in reps])
+                if len(reps) else np.array([], np.int64))
+        take = pa.array(idx)
+        keys_rep = b[key].take(take)
+        cols = {key: keys_rep,
+                "_shard": pa.array(_shard_of(keys_rep, n_shards)),
+                "_blk": pa.array(blk0[idx] + offs, pa.int64()),
                 "_side": pa.array(np.ones(len(idx), np.int8)),
-                start: b[start].take(pa.array(idx)),
-                end: b[end].take(pa.array(idx))}
+                start: b[start].take(take),
+                end: b[end].take(take)}
         for c in payload_cols:
-            cols[c] = pc.cast(b[c].take(pa.array(idx)), pa.float64())
+            cols[c] = pc.cast(b[c].take(take), pa.float64())
         return _conform(pa.table(cols), uschema)
 
     left_tagged = left_ds.map_batches(tag_left, batch_format="pyarrow")
     iv_tagged = intervals_ds.map_batches(explode_intervals,
                                          batch_format="pyarrow")
 
+    out_cols = left_cols + [start, end, *payload_cols]
+
     def group_join(g: pd.DataFrame) -> pd.DataFrame:
-        iv = g[g["_side"] == 1].sort_values(start, kind="stable")
+        iv = (g[g["_side"] == 1]
+              .drop_duplicates([key, start, end, *payload_cols]))
         left = g[g["_side"] == 0]
-        out_cols = left_cols + [start, end, *payload_cols]
         if len(left) == 0:
             return g.iloc[0:0][out_cols]
-        lts = left[ts].to_numpy()
-        s = iv[start].to_numpy()
-        e = iv[end].to_numpy()
-        li, ii = [], []
-        matched = np.zeros(len(left), bool)
-        # intervals may overlap: scan candidates with start <= ts, test end
-        hi = np.searchsorted(s, lts, side="right")
-        for j in range(len(left)):
-            cand = np.nonzero(e[:hi[j]] >= lts[j])[0]
-            if len(cand):
-                matched[j] = True
-                li.extend([j] * len(cand))
-                ii.extend(cand.tolist())
-        out = left.iloc[li][left_cols].reset_index(drop=True)
-        ivm = iv.iloc[ii].reset_index(drop=True)
-        out[start] = ivm[start].to_numpy() if len(ivm) else \
-            np.array([], dtype=lts.dtype)
-        out[end] = ivm[end].to_numpy() if len(ivm) else \
-            np.array([], dtype=lts.dtype)
-        for c in payload_cols:
-            out[c] = ivm[c].to_numpy() if len(ivm) else np.array([])
-        if how == "left" and (~matched).any():
-            um = left[~matched][left_cols].copy()
-            um[start] = np.full((~matched).sum(), np.datetime64("NaT"),
-                                lts.dtype)
-            um[end] = um[start]
+        pieces = []
+        iv_by_key = {k: sub.sort_values(start, kind="stable")
+                     for k, sub in iv.groupby(key)} if len(iv) else {}
+        lts_dtype = left[ts].to_numpy().dtype
+        for k, lsub in left.groupby(key):
+            sub = iv_by_key.get(k)
+            lts = lsub[ts].to_numpy()
+            if sub is None:
+                if how == "left":
+                    um = lsub[left_cols].copy()
+                    um[start] = np.full(len(um), np.datetime64("NaT"),
+                                        lts_dtype)
+                    um[end] = um[start]
+                    for c in payload_cols:
+                        um[c] = np.nan
+                    pieces.append(um)
+                continue
+            s = sub[start].to_numpy()
+            e = sub[end].to_numpy()
+            li, ii = [], []
+            matched = np.zeros(len(lsub), bool)
+            hi = np.searchsorted(s, lts, side="right")
+            for j in range(len(lsub)):
+                cand = np.nonzero(e[:hi[j]] >= lts[j])[0]
+                if len(cand):
+                    matched[j] = True
+                    li.extend([j] * len(cand))
+                    ii.extend(cand.tolist())
+            out = lsub.iloc[li][left_cols].reset_index(drop=True)
+            ivm = sub.iloc[ii].reset_index(drop=True)
+            out[start] = (ivm[start].to_numpy() if len(ivm)
+                          else np.array([], dtype=lts_dtype))
+            out[end] = (ivm[end].to_numpy() if len(ivm)
+                        else np.array([], dtype=lts_dtype))
             for c in payload_cols:
-                um[c] = np.nan
-            out = pd.concat([out, um], ignore_index=True)
-        return out[out_cols]
+                out[c] = (ivm[c].to_numpy() if len(ivm) else np.array([]))
+            pieces.append(out)
+            if how == "left" and (~matched).any():
+                um = lsub[~matched][left_cols].copy()
+                um[start] = np.full((~matched).sum(), np.datetime64("NaT"),
+                                    lts_dtype)
+                um[end] = um[start]
+                for c in payload_cols:
+                    um[c] = np.nan
+                pieces.append(um)
+        if not pieces:
+            return g.iloc[0:0][out_cols]
+        return pd.concat(pieces, ignore_index=True)[out_cols]
 
-    grouped = left_tagged.union(iv_tagged).groupby([key, "_bkt"]).map_groups(
-        group_join, batch_format="pandas")
+    grouped = left_tagged.union(iv_tagged).groupby(
+        ["_shard", "_blk"]).map_groups(group_join, batch_format="pandas")
     out_schema = pa.schema(
         [lsch.field(c) for c in left_cols]
         + [pa.field(start, ts_type), pa.field(end, ts_type)]

@@ -24,9 +24,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def tumbling_window(ds, *, key: str, ts: str, value: str, every: str = "hour"):
+def tumbling_window(ds, *, key: str, ts: str, value: str, every: str = "hour",
+                    driver_merge_max: int = 5_000_000):
     """(key, window_start, n, total) — partial/combiner pattern: per-batch
-    pyarrow group_by, merged by a small Ray groupby."""
+    pyarrow group_by, merged by one driver-side group_by below
+    ``driver_merge_max`` partial rows (the partials are already tiny) or a
+    distributed Ray groupby above it."""
+    import ray.data as rd
     from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
@@ -41,7 +45,29 @@ def tumbling_window(ds, *, key: str, ts: str, value: str, every: str = "hour"):
             "total": agg[f"{value}_sum"],
         })
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    if driver_merge_max:
+        parts, total, over = [], 0, False
+        for b in partials.iter_batches(batch_size=1 << 20,
+                                       batch_format="pyarrow"):
+            if b.num_rows:
+                parts.append(b)
+                total += b.num_rows
+            if total > driver_merge_max:
+                over = True
+                break
+        if not over and parts:
+            agg = (pa.concat_tables(parts).group_by([key, "window_start"])
+                   .aggregate([("n", "sum"), ("total", "sum")]))
+            return rd.from_arrow(pa.table({
+                key: agg[key], "window_start": agg["window_start"],
+                "n": pc.cast(agg["n_sum"], pa.int64()),
+                "total": agg["total_sum"]}))
+        if not over and not parts:
+            pass  # empty input: fall through to the lazy distributed path
+        else:
+            partials = ds.map_batches(partial, batch_format="pyarrow")
+    return (partials
             .repartition(8)
             .groupby([key, "window_start"])
             .aggregate(Sum("n", alias_name="n"),
@@ -52,19 +78,30 @@ def _ts_ns(series) -> np.ndarray:
     return series.to_numpy().astype("datetime64[ns]").astype(np.int64)
 
 
+def _shard_series(series, n_shards: int) -> np.ndarray:
+    import pyarrow as _pa
+
+    from .referential import _hash_keys
+
+    return (_hash_keys(_pa.array(np.asarray(series)))
+            % np.uint64(n_shards)).astype(np.int32)
+
+
 def sliding_count(ds, *, key: str, ts: str, window: str = "1h",
-                  bucket_multiple: int = 64):
+                  bucket_multiple: int = 64, n_shards: int = 32):
     """Per event: number of events of the same key within the trailing window
     (inclusive). Equivalent SQL: COUNT(*) OVER (PARTITION BY key ORDER BY ts
     RANGE BETWEEN INTERVAL window PRECEDING AND CURRENT ROW).
 
-    Skew-safe shape: events shuffle on (key, time bucket of
-    ``bucket_multiple`` x window). Each event is an *owner* row in its own
-    bucket; events inside the trailing window of the next bucket's start are
-    duplicated there as *context* rows, so every owner sees its full trailing
-    window locally. Per-group memory is bounded by the key's event rate over
-    one bucket + one window, never its total history. Duplication overhead is
-    1/bucket_multiple of the stream in expectation."""
+    Skew-safe shape: events shuffle on (hash(key) % n_shards, time bucket of
+    ``bucket_multiple`` x window) — a few hundred COARSE groups (Ray's
+    per-group overhead is ~ms, so one group per (key, bucket) would dominate
+    small inputs), each processed with a vectorized per-key pass. Each event
+    is an *owner* row in its own bucket; events inside the trailing window of
+    the next bucket's start are duplicated there as *context* rows, so every
+    owner sees its full trailing window locally. A hot key is bounded by its
+    event rate over one bucket + one window, never its total history;
+    duplication overhead is 1/bucket_multiple of the stream in expectation."""
     delta = pd.Timedelta(window)
     win_ns = delta.value
     bucket_ns = win_ns * bucket_multiple
@@ -72,84 +109,105 @@ def sliding_count(ds, *, key: str, ts: str, window: str = "1h",
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         t_ns = _ts_ns(b[ts])
         bkt = t_ns // bucket_ns
+        shard = _shard_series(b[key], n_shards)
         own = b.copy()
         own["_bkt"] = bkt
+        own["_shard"] = shard
         own["_own"] = True
         next_start = (bkt + 1) * bucket_ns
         ctx_mask = t_ns >= next_start - win_ns
         ctx = b[ctx_mask].copy()
         ctx["_bkt"] = bkt[ctx_mask] + 1
+        ctx["_shard"] = shard[ctx_mask]
         ctx["_own"] = False
         return pd.concat([own, ctx], ignore_index=True)
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts, kind="stable").reset_index(drop=True)
+        # one (shard, bucket) group = many keys; per-key searchsorted over
+        # contiguous key segments of the (key, ts)-sorted frame
+        g = g.sort_values([key, ts], kind="stable").reset_index(drop=True)
         t = g[ts].to_numpy()
-        left = np.searchsorted(t, t - delta.to_numpy(), side="left")
-        right = np.searchsorted(t, t, side="right")  # peer rows (equal ts) count
-        g["cnt_window"] = (right - left).astype(np.int64)
+        kv = g[key].to_numpy()
+        seg = np.flatnonzero(np.r_[True, kv[1:] != kv[:-1]])
+        seg = np.r_[seg, len(kv)]
+        cnt = np.empty(len(kv), np.int64)
+        for a, b_ in zip(seg[:-1], seg[1:]):
+            tt = t[a:b_]
+            cnt[a:b_] = (np.searchsorted(tt, tt, side="right")
+                         - np.searchsorted(tt, tt - delta.to_numpy(),
+                                           side="left"))
+        g["cnt_window"] = cnt
         g = g[g["_own"]]
-        return g.drop(columns=["_bkt", "_own"]).reset_index(drop=True)
+        return g.drop(columns=["_bkt", "_shard", "_own"]).reset_index(
+            drop=True)
 
     exploded = ds.map_batches(explode, batch_format="pandas")
-    return exploded.groupby([key, "_bkt"]).map_groups(per_group,
-                                                      batch_format="pandas")
+    return exploded.groupby(["_shard", "_bkt"]).map_groups(
+        per_group, batch_format="pandas")
 
 
 def session_windows(ds, *, key: str, ts: str, gap: str = "30min",
-                    bucket_multiple: int = 64):
+                    bucket_multiple: int = 64, n_shards: int = 32):
     """Session assignment: events of a key closer than ``gap`` share a session.
     Returns one row per session: (key, session_start, session_end, n_events).
 
-    Skew-safe two-phase shape: phase 1 computes sessions locally per
-    (key, time bucket of ``bucket_multiple`` x gap) — group size bounded by the
-    bucket span. Phase 2 merges sessions that touch across bucket boundaries
-    (chains merge transitively) in a per-key group whose size is the number of
-    session summaries, bounded by #buckets, never #events."""
+    Skew-safe two-phase shape, sharded coarse like ``sliding_count``: phase 1
+    computes sessions locally per (shard, time bucket of ``bucket_multiple`` x
+    gap) with one vectorized pandas groupby per group — per-key size bounded
+    by the bucket span. Phase 2 merges sessions that touch across bucket
+    boundaries (chains collapse via a vectorized per-key cumsum) in per-shard
+    groups over session SUMMARIES — O(#buckets) rows per key, never #events."""
     delta = pd.Timedelta(gap)
     bucket_ns = delta.value * bucket_multiple
 
     def bucketize(b: pd.DataFrame) -> pd.DataFrame:
         out = b.copy()
         out["_bkt"] = _ts_ns(b[ts]) // bucket_ns
+        out["_shard"] = _shard_series(b[key], n_shards)
         return out
 
     def local_sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts, kind="stable").reset_index(drop=True)
-        t = g[ts]
-        new_session = (t.diff() > delta).cumsum()
-        out = g.groupby(new_session).agg(
-            session_start=(ts, "min"), session_end=(ts, "max"),
-            n_events=(ts, "size"))
-        out[key] = g[key].iloc[0]
-        return out[[key, "session_start", "session_end", "n_events"]]
+        g = g.sort_values([key, ts], kind="stable").reset_index(drop=True)
+        kv = g[key]
+        new_key = (kv != kv.shift()).to_numpy()
+        brk = (g[ts].diff() > delta).to_numpy() | new_key
+        sid = np.cumsum(brk)
+        out = (g.assign(_sid=sid).groupby("_sid")
+               .agg(**{key: (key, "first"),
+                       "session_start": (ts, "min"),
+                       "session_end": (ts, "max"),
+                       "n_events": (ts, "size")}))
+        return out.reset_index(drop=True)[
+            [key, "session_start", "session_end", "n_events"]]
 
     def merge_boundary(g: pd.DataFrame) -> pd.DataFrame:
-        # buckets partition time, so sessions of one key never interleave:
-        # sort by start, merge any session starting within gap of the running
-        # end (transitive chains collapse in one pass)
-        g = g.sort_values("session_start", kind="stable").reset_index(drop=True)
+        # buckets partition time, so a key's sessions never interleave: new
+        # chain where the gap to the previous session's end exceeds delta;
+        # transitive chains collapse by cumsum (a local session always starts
+        # after the previous one's end within a key)
+        g = g.sort_values([key, "session_start"],
+                          kind="stable").reset_index(drop=True)
+        kv = g[key]
+        new_key = (kv != kv.shift()).to_numpy()
         starts = _ts_ns(g["session_start"])
         ends = _ts_ns(g["session_end"])
-        n = g["n_events"].to_numpy()
-        o_start, o_end, o_n = [], [], []
-        for i in range(len(g)):
-            if o_end and starts[i] - o_end[-1] <= delta.value:
-                o_end[-1] = max(o_end[-1], ends[i])
-                o_n[-1] += int(n[i])
-            else:
-                o_start.append(starts[i])
-                o_end.append(ends[i])
-                o_n.append(int(n[i]))
-        unit = g["session_start"].to_numpy().dtype
-        return pd.DataFrame({
-            key: g[key].iloc[0],
-            "session_start": np.array(o_start, "datetime64[ns]").astype(unit),
-            "session_end": np.array(o_end, "datetime64[ns]").astype(unit),
-            "n_events": np.array(o_n, np.int64),
-        })
+        gap_prev = starts - np.r_[0, ends[:-1]]
+        brk = new_key | (gap_prev > delta.value)
+        cid = np.cumsum(brk)
+        out = (g.assign(_cid=cid).groupby("_cid")
+               .agg(**{key: (key, "first"),
+                       "session_start": ("session_start", "min"),
+                       "session_end": ("session_end", "max"),
+                       "n_events": ("n_events", "sum")}))
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out.reset_index(drop=True)[
+            [key, "session_start", "session_end", "n_events"]]
 
     local = (ds.map_batches(bucketize, batch_format="pandas")
-             .groupby([key, "_bkt"]).map_groups(local_sessions,
-                                                batch_format="pandas"))
-    return local.groupby(key).map_groups(merge_boundary, batch_format="pandas")
+             .groupby(["_shard", "_bkt"]).map_groups(local_sessions,
+                                                     batch_format="pandas"))
+    with_shard = local.map_batches(
+        lambda b: b.assign(_shard=_shard_series(b[key], n_shards)),
+        batch_format="pandas")
+    return with_shard.groupby("_shard").map_groups(merge_boundary,
+                                                   batch_format="pandas")
