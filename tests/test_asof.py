@@ -103,3 +103,78 @@ def test_interval_join_overlaps_left_and_span_guard(ray_session):
                       key="k", ts="ts", start="s", end="e",
                       payload_cols=["w"], bucket="2h",
                       max_span_buckets=2).to_pandas()
+
+
+def test_asof_join_property_random(ray_session):
+    """Randomized parity vs pandas merge_asof across bucket sizes and shard
+    counts (exercises carry-ins, empty shards, keys on only one side)."""
+    import ray.data as rd
+
+    from schema_validator_ray.stages.asof import asof_join
+
+    rng = np.random.default_rng(123)
+    base = pd.Timestamp("2023-11-05").value
+    for trial, (bucket, shards, blk) in enumerate(
+            [("3h", 8, 4), ("1D", 5, 2), ("30min", 32, 16)]):
+        n_l, n_r = 600, 120
+        left = pd.DataFrame({
+            "i": np.arange(n_l, dtype=np.int64),
+            "k": rng.integers(0, 12, n_l).astype(np.int64),
+            "ts": pd.to_datetime(
+                base + rng.integers(0, 12 * 24 * 3600 * 10 ** 9, n_l)),
+        })
+        right = pd.DataFrame({
+            "k": rng.integers(4, 16, n_r).astype(np.int64),  # keys 12..15 unused
+            "ts": pd.to_datetime(
+                base + rng.integers(0, 12 * 24 * 3600 * 10 ** 9, n_r)),
+            "v": rng.random(n_r).round(4),
+        }).groupby(["k", "ts"], as_index=False)["v"].max()
+
+        got = (asof_join(rd.from_pandas(left).repartition(4),
+                         rd.from_pandas(right).repartition(2),
+                         key="k", ts="ts", value_cols=["v"], bucket=bucket,
+                         n_shards=shards, blk_factor=blk)
+               .to_pandas().sort_values("i").reset_index(drop=True))
+        want = pd.merge_asof(
+            left.sort_values("ts", kind="stable"),
+            right.sort_values("ts", kind="stable").rename(
+                columns={"ts": "ts_r", "v": "v_r"}),
+            left_on="ts", right_on="ts_r", by="k", direction="backward",
+        ).sort_values("i").reset_index(drop=True)
+        assert len(got) == n_l, (trial, len(got))
+        pd.testing.assert_series_equal(got["v_r"], want["v_r"],
+                                       check_names=False)
+
+
+def test_interval_join_property_random(ray_session):
+    """Randomized parity vs a naive pandas range join."""
+    import ray.data as rd
+
+    from schema_validator_ray.stages.interval import interval_join
+
+    rng = np.random.default_rng(77)
+    base = pd.Timestamp("2023-11-05").value
+    n_l, n_iv = 500, 60
+    left = pd.DataFrame({
+        "i": np.arange(n_l, dtype=np.int64),
+        "k": rng.integers(0, 8, n_l).astype(np.int64),
+        "ts": pd.to_datetime(
+            base + rng.integers(0, 6 * 24 * 3600 * 10 ** 9, n_l)),
+    })
+    s = base + rng.integers(0, 6 * 24 * 3600 * 10 ** 9, n_iv)
+    dur = rng.integers(1, 18 * 3600 * 10 ** 9, n_iv)
+    iv = pd.DataFrame({
+        "k": rng.integers(0, 8, n_iv).astype(np.int64),
+        "s": pd.to_datetime(s), "e": pd.to_datetime(s + dur),
+        "w": np.arange(n_iv, dtype=np.float64),
+    })
+    got = (interval_join(rd.from_pandas(left).repartition(4),
+                         rd.from_pandas(iv), key="k", ts="ts", start="s",
+                         end="e", payload_cols=["w"], bucket="4h",
+                         n_shards=8, blk_factor=3)
+           .to_pandas())
+    naive = left.merge(iv, on="k")
+    naive = naive[(naive.ts >= naive.s) & (naive.ts <= naive.e)]
+    want = set(map(tuple, naive[["i", "w"]].itertuples(index=False)))
+    assert set(map(tuple, got[["i", "w"]].itertuples(index=False))) == want
+    assert len(got) == len(naive)
