@@ -127,6 +127,34 @@ def merge_profiles(partials_ds) -> dict[str, ColumnProfile]:
     return profiles
 
 
+def merge_profiles_distributed(partials_ds) -> dict[str, ColumnProfile]:
+    """Tree-merge path for partial streams too large to stream to the driver
+    (≳10^6 blocks): a ``groupby(column)`` reduces every column's partials on
+    workers — sketches are mergeable, so each group collapses to ONE row — and
+    the driver loads exactly one profile per column."""
+
+    def merge_group(g):
+        import pandas as pd
+
+        merged: ColumnProfile | None = None
+        for cnt, nl, blob in zip(g["count"], g["nulls"], g["blob"]):
+            vmin, vmax, vsum, td, hll, cms = pickle.loads(blob)
+            p = ColumnProfile(g["column"].iloc[0], int(cnt), int(nl),
+                              vmin, vmax, vsum, td, hll, cms)
+            merged = p if merged is None else merged.merge(p)
+        return pd.DataFrame({
+            "column": [merged.column],
+            "count": [merged.count],
+            "nulls": [merged.nulls],
+            "blob": [pickle.dumps((merged.vmin, merged.vmax, merged.vsum,
+                                   merged.tdigest, merged.hll, merged.cms))],
+        })
+
+    reduced = partials_ds.groupby("column").map_groups(
+        merge_group, batch_format="pandas")
+    return merge_profiles(reduced)
+
+
 def save_profiles(profiles: dict[str, ColumnProfile], path: str) -> str:
     """Persist a profile set (the drift reference) — pickle of the dataclasses,
     written atomically."""
@@ -157,9 +185,15 @@ def load_profiles(path: str) -> dict:
 
 
 def profile_dataset(ds, *, numeric=(), categorical=(), keys=(),
-                    batch_size: int = 65536) -> dict[str, ColumnProfile]:
+                    batch_size: int = 65536,
+                    distributed_merge: bool = False) -> dict[str, ColumnProfile]:
+    """``distributed_merge=True`` routes the partials through the worker-side
+    tree merge (one groupby) instead of the incremental driver stream — use it
+    when block count is huge (the partial stream is O(blocks x columns))."""
     cols = list(dict.fromkeys(list(numeric) + list(categorical) + list(keys)))
     partials = (ds.select_columns(cols)  # prune before the stage
                 .map_batches(ColumnProfilerStage(numeric, categorical, keys),
                              batch_format="pyarrow", batch_size=batch_size))
+    if distributed_merge:
+        return merge_profiles_distributed(partials)
     return merge_profiles(partials)

@@ -69,3 +69,28 @@ def test_countmin_planted_heavy_hitters():
     # CMS overestimates only
     assert top[0][1] >= 9000
     assert top[0][1] <= 9000 + 200
+
+
+def test_distributed_profile_merge_equals_driver_merge(ray_session):
+    """The worker-side tree merge must produce identical exact fields and
+    equivalent sketches to the incremental driver merge."""
+    import ray.data as rd
+
+    from schema_validator_ray.sources.pq_read import read_parquet_clean
+    from schema_validator_ray.stages.stats import profile_dataset
+
+    ds = read_parquet_clean("/root/testdata/sf0.01/lineitem.parquet",
+                            columns=["l_quantity", "l_orderkey"])
+    a = profile_dataset(ds, numeric=("l_quantity",), keys=("l_orderkey",))
+    b = profile_dataset(ds, numeric=("l_quantity",), keys=("l_orderkey",),
+                        distributed_merge=True)
+    for col in a:
+        pa_, pb_ = a[col], b[col]
+        assert (pa_.count, pa_.nulls, pa_.vmin, pa_.vmax, pa_.vsum) == \
+            (pb_.count, pb_.nulls, pb_.vmin, pb_.vmax, pb_.vsum)
+        if pa_.hll is not None:
+            assert pa_.hll.estimate() == pb_.hll.estimate()
+        if pa_.tdigest is not None:
+            # merge order may differ -> tiny quantile drift is allowed
+            qa, qb = pa_.tdigest.quantile(0.5), pb_.tdigest.quantile(0.5)
+            assert abs(qa - qb) <= 0.05 * max(abs(qa), 1.0)
