@@ -146,16 +146,37 @@ def uniqueness_violations(ds, key: str, *, id_column: str,
         batch_format="pyarrow", batch_size=batch_size)
 
 
-def dedup_exact(ds, key: str, *, order_col: str | None = None):
-    """Exact dedup: hash-partitioned ``groupby(key)``, keep one deterministic
-    representative per group (the row minimizing ``order_col``, or the first row
-    if no order column is given). The shuffle moves every row — use this only
-    when the surviving rows are needed; for a *duplicate check* use
-    :func:`duplicate_keys`, whose shuffle sees only per-batch partials."""
+def dedup_exact(ds, key: str, *, order_col: str | None = None,
+                n_shards: int = 64):
+    """Exact dedup keeping full surviving rows: one deterministic
+    representative per key (the row minimizing ``order_col``, or an arbitrary
+    stable row if no order column is given — pass ``order_col`` whenever
+    determinism matters across re-blocking).
 
-    def head1(g):
+    Scale shape: a per-batch combine keeps ONE candidate row per key per batch
+    first (bounding any hot key to ≤ num_batches rows before the exchange),
+    then a coarse ``groupby(hash(key) % n_shards)`` re-picks vectorized inside
+    each shard — no per-key group calls, no full-row shuffle of duplicates.
+    For a *duplicate check* use :func:`duplicate_keys`, whose shuffle sees
+    only (key, count) partials."""
+
+    def pick(b):
         if order_col is not None:
-            g = g.sort_values(order_col, kind="stable")
-        return g.head(1)
+            b = b.sort_values(order_col, kind="stable")
+        return b.drop_duplicates(key, keep="first")
 
-    return ds.groupby(key).map_groups(head1, batch_format="pandas")
+    def pick_and_shard(b):
+        out = pick(b).copy()
+        import pyarrow as _pa
+
+        from .referential import _hash_keys
+
+        out["_shard"] = (_hash_keys(_pa.array(np.asarray(out[key])))
+                         % np.uint64(n_shards)).astype(np.int32)
+        return out
+
+    part = ds.map_batches(pick_and_shard, batch_format="pandas")
+    return (part.groupby("_shard")
+            .map_groups(pick, batch_format="pandas")
+            .map_batches(lambda b: b.drop(columns=["_shard"]),
+                         batch_format="pandas"))

@@ -152,3 +152,30 @@ def test_text_functions():
     fp = fingerprint64(pa.array(["same doc text here", "same doc text here",
                                  "other"])).to_pylist()
     assert fp[0] == fp[1] != fp[2]
+
+
+def test_dedup_exact_survivors(ray_session):
+    """Full-row survivor dedup: per key the min-order row survives with all
+    its columns, stable across re-blocking; hot key bounded by the per-batch
+    combine (functionally: result equals a pandas drop_duplicates)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_validator_ray.stages.uniqueness import dedup_exact
+
+    rng = np.random.default_rng(21)
+    n = 5000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, n).astype(np.int64),   # 1 hot key below
+        "o": rng.permutation(n).astype(np.int64),
+        "payload": rng.random(n),
+    })
+    df.loc[: n // 2, "k"] = 7  # hot key: half the rows
+
+    got = (dedup_exact(rd.from_pandas(df).repartition(9), "k", order_col="o")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = (df.sort_values("o", kind="stable").drop_duplicates("k")
+            .sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["k", "o", "payload"]],
+                                  want[["k", "o", "payload"]])
