@@ -671,34 +671,52 @@ class HyperplaneLSHStage:
 
 def embedding_near_dup_pairs(ds, emb_col: str, id_col: str, dim: int, *,
                              threshold: float = 0.95, n_planes: int = 12,
-                             max_bucket_size: int = 8192) -> pa.Table:
-    """Pairs with cosine >= threshold found within LSH buckets. High-cosine pairs
-    collide with high probability; brute-force inside each bucket only (buckets
-    above ``max_bucket_size`` are skipped with a worker-side log)."""
+                             max_bucket_size: int = 8192,
+                             n_groups: int = 64) -> pa.Table:
+    """Pairs with cosine >= threshold found within LSH buckets. High-cosine
+    pairs collide with high probability; brute-force inside each bucket only
+    (buckets above ``max_bucket_size`` are skipped with a worker-side log).
+    The shuffle groups ``bucket % n_groups`` — 2^n_planes individual buckets
+    would each pay Ray's per-group overhead — and iterates buckets vectorized
+    inside the group."""
     bucketed = ds.select_columns([id_col, emb_col]).map_batches(
         HyperplaneLSHStage(emb_col, id_col, dim, n_planes),
         batch_format="pyarrow")
+    def add_grp(t: pa.Table) -> pa.Table:
+        bk = t["bucket"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_grp", pa.array((bk % n_groups).astype(np.int32), pa.int32()))
+
+    bucketed = bucketed.map_batches(add_grp, batch_format="pyarrow")
 
     def within(g):
         import pandas as pd
 
-        ids = g[id_col].to_numpy()
-        if len(ids) > max_bucket_size:
-            print(f"[emb-lsh] skipping mega-bucket of size {len(ids)} "
-                  f"(cap {max_bucket_size})")
+        pieces = []
+        for _, sub in g.groupby("bucket"):
+            ids = sub[id_col].to_numpy()
+            if len(ids) < 2:
+                continue
+            if len(ids) > max_bucket_size:
+                print(f"[emb-lsh] skipping mega-bucket of size {len(ids)} "
+                      f"(cap {max_bucket_size})")
+                continue
+            mat = np.vstack(sub[emb_col].to_numpy()).astype(np.float64)
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ mat.T
+            ii, jj = np.triu_indices(len(ids), k=1)
+            keep = sims[ii, jj] >= threshold
+            pieces.append(pd.DataFrame({
+                "a": np.minimum(ids[ii[keep]], ids[jj[keep]]),
+                "b": np.maximum(ids[ii[keep]], ids[jj[keep]]),
+                "cosine": np.round(sims[ii, jj][keep], 6),
+            }))
+        if not pieces:
             return pd.DataFrame({"a": [], "b": [], "cosine": []})
-        mat = np.vstack(g[emb_col].to_numpy()).astype(np.float64)
-        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        sims = mat @ mat.T
-        ii, jj = np.triu_indices(len(ids), k=1)
-        keep = sims[ii, jj] >= threshold
-        return pd.DataFrame({
-            "a": np.minimum(ids[ii[keep]], ids[jj[keep]]),
-            "b": np.maximum(ids[ii[keep]], ids[jj[keep]]),
-            "cosine": np.round(sims[ii, jj][keep], 6),
-        })
+        return pd.concat(pieces, ignore_index=True)
 
-    out = bucketed.groupby("bucket").map_groups(within, batch_format="pandas")
+    out = bucketed.groupby("_grp").map_groups(within, batch_format="pandas")
     tbl = pa.concat_tables(
         list(out.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
         or [pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
