@@ -80,8 +80,13 @@ def cmd_validate(args) -> int:
 
             res = validate_images(args.input, captions_path=args.captions,
                                   reference_profile=reference_profile,
-                                  decode=not args.no_decode)
+                                  decode=not args.no_decode,
+                                  ref_strategy=args.ref_strategy)
             vio = res["violations"]
+            if args.locale:
+                from .i18n import translate
+
+                vio = translate(vio, args.locale)
             if args.violations_out:
                 vio = vio.materialize()  # count + write without re-executing
             counts: dict[str, int] = {}
@@ -143,6 +148,11 @@ def main(argv=None) -> int:
     v.add_argument("--no-decode", action="store_true")
     v.add_argument("--job-id", default="job")
     v.add_argument("--num-cpus", type=int)
+    v.add_argument("--locale", help="append localized messages to violations "
+                                    "(en, zh-CN, or a register_locale name)")
+    v.add_argument("--ref-strategy", default="auto",
+                   choices=["auto", "broadcast", "bloom", "shuffle"],
+                   help="referential-check strategy (auto sizes the side)")
     v.add_argument("--violations-out",
                    help="write violation rows as partitioned parquet here")
     v.add_argument("--drift-profile",
