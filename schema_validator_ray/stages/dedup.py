@@ -349,7 +349,10 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, *, num_perm: int = 128,
         kwargs["concurrency"] = concurrency
     sigs = ds.select_columns([id_col, text_col]).map_batches(
         MinHashStage(text_col, id_col, num_perm), **kwargs)
-    sigs_mat = sigs.materialize()  # reused twice (bucket detect + member pass)
+    # materialized because it feeds two passes (bucket detect + member pass);
+    # at 10^9+ docs (~1 KB/doc of signatures) skip the materialize and let
+    # each pass recompute — signatures are a pure seeded function of text
+    sigs_mat = sigs.materialize()
 
     banded = sigs_mat.map_batches(_BandExplode(id_col, bands, rows),
                                   batch_format="pyarrow")

@@ -10,9 +10,10 @@ reducer sees more than num_batches rows for any key (two-phase salted aggregate)
 
 Violation listing broadcasts the (small) duplicate-key set via ``ray.put`` and
 filters inside ``map_batches`` — a broadcast semi-join, no second shuffle. The
-duplicate-key set is bounded by the violation rate, not the data size; if it ever
-exceeded driver memory the same filter composes with a bucketed shuffle join
-(documented fallback, not needed at any tested scale).
+duplicate-key set is bounded by the violation rate, not the data size; above
+``max_broadcast_keys`` the listing switches to a hash-partitioned
+``Dataset.join`` semi-join instead (no driver set at all — the path for
+pathological inputs where most keys duplicate).
 """
 
 from __future__ import annotations
@@ -134,12 +135,30 @@ def uniqueness_violations(ds, key: str, *, id_column: str,
     rule_id = rule_id or f"unique:{key}"
     dups_tbl = duplicate_keys(ds, key, batch_size=batch_size)
     dup_values = set()
+    over_budget = False
     for b in dups_tbl.iter_batches(batch_size=65536, batch_format="pyarrow"):
         dup_values.update(b[key].to_pylist())
         if len(dup_values) > max_broadcast_keys:
-            raise MemoryError(
-                f"duplicate-key set for {key!r} exceeds broadcast budget "
-                f"({max_broadcast_keys}); use a bucketed shuffle join instead")
+            over_budget = True
+            break
+    if over_budget:
+        # hash-partitioned semi-join fallback: the duplicate-key table stays
+        # distributed, every row whose key matches joins against it — no
+        # driver set at all (pathological inputs where most keys duplicate)
+        from .referential import default_join_partitions
+
+        dups_tbl = duplicate_keys(ds, key, batch_size=batch_size,
+                                  driver_merge_max=0)
+        joined = ds.select_columns([id_column, key]).join(
+            dups_tbl.select_columns([key]), join_type="inner",
+            num_partitions=default_join_partitions(), on=(key,))
+        return joined.map_batches(
+            lambda b: pa.table({
+                id_column: pc.cast(b[id_column], pa.string()),
+                "rule_id": pa.array([rule_id] * b.num_rows, pa.string()),
+                "column": pa.array([key] * b.num_rows, pa.string()),
+                "offending_value": pc.cast(b[key], pa.string()),
+            }), batch_format="pyarrow")
     dup_ref = ray.put(dup_values)
     return ds.map_batches(
         _EmitDupViolations(key, dup_ref, id_column, rule_id),

@@ -177,3 +177,26 @@ def test_binary_views_large_binary():
     views = _binary_views(arr)
     assert bytes(views[0]) == b"abc" and views[1] is None
     assert bytes(views[2]) == b"defg"
+
+
+def test_uniqueness_join_fallback_matches_broadcast(ray_session):
+    """Forcing the hash-partitioned semi-join path (tiny broadcast budget)
+    yields the identical violation multiset as the broadcast default."""
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_validator_ray.stages.uniqueness import uniqueness_violations
+
+    df = pd.DataFrame({
+        "id": [str(i) for i in range(400)],
+        "k": [i % 150 for i in range(400)],   # 100 keys duplicated
+    })
+    ds = rd.from_pandas(df).repartition(5)
+
+    def rows(out):
+        return sorted(map(tuple, out.to_pandas().itertuples(index=False)))
+
+    broad = rows(uniqueness_violations(ds, "k", id_column="id"))
+    joined = rows(uniqueness_violations(ds, "k", id_column="id",
+                                        max_broadcast_keys=5))
+    assert joined == broad and len(broad) > 0
