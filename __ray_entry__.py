@@ -664,6 +664,16 @@ def q_stratified_docs_by_lang(sf_dir: str):
                              seed=0)
 
 
+def q_split_docs(sf_dir: str):
+    """Deterministic train/val/test assignment (90/5/5) by hash range — the
+    split survives restarts and re-blocking; hash reproduced in SQL."""
+    from schema_validator_ray.stages.sampling import hash_split
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return hash_split(ds, "doc_id",
+                      {"train": 0.9, "val": 0.05, "test": 0.05}, seed=0)
+
+
 def q_asof_join_events(sf_dir: str):
     """Distributed as-of join: each event matched to the latest earlier-or-
     equal 'checkpoint' (a deterministic 10% hash sample of events, pre-
@@ -1032,6 +1042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": q_fingerprint_docs,
         "sample_docs_hash": q_sample_docs_hash,
         "stratified_docs_by_lang": q_stratified_docs_by_lang,
+        "split_docs": q_split_docs,
         "asof_join_events": q_asof_join_events,
         "events_in_sessions": q_events_in_sessions,
         "knn_embeddings": q_knn_embeddings,
@@ -1393,6 +1404,15 @@ def oracle_sql() -> dict[str, str]:
                    WHEN h_es >= h_fr THEN 'es'
                    ELSE 'fr' END AS lang_pred
               FROM m
+        """,
+        "split_docs": f"""
+            SELECT doc_id,
+                   CASE WHEN (doc_id * 2654435761) % 4294967296
+                             < {_sampling_threshold(0.9)} THEN 'train'
+                        WHEN (doc_id * 2654435761) % 4294967296
+                             < {_sampling_threshold(0.95)} THEN 'val'
+                        ELSE 'test' END AS split
+              FROM documents
         """,
         "events_in_sessions": """
             WITH s AS (

@@ -49,6 +49,29 @@ def hash_sample(ds, id_col: str, rate: float, *, seed: int = 0):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+def hash_split(ds, id_col: str, fractions: dict[str, float], *,
+               seed: int = 0, out_col: str = "split"):
+    """Deterministic train/val/test assignment: the hash's position in [0, 1)
+    picks the split by cumulative fraction. Map-only, restart-safe, and every
+    row lands in exactly one split (fractions must sum to 1.0)."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    names = list(fractions)
+    cum = np.cumsum([fractions[n] for n in names])
+    bounds = np.array([threshold_for(c) for c in cum[:-1]] + [M32],
+                      np.uint64)
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        h = _hash32(ids, seed)
+        idx = np.searchsorted(bounds, h, side="right")
+        return b.append_column(
+            out_col, pa.array([names[i] for i in idx], pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def stratum_counts(ds, strata_col: str):
     """Tiny distributed count per stratum (pre-agg partials only)."""
     from ray.data.aggregate import Sum

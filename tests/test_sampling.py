@@ -62,3 +62,23 @@ def test_stratified_balances_strata(docs_ds, ray_session):
     pd.testing.assert_frame_equal(
         out.sort_values("doc_id").reset_index(drop=True),
         out2.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_hash_split_partitions_every_row(docs_ds, ray_session):
+    from schema_validator_ray.stages.sampling import hash_split
+
+    out = hash_split(docs_ds, "doc_id",
+                     {"train": 0.8, "val": 0.1, "test": 0.1}).to_pandas()
+    n = docs_ds.count()
+    assert len(out) == n
+    frac = out.groupby("split").size() / n
+    assert 0.7 <= frac.get("train", 0) <= 0.9
+    assert frac.get("val", 0) > 0 and frac.get("test", 0) > 0
+    # re-blocking invariant
+    out2 = hash_split(docs_ds.repartition(9), "doc_id",
+                      {"train": 0.8, "val": 0.1, "test": 0.1}).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert (a["split"] == b["split"]).all()
+    with pytest.raises(ValueError):
+        hash_split(docs_ds, "doc_id", {"train": 0.5, "val": 0.1})
