@@ -664,6 +664,38 @@ def q_stratified_docs_by_lang(sf_dir: str):
                              seed=0)
 
 
+def _docs_with_tokens(sf_dir: str):
+    from schema_validator_ray.functions.text import token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"],
+                            "n_tokens": token_count(b["text"])}),
+        batch_format="pyarrow")
+
+
+def q_doc_length_buckets(sf_dir: str):
+    """Power-of-two length-bucket stats (padding-waste accounting for bucketed
+    batching) — SQL-oracled exactly."""
+    from schema_validator_ray.stages.packing import bucket_padding_stats
+
+    return bucket_padding_stats(_docs_with_tokens(sf_dir), "n_tokens")
+
+
+def q_pack_docs_greedy(sf_dir: str):
+    """Greedy fixed-budget sequence packing (rows-only: greedy fill is
+    sequential within shards, not SQL; invariants pinned by unit tests)."""
+    from schema_validator_ray.stages.packing import pack_greedy
+
+    out = pack_greedy(_docs_with_tokens(sf_dir), "doc_id", "n_tokens",
+                      budget=512, n_shards=8)
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"],
+                            "pack_id": b["pack_id"],
+                            "oversize": b["oversize"]}),
+        batch_format="pyarrow")
+
+
 def q_split_docs(sf_dir: str):
     """Deterministic train/val/test assignment (90/5/5) by hash range — the
     split survives restarts and re-blocking; hash reproduced in SQL."""
@@ -1043,6 +1075,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs_hash": q_sample_docs_hash,
         "stratified_docs_by_lang": q_stratified_docs_by_lang,
         "split_docs": q_split_docs,
+        "doc_length_buckets": q_doc_length_buckets,
+        "pack_docs_greedy": q_pack_docs_greedy,
         "asof_join_events": q_asof_join_events,
         "events_in_sessions": q_events_in_sessions,
         "knn_embeddings": q_knn_embeddings,
@@ -1404,6 +1438,23 @@ def oracle_sql() -> dict[str, str]:
                    WHEN h_es >= h_fr THEN 'es'
                    ELSE 'fr' END AS lang_pred
               FROM m
+        """,
+        "doc_length_buckets": r"""
+            WITH t AS (
+              SELECT CAST(CEIL(LOG2(GREATEST(
+                         len(regexp_extract_all(COALESCE(text,''), '\w+')),
+                         1))) AS BIGINT) AS bucket,
+                     len(regexp_extract_all(COALESCE(text,''), '\w+')) AS n
+                FROM documents)
+            SELECT bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n) AS BIGINT) AS total_tokens,
+                   CAST(COUNT(*) * CAST(POWER(2, bucket) AS BIGINT)
+                        AS BIGINT) AS padded_tokens,
+                   ROUND(1.0 - CAST(SUM(n) AS DOUBLE)
+                         / GREATEST(COUNT(*) * POWER(2, bucket), 1.0), 6)
+                       AS pad_waste
+              FROM t GROUP BY bucket
         """,
         "split_docs": f"""
             SELECT doc_id,
