@@ -842,6 +842,20 @@ def q_embedding_near_dup_lsh(sf_dir: str):
     return pa.table({"a": out["a"], "b": out["b"]})
 
 
+def q_embedding_dup_groups(sf_dir: str):
+    """Cluster dedup: connected components over the cosine>=0.3 pair graph,
+    every vector mapped to its component's min id (the survivor). Oracled via
+    a DuckDB recursive CTE computing min-reachable-id transitive closure."""
+    from schema_validator_ray.stages.dedup import connected_components
+
+    pairs_ds = q_embedding_pairs_cos03(sf_dir)
+    pairs = _collect(pairs_ds, pa.schema([("a", pa.int64()),
+                                          ("b", pa.int64())]))
+    all_ids = _read(sf_dir, "embeddings", ["vec_id"])
+    out = connected_components(pairs, all_ids)
+    return pa.table({"vec_id": out["id"], "rep": out["rep"]})
+
+
 def q_minhash_pairs_docs(sf_dir: str):
     from schema_validator_ray.stages.dedup import minhash_lsh_pairs
 
@@ -1082,6 +1096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embeddings": q_knn_embeddings,
         "embedding_pairs_cos03": q_embedding_pairs_cos03,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "embedding_dup_groups": q_embedding_dup_groups,
         "minhash_pairs_docs": q_minhash_pairs_docs,
         "simhash_pairs_docs": q_simhash_pairs_docs,
         "profile_lineitem": q_profile_lineitem,
@@ -1544,6 +1559,24 @@ def oracle_sql() -> dict[str, str]:
                                           CAST(b.embedding AS DOUBLE[])) >= 0.3
         """,
         "embedding_near_dup_lsh": _lsh_oracle_sql(),
+        # min-reachable-id transitive closure == union-find component reps
+        "embedding_dup_groups": """
+            WITH RECURSIVE pairs AS (
+              SELECT a.vec_id AS a, b.vec_id AS b
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+               WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[]))
+                     >= 0.3),
+            edges AS (
+              SELECT a, b FROM pairs
+              UNION ALL SELECT b, a FROM pairs),
+            reach(id, rep) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT e.a, r.rep FROM edges e JOIN reach r ON e.b = r.id)
+            SELECT id AS vec_id, CAST(MIN(rep) AS BIGINT) AS rep
+              FROM reach GROUP BY id
+        """,
         "profile_lineitem": """
             SELECT 'l_discount' AS column_name,
                    CAST(COUNT(*) AS BIGINT) AS cnt,

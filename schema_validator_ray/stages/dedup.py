@@ -636,6 +636,48 @@ def simhash_pairs(ds, text_col: str, id_col: str, *, max_hamming: int = 3,
                      "hamming": pc.cast(tbl["hamming"], pa.int32())})
 
 
+def connected_components(pairs: pa.Table, all_ids=None,
+                         a_col: str = "a", b_col: str = "b") -> pa.Table:
+    """(id, rep) — connected components of the near-duplicate pair graph,
+    rep = min id of the component (the survivor a cluster dedup keeps).
+
+    Driver-side union-find: the pair list is bounded by the duplicate rate
+    (same budget argument as every verify step downstream of LSH — if pairs
+    rival the corpus size, exact dedup should run first). ``all_ids`` (an
+    iterable or a Dataset) adds singleton rows (rep = self) for ids in no
+    pair."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs[a_col].to_pylist(), pairs[b_col].to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
+    ids: set = set(parent)
+    ids.update(pairs[a_col].to_pylist())
+    ids.update(pairs[b_col].to_pylist())
+    if all_ids is not None:
+        if hasattr(all_ids, "iter_batches"):
+            for b in all_ids.iter_batches(batch_size=1 << 16,
+                                          batch_format="pyarrow"):
+                ids.update(b[b.column_names[0]].to_pylist())
+        else:
+            ids.update(all_ids)
+    out_ids = sorted(ids)
+    return pa.table({
+        "id": pa.array(out_ids),
+        "rep": pa.array([find(i) for i in out_ids]),
+    })
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 

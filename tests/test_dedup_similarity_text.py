@@ -179,3 +179,16 @@ def test_dedup_exact_survivors(ray_session):
             .sort_values("k").reset_index(drop=True))
     pd.testing.assert_frame_equal(got[["k", "o", "payload"]],
                                   want[["k", "o", "payload"]])
+
+
+def test_connected_components_union_find():
+    import pyarrow as pa
+
+    from schema_validator_ray.stages.dedup import connected_components
+
+    # chain 1-2-3, pair 10-11, singleton 99 via all_ids
+    pairs = pa.table({"a": pa.array([2, 1, 10], pa.int64()),
+                      "b": pa.array([3, 2, 11], pa.int64())})
+    out = connected_components(pairs, all_ids=[99, 1])
+    m = dict(zip(out["id"].to_pylist(), out["rep"].to_pylist()))
+    assert m == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
