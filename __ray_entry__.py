@@ -4,10 +4,15 @@ entry()      — flagship image-validation pipeline over a table derived
                deterministically from /root/testdata/sf0.001 (captions come from
                documents.text; pixels/phash from the seeded stand-in codec).
 queries()    — one callable per implemented operator family (SURVEY.md §2 +
-               the training-data ops); each takes sf_dir.
+               the training-data ops: rule packs, joins incl. as-of/interval,
+               windows, dedup/LSH/components, similarity, sampling/split,
+               packing, profiling, text analysis, multimodal); each takes
+               sf_dir. 52 queries, 41 SQL-oracled.
 oracle_sql() — DuckDB-equivalent SQL for every SQL-expressible query, with
-               matching column names/types. Approximate / image / sketch ops are
-               rows-only by design (no oracle entry).
+               matching column names/types; data-independent seeded constants
+               (LSH planes, sampling thresholds) are inlined as literals.
+               Approximate / image / greedy-sequential ops are rows-only by
+               design (no oracle entry).
 
 Ray is initialised by the driver BEFORE import: nothing here calls ray.init().
 """
