@@ -593,6 +593,21 @@ def q_curated_docs(sf_dir: str):
     return _collect(out, pa.schema([("doc_id", pa.int64())]))
 
 
+def q_curated_docs_neardup(sf_dir: str):
+    """Curation with transitive near-dup removal (rows-only: MinHash buckets
+    are not SQL; survivors invariants pinned by tests)."""
+    from schema_validator_ray.pipelines.curate_documents import (
+        curate_documents,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    res = curate_documents(ds, min_quality=0.75, min_tokens=15,
+                           near_dup=True, near_dup_threshold=0.5)
+    out = res["curated"].map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"]}), batch_format="pyarrow")
+    return _collect(out, pa.schema([("doc_id", pa.int64())]))
+
+
 def q_token_counts(sf_dir: str):
     from schema_validator_ray.functions.text import token_count
 
@@ -1086,6 +1101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio": q_multimodal_audio,
         "multimodal_video": q_multimodal_video,
         "curated_docs": q_curated_docs,
+        "curated_docs_neardup": q_curated_docs_neardup,
         "token_counts": q_token_counts,
         "text_quality": q_text_quality,
         "lang_distribution": q_lang_distribution,

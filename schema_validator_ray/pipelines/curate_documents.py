@@ -9,7 +9,8 @@ groupby; near-dup pair finding reuses the MinHash-LSH stage):
       -> map_batches(AnnotateStage)        # quality, tokens, lang_pred, hash
       -> filter(quality >= min_quality AND n_tokens >= min_tokens)
       -> exact dedup: (content_hash, min doc_id) partials -> groupby -> keep set
-      -> [optional] MinHash-LSH pairs -> drop the higher doc_id of each pair
+      -> [optional] MinHash-LSH pairs -> connected components -> keep each
+         near-dup cluster's min doc_id (transitive: chains collapse)
       -> curated Dataset
 """
 
@@ -74,14 +75,21 @@ def curate_documents(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     drop_near = set()
     if near_dup:
-        from ..stages.dedup import minhash_lsh_pairs
+        from ..stages.dedup import connected_components, minhash_lsh_pairs
 
         pairs = minhash_lsh_pairs(filtered.select_columns([id_col, text_col]),
                                   text_col, id_col,
                                   threshold=near_dup_threshold)
-        for a, b_ in zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()):
-            if a in keep_ids and b_ in keep_ids:
-                drop_near.add(max(a, b_))
+        # transitive cluster dedup: survivors = component min ids (chains
+        # a~b~c collapse to one doc even when a,c are not a direct pair)
+        survivors = pairs.filter(
+            pc.and_(pc.is_in(pairs["a"], value_set=pa.array(sorted(keep_ids))),
+                    pc.is_in(pairs["b"],
+                             value_set=pa.array(sorted(keep_ids)))))
+        comp = connected_components(survivors)
+        for i, rep in zip(comp["id"].to_pylist(), comp["rep"].to_pylist()):
+            if i != rep:
+                drop_near.add(i)
 
     final_keep = keep_ids - drop_near
     ref = ray.put(pa.array(sorted(final_keep)))

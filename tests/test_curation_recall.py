@@ -107,3 +107,30 @@ def test_curate_near_dup_removal(ray_session):
     kept = set(res["curated"].to_pandas().doc_id)
     assert 200 in kept and 201 not in kept   # near-dup drops the higher id
     assert res["stats"]["near_dup_dropped"] == 1
+
+
+def test_curate_near_dup_transitive_chain(ray_session):
+    """A near-dup CHAIN a~b~c (where a,c may not collide directly) collapses
+    to one survivor via connected components."""
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_validator_ray.pipelines.curate_documents import (
+        curate_documents,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest to find some tasty food " * 3)
+    b = base.replace("quick", "rapid")
+    c = b.replace("lazy", "idle").replace("green", "dark")
+    others = [f"completely unrelated document number {i} with plenty of "
+              f"distinct words to pass the quality and token filters easily "
+              f"padding padding {i} " * 3 for i in range(10)]
+    df = pd.DataFrame({"doc_id": list(range(13)),
+                       "text": [base, b, c] + others})
+    res = curate_documents(rd.from_pandas(df), min_quality=0.3, min_tokens=5,
+                           near_dup=True, near_dup_threshold=0.5)
+    kept = sorted(r["doc_id"] for r in res["curated"].take_all())
+    assert 0 in kept                       # chain survivor = min id
+    assert 1 not in kept and 2 not in kept # whole chain collapsed
+    assert res["stats"]["near_dup_dropped"] >= 2
