@@ -957,6 +957,61 @@ def _exact_median_via_counts(ds, col: str) -> float:
     raise RuntimeError("empty column")
 
 
+def q_group_quantiles(sf_dir: str):
+    """Grouped approximate quantiles (per-returnflag t-digest p50), oracled as
+    exact-value + tolerance verdicts like profile_sketches: the exact per-group
+    median comes from distributed value counts and matches DuckDB; p50_ok
+    asserts the merged digest lands within 10% of it."""
+    from schema_validator_ray.stages.stats import grouped_tdigest
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    digests = grouped_tdigest(ds, "l_returnflag", "l_quantity")
+
+    # exact per-group median via distributed value counts (small domain)
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        agg = (b.group_by(["l_returnflag", "l_quantity"])
+               .aggregate([([], "count_all")]))
+        return pa.table({"l_returnflag": agg["l_returnflag"],
+                         "l_quantity": agg["l_quantity"],
+                         "cnt": pc.cast(agg["count_all"], pa.int64())})
+
+    counts: dict[str, list] = {}
+    for b in (ds.map_batches(partial, batch_format="pyarrow")
+              .iter_batches(batch_size=1 << 16, batch_format="pyarrow")):
+        for f, v, c in zip(b["l_returnflag"].to_pylist(),
+                           b["l_quantity"].to_pylist(),
+                           b["cnt"].to_pylist()):
+            counts.setdefault(f, []).append((v, c))
+
+    def exact_median(pairs) -> float:
+        agg: dict = {}
+        for v, c in pairs:
+            agg[v] = agg.get(v, 0) + c
+        rows = sorted(agg.items())
+        n = sum(c for _, c in rows)
+        lo_idx, hi_idx = (n - 1) // 2, n // 2
+        cum, lo = 0, None
+        for v, c in rows:
+            if lo is None and cum + c > lo_idx:
+                lo = v
+            if cum + c > hi_idx:
+                return (float(lo) + float(v)) / 2.0
+            cum += c
+        raise RuntimeError("empty group")
+
+    flags = sorted(digests)
+    meds = [exact_median(counts[f]) for f in flags]
+    ok = [abs(digests[f].quantile(0.5) - m) <= 0.10 * max(abs(m), 1e-9)
+          for f, m in zip(flags, meds)]
+    return pa.table({
+        "l_returnflag": pa.array(flags, pa.string()),
+        "med": pa.array(meds, pa.float64()),
+        "p50_ok": pa.array(ok, pa.bool_()),
+    })
+
+
 def q_profile_sketches(sf_dir: str):
     """Sketch profile, SQL-oracled as exact-value + tolerance verdicts: the
     exact distinct counts / exact median come from distributed exact passes and
@@ -1122,6 +1177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs_docs": q_simhash_pairs_docs,
         "profile_lineitem": q_profile_lineitem,
         "profile_sketches": q_profile_sketches,
+        "group_quantiles": q_group_quantiles,
         "images_validate": q_images_validate,
         "images_rule_counts": q_images_rule_counts,
         "images_drift": q_images_drift,
@@ -1546,6 +1602,12 @@ def oracle_sql() -> dict[str, str]:
              WHERE (d.doc_id * 2654435761) % 4294967296
                    < CAST(floor(least(1.0, 50.0 / cnt.n) * 4294967296)
                           AS BIGINT)
+        """,
+        "group_quantiles": """
+            SELECT l_returnflag,
+                   CAST(median(l_quantity) AS DOUBLE) AS med,
+                   TRUE AS p50_ok
+              FROM lineitem GROUP BY l_returnflag
         """,
         "profile_sketches": """
             SELECT 'l_orderkey' AS column_name,

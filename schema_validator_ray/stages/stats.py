@@ -127,6 +127,49 @@ def merge_profiles(partials_ds) -> dict[str, ColumnProfile]:
     return profiles
 
 
+def grouped_tdigest(ds, key: str, col: str,
+                    batch_size: int = 65536) -> dict:
+    """Per-group approximate quantiles: one t-digest per key value.
+    Partial/combiner: each batch emits one (key, pickled digest) row per key
+    present; a ``groupby(key)`` merges worker-side (digests are mergeable) and
+    the driver receives exactly one digest per key. Right for modest key
+    cardinality (dashboards, per-class stats); per-key rows never shuffle."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({key: b[key].to_numpy(zero_copy_only=False),
+                           col: b[col].to_numpy(zero_copy_only=False)})
+        rows_k, rows_b = [], []
+        for k, sub in df.groupby(key):
+            td = TDigest()
+            td.add(sub[col].to_numpy())
+            rows_k.append(k)
+            rows_b.append(pickle.dumps(td))
+        return pa.table({key: pa.array(rows_k),
+                         "blob": pa.array(rows_b, pa.binary())})
+
+    def merge_group(g):
+        import pandas as pd
+
+        merged = None
+        for blob in g["blob"]:
+            td = pickle.loads(blob)
+            merged = td if merged is None else merged.merge(td)
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             "blob": [pickle.dumps(merged)]})
+
+    partials = ds.select_columns([key, col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size)
+    reduced = partials.groupby(key).map_groups(merge_group,
+                                               batch_format="pandas")
+    out = {}
+    for b in reduced.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for k, blob in zip(b[key].to_pylist(), b["blob"].to_pylist()):
+            out[k] = pickle.loads(blob)
+    return out
+
+
 def merge_profiles_distributed(partials_ds) -> dict[str, ColumnProfile]:
     """Tree-merge path for partial streams too large to stream to the driver
     (≳10^6 blocks): a ``groupby(column)`` reduces every column's partials on

@@ -94,3 +94,29 @@ def test_distributed_profile_merge_equals_driver_merge(ray_session):
             # merge order may differ -> tiny quantile drift is allowed
             qa, qb = pa_.tdigest.quantile(0.5), pb_.tdigest.quantile(0.5)
             assert abs(qa - qb) <= 0.05 * max(abs(qa), 1.0)
+
+
+def test_grouped_tdigest_accuracy(ray_session):
+    """Per-group digests merged across blocks land near numpy's true
+    quantiles for skewed per-group distributions."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_validator_ray.stages.stats import grouped_tdigest
+
+    rng = np.random.default_rng(8)
+    frames = []
+    truth = {}
+    for k, (mu, sig) in {"a": (10, 2), "b": (100, 30), "c": (0.5, 0.1)}.items():
+        v = rng.normal(mu, sig, 20000)
+        frames.append(pd.DataFrame({"k": k, "v": v}))
+        truth[k] = np.quantile(v, [0.1, 0.5, 0.9])
+    ds = rd.from_pandas(pd.concat(frames, ignore_index=True)).repartition(16)
+    digests = grouped_tdigest(ds, "k", "v")
+    assert set(digests) == set(truth)
+    for k, td in digests.items():
+        for q, want in zip([0.1, 0.5, 0.9], truth[k]):
+            got = td.quantile(q)
+            span = truth[k][2] - truth[k][0]
+            assert abs(got - want) <= 0.05 * span, (k, q, got, want)
