@@ -395,35 +395,67 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, *, num_perm: int = 128,
 def verify_pairs_exact_jaccard(ds, pairs: pa.Table, text_col: str, id_col: str,
                                *, shingle_k: int = 5,
                                threshold: float = 0.5) -> pa.Table:
-    """Exact n-gram Jaccard over candidate pairs: re-reads ONLY candidate docs
-    (broadcast id-set filter), computes set Jaccard."""
+    """Exact n-gram Jaccard over candidate pairs, fully distributed: the
+    candidate id set broadcasts once (duplicate-rate-bounded), ONLY candidate
+    docs are re-read, and each doc's text joins onto its pairs via two
+    hash-partitioned ``Dataset.join``s — the shingle computation runs inside
+    ``map_batches``; the driver holds just the id set and the verified pairs."""
     import ray
+    import ray.data as rd
 
+    from .referential import default_join_partitions
+
+    empty = pa.table({"a": pairs["a"].slice(0, 0),
+                      "b": pairs["b"].slice(0, 0),
+                      "jaccard": pa.array([], pa.float64())})
     need = set(pairs["a"].to_pylist()) | set(pairs["b"].to_pylist())
     if not need:
-        return pa.table({"a": pairs["a"], "b": pairs["b"],
-                         "jaccard": pa.array([], pa.float64())})
+        return empty
     ref = ray.put(pa.array(sorted(need)))
 
     def pick(b: pa.Table) -> pa.Table:
         mask = pc.is_in(b[id_col], value_set=ray.get(ref))
-        return b.filter(mask)
+        return b.filter(mask).select([id_col, text_col])
 
-    docs = {}
-    for b in (ds.select_columns([id_col, text_col])
-              .map_batches(pick, batch_format="pyarrow")
-              .iter_batches(batch_size=1 << 16, batch_format="pyarrow")):
-        for d, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
-            docs[d] = char_shingles(t or "", shingle_k)
-    a_l, b_l, j_l = [], [], []
-    for a, bb in zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()):
-        j = jaccard(docs[a], docs[bb])
-        if j >= threshold:
-            a_l.append(a)
-            b_l.append(bb)
-            j_l.append(round(j, 6))
-    return pa.table({"a": pa.array(a_l), "b": pa.array(b_l),
-                     "jaccard": pa.array(j_l, pa.float64())})
+    docs = ds.map_batches(pick, batch_format="pyarrow")
+    np_join = default_join_partitions(8)
+
+    def ren(side: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({side: b[id_col], f"text_{side}": b[text_col]})
+        return f
+
+    pairs_ds = rd.from_arrow(pairs.select(["a", "b"]))
+    j1 = pairs_ds.join(docs.map_batches(ren("a"), batch_format="pyarrow"),
+                       join_type="inner", num_partitions=np_join, on=("a",))
+    j2 = j1.join(docs.map_batches(ren("b"), batch_format="pyarrow"),
+                 join_type="inner", num_partitions=np_join, on=("b",))
+
+    def verify(b: pa.Table) -> pa.Table:
+        a_ids = b["a"].to_pylist()
+        b_ids = b["b"].to_pylist()
+        ta = b["text_a"].to_pylist()
+        tb = b["text_b"].to_pylist()
+        a_l, b_l, j_l = [], [], []
+        for a, bb, x, y in zip(a_ids, b_ids, ta, tb):
+            j = jaccard(char_shingles(x or "", shingle_k),
+                        char_shingles(y or "", shingle_k))
+            if j >= threshold:
+                a_l.append(a)
+                b_l.append(bb)
+                j_l.append(round(j, 6))
+        return pa.table({"a": pa.array(a_l, b["a"].type),
+                         "b": pa.array(b_l, b["b"].type),
+                         "jaccard": pa.array(j_l, pa.float64())})
+
+    out = j2.map_batches(verify, batch_format="pyarrow")
+    chunks = [c for c in out.iter_batches(batch_size=1 << 20,
+                                          batch_format="pyarrow")
+              if c.num_rows]
+    if not chunks:
+        return empty
+    return pa.concat_tables(chunks).sort_by(
+        [("a", "ascending"), ("b", "ascending")])
 
 
 # ---------------------------------------------------------------------------
