@@ -768,6 +768,20 @@ def q_asof_join_events(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def q_top_orders_per_customer(sf_dir: str):
+    """Grouped top-k: each customer's top-3 orders by totalprice (ties by
+    orderkey) — per-batch partial top-k bounds the shuffle, sharded final."""
+    from schema_validator_ray.stages.windows import grouped_topk
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    out = grouped_topk(ds, key="o_custkey", order_col="o_totalprice", k=3,
+                       tie_col="o_orderkey")
+    return out.map_batches(
+        lambda b: pa.table({"o_custkey": b["o_custkey"],
+                            "o_orderkey": b["o_orderkey"]}),
+        batch_format="pyarrow")
+
+
 def q_events_in_sessions(sf_dir: str):
     """Distributed interval (range) join: each event matched to its containing
     session window (gap 30min) — point-in-interval semantics, oracled against
@@ -1169,6 +1183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_docs_greedy": q_pack_docs_greedy,
         "asof_join_events": q_asof_join_events,
         "events_in_sessions": q_events_in_sessions,
+        "top_orders_per_customer": q_top_orders_per_customer,
         "knn_embeddings": q_knn_embeddings,
         "embedding_pairs_cos03": q_embedding_pairs_cos03,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -1556,6 +1571,12 @@ def oracle_sql() -> dict[str, str]:
                              < {_sampling_threshold(0.95)} THEN 'val'
                         ELSE 'test' END AS split
               FROM documents
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey FROM orders
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) <= 3
         """,
         "events_in_sessions": """
             WITH s AS (

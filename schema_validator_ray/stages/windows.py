@@ -87,6 +87,31 @@ def _shard_series(series, n_shards: int) -> np.ndarray:
             % np.uint64(n_shards)).astype(np.int32)
 
 
+def grouped_topk(ds, *, key: str, order_col: str, k: int,
+                 tie_col: str | None = None, n_shards: int = 32):
+    """Top-k rows per key by ``order_col`` descending (ties broken by
+    ``tie_col`` ascending for determinism). Two-stage: each batch emits its
+    own per-key top-k (bounding any key's shuffle rows at k x num_batches),
+    then a coarse hash-shard groupby re-picks vectorized — no per-key group
+    calls, no full shuffle."""
+    sort_cols = [key, order_col] + ([tie_col] if tie_col else [])
+    asc = [True, False] + ([True] if tie_col else [])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = (b.sort_values(sort_cols, ascending=asc, kind="stable")
+               .groupby(key, sort=False).head(k).copy())
+        out["_shard"] = _shard_series(out[key], n_shards)
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(sort_cols, ascending=asc, kind="stable")
+                .groupby(key, sort=False).head(k)
+                .drop(columns=["_shard"]).reset_index(drop=True))
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    return parts.groupby("_shard").map_groups(final, batch_format="pandas")
+
+
 def sliding_count(ds, *, key: str, ts: str, window: str = "1h",
                   bucket_multiple: int = 64, n_shards: int = 32):
     """Per event: number of events of the same key within the trailing window

@@ -245,3 +245,32 @@ def test_windows_hot_key_bucketed(ray_session):
     pd.testing.assert_frame_equal(
         got_s[["user_id", "session_start", "session_end", "n_events"]],
         want_s, check_dtype=False)
+
+
+def test_grouped_topk_hot_key(ray_session):
+    """Grouped top-k matches pandas ground truth with a hot key and duplicate
+    order values (deterministic tie-break)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_validator_ray.stages.windows import grouped_topk
+
+    rng = np.random.default_rng(4)
+    n = 20000
+    df = pd.DataFrame({
+        "k": np.where(rng.random(n) < 0.7, 1, rng.integers(2, 200, n))
+        .astype(np.int64),
+        "score": rng.integers(0, 50, n).astype(np.int64),  # many ties
+        "row": np.arange(n, dtype=np.int64),
+    })
+    got = (grouped_topk(rd.from_pandas(df).repartition(13), key="k",
+                        order_col="score", k=5, tie_col="row")
+           .to_pandas().sort_values(["k", "score", "row"],
+                                    ascending=[True, False, True])
+           .reset_index(drop=True))
+    want = (df.sort_values(["k", "score", "row"],
+                           ascending=[True, False, True], kind="stable")
+            .groupby("k", sort=True).head(5).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["k", "score", "row"]],
+                                  want[["k", "score", "row"]])
