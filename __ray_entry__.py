@@ -503,6 +503,18 @@ def q_events_sliding_1h(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_events_sliding_value_1h(sf_dir: str):
+    """Per-event trailing-1h SUM(value) per user (RANGE window semantics)."""
+    from schema_validator_ray.stages.windows import sliding_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = sliding_sum(ds, key="user_id", ts="ts", value="value", window="1h")
+    return out.map_batches(
+        lambda b: pa.table({"event_id": b["event_id"],
+                            "sum_window": b["sum_window"]}),
+        batch_format="pyarrow")
+
+
 def q_events_sessions_30m(sf_dir: str):
     """Session windows (30min gap) per user."""
     from schema_validator_ray.stages.windows import session_windows
@@ -1165,6 +1177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_join_customer": q_orders_join_customer,
         "events_hourly": q_events_hourly,
         "events_sliding_1h": q_events_sliding_1h,
+        "events_sliding_value_1h": q_events_sliding_value_1h,
         "events_sessions_30m": q_events_sessions_30m,
         "images_resize": q_images_resize,
         "multimodal_audio": q_multimodal_audio,
@@ -1459,6 +1472,13 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY user_id ORDER BY ts
                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
                 AS BIGINT) AS cnt_window
+              FROM events
+        """,
+        "events_sliding_value_1h": """
+            SELECT event_id, ROUND(SUM(value) OVER (
+                PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+                6) AS sum_window
               FROM events
         """,
         "events_sessions_30m": """

@@ -171,6 +171,61 @@ def sliding_count(ds, *, key: str, ts: str, window: str = "1h",
         per_group, batch_format="pandas")
 
 
+def sliding_sum(ds, *, key: str, ts: str, value: str, window: str = "1h",
+                bucket_multiple: int = 64, n_shards: int = 32,
+                round_digits: int = 6):
+    """Per event: SUM(value) of the same key within the trailing window
+    (inclusive). SQL: SUM(value) OVER (PARTITION BY key ORDER BY ts RANGE
+    BETWEEN INTERVAL window PRECEDING AND CURRENT ROW). Same skew-safe
+    sharded owner/context shape as :func:`sliding_count`; in-group sums via
+    per-key prefix sums (rounded to ``round_digits`` for cross-engine float
+    comparability)."""
+    delta = pd.Timedelta(window)
+    win_ns = delta.value
+    bucket_ns = win_ns * bucket_multiple
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        t_ns = _ts_ns(b[ts])
+        bkt = t_ns // bucket_ns
+        shard = _shard_series(b[key], n_shards)
+        own = b.copy()
+        own["_bkt"] = bkt
+        own["_shard"] = shard
+        own["_own"] = True
+        next_start = (bkt + 1) * bucket_ns
+        ctx_mask = t_ns >= next_start - win_ns
+        ctx = b[ctx_mask].copy()
+        ctx["_bkt"] = bkt[ctx_mask] + 1
+        ctx["_shard"] = shard[ctx_mask]
+        ctx["_own"] = False
+        return pd.concat([own, ctx], ignore_index=True)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts], kind="stable").reset_index(drop=True)
+        t = g[ts].to_numpy()
+        kv = g[key].to_numpy()
+        # SQL window SUM skips NULLs — treat them as 0 (an all-null window
+        # yields 0.0 here vs SQL NULL; documented divergence)
+        v = np.nan_to_num(g[value].to_numpy().astype(np.float64))
+        seg = np.flatnonzero(np.r_[True, kv[1:] != kv[:-1]])
+        seg = np.r_[seg, len(kv)]
+        out = np.empty(len(kv), np.float64)
+        for a, b_ in zip(seg[:-1], seg[1:]):
+            tt = t[a:b_]
+            cum = np.concatenate([[0.0], np.cumsum(v[a:b_])])
+            lo = np.searchsorted(tt, tt - delta.to_numpy(), side="left")
+            hi = np.searchsorted(tt, tt, side="right")
+            out[a:b_] = cum[hi] - cum[lo]
+        g["sum_window"] = np.round(out, round_digits)
+        g = g[g["_own"]]
+        return g.drop(columns=["_bkt", "_shard", "_own"]).reset_index(
+            drop=True)
+
+    exploded = ds.map_batches(explode, batch_format="pandas")
+    return exploded.groupby(["_shard", "_bkt"]).map_groups(
+        per_group, batch_format="pandas")
+
+
 def session_windows(ds, *, key: str, ts: str, gap: str = "30min",
                     bucket_multiple: int = 64, n_shards: int = 32):
     """Session assignment: events of a key closer than ``gap`` share a session.

@@ -274,3 +274,42 @@ def test_grouped_topk_hot_key(ray_session):
             .groupby("k", sort=True).head(5).reset_index(drop=True))
     pd.testing.assert_frame_equal(got[["k", "score", "row"]],
                                   want[["k", "score", "row"]])
+
+
+def test_sliding_sum_matches_naive(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_validator_ray.stages.windows import sliding_sum
+
+    rng = np.random.default_rng(6)
+    n = 8000
+    base = pd.Timestamp("2024-02-01").value
+    df = pd.DataFrame({
+        "k": np.where(rng.random(n) < 0.8, "hot", "cold"),
+        "ts": pd.to_datetime(base + np.sort(
+            rng.integers(0, 20 * 24 * 3600 * 10 ** 9, n))),
+        "v": rng.random(n).round(3),
+        "row": np.arange(n, dtype=np.int64),
+    }).sample(frac=1.0, random_state=2).reset_index(drop=True)
+
+    got = (sliding_sum(rd.from_pandas(df).repartition(7), key="k", ts="ts",
+                       value="v", window="2h", bucket_multiple=3)
+           .to_pandas().sort_values("row").reset_index(drop=True))
+
+    delta = pd.Timedelta("2h")
+
+    def naive(g):
+        g = g.sort_values("ts", kind="stable").reset_index(drop=True)
+        t = g["ts"].to_numpy()
+        v = g["v"].to_numpy()
+        out = np.array([v[(t >= t[i] - delta.to_numpy()) & (t <= t[i])].sum()
+                        for i in range(len(g))])
+        g["want"] = np.round(out, 6)
+        return g
+
+    want = (df.groupby("k", group_keys=False)[df.columns.tolist()]
+            .apply(naive).sort_values("row").reset_index(drop=True))
+    assert np.allclose(got["sum_window"].to_numpy(),
+                       want["want"].to_numpy(), atol=2e-6)
