@@ -620,6 +620,32 @@ def q_curated_docs_neardup(sf_dir: str):
     return _collect(out, pa.schema([("doc_id", pa.int64())]))
 
 
+def q_clean_docs(sf_dir: str):
+    """HTML-strip + control-char drop + whitespace collapse (RE2 pipeline,
+    reproduced exactly in the oracle)."""
+    from schema_validator_ray.functions.text import clean_text
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"],
+                            "text_clean": clean_text(b["text"])}),
+        batch_format="pyarrow")
+
+
+def q_redact_docs(sf_dir: str):
+    """PII redaction (emails, phone-like runs) with per-row counts."""
+    from schema_validator_ray.functions.text import clean_text, redact_pii
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def run(b: pa.Table) -> pa.Table:
+        r = redact_pii(clean_text(b["text"]))
+        return pa.table({"doc_id": b["doc_id"], "redacted": r["text"],
+                         "n_email": r["n_email"], "n_phone": r["n_phone"]})
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
 def q_token_counts(sf_dir: str):
     from schema_validator_ray.functions.text import token_count
 
@@ -1184,6 +1210,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_video": q_multimodal_video,
         "curated_docs": q_curated_docs,
         "curated_docs_neardup": q_curated_docs_neardup,
+        "clean_docs": q_clean_docs,
+        "redact_docs": q_redact_docs,
         "token_counts": q_token_counts,
         "text_quality": q_text_quality,
         "lang_distribution": q_lang_distribution,
@@ -1512,6 +1540,42 @@ def oracle_sql() -> dict[str, str]:
               FROM annotated
              WHERE ROUND(q, 6) >= 0.75 AND nt >= 15
              GROUP BY text
+        """,
+        "clean_docs": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(regexp_replace(
+                        COALESCE(text, ''),
+                        '<[^>]*>', ' ', 'g'),
+                        '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                        '\s+', ' ', 'g')) AS text_clean
+              FROM documents
+        """,
+        "redact_docs": r"""
+            WITH c AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(regexp_replace(
+                          COALESCE(text, ''),
+                          '<[^>]*>', ' ', 'g'),
+                          '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                          '\s+', ' ', 'g')) AS t
+                FROM documents),
+            e AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(t,
+                          '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'
+                          )) AS BIGINT) AS n_email,
+                     regexp_replace(t,
+                          '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                          '[EMAIL]', 'g') AS t2
+                FROM c)
+            SELECT doc_id,
+                   regexp_replace(t2, '\+?[0-9][0-9()\-\. ]{5,}[0-9]',
+                                  '[PHONE]', 'g') AS redacted,
+                   n_email,
+                   CAST(len(regexp_extract_all(t2,
+                        '\+?[0-9][0-9()\-\. ]{5,}[0-9]')) AS BIGINT)
+                       AS n_phone
+              FROM e
         """,
         "token_counts": r"""
             SELECT doc_id,

@@ -168,3 +168,39 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     inter = np.intersect1d(a, b, assume_unique=True).size
     union = len(a) + len(b) - inter
     return inter / union if union else 1.0
+
+
+# ---------------------------------------------------------------------------
+# cleaning / redaction (training-data preprocessing; all RE2-expressible so
+# the DuckDB oracle reproduces them exactly)
+
+HTML_TAG_RE = r"<[^>]*>"
+CONTROL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+WS_RE = r"\s+"
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+# 7+ digit runs with optional separators — deliberately simple and identical
+# in both engines; a production redactor would add locale-aware patterns here
+PHONE_RE = r"\+?[0-9][0-9()\-\. ]{5,}[0-9]"
+
+
+def clean_text(col: pa.Array) -> pa.Array:
+    """Strip HTML tags, drop control characters, collapse whitespace runs to
+    one space, trim. Pure RE2 pipeline (vectorized, zero Python loops)."""
+    s = pc.fill_null(col, "")
+    s = pc.replace_substring_regex(s, HTML_TAG_RE, " ")
+    s = pc.replace_substring_regex(s, CONTROL_RE, "")
+    s = pc.replace_substring_regex(s, WS_RE, " ")
+    # ascii trim == DuckDB trim() after the \s+ collapse (RE2 \s is ASCII,
+    # so edges hold at most a plain space; unicode-aware trim would diverge)
+    return pc.ascii_trim_whitespace(s)
+
+
+def redact_pii(col: pa.Array) -> dict[str, pa.Array]:
+    """Replace emails/phone-like runs with placeholders; returns the redacted
+    column plus per-row counts of each replacement."""
+    s = pc.fill_null(col, "")
+    n_email = pc.cast(pc.count_substring_regex(s, EMAIL_RE), pa.int64())
+    s = pc.replace_substring_regex(s, EMAIL_RE, "[EMAIL]")
+    n_phone = pc.cast(pc.count_substring_regex(s, PHONE_RE), pa.int64())
+    s = pc.replace_substring_regex(s, PHONE_RE, "[PHONE]")
+    return {"text": s, "n_email": n_email, "n_phone": n_phone}

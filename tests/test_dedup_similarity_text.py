@@ -192,3 +192,23 @@ def test_connected_components_union_find():
     out = connected_components(pairs, all_ids=[99, 1])
     m = dict(zip(out["id"].to_pylist(), out["rep"].to_pylist()))
     assert m == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_clean_and_redact_kernels():
+    import pyarrow as pa
+
+    from schema_validator_ray.functions.text import clean_text, redact_pii
+
+    col = pa.array([
+        "<p>Hi <b>there</b></p>\n\n  spaced\tout\x01\x02",
+        "reach me at jane.doe+spam@example.co.uk or 020 7946 0958 ok",
+        "no pii here", None,
+    ])
+    cleaned = clean_text(col).to_pylist()
+    assert cleaned[0] == "Hi there spaced out"
+    assert cleaned[3] == ""
+    r = redact_pii(clean_text(col))
+    assert "[EMAIL]" in r["text"].to_pylist()[1]
+    assert "[PHONE]" in r["text"].to_pylist()[1]
+    assert r["n_email"].to_pylist() == [0, 1, 0, 0]
+    assert r["n_phone"].to_pylist() == [0, 1, 0, 0]
