@@ -1064,6 +1064,37 @@ def q_group_quantiles(sf_dir: str):
     })
 
 
+def q_group_distinct(sf_dir: str):
+    """Grouped approx distinct (per-event-type HLL of users), oracled as
+    exact-value + tolerance verdicts: exact distinct per group from the
+    distributed per-batch-distinct pass; hll_ok asserts the merged register
+    estimate lands within 10%."""
+    from schema_validator_ray.stages.stats import grouped_hll
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    hlls = grouped_hll(ds, "event_type", "user_id")
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.select(["event_type", "user_id"]).group_by(
+            ["event_type", "user_id"]).aggregate([])
+
+    exact: dict[str, set] = {}
+    for b in (ds.map_batches(partial, batch_format="pyarrow")
+              .iter_batches(batch_size=1 << 16, batch_format="pyarrow")):
+        for et, u in zip(b["event_type"].to_pylist(),
+                         b["user_id"].to_pylist()):
+            exact.setdefault(et, set()).add(u)
+    types = sorted(hlls)
+    n_exact = [len(exact[t]) for t in types]
+    ok = [abs(hlls[t].estimate() / n - 1.0) <= 0.10
+          for t, n in zip(types, n_exact)]
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "distinct_users": pa.array(n_exact, pa.int64()),
+        "hll_ok": pa.array(ok, pa.bool_()),
+    })
+
+
 def q_profile_sketches(sf_dir: str):
     """Sketch profile, SQL-oracled as exact-value + tolerance verdicts: the
     exact distinct counts / exact median come from distributed exact passes and
@@ -1234,6 +1265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_lineitem": q_profile_lineitem,
         "profile_sketches": q_profile_sketches,
         "group_quantiles": q_group_quantiles,
+        "group_distinct": q_group_distinct,
         "images_validate": q_images_validate,
         "images_rule_counts": q_images_rule_counts,
         "images_drift": q_images_drift,
@@ -1707,6 +1739,12 @@ def oracle_sql() -> dict[str, str]:
              WHERE (d.doc_id * 2654435761) % 4294967296
                    < CAST(floor(least(1.0, 50.0 / cnt.n) * 4294967296)
                           AS BIGINT)
+        """,
+        "group_distinct": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
+                   TRUE AS hll_ok
+              FROM events GROUP BY event_type
         """,
         "group_quantiles": """
             SELECT l_returnflag,

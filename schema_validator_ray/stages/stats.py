@@ -170,6 +170,51 @@ def grouped_tdigest(ds, key: str, col: str,
     return out
 
 
+def grouped_hll(ds, key: str, col: str, batch_size: int = 65536) -> dict:
+    """Per-group approximate distinct counts: one HLL per key value, merged
+    worker-side exactly like :func:`grouped_tdigest` (register-max merges are
+    order-independent, so the estimate is deterministic under re-blocking)."""
+    from ..functions.sketches import hash_column
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        kvals = b[key].to_numpy(zero_copy_only=False)
+        cvals = b[col]
+        if isinstance(cvals, pa.ChunkedArray):
+            cvals = cvals.combine_chunks()
+        hashes = hash_column(cvals)
+        df = pd.DataFrame({key: kvals, "_h": hashes})
+        rows_k, rows_b = [], []
+        for k, sub in df.groupby(key):
+            h = HLL()
+            h.add_hashes(sub["_h"].to_numpy())
+            rows_k.append(k)
+            rows_b.append(pickle.dumps(h))
+        return pa.table({key: pa.array(rows_k),
+                         "blob": pa.array(rows_b, pa.binary())})
+
+    def merge_group(g):
+        import pandas as pd
+
+        merged = None
+        for blob in g["blob"]:
+            h = pickle.loads(blob)
+            merged = h if merged is None else merged.merge(h)
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             "blob": [pickle.dumps(merged)]})
+
+    partials = ds.select_columns([key, col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size)
+    reduced = partials.groupby(key).map_groups(merge_group,
+                                               batch_format="pandas")
+    out = {}
+    for b in reduced.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for k, blob in zip(b[key].to_pylist(), b["blob"].to_pylist()):
+            out[k] = pickle.loads(blob)
+    return out
+
+
 def merge_profiles_distributed(partials_ds) -> dict[str, ColumnProfile]:
     """Tree-merge path for partial streams too large to stream to the driver
     (≳10^6 blocks): a ``groupby(column)`` reduces every column's partials on

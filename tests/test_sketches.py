@@ -120,3 +120,25 @@ def test_grouped_tdigest_accuracy(ray_session):
             got = td.quantile(q)
             span = truth[k][2] - truth[k][0]
             assert abs(got - want) <= 0.05 * span, (k, q, got, want)
+
+
+def test_grouped_hll_accuracy_and_reblocking(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_validator_ray.stages.stats import grouped_hll
+
+    rng = np.random.default_rng(12)
+    frames = []
+    truth = {}
+    for k, card in {"x": 50, "y": 5000, "z": 1}.items():
+        v = rng.integers(0, card, 20000)
+        frames.append(pd.DataFrame({"k": k, "v": v}))
+        truth[k] = len(np.unique(v))
+    df = pd.concat(frames, ignore_index=True)
+    a = grouped_hll(rd.from_pandas(df).repartition(4), "k", "v")
+    b = grouped_hll(rd.from_pandas(df).repartition(17), "k", "v")
+    for k, n in truth.items():
+        assert abs(a[k].estimate() / n - 1) <= 0.05, (k, a[k].estimate(), n)
+        assert a[k].estimate() == b[k].estimate()  # register merges commute
