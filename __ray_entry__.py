@@ -620,6 +620,35 @@ def q_curated_docs_neardup(sf_dir: str):
     return _collect(out, pa.schema([("doc_id", pa.int64())]))
 
 
+def q_lang_drift_psi(sf_dir: str):
+    """Distribution drift, SQL-oracled exactly: PSI of the language
+    distribution between even- and odd-id docs (one pre-aggregated counts
+    pass; the PSI formula incl. the 1e-6 clamp is reproduced in SQL)."""
+    from ray.data.aggregate import Sum
+
+    from schema_validator_ray.stages.drift import PSI_THRESHOLD, psi
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        half = pc.cast(pc.bit_wise_and(b["doc_id"], 1), pa.int8())
+        t = pa.table({"half": half, "lang": b["lang"]})
+        agg = t.group_by(["half", "lang"]).aggregate([([], "count_all")])
+        return pa.table({"half": agg["half"], "lang": agg["lang"],
+                         "cnt": pc.cast(agg["count_all"], pa.int64())})
+
+    counts: dict[int, dict] = {0: {}, 1: {}}
+    for b in (ds.map_batches(partial, batch_format="pyarrow")
+              .iter_batches(batch_size=1 << 16, batch_format="pyarrow")):
+        for h, lang, c in zip(b["half"].to_pylist(), b["lang"].to_pylist(),
+                              b["cnt"].to_pylist()):
+            d = counts[h]
+            d[lang] = d.get(lang, 0) + c
+    val = round(psi(counts[0], counts[1]), 6)
+    return pa.table({"psi_value": pa.array([val], pa.float64()),
+                     "drift_ok": pa.array([val < PSI_THRESHOLD], pa.bool_())})
+
+
 def q_clean_docs(sf_dir: str):
     """HTML-strip + control-char drop + whitespace collapse (RE2 pipeline,
     reproduced exactly in the oracle)."""
@@ -1241,6 +1270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_video": q_multimodal_video,
         "curated_docs": q_curated_docs,
         "curated_docs_neardup": q_curated_docs_neardup,
+        "lang_drift_psi": q_lang_drift_psi,
         "clean_docs": q_clean_docs,
         "redact_docs": q_redact_docs,
         "token_counts": q_token_counts,
@@ -1572,6 +1602,25 @@ def oracle_sql() -> dict[str, str]:
               FROM annotated
              WHERE ROUND(q, 6) >= 0.75 AND nt >= 15
              GROUP BY text
+        """,
+        # PSI over all langs present in either half, probabilities clamped at
+        # 1e-6 (drift.py:psi), drift_ok = psi < 0.25 (PSI_THRESHOLD)
+        "lang_drift_psi": """
+            WITH p AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS c
+                         FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+                 q AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS c
+                         FROM documents WHERE doc_id % 2 = 1 GROUP BY lang),
+                 keys AS (SELECT lang FROM p UNION SELECT lang FROM q),
+                 j AS (SELECT
+                         GREATEST(COALESCE(p.c, 0)
+                                  / (SELECT SUM(c) FROM p), 1e-6) AS pp,
+                         GREATEST(COALESCE(q.c, 0)
+                                  / (SELECT SUM(c) FROM q), 1e-6) AS qq
+                       FROM keys LEFT JOIN p ON keys.lang = p.lang
+                                 LEFT JOIN q ON keys.lang = q.lang)
+            SELECT ROUND(SUM((pp - qq) * LN(pp / qq)), 6) AS psi_value,
+                   SUM((pp - qq) * LN(pp / qq)) < 0.25 AS drift_ok
+              FROM j
         """,
         "clean_docs": r"""
             SELECT doc_id,
