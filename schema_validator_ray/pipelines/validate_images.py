@@ -316,7 +316,8 @@ def validate_images(input_dir: str, *, captions_path: str | None = None,
         n_cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         n_cpus = 8
-    n_blocks = max(16, n_cpus * 4)
+    import os as _os
+    n_blocks = max(16, n_cpus * int(_os.environ.get('SVR_BLOCKS_PER_CPU', '4')))
 
     meta = rd.read_parquet(input_dir, columns=META_COLUMNS,
                            override_num_blocks=n_blocks)
