@@ -39,8 +39,9 @@ _PAIR_CHUNK = 1 << 18
 
 
 def _collided_keys(ds, col: str, *, driver_merge_max: int = 5_000_000,
-                   max_broadcast: int = 5_000_000) -> set:
-    """Keys of ``ds[col]`` occurring more than once, as a broadcastable set.
+                   max_broadcast: int = 5_000_000) -> tuple[set, int]:
+    """(keys of ``ds[col]`` occurring more than once, total rows under those
+    keys) — the row total drives downstream strategy switches.
 
     Below ``driver_merge_max`` partial rows the per-batch (key, count) partials
     are merged with ONE driver-side pyarrow group_by — they are already narrow
@@ -63,20 +64,23 @@ def _collided_keys(ds, col: str, *, driver_merge_max: int = 5_000_000,
             break
     if not over:
         if not parts:
-            return set()
+            return set(), 0
         merged = pa.concat_tables(parts).group_by(col).aggregate(
             [("cnt", "sum")])
         dup = merged.filter(pc.greater(merged["cnt_sum"], 1))
-        return set(dup[col].to_pylist())
+        n_rows = int(pc.sum(dup["cnt_sum"]).as_py() or 0)
+        return set(dup[col].to_pylist()), n_rows
     out: set = set()
+    n_rows = 0
     for b in duplicate_keys(ds, col, driver_merge_max=0).iter_batches(
             batch_size=1 << 16, batch_format="pyarrow"):
         out.update(b[col].to_pylist())
+        n_rows += int(pc.sum(b["dup_count"]).as_py() or 0)
         if len(out) > max_broadcast:
             raise MemoryError(
                 f"collided-key set for {col!r} exceeds broadcast budget "
                 f"({max_broadcast}); run exact dedup first")
-    return out
+    return out, n_rows
 
 
 # ---------------------------------------------------------------------------
@@ -332,7 +336,8 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, *, num_perm: int = 128,
                       bands: int = 16, threshold: float = 0.5,
                       batch_size: int = 4096, concurrency: int | None = None,
                       max_bucket_size: int = 1024,
-                      max_broadcast_buckets: int = 5_000_000) -> pa.Table:
+                      max_broadcast_buckets: int = 5_000_000,
+                      sig_shuffle_max_rows: int = 200_000) -> pa.Table:
     """Near-duplicate pairs (id_a, id_b, jaccard_est >= threshold), fully
     distributed: candidate generation AND signature verification run inside
     ``groupby("bucket").map_groups`` over collided-bucket members; the driver
@@ -364,25 +369,126 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, *, num_perm: int = 128,
     # collided buckets via the pre-aggregated uniqueness pattern: per-batch
     # (bucket,count) partials, driver-merged below threshold with distributed
     # fallback; broadcast once
-    dup_buckets = _collided_keys(banded, "bucket",
-                                 max_broadcast=max_broadcast_buckets)
+    dup_buckets, dup_rows = _collided_keys(
+        banded, "bucket", max_broadcast=max_broadcast_buckets)
     if not dup_buckets:
         return empty
     dup_ref = ray.put(pa.array(sorted(dup_buckets)))
 
-    members = sigs_mat.map_batches(
-        _MemberExplode(id_col, bands, rows, dup_ref), batch_format="pyarrow")
-    est_fn = _BucketPairsEst(id_col, threshold, max_bucket_size)
+    # coarse-group buckets (hash(bucket) % n_groups): under heavy duplication
+    # nearly every bucket collides, and one Ray group per bucket pays ~ms of
+    # per-group overhead x 10^4-10^6 buckets; iterating buckets vectorized
+    # inside a few hundred groups removes that while keeping the same bound
+    n_groups = 256
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        return est_fn(g)
+    def add_grp(t: pa.Table) -> pa.Table:
+        bk = t["bucket"].to_pylist()
+        grp = np.fromiter(
+            (int(hashlib.blake2b(b.encode(), digest_size=4).hexdigest(), 16)
+             % n_groups for b in bk), np.int32, len(bk))
+        return t.append_column("_grp", pa.array(grp, pa.int32()))
 
-    pairs = members.groupby("bucket").map_groups(
-        bucket_pairs, batch_format="pyarrow")
-    # the same pair surfaces once per colliding band with the identical est —
-    # distributed dedup, only (a, b, est) rows shuffle
-    deduped = pairs.groupby(["a", "b"]).aggregate(
-        Min("jaccard_est", alias_name="jaccard_est"))
+    def _per_bucket(g: pa.Table, fn) -> pa.Table:
+        order = pc.sort_indices(g["bucket"])
+        g = g.take(order)
+        bk = g["bucket"].to_numpy(zero_copy_only=False)
+        seg = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        seg = np.r_[seg, len(bk)]
+        parts = [fn(g.slice(a, b - a)) for a, b in zip(seg[:-1], seg[1:])]
+        return pa.concat_tables(parts) if parts else fn(g)
+
+    if dup_rows <= sig_shuffle_max_rows:
+        # sig-carrying path: signatures ride with the member rows, pairs are
+        # generated AND verified inside the bucket groups (one shuffle)
+        members = sigs_mat.map_batches(
+            _MemberExplode(id_col, bands, rows, dup_ref),
+            batch_format="pyarrow")
+        est_fn = _BucketPairsEst(id_col, threshold, max_bucket_size)
+
+        def bucket_pairs(g: pa.Table) -> pa.Table:
+            return _per_bucket(g, est_fn)
+
+        pairs = members.map_batches(add_grp, batch_format="pyarrow").groupby(
+            "_grp").map_groups(bucket_pairs, batch_format="pyarrow")
+        # the same pair surfaces once per colliding band with identical est —
+        # distributed dedup, only (a, b, est) rows shuffle
+        deduped = pairs.groupby(["a", "b"]).aggregate(
+            Min("jaccard_est", alias_name="jaccard_est"))
+    else:
+        # heavy-duplication path: shipping ~1 KB signatures once per (band,
+        # member) would shuffle bands x corpus bytes; instead generate
+        # candidate pairs over NARROW (bucket, id) rows, dedup, then verify by
+        # joining each side's signature on (hash-partitioned, one sig per doc)
+        from ray.data.aggregate import Count
+
+        from .referential import default_join_partitions
+
+        def members_narrow(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["bucket"],
+                                     value_set=ray.get(dup_ref)))
+
+        def cand_fn(g: pa.Table) -> pa.Table:
+            ids_col = g[id_col]
+            if isinstance(ids_col, pa.ChunkedArray):
+                ids_col = ids_col.combine_chunks()
+            n = g.num_rows
+            if n < 2 or n > max_bucket_size:
+                if n > max_bucket_size:
+                    print(f"[minhash-lsh] skipping mega-bucket of size {n} "
+                          f"(cap {max_bucket_size})")
+                return pa.table({"a": ids_col.slice(0, 0),
+                                 "b": ids_col.slice(0, 0)})
+            ids = np.sort(ids_col.to_numpy(zero_copy_only=False),
+                          kind="stable")
+            ii, jj = np.triu_indices(n, k=1)
+            return pa.table({"a": pa.array(ids[ii], ids_col.type),
+                             "b": pa.array(ids[jj], ids_col.type)})
+
+        def bucket_cands(g: pa.Table) -> pa.Table:
+            return _per_bucket(g, cand_fn)
+
+        cand = (banded.map_batches(members_narrow, batch_format="pyarrow")
+                .map_batches(add_grp, batch_format="pyarrow")
+                .groupby("_grp").map_groups(bucket_cands,
+                                            batch_format="pyarrow"))
+        ded = (cand.groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
+               .select_columns(["a", "b"]))
+        npart = default_join_partitions(16)
+
+        def pack(side: str):
+            # Arrow's acero join rejects fixed_size_list payload columns —
+            # ship signatures as raw little-endian bytes instead
+            def f(t: pa.Table) -> pa.Table:
+                m = _sig_matrix(t["sig"])
+                blobs = [m[i].tobytes() for i in range(m.shape[0])]
+                return pa.table({side: t[id_col],
+                                 f"sig_{side}": pa.array(blobs, pa.binary())})
+            return f
+
+        sa = sigs_mat.map_batches(pack("a"), batch_format="pyarrow")
+        sb = sigs_mat.map_batches(pack("b"), batch_format="pyarrow")
+        j2 = (ded.join(sa, join_type="inner", num_partitions=npart,
+                       on=("a",))
+              .join(sb, join_type="inner", num_partitions=npart, on=("b",)))
+
+        def est_verify(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"a": t["a"], "b": t["b"],
+                                 "jaccard_est": pa.array([], pa.float64())})
+            sig_a = np.frombuffer(
+                b"".join(t["sig_a"].to_pylist()), np.int64
+            ).reshape(t.num_rows, -1)
+            sig_b = np.frombuffer(
+                b"".join(t["sig_b"].to_pylist()), np.int64
+            ).reshape(t.num_rows, -1)
+            est = (sig_a == sig_b).mean(axis=1)
+            keep = est >= threshold
+            kept = t.filter(pa.array(keep))
+            return pa.table({"a": kept["a"], "b": kept["b"],
+                             "jaccard_est": pa.array(
+                                 np.round(est[keep], 6), pa.float64())})
+
+        deduped = j2.map_batches(est_verify, batch_format="pyarrow")
 
     chunks = list(deduped.iter_batches(batch_size=1 << 20,
                                        batch_format="pyarrow"))
@@ -637,8 +743,8 @@ def simhash_pairs(ds, text_col: str, id_col: str, *, max_hamming: int = 3,
                       "b": pa.array([], pa.int64()),
                       "hamming": pa.array([], pa.int32())})
 
-    dup_vals = _collided_keys(exploded.select_columns(["bkt"]), "bkt",
-                              max_broadcast=max_broadcast_buckets)
+    dup_vals, _ = _collided_keys(exploded.select_columns(["bkt"]), "bkt",
+                                 max_broadcast=max_broadcast_buckets)
     if not dup_vals:
         return empty
     ref = ray.put(pa.array(sorted(dup_vals), pa.int32()))
@@ -648,13 +754,29 @@ def simhash_pairs(ds, text_col: str, id_col: str, *, max_hamming: int = 3,
 
         return t.filter(pc.is_in(t["bkt"], value_set=_ray.get(_ref)))
 
+    # same coarse-grouping as the minhash path: iterate buckets vectorized
+    # inside ~256 groups instead of one Ray group per collided bank value
+    n_groups = 256
     ham_fn = _BankPairsHamming(id_col, max_hamming, max_bucket_size)
 
-    def bank_pairs(g: pa.Table) -> pa.Table:
-        return ham_fn(g)
+    def add_grp(t: pa.Table) -> pa.Table:
+        bk = t["bkt"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_grp", pa.array((bk.astype(np.int64) % n_groups).astype(np.int32),
+                             pa.int32()))
 
-    pairs = exploded.map_batches(members, batch_format="pyarrow").groupby(
-        "bkt").map_groups(bank_pairs, batch_format="pyarrow")
+    def bank_pairs(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g["bkt"])
+        g = g.take(order)
+        bk = g["bkt"].to_numpy(zero_copy_only=False)
+        seg = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        seg = np.r_[seg, len(bk)]
+        parts = [ham_fn(g.slice(a, b - a)) for a, b in zip(seg[:-1], seg[1:])]
+        return pa.concat_tables(parts) if parts else ham_fn(g)
+
+    pairs = (exploded.map_batches(members, batch_format="pyarrow")
+             .map_batches(add_grp, batch_format="pyarrow")
+             .groupby("_grp").map_groups(bank_pairs, batch_format="pyarrow"))
     deduped = pairs.groupby(["a", "b"]).aggregate(
         Min("hamming", alias_name="hamming"))
 

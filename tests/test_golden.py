@@ -92,3 +92,17 @@ def test_golden_simhash_pairs(ray_session):
     assert t.column_names == ["a", "b", "hamming"]
     assert t.num_rows == GOLDEN_SIMHASH_SF0001[1]
     assert _hash_pairs(t) == GOLDEN_SIMHASH_SF0001[0]
+
+
+def test_golden_minhash_narrow_path(ray_session):
+    """The heavy-duplication (narrow candidates + sig joins) path must produce
+    the identical pair table as the sig-carrying default."""
+    from schema_validator_ray.stages.dedup import minhash_lsh_pairs
+    import ray.data as rd
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    t = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.4,
+                          sig_shuffle_max_rows=0)   # force the narrow path
+    assert t.num_rows == GOLDEN_MINHASH_SF0001[1]
+    assert _hash_pairs(t) == GOLDEN_MINHASH_SF0001[0]
