@@ -675,6 +675,26 @@ def q_redact_docs(sf_dir: str):
     return ds.map_batches(run, batch_format="pyarrow")
 
 
+def q_prepare_training_data(sf_dir: str):
+    """Full training-data prep capstone (clean -> filter -> exact + near dedup
+    -> split -> per-split packing). Rows-only: components + greedy packing are
+    not SQL; every invariant is pinned by tests."""
+    from schema_validator_ray.pipelines.prepare_training_data import (
+        prepare_training_data,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    res = prepare_training_data(ds, min_quality=0.7, min_tokens=10,
+                                near_dup_threshold=0.5, pack_budget=512)
+    out = res["dataset"].map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "split": b["split"],
+                            "pack_id": b["pack_id"]}),
+        batch_format="pyarrow")
+    return _collect(out, pa.schema([("doc_id", pa.int64()),
+                                    ("split", pa.string()),
+                                    ("pack_id", pa.string())]))
+
+
 def q_token_counts(sf_dir: str):
     from schema_validator_ray.functions.text import token_count
 
@@ -1270,6 +1290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_video": q_multimodal_video,
         "curated_docs": q_curated_docs,
         "curated_docs_neardup": q_curated_docs_neardup,
+        "prepare_training_data": q_prepare_training_data,
         "lang_drift_psi": q_lang_drift_psi,
         "clean_docs": q_clean_docs,
         "redact_docs": q_redact_docs,
