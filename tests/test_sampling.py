@@ -82,3 +82,21 @@ def test_hash_split_partitions_every_row(docs_ds, ray_session):
     assert (a["split"] == b["split"]).all()
     with pytest.raises(ValueError):
         hash_split(docs_ds, "doc_id", {"train": 0.5, "val": 0.1})
+
+
+def test_hash_sample_nested_and_split_consistency(docs_ds, ray_session):
+    """Threshold sampling is NESTED: raising the rate only ADDS rows (an
+    operational property — resampling at a higher rate reuses all previously
+    selected data); and hash_split's first band equals hash_sample at the
+    same fraction (same threshold arithmetic)."""
+    from schema_validator_ray.stages.sampling import hash_sample, hash_split
+
+    s10 = set(_ids(hash_sample(docs_ds, "doc_id", 0.10)))
+    s30 = set(_ids(hash_sample(docs_ds, "doc_id", 0.30)))
+    s60 = set(_ids(hash_sample(docs_ds, "doc_id", 0.60)))
+    assert s10 <= s30 <= s60
+
+    split = hash_split(docs_ds, "doc_id",
+                       {"a": 0.30, "b": 0.70}).to_pandas()
+    first_band = set(split[split["split"] == "a"]["doc_id"])
+    assert first_band == s30
