@@ -888,39 +888,67 @@ def embedding_near_dup_pairs(ds, emb_col: str, id_col: str, dim: int, *,
 
     bucketed = bucketed.map_batches(add_grp, batch_format="pyarrow")
 
-    def within(g):
-        import pandas as pd
-
-        pieces = []
-        for _, sub in g.groupby("bucket"):
-            ids = sub[id_col].to_numpy()
-            if len(ids) < 2:
+    def within(g: pa.Table) -> pa.Table:
+        # Arrow-native: sort the group by bucket once, segment-scan buckets,
+        # vectorized cosine inside each segment (no pandas conversion).
+        order = pc.sort_indices(g["bucket"])
+        g = g.take(order)
+        bk = g["bucket"].to_numpy(zero_copy_only=False)
+        ids_col = g[id_col]
+        if isinstance(ids_col, pa.ChunkedArray):
+            ids_col = ids_col.combine_chunks()
+        emb = g[emb_col]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        empty_g = pa.table({"a": ids_col.slice(0, 0),
+                            "b": ids_col.slice(0, 0),
+                            "cosine": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty_g
+        mat_all = np.asarray(emb.flatten().to_numpy(zero_copy_only=False),
+                             np.float64).reshape(g.num_rows, -1)
+        mat_all = mat_all / np.maximum(
+            np.linalg.norm(mat_all, axis=1, keepdims=True), 1e-12)
+        ids_np = ids_col.to_numpy(zero_copy_only=False)
+        seg = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        seg = np.r_[seg, len(bk)]
+        a_l, b_l, c_l = [], [], []
+        for s0, s1 in zip(seg[:-1], seg[1:]):
+            n = int(s1 - s0)
+            if n < 2:
                 continue
-            if len(ids) > max_bucket_size:
-                print(f"[emb-lsh] skipping mega-bucket of size {len(ids)} "
+            if n > max_bucket_size:
+                print(f"[emb-lsh] skipping mega-bucket of size {n} "
                       f"(cap {max_bucket_size})")
                 continue
-            mat = np.vstack(sub[emb_col].to_numpy()).astype(np.float64)
-            mat = mat / np.maximum(
-                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            mat = mat_all[s0:s1]
+            ids = ids_np[s0:s1]
             sims = mat @ mat.T
-            ii, jj = np.triu_indices(len(ids), k=1)
+            ii, jj = np.triu_indices(n, k=1)
             keep = sims[ii, jj] >= threshold
-            pieces.append(pd.DataFrame({
-                "a": np.minimum(ids[ii[keep]], ids[jj[keep]]),
-                "b": np.maximum(ids[ii[keep]], ids[jj[keep]]),
-                "cosine": np.round(sims[ii, jj][keep], 6),
-            }))
-        if not pieces:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
-        return pd.concat(pieces, ignore_index=True)
+            a_l.append(np.minimum(ids[ii[keep]], ids[jj[keep]]))
+            b_l.append(np.maximum(ids[ii[keep]], ids[jj[keep]]))
+            c_l.append(np.round(sims[ii, jj][keep], 6))
+        if not a_l:
+            return empty_g
+        return pa.table({"a": pa.array(np.concatenate(a_l), ids_col.type),
+                         "b": pa.array(np.concatenate(b_l), ids_col.type),
+                         "cosine": pa.array(np.concatenate(c_l),
+                                            pa.float64())})
 
-    out = bucketed.groupby("_grp").map_groups(within, batch_format="pandas")
-    tbl = pa.concat_tables(
-        list(out.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-        or [pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                      "cosine": pa.array([], pa.float64())})])
-    import pandas as pd
-
-    df = tbl.to_pandas().drop_duplicates(["a", "b"]).sort_values(["a", "b"])
-    return pa.Table.from_pandas(df, preserve_index=False)
+    out = bucketed.groupby("_grp").map_groups(within, batch_format="pyarrow")
+    # each id lands in exactly one bucket so pairs are already unique, but the
+    # distributed groupby dedup (same shape as the minhash path) keeps the
+    # stage robust if a multi-band variant ever emits a pair twice — no
+    # driver-side drop_duplicates over the full pair set
+    from ray.data.aggregate import Min
+    ded = out.groupby(["a", "b"]).aggregate(Min("cosine",
+                                                alias_name="cosine"))
+    chunks = list(ded.iter_batches(batch_size=1 << 20,
+                                   batch_format="pyarrow"))
+    if not chunks:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    return pa.concat_tables(chunks).sort_by(
+        [("a", "ascending"), ("b", "ascending")])

@@ -12,10 +12,12 @@ shape mirrors the sharded skew-safe window/as-of pattern:
 2. Each interval row is replicated into EVERY bucket it overlaps — the only
    data expansion, bounded by interval_span / bucket. Intervals longer than
    ``max_span_buckets`` buckets are rejected loudly rather than silently
-   exploding (pick a bucket ≳ the typical interval length). Replicas landing
-   in the same (shard, block) dedupe before matching.
-3. Inside each group a per-key sorted range scan emits one output row per
-   (left row, containing interval).
+   exploding (pick a bucket ≳ the typical interval length). Replicas of one
+   source row always land in distinct (shard, block) groups, so no dedup is
+   needed and duplicated input intervals keep SQL join multiplicity.
+3. Inside each group a per-key vectorized stabbing scan (two-sided
+   searchsorted over start + running-max end) emits one output row per
+   (left row, containing interval) with no per-row Python loop.
 
 Left rows with no containing interval are dropped (inner join) or kept with
 nulls (``how="left"``).
@@ -101,8 +103,11 @@ def interval_join(left_ds, intervals_ds, *, key: str, ts: str,
     out_cols = left_cols + [start, end, *payload_cols]
 
     def group_join(g: pd.DataFrame) -> pd.DataFrame:
-        iv = (g[g["_side"] == 1]
-              .drop_duplicates([key, start, end, *payload_cols]))
+        # No replica dedup needed: replicas of one interval row go to
+        # DISTINCT _blk values (same shard), so each source row appears at
+        # most once per group — and genuinely duplicated input intervals
+        # correctly emit one output row per duplicate (SQL join semantics).
+        iv = g[g["_side"] == 1]
         left = g[g["_side"] == 0]
         if len(left) == 0:
             return g.iloc[0:0][out_cols]
@@ -125,15 +130,24 @@ def interval_join(left_ds, intervals_ds, *, key: str, ts: str,
                 continue
             s = sub[start].to_numpy()
             e = sub[end].to_numpy()
-            li, ii = [], []
-            matched = np.zeros(len(lsub), bool)
+            # Vectorized interval stabbing (no per-row Python loop): in
+            # start-sorted order, candidates for point t are ranks
+            # [lo, hi) with hi = #(s <= t) and lo = first rank whose
+            # running-max end reaches t (everything below lo has ALL
+            # ends < t, so cannot match).  Expand candidate ranges with
+            # repeat/arange, then mask e >= t; s <= t holds by rank < hi.
+            cummax_e = np.maximum.accumulate(e)
             hi = np.searchsorted(s, lts, side="right")
-            for j in range(len(lsub)):
-                cand = np.nonzero(e[:hi[j]] >= lts[j])[0]
-                if len(cand):
-                    matched[j] = True
-                    li.extend([j] * len(cand))
-                    ii.extend(cand.tolist())
+            lo = np.searchsorted(cummax_e, lts, side="left")
+            counts = hi - lo
+            li = np.repeat(np.arange(len(lsub)), counts)
+            cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            ii = (np.arange(counts.sum()) - np.repeat(cum, counts)
+                  + np.repeat(lo, counts))
+            keep = e[ii] >= lts[li]
+            li, ii = li[keep], ii[keep]
+            matched = np.zeros(len(lsub), bool)
+            matched[li] = True
             out = lsub.iloc[li][left_cols].reset_index(drop=True)
             ivm = sub.iloc[ii].reset_index(drop=True)
             out[start] = (ivm[start].to_numpy() if len(ivm)

@@ -105,6 +105,38 @@ def test_interval_join_overlaps_left_and_span_guard(ray_session):
                       max_span_buckets=2).to_pandas()
 
 
+def test_interval_join_duplicated_interval_rows(ray_session):
+    """A genuinely duplicated interval row must emit one output row per
+    duplicate (SQL BETWEEN-join multiplicity), not be coalesced."""
+    import ray.data as rd
+
+    from schema_validator_ray.stages.interval import interval_join
+
+    base = pd.Timestamp("2024-05-01")
+    left = pd.DataFrame({
+        "ev": np.array([0, 1], np.int64),
+        "k": np.array([1, 1], np.int64),
+        "ts": pd.to_datetime([base + pd.Timedelta("1h"),
+                              base + pd.Timedelta("9h")]),
+    })
+    iv = pd.DataFrame({                       # first interval appears TWICE
+        "k": np.array([1, 1, 1], np.int64),
+        "s": pd.to_datetime([base, base, base + pd.Timedelta("8h")]),
+        "e": pd.to_datetime([base + pd.Timedelta("2h"),
+                             base + pd.Timedelta("2h"),
+                             base + pd.Timedelta("10h")]),
+        "w": np.array([5.0, 5.0, 7.0]),
+    })
+    got = (interval_join(rd.from_pandas(left), rd.from_pandas(iv),
+                         key="k", ts="ts", start="s", end="e",
+                         payload_cols=["w"], bucket="2h")
+           .to_pandas().sort_values(["ev", "w"]).reset_index(drop=True))
+    naive = left.merge(iv, on="k")
+    naive = naive[(naive.ts >= naive.s) & (naive.ts <= naive.e)]
+    assert len(got) == len(naive) == 3        # ev0 matches the dup twice
+    assert list(got[got.ev == 0]["w"]) == [5.0, 5.0]
+
+
 def test_asof_join_property_random(ray_session):
     """Randomized parity vs pandas merge_asof across bucket sizes and shard
     counts (exercises carry-ins, empty shards, keys on only one side)."""
