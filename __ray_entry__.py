@@ -7,7 +7,7 @@ queries()    — one callable per implemented operator family (SURVEY.md §2 +
                the training-data ops: rule packs, joins incl. as-of/interval,
                windows, dedup/LSH/components, similarity, sampling/split,
                packing, profiling, text analysis, multimodal); each takes
-               sf_dir. 52 queries, 41 SQL-oracled.
+               sf_dir (totals tracked in COVERAGE.md).
 oracle_sql() — DuckDB-equivalent SQL for every SQL-expressible query, with
                matching column names/types; data-independent seeded constants
                (LSH planes, sampling thresholds) are inlined as literals.
@@ -833,18 +833,34 @@ def q_asof_join_events(sf_dir: str):
 
     # the checkpoint stream is 10% of events pre-reduced per batch — merge the
     # partials with one driver group_by (flagship threshold pattern; a full
-    # Ray sort-groupby costs seconds of fixed overhead at this size)
+    # Ray sort-groupby costs seconds of fixed overhead at this size), guarded:
+    # above driver_merge_max partial rows fall back to a distributed groupby
+    # so a huge right side never accumulates on the driver
     import ray.data as rd
 
+    driver_merge_max = 5_000_000
     partials = right.map_batches(dedupe_ts, batch_format="pyarrow")
-    parts = [b for b in partials.iter_batches(batch_size=1 << 20,
-                                              batch_format="pyarrow")
-             if b.num_rows]
-    merged = (pa.concat_tables(parts).group_by(["user_id", "ts"])
-              .aggregate([("ckpt_value", "max")]))
-    right = rd.from_arrow(pa.table({
-        "user_id": merged["user_id"], "ts": merged["ts"],
-        "ckpt_value": merged["ckpt_value_max"]}))
+    parts, total, over = [], 0, False
+    for b in partials.iter_batches(batch_size=1 << 20,
+                                   batch_format="pyarrow"):
+        if b.num_rows:
+            parts.append(b)
+            total += b.num_rows
+        if total > driver_merge_max:
+            over = True
+            break
+    if over:
+        from ray.data.aggregate import Max
+
+        right = (right.map_batches(dedupe_ts, batch_format="pyarrow")
+                 .groupby(["user_id", "ts"])
+                 .aggregate(Max("ckpt_value", alias_name="ckpt_value")))
+    else:
+        merged = (pa.concat_tables(parts).group_by(["user_id", "ts"])
+                  .aggregate([("ckpt_value", "max")]))
+        right = rd.from_arrow(pa.table({
+            "user_id": merged["user_id"], "ts": merged["ts"],
+            "ckpt_value": merged["ckpt_value_max"]}))
     out = asof_join(left, right, key="user_id", ts="ts",
                     value_cols=["ckpt_value"], bucket="6h")
     return out.map_batches(

@@ -284,9 +284,18 @@ def compile_ruleset(
     *,
     registry: Registry | None = None,
     dsl_config: DslConfig = DEFAULT_CONFIG,
+    dive_tag: str = DIVE,
+    value_types: tuple[pa.DataType, ...] = (),
 ) -> CompiledRuleSet:
     """Compile a spec against an Arrow schema. ``spec`` may also be a list whose
-    items are dicts or :class:`When` blocks."""
+    items are dicts or :class:`When` blocks.
+
+    ``dive_tag`` renames the list-descent marker (reference ``WithDiveTag``,
+    parser.go:45-49). ``value_types`` lists struct DataTypes that are leaf
+    VALUES: rules apply to the struct as a whole and a nested dict spec
+    descending into one is a compile error (reference ``WithValueTypes``,
+    parser.go:51-55,156 — its default ``time.Time`` entry needs no Arrow
+    counterpart because Arrow timestamps are already scalar types)."""
     registry = registry or default_registry
     plans: list[FieldPlan] = []
 
@@ -302,22 +311,30 @@ def compile_ruleset(
 
     for cond, block in blocks:
         condition = _compile_condition(cond, schema) if cond is not None else None
-        for column, entry in _flatten_spec(block):
+        for column, entry in _flatten_spec(block, schema, value_types):
             plans.append(
-                _compile_field(column, entry, schema, registry, dsl_config, condition))
+                _compile_field(column, entry, schema, registry, dsl_config,
+                               condition, dive_tag))
     return CompiledRuleSet(plans, schema)
 
 
-def _flatten_spec(block: dict, prefix: str = ""):
+def _flatten_spec(block: dict, schema: pa.Schema,
+                  value_types: tuple[pa.DataType, ...] = (), prefix: str = ""):
     for key, entry in block.items():
         path = f"{prefix}{key}"
         if isinstance(entry, dict):
-            yield from _flatten_spec(entry, prefix=f"{path}.")
+            if value_types and _lookup_type(schema, path) in value_types:
+                raise CompileError(
+                    f"{path!r} is a declared value type; apply rules to it "
+                    f"directly instead of descending with a nested spec")
+            yield from _flatten_spec(entry, schema, value_types,
+                                     prefix=f"{path}.")
         else:
             yield path, entry
 
 
-def _compile_field(column, entry, schema, registry, dsl_config, condition) -> FieldPlan:
+def _compile_field(column, entry, schema, registry, dsl_config, condition,
+                   dive_tag: str = DIVE) -> FieldPlan:
     dtype = _lookup_type(schema, column)
     rules = _to_rules(entry, dsl_config)
 
@@ -326,8 +343,8 @@ def _compile_field(column, entry, schema, registry, dsl_config, condition) -> Fi
     outer, inner = rules, []
     if is_list:
         names = [r.name for r in rules]
-        if DIVE in names:
-            cut = names.index(DIVE)
+        if dive_tag in names:
+            cut = names.index(dive_tag)
             outer, inner = rules[:cut], rules[cut + 1:]
 
     plan = FieldPlan(column=column, rules=[], condition=condition)

@@ -280,7 +280,8 @@ def validate_images(input_dir: str, *, captions_path: str | None = None,
                     decode_concurrency: int | None = None,
                     ref_strategy: str = "auto",
                     ref_broadcast_max: int = 5_000_000,
-                    ref_bloom_bits: int | None = None) -> dict[str, Any]:
+                    ref_bloom_bits: int | None = None,
+                    reader=None) -> dict[str, Any]:
     """Fused two-scan flagship. Returns {violations: Dataset (lazy),
     profile: {col: ColumnProfile}, drift: [verdicts]}.
 
@@ -319,8 +320,16 @@ def validate_images(input_dir: str, *, captions_path: str | None = None,
     import os as _os
     n_blocks = max(16, n_cpus * int(_os.environ.get('SVR_BLOCKS_PER_CPU', '4')))
 
-    meta = rd.read_parquet(input_dir, columns=META_COLUMNS,
-                           override_num_blocks=n_blocks)
+    def _scan(columns):
+        # `reader` (e.g. a Lance fragment's column-pruned scan,
+        # sources/lance_io.Fragment.read) replaces the parquet read for
+        # fragment-level resumable runs
+        if reader is not None:
+            return reader(columns, override_num_blocks=n_blocks)
+        return rd.read_parquet(input_dir, columns=columns,
+                               override_num_blocks=n_blocks)
+
+    meta = _scan(META_COLUMNS)
     mixed = meta.map_batches(FusedMetaStage(IMAGE_SPEC),
                              batch_format="pyarrow",
                              batch_size=meta_batch_size).materialize()
@@ -412,16 +421,14 @@ def validate_images(input_dir: str, *, captions_path: str | None = None,
             cap_bloom_ref = ray.put(
                 bloom_from_side(captions_path, "image_id", bits))
         elif strat == "shuffle":
-            ids_scan = rd.read_parquet(input_dir, columns=["image_id"],
-                                       override_num_blocks=n_blocks)
+            ids_scan = _scan(["image_id"])
             ref_extra = _std(referential_violations_shuffle(
                 ids_scan, captions_path, "image_id"))
         else:
             raise ValueError(f"unknown ref_strategy {ref_strategy!r}")
 
     cols = DECODE_COLUMNS if decode else ["image_id", "phash"]
-    scan2 = rd.read_parquet(input_dir, columns=cols,
-                            override_num_blocks=n_blocks)
+    scan2 = _scan(cols)
     kwargs: dict[str, Any] = {"batch_format": "pyarrow"}
     if decode_batch_size:  # None = one batch per block (max parallelism)
         kwargs["batch_size"] = decode_batch_size
@@ -517,12 +524,13 @@ def validate_images_multiscan(input_dir: str, *, captions_path: str | None = Non
 
 
 def run_partition(input_path: str, *, captions_path: str | None = None,
-                  decode: bool = True) -> dict[str, Any]:
+                  decode: bool = True, reader=None) -> dict[str, Any]:
     """One partition (shard) end-to-end; returns materialized small outputs for
     the manifest runner: violations table + verdict counts."""
     import ray.data as rd
 
-    res = validate_images(input_path, captions_path=captions_path, decode=decode)
+    res = validate_images(input_path, captions_path=captions_path,
+                          decode=decode, reader=reader)
     vio: pa.Table = pa.concat_tables(
         [b for b in res["violations"].iter_batches(batch_size=65536,
                                                    batch_format="pyarrow")]
@@ -568,4 +576,47 @@ def run_resumable(input_paths: list[str], out_dir: str, *,
                    violations=out["violations"].num_rows,
                    wall_seconds=time.perf_counter() - t0, job_id=job_id)
         ran.append(pid)
+    return {"ran": ran, "skipped": skipped, "manifest": man.load()}
+
+
+def run_resumable_fragments(input_path: str, out_dir: str, *,
+                            captions_path: str | None = None,
+                            decode: bool = True,
+                            job_id: str = "job") -> dict[str, Any]:
+    """Fragment-level resumable run over a Lance dataset OR a parquet shard
+    directory: one manifest partition per ``sources/lance_io.scan_fragments``
+    entry (stable ``frag-NNNNN`` id + content digest), each validated through
+    its fragment's own column-pruned reader. Fragments whose manifest row is
+    ``done`` with a matching digest are skipped on resume."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..sources.lance_io import scan_fragments
+    from ..state.manifest import Manifest, atomic_output_dir, promote
+
+    man = Manifest(out_dir)
+    frags = {f.frag_id: f for f in scan_fragments(input_path)}
+    done = man.done_fragments({fid: f.digest for fid, f in frags.items()})
+    ran, skipped = [], []
+
+    for fid, frag in sorted(frags.items()):
+        if fid in done:
+            skipped.append(fid)
+            continue
+        t0 = time.perf_counter()
+        attempt = man.next_attempt(fid)
+        out = run_partition(frag.source, captions_path=captions_path,
+                            decode=decode, reader=frag.read)
+        tmp, final = atomic_output_dir(out_dir, "violations", fid)
+        pq.write_table(out["violations"],
+                       os.path.join(tmp, "violations.parquet"))
+        promote(tmp, final)
+        man.record(partition_id=fid, input_path=frag.source, status="done",
+                   attempt=attempt, rows=out["rows"],
+                   failed_rows=out["failed_rows"],
+                   violations=out["violations"].num_rows,
+                   wall_seconds=time.perf_counter() - t0, job_id=job_id,
+                   input_digest=frag.digest)
+        ran.append(fid)
     return {"ran": ran, "skipped": skipped, "manifest": man.load()}

@@ -56,15 +56,84 @@ def write_table(tbl, path: str) -> str:
 
 def fragment_paths(path: str) -> list[str]:
     """Input shards usable as resume partitions (filesystem paths readable by
-    the partition runner). Lance fragment-level resume needs a lance-aware
-    per-fragment reader which cannot be exercised in this container — raise
-    loudly rather than hand fragment IDs to a parquet reader."""
+    the partition runner). For Lance datasets use :func:`scan_fragments`,
+    which yields per-fragment readers instead of paths."""
     if HAVE_LANCE and is_lance_dataset(path):
         raise NotImplementedError(
-            "Lance fragment-level resume is not wired: partition the dataset "
-            "into per-fragment readers via lance.dataset(path).get_fragments() "
-            "and a fragment-scan source before using run_resumable")
+            "Lance fragments are not filesystem paths — use scan_fragments() "
+            "/ run_resumable_fragments() for Lance fragment-level resume")
     if os.path.isdir(path):
         return sorted(os.path.join(path, f) for f in os.listdir(path)
                       if f.endswith(".parquet"))
     return [path]
+
+
+class Fragment:
+    """One resumable unit of an input table: a stable id, a content digest
+    (manifest rows skip fragments whose digest is unchanged), and a
+    column-pruned reader returning a ray Dataset.
+
+    Parquet: one fragment per file; digest is size-mtime. Lance: one fragment
+    per ``lance.dataset(path).get_fragments()`` entry; digest is
+    (dataset version, fragment row count, data file names) — Lance fragments
+    are immutable, so a rewrite surfaces as new file names/version."""
+
+    def __init__(self, frag_id: str, source: str, digest: str, reader):
+        self.frag_id = frag_id
+        self.source = source
+        self.digest = digest
+        self._reader = reader
+
+    def read(self, columns: list[str] | None = None, *,
+             override_num_blocks: int | None = None):
+        return self._reader(columns, override_num_blocks)
+
+
+def scan_fragments(path: str) -> list[Fragment]:
+    """Resume partitions of ``path`` (Lance dataset or parquet file/dir)."""
+    if HAVE_LANCE and is_lance_dataset(path):
+        import lance
+
+        import ray.data as rd
+
+        ds = lance.dataset(path)
+        version = ds.version
+        out = []
+        for frag in ds.get_fragments():
+            fid = frag.fragment_id
+            files = ",".join(sorted(f.path() if callable(getattr(f, "path",
+                                                                 None))
+                                    else str(f.path)
+                                    for f in frag.data_files()))
+            digest = f"v{version}-r{frag.count_rows()}-{files}"
+
+            def make_reader(fragment):
+                def reader(columns, override_num_blocks):
+                    tbl = fragment.to_table(columns=columns)
+                    d = rd.from_arrow(tbl)
+                    if override_num_blocks:
+                        d = d.repartition(override_num_blocks)
+                    return d
+                return reader
+
+            out.append(Fragment(f"frag-{fid:05d}", path, digest,
+                                make_reader(frag)))
+        return out
+
+    from .pq_read import read_parquet_clean
+
+    def make_pq_reader(p):
+        def reader(columns, override_num_blocks):
+            kw = {}
+            if override_num_blocks:
+                kw["override_num_blocks"] = override_num_blocks
+            return read_parquet_clean(p, columns=columns, **kw)
+        return reader
+
+    out = []
+    for i, p in enumerate(fragment_paths(path)):
+        st = os.stat(p)
+        out.append(Fragment(f"frag-{i:05d}", p,
+                            f"{st.st_size}-{int(st.st_mtime)}",
+                            make_pq_reader(p)))
+    return out

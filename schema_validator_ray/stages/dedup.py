@@ -790,16 +790,186 @@ def simhash_pairs(ds, text_col: str, id_col: str, *, max_hamming: int = 3,
                      "hamming": pc.cast(tbl["hamming"], pa.int32())})
 
 
+def connected_components_ds(pairs_ds, all_ids_ds=None, *,
+                            a_col: str = "a", b_col: str = "b",
+                            max_iter: int = 64, n_shards: int = 64,
+                            partitions: int = 16):
+    """Fully distributed connected components over a pair-graph Dataset:
+    min-label propagation along edges plus pointer jumping
+    (rep <- rep[rep]) each round, converging in O(log diameter) rounds —
+    the scale path when the pair list exceeds the driver budget.
+
+    Returns a Dataset of (id, rep) with rep = min id of the component.
+    Labels only decrease and every label value is itself an id with a
+    label row, so the sharded lookup is total. No ``Dataset.join``: the
+    label lookups run as the repo's standard sharded
+    ``groupby(shard).map_groups`` pattern (acero joins reject the
+    schema-less empty blocks Ray's shuffle emits for empty partitions, and
+    Ray 2.49 joins deadlock when partitions exceed CPUs). The loop stops
+    on the first round whose labels are unchanged — a fixpoint, since the
+    update is deterministic."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    from .asof import _conform, _shard_of
+
+    # Two loop invariants keep per-iteration cost CONSTANT:
+    # 1. every materialize is preceded by a repartition — Ray's sort-based
+    #    groupby inherits its partition count from the input block count,
+    #    and unions ADD block counts (else blocks grow ~4x per round);
+    # 2. each materialized result is re-wrapped via from_arrow_refs
+    #    (zero-copy: the blocks stay put) — a MaterializedDataset carries
+    #    its full stats/lineage tree, and self-referencing unions double
+    #    that tree per round, which in Ray 2.49 doubles driver overhead
+    #    per iteration even though the plans and data are constant.
+    def _sever(mat):
+        return rd.from_arrow_refs(mat.to_arrow_refs())
+
+    edges = _sever(pairs_ds.map_batches(
+        lambda b: pa.table({"a": b[a_col], "b": b[b_col]}),
+        batch_format="pyarrow").repartition(partitions).materialize())
+    esch = edges.schema()
+    ktype = dict(zip(esch.names, esch.types))["a"]
+    usch = pa.schema([pa.field("key", ktype), pa.field("id", ktype),
+                      pa.field("rep", ktype),
+                      pa.field("_shard", pa.int32()),
+                      pa.field("_side", pa.int8())])
+
+    def _tag(t: pa.Table, side: int) -> pa.Table:
+        sh = pa.array(_shard_of(t["key"], n_shards))
+        t = t.append_column("_shard", sh)
+        t = t.append_column("_side", pa.array(
+            np.full(t.num_rows, side, np.int8)))
+        return _conform(t, usch)
+
+    def lookup(g: pa.Table) -> pa.Table:
+        """Resolve member rows (side=1: key, id) against label rows
+        (side=0: key, rep) of the same shard -> (id=member id, rep of key).
+        Vectorized: labels sorted by key once, one searchsorted."""
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        labs = g.filter(pa.array(side == 0))
+        mems = g.filter(pa.array(side == 1))
+        if mems.num_rows == 0 or labs.num_rows == 0:
+            return pa.table({"id": _combine(g["id"]).slice(0, 0),
+                             "rep": _combine(g["rep"]).slice(0, 0)})
+        order = pc.sort_indices(labs["key"])
+        labs = labs.take(order)
+        lk = _combine(labs["key"]).to_numpy(zero_copy_only=False)
+        mk = _combine(mems["key"]).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(lk, mk)  # exact: every member key has a label
+        return pa.table({"id": mems["id"],
+                         "rep": _combine(labs["rep"]).take(pa.array(pos))})
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        col = pa.concat_arrays([_combine(b["a"]), _combine(b["b"])])
+        return pa.table({"id": col})
+
+    labels = (edges.map_batches(endpoints, batch_format="pyarrow")
+              .groupby("id").aggregate(Count(alias_name="_c"))
+              .map_batches(lambda b: pa.table({"id": b["id"],
+                                               "rep": b["id"]}),
+                           batch_format="pyarrow")
+              .repartition(partitions).materialize())
+    labels = _sever(labels)
+
+    def as_label_rows(b: pa.Table) -> pa.Table:
+        return _tag(pa.table({"key": b["id"], "rep": b["rep"]}), 0)
+
+    def as_edge_rows(b: pa.Table) -> pa.Table:
+        # both directions: a looks up b's label and vice versa
+        key = pa.concat_arrays([_combine(b["a"]), _combine(b["b"])])
+        nid = pa.concat_arrays([_combine(b["b"]), _combine(b["a"])])
+        return _tag(pa.table({"key": key, "id": nid}), 1)
+
+    def as_self_rows(b: pa.Table) -> pa.Table:
+        return _tag(pa.table({"key": b["id"], "rep": b["rep"]}), 0)
+
+    def as_member_rows(b: pa.Table) -> pa.Table:
+        return _tag(pa.table({"key": b["rep"], "id": b["id"]}), 1)
+
+    n_edges = edges.count()
+    if n_edges:
+        for it in range(max_iter):
+            # edge-min step: neighbours' labels become candidates
+            cand = (labels.map_batches(as_label_rows,
+                                       batch_format="pyarrow")
+                    .union(edges.map_batches(as_edge_rows,
+                                             batch_format="pyarrow"))
+                    .groupby("_shard").map_groups(lookup,
+                                                  batch_format="pyarrow"))
+            stepped = _sever(
+                labels.union(cand).groupby("id")
+                .aggregate(Min("rep", alias_name="rep"))
+                .repartition(partitions)
+                .materialize())  # consumed twice below
+            # pointer jump: rep <- rep[rep] (labels only decrease)
+            jumped = (stepped.map_batches(as_self_rows,
+                                          batch_format="pyarrow")
+                      .union(stepped.map_batches(as_member_rows,
+                                                 batch_format="pyarrow"))
+                      .groupby("_shard").map_groups(lookup,
+                                                    batch_format="pyarrow")
+                      .repartition(partitions).materialize())
+            jumped = _sever(jumped)
+            # converged when no id's label moved this round (old vs new)
+            changed = (labels.union(jumped).groupby("id")
+                       .aggregate(Min("rep", alias_name="_lo"),
+                                  Max("rep", alias_name="_hi"))
+                       .map_batches(
+                           lambda b: pa.table({"n": pa.array(
+                               [int(pc.sum(pc.cast(
+                                   pc.not_equal(b["_lo"], b["_hi"]),
+                                   pa.int64())).as_py() or 0)],
+                               pa.int64())}),
+                           batch_format="pyarrow").sum("n"))
+            labels = jumped
+            if not changed:
+                break
+
+    if all_ids_ds is not None:
+        singles = all_ids_ds.map_batches(
+            lambda b: pa.table({"id": _combine(b[b.column_names[0]]),
+                                "rep": _combine(b[b.column_names[0]])}),
+            batch_format="pyarrow")
+        # ids already labelled keep their rep (rep <= id), new ids get self
+        labels = (labels.union(singles).groupby("id")
+                  .aggregate(Min("rep", alias_name="rep")))
+    return labels
+
+
+def _combine(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
 def connected_components(pairs: pa.Table, all_ids=None,
-                         a_col: str = "a", b_col: str = "b") -> pa.Table:
+                         a_col: str = "a", b_col: str = "b",
+                         driver_pairs_max: int = 5_000_000) -> pa.Table:
     """(id, rep) — connected components of the near-duplicate pair graph,
     rep = min id of the component (the survivor a cluster dedup keeps).
 
-    Driver-side union-find: the pair list is bounded by the duplicate rate
-    (same budget argument as every verify step downstream of LSH — if pairs
-    rival the corpus size, exact dedup should run first). ``all_ids`` (an
-    iterable or a Dataset) adds singleton rows (rep = self) for ids in no
-    pair."""
+    Driver-side union-find below ``driver_pairs_max`` pairs: the pair list
+    is bounded by the duplicate rate (same budget argument as every verify
+    step downstream of LSH — if pairs rival the corpus size, exact dedup
+    should run first). Above the budget, delegates to the distributed
+    label-propagation path (:func:`connected_components_ds`). ``all_ids``
+    (an iterable or a Dataset) adds singleton rows (rep = self) for ids in
+    no pair."""
+    if pairs.num_rows > driver_pairs_max:
+        import ray.data as rd
+
+        ids_ds = None
+        if all_ids is not None:
+            if hasattr(all_ids, "iter_batches"):
+                ids_ds = all_ids
+            else:
+                ids_ds = rd.from_arrow(pa.table({"id": pa.array(
+                    sorted(all_ids))}))
+        out = connected_components_ds(rd.from_arrow(pairs), ids_ds,
+                                      a_col=a_col, b_col=b_col)
+        chunks = list(out.iter_batches(batch_size=1 << 20,
+                                       batch_format="pyarrow"))
+        return pa.concat_tables(chunks).sort_by([("id", "ascending")])
+
     parent: dict = {}
 
     def find(x):

@@ -58,7 +58,17 @@ def hash_split(ds, id_col: str, fractions: dict[str, float], *,
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1.0, got {total}")
     names = list(fractions)
-    cum = np.cumsum([fractions[n] for n in names])
+    # exact cumulative fractions (Fraction, not float cumsum): 0.9 + 0.05
+    # float-accumulates to 0.9500000000000001, which could truncate to a
+    # different integer threshold than threshold_for(0.95) computed directly
+    # — the oracle SQL inlines the direct form, so both sides must agree
+    from fractions import Fraction
+
+    acc = Fraction(0)
+    cum = []
+    for n in names:
+        acc += Fraction(fractions[n]).limit_denominator(10 ** 9)
+        cum.append(float(acc))
     bounds = np.array([threshold_for(c) for c in cum[:-1]] + [M32],
                       np.uint64)
 

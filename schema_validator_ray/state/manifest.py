@@ -67,20 +67,28 @@ class Manifest:
 
     def done_partitions(self, inputs: dict[str, str]) -> set[str]:
         """Partitions recorded done whose input digest still matches."""
+        return self.done_fragments({pid: _digest(p)
+                                    for pid, p in inputs.items()})
+
+    def done_fragments(self, digests: dict[str, str]) -> set[str]:
+        """Partitions recorded done whose caller-provided digest matches —
+        the digest source can be a file stat OR Lance fragment metadata."""
         done = set()
         for pid, row in self.load().items():
-            if (row["status"] == "done" and pid in inputs
-                    and row["input_digest"] == _digest(inputs[pid])):
+            if (row["status"] == "done" and pid in digests
+                    and row["input_digest"] == digests[pid]):
                 done.add(pid)
         return done
 
     def record(self, *, partition_id: str, input_path: str, status: str,
                attempt: int, rows: int, failed_rows: int, violations: int,
-               wall_seconds: float, job_id: str) -> None:
+               wall_seconds: float, job_id: str,
+               input_digest: str | None = None) -> None:
         tbl = pa.table({
             "partition_id": [partition_id],
             "input_path": [input_path],
-            "input_digest": [_digest(input_path)],
+            "input_digest": [input_digest if input_digest is not None
+                             else _digest(input_path)],
             "status": [status],
             "attempt": [attempt],
             "rows": [rows],

@@ -159,6 +159,44 @@ def test_dive_element_rules_and_paths():
     assert list(pm) == [False, False, False, True]
 
 
+def test_dive_tag_rename():
+    """Parity with WithDiveTag (parser.go:45-49): the list-descent marker is
+    renameable; the default word then parses as an (unknown) rule name."""
+    tbl = pa.table({
+        "items": pa.array([["aaaa", "bb"], ["cccc"]],
+                          type=pa.list_(pa.string()))})
+    cs = compile_ruleset({"items": "min=1|descend|len=4"}, tbl.schema,
+                         dive_tag="descend")
+    pm, v = cs.evaluate(tbl)
+    rows = {(r["row_index"], r["rule_id"], r["column"]) for r in v.to_pylist()}
+    assert (0, "len", "items.[1]") in rows      # "bb" fails element len=4
+    assert list(pm) == [False, True]
+    # with the marker renamed, bare "dive" is no longer special
+    from schema_validator_ray.registry import CompileError
+    with pytest.raises(CompileError):
+        compile_ruleset({"items": "dive|len=4"}, tbl.schema,
+                        dive_tag="descend")
+
+
+def test_value_types_struct_leaf():
+    """Parity with WithValueTypes (parser.go:51-55,156): a struct type listed
+    as a value type takes rules whole; descending into it with a nested dict
+    spec is a compile error."""
+    st = pa.struct([("a", pa.int64())])
+    tbl = pa.table({"s": pa.array([{"a": 1}, None], st)})
+    cs = compile_ruleset({"s": "required"}, tbl.schema, value_types=(st,))
+    pm, v = cs.evaluate(tbl)
+    assert list(pm) == [True, False]
+    from schema_validator_ray.registry import CompileError
+    with pytest.raises(CompileError, match="value type"):
+        compile_ruleset({"s": {"a": "required"}}, tbl.schema,
+                        value_types=(st,))
+    # without the declaration the nested spec still descends fine
+    cs2 = compile_ruleset({"s": {"a": "required"}}, tbl.schema)
+    pm2, _ = cs2.evaluate(tbl)
+    assert list(pm2) == [True, False]
+
+
 def test_null_list_min_pinned():
     tbl = pa.table({"items": pa.array([None, []],
                                       type=pa.list_(pa.string()))})

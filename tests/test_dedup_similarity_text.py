@@ -194,6 +194,49 @@ def test_connected_components_union_find():
     assert m == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_connected_components_distributed_over_budget(ray_session):
+    """Pairs exceeding the driver budget run the distributed label-propagation
+    path and still return the exact min-id components — including a long
+    chain (worst case without pointer jumping) and all_ids singletons."""
+    import numpy as np
+    import pyarrow as pa
+
+    from schema_validator_ray.stages.dedup import connected_components
+
+    rng = np.random.default_rng(5)
+    # chain 0-1-...-40, two random clusters, a few cross links
+    a = list(range(40))
+    b = list(range(1, 41))
+    for base in (100, 200):
+        members = base + rng.permutation(20)
+        a.extend(int(members[i]) for i in range(19))
+        b.extend(int(members[i + 1]) for i in range(19))
+    pairs = pa.table({"a": pa.array(a, pa.int64()),
+                      "b": pa.array(b, pa.int64())})
+    all_ids = list(range(41)) + list(range(100, 120)) + \
+        list(range(200, 220)) + [999]
+    want = connected_components(pairs, all_ids=all_ids)          # union-find
+    got = connected_components(pairs, all_ids=all_ids,
+                               driver_pairs_max=0)               # distributed
+    assert got.to_pydict() == want.to_pydict()
+    m = dict(zip(got["id"].to_pylist(), got["rep"].to_pylist()))
+    assert m[40] == 0 and m[119] == 100 and m[219] == 200 and m[999] == 999
+
+
+def test_connected_components_distributed_string_ids(ray_session):
+    import pyarrow as pa
+
+    from schema_validator_ray.stages.dedup import connected_components
+
+    pairs = pa.table({"a": pa.array(["d2", "d1", "x9"]),
+                      "b": pa.array(["d3", "d2", "x8"])})
+    got = connected_components(pairs, all_ids=["zz", "d1"],
+                               driver_pairs_max=0)
+    m = dict(zip(got["id"].to_pylist(), got["rep"].to_pylist()))
+    assert m == {"d1": "d1", "d2": "d1", "d3": "d1",
+                 "x8": "x8", "x9": "x8", "zz": "zz"}
+
+
 def test_clean_and_redact_kernels():
     import pyarrow as pa
 

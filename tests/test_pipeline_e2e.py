@@ -224,6 +224,57 @@ def test_resume_skips_done_partitions(data_dir, ray_session, tmp_path):
     assert pd1.equals(pd2)
 
 
+def test_resume_fragments_parquet(data_dir, ray_session, tmp_path):
+    """Fragment-level resume over a parquet dir: manifest rows carry stable
+    frag-NNNNN ids + digests; an unchanged fragment is skipped, a touched
+    one re-runs with a bumped attempt."""
+    from schema_validator_ray.pipelines.validate_images import (
+        run_resumable_fragments,
+    )
+
+    out = str(tmp_path / "out")
+    img_dir = str(data_dir / "images")
+    r1 = run_resumable_fragments(img_dir, out, decode=False, job_id="j1")
+    n = len(r1["ran"])
+    assert n >= 2 and not r1["skipped"]
+    assert all(p.startswith("frag-") for p in r1["ran"])
+    r2 = run_resumable_fragments(img_dir, out, decode=False, job_id="j2")
+    assert not r2["ran"] and len(r2["skipped"]) == n
+    # digest change (rewrite one shard) re-runs exactly that fragment
+    victim = sorted(os.listdir(img_dir))[0]
+    vp = os.path.join(img_dir, victim)
+    t = pq.read_table(vp)
+    pq.write_table(t, vp)  # rewrite -> new mtime/size digest
+    r3 = run_resumable_fragments(img_dir, out, decode=False, job_id="j3")
+    assert r3["ran"] == ["frag-00000"] and len(r3["skipped"]) == n - 1
+    assert r3["manifest"]["frag-00000"]["attempt"] == 2
+
+
+def test_resume_fragments_lance(ray_session, tmp_path):
+    """Gated: exercises the Lance get_fragments() path when the package is
+    available (absent in this container — the parquet test above proves the
+    fragment-id manifest flow on the fallback)."""
+    pytest.importorskip("lance")
+    import lance
+
+    from schema_validator_ray.pipelines.validate_images import (
+        run_resumable_fragments,
+    )
+    from schema_validator_ray.sources.lance_io import scan_fragments
+    from schema_validator_ray.sources.synth import synth_batch
+
+    tbl = synth_batch(0, 300, seed=3)
+    path = str(tmp_path / "imgs.lance")
+    lance.write_dataset(tbl, path, max_rows_per_file=100)
+    frags = scan_fragments(path)
+    assert len(frags) >= 2
+    out = str(tmp_path / "out")
+    r1 = run_resumable_fragments(path, out, decode=False, job_id="j1")
+    assert len(r1["ran"]) == len(frags)
+    r2 = run_resumable_fragments(path, out, decode=False, job_id="j2")
+    assert not r2["ran"] and len(r2["skipped"]) == len(frags)
+
+
 def _vio_keyset(res):
     df = res["violations"].to_pandas()
     return set(map(tuple, df[["image_id", "rule_id", "column",
