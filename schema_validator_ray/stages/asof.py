@@ -61,10 +61,18 @@ def _conform(t: pa.Table, schema: pa.Schema) -> pa.Table:
 def asof_join(left_ds, right_ds, *, key: str, ts: str,
               value_cols: list[str], bucket: str = "6h",
               right_suffix: str = "_r", n_shards: int = 32,
-              blk_factor: int = 16):
+              blk_factor: int = 16,
+              broadcast_right_max: int = 1_000_000):
     """Returns a Dataset of all left columns plus, per ``value_cols`` entry,
     ``<col><right_suffix>`` (and ``<ts><right_suffix>``) from the matched
-    right row; nulls when the key has no earlier-or-equal right row."""
+    right row; nulls when the key has no earlier-or-equal right row.
+
+    When the right side fits under ``broadcast_right_max`` rows (probed with
+    an early-stopping stream — a checkpoint/dimension stream usually does),
+    it is broadcast once via ``ray.put`` and the whole join runs map-side
+    with one ``pd.merge_asof`` per left batch: zero shuffle, no sort stage,
+    and the left side streams. Above the cap (or with the cap set to 0) the
+    skew-safe sharded-bucket shuffle below runs instead."""
     bucket_ns = pd.Timedelta(bucket).value
     out_ts = f"{ts}{right_suffix}"
     out_vals = [f"{c}{right_suffix}" for c in value_cols]
@@ -73,6 +81,60 @@ def asof_join(left_ds, right_ds, *, key: str, ts: str,
     lsch = pa.schema(list(zip(left_schema.names, left_schema.types)))
     ts_type = lsch.field(ts).type
     left_cols = list(lsch.names)
+
+    out_schema_final = pa.schema(
+        [lsch.field(c) for c in left_cols]
+        + [pa.field(out_ts, ts_type)]
+        + [pa.field(oc, pa.float64()) for oc in out_vals])
+
+    if broadcast_right_max:
+        import ray
+
+        parts, total, over = [], 0, False
+        for b in right_ds.iter_batches(batch_size=1 << 20,
+                                       batch_format="pyarrow"):
+            if b.num_rows:
+                parts.append(b)
+                total += b.num_rows
+            if total > broadcast_right_max:
+                over = True
+                break
+        if not over:
+            if parts:
+                rt = pa.concat_tables(parts)
+                rdf = pd.DataFrame({key: rt[key].to_numpy(
+                    zero_copy_only=False),
+                    out_ts: rt[ts].to_numpy(zero_copy_only=False)})
+                for c, oc in zip(value_cols, out_vals):
+                    rdf[oc] = rt[c].to_numpy(
+                        zero_copy_only=False).astype(np.float64)
+                rdf = rdf.sort_values(out_ts,
+                                      kind="stable").reset_index(drop=True)
+            else:
+                rdf = pd.DataFrame({key: pd.Series([], dtype="object"),
+                                    out_ts: pd.Series([],
+                                                      dtype="datetime64[ns]"),
+                                    **{oc: pd.Series([], dtype=np.float64)
+                                       for oc in out_vals}})
+            ref = ray.put(rdf)
+
+            def bcast_asof(df: pd.DataFrame) -> pd.DataFrame:
+                r = ray.get(ref)
+                le = df.sort_values(ts, kind="stable")
+                if r.empty:
+                    out = le.copy()
+                    out[out_ts] = pd.NaT
+                    for oc in out_vals:
+                        out[oc] = np.nan
+                    return out[left_cols + [out_ts, *out_vals]]
+                merged = pd.merge_asof(le, r, left_on=ts, right_on=out_ts,
+                                       by=key, direction="backward",
+                                       allow_exact_matches=True)
+                return merged[left_cols + [out_ts, *out_vals]]
+
+            return (left_ds.map_batches(bcast_asof, batch_format="pandas")
+                    .map_batches(lambda b: _conform(b, out_schema_final),
+                                 batch_format="pyarrow"))
 
     # unified schema for the (left ∪ right ∪ carry) grouped shuffle
     uschema = pa.schema(

@@ -162,11 +162,18 @@ def test_asof_join_property_random(ray_session):
             "v": rng.random(n_r).round(4),
         }).groupby(["k", "ts"], as_index=False)["v"].max()
 
+        # broadcast_right_max=0 pins the sharded shuffle path; the default
+        # takes the broadcast fast path — both must match pandas exactly
         got = (asof_join(rd.from_pandas(left).repartition(4),
                          rd.from_pandas(right).repartition(2),
                          key="k", ts="ts", value_cols=["v"], bucket=bucket,
-                         n_shards=shards, blk_factor=blk)
+                         n_shards=shards, blk_factor=blk,
+                         broadcast_right_max=0)
                .to_pandas().sort_values("i").reset_index(drop=True))
+        bc = (asof_join(rd.from_pandas(left).repartition(4),
+                        rd.from_pandas(right).repartition(2),
+                        key="k", ts="ts", value_cols=["v"], bucket=bucket)
+              .to_pandas().sort_values("i").reset_index(drop=True))
         want = pd.merge_asof(
             left.sort_values("ts", kind="stable"),
             right.sort_values("ts", kind="stable").rename(
@@ -175,6 +182,8 @@ def test_asof_join_property_random(ray_session):
         ).sort_values("i").reset_index(drop=True)
         assert len(got) == n_l, (trial, len(got))
         pd.testing.assert_series_equal(got["v_r"], want["v_r"],
+                                       check_names=False)
+        pd.testing.assert_series_equal(bc["v_r"], want["v_r"],
                                        check_names=False)
 
 
