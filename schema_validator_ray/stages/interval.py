@@ -33,13 +33,43 @@ import pyarrow.compute as pc
 from .asof import _conform, _shard_of
 
 
+_BCAST_IV_CACHE: dict = {}
+
+
+def _iv_by_key_cached(ref, key: str, start: str) -> dict:
+    """Per-worker-process cache of the broadcast interval table, grouped by
+    key and start-sorted (built once per broadcast ref, not once per batch)."""
+    hexid = ref.hex()
+    ent = _BCAST_IV_CACHE.get(hexid)
+    if ent is None:
+        import ray
+
+        df = ray.get(ref)
+        ent = {k: sub.sort_values(start, kind="stable")
+               for k, sub in df.groupby(key)}
+        _BCAST_IV_CACHE.clear()   # hold at most one broadcast table
+        _BCAST_IV_CACHE[hexid] = ent
+    return ent
+
+
 def interval_join(left_ds, intervals_ds, *, key: str, ts: str,
                   start: str, end: str, payload_cols: list[str],
                   bucket: str = "6h", how: str = "inner",
                   max_span_buckets: int = 1024, n_shards: int = 32,
-                  blk_factor: int = 16):
+                  blk_factor: int = 16,
+                  broadcast_intervals_max: int = 0):
     """Returns left columns + ``start``/``end`` + ``payload_cols`` of every
-    containing interval. ``payload_cols`` must be numeric (ride as float64)."""
+    containing interval. ``payload_cols`` must be numeric (ride as float64).
+
+    Setting ``broadcast_intervals_max`` > 0 enables a map-side fast path
+    for interval tables under that many rows (probed with an
+    early-stopping stream): broadcast once via ``ray.put``, one stabbing
+    pass per left batch — zero shuffle, no bucketing/span guard, left
+    side streams. OPT-IN (default 0) because the probe serializes the
+    interval-side execution: it pays off for pre-materialized or cheap
+    interval tables, and measurably loses when the intervals are
+    themselves a derived shuffle (e.g. session windows) that the sharded
+    path would run concurrently with the left scan."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
     bucket_ns = pd.Timedelta(bucket).value
@@ -102,18 +132,11 @@ def interval_join(left_ds, intervals_ds, *, key: str, ts: str,
 
     out_cols = left_cols + [start, end, *payload_cols]
 
-    def group_join(g: pd.DataFrame) -> pd.DataFrame:
-        # No replica dedup needed: replicas of one interval row go to
-        # DISTINCT _blk values (same shard), so each source row appears at
-        # most once per group — and genuinely duplicated input intervals
-        # correctly emit one output row per duplicate (SQL join semantics).
-        iv = g[g["_side"] == 1]
-        left = g[g["_side"] == 0]
-        if len(left) == 0:
-            return g.iloc[0:0][out_cols]
+    def match_frame(left: pd.DataFrame, iv_by_key: dict) -> list:
+        """Per-key vectorized stabbing of a left frame against start-sorted
+        interval frames; returns output pieces. Shared by the sharded group
+        join and the broadcast fast path."""
         pieces = []
-        iv_by_key = {k: sub.sort_values(start, kind="stable")
-                     for k, sub in iv.groupby(key)} if len(iv) else {}
         lts_dtype = left[ts].to_numpy().dtype
         for k, lsub in left.groupby(key):
             sub = iv_by_key.get(k)
@@ -165,15 +188,67 @@ def interval_join(left_ds, intervals_ds, *, key: str, ts: str,
                 for c in payload_cols:
                     um[c] = np.nan
                 pieces.append(um)
+        return pieces
+
+    def group_join(g: pd.DataFrame) -> pd.DataFrame:
+        # No replica dedup needed: replicas of one interval row go to
+        # DISTINCT _blk values (same shard), so each source row appears at
+        # most once per group — and genuinely duplicated input intervals
+        # correctly emit one output row per duplicate (SQL join semantics).
+        iv = g[g["_side"] == 1]
+        left = g[g["_side"] == 0]
+        if len(left) == 0:
+            return g.iloc[0:0][out_cols]
+        iv_by_key = {k: sub.sort_values(start, kind="stable")
+                     for k, sub in iv.groupby(key)} if len(iv) else {}
+        pieces = match_frame(left, iv_by_key)
         if not pieces:
             return g.iloc[0:0][out_cols]
         return pd.concat(pieces, ignore_index=True)[out_cols]
 
-    grouped = left_tagged.union(iv_tagged).groupby(
-        ["_shard", "_blk"]).map_groups(group_join, batch_format="pandas")
     out_schema = pa.schema(
         [lsch.field(c) for c in left_cols]
         + [pa.field(start, ts_type), pa.field(end, ts_type)]
         + [pa.field(c, pa.float64()) for c in payload_cols])
+
+    if broadcast_intervals_max:
+        import ray
+
+        parts, total, over = [], 0, False
+        for b in intervals_ds.iter_batches(batch_size=1 << 20,
+                                           batch_format="pyarrow"):
+            if b.num_rows:
+                parts.append(b.select([key, start, end, *payload_cols]))
+                total += b.num_rows
+            if total > broadcast_intervals_max:
+                over = True
+                break
+        if not over:
+            if parts:
+                iv_df = pa.concat_tables(parts).to_pandas()
+            else:
+                iv_df = pd.DataFrame(
+                    {key: pd.Series([], dtype="object"),
+                     start: pd.Series([], dtype="datetime64[ns]"),
+                     end: pd.Series([], dtype="datetime64[ns]"),
+                     **{c: pd.Series([], dtype=np.float64)
+                        for c in payload_cols}})
+            for c in payload_cols:
+                iv_df[c] = iv_df[c].astype(np.float64)
+            ref = ray.put(iv_df)
+
+            def bcast(df: pd.DataFrame) -> pd.DataFrame:
+                iv_by_key = _iv_by_key_cached(ref, key, start)
+                pieces = match_frame(df, iv_by_key)
+                if not pieces:
+                    return pd.DataFrame(columns=out_cols)
+                return pd.concat(pieces, ignore_index=True)[out_cols]
+
+            return (left_ds.map_batches(bcast, batch_format="pandas")
+                    .map_batches(lambda b: _conform(b, out_schema),
+                                 batch_format="pyarrow"))
+
+    grouped = left_tagged.union(iv_tagged).groupby(
+        ["_shard", "_blk"]).map_groups(group_join, batch_format="pandas")
     return grouped.map_batches(lambda b: _conform(b, out_schema),
                                batch_format="pyarrow")

@@ -98,7 +98,7 @@ def test_interval_join_overlaps_left_and_span_guard(ray_session):
     assert len(lft) == 7                              # 5 matches + 2 unmatched
     assert lft[lft.ev == 3]["w"].isna().all()
 
-    with pytest.raises(Exception):                    # span guard trips
+    with pytest.raises(Exception):        # span guard trips (sharded path)
         interval_join(rd.from_pandas(left), rd.from_pandas(iv),
                       key="k", ts="ts", start="s", end="e",
                       payload_cols=["w"], bucket="2h",
@@ -209,13 +209,17 @@ def test_interval_join_property_random(ray_session):
         "s": pd.to_datetime(s), "e": pd.to_datetime(s + dur),
         "w": np.arange(n_iv, dtype=np.float64),
     })
-    got = (interval_join(rd.from_pandas(left).repartition(4),
-                         rd.from_pandas(iv), key="k", ts="ts", start="s",
-                         end="e", payload_cols=["w"], bucket="4h",
-                         n_shards=8, blk_factor=3)
-           .to_pandas())
     naive = left.merge(iv, on="k")
     naive = naive[(naive.ts >= naive.s) & (naive.ts <= naive.e)]
     want = set(map(tuple, naive[["i", "w"]].itertuples(index=False)))
-    assert set(map(tuple, got[["i", "w"]].itertuples(index=False))) == want
-    assert len(got) == len(naive)
+    # both the sharded shuffle path and the broadcast fast path must match
+    for bcast_max in (0, 1_000_000):
+        got = (interval_join(rd.from_pandas(left).repartition(4),
+                             rd.from_pandas(iv), key="k", ts="ts", start="s",
+                             end="e", payload_cols=["w"], bucket="4h",
+                             n_shards=8, blk_factor=3,
+                             broadcast_intervals_max=bcast_max)
+               .to_pandas())
+        assert set(map(tuple,
+                       got[["i", "w"]].itertuples(index=False))) == want
+        assert len(got) == len(naive)
