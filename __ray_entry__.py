@@ -705,6 +705,17 @@ def q_token_counts(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_vocab_topk(sf_dir: str):
+    """Top-50 corpus vocabulary by frequency: per-batch (word, cnt) partials
+    bound the shuffle at batch vocabulary size, groupby-sum merge, final
+    sort+limit over vocabulary-sized data. Tokenization (lowercase, split on
+    non-alphanumeric runs) reproduced exactly in the DuckDB oracle."""
+    from schema_validator_ray.functions.text import vocab_topk
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return vocab_topk(ds, "text", 50)
+
+
 def q_text_quality(sf_dir: str):
     from schema_validator_ray.functions.text import quality_score
 
@@ -1311,6 +1322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_docs": q_clean_docs,
         "redact_docs": q_redact_docs,
         "token_counts": q_token_counts,
+        "vocab_topk": q_vocab_topk,
         "text_quality": q_text_quality,
         "lang_distribution": q_lang_distribution,
         "doc_langid": q_doc_langid,
@@ -1715,6 +1727,17 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": """
             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
               FROM documents GROUP BY lang
+        """,
+        "vocab_topk": r"""
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM (SELECT unnest(regexp_split_to_array(
+                               lower(COALESCE(text, '')), '[^a-z0-9]+'))
+                               AS word
+                      FROM documents) t
+             WHERE word <> ''
+             GROUP BY word
+             ORDER BY cnt DESC, word ASC
+             LIMIT 50
         """,
         # full lang_id heuristic (functions/text.py:lang_id): CJK/Cyrillic char
         # fractions, then argmax of stopword hits over sorted langs (first max

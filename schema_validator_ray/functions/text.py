@@ -204,3 +204,39 @@ def redact_pii(col: pa.Array) -> dict[str, pa.Array]:
     n_phone = pc.cast(pc.count_substring_regex(s, PHONE_RE), pa.int64())
     s = pc.replace_substring_regex(s, PHONE_RE, "[PHONE]")
     return {"text": s, "n_email": n_email, "n_phone": n_phone}
+
+
+WORD_SPLIT_RE = r"[^a-z0-9]+"
+
+
+def word_count_partial(col: pa.Array | pa.ChunkedArray) -> pa.Table:
+    """Per-batch (word, cnt) partial: lowercase, split on non-alphanumeric
+    runs, flatten, drop empties, count — all Arrow kernels. The regex matches
+    DuckDB's ``regexp_split_to_array(lower(text), '[^a-z0-9]+')`` exactly so
+    the oracle reproduces the tokenization bit-for-bit."""
+    toks = pc.split_pattern_regex(pc.utf8_lower(col), WORD_SPLIT_RE)
+    flat = pc.list_flatten(toks)
+    flat = flat.filter(pc.not_equal(flat, ""))
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    agg = pa.table({"word": flat}).group_by("word").aggregate(
+        [([], "count_all")])
+    return pa.table({"word": agg["word"],
+                     "cnt": pc.cast(agg["count_all"], pa.int64())})
+
+
+def vocab_topk(ds, text_col: str, k: int = 50, *,
+               reduce_partitions: int = 8):
+    """Top-k corpus vocabulary by frequency (ties broken by word, ascending —
+    deterministic). Distributed shape: per-batch (word, cnt) partials bound
+    the shuffle at the batch vocabulary (not token count); a groupby-sum
+    merges them; the final sort+limit runs over vocabulary-sized data."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        return word_count_partial(b[text_col])
+
+    totals = (ds.map_batches(partial, batch_format="pyarrow")
+              .repartition(reduce_partitions)
+              .groupby("word").aggregate(Sum("cnt", alias_name="cnt")))
+    return totals.sort(["cnt", "word"], descending=[True, False]).limit(k)

@@ -149,20 +149,19 @@ def grouped_tdigest(ds, key: str, col: str,
         return pa.table({key: pa.array(rows_k),
                          "blob": pa.array(rows_b, pa.binary())})
 
-    def merge_group(g):
-        import pandas as pd
-
+    def merge_group(g: pa.Table) -> pa.Table:
         merged = None
-        for blob in g["blob"]:
+        for blob in g["blob"].to_pylist():
             td = pickle.loads(blob)
             merged = td if merged is None else merged.merge(td)
-        return pd.DataFrame({key: [g[key].iloc[0]],
-                             "blob": [pickle.dumps(merged)]})
+        return pa.table({key: g[key].slice(0, 1),
+                         "blob": pa.array([pickle.dumps(merged)],
+                                          pa.binary())})
 
     partials = ds.select_columns([key, col]).map_batches(
         partial, batch_format="pyarrow", batch_size=batch_size)
     reduced = partials.groupby(key).map_groups(merge_group,
-                                               batch_format="pandas")
+                                               batch_format="pyarrow")
     out = {}
     for b in reduced.iter_batches(batch_size=4096, batch_format="pyarrow"):
         for k, blob in zip(b[key].to_pylist(), b["blob"].to_pylist()):
@@ -194,20 +193,19 @@ def grouped_hll(ds, key: str, col: str, batch_size: int = 65536) -> dict:
         return pa.table({key: pa.array(rows_k),
                          "blob": pa.array(rows_b, pa.binary())})
 
-    def merge_group(g):
-        import pandas as pd
-
+    def merge_group(g: pa.Table) -> pa.Table:
         merged = None
-        for blob in g["blob"]:
+        for blob in g["blob"].to_pylist():
             h = pickle.loads(blob)
             merged = h if merged is None else merged.merge(h)
-        return pd.DataFrame({key: [g[key].iloc[0]],
-                             "blob": [pickle.dumps(merged)]})
+        return pa.table({key: g[key].slice(0, 1),
+                         "blob": pa.array([pickle.dumps(merged)],
+                                          pa.binary())})
 
     partials = ds.select_columns([key, col]).map_batches(
         partial, batch_format="pyarrow", batch_size=batch_size)
     reduced = partials.groupby(key).map_groups(merge_group,
-                                               batch_format="pandas")
+                                               batch_format="pyarrow")
     out = {}
     for b in reduced.iter_batches(batch_size=4096, batch_format="pyarrow"):
         for k, blob in zip(b[key].to_pylist(), b["blob"].to_pylist()):
@@ -221,25 +219,27 @@ def merge_profiles_distributed(partials_ds) -> dict[str, ColumnProfile]:
     workers — sketches are mergeable, so each group collapses to ONE row — and
     the driver loads exactly one profile per column."""
 
-    def merge_group(g):
-        import pandas as pd
-
+    def merge_group(g: pa.Table) -> pa.Table:
         merged: ColumnProfile | None = None
-        for cnt, nl, blob in zip(g["count"], g["nulls"], g["blob"]):
+        colname = g["column"][0].as_py()
+        for cnt, nl, blob in zip(g["count"].to_pylist(),
+                                 g["nulls"].to_pylist(),
+                                 g["blob"].to_pylist()):
             vmin, vmax, vsum, td, hll, cms = pickle.loads(blob)
-            p = ColumnProfile(g["column"].iloc[0], int(cnt), int(nl),
+            p = ColumnProfile(colname, int(cnt), int(nl),
                               vmin, vmax, vsum, td, hll, cms)
             merged = p if merged is None else merged.merge(p)
-        return pd.DataFrame({
-            "column": [merged.column],
-            "count": [merged.count],
-            "nulls": [merged.nulls],
-            "blob": [pickle.dumps((merged.vmin, merged.vmax, merged.vsum,
-                                   merged.tdigest, merged.hll, merged.cms))],
+        return pa.table({
+            "column": pa.array([merged.column]),
+            "count": pa.array([merged.count], pa.int64()),
+            "nulls": pa.array([merged.nulls], pa.int64()),
+            "blob": pa.array([pickle.dumps(
+                (merged.vmin, merged.vmax, merged.vsum,
+                 merged.tdigest, merged.hll, merged.cms))], pa.binary()),
         })
 
     reduced = partials_ds.groupby("column").map_groups(
-        merge_group, batch_format="pandas")
+        merge_group, batch_format="pyarrow")
     return merge_profiles(reduced)
 
 

@@ -94,22 +94,36 @@ def grouped_topk(ds, *, key: str, order_col: str, k: int,
     own per-key top-k (bounding any key's shuffle rows at k x num_batches),
     then a coarse hash-shard groupby re-picks vectorized — no per-key group
     calls, no full shuffle."""
-    sort_cols = [key, order_col] + ([tie_col] if tie_col else [])
-    asc = [True, False] + ([True] if tie_col else [])
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        out = (b.sort_values(sort_cols, ascending=asc, kind="stable")
-               .groupby(key, sort=False).head(k).copy())
-        out["_shard"] = _shard_series(out[key], n_shards)
-        return out
+    sort_keys = ([(key, "ascending"), (order_col, "descending")]
+                 + ([(tie_col, "ascending")] if tie_col else []))
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return (g.sort_values(sort_cols, ascending=asc, kind="stable")
-                .groupby(key, sort=False).head(k)
-                .drop(columns=["_shard"]).reset_index(drop=True))
+    def topk_table(t: pa.Table) -> pa.Table:
+        # Arrow-native per-key head-k: one multi-key sort, then a vectorized
+        # within-run rank over the key-sorted order (no pandas round-trip)
+        if t.num_rows == 0:
+            return t
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        kv = t[key].to_numpy(zero_copy_only=False)
+        new = np.r_[True, kv[1:] != kv[:-1]]
+        seg_start = np.flatnonzero(new)
+        rank = np.arange(len(kv)) - seg_start[np.cumsum(new) - 1]
+        return t.filter(pa.array(rank < k))
 
-    parts = ds.map_batches(partial, batch_format="pandas")
-    return parts.groupby("_shard").map_groups(final, batch_format="pandas")
+    def partial(b: pa.Table) -> pa.Table:
+        out = topk_table(b)
+        from .asof import _shard_of
+
+        return out.append_column("_shard",
+                                 pa.array(_shard_of(out[key], n_shards)))
+
+    def final(g: pa.Table) -> pa.Table:
+        return topk_table(g.drop_columns(["_shard"]))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return parts.groupby("_shard").map_groups(final, batch_format="pyarrow")
 
 
 def sliding_count(ds, *, key: str, ts: str, window: str = "1h",
