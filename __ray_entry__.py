@@ -1085,6 +1085,17 @@ def _exact_median_via_counts(ds, col: str) -> float:
     raise RuntimeError("empty column")
 
 
+def q_lineitem_quantiles_exact(sf_dir: str):
+    """EXACT order statistics over l_extendedprice: distributed sort of the
+    pruned column + early-stopped driver stream (stages/stats.py
+    exact_quantiles) — the exactness companion to the t-digest profile,
+    oracled bit-for-bit against DuckDB quantile_disc."""
+    from schema_validator_ray.stages.stats import exact_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    return exact_quantiles(ds, "l_extendedprice", [0.25, 0.5, 0.9])
+
+
 def q_group_quantiles(sf_dir: str):
     """Grouped approximate quantiles (per-returnflag t-digest p50), oracled as
     exact-value + tolerance verdicts like profile_sketches: the exact per-group
@@ -1344,6 +1355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_lineitem": q_profile_lineitem,
         "profile_sketches": q_profile_sketches,
         "group_quantiles": q_group_quantiles,
+        "lineitem_quantiles_exact": q_lineitem_quantiles_exact,
         "group_distinct": q_group_distinct,
         "images_validate": q_images_validate,
         "images_rule_counts": q_images_rule_counts,
@@ -1854,6 +1866,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
                    TRUE AS hll_ok
               FROM events GROUP BY event_type
+        """,
+        "lineitem_quantiles_exact": """
+            SELECT q, value FROM (
+                SELECT 0.25 AS q, quantile_disc(l_extendedprice, 0.25)
+                       AS value FROM lineitem
+                UNION ALL
+                SELECT 0.5, quantile_disc(l_extendedprice, 0.5)
+                  FROM lineitem
+                UNION ALL
+                SELECT 0.9, quantile_disc(l_extendedprice, 0.9)
+                  FROM lineitem) t
         """,
         "group_quantiles": """
             SELECT l_returnflag,

@@ -285,3 +285,40 @@ def profile_dataset(ds, *, numeric=(), categorical=(), keys=(),
     if distributed_merge:
         return merge_profiles_distributed(partials)
     return merge_profiles(partials)
+
+
+def exact_quantiles(ds, col: str, qs: list[float]):
+    """EXACT order statistics: (q, value) rows matching DuckDB's
+    ``quantile_disc`` (value at sorted index ``max(ceil(q*n)-1, 0)`` over
+    the n non-null values).
+
+    Shape: one distributed sort of the (single, pruned) column, then the
+    driver STREAMS the sorted blocks and stops at the largest target index
+    — rows past it are never pulled. Scale note: the sort is a full
+    all-to-all over one column; the t-digest profile is the 100-TB default,
+    this is the exactness path (SLA cutoffs, oracle checks)."""
+    import math
+
+    nonnull = ds.select_columns([col]).map_batches(
+        lambda b: b.drop_null(), batch_format="pyarrow")
+    n = nonnull.count()
+    if n == 0:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    targets = sorted((max(math.ceil(q * n) - 1, 0), q) for q in qs)
+    ordered = nonnull.sort(col)
+    out_q, out_v = [], []
+    seen = 0
+    ti = 0
+    for b in ordered.iter_batches(batch_size=65536,
+                                  batch_format="pyarrow"):
+        while ti < len(targets) and targets[ti][0] < seen + b.num_rows:
+            idx, q = targets[ti]
+            out_q.append(q)
+            out_v.append(b[col][idx - seen].as_py())
+            ti += 1
+        seen += b.num_rows
+        if ti == len(targets):
+            break
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v)})

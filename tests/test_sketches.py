@@ -142,3 +142,41 @@ def test_grouped_hll_accuracy_and_reblocking(ray_session):
     for k, n in truth.items():
         assert abs(a[k].estimate() / n - 1) <= 0.05, (k, a[k].estimate(), n)
         assert a[k].estimate() == b[k].estimate()  # register merges commute
+
+
+def test_exact_quantiles_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from schema_validator_ray.stages.stats import exact_quantiles
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 50, 3000).astype(np.float64)
+    vals[::17] = np.nan  # nulls must be dropped, like quantile_disc
+    col = pa.array(vals)
+    col = col.is_valid().combine_chunks() if False else col
+    tbl = pa.table({"x": pa.array([None if np.isnan(v) else v
+                                   for v in vals], pa.float64())})
+    ds = rd.from_arrow(tbl).repartition(5)
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    got = exact_quantiles(ds, "x", qs).to_pydict()
+    con = duckdb.connect()
+    con.register("t", tbl)
+    for q, v in zip(got["q"], got["value"]):
+        want = con.execute(
+            f"SELECT quantile_disc(x, {q}) FROM t").fetchone()[0]
+        assert v == want, (q, v, want)
+    assert sorted(got["q"]) == qs
+
+
+def test_exact_quantiles_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from schema_validator_ray.stages.stats import exact_quantiles
+
+    ds = rd.from_arrow(pa.table({"x": pa.array([None, None], pa.float64())}))
+    out = exact_quantiles(ds, "x", [0.5])
+    assert out.num_rows == 0
