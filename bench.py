@@ -99,6 +99,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "profile_lineitem",
         "asof_join_events",
         "sample_docs_hash",
+        "events_in_sessions",
+        "vocab_topk",
+        "lineitem_quantiles_exact",
     ]
     qs = m.queries()
     out = {}

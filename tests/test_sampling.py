@@ -100,3 +100,26 @@ def test_hash_sample_nested_and_split_consistency(docs_ds, ray_session):
                        {"a": 0.30, "b": 0.70}).to_pandas()
     first_band = set(split[split["split"] == "a"]["doc_id"])
     assert first_band == s30
+
+
+def test_hash_split_fraction_thresholds_exact(ray_session):
+    """Fractions whose float cumsum drifts (0.3+0.3 = 0.6000000000000001)
+    must still derive band thresholds identical to threshold_for() on the
+    directly-written cumulative values — engine and SQL oracle both inline
+    those, so a one-ULP drift would flip rows at the band edge."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from schema_validator_ray.stages.sampling import hash_split, threshold_for
+
+    ids = pa.table({"id": pa.array(np.arange(20000, dtype=np.int64))})
+    out = hash_split(rd.from_arrow(ids), "id",
+                     {"a": 0.3, "b": 0.3, "c": 0.4}, seed=5).take_all()
+    got = {r["id"]: r["split"] for r in out}
+    # reference assignment from exact cumulative fractions 0.3, 0.6, 1.0
+    t1, t2 = threshold_for(0.3), threshold_for(0.6)
+    from schema_validator_ray.stages.sampling import M32, _hash32
+    h = _hash32(np.arange(20000, dtype=np.int64), 5)
+    want = np.where(h < t1, "a", np.where(h < t2, "b", "c"))
+    assert [got[i] for i in range(20000)] == list(want)
