@@ -882,6 +882,22 @@ def q_asof_join_events(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def q_events_sessionized(sf_dir: str):
+    """Per-event session assignment in ONE event shuffle (stages/windows.py
+    sessionize): local sessions per (shard, coarse bucket), boundary-only
+    summaries, driver chain-merge broadcast back as a remap. Oracled against
+    the SQL window-function sessionization."""
+    from schema_validator_ray.stages.windows import sessionize
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = sessionize(events, key="user_id", ts="ts", gap="30min")
+    return out.map_batches(
+        lambda b: pa.table({"event_id": b["event_id"],
+                            "session_start": b["session_start"],
+                            "session_end": b["session_end"]}),
+        batch_format="pyarrow")
+
+
 def q_top_orders_per_customer(sf_dir: str):
     """Grouped top-k: each customer's top-3 orders by totalprice (ties by
     orderkey) — per-batch partial top-k bounds the shuffle, sharded final."""
@@ -1345,6 +1361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_docs_greedy": q_pack_docs_greedy,
         "asof_join_events": q_asof_join_events,
         "events_in_sessions": q_events_in_sessions,
+        "events_sessionized": q_events_sessionized,
         "top_orders_per_customer": q_top_orders_per_customer,
         "knn_embeddings": q_knn_embeddings,
         "embedding_pairs_cos03": q_embedding_pairs_cos03,
@@ -1814,6 +1831,27 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY ROW_NUMBER() OVER (
                 PARTITION BY o_custkey
                 ORDER BY o_totalprice DESC, o_orderkey) <= 3
+        """,
+        "events_sessionized": """
+            WITH x AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                          OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+                FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+                FROM x
+            )
+            SELECT event_id,
+                   MIN(ts) OVER (PARTITION BY user_id, sid)
+                       AS session_start,
+                   MAX(ts) OVER (PARTITION BY user_id, sid)
+                       AS session_end
+              FROM s
         """,
         "events_in_sessions": """
             WITH s AS (

@@ -100,6 +100,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "asof_join_events",
         "sample_docs_hash",
         "events_in_sessions",
+        "events_sessionized",
         "vocab_topk",
         "lineitem_quantiles_exact",
     ]

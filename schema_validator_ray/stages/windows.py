@@ -305,3 +305,141 @@ def session_windows(ds, *, key: str, ts: str, gap: str = "30min",
         batch_format="pandas")
     return with_shard.groupby("_shard").map_groups(merge_boundary,
                                                    batch_format="pandas")
+
+
+def sessionize(ds, *, key: str, ts: str, gap: str = "30min",
+               bucket_multiple: int = 64, n_shards: int = 32,
+               summary_merge_max: int = 5_000_000):
+    """Per-EVENT session assignment: every input row comes back with its
+    session's (session_start, session_end). Equivalent SQL: MIN/MAX(ts) OVER
+    (PARTITION BY key, session-id) where session-id is the running count of
+    gaps > ``gap``.
+
+    ONE event shuffle (vs session_windows + interval_join = two): the same
+    skew-safe (shard, coarse-bucket) groups that derive local sessions also
+    tag each event with its LOCAL bounds; only BOUNDARY sessions (within
+    ``gap`` of a bucket edge — the only ones that can merge across buckets)
+    emit summary rows. Cross-bucket chains collapse on the driver (stream
+    guarded by ``summary_merge_max``) into a remap of (key, local start) →
+    final bounds, broadcast via ``ray.put`` — chain-bounded, tiny. Events
+    keep their local bounds unless remapped. Above the guard, falls back to
+    the session_windows + interval_join composition (second shuffle)."""
+    import ray
+
+    delta = pd.Timedelta(gap)
+    bucket_ns = delta.value * bucket_multiple
+    in_cols = list(ds.schema().names)
+    sch = ds.schema()
+    import pyarrow as pa
+
+    from .asof import _conform
+    out_schema = pa.schema(
+        list(zip(sch.names, sch.types))
+        + [("session_start", pa.timestamp("ns")),
+           ("session_end", pa.timestamp("ns"))])
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["_bkt"] = _ts_ns(b[ts]) // bucket_ns
+        out["_shard"] = _shard_series(b[key], n_shards)
+        return out
+
+    def local_assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts], kind="stable").reset_index(drop=True)
+        kv = g[key]
+        new_key = (kv != kv.shift()).to_numpy()
+        brk = (g[ts].diff() > delta).to_numpy() | new_key
+        seg = np.flatnonzero(brk)
+        seg_id = np.cumsum(brk) - 1
+        ts_np = g[ts].to_numpy()
+        starts = ts_np[seg]
+        ends = ts_np[np.r_[seg[1:] - 1, len(g) - 1]]
+        ev = g[in_cols].copy()
+        ev["session_start"] = starts[seg_id]
+        ev["session_end"] = ends[seg_id]
+        ev["_side"] = np.int8(0)
+        # boundary sessions only: the sole candidates for cross-bucket merges
+        bkt = int(g["_bkt"].iloc[0])
+        s_ns = starts.astype("datetime64[ns]").astype(np.int64)
+        e_ns = ends.astype("datetime64[ns]").astype(np.int64)
+        is_b = ((s_ns - bkt * bucket_ns <= delta.value)
+                | ((bkt + 1) * bucket_ns - e_ns <= delta.value))
+        if is_b.any():
+            summ = pd.DataFrame({key: kv.to_numpy()[seg][is_b],
+                                 "session_start": starts[is_b],
+                                 "session_end": ends[is_b]})
+            summ["_side"] = np.int8(1)
+            # filler (ignored) payload keeps dtypes identical across groups:
+            # NaN-filled columns would promote int payloads to float in
+            # summary-bearing groups only, breaking block schema unification
+            for c in in_cols:
+                if c not in summ.columns:
+                    summ[c] = ev[c].iloc[0]
+            ev = pd.concat([ev, summ[ev.columns]], ignore_index=True)
+        return ev
+
+    tagged = (ds.map_batches(bucketize, batch_format="pandas")
+              .groupby(["_shard", "_bkt"]).map_groups(
+                  local_assign, batch_format="pandas").materialize())
+
+    # ---- driver-side chain merge over the boundary summaries (guarded) ----
+    parts, total, over = [], 0, False
+    for b in (tagged.filter(expr="_side == 1")
+              .iter_batches(batch_size=1 << 20, batch_format="pandas")):
+        if len(b):
+            parts.append(b[[key, "session_start", "session_end"]])
+            total += len(b)
+        if total > summary_merge_max:
+            over = True
+            break
+    if over:
+        from .interval import interval_join
+
+        sw = session_windows(ds, key=key, ts=ts, gap=gap,
+                             bucket_multiple=bucket_multiple,
+                             n_shards=n_shards)
+        return interval_join(ds, sw, key=key, ts=ts,
+                             start="session_start", end="session_end",
+                             payload_cols=[], how="inner")
+
+    remap = pd.DataFrame({key: pd.Series([], dtype="object"),
+                          "session_start": pd.Series(
+                              [], dtype="datetime64[ns]"),
+                          "_fs": pd.Series([], dtype="datetime64[ns]"),
+                          "_fe": pd.Series([], dtype="datetime64[ns]")})
+    if parts:
+        s = (pd.concat(parts, ignore_index=True)
+             .sort_values([key, "session_start"], kind="stable")
+             .reset_index(drop=True))
+        kv = s[key]
+        new_key = (kv != kv.shift()).to_numpy()
+        starts = _ts_ns(s["session_start"])
+        ends = _ts_ns(s["session_end"])
+        brk = new_key | (starts - np.r_[0, ends[:-1]] > delta.value)
+        cid = np.cumsum(brk) - 1
+        seg = np.flatnonzero(brk)
+        counts = np.diff(np.r_[seg, len(s)])
+        fs = s["session_start"].to_numpy()[seg][cid]
+        fe = (s.assign(_cid=cid).groupby("_cid")["session_end"]
+              .max().to_numpy()[cid])
+        chained = counts[cid] > 1          # remap only sessions that merged
+        remap = pd.DataFrame({key: kv.to_numpy()[chained],
+                              "session_start":
+                                  s["session_start"].to_numpy()[chained],
+                              "_fs": fs[chained], "_fe": fe[chained]})
+    ref = ray.put(remap)
+
+    def apply_remap(df: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(ref)
+        if r.empty:
+            return df[in_cols + ["session_start", "session_end"]]
+        out = df.merge(r, on=[key, "session_start"], how="left")
+        hit = out["_fs"].notna()
+        out.loc[hit, "session_end"] = out.loc[hit, "_fe"]
+        out.loc[hit, "session_start"] = out.loc[hit, "_fs"]
+        return out[in_cols + ["session_start", "session_end"]]
+
+    events = tagged.filter(expr="_side == 0")
+    return (events.map_batches(apply_remap, batch_format="pandas")
+            .map_batches(lambda b: _conform(b, out_schema),
+                         batch_format="pyarrow"))

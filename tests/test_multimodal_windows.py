@@ -313,3 +313,69 @@ def test_sliding_sum_matches_naive(ray_session):
             .apply(naive).sort_values("row").reset_index(drop=True))
     assert np.allclose(got["sum_window"].to_numpy(),
                        want["want"].to_numpy(), atol=2e-6)
+
+
+def test_sessionize_cross_bucket_chains(ray_session):
+    """A session spanning MANY coarse buckets (event every gap/2 over
+    4 bucket spans) must collapse into one (start, end) on every event —
+    the boundary-summary chain merge at work — while isolated events stay
+    singleton sessions."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_validator_ray.stages.windows import sessionize
+
+    base = pd.Timestamp("2024-03-01")
+    gap = pd.Timedelta("30min")
+    # user 1: one long chain, event every 15 min for 4*64*30min span
+    n_chain = 4 * 64 * 2
+    chain_ts = [base + i * (gap / 2) for i in range(n_chain)]
+    # user 2: isolated events, far apart
+    iso_ts = [base + pd.Timedelta(days=10) + i * pd.Timedelta("2h")
+              for i in range(5)]
+    df = pd.DataFrame({
+        "event_id": np.arange(n_chain + 5, dtype=np.int64),
+        "user_id": np.array([1] * n_chain + [2] * 5, np.int64),
+        "ts": pd.to_datetime(chain_ts + iso_ts),
+    })
+    out = (sessionize(rd.from_pandas(df).repartition(4), key="user_id",
+                      ts="ts", gap="30min")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    u1 = out[out.user_id == 1]
+    assert (u1["session_start"] == chain_ts[0]).all()
+    assert (u1["session_end"] == chain_ts[-1]).all()
+    u2 = out[out.user_id == 2]
+    assert (u2["session_start"] == u2["ts"]).all()
+    assert (u2["session_end"] == u2["ts"]).all()
+
+
+def test_sessionize_fallback_matches_fast_path(ray_session):
+    """summary_merge_max=0 forces the session_windows + interval_join
+    composition; both paths must assign identical bounds."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_validator_ray.stages.windows import sessionize
+
+    rng = np.random.default_rng(9)
+    base = pd.Timestamp("2024-02-01").value
+    n = 2000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 25, n).astype(np.int64),
+        "ts": pd.to_datetime(base + rng.integers(0, 8 * 24 * 3600 * 10 ** 9,
+                                                 n)),
+    })
+    fast = (sessionize(rd.from_pandas(df).repartition(3), key="user_id",
+                       ts="ts", gap="30min")
+            .to_pandas().sort_values("event_id").reset_index(drop=True))
+    slow = (sessionize(rd.from_pandas(df).repartition(3), key="user_id",
+                       ts="ts", gap="30min", summary_merge_max=0)
+            .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert len(fast) == len(slow) == n
+    assert (fast["session_start"].to_numpy()
+            == slow["session_start"].to_numpy()).all()
+    assert (fast["session_end"].to_numpy()
+            == slow["session_end"].to_numpy()).all()
