@@ -62,12 +62,23 @@ def cmd_validate(args) -> int:
 
             reference_profile = load_profiles(args.drift_profile)
         if args.out:
-            from .pipelines.validate_images import run_resumable
-            from .sources.lance_io import fragment_paths
+            if args.fragments:
+                # fragment-level resume: Lance get_fragments() partitions (or
+                # per-file parquet fallback), digests from fragment metadata
+                from .pipelines.validate_images import run_resumable_fragments
 
-            paths = fragment_paths(args.input)
-            res = run_resumable(paths, args.out, captions_path=args.captions,
-                                decode=not args.no_decode, job_id=args.job_id)
+                res = run_resumable_fragments(
+                    args.input, args.out, captions_path=args.captions,
+                    decode=not args.no_decode, job_id=args.job_id)
+            else:
+                from .pipelines.validate_images import run_resumable
+                from .sources.lance_io import fragment_paths
+
+                paths = fragment_paths(args.input)
+                res = run_resumable(paths, args.out,
+                                    captions_path=args.captions,
+                                    decode=not args.no_decode,
+                                    job_id=args.job_id)
             summary = {
                 "ran": len(res["ran"]), "skipped": len(res["skipped"]),
                 "partitions": {pid: {"rows": row["rows"],
@@ -145,6 +156,9 @@ def main(argv=None) -> int:
     v.add_argument("--input", required=True)
     v.add_argument("--captions")
     v.add_argument("--out", help="output dir (enables resumable manifest mode)")
+    v.add_argument("--fragments", action="store_true",
+                   help="with --out: one resume partition per Lance fragment "
+                        "(or per parquet file) via scan_fragments")
     v.add_argument("--no-decode", action="store_true")
     v.add_argument("--job-id", default="job")
     v.add_argument("--num-cpus", type=int)
