@@ -255,3 +255,48 @@ def test_clean_and_redact_kernels():
     assert "[PHONE]" in r["text"].to_pylist()[1]
     assert r["n_email"].to_pylist() == [0, 1, 0, 0]
     assert r["n_phone"].to_pylist() == [0, 1, 0, 0]
+
+
+def test_minhash_pairs_to_distributed_components(ray_session):
+    """End-to-end near-dup clustering: MinHash-LSH pairs over a corpus with
+    planted clone clusters, fed to the DISTRIBUTED connected-components path
+    — survivors (min doc_id per cluster) must match the driver union-find."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from schema_validator_ray.stages.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    rng = np.random.default_rng(21)
+    texts, ids = [], []
+    base_words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+                  "golf", "hotel", "india", "juliet", "kilo", "lima"]
+    did = 0
+    for cluster in range(12):
+        words = rng.choice(base_words, 30, replace=True)
+        doc = " ".join(words) + f" cluster{cluster}"
+        for rep in range(4):                     # 4 near-clones per cluster
+            texts.append(doc + (" tail" * rep))
+            ids.append(did)
+            did += 1
+    for _ in range(20):                          # unique singletons
+        texts.append(" ".join(rng.choice(base_words, 8, replace=False))
+                     + f" unique{did}")
+        ids.append(did)
+        did += 1
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                 "text": pa.array(texts)})).repartition(4)
+    pairs = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5)
+    assert pairs.num_rows > 0
+    want = connected_components(pairs, all_ids=ids)
+    got = connected_components(pairs, all_ids=ids, driver_pairs_max=0)
+    assert got.to_pydict() == want.to_pydict()
+    # every planted cluster collapses to its min id
+    m = dict(zip(got["id"].to_pylist(), got["rep"].to_pylist()))
+    for c in range(12):
+        members = [4 * c + r for r in range(4)]
+        reps = {m[x] for x in members}
+        assert reps == {4 * c}, (c, reps)
