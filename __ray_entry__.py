@@ -814,6 +814,20 @@ def q_pack_docs_greedy(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_shuffle_docs(sf_dir: str):
+    """Deterministic global corpus shuffle: distributed sort by the seeded
+    multiplicative hash of doc_id + global position assignment (the
+    zipWithIndex Ray Data lacks — per-block offset tasks over in-place
+    blocks; stages/sampling.py global_enumerate). Exact ROW_NUMBER oracle."""
+    from schema_validator_ray.stages.sampling import shuffle_deterministic
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    out = shuffle_deterministic(ds, "doc_id", seed=5)
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "pos": b["pos"]}),
+        batch_format="pyarrow")
+
+
 def q_split_docs(sf_dir: str):
     """Deterministic train/val/test assignment (90/5/5) by hash range — the
     split survives restarts and re-blocking; hash reproduced in SQL."""
@@ -1357,6 +1371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs_hash": q_sample_docs_hash,
         "stratified_docs_by_lang": q_stratified_docs_by_lang,
         "split_docs": q_split_docs,
+        "shuffle_docs": q_shuffle_docs,
         "doc_length_buckets": q_doc_length_buckets,
         "pack_docs_greedy": q_pack_docs_greedy,
         "asof_join_events": q_asof_join_events,
@@ -1816,6 +1831,13 @@ def oracle_sql() -> dict[str, str]:
                          / GREATEST(COUNT(*) * POWER(2, bucket), 1.0), 6)
                        AS pad_waste
               FROM t GROUP BY bucket
+        """,
+        "shuffle_docs": """
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY ((doc_id + 5) * 2654435761) % 4294967296,
+                                doc_id) - 1 AS BIGINT) AS pos
+              FROM documents
         """,
         "split_docs": f"""
             SELECT doc_id,

@@ -123,3 +123,49 @@ def stratified_sample(ds, id_col: str, strata_col: str, *, target_per_stratum: i
         return b.filter(pa.array(_hash32(ids, seed) < thr))
 
     return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def global_enumerate(ds, sort_cols=None, *, out_col: str = "pos"):
+    """Assign every row its GLOBAL 0-based position (after an optional
+    distributed sort) — Ray Data has no zipWithIndex, so this drops to raw
+    Ray tasks for exactly the part the Dataset API cannot express: blocks
+    stay in the object store, one tiny remote task per block appends the
+    position column from the block's cumulative offset; only the per-block
+    row COUNTS touch the driver. ``sort_cols`` must be a total order (add a
+    unique tiebreak column) for deterministic output."""
+    import ray
+    import ray.data as rd
+
+    mat = (ds.sort(sort_cols) if sort_cols else ds).materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote
+    def nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    @ray.remote
+    def add_pos(t: pa.Table, offset: int) -> pa.Table:
+        return t.append_column(out_col, pa.array(
+            np.arange(offset, offset + t.num_rows, dtype=np.int64)))
+
+    counts = ray.get([nrows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    return rd.from_arrow_refs(
+        [add_pos.remote(r, int(o)) for r, o in zip(refs, offsets)])
+
+
+def shuffle_deterministic(ds, id_col: str, *, seed: int = 0,
+                          out_col: str = "pos"):
+    """Deterministic global corpus shuffle for training: rows ordered by the
+    seeded multiplicative hash of the id (ties broken by id), each assigned
+    its global shuffle position. Restart-safe — a pure function of the id
+    set, independent of blocking; reproducible in SQL as ROW_NUMBER() OVER
+    (ORDER BY ((id + seed) * 2654435761) % 4294967296, id) - 1."""
+    def add_hash(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        return b.append_column("_shuffle_key",
+                               pa.array(_hash32(ids, seed).astype(np.int64)))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    out = global_enumerate(hashed, ["_shuffle_key", id_col], out_col=out_col)
+    return out.drop_columns(["_shuffle_key"])

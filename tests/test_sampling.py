@@ -123,3 +123,31 @@ def test_hash_split_fraction_thresholds_exact(ray_session):
     h = _hash32(np.arange(20000, dtype=np.int64), 5)
     want = np.where(h < t1, "a", np.where(h < t2, "b", "c"))
     assert [got[i] for i in range(20000)] == list(want)
+
+
+def test_shuffle_deterministic_blocking_invariant(ray_session):
+    """The global shuffle position is a pure function of the id set:
+    identical across block layouts, a permutation of 0..n-1, and matching
+    the numpy reference ordering."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from schema_validator_ray.stages.sampling import (
+        _hash32,
+        shuffle_deterministic,
+    )
+
+    ids = np.arange(777, dtype=np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids)})
+    outs = []
+    for nblocks in (1, 7):
+        out = shuffle_deterministic(
+            rd.from_arrow(tbl).repartition(nblocks), "doc_id",
+            seed=5).take_all()
+        outs.append(sorted((r["doc_id"], r["pos"]) for r in out))
+    assert outs[0] == outs[1]
+    pos = {r[0]: r[1] for r in outs[0]}
+    assert sorted(pos.values()) == list(range(777))
+    order = ids[np.lexsort((ids, _hash32(ids, 5)))]
+    assert [pos[i] for i in order] == list(range(777))
