@@ -800,6 +800,16 @@ def q_doc_length_buckets(sf_dir: str):
     return bucket_padding_stats(_docs_with_tokens(sf_dir), "n_tokens")
 
 
+def q_chunk_docs(sf_dir: str):
+    """Context-length chunking of documents into 64-token pieces (map-only
+    explode, rank-vectorized; stages/packing.py chunk_documents). Exact SQL
+    oracle via string_split_regex + array_to_string."""
+    from schema_validator_ray.stages.packing import chunk_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(ds, "text", "doc_id", max_tokens=64)
+
+
 def q_pack_docs_greedy(sf_dir: str):
     """Greedy fixed-budget sequence packing (rows-only: greedy fill is
     sequential within shards, not SQL; invariants pinned by unit tests)."""
@@ -1374,6 +1384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_docs": q_shuffle_docs,
         "doc_length_buckets": q_doc_length_buckets,
         "pack_docs_greedy": q_pack_docs_greedy,
+        "chunk_docs": q_chunk_docs,
         "asof_join_events": q_asof_join_events,
         "events_in_sessions": q_events_in_sessions,
         "events_sessionized": q_events_sessionized,
@@ -1831,6 +1842,23 @@ def oracle_sql() -> dict[str, str]:
                          / GREATEST(COUNT(*) * POWER(2, bucket), 1.0), 6)
                        AS pad_waste
               FROM t GROUP BY bucket
+        """,
+        "chunk_docs": r"""
+            WITH t AS (
+              SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                FROM documents
+               WHERE text IS NOT NULL
+            ), x AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(0,
+                         CAST(ceil(len(toks) / 64.0) AS BIGINT) - 1))
+                         AS chunk_id
+                FROM t
+            )
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   array_to_string(toks[chunk_id*64+1 : chunk_id*64+64],
+                                   ' ') AS chunk
+              FROM x
         """,
         "shuffle_docs": """
             SELECT doc_id,

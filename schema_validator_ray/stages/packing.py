@@ -123,3 +123,43 @@ def pack_greedy(ds, id_col: str, token_col: str, *, budget: int,
     sharded = ds.map_batches(add_shard, batch_format="pyarrow")
     return sharded.groupby("_shard").map_groups(pack_shard,
                                                batch_format="pandas")
+
+
+def chunk_documents(ds, text_col: str, id_col: str, *, max_tokens: int = 128,
+                    chunk_col: str = "chunk_id", out_text: str = "chunk"):
+    """Context-length chunking: split each document into consecutive
+    ``max_tokens``-token chunks (whitespace tokenization, chunks re-joined
+    with single spaces — deterministic and reproduced exactly by the SQL
+    ``string_split_regex`` / ``array_to_string`` oracle). Map-only: one
+    input row explodes into ceil(tokens / max_tokens) output rows; null
+    text emits no chunks; empty text emits one empty chunk (split('') is
+    [''], matching SQL). The inner loop runs per chunk RANK (bounded by
+    the longest document), each rank fully vectorized."""
+    def explode(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(b[text_col], r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        nt = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        nt = np.nan_to_num(nt.astype(np.float64), nan=0.0)
+        n_chunks = np.ceil(nt / max_tokens).astype(np.int64)
+        idx = np.repeat(np.arange(len(nt)), n_chunks)
+        starts = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+        cid = np.arange(int(n_chunks.sum())) - np.repeat(starts, n_chunks)
+        ids_col = b[id_col]
+        if isinstance(ids_col, pa.ChunkedArray):
+            ids_col = ids_col.combine_chunks()
+        ids_rep = ids_col.take(pa.array(idx))
+        toks_rep = toks.take(pa.array(idx))
+        out = np.empty(len(idx), object)
+        for r in range(int(cid.max()) + 1 if len(cid) else 0):
+            sel = cid == r
+            sub = toks_rep.filter(pa.array(sel))
+            joined = pc.binary_join(
+                pc.list_slice(sub, r * max_tokens, (r + 1) * max_tokens),
+                " ")
+            out[sel] = joined.to_numpy(zero_copy_only=False)
+        return pa.table({id_col: ids_rep,
+                         chunk_col: pa.array(cid, pa.int64()),
+                         out_text: pa.array(out, pa.string())})
+
+    return ds.map_batches(explode, batch_format="pyarrow")

@@ -57,3 +57,36 @@ def test_length_buckets_cover_all(toks_ds, ray_session):
     stats = bucket_padding_stats(ds, "n_tokens").to_pandas()
     assert stats["n_docs"].sum() == n
     assert ((stats["pad_waste"] >= 0) & (stats["pad_waste"] < 1)).all()
+
+
+def test_chunk_documents_reassembly(ray_session):
+    """Chunks per doc: correct count, ordered ids, and rejoining the chunks
+    with single spaces reproduces the whitespace-normalized document."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from schema_validator_ray.stages.packing import chunk_documents
+
+    rng = np.random.default_rng(8)
+    docs = []
+    for i in range(30):
+        n = int(rng.integers(0, 40))
+        docs.append(" ".join(f"w{i}_{j}" for j in range(n)))
+    docs.append(None)
+    tbl = pa.table({"doc_id": pa.array(list(range(31)), pa.int64()),
+                    "text": pa.array(docs)})
+    out = (chunk_documents(rd.from_arrow(tbl).repartition(3), "text",
+                           "doc_id", max_tokens=7).to_pandas()
+           .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+    assert 30 not in set(out.doc_id)                  # null text: no chunks
+    for i in range(30):
+        toks = docs[i].split(" ") if docs[i] else [""]
+        n_tok = len(docs[i].split()) if docs[i] else 0
+        sub = out[out.doc_id == i]
+        want_chunks = max(1, -(-n_tok // 7)) if docs[i] else 1
+        if docs[i] == "":
+            assert list(sub.chunk) == [""]
+            continue
+        assert list(sub.chunk_id) == list(range(want_chunks))
+        assert " ".join(sub.chunk) == docs[i]
