@@ -44,8 +44,6 @@ def _prepare_images(n_rows: int) -> tuple[str, str]:
     """Synthesize (once, cached on disk) the bench image table + captions side."""
     import hashlib
 
-    import pyarrow.parquet as pq
-
     from schema_validator_ray.sources.synth import (
         write_captions_side_table,
         write_images_dataset,

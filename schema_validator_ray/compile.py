@@ -38,14 +38,13 @@ import pyarrow.compute as pc
 
 from .dsl import DEFAULT_CONFIG, DslConfig, Rule, parse_tag
 from .registry import (
-    SKIP_REST_IF_EMPTY,
     CompileContext,
     CompileError,
     Registry,
     SkipRestIfEmpty,
     default_registry,
 )
-from .rules.kernels import as_str, combine, get_path, is_empty_mask, np_bool
+from .rules.kernels import as_str, combine, get_path, is_empty_mask
 
 DIVE = "dive"
 
