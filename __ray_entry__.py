@@ -675,6 +675,32 @@ def q_redact_docs(sf_dir: str):
     return ds.map_batches(run, batch_format="pyarrow")
 
 
+def q_prepare_training_data_chunked(sf_dir: str):
+    """Capstone v2: clean -> curate -> doc-level split -> context-length
+    chunking -> per-split deterministic chunk shuffle -> per-split packing.
+    Rows-only (greedy packing + dedup components are not SQL); invariants
+    (splits never straddled by chunks or packs, positions a permutation)
+    pinned by tests."""
+    from schema_validator_ray.pipelines.prepare_training_data import (
+        prepare_training_data_chunked,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    res = prepare_training_data_chunked(ds, min_quality=0.7, min_tokens=10,
+                                        near_dup_threshold=0.5,
+                                        max_tokens=64, pack_budget=256)
+    out = res["dataset"].map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "chunk_id": b["chunk_id"],
+                            "split": b["split"], "pos": b["pos"],
+                            "pack_id": b["pack_id"]}),
+        batch_format="pyarrow")
+    return _collect(out, pa.schema([("doc_id", pa.int64()),
+                                    ("chunk_id", pa.int64()),
+                                    ("split", pa.string()),
+                                    ("pos", pa.int64()),
+                                    ("pack_id", pa.string())]))
+
+
 def q_prepare_training_data(sf_dir: str):
     """Full training-data prep capstone (clean -> filter -> exact + near dedup
     -> split -> per-split packing). Rows-only: components + greedy packing are
@@ -1369,6 +1395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_docs": q_curated_docs,
         "curated_docs_neardup": q_curated_docs_neardup,
         "prepare_training_data": q_prepare_training_data,
+        "prepare_training_data_chunked": q_prepare_training_data_chunked,
         "lang_drift_psi": q_lang_drift_psi,
         "clean_docs": q_clean_docs,
         "redact_docs": q_redact_docs,

@@ -126,7 +126,8 @@ def pack_greedy(ds, id_col: str, token_col: str, *, budget: int,
 
 
 def chunk_documents(ds, text_col: str, id_col: str, *, max_tokens: int = 128,
-                    chunk_col: str = "chunk_id", out_text: str = "chunk"):
+                    chunk_col: str = "chunk_id", out_text: str = "chunk",
+                    keep_cols: list[str] | None = None):
     """Context-length chunking: split each document into consecutive
     ``max_tokens``-token chunks (whitespace tokenization, chunks re-joined
     with single spaces — deterministic and reproduced exactly by the SQL
@@ -158,8 +159,14 @@ def chunk_documents(ds, text_col: str, id_col: str, *, max_tokens: int = 128,
                 pc.list_slice(sub, r * max_tokens, (r + 1) * max_tokens),
                 " ")
             out[sel] = joined.to_numpy(zero_copy_only=False)
-        return pa.table({id_col: ids_rep,
-                         chunk_col: pa.array(cid, pa.int64()),
-                         out_text: pa.array(out, pa.string())})
+        cols = {id_col: ids_rep,
+                chunk_col: pa.array(cid, pa.int64()),
+                out_text: pa.array(out, pa.string())}
+        for c in keep_cols or []:
+            extra = b[c]
+            if isinstance(extra, pa.ChunkedArray):
+                extra = extra.combine_chunks()
+            cols[c] = extra.take(pa.array(idx))
+        return pa.table(cols)
 
     return ds.map_batches(explode, batch_format="pyarrow")

@@ -58,3 +58,40 @@ def test_prepare_training_data_invariants(ray_session):
     # every pack id carries its split prefix
     assert (out.apply(lambda r: r["pack_id"].startswith(r["split"] + "/"),
                       axis=1)).all()
+
+
+def test_prepare_training_data_chunked_invariants(ray_session):
+    """Capstone v2: chunk-level dataset with doc-level splits — no document's
+    chunks straddle splits, per-split shuffle positions are a permutation,
+    packs never mix splits and respect the budget (or are flagged)."""
+    from schema_validator_ray.pipelines.prepare_training_data import (
+        prepare_training_data_chunked,
+    )
+    from schema_validator_ray.sources.pq_read import read_parquet_clean
+
+    ds = read_parquet_clean("/root/testdata/sf0.001/documents.parquet",
+                            columns=["doc_id", "text"])
+    res = prepare_training_data_chunked(ds, min_quality=0.5, min_tokens=10,
+                                        near_dup_threshold=0.5,
+                                        max_tokens=32, pack_budget=128)
+    df = res["dataset"].to_pandas()
+    assert len(df) > 0
+    assert (df.groupby("doc_id")["split"].nunique() == 1).all()
+    for s, sub in df.groupby("split"):
+        assert sorted(sub["pos"]) == list(range(len(sub))), s
+    packs = df.groupby("pack_id")
+    assert (packs["split"].nunique() == 1).all()
+    sums = packs["n_tokens"].sum()
+    flagged = packs["oversize"].any()
+    assert ((sums <= 128) | flagged).all()
+    assert (df["n_tokens"] <= 32).all()
+    # determinism across re-blocking
+    df2 = prepare_training_data_chunked(
+        read_parquet_clean("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"]).repartition(7),
+        min_quality=0.5, min_tokens=10, near_dup_threshold=0.5,
+        max_tokens=32, pack_budget=128)["dataset"].to_pandas()
+    a = df.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    b = df2.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    assert a[["doc_id", "chunk_id", "split", "pos", "pack_id"]].equals(
+        b[["doc_id", "chunk_id", "split", "pos", "pack_id"]])
