@@ -291,33 +291,40 @@ def exact_quantiles(ds, col: str, qs: list[float]):
     ``quantile_disc`` (value at sorted index ``max(ceil(q*n)-1, 0)`` over
     the n non-null values).
 
-    Shape: one distributed sort of the (single, pruned) column, then the
-    driver STREAMS the sorted blocks and stops at the largest target index
-    — rows past it are never pulled. Scale note: the sort is a full
-    all-to-all over one column; the t-digest profile is the 100-TB default,
-    this is the exactness path (SLA cutoffs, oracle checks)."""
+    Shape: one distributed sort of the (single, pruned) column; the sorted
+    blocks STAY in the object store — per-block row counts come back from
+    tiny remote tasks, and the driver then fetches ONLY the blocks that
+    contain a target index (≤ len(qs) blocks), never the data between.
+    Scale note: the sort is a full all-to-all over one column; the t-digest
+    profile is the 100-TB default, this is the exactness path (SLA cutoffs,
+    oracle checks)."""
     import math
+
+    import ray
 
     nonnull = ds.select_columns([col]).map_batches(
         lambda b: b.drop_null(), batch_format="pyarrow")
-    n = nonnull.count()
+    mat = nonnull.sort(col).materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote
+    def nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = ray.get([nrows.remote(r) for r in refs])
+    n = int(sum(counts))
     if n == 0:
         return pa.table({"q": pa.array([], pa.float64()),
                          "value": pa.array([], pa.float64())})
-    targets = sorted((max(math.ceil(q * n) - 1, 0), q) for q in qs)
-    ordered = nonnull.sort(col)
+    bounds = np.concatenate([[0], np.cumsum(counts)])
     out_q, out_v = [], []
-    seen = 0
-    ti = 0
-    for b in ordered.iter_batches(batch_size=65536,
-                                  batch_format="pyarrow"):
-        while ti < len(targets) and targets[ti][0] < seen + b.num_rows:
-            idx, q = targets[ti]
-            out_q.append(q)
-            out_v.append(b[col][idx - seen].as_py())
-            ti += 1
-        seen += b.num_rows
-        if ti == len(targets):
-            break
+    fetched: dict[int, pa.Table] = {}
+    for q in qs:
+        idx = max(math.ceil(q * n) - 1, 0)
+        blk = int(np.searchsorted(bounds, idx, side="right") - 1)
+        if blk not in fetched:
+            fetched[blk] = ray.get(refs[blk])
+        out_q.append(q)
+        out_v.append(fetched[blk][col][idx - int(bounds[blk])].as_py())
     return pa.table({"q": pa.array(out_q, pa.float64()),
                      "value": pa.array(out_v)})
