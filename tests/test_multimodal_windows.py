@@ -379,3 +379,32 @@ def test_sessionize_fallback_matches_fast_path(ray_session):
             == slow["session_start"].to_numpy()).all()
     assert (fast["session_end"].to_numpy()
             == slow["session_end"].to_numpy()).all()
+
+
+def test_sessionize_duplicate_timestamps(ray_session):
+    """Events sharing (key, ts) always land in the same session; bounds are
+    order-insensitive for equal timestamps."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_validator_ray.stages.windows import sessionize
+
+    base = pd.Timestamp("2024-06-01")
+    df = pd.DataFrame({
+        "event_id": np.arange(6, dtype=np.int64),
+        "user_id": np.ones(6, np.int64),
+        "ts": pd.to_datetime([base, base, base + pd.Timedelta("10min"),
+                              base + pd.Timedelta("10min"),
+                              base + pd.Timedelta("2h"),
+                              base + pd.Timedelta("2h")]),
+    })
+    out = (sessionize(rd.from_pandas(df).repartition(3), key="user_id",
+                      ts="ts", gap="30min")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    first = out[out.event_id < 4]
+    assert (first["session_start"] == base).all()
+    assert (first["session_end"] == base + pd.Timedelta("10min")).all()
+    second = out[out.event_id >= 4]
+    assert (second["session_start"] == base + pd.Timedelta("2h")).all()
+    assert (second["session_end"] == base + pd.Timedelta("2h")).all()

@@ -90,3 +90,25 @@ def test_chunk_documents_reassembly(ray_session):
             continue
         assert list(sub.chunk_id) == list(range(want_chunks))
         assert " ".join(sub.chunk) == docs[i]
+
+
+def test_chunk_documents_messy_whitespace(ray_session):
+    """Tabs/newlines/runs split like the SQL oracle's regex; chunk joins
+    normalize to single spaces."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from schema_validator_ray.stages.packing import chunk_documents
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a\tb\n\nc   d\r\ne", " lead and trail "]),
+    }))
+    out = (chunk_documents(ds, "text", "doc_id", max_tokens=3)
+           .to_pandas().sort_values(["doc_id", "chunk_id"])
+           .reset_index(drop=True))
+    d1 = out[out.doc_id == 1]
+    assert list(d1.chunk) == ["a b c", "d e"]
+    # leading AND trailing whitespace yield empty edge tokens (same as SQL)
+    d2 = out[out.doc_id == 2]
+    assert " ".join(d2.chunk) == " lead and trail "
