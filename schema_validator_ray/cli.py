@@ -53,11 +53,6 @@ def cmd_validate(args) -> int:
     try:
         reference_profile = None
         if args.drift_profile:
-            if args.out:
-                print("error: --drift-profile is not supported together with "
-                      "--out (resumable mode runs per-partition; drift is a "
-                      "whole-run check). Run without --out.", file=sys.stderr)
-                return 2
             from .stages.stats import load_profiles
 
             reference_profile = load_profiles(args.drift_profile)
@@ -69,7 +64,8 @@ def cmd_validate(args) -> int:
 
                 res = run_resumable_fragments(
                     args.input, args.out, captions_path=args.captions,
-                    decode=not args.no_decode, job_id=args.job_id)
+                    decode=not args.no_decode, job_id=args.job_id,
+                    reference_profile=reference_profile)
             else:
                 from .pipelines.validate_images import run_resumable
                 from .sources.lance_io import fragment_paths
@@ -78,12 +74,15 @@ def cmd_validate(args) -> int:
                 res = run_resumable(paths, args.out,
                                     captions_path=args.captions,
                                     decode=not args.no_decode,
-                                    job_id=args.job_id)
+                                    job_id=args.job_id,
+                                    reference_profile=reference_profile)
             summary = {
                 "ran": len(res["ran"]), "skipped": len(res["skipped"]),
                 "partitions": {pid: {"rows": row["rows"],
                                      "violations": row["violations"],
-                                     "status": row["status"]}
+                                     "status": row["status"],
+                                     "verdict": row.get("verdict", "pass"),
+                                     "drift_ok": row.get("drift_ok", True)}
                                for pid, row in res["manifest"].items()},
             }
         else:

@@ -524,13 +524,17 @@ def validate_images_multiscan(input_dir: str, *, captions_path: str | None = Non
 
 
 def run_partition(input_path: str, *, captions_path: str | None = None,
-                  decode: bool = True, reader=None) -> dict[str, Any]:
-    """One partition (shard) end-to-end; returns materialized small outputs for
-    the manifest runner: violations table + verdict counts."""
+                  decode: bool = True, reader=None,
+                  reference_profile: dict | None = None) -> dict[str, Any]:
+    """One partition (shard) end-to-end; returns materialized small outputs
+    for the manifest runner: violations table + verdict counts, plus the
+    partition's drift verdicts vs ``reference_profile`` (north rule: each
+    partition emits pass/fail + violation rows + metrics)."""
     import ray.data as rd
 
     res = validate_images(input_path, captions_path=captions_path,
-                          decode=decode, reader=reader)
+                          decode=decode, reader=reader,
+                          reference_profile=reference_profile)
     vio: pa.Table = pa.concat_tables(
         [b for b in res["violations"].iter_batches(batch_size=65536,
                                                    batch_format="pyarrow")]
@@ -539,13 +543,19 @@ def run_partition(input_path: str, *, captions_path: str | None = None,
     # the exact per-batch pass-mask partials (upper bound across the two scans)
     n_rows = res["profile"]["image_id"].count
     failed = res["failed_rows"]
+    drift = res.get("drift") or []
+    drift_ok = all(d.get("ok", True) for d in drift)
+    verdict = "pass" if (failed == 0 and vio.num_rows == 0
+                         and drift_ok) else "fail"
     return {"violations": vio, "rows": n_rows, "failed_rows": failed,
-            "profile": res["profile"]}
+            "profile": res["profile"], "drift": drift,
+            "drift_ok": drift_ok, "verdict": verdict}
 
 
 def run_resumable(input_paths: list[str], out_dir: str, *,
                   captions_path: str | None = None, decode: bool = True,
-                  job_id: str = "job") -> dict[str, Any]:
+                  job_id: str = "job",
+                  reference_profile: dict | None = None) -> dict[str, Any]:
     """Manifest-driven resumable run: partitions already recorded done (with a
     matching input digest) are skipped; each partition's outputs land atomically
     before its manifest row is written (state/manifest.py)."""
@@ -566,7 +576,8 @@ def run_resumable(input_paths: list[str], out_dir: str, *,
             continue
         t0 = time.perf_counter()
         attempt = man.next_attempt(pid)
-        out = run_partition(path, captions_path=captions_path, decode=decode)
+        out = run_partition(path, captions_path=captions_path, decode=decode,
+                            reference_profile=reference_profile)
         tmp, final = atomic_output_dir(out_dir, "violations", pid)
         pq.write_table(out["violations"], os.path.join(tmp, "violations.parquet"))
         promote(tmp, final)
@@ -574,7 +585,8 @@ def run_resumable(input_paths: list[str], out_dir: str, *,
                    attempt=attempt, rows=out["rows"],
                    failed_rows=out["failed_rows"],
                    violations=out["violations"].num_rows,
-                   wall_seconds=time.perf_counter() - t0, job_id=job_id)
+                   wall_seconds=time.perf_counter() - t0, job_id=job_id,
+                   verdict=out["verdict"], drift_ok=out["drift_ok"])
         ran.append(pid)
     return {"ran": ran, "skipped": skipped, "manifest": man.load()}
 
@@ -582,7 +594,9 @@ def run_resumable(input_paths: list[str], out_dir: str, *,
 def run_resumable_fragments(input_path: str, out_dir: str, *,
                             captions_path: str | None = None,
                             decode: bool = True,
-                            job_id: str = "job") -> dict[str, Any]:
+                            job_id: str = "job",
+                            reference_profile: dict | None = None
+                            ) -> dict[str, Any]:
     """Fragment-level resumable run over a Lance dataset OR a parquet shard
     directory: one manifest partition per ``sources/lance_io.scan_fragments``
     entry (stable ``frag-NNNNN`` id + content digest), each validated through
@@ -607,7 +621,8 @@ def run_resumable_fragments(input_path: str, out_dir: str, *,
         t0 = time.perf_counter()
         attempt = man.next_attempt(fid)
         out = run_partition(frag.source, captions_path=captions_path,
-                            decode=decode, reader=frag.read)
+                            decode=decode, reader=frag.read,
+                            reference_profile=reference_profile)
         tmp, final = atomic_output_dir(out_dir, "violations", fid)
         pq.write_table(out["violations"],
                        os.path.join(tmp, "violations.parquet"))
@@ -617,6 +632,7 @@ def run_resumable_fragments(input_path: str, out_dir: str, *,
                    failed_rows=out["failed_rows"],
                    violations=out["violations"].num_rows,
                    wall_seconds=time.perf_counter() - t0, job_id=job_id,
-                   input_digest=frag.digest)
+                   input_digest=frag.digest,
+                   verdict=out["verdict"], drift_ok=out["drift_ok"])
         ran.append(fid)
     return {"ran": ran, "skipped": skipped, "manifest": man.load()}

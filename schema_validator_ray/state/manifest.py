@@ -37,6 +37,8 @@ MANIFEST_SCHEMA = pa.schema([
     ("violations", pa.int64()),
     ("wall_seconds", pa.float64()),
     ("job_id", pa.string()),
+    ("verdict", pa.string()),       # pass | fail (violations/drift verdict)
+    ("drift_ok", pa.bool_()),
 ])
 
 
@@ -83,7 +85,8 @@ class Manifest:
     def record(self, *, partition_id: str, input_path: str, status: str,
                attempt: int, rows: int, failed_rows: int, violations: int,
                wall_seconds: float, job_id: str,
-               input_digest: str | None = None) -> None:
+               input_digest: str | None = None,
+               verdict: str = "pass", drift_ok: bool = True) -> None:
         tbl = pa.table({
             "partition_id": [partition_id],
             "input_path": [input_path],
@@ -96,6 +99,8 @@ class Manifest:
             "violations": [violations],
             "wall_seconds": [wall_seconds],
             "job_id": [job_id],
+            "verdict": [verdict],
+            "drift_ok": [drift_ok],
         }, schema=MANIFEST_SCHEMA)
         # tmp name must NOT end in .parquet: a crash between write and rename
         # would otherwise leave a truncated file that load() picks up forever

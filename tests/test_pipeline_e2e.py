@@ -314,3 +314,55 @@ def test_ref_strategy_bloom_is_sound(data_dir, ray_session):
     assert len(bloom_ref) >= 0.9 * len(base_ref)      # near-complete here
     assert {t for t in bloom if t[1] != "referential"} == \
         {t for t in base if t[1] != "referential"}
+
+
+def test_resumable_per_partition_drift_verdict(ray_session, tmp_path):
+    """North rule: each partition emits pass/fail + metrics. A clean shard
+    validated against its own profile passes; against a reference whose w
+    distribution is shifted, the partition fails with drift_ok=False."""
+    import uuid as _uuid
+
+    import numpy as np
+
+    from schema_validator_ray.pipelines.validate_images import run_resumable
+    from schema_validator_ray.stages.stats import (
+        profile_dataset,
+        save_profiles,
+    )
+    from schema_validator_ray.sources.pq_read import read_parquet_clean
+
+    rng = np.random.default_rng(3)
+    n = 400
+
+    def clean_table(w_scale: int) -> pa.Table:
+        return pa.table({
+            "image_id": pa.array([str(_uuid.UUID(int=i + 1)) for i in range(n)]),
+            "w": pa.array((rng.integers(10, 90, n) * w_scale)
+                          .astype(np.int32)),
+            "h": pa.array(rng.integers(10, 90, n).astype(np.int32)),
+            "fmt": pa.array(rng.choice(["png", "jpeg", "webp"], n)),
+            "caption": pa.array([f"caption {i}" for i in range(n)]),
+            "phash": pa.array(np.arange(n, dtype=np.int64) * 7919),
+        })
+
+    shard = str(tmp_path / "clean.parquet")
+    pq.write_table(clean_table(1), shard)
+    profs = profile_dataset(read_parquet_clean(shard),
+                            numeric=("w", "h"), categorical=("fmt",))
+    ref_path = str(tmp_path / "ref.profile")
+    save_profiles(profs, ref_path)
+    from schema_validator_ray.stages.stats import load_profiles
+
+    ref = load_profiles(ref_path)
+
+    out1 = str(tmp_path / "out1")
+    r1 = run_resumable([shard], out1, decode=False, reference_profile=ref)
+    row = list(r1["manifest"].values())[0]
+    assert row["verdict"] == "pass" and row["drift_ok"] is True
+
+    shifted = str(tmp_path / "shifted.parquet")
+    pq.write_table(clean_table(5), shifted)
+    out2 = str(tmp_path / "out2")
+    r2 = run_resumable([shifted], out2, decode=False, reference_profile=ref)
+    row = list(r2["manifest"].values())[0]
+    assert row["drift_ok"] is False and row["verdict"] == "fail"
