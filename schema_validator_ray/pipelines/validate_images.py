@@ -570,14 +570,28 @@ def run_resumable(input_paths: list[str], out_dir: str, *,
     done = man.done_partitions(inputs)
     ran, skipped = [], []
 
+    failed = []
     for pid, path in inputs.items():
         if pid in done:
             skipped.append(pid)
             continue
         t0 = time.perf_counter()
         attempt = man.next_attempt(pid)
-        out = run_partition(path, captions_path=captions_path, decode=decode,
-                            reference_profile=reference_profile)
+        try:
+            out = run_partition(path, captions_path=captions_path,
+                                decode=decode,
+                                reference_profile=reference_profile)
+        except Exception as exc:  # noqa: BLE001 — isolate the partition
+            # a broken shard must not sink the run: record the failure
+            # (status=failed never matches done_partitions, so the next
+            # invocation retries it with attempt+1) and keep going
+            print(f"[resumable] partition {pid} failed: {exc!r}")
+            man.record(partition_id=pid, input_path=path, status="failed",
+                       attempt=attempt, rows=0, failed_rows=0, violations=0,
+                       wall_seconds=time.perf_counter() - t0, job_id=job_id,
+                       verdict="fail")
+            failed.append(pid)
+            continue
         tmp, final = atomic_output_dir(out_dir, "violations", pid)
         pq.write_table(out["violations"], os.path.join(tmp, "violations.parquet"))
         promote(tmp, final)
@@ -588,7 +602,8 @@ def run_resumable(input_paths: list[str], out_dir: str, *,
                    wall_seconds=time.perf_counter() - t0, job_id=job_id,
                    verdict=out["verdict"], drift_ok=out["drift_ok"])
         ran.append(pid)
-    return {"ran": ran, "skipped": skipped, "manifest": man.load()}
+    return {"ran": ran, "skipped": skipped, "failed": failed,
+            "manifest": man.load()}
 
 
 def run_resumable_fragments(input_path: str, out_dir: str, *,
@@ -614,15 +629,26 @@ def run_resumable_fragments(input_path: str, out_dir: str, *,
     done = man.done_fragments({fid: f.digest for fid, f in frags.items()})
     ran, skipped = [], []
 
+    failed = []
     for fid, frag in sorted(frags.items()):
         if fid in done:
             skipped.append(fid)
             continue
         t0 = time.perf_counter()
         attempt = man.next_attempt(fid)
-        out = run_partition(frag.source, captions_path=captions_path,
-                            decode=decode, reader=frag.read,
-                            reference_profile=reference_profile)
+        try:
+            out = run_partition(frag.source, captions_path=captions_path,
+                                decode=decode, reader=frag.read,
+                                reference_profile=reference_profile)
+        except Exception as exc:  # noqa: BLE001 — isolate the fragment
+            print(f"[resumable] fragment {fid} failed: {exc!r}")
+            man.record(partition_id=fid, input_path=frag.source,
+                       status="failed", attempt=attempt, rows=0,
+                       failed_rows=0, violations=0,
+                       wall_seconds=time.perf_counter() - t0, job_id=job_id,
+                       input_digest=frag.digest, verdict="fail")
+            failed.append(fid)
+            continue
         tmp, final = atomic_output_dir(out_dir, "violations", fid)
         pq.write_table(out["violations"],
                        os.path.join(tmp, "violations.parquet"))
@@ -635,4 +661,5 @@ def run_resumable_fragments(input_path: str, out_dir: str, *,
                    input_digest=frag.digest,
                    verdict=out["verdict"], drift_ok=out["drift_ok"])
         ran.append(fid)
-    return {"ran": ran, "skipped": skipped, "manifest": man.load()}
+    return {"ran": ran, "skipped": skipped, "failed": failed,
+            "manifest": man.load()}

@@ -366,3 +366,39 @@ def test_resumable_per_partition_drift_verdict(ray_session, tmp_path):
     r2 = run_resumable([shifted], out2, decode=False, reference_profile=ref)
     row = list(r2["manifest"].values())[0]
     assert row["drift_ok"] is False and row["verdict"] == "fail"
+
+
+def test_resumable_isolates_broken_partition(data_dir, ray_session, tmp_path):
+    """A corrupt shard records a failed manifest row and the run continues;
+    the next invocation retries ONLY the broken partition (attempt+1) and
+    succeeds once the shard is repaired."""
+    import shutil as _sh
+
+    paths = sorted(
+        os.path.join(str(data_dir / "images"), f)
+        for f in os.listdir(str(data_dir / "images")))[:3]
+    work = tmp_path / "shards"
+    work.mkdir()
+    local = []
+    for p in paths:
+        dst = work / os.path.basename(p)
+        _sh.copy(p, dst)
+        local.append(str(dst))
+    victim = local[1]
+    good_bytes = open(victim, "rb").read()
+    with open(victim, "wb") as f:
+        f.write(b"not a parquet file")
+
+    out = str(tmp_path / "out")
+    r1 = run_resumable(local, out, decode=False, job_id="j1")
+    assert len(r1["ran"]) == 2 and r1["failed"] == ["00001"]
+    row = r1["manifest"]["00001"]
+    assert row["status"] == "failed" and row["verdict"] == "fail"
+
+    with open(victim, "wb") as f:
+        f.write(good_bytes)
+    r2 = run_resumable(local, out, decode=False, job_id="j2")
+    assert r2["ran"] == ["00001"] and not r2["failed"]
+    assert len(r2["skipped"]) == 2
+    assert r2["manifest"]["00001"]["status"] == "done"
+    assert r2["manifest"]["00001"]["attempt"] == 2
