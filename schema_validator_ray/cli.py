@@ -78,6 +78,7 @@ def cmd_validate(args) -> int:
                                     reference_profile=reference_profile)
             summary = {
                 "ran": len(res["ran"]), "skipped": len(res["skipped"]),
+                "failed": len(res.get("failed", [])),
                 "partitions": {pid: {"rows": row["rows"],
                                      "violations": row["violations"],
                                      "status": row["status"],
