@@ -1349,6 +1349,55 @@ def q_images_drift(sf_dir: str):
     return pd.DataFrame(rows)[["column", "metric", "ok"]]
 
 
+def q_images_phash_neardup(sf_dir: str):
+    """North-rule phash near-duplicate detection over the canonical image
+    table: :func:`hash_hamming_pairs` on the phash column (4x16-bit bands,
+    Hamming<=3-complete). The synth skew fixture funnels ~2% of rows into 10
+    hot phash values, so the result is dominated by hamming=0 pairs inside hot
+    buckets — exactly the skewed-phash-bucket scenario the north rule calls
+    out; the bucket machinery (per-batch combine, bucket-size cap) absorbs the
+    skew. Rows-only: the phash derivation isn't SQL-expressible (planted
+    Hamming-1..3 clones are pinned in tests/test_dedup_hamming.py)."""
+    import ray.data as rd
+
+    from schema_validator_ray.stages.dedup import hash_hamming_pairs
+
+    d = _images_dir(sf_dir, _images_rows_for(sf_dir))
+    ds = rd.read_parquet(d, columns=["image_id", "phash"])
+    return hash_hamming_pairs(ds, "phash", "image_id", max_hamming=3,
+                              max_bucket_size=4096)
+
+
+# xorshift* multiplier; < 2^62 so the oracle's HUGEINT product (key * mix)
+# stays within 128 bits before the mod-2^64 reduction
+_HAMMING_MIX = 0x2545F4914F6CDD1D
+
+
+def q_hamming_pairs_orders(sf_dir: str):
+    """Bit-exact SQL conformance harness for hash_hamming_pairs: a 64-bit key
+    derived from orders (multiplicative mix of o_custkey mod 2^64, one bit
+    flipped per row keyed by o_orderkey) puts within-custkey pairs at
+    Hamming<=2 and cross-custkey pairs at >=13 (measured at both SFs), so the
+    banded engine result equals the custkey-restricted oracle join exactly —
+    bands, popcount verify, and the distributed dedup all checked value-level
+    against DuckDB bit_count(xor(...))."""
+    from schema_validator_ray.stages.dedup import hash_hamming_pairs
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).repartition(16)
+
+    def derive(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ck * np.uint64(_HAMMING_MIX)  # wraps mod 2^64
+        flip = np.where(ok % np.uint64(3) == 0,
+                        np.uint64(1) << (ok % np.uint64(63)), np.uint64(0))
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "h": pa.array((h ^ flip).view(np.int64), pa.int64())})
+
+    return hash_hamming_pairs(ds.map_batches(derive, batch_format="pyarrow"),
+                              "h", "o_orderkey", max_hamming=3)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1422,6 +1471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_groups": q_embedding_dup_groups,
         "minhash_pairs_docs": q_minhash_pairs_docs,
         "simhash_pairs_docs": q_simhash_pairs_docs,
+        "hamming_pairs_orders": q_hamming_pairs_orders,
         "profile_lineitem": q_profile_lineitem,
         "profile_sketches": q_profile_sketches,
         "group_quantiles": q_group_quantiles,
@@ -1430,6 +1480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_validate": q_images_validate,
         "images_rule_counts": q_images_rule_counts,
         "images_drift": q_images_drift,
+        "images_phash_neardup": q_images_phash_neardup,
     }
 
 
@@ -2032,6 +2083,31 @@ def oracle_sql() -> dict[str, str]:
                                           CAST(b.embedding AS DOUBLE[])) >= 0.3
         """,
         "embedding_near_dup_lsh": _lsh_oracle_sql(),
+        # bit-exact hash_hamming_pairs check: same key derivation as the
+        # engine (mix mod 2^64 via HUGEINT, signed-view, one flipped bit),
+        # hamming via bit_count(xor(...)). The join is custkey-restricted:
+        # cross-custkey keys sit at Hamming >= 13 (measured), so the
+        # restriction drops nothing the banded engine could find.
+        "hamming_pairs_orders": f"""
+            WITH hx AS (
+              SELECT o_orderkey, o_custkey,
+                     xor(CAST(CASE WHEN base_u >= 9223372036854775808
+                                   THEN base_u - 18446744073709551616
+                                   ELSE base_u END AS BIGINT),
+                         CASE WHEN o_orderkey % 3 = 0
+                              THEN CAST(1 AS BIGINT)
+                                   << CAST(o_orderkey % 63 AS INTEGER)
+                              ELSE CAST(0 AS BIGINT) END) AS hh
+                FROM (SELECT o_orderkey, o_custkey,
+                             (CAST(o_custkey AS HUGEINT) * {_HAMMING_MIX})
+                               % 18446744073709551616 AS base_u
+                        FROM orders))
+            SELECT x.o_orderkey AS a, y.o_orderkey AS b,
+                   CAST(bit_count(xor(x.hh, y.hh)) AS INTEGER) AS hamming
+              FROM hx x JOIN hx y ON x.o_custkey = y.o_custkey
+                                 AND x.o_orderkey < y.o_orderkey
+             WHERE bit_count(xor(x.hh, y.hh)) <= 3
+        """,
         # min-reachable-id transitive closure == union-find component reps
         "embedding_dup_groups": """
             WITH RECURSIVE pairs AS (

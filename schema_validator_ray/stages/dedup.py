@@ -722,25 +722,68 @@ class _BankPairsHamming:
         })
 
 
+class _HashToBanks:
+    """(id, hash:int64) -> (id, simhash, bank0..3) — 16-bit bands of ANY int64
+    hash column (text simhash, image phash, hyperplane signature), so one pair
+    machinery serves them all."""
+
+    def __init__(self, hash_col: str, id_col: str):
+        self.hash_col = hash_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = batch[self.hash_col]
+        if isinstance(h, pa.ChunkedArray):
+            h = h.combine_chunks()
+        u = h.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        cols = {self.id_col: batch[self.id_col],
+                "simhash": pc.cast(h, pa.int64())}
+        for i in range(4):
+            bk = ((u >> np.uint64(16 * i)) & np.uint64(0xFFFF)).astype(np.int32)
+            cols[f"bank{i}"] = pa.array(bk, pa.int32())
+        return pa.table(cols)
+
+
 def simhash_pairs(ds, text_col: str, id_col: str, *, max_hamming: int = 3,
                   batch_size: int = 4096, max_bucket_size: int = 1024,
                   max_broadcast_buckets: int = 5_000_000) -> pa.Table:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidates from
-    4x16-bit bank equality (complete for Hamming<=3), verified exactly inside
-    ``groupby(bucket).map_groups`` — the simhash travels with the bucket rows,
-    so the driver only holds the collided-bucket set and the final pairs."""
-    import ray
-    from ray.data.aggregate import Min
-
+    """Near-dup pairs with Hamming(simhash) <= max_hamming. Signature stage +
+    the generic :func:`hash_hamming_pairs` band machinery."""
     sigs = ds.select_columns([id_col, text_col]).map_batches(
         SimHashStage(text_col, id_col), batch_format="pyarrow",
         batch_size=batch_size)
+    return hash_hamming_pairs(sigs, "simhash", id_col, max_hamming=max_hamming,
+                              max_bucket_size=max_bucket_size,
+                              max_broadcast_buckets=max_broadcast_buckets)
+
+
+def hash_hamming_pairs(ds, hash_col: str, id_col: str, *, max_hamming: int = 3,
+                       max_bucket_size: int = 1024,
+                       max_broadcast_buckets: int = 5_000_000) -> pa.Table:
+    """All (a, b, hamming) pairs with Hamming(hash) <= max_hamming over any
+    int64 hash column. Candidates from 4x16-bit bank equality — pigeonhole-
+    COMPLETE for Hamming<=3 (3 bit flips cannot touch all 4 banks) — verified
+    by exact popcount inside ``groupby(bucket).map_groups``; the hash travels
+    with the bucket rows, so the driver only holds the collided-bucket set and
+    the final pairs. Identical values (e.g. hot phash buckets) collide in all
+    4 banks and come out as hamming=0 pairs, capped by ``max_bucket_size``."""
+    import ray
+    from ray.data.aggregate import Min
+
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            "4x16-bit banding is only complete for max_hamming <= 3")
+
+    sigs = ds.select_columns([id_col, hash_col]).map_batches(
+        _HashToBanks(hash_col, id_col), batch_format="pyarrow")
 
     exploded = sigs.map_batches(_BankBucketExplode(id_col),
                                 batch_format="pyarrow").materialize()
+    esch = exploded.schema()
+    idt = dict(zip(esch.names, esch.types))[id_col]
 
-    empty = pa.table({"a": pa.array([], pa.int64()),
-                      "b": pa.array([], pa.int64()),
+    empty = pa.table({"a": pa.array([], idt),
+                      "b": pa.array([], idt),
                       "hamming": pa.array([], pa.int32())})
 
     dup_vals, _ = _collided_keys(exploded.select_columns(["bkt"]), "bkt",
