@@ -25,6 +25,7 @@ from collections.abc import Callable
 from typing import Any
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -1399,6 +1400,257 @@ def q_hamming_pairs_orders(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# partitioned analytic (window) functions + relational extras
+
+
+def q_orders_running_total(sf_dir: str):
+    """SUM() OVER (PARTITION BY custkey ORDER BY orderdate, orderkey) —
+    skew-safe running sum (stages/analytics.py): shuffle key is
+    (shard, 30-day bucket), per-bucket local cumsum + driver-prefix-summed
+    carry-in offsets broadcast back. Never puts a whole key on one worker."""
+    from schema_validator_ray.stages.analytics import running_sum
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate",
+                "o_totalprice"]).map_batches(
+        lambda b: pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "o_orderdate": b["o_orderdate"],
+            "cents": pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                             pa.int64()),
+        }), batch_format="pyarrow")
+    out = running_sum(ds, key="o_custkey", order_col="o_orderdate",
+                      value="cents", tiebreak="o_orderkey",
+                      out_col="running_cents", bucket_width="30d")
+    return out.map_batches(
+        lambda b: pa.table({"o_orderkey": b["o_orderkey"],
+                            "o_custkey": b["o_custkey"],
+                            "running_cents": pc.cast(b["running_cents"],
+                                                     pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_events_lag_gap(sf_dir: str):
+    """LAG() — per-user microseconds since the previous event (-1 for the
+    first). The only cross-bucket fact is the previous bucket's last ts per
+    key: one summary row per (key, bucket), chain-merged on the driver."""
+    from schema_validator_ray.stages.analytics import lag_gap_us
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = lag_gap_us(ds, key="user_id", ts="ts", tiebreak="event_id",
+                     out_col="gap_us", bucket_width="6h")
+    return out.map_batches(
+        lambda b: pa.table({"event_id": b["event_id"],
+                            "user_id": b["user_id"],
+                            "gap_us": pc.cast(b["gap_us"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_customer_balance_quartiles(sf_dir: str):
+    """NTILE(4) OVER (PARTITION BY nation ORDER BY acctbal, custkey) with
+    exact SQL tile-size semantics (first count%n tiles get ceil(count/n)
+    rows) — local ranks per (key, balance-range bucket) + broadcast global
+    rank offsets and per-key totals."""
+    from schema_validator_ray.stages.analytics import ntile
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    out = ntile(ds, key="c_nationkey", order_col="c_acctbal",
+                tiebreak="c_custkey", n=4, out_col="quartile",
+                bucket_width=2000.0)
+    return out.map_batches(
+        lambda b: pa.table({"c_custkey": b["c_custkey"],
+                            "c_nationkey": b["c_nationkey"],
+                            "quartile": pc.cast(b["quartile"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_customer_order_counts(sf_dir: str):
+    """LEFT OUTER hash join (Dataset.join left_outer): every customer with
+    their order count and lifetime spend in exact integer cents — customers
+    without orders survive with (0, 0). Post-join per-batch partials bound
+    the final groupby to one small row per customer per batch."""
+    from ray.data.aggregate import Sum
+
+    from schema_validator_ray.stages.referential import default_join_partitions
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey",
+                                      "o_totalprice"]).map_batches(
+        lambda b: pa.table({
+            "o_custkey": b["o_custkey"],
+            "o_orderkey": b["o_orderkey"],
+            "cents": pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                             pa.int64()),
+        }), batch_format="pyarrow")
+    joined = cust.join(orders, join_type="left_outer",
+                       num_partitions=default_join_partitions(8),
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "c_custkey": b["c_custkey"],
+            "n_orders": pc.cast(pc.is_valid(b["o_orderkey"]), pa.int64()),
+            "spend_cents": pc.fill_null(pc.cast(b["cents"], pa.int64()), 0),
+        })
+        agg = t.group_by("c_custkey").aggregate(
+            [("n_orders", "sum"), ("spend_cents", "sum")])
+        return pa.table({"c_custkey": agg["c_custkey"],
+                         "n_orders": agg["n_orders_sum"],
+                         "spend_cents": agg["spend_cents_sum"]})
+
+    out = (joined.map_batches(partial, batch_format="pyarrow")
+           .groupby("c_custkey")
+           .aggregate(Sum("n_orders", alias_name="n_orders"),
+                      Sum("spend_cents", alias_name="spend_cents")))
+    return out.map_batches(
+        lambda b: pa.table({"c_custkey": b["c_custkey"],
+                            "n_orders": pc.cast(b["n_orders"], pa.int64()),
+                            "spend_cents": pc.cast(b["spend_cents"],
+                                                   pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_revenue_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(region, nation) over order revenue in exact integer
+    cents: one large join (orders -> customer), nation/region dims broadcast
+    (ray.put) into the partial-aggregation stage, super-aggregate levels
+    derived from the finest-level result (exact for sums — the rollup is a
+    re-aggregation of a 25-row table, driver-side by construction)."""
+    import pyarrow.parquet as pq_mod
+    import ray
+
+    from schema_validator_ray.stages.referential import default_join_partitions
+
+    nt = pq_mod.read_table(os.path.join(sf_dir, "nation.parquet"))
+    rt = pq_mod.read_table(os.path.join(sf_dir, "region.parquet"))
+    rname = dict(zip(rt["r_regionkey"].to_pylist(), rt["r_name"].to_pylist()))
+    lut = {k: (rname[rk], nm) for k, nm, rk in zip(
+        nt["n_nationkey"].to_pylist(), nt["n_name"].to_pylist(),
+        nt["n_regionkey"].to_pylist())}
+    ref = ray.put(lut)
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: pa.table({"o_custkey": b["c_custkey"],
+                            "c_nationkey": b["c_nationkey"]}),
+        batch_format="pyarrow")
+    joined = orders.join(cust, join_type="inner",
+                         num_partitions=default_join_partitions(8),
+                         on=("o_custkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        m = _r.get(ref)
+        pairs = [m[k] for k in b["c_nationkey"].to_pylist()]
+        t = pa.table({
+            "r_name": pa.array([p[0] for p in pairs], pa.string()),
+            "n_name": pa.array([p[1] for p in pairs], pa.string()),
+            "cents": pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                             pa.int64()),
+        })
+        agg = t.group_by(["r_name", "n_name"]).aggregate([("cents", "sum")])
+        return pa.table({"r_name": agg["r_name"], "n_name": agg["n_name"],
+                         "revenue_cents": agg["cents_sum"]})
+
+    base = (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby(["r_name", "n_name"]))
+    from ray.data.aggregate import Sum
+
+    base = base.aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    fine = base.to_pandas()      # |regions x nations| rows — tiny by schema
+    by_region = (fine.groupby("r_name", as_index=False)["revenue_cents"]
+                 .sum().assign(n_name=None))
+    grand = pd.DataFrame({"r_name": [None], "n_name": [None],
+                          "revenue_cents": [fine["revenue_cents"].sum()]})
+    out = pd.concat([fine, by_region, grand], ignore_index=True)
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out[["r_name", "n_name", "revenue_cents"]]
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_type_pivot(sf_dir: str):
+    """PIVOT: events count per hour-of-day x event type as columns
+    (cnt_click .. cnt_view). Per-batch (hour, type) partials cap the shuffle
+    at 24 x |types| rows per batch; the pivot itself runs on the driver over
+    the <=120-row merged aggregate."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"hour_of_day": pc.cast(pc.hour(b["ts"]), pa.int64()),
+                      "event_type": b["event_type"]})
+        agg = t.group_by(["hour_of_day", "event_type"]).aggregate(
+            [("event_type", "count")])
+        return pa.table({"hour_of_day": agg["hour_of_day"],
+                         "event_type": agg["event_type"],
+                         "n": pc.cast(agg["event_type_count"], pa.int64())})
+
+    parts = []
+    for b in (ds.map_batches(partial, batch_format="pyarrow")
+              .iter_batches(batch_size=1 << 20, batch_format="pyarrow")):
+        if b.num_rows:
+            parts.append(b)
+    merged = (pa.concat_tables(parts).group_by(["hour_of_day", "event_type"])
+              .aggregate([("n", "sum")]).to_pandas())
+    pv = merged.pivot_table(index="hour_of_day", columns="event_type",
+                            values="n_sum", aggfunc="sum", fill_value=0)
+    out = pd.DataFrame({"hour_of_day": pv.index.to_numpy()})
+    for t in _EVENT_TYPES:
+        out[f"cnt_{t}"] = (pv[t].to_numpy().astype("int64")
+                           if t in pv.columns else np.int64(0))
+    return out.sort_values("hour_of_day").reset_index(drop=True)
+
+
+def q_embedding_dim_stats(sf_dir: str):
+    """Unnest-with-ordinality + per-dimension aggregate over the embedding
+    list column WITHOUT exploding rows through a shuffle: each batch reshapes
+    its (rows x dim) block and emits dim partial rows (n, sum, min, max);
+    the driver merges |batches| x dim tiny partials."""
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        arr = b["embedding"].combine_chunks()
+        lens = np.asarray(arr.value_lengths())
+        if len(lens) == 0:
+            return pa.table({"pos": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "vmin": pa.array([], pa.float64()),
+                             "vmax": pa.array([], pa.float64())})
+        dim = int(lens[0])
+        if not (lens == dim).all():
+            raise ValueError("ragged embedding lists are not supported")
+        m = (arr.flatten().to_numpy(zero_copy_only=False)
+             .astype(np.float64).reshape(-1, dim))
+        return pa.table({
+            "pos": pa.array(np.arange(1, dim + 1), pa.int64()),
+            "n": pa.array(np.full(dim, m.shape[0]), pa.int64()),
+            "s": pa.array(m.sum(axis=0), pa.float64()),
+            "vmin": pa.array(m.min(axis=0), pa.float64()),
+            "vmax": pa.array(m.max(axis=0), pa.float64()),
+        })
+
+    parts = [b for b in (ds.map_batches(partial, batch_format="pyarrow")
+                         .iter_batches(batch_size=1 << 20,
+                                       batch_format="pyarrow"))
+             if b.num_rows]
+    agg = (pa.concat_tables(parts).group_by("pos")
+           .aggregate([("n", "sum"), ("s", "sum"),
+                       ("vmin", "min"), ("vmax", "max")]).to_pandas())
+    agg = agg.sort_values("pos").reset_index(drop=True)
+    return pd.DataFrame({
+        "pos": agg["pos"].astype("int64"),
+        "n": agg["n_sum"].astype("int64"),
+        "mean_v": (agg["s_sum"] / agg["n_sum"]).astype("float64"),
+        "vmin": agg["vmin_min"].astype("float64"),
+        "vmax": agg["vmax_max"].astype("float64"),
+    })
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 
 
@@ -1481,6 +1733,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_rule_counts": q_images_rule_counts,
         "images_drift": q_images_drift,
         "images_phash_neardup": q_images_phash_neardup,
+        "orders_running_total": q_orders_running_total,
+        "events_lag_gap": q_events_lag_gap,
+        "customer_balance_quartiles": q_customer_balance_quartiles,
+        "customer_order_counts": q_customer_order_counts,
+        "revenue_rollup": q_revenue_rollup,
+        "events_type_pivot": q_events_type_pivot,
+        "embedding_dim_stats": q_embedding_dim_stats,
     }
 
 
@@ -2143,5 +2402,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT),
                    ROUND(MIN(l_quantity), 6), ROUND(MAX(l_quantity), 6)
               FROM lineitem
+        """,
+        "orders_running_total": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS running_cents
+              FROM orders
+        """,
+        "events_lag_gap": """
+            SELECT event_id, user_id,
+                   COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id), -1)
+                   AS gap_us
+              FROM events
+        """,
+        "customer_balance_quartiles": """
+            SELECT c_custkey, c_nationkey,
+                   CAST(NTILE(4) OVER (
+                       PARTITION BY c_nationkey
+                       ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+              FROM customer
+        """,
+        "customer_order_counts": """
+            SELECT c_custkey,
+                   COUNT(o_orderkey) AS n_orders,
+                   CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100)
+                                           AS BIGINT)), 0) AS BIGINT)
+                       AS spend_cents
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             GROUP BY c_custkey
+        """,
+        "revenue_rollup": """
+            SELECT r_name, n_name,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+             GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "events_type_pivot": """
+            SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
+                   COUNT(*) FILTER (event_type = 'click') AS cnt_click,
+                   COUNT(*) FILTER (event_type = 'error') AS cnt_error,
+                   COUNT(*) FILTER (event_type = 'purchase') AS cnt_purchase,
+                   COUNT(*) FILTER (event_type = 'signup') AS cnt_signup,
+                   COUNT(*) FILTER (event_type = 'view') AS cnt_view
+              FROM events GROUP BY 1
+        """,
+        "embedding_dim_stats": """
+            SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(AVG(e) AS DOUBLE) AS mean_v,
+                   CAST(MIN(e) AS DOUBLE) AS vmin,
+                   CAST(MAX(e) AS DOUBLE) AS vmax
+              FROM (SELECT unnest(embedding) AS e,
+                           CAST(generate_subscripts(embedding, 1) AS BIGINT)
+                               AS pos
+                      FROM embeddings)
+             GROUP BY pos
         """,
     }

@@ -1,0 +1,364 @@
+"""Partitioned analytic (SQL window) functions: running sum, lag, ntile.
+
+SQL shape: ``f(...) OVER (PARTITION BY key ORDER BY order_col, tiebreak)``.
+Ray Data has no window functions; the naive expression — ``groupby(key)
+.map_groups(sort + scan)`` — puts a key's ENTIRE history on one worker, which
+a hot key breaks at scale. These operators reuse the skew-safe shape proven by
+``windows.sessionize``: the shuffle key is ``(shard(key), coarse bucket of
+order_col)``, so one worker holds at most (bucket span × key rate) rows. Each
+group computes LOCAL scans and emits one tiny summary row per (key, bucket);
+the summaries (|keys| × |buckets|, streamed under ``summary_merge_max``)
+chain-merge on the driver into per-(key, bucket) carry-in values broadcast via
+``ray.put`` and applied map-side. Above the guard, falls back to the exact
+single-shuffle ``groupby(key).map_groups`` path (hot-key bounded by the
+largest key's history — documented, loud).
+
+All three are deterministic: within-key order is (order_col, tiebreak), and
+ties land in the same bucket (the bucket is a pure function of order_col), so
+tie handling is always local.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .windows import _shard_series
+
+_SUMMARY_MERGE_MAX = 5_000_000
+
+
+def _order_ints(series) -> np.ndarray:
+    """Order column as int64: ns for datetimes, raw for ints."""
+    v = series.to_numpy()
+    if np.issubdtype(v.dtype, np.datetime64):
+        return v.astype("datetime64[ns]").astype(np.int64)
+    return v.astype(np.int64, copy=False)
+
+
+def _bucket_of(series, bucket_width) -> np.ndarray:
+    """Coarse range bucket of the order column (pure function of the value,
+    so equal order values — potential ties — always share a bucket)."""
+    v = series.to_numpy()
+    if np.issubdtype(v.dtype, np.datetime64):
+        ns = v.astype("datetime64[ns]").astype(np.int64)
+        return ns // int(pd.Timedelta(bucket_width).value)
+    return np.floor(v.astype(np.float64) / float(bucket_width)).astype(np.int64)
+
+
+def _collect_summaries(tagged, cols: list[str],
+                       summary_merge_max: int):
+    """Stream the _side==1 rows to the driver under the merge guard.
+    Returns (DataFrame | None); None means over budget."""
+    parts, total = [], 0
+    for b in (tagged.filter(expr="_side == 1")
+              .iter_batches(batch_size=1 << 20, batch_format="pandas")):
+        if len(b):
+            parts.append(b[cols])
+            total += len(b)
+        if total > summary_merge_max:
+            return None
+    if not parts:
+        return pd.DataFrame({c: [] for c in cols})
+    return pd.concat(parts, ignore_index=True)
+
+
+def _key_segments(kv: pd.Series) -> np.ndarray:
+    """Boolean break mask: True where a new key's run starts (input sorted)."""
+    return (kv != kv.shift()).to_numpy()
+
+
+def running_sum(ds, *, key: str, order_col: str, value: str,
+                tiebreak: str, out_col: str = "running_sum",
+                bucket_width="30d", n_shards: int = 32,
+                summary_merge_max: int = _SUMMARY_MERGE_MAX):
+    """``SUM(value) OVER (PARTITION BY key ORDER BY order_col, tiebreak)``
+    (cumulative / inclusive). Local cumsum per (key, bucket) group + one
+    summary row per (key, bucket) carrying the bucket total; driver
+    prefix-sums the totals per key into carry-in offsets."""
+    import ray
+
+    in_cols = list(ds.schema().names)
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["_bkt"] = _bucket_of(b[order_col], bucket_width)
+        out["_shard"] = _shard_series(b[key], n_shards)
+        return out
+
+    def local_scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values([key, "_bkt", order_col, tiebreak], kind="stable")
+             .reset_index(drop=True))
+        brk = _key_segments(g[key]) | (g["_bkt"] != g["_bkt"].shift()).to_numpy()
+        vals = g[value].to_numpy()
+        # integer inputs accumulate exactly (int64); floats keep float64 —
+        # bucket-total association then differs from a sequential scan by
+        # O(eps · magnitude), fine under rounded comparison, never for ints
+        vals = vals.astype(np.int64 if np.issubdtype(vals.dtype, np.integer)
+                           else np.float64)
+        cs = np.cumsum(vals)
+        seg = np.flatnonzero(brk)
+        seg_id = np.cumsum(brk) - 1
+        base = np.r_[cs.dtype.type(0), cs[:-1]][seg]   # cumsum before segment
+        local = cs - base[seg_id]
+        ev = g[in_cols + ["_bkt"]].copy()
+        ev["_lsum"] = local
+        ev["_side"] = np.int8(0)
+        last = np.r_[seg[1:] - 1, len(g) - 1]    # last row of each segment
+        summ = g.iloc[last][in_cols + ["_bkt"]].copy()
+        summ["_lsum"] = local[last]              # segment (bucket) total
+        summ["_side"] = np.int8(1)
+        return pd.concat([ev, summ], ignore_index=True)
+
+    tagged = (ds.map_batches(bucketize, batch_format="pandas")
+              .groupby(["_shard", "_bkt"]).map_groups(
+                  local_scan, batch_format="pandas").materialize())
+
+    s = _collect_summaries(tagged, [key, "_bkt", "_lsum"], summary_merge_max)
+    if s is None:
+        return _exact_running_sum(ds, key=key, order_col=order_col,
+                                  value=value, tiebreak=tiebreak,
+                                  out_col=out_col)
+
+    if len(s):
+        s = s.sort_values([key, "_bkt"], kind="stable").reset_index(drop=True)
+        brk = _key_segments(s[key])
+        tot = np.cumsum(s["_lsum"].to_numpy())
+        seg = np.flatnonzero(brk)
+        zero = tot.dtype.type(0)
+        base = np.r_[zero, tot[:-1]][seg]
+        off = np.r_[zero, tot[:-1]] - base[np.cumsum(brk) - 1]  # exclusive
+        s["_off"] = off
+        s = s[s["_off"] != 0]                    # first buckets carry nothing
+    else:
+        s = s.assign(_off=pd.Series([], dtype="float64"))
+    ref = ray.put(s[[key, "_bkt", "_off"]])
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(ref)
+        out = df.merge(r, on=[key, "_bkt"], how="left") if len(r) else \
+            df.assign(_off=0.0)
+        lsum = out["_lsum"].to_numpy()
+        res = lsum + out["_off"].fillna(0).to_numpy()
+        if np.issubdtype(lsum.dtype, np.integer):
+            res = res.astype(np.int64)           # offsets exact below 2^53
+        out[out_col] = res
+        return out[in_cols + [out_col]]
+
+    return (tagged.filter(expr="_side == 0")
+            .map_batches(finalize, batch_format="pandas"))
+
+
+def _exact_running_sum(ds, *, key, order_col, value, tiebreak, out_col):
+    """Single-shuffle exact fallback: one worker per key (hot-key bounded)."""
+    in_cols = list(ds.schema().names)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values([key, order_col, tiebreak], kind="stable")
+             .reset_index(drop=True))
+        brk = _key_segments(g[key])
+        vals = g[value].to_numpy()
+        vals = vals.astype(np.int64 if np.issubdtype(vals.dtype, np.integer)
+                           else np.float64)
+        cs = np.cumsum(vals)
+        seg = np.flatnonzero(brk)
+        base = np.r_[cs.dtype.type(0), cs[:-1]][seg]
+        g[out_col] = cs - base[np.cumsum(brk) - 1]
+        return g[in_cols + [out_col]]
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def lag_gap_us(ds, *, key: str, ts: str, tiebreak: str,
+               out_col: str = "gap_us", bucket_width="30d",
+               n_shards: int = 32,
+               summary_merge_max: int = _SUMMARY_MERGE_MAX):
+    """``epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY key ORDER BY ts,
+    tiebreak)`` with -1 for a key's first row (no previous event). The only
+    cross-bucket fact a row needs is the previous bucket's LAST timestamp for
+    its key — exactly one summary row per (key, bucket)."""
+    import ray
+
+    in_cols = list(ds.schema().names)
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["_bkt"] = _bucket_of(b[ts], bucket_width)
+        out["_shard"] = _shard_series(b[key], n_shards)
+        return out
+
+    def local_scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values([key, "_bkt", ts, tiebreak], kind="stable")
+             .reset_index(drop=True))
+        brk = _key_segments(g[key]) | (g["_bkt"] != g["_bkt"].shift()).to_numpy()
+        us = _order_ints(g[ts]) // 1000
+        gap = us - np.r_[0, us[:-1]]
+        gap[brk] = -1                            # unknown: resolve via carry-in
+        ev = g[in_cols + ["_bkt"]].copy()
+        ev["_gap"] = gap
+        ev["_first"] = brk.astype(np.int8)
+        ev["_side"] = np.int8(0)
+        seg = np.flatnonzero(brk)
+        last = np.r_[seg[1:] - 1, len(g) - 1]
+        summ = g.iloc[last][in_cols + ["_bkt"]].copy()
+        summ["_gap"] = us[last]                  # bucket-last ts (µs) per key
+        summ["_first"] = np.int8(0)
+        summ["_side"] = np.int8(1)
+        return pd.concat([ev, summ], ignore_index=True)
+
+    tagged = (ds.map_batches(bucketize, batch_format="pandas")
+              .groupby(["_shard", "_bkt"]).map_groups(
+                  local_scan, batch_format="pandas").materialize())
+
+    s = _collect_summaries(tagged, [key, "_bkt", "_gap"], summary_merge_max)
+    if s is None:
+        return _exact_lag_gap(ds, key=key, ts=ts, tiebreak=tiebreak,
+                              out_col=out_col)
+
+    if len(s):
+        s = s.sort_values([key, "_bkt"], kind="stable").reset_index(drop=True)
+        new_key = _key_segments(s[key])
+        prev = np.r_[-1, s["_gap"].to_numpy()[:-1]]
+        prev[new_key] = -1                       # key's first bucket: none
+        s["_prev_us"] = prev
+        s = s[s["_prev_us"] >= 0][[key, "_bkt", "_prev_us"]]
+    else:
+        s = s.assign(_prev_us=pd.Series([], dtype="int64"))[
+            [key, "_bkt", "_prev_us"]]
+    ref = ray.put(s)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(ref)
+        out = df.merge(r, on=[key, "_bkt"], how="left") if len(r) else \
+            df.assign(_prev_us=np.nan)
+        us = _order_ints(out[ts]) // 1000
+        first = out["_first"].to_numpy().astype(bool)
+        prev = out["_prev_us"].to_numpy(dtype=np.float64)
+        gap = out["_gap"].to_numpy().copy()
+        hit = first & ~np.isnan(prev)
+        gap[hit] = us[hit] - prev[hit].astype(np.int64)
+        out[out_col] = gap
+        return out[in_cols + [out_col]]
+
+    return (tagged.filter(expr="_side == 0")
+            .map_batches(finalize, batch_format="pandas"))
+
+
+def _exact_lag_gap(ds, *, key, ts, tiebreak, out_col):
+    in_cols = list(ds.schema().names)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values([key, ts, tiebreak], kind="stable")
+             .reset_index(drop=True))
+        us = _order_ints(g[ts]) // 1000
+        gap = us - np.r_[0, us[:-1]]
+        gap[_key_segments(g[key])] = -1
+        g[out_col] = gap
+        return g[in_cols + [out_col]]
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def ntile(ds, *, key: str, order_col: str, tiebreak: str, n: int,
+          out_col: str = "tile", bucket_width=2000.0, n_shards: int = 32,
+          summary_merge_max: int = _SUMMARY_MERGE_MAX):
+    """``NTILE(n) OVER (PARTITION BY key ORDER BY order_col, tiebreak)``
+    (SQL semantics: the first ``count % n`` tiles get ``ceil(count/n)`` rows).
+    Local ranks per (key, bucket) + per-(key, bucket) count summaries; the
+    driver prefix-sums counts into global rank offsets and per-key totals."""
+    import ray
+
+    in_cols = list(ds.schema().names)
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["_bkt"] = _bucket_of(b[order_col], bucket_width)
+        out["_shard"] = _shard_series(b[key], n_shards)
+        return out
+
+    def local_scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values([key, "_bkt", order_col, tiebreak], kind="stable")
+             .reset_index(drop=True))
+        brk = _key_segments(g[key]) | (g["_bkt"] != g["_bkt"].shift()).to_numpy()
+        idx = np.arange(len(g), dtype=np.int64)
+        seg = np.flatnonzero(brk)
+        lrank = idx - seg[np.cumsum(brk) - 1]
+        ev = g[in_cols + ["_bkt"]].copy()
+        ev["_lrank"] = lrank
+        ev["_side"] = np.int8(0)
+        last = np.r_[seg[1:] - 1, len(g) - 1]
+        summ = g.iloc[last][in_cols + ["_bkt"]].copy()
+        summ["_lrank"] = lrank[last] + 1         # segment count
+        summ["_side"] = np.int8(1)
+        return pd.concat([ev, summ], ignore_index=True)
+
+    tagged = (ds.map_batches(bucketize, batch_format="pandas")
+              .groupby(["_shard", "_bkt"]).map_groups(
+                  local_scan, batch_format="pandas").materialize())
+
+    s = _collect_summaries(tagged, [key, "_bkt", "_lrank"], summary_merge_max)
+    if s is None:
+        return _exact_ntile(ds, key=key, order_col=order_col,
+                            tiebreak=tiebreak, n=n, out_col=out_col)
+
+    if len(s):
+        s = s.sort_values([key, "_bkt"], kind="stable").reset_index(drop=True)
+        brk = _key_segments(s[key])
+        cnt = s["_lrank"].to_numpy()
+        tot = np.cumsum(cnt)
+        seg = np.flatnonzero(brk)
+        seg_id = np.cumsum(brk) - 1
+        base = np.r_[0, tot[:-1]][seg]
+        s["_off"] = np.r_[0, tot[:-1]] - base[seg_id]      # exclusive prefix
+        key_tot = (tot[np.r_[seg[1:] - 1, len(s) - 1]] - base)[seg_id]
+        s["_tot"] = key_tot
+        s = s[[key, "_bkt", "_off", "_tot"]]
+    else:
+        s = s.assign(_off=pd.Series([], dtype="int64"),
+                     _tot=pd.Series([], dtype="int64"))[
+            [key, "_bkt", "_off", "_tot"]]
+    ref = ray.put(s)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(ref)
+        out = df.merge(r, on=[key, "_bkt"], how="left")
+        rank = (out["_lrank"].to_numpy()
+                + out["_off"].to_numpy(dtype=np.int64))
+        g = out["_tot"].to_numpy(dtype=np.int64)
+        out[out_col] = _ntile_of(rank, g, n)
+        return out[in_cols + [out_col]]
+
+    return (tagged.filter(expr="_side == 0")
+            .map_batches(finalize, batch_format="pandas"))
+
+
+def _ntile_of(rank: np.ndarray, total: np.ndarray, n: int) -> np.ndarray:
+    """SQL NTILE: with g rows and n tiles, the first g % n tiles hold
+    ceil(g/n) rows, the rest floor(g/n). rank is 0-based; result 1-based."""
+    q = total // n
+    big = total % n
+    cut = big * (q + 1)
+    small_q = np.maximum(q, 1)                   # q==0 → all rows below cut
+    return np.where(rank < cut,
+                    rank // np.maximum(q + 1, 1),
+                    big + (rank - cut) // small_q).astype(np.int64) + 1
+
+
+def _exact_ntile(ds, *, key, order_col, tiebreak, n, out_col):
+    in_cols = list(ds.schema().names)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values([key, order_col, tiebreak], kind="stable")
+             .reset_index(drop=True))
+        brk = _key_segments(g[key])
+        idx = np.arange(len(g), dtype=np.int64)
+        seg = np.flatnonzero(brk)
+        seg_id = np.cumsum(brk) - 1
+        rank = idx - seg[seg_id]
+        last = np.r_[seg[1:] - 1, len(g) - 1]
+        total = (rank[last] + 1)[seg_id]
+        g[out_col] = _ntile_of(rank, total, n)
+        return g[in_cols + [out_col]]
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")

@@ -1,0 +1,168 @@
+"""Partitioned analytic (window) functions vs DuckDB window-function
+references: running sum, lag, ntile — skew-safe path, exact single-shuffle
+fallback, SQL tile-size semantics, cross-bucket carry-in."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from schema_validator_ray.stages.analytics import (
+    _ntile_of,
+    lag_gap_us,
+    ntile,
+    running_sum,
+)
+
+
+def _frame(seed=0, n=4000, keys=12):
+    rng = np.random.default_rng(seed)
+    key = rng.integers(0, keys, n)
+    key[: n // 4] = 3          # hot key: 25% of all rows span every bucket
+    ts = (np.datetime64("2024-01-01", "us")
+          + rng.integers(0, 200 * 86_400_000_000, n).astype("timedelta64[us]"))
+    return pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": key.astype(np.int64),
+        "ts": ts,
+        "v": rng.integers(1, 1000, n).astype(np.int64),
+        "x": rng.normal(size=n) * 100.0,
+    })
+
+
+@pytest.fixture(scope="module")
+def ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_pandas(_frame()).repartition(8)
+
+
+def _oracle(df, sql):
+    con = duckdb.connect()
+    con.register("t", df)
+    return con.execute(sql).df()
+
+
+def test_running_sum_int_exact(ray_session, ds):
+    out = running_sum(ds, key="k", order_col="ts", value="v",
+                      tiebreak="id", out_col="rs",
+                      bucket_width="7d").to_pandas()
+    ref = _oracle(_frame(), """
+        SELECT id, SUM(v) OVER (PARTITION BY k ORDER BY ts, id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs FROM t""")
+    m = (out[["id", "rs"]].sort_values("id").reset_index(drop=True)
+         .merge(ref.sort_values("id").reset_index(drop=True), on="id"))
+    assert len(m) == len(ref)
+    assert (m["rs_x"].to_numpy() == m["rs_y"].to_numpy()).all()
+    assert np.issubdtype(out["rs"].dtype, np.integer)
+
+
+def test_running_sum_float(ray_session, ds):
+    out = running_sum(ds, key="k", order_col="ts", value="x",
+                      tiebreak="id", out_col="rs",
+                      bucket_width="7d").to_pandas()
+    ref = _oracle(_frame(), """
+        SELECT id, SUM(x) OVER (PARTITION BY k ORDER BY ts, id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs FROM t""")
+    m = (out[["id", "rs"]].sort_values("id").reset_index(drop=True)
+         .merge(ref.sort_values("id").reset_index(drop=True), on="id"))
+    assert np.allclose(m["rs_x"], m["rs_y"], atol=1e-6)
+
+
+def test_running_sum_fallback_parity(ray_session, ds):
+    """summary_merge_max=0 forces the exact groupby(key) fallback; results
+    must match the skew-safe path exactly (int values)."""
+    a = (running_sum(ds, key="k", order_col="ts", value="v", tiebreak="id",
+                     out_col="rs", bucket_width="7d")
+         .to_pandas().sort_values("id").reset_index(drop=True))
+    b = (running_sum(ds, key="k", order_col="ts", value="v", tiebreak="id",
+                     out_col="rs", bucket_width="7d", summary_merge_max=0)
+         .to_pandas().sort_values("id").reset_index(drop=True))
+    assert (a["rs"].to_numpy() == b["rs"].to_numpy()).all()
+
+
+def test_lag_gap(ray_session, ds):
+    out = lag_gap_us(ds, key="k", ts="ts", tiebreak="id", out_col="g",
+                     bucket_width="7d").to_pandas()
+    ref = _oracle(_frame(), """
+        SELECT id, COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+            PARTITION BY k ORDER BY ts, id), -1) AS g FROM t""")
+    m = (out[["id", "g"]].sort_values("id").reset_index(drop=True)
+         .merge(ref.sort_values("id").reset_index(drop=True), on="id"))
+    assert len(m) == len(ref)
+    assert (m["g_x"].to_numpy() == m["g_y"].to_numpy()).all()
+    # every key's global first row is -1, exactly once per key
+    first = out[out["g"] == -1]
+    assert len(first) == out["k"].nunique()
+
+
+def test_lag_gap_fallback_parity(ray_session, ds):
+    a = (lag_gap_us(ds, key="k", ts="ts", tiebreak="id", out_col="g",
+                    bucket_width="7d")
+         .to_pandas().sort_values("id").reset_index(drop=True))
+    b = (lag_gap_us(ds, key="k", ts="ts", tiebreak="id", out_col="g",
+                    bucket_width="7d", summary_merge_max=0)
+         .to_pandas().sort_values("id").reset_index(drop=True))
+    assert (a["g"].to_numpy() == b["g"].to_numpy()).all()
+
+
+def test_ntile_semantics_vs_duckdb(ray_session, ds):
+    out = ntile(ds, key="k", order_col="x", tiebreak="id", n=7,
+                out_col="t7", bucket_width=50.0).to_pandas()
+    ref = _oracle(_frame(), """
+        SELECT id, NTILE(7) OVER (PARTITION BY k ORDER BY x, id) AS t7
+        FROM t""")
+    m = (out[["id", "t7"]].sort_values("id").reset_index(drop=True)
+         .merge(ref.sort_values("id").reset_index(drop=True), on="id"))
+    assert len(m) == len(ref)
+    assert (m["t7_x"].to_numpy() == m["t7_y"].to_numpy().astype(np.int64)).all()
+
+
+def test_ntile_fallback_parity(ray_session, ds):
+    a = (ntile(ds, key="k", order_col="x", tiebreak="id", n=4, out_col="q",
+               bucket_width=50.0)
+         .to_pandas().sort_values("id").reset_index(drop=True))
+    b = (ntile(ds, key="k", order_col="x", tiebreak="id", n=4, out_col="q",
+               bucket_width=50.0, summary_merge_max=0)
+         .to_pandas().sort_values("id").reset_index(drop=True))
+    assert (a["q"].to_numpy() == b["q"].to_numpy()).all()
+
+
+def test_ntile_small_groups(ray_session):
+    """Groups smaller than n: SQL gives each row its own tile 1..g."""
+    import ray.data as rd
+
+    df = pd.DataFrame({"id": np.arange(5, dtype=np.int64),
+                       "k": np.int64([1, 1, 1, 2, 2]),
+                       "x": np.float64([5.0, 1.0, 3.0, 2.0, 4.0])})
+    out = (ntile(rd.from_pandas(df), key="k", order_col="x", tiebreak="id",
+                 n=10, out_col="t", bucket_width=1.0)
+           .to_pandas().sort_values(["k", "x"]).reset_index(drop=True))
+    assert out["t"].tolist() == [1, 2, 3, 1, 2]
+
+
+def test_ntile_of_formula():
+    # g=10, n=4 -> sizes 3,3,2,2 (first g%n tiles get ceil(g/n))
+    r = np.arange(10)
+    g = np.full(10, 10)
+    assert _ntile_of(r, g, 4).tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+
+
+def test_running_sum_ties_same_order_value(ray_session):
+    """Equal (ts) order values resolve by tiebreak identically to SQL."""
+    import ray.data as rd
+
+    ts = np.full(6, np.datetime64("2024-03-01", "us"))
+    df = pd.DataFrame({"id": np.int64([5, 3, 1, 2, 4, 0]),
+                       "k": np.int64([1] * 6),
+                       "ts": ts,
+                       "v": np.int64([10, 20, 30, 40, 50, 60])})
+    out = (running_sum(rd.from_pandas(df), key="k", order_col="ts",
+                       value="v", tiebreak="id", out_col="rs",
+                       bucket_width="1d")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    ref = _oracle(df, """
+        SELECT id, SUM(v) OVER (PARTITION BY k ORDER BY ts, id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs FROM t
+        ORDER BY id""")
+    assert out["rs"].tolist() == ref["rs"].tolist()
