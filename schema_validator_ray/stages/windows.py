@@ -240,19 +240,60 @@ def sliding_sum(ds, *, key: str, ts: str, value: str, window: str = "1h",
         per_group, batch_format="pandas")
 
 
+def _collapse_session_chains(g: pd.DataFrame, delta: pd.Timedelta,
+                             key: str) -> pd.DataFrame:
+    """Merge per-bucket local sessions of the same key that touch across
+    bucket boundaries. Buckets partition time, so a key's sessions never
+    interleave: new chain where the gap to the previous session's end exceeds
+    delta; transitive chains collapse by cumsum (a local session always
+    starts after the previous one's end within a key)."""
+    g = g.sort_values([key, "session_start"],
+                      kind="stable").reset_index(drop=True)
+    kv = g[key]
+    new_key = (kv != kv.shift()).to_numpy()
+    starts = _ts_ns(g["session_start"])
+    ends = _ts_ns(g["session_end"])
+    gap_prev = starts - np.r_[0, ends[:-1]]
+    brk = new_key | (gap_prev > delta.value)
+    cid = np.cumsum(brk)
+    out = (g.assign(_cid=cid).groupby("_cid")
+           .agg(**{key: (key, "first"),
+                   "session_start": ("session_start", "min"),
+                   "session_end": ("session_end", "max"),
+                   "n_events": ("n_events", "sum")}))
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return out.reset_index(drop=True)[
+        [key, "session_start", "session_end", "n_events"]]
+
+
 def session_windows(ds, *, key: str, ts: str, gap: str = "30min",
-                    bucket_multiple: int = 64, n_shards: int = 32):
+                    bucket_multiple: int = 64, n_shards: int = 32,
+                    summary_merge_max: int = 5_000_000):
     """Session assignment: events of a key closer than ``gap`` share a session.
     Returns one row per session: (key, session_start, session_end, n_events).
 
-    Skew-safe two-phase shape, sharded coarse like ``sliding_count``: phase 1
-    computes sessions locally per (shard, time bucket of ``bucket_multiple`` x
-    gap) with one vectorized pandas groupby per group — per-key size bounded
-    by the bucket span. Phase 2 merges sessions that touch across bucket
-    boundaries (chains collapse via a vectorized per-key cumsum) in per-shard
-    groups over session SUMMARIES — O(#buckets) rows per key, never #events."""
+    ONE event shuffle: phase 1 computes sessions locally per (shard, time
+    bucket of ``bucket_multiple`` x gap) with one vectorized pandas groupby
+    per group — per-key size bounded by the bucket span — and flags BOUNDARY
+    sessions (within ``gap`` of a bucket edge, the only ones that can merge
+    across buckets; expected fraction ~ 2/bucket_multiple). Non-boundary
+    sessions are final as-is; boundary summaries chain-merge on the driver
+    (stream guarded by ``summary_merge_max``) and come back as a small table
+    unioned with the rest. Above the guard, falls back to a second
+    per-shard groupby over ALL session summaries — O(#buckets) rows per
+    key, never #events."""
+    import ray.data as rd
+
+    from .asof import _conform
+
     delta = pd.Timedelta(gap)
     bucket_ns = delta.value * bucket_multiple
+    key_type = pa.schema(list(zip(ds.schema().names,
+                                  ds.schema().types))).field(key).type
+    out_schema = pa.schema([(key, key_type),
+                            ("session_start", pa.timestamp("ns")),
+                            ("session_end", pa.timestamp("ns")),
+                            ("n_events", pa.int64())])
 
     def bucketize(b: pd.DataFrame) -> pd.DataFrame:
         out = b.copy()
@@ -261,6 +302,7 @@ def session_windows(ds, *, key: str, ts: str, gap: str = "30min",
         return out
 
     def local_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        bkt = int(g["_bkt"].iloc[0])
         g = g.sort_values([key, ts], kind="stable").reset_index(drop=True)
         kv = g[key]
         new_key = (kv != kv.shift()).to_numpy()
@@ -271,40 +313,48 @@ def session_windows(ds, *, key: str, ts: str, gap: str = "30min",
                        "session_start": (ts, "min"),
                        "session_end": (ts, "max"),
                        "n_events": (ts, "size")}))
-        return out.reset_index(drop=True)[
+        out = out.reset_index(drop=True)[
             [key, "session_start", "session_end", "n_events"]]
-
-    def merge_boundary(g: pd.DataFrame) -> pd.DataFrame:
-        # buckets partition time, so a key's sessions never interleave: new
-        # chain where the gap to the previous session's end exceeds delta;
-        # transitive chains collapse by cumsum (a local session always starts
-        # after the previous one's end within a key)
-        g = g.sort_values([key, "session_start"],
-                          kind="stable").reset_index(drop=True)
-        kv = g[key]
-        new_key = (kv != kv.shift()).to_numpy()
-        starts = _ts_ns(g["session_start"])
-        ends = _ts_ns(g["session_end"])
-        gap_prev = starts - np.r_[0, ends[:-1]]
-        brk = new_key | (gap_prev > delta.value)
-        cid = np.cumsum(brk)
-        out = (g.assign(_cid=cid).groupby("_cid")
-               .agg(**{key: (key, "first"),
-                       "session_start": ("session_start", "min"),
-                       "session_end": ("session_end", "max"),
-                       "n_events": ("n_events", "sum")}))
-        out["n_events"] = out["n_events"].astype(np.int64)
-        return out.reset_index(drop=True)[
-            [key, "session_start", "session_end", "n_events"]]
+        s_ns = _ts_ns(out["session_start"])
+        e_ns = _ts_ns(out["session_end"])
+        out["_bdry"] = np.where(
+            (s_ns - bkt * bucket_ns <= delta.value)
+            | ((bkt + 1) * bucket_ns - e_ns <= delta.value),
+            np.int8(1), np.int8(0))
+        return out
 
     local = (ds.map_batches(bucketize, batch_format="pandas")
-             .groupby(["_shard", "_bkt"]).map_groups(local_sessions,
-                                                     batch_format="pandas"))
-    with_shard = local.map_batches(
-        lambda b: b.assign(_shard=_shard_series(b[key], n_shards)),
-        batch_format="pandas")
-    return with_shard.groupby("_shard").map_groups(merge_boundary,
-                                                   batch_format="pandas")
+             .groupby(["_shard", "_bkt"]).map_groups(
+                 local_sessions, batch_format="pandas").materialize())
+
+    parts, total, over = [], 0, False
+    for b in (local.filter(expr="_bdry == 1")
+              .iter_batches(batch_size=1 << 20, batch_format="pandas")):
+        if len(b):
+            parts.append(b[[key, "session_start", "session_end", "n_events"]])
+            total += len(b)
+        if total > summary_merge_max:
+            over = True
+            break
+    if over:
+        with_shard = local.map_batches(
+            lambda b: b.assign(_shard=_shard_series(b[key], n_shards)),
+            batch_format="pandas")
+        return with_shard.groupby("_shard").map_groups(
+            lambda g: _collapse_session_chains(g, delta, key),
+            batch_format="pandas")
+
+    interior = (local.filter(expr="_bdry == 0")
+                .map_batches(lambda b: _conform(b, out_schema),
+                             batch_format="pyarrow"))
+    if not parts:
+        return interior
+    merged = _collapse_session_chains(
+        pd.concat(parts, ignore_index=True), delta, key)
+    merged_ds = rd.from_arrow(
+        _conform(pa.Table.from_pandas(merged, preserve_index=False),
+                 out_schema))
+    return interior.union(merged_ds)
 
 
 def sessionize(ds, *, key: str, ts: str, gap: str = "30min",
