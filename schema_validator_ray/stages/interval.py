@@ -36,17 +36,68 @@ from .asof import _conform, _shard_of
 _BCAST_IV_CACHE: dict = {}
 
 
-def _iv_by_key_cached(ref, key: str, start: str) -> dict:
-    """Per-worker-process cache of the broadcast interval table, grouped by
-    key and start-sorted (built once per broadcast ref, not once per batch)."""
+def _stab_all_keys(kc_iv: np.ndarray, s: np.ndarray, e: np.ndarray,
+                   kc_l: np.ndarray, lts: np.ndarray):
+    """Interval stabbing across EVERY key in one shot — no per-key loop.
+
+    ``kc_iv``/``s``/``e`` describe intervals sorted by (key code, start);
+    ``kc_l``/``lts`` are left rows in ANY order (key codes < 0 = key absent
+    from the interval side). Returns (li, ii): aligned global index pairs
+    with kc equal and s[ii] <= lts[li] <= e[ii].
+
+    Same lo/hi candidate-rank logic as the per-key version (hi = #(s <= t),
+    lo = first rank whose running-max end reaches t), but the searchsorted
+    runs over RANK-COMPOSITE keys (key_code * C + dense time rank, C = #
+    distinct times + 1): ranks preserve order/equality, the composite is
+    globally sorted because the per-key sequences are, and — unlike
+    key_code * ns — it cannot overflow int64. Missing keys land on a block
+    boundary in both composites, so hi == lo and they match nothing."""
+    n_iv, n_l = len(s), len(lts)
+    if n_iv == 0 or n_l == 0:
+        z = np.array([], np.int64)
+        return z, z
+    # per-key running max of end (keys are contiguous in kc_iv)
+    cm = pd.Series(e).groupby(kc_iv).cummax().to_numpy()
+
+    def comp(sorted_side: np.ndarray, probe: np.ndarray):
+        u = np.unique(np.concatenate([sorted_side, probe]))
+        c = np.int64(len(u) + 1)
+        return (kc_iv * c + np.searchsorted(u, sorted_side),
+                kc_l * c + np.searchsorted(u, probe))
+
+    cs, cl = comp(s, lts)
+    hi = np.searchsorted(cs, cl, side="right")
+    cs2, cl2 = comp(cm, lts)
+    lo = np.searchsorted(cs2, cl2, side="left")
+    counts = hi - lo
+    li = np.repeat(np.arange(n_l), counts)
+    cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    ii = (np.arange(counts.sum()) - np.repeat(cum, counts)
+          + np.repeat(lo, counts))
+    keep = e[ii] >= lts[li]
+    return li[keep], ii[keep]
+
+
+def _iv_sorted_cached(ref, key: str, start: str, end: str):
+    """Per-worker-process cache of the broadcast interval table, start-sorted
+    within key blocks with a key -> code map (built once per broadcast ref,
+    not once per batch)."""
     hexid = ref.hex()
     ent = _BCAST_IV_CACHE.get(hexid)
     if ent is None:
         import ray
 
         df = ray.get(ref)
-        ent = {k: sub.sort_values(start, kind="stable")
-               for k, sub in df.groupby(key)}
+        codes, uniq = pd.factorize(df[key], sort=False)
+        s_ns = df[start].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        order = np.lexsort((s_ns, codes))
+        ivs = df.iloc[order].reset_index(drop=True)
+        ent = (dict(zip(uniq, range(len(uniq)))),
+               codes[order].astype(np.int64),
+               s_ns[order],
+               ivs[end].to_numpy().astype("datetime64[ns]")
+               .astype(np.int64),
+               ivs)
         _BCAST_IV_CACHE.clear()   # hold at most one broadcast table
         _BCAST_IV_CACHE[hexid] = ent
     return ent
@@ -132,63 +183,43 @@ def interval_join(left_ds, intervals_ds, *, key: str, ts: str,
 
     out_cols = left_cols + [start, end, *payload_cols]
 
-    def match_frame(left: pd.DataFrame, iv_by_key: dict) -> list:
-        """Per-key vectorized stabbing of a left frame against start-sorted
-        interval frames; returns output pieces. Shared by the sharded group
-        join and the broadcast fast path."""
-        pieces = []
-        lts_dtype = left[ts].to_numpy().dtype
-        for k, lsub in left.groupby(key):
-            sub = iv_by_key.get(k)
-            lts = lsub[ts].to_numpy()
-            if sub is None:
-                if how == "left":
-                    um = lsub[left_cols].copy()
-                    um[start] = np.full(len(um), np.datetime64("NaT"),
-                                        lts_dtype)
-                    um[end] = um[start]
-                    for c in payload_cols:
-                        um[c] = np.nan
-                    pieces.append(um)
-                continue
-            s = sub[start].to_numpy()
-            e = sub[end].to_numpy()
-            # Vectorized interval stabbing (no per-row Python loop): in
-            # start-sorted order, candidates for point t are ranks
-            # [lo, hi) with hi = #(s <= t) and lo = first rank whose
-            # running-max end reaches t (everything below lo has ALL
-            # ends < t, so cannot match).  Expand candidate ranges with
-            # repeat/arange, then mask e >= t; s <= t holds by rank < hi.
-            cummax_e = np.maximum.accumulate(e)
-            hi = np.searchsorted(s, lts, side="right")
-            lo = np.searchsorted(cummax_e, lts, side="left")
-            counts = hi - lo
-            li = np.repeat(np.arange(len(lsub)), counts)
-            cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
-            ii = (np.arange(counts.sum()) - np.repeat(cum, counts)
-                  + np.repeat(lo, counts))
-            keep = e[ii] >= lts[li]
-            li, ii = li[keep], ii[keep]
-            matched = np.zeros(len(lsub), bool)
-            matched[li] = True
-            out = lsub.iloc[li][left_cols].reset_index(drop=True)
-            ivm = sub.iloc[ii].reset_index(drop=True)
-            out[start] = (ivm[start].to_numpy() if len(ivm)
-                          else np.array([], dtype=lts_dtype))
-            out[end] = (ivm[end].to_numpy() if len(ivm)
-                        else np.array([], dtype=lts_dtype))
+    def join_left_frame(left: pd.DataFrame, kc_l: np.ndarray,
+                        ivs: pd.DataFrame, kc_iv: np.ndarray,
+                        s_ns: np.ndarray, e_ns: np.ndarray) -> pd.DataFrame:
+        """Attach containing intervals to a left frame given the (key code,
+        start)-sorted interval arrays — one `_stab_all_keys` call per frame,
+        no per-key iteration. Shared by the sharded group join and the
+        broadcast fast path."""
+        lts_np = left[ts].to_numpy()
+        lts_dtype = lts_np.dtype
+        li, ii = _stab_all_keys(
+            kc_iv, s_ns, e_ns, kc_l,
+            lts_np.astype("datetime64[ns]").astype(np.int64))
+        lf = left.reset_index(drop=True)
+        out = lf.iloc[li][left_cols].reset_index(drop=True)
+        if len(ii):
+            ivm = ivs.iloc[ii].reset_index(drop=True)
+            out[start] = ivm[start].to_numpy()
+            out[end] = ivm[end].to_numpy()
             for c in payload_cols:
-                out[c] = (ivm[c].to_numpy() if len(ivm) else np.array([]))
-            pieces.append(out)
-            if how == "left" and (~matched).any():
-                um = lsub[~matched][left_cols].copy()
+                out[c] = ivm[c].to_numpy()
+        else:
+            out[start] = np.array([], dtype=lts_dtype)
+            out[end] = np.array([], dtype=lts_dtype)
+            for c in payload_cols:
+                out[c] = np.array([])
+        if how == "left":
+            matched = np.zeros(len(lf), bool)
+            matched[li] = True
+            if (~matched).any():
+                um = lf[~matched][left_cols].copy()
                 um[start] = np.full((~matched).sum(), np.datetime64("NaT"),
                                     lts_dtype)
                 um[end] = um[start]
                 for c in payload_cols:
                     um[c] = np.nan
-                pieces.append(um)
-        return pieces
+                out = pd.concat([out, um], ignore_index=True)
+        return out[out_cols]
 
     def group_join(g: pd.DataFrame) -> pd.DataFrame:
         # No replica dedup needed: replicas of one interval row go to
@@ -199,12 +230,15 @@ def interval_join(left_ds, intervals_ds, *, key: str, ts: str,
         left = g[g["_side"] == 0]
         if len(left) == 0:
             return g.iloc[0:0][out_cols]
-        iv_by_key = {k: sub.sort_values(start, kind="stable")
-                     for k, sub in iv.groupby(key)} if len(iv) else {}
-        pieces = match_frame(left, iv_by_key)
-        if not pieces:
-            return g.iloc[0:0][out_cols]
-        return pd.concat(pieces, ignore_index=True)[out_cols]
+        codes, _ = pd.factorize(
+            pd.concat([left[key], iv[key]], ignore_index=True), sort=False)
+        kc_l = codes[:len(left)].astype(np.int64)
+        kc_iv = codes[len(left):].astype(np.int64)
+        s_ns = _ns(iv[start].to_numpy())
+        order = np.lexsort((s_ns, kc_iv))
+        ivs = iv.iloc[order].reset_index(drop=True)
+        return join_left_frame(left, kc_l, ivs, kc_iv[order], s_ns[order],
+                               _ns(ivs[end].to_numpy()))
 
     out_schema = pa.schema(
         [lsch.field(c) for c in left_cols]
@@ -238,11 +272,11 @@ def interval_join(left_ds, intervals_ds, *, key: str, ts: str,
             ref = ray.put(iv_df)
 
             def bcast(df: pd.DataFrame) -> pd.DataFrame:
-                iv_by_key = _iv_by_key_cached(ref, key, start)
-                pieces = match_frame(df, iv_by_key)
-                if not pieces:
-                    return pd.DataFrame(columns=out_cols)
-                return pd.concat(pieces, ignore_index=True)[out_cols]
+                kmap, kc_iv, s_ns, e_ns, ivs = _iv_sorted_cached(
+                    ref, key, start, end)
+                kc_l = (df[key].map(kmap).fillna(-1)
+                        .astype(np.int64).to_numpy())
+                return join_left_frame(df, kc_l, ivs, kc_iv, s_ns, e_ns)
 
             return (left_ds.map_batches(bcast, batch_format="pandas")
                     .map_batches(lambda b: _conform(b, out_schema),
