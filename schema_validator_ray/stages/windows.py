@@ -288,8 +288,17 @@ def session_windows(ds, *, key: str, ts: str, gap: str = "30min",
 
     delta = pd.Timedelta(gap)
     bucket_ns = delta.value * bucket_multiple
-    key_type = pa.schema(list(zip(ds.schema().names,
-                                  ds.schema().types))).field(key).type
+    sch = ds.schema()
+    kt = sch.types[sch.names.index(key)]
+    if isinstance(kt, pa.DataType):
+        key_type = kt
+    else:
+        # pandas-backed dataset: PandasBlockSchema carries numpy dtypes /
+        # python classes; object dtype means strings in this engine
+        try:
+            key_type = pa.from_numpy_dtype(np.dtype(kt))
+        except (TypeError, pa.ArrowNotImplementedError):
+            key_type = pa.string()
     out_schema = pa.schema([(key, key_type),
                             ("session_start", pa.timestamp("ns")),
                             ("session_end", pa.timestamp("ns")),
@@ -302,26 +311,33 @@ def session_windows(ds, *, key: str, ts: str, gap: str = "30min",
         return out
 
     def local_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        # numpy throughout: factorize + lexsort beats a pandas string sort,
+        # and session bounds come from break-segment arithmetic, not a
+        # groupby-agg (sessions are contiguous runs after the sort)
         bkt = int(g["_bkt"].iloc[0])
-        g = g.sort_values([key, ts], kind="stable").reset_index(drop=True)
-        kv = g[key]
-        new_key = (kv != kv.shift()).to_numpy()
-        brk = (g[ts].diff() > delta).to_numpy() | new_key
-        sid = np.cumsum(brk)
-        out = (g.assign(_sid=sid).groupby("_sid")
-               .agg(**{key: (key, "first"),
-                       "session_start": (ts, "min"),
-                       "session_end": (ts, "max"),
-                       "n_events": (ts, "size")}))
-        out = out.reset_index(drop=True)[
-            [key, "session_start", "session_end", "n_events"]]
-        s_ns = _ts_ns(out["session_start"])
-        e_ns = _ts_ns(out["session_end"])
-        out["_bdry"] = np.where(
-            (s_ns - bkt * bucket_ns <= delta.value)
-            | ((bkt + 1) * bucket_ns - e_ns <= delta.value),
-            np.int8(1), np.int8(0))
-        return out
+        codes, uniq = pd.factorize(g[key], sort=False)
+        ts_np = g[ts].to_numpy()
+        ts_ns = ts_np.astype("datetime64[ns]").astype(np.int64)
+        order = np.lexsort((ts_ns, codes))
+        c = codes[order]
+        t_ns = ts_ns[order]
+        t = ts_np[order]
+        new_key = np.r_[True, c[1:] != c[:-1]]
+        brk = new_key | np.r_[False, (t_ns[1:] - t_ns[:-1]) > delta.value]
+        seg = np.flatnonzero(brk)
+        last = np.r_[seg[1:] - 1, len(t) - 1]
+        s_ns = t_ns[seg]
+        e_ns = t_ns[last]
+        return pd.DataFrame({
+            key: np.asarray(uniq)[c[seg]],
+            "session_start": t[seg],
+            "session_end": t[last],
+            "n_events": np.diff(np.r_[seg, len(t)]).astype(np.int64),
+            "_bdry": np.where(
+                (s_ns - bkt * bucket_ns <= delta.value)
+                | ((bkt + 1) * bucket_ns - e_ns <= delta.value),
+                np.int8(1), np.int8(0)),
+        })
 
     local = (ds.map_batches(bucketize, batch_format="pandas")
              .groupby(["_shard", "_bkt"]).map_groups(
@@ -395,10 +411,15 @@ def sessionize(ds, *, key: str, ts: str, gap: str = "30min",
         return out
 
     def local_assign(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key, ts], kind="stable").reset_index(drop=True)
+        codes, _ = pd.factorize(g[key], sort=False)
+        ts_ns_all = g[ts].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        order = np.lexsort((ts_ns_all, codes))
+        g = g.iloc[order].reset_index(drop=True)
         kv = g[key]
-        new_key = (kv != kv.shift()).to_numpy()
-        brk = (g[ts].diff() > delta).to_numpy() | new_key
+        c = codes[order]
+        t_ns = ts_ns_all[order]
+        new_key = np.r_[True, c[1:] != c[:-1]]
+        brk = new_key | np.r_[False, (t_ns[1:] - t_ns[:-1]) > delta.value]
         seg = np.flatnonzero(brk)
         seg_id = np.cumsum(brk) - 1
         ts_np = g[ts].to_numpy()
