@@ -1089,6 +1089,17 @@ def q_simhash_pairs_docs(sf_dir: str):
     return simhash_pairs(ds, "text", "doc_id", max_hamming=3, batch_size=256)
 
 
+def q_ngram_jaccard_docs(sf_dir: str):
+    """EXACT character-5-gram Jaccard similarity join (prefix filtering —
+    never all-pairs): every doc pair with J >= 0.8 plus the exact score.
+    Unlike minhash/simhash this is fully SQL-expressible, so it carries a
+    value-hash oracle (DuckDB substring shingles + self-join)."""
+    from schema_validator_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).repartition(32)
+    return ngram_jaccard_pairs(ds, "text", "doc_id", k=5, threshold=0.8)
+
+
 # ---------------------------------------------------------------------------
 # profiling / sketches
 
@@ -1723,6 +1734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_groups": q_embedding_dup_groups,
         "minhash_pairs_docs": q_minhash_pairs_docs,
         "simhash_pairs_docs": q_simhash_pairs_docs,
+        "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "hamming_pairs_orders": q_hamming_pairs_orders,
         "profile_lineitem": q_profile_lineitem,
         "profile_sketches": q_profile_sketches,
@@ -2342,6 +2354,37 @@ def oracle_sql() -> dict[str, str]:
                                           CAST(b.embedding AS DOUBLE[])) >= 0.3
         """,
         "embedding_near_dup_lsh": _lsh_oracle_sql(),
+        # exact char-5-gram Jaccard join: DuckDB reproduces the engine's
+        # code-point shingles with substring(); short texts space-pad to 5
+        # chars (CASE, not bare rpad — rpad TRUNCATES longer strings);
+        # threshold on the unrounded ratio, rounded score in the output
+        "ngram_jaccard_docs": """
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN length(coalesce(text, '')) < 5
+                          THEN rpad(coalesce(text, ''), 5, ' ')
+                          ELSE text END AS txt
+                FROM documents
+            ), pos AS (
+              SELECT doc_id, txt,
+                     unnest(generate_series(1, length(txt) - 4)) AS i
+                FROM base
+            ), sh AS (
+              SELECT DISTINCT doc_id, substring(txt, i, 5) AS g FROM pos
+            ), sz AS (
+              SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+                FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+               GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT i.a, i.b,
+                   round(i.i::DOUBLE / (sa.n + sb.n - i.i), 6) AS jaccard
+              FROM inter i
+              JOIN sz sa ON i.a = sa.doc_id
+              JOIN sz sb ON i.b = sb.doc_id
+             WHERE i.i::DOUBLE / (sa.n + sb.n - i.i) >= 0.8
+        """,
         # bit-exact hash_hamming_pairs check: same key derivation as the
         # engine (mix mod 2^64 via HUGEINT, signed-view, one flipped bit),
         # hamming via bit_count(xor(...)). The join is custkey-restricted:

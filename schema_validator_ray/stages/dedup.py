@@ -500,16 +500,25 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, *, num_perm: int = 128,
 
 def verify_pairs_exact_jaccard(ds, pairs: pa.Table, text_col: str, id_col: str,
                                *, shingle_k: int = 5,
-                               threshold: float = 0.5) -> pa.Table:
+                               threshold: float = 0.5,
+                               sim_fn=None) -> pa.Table:
     """Exact n-gram Jaccard over candidate pairs, fully distributed: the
     candidate id set broadcasts once (duplicate-rate-bounded), ONLY candidate
     docs are re-read, and each doc's text joins onto its pairs via two
     hash-partitioned ``Dataset.join``s — the shingle computation runs inside
-    ``map_batches``; the driver holds just the id set and the verified pairs."""
+    ``map_batches``; the driver holds just the id set and the verified pairs.
+
+    ``sim_fn(text_a, text_b) -> float`` overrides the similarity (default:
+    Jaccard over hashed byte ``shingle_k``-grams)."""
     import ray
     import ray.data as rd
 
     from .referential import default_join_partitions
+
+    if sim_fn is None:
+        def sim_fn(x, y):
+            return jaccard(char_shingles(x or "", shingle_k),
+                           char_shingles(y or "", shingle_k))
 
     empty = pa.table({"a": pairs["a"].slice(0, 0),
                       "b": pairs["b"].slice(0, 0),
@@ -544,8 +553,7 @@ def verify_pairs_exact_jaccard(ds, pairs: pa.Table, text_col: str, id_col: str,
         tb = b["text_b"].to_pylist()
         a_l, b_l, j_l = [], [], []
         for a, bb, x, y in zip(a_ids, b_ids, ta, tb):
-            j = jaccard(char_shingles(x or "", shingle_k),
-                        char_shingles(y or "", shingle_k))
+            j = sim_fn(x, y)
             if j >= threshold:
                 a_l.append(a)
                 b_l.append(bb)
@@ -562,6 +570,160 @@ def verify_pairs_exact_jaccard(ds, pairs: pa.Table, text_col: str, id_col: str,
         return empty
     return pa.concat_tables(chunks).sort_by(
         [("a", "ascending"), ("b", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard similarity join (prefix filtering)
+
+
+def _cp_shingles(text: str, k: int) -> np.ndarray:
+    """Distinct character ``k``-grams of ``text`` as sorted fixed-width byte
+    records (k UTF-32-LE code points = 4k bytes each, space-padded to ``k``
+    characters). Character semantics — not bytes — so a DuckDB
+    ``substring(text, i, k)`` oracle reproduces the set exactly; texts
+    containing U+0000 are out of scope (SQL strings cannot hold NUL)."""
+    cps = np.frombuffer((text or "").encode("utf-32-le"), dtype="<u4")
+    if len(cps) < k:
+        cps = np.pad(cps, (0, k - len(cps)), constant_values=32)
+    win = np.ascontiguousarray(np.lib.stride_tricks.sliding_window_view(cps, k))
+    return np.unique(win.view(f"S{4 * k}").ravel())
+
+
+def ngram_jaccard_pairs(ds, text_col: str, id_col: str, *, k: int = 5,
+                        threshold: float = 0.8, n_groups: int = 256,
+                        max_bucket_size: int = 65536,
+                        max_candidates: int = 5_000_000) -> pa.Table:
+    """EXACT character-n-gram Jaccard similarity join: all pairs (a, b,
+    jaccard >= threshold) over distinct ``k``-gram sets — no sketching, no
+    estimate. Never all-pairs: candidate generation uses PREFIX FILTERING
+    (Chaudhuri et al. SSJoin / Bayardo et al. All-Pairs): under any global
+    ordering of the shingle universe, two sets with J >= t must share a
+    shingle among each one's first ``n - ceil(t*n) + 1`` shingles, so only
+    that prefix is exploded (~(1-t) of the shingle volume) and only prefix
+    co-occurrence creates a candidate. Distributed shape mirrors the
+    minhash path:
+
+    1. map_batches: per doc, sorted distinct shingle records; emit
+       (group = hash(shingle) % n_groups, shingle, id, set size) for the
+       prefix only.
+    2. groupby(group) — coarse shards, never one Ray group per shingle —
+       vectorized per-shingle segments inside; pairs length-filtered
+       (min >= t * max) with a loud mega-bucket cap.
+    3. distributed groupby(a, b) dedup of candidates, then exact verify via
+       the hash-partitioned joins of ``verify_pairs_exact_jaccard`` with
+       the same code-point shingles.
+
+    At 10^12 scale the prefix explode is the only wide exchange and shrinks
+    as threshold rises; candidate count is bounded by the near-dup rate."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Count
+
+    rec_bytes = 4 * k
+
+    def prefix_explode(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        ids = b[id_col]
+        pre_parts, id_idx, sizes = [], [], []
+        for i, t in enumerate(texts):
+            recs = _cp_shingles(t, k)
+            n = len(recs)
+            p = n - math.ceil(threshold * n) + 1
+            pre_parts.append(recs[:p])
+            id_idx.append(np.full(p, i, np.int64))
+            sizes.append(np.full(p, n, np.int64))
+        pre = (np.concatenate(pre_parts) if pre_parts
+               else np.array([], f"S{rec_bytes}"))
+        grams = pa.Array.from_buffers(
+            pa.binary(rec_bytes), len(pre),
+            [None, pa.py_buffer(pre.tobytes())])
+        u8 = np.frombuffer(pre.tobytes(), np.uint8).reshape(-1, rec_bytes)
+        w = np.power(np.uint64(1099511628211),
+                     np.arange(rec_bytes, dtype=np.uint64), dtype=np.uint64)
+        grp = ((u8.astype(np.uint64) * w).sum(axis=1, dtype=np.uint64)
+               % np.uint64(n_groups)).astype(np.int32)
+        take = pa.array(np.concatenate(id_idx) if id_idx
+                        else np.array([], np.int64))
+        return pa.table({
+            "_grp": pa.array(grp, pa.int32()),
+            "g": grams,
+            "id": ids.take(take),
+            "n": pa.array(np.concatenate(sizes) if sizes
+                          else np.array([], np.int64), pa.int64()),
+        })
+
+    def group_pairs(g: pa.Table) -> pa.Table:
+        ids_col = g["id"]
+        if isinstance(ids_col, pa.ChunkedArray):
+            ids_col = ids_col.combine_chunks()
+        empty = pa.table({"a": ids_col.slice(0, 0), "b": ids_col.slice(0, 0)})
+        if g.num_rows < 2:
+            return empty
+        order = pc.sort_indices(g["g"])
+        g = g.take(order)
+        gr = np.frombuffer(b"".join(g["g"].to_pylist()),
+                           f"S{rec_bytes}")
+        seg = np.r_[np.flatnonzero(np.r_[True, gr[1:] != gr[:-1]]), len(gr)]
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        sz = g["n"].to_numpy(zero_copy_only=False)
+        a_out, b_out = [], []
+        for s0, s1 in zip(seg[:-1], seg[1:]):
+            m = s1 - s0
+            if m < 2:
+                continue
+            if m > max_bucket_size:
+                print(f"[ngram-jaccard] skipping mega-shingle bucket of size "
+                      f"{m} (cap {max_bucket_size})")
+                continue
+            ii, jj = np.triu_indices(m, k=1)
+            sa, sb = sz[s0 + ii], sz[s0 + jj]
+            keep = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb)
+            ia, ib = ids[s0 + ii[keep]], ids[s0 + jj[keep]]
+            a_out.append(np.minimum(ia, ib))
+            b_out.append(np.maximum(ia, ib))
+        if not a_out:
+            return empty
+        return pa.table({"a": pa.array(np.concatenate(a_out), ids_col.type),
+                         "b": pa.array(np.concatenate(b_out), ids_col.type)})
+
+    cand = (ds.select_columns([id_col, text_col])
+            .map_batches(prefix_explode, batch_format="pyarrow")
+            .groupby("_grp").map_groups(group_pairs, batch_format="pyarrow")
+            .groupby(["a", "b"]).aggregate(Count(alias_name="_c"))
+            .select_columns(["a", "b"]))
+
+    parts, total = [], 0
+    for b in cand.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        if b.num_rows:
+            parts.append(b)
+            total += b.num_rows
+        if total > max_candidates:
+            raise ValueError(
+                f"ngram_jaccard_pairs: >{max_candidates} candidate pairs — "
+                f"the corpus is dominated by near-duplicates; run exact "
+                f"dedup first or raise `threshold`")
+    sch = ds.schema()
+    t0 = sch.types[sch.names.index(id_col)]
+    id_type = t0 if isinstance(t0, pa.DataType) else pa.int64()
+    if not parts:
+        return pa.table({"a": pa.array([], id_type),
+                         "b": pa.array([], id_type),
+                         "jaccard": pa.array([], pa.float64())})
+    pairs = pa.concat_tables(parts)
+
+    def cp_sim(x: str, y: str) -> float:
+        ra, rb = _cp_shingles(x, k), _cp_shingles(y, k)
+        if len(ra) and len(rb):
+            pos = np.clip(np.searchsorted(ra, rb), 0, len(ra) - 1)
+            inter = int((ra[pos] == rb).sum())
+        else:
+            inter = 0
+        union = len(ra) + len(rb) - inter
+        return inter / union if union else 1.0
+
+    return verify_pairs_exact_jaccard(
+        ds, pairs, text_col, id_col, threshold=threshold, sim_fn=cp_sim)
 
 
 # ---------------------------------------------------------------------------

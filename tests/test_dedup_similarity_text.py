@@ -74,6 +74,52 @@ def test_simhash_near_dups(docs_ds, ray_session):
     assert (100, 103) not in got
 
 
+def test_ngram_jaccard_exact_pairs(docs_ds, ray_session):
+    """Prefix-filtered exact Jaccard join agrees with brute-force jaccard
+    over the same code-point shingles, and only >= threshold pairs emit."""
+    from schema_validator_ray.stages.dedup import (
+        _cp_shingles,
+        ngram_jaccard_pairs,
+    )
+
+    def brute(x, y, k=5):
+        ra, rb = _cp_shingles(x, k), _cp_shingles(y, k)
+        inter = len(np.intersect1d(ra, rb))
+        return inter / (len(ra) + len(rb) - inter)
+
+    tbl = _docs_table()
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    want = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            j = brute(texts[a], texts[b])
+            if j >= 0.6:
+                want[(a, b)] = round(j, 6)
+
+    pairs = ngram_jaccard_pairs(docs_ds, "text", "doc_id", threshold=0.6)
+    got = {(a, b): j for a, b, j in zip(pairs["a"].to_pylist(),
+                                        pairs["b"].to_pylist(),
+                                        pairs["jaccard"].to_pylist())}
+    assert got == want
+    assert got[(100, 101)] == 1.0     # exact dup
+    assert (100, 102) in got          # near dup above threshold
+
+
+def test_cp_shingles_short_and_unicode():
+    from schema_validator_ray.stages.dedup import _cp_shingles
+
+    # shorter than k: one space-padded shingle, matching SQL rpad semantics
+    assert len(_cp_shingles("ab", 5)) == 1
+    # (numpy S-dtype scalars strip trailing NULs on extraction)
+    assert _cp_shingles("", 5)[0] == (b" \x00\x00\x00" * 5).rstrip(b"\x00")
+    # unicode counts CHARACTERS (code points), like DuckDB length/substring
+    s = _cp_shingles("héllo wörld", 5)
+    assert len(s) == len("héllo wörld") - 4
+    # distinctness: repeated text does not inflate the set
+    assert len(_cp_shingles("ababababab", 2)) == 2
+
+
 def test_embedding_near_dup_and_knn(ray_session):
     import ray.data as rd
 
