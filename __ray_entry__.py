@@ -966,7 +966,11 @@ def q_top_orders_per_customer(sf_dir: str):
 def q_events_in_sessions(sf_dir: str):
     """Distributed interval (range) join: each event matched to its containing
     session window (gap 30min) — point-in-interval semantics, oracled against
-    a DuckDB BETWEEN join over the identical session derivation."""
+    a DuckDB BETWEEN join over the identical session derivation. The interval
+    side is checkpoint-sized (session summaries, already materialized inside
+    session_windows), so the broadcast fast path applies — zero shuffle, the
+    event side streams; over 2M sessions it falls back to the sharded join
+    (pytest covers that path against brute force)."""
     from schema_validator_ray.stages.interval import interval_join
     from schema_validator_ray.stages.windows import session_windows
 
@@ -976,7 +980,8 @@ def q_events_in_sessions(sf_dir: str):
         key="user_id", ts="ts", gap="30min")
     out = interval_join(events, sessions, key="user_id", ts="ts",
                         start="session_start", end="session_end",
-                        payload_cols=[], bucket="6h", how="inner")
+                        payload_cols=[], bucket="6h", how="inner",
+                        broadcast_intervals_max=2_000_000)
     return out.map_batches(
         lambda b: pa.table({"event_id": b["event_id"],
                             "session_start": b["session_start"],
