@@ -1666,6 +1666,54 @@ def q_embedding_dim_stats(sf_dir: str):
     })
 
 
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality metrics per document (duplicate-line
+    fraction, duplicate-token fraction, most-frequent-token fraction) —
+    map-only, one vectorized factorize/unique pass per metric, no shuffle.
+    The DuckDB oracle reproduces the tokenization and divisions exactly."""
+    from schema_validator_ray.functions.text import repetition_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        out = repetition_stats(b["text"])
+        return pa.table({"doc_id": b["doc_id"], **out})
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def q_decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination: drop training docs (doc_id % 53 != 0)
+    sharing any word 4-gram with the eval set (doc_id % 53 == 0). Eval
+    shingles broadcast once via ray.put; training side streams map-only with
+    zero shuffle. k=4 keeps the gate discriminative on the synthetic
+    vocabulary (production corpora use k≈8-13 — same code path)."""
+    from schema_validator_ray.stages.decontam import decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def pick(b: pa.Table, want_eval: bool) -> pa.Table:
+        m = b["doc_id"].to_numpy(zero_copy_only=False) % 53 == 0
+        return b.filter(pa.array(m if want_eval else ~m))
+
+    ev = docs.map_batches(lambda b: pick(b, True), batch_format="pyarrow")
+    tr = docs.map_batches(lambda b: pick(b, False), batch_format="pyarrow")
+    out = decontaminate(tr, ev, text_col="text", k=4)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "lang", "source"]),
+        batch_format="pyarrow")
+
+
+def q_weighted_sample_docs(sf_dir: str):
+    """Deterministic weighted sample (Efraimidis-Spirakis keys on the shared
+    multiplicative hash): 50 docs weighted by n_chars. Per-batch top-k
+    partials bound the exchange; SQL oracle orders by the identical key."""
+    from schema_validator_ray.stages.sampling import weighted_sample_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return weighted_sample_topk(ds, "doc_id", "n_chars", 50, seed=11)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1757,6 +1805,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_rollup": q_revenue_rollup,
         "events_type_pivot": q_events_type_pivot,
         "embedding_dim_stats": q_embedding_dim_stats,
+        "doc_repetition": q_doc_repetition,
+        "decontaminate_docs": q_decontaminate_docs,
+        "weighted_sample_docs": q_weighted_sample_docs,
     }
 
 
@@ -2512,5 +2563,63 @@ def oracle_sql() -> dict[str, str]:
                                AS pos
                       FROM embeddings)
              GROUP BY pos
+        """,
+        "doc_repetition": r"""
+            WITH lines AS (
+              SELECT doc_id,
+                     unnest(string_split(coalesce(text, ''), chr(10))) AS line
+                FROM documents),
+            l AS (SELECT doc_id, count(*) AS n_lines,
+                         count(DISTINCT line) AS d_lines
+                    FROM lines GROUP BY doc_id),
+            toks AS (
+              SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(lower(coalesce(text, '')),
+                                        '[^a-z0-9]+'),
+                  t -> t <> '')) AS tok
+                FROM documents),
+            tc AS (SELECT doc_id, tok, count(*) AS c
+                     FROM toks GROUP BY doc_id, tok),
+            t AS (SELECT doc_id, sum(c) AS n_toks, count(*) AS d_toks,
+                         max(c) AS mx
+                    FROM tc GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(l.n_lines AS BIGINT) AS n_lines,
+                   1.0 - CAST(l.d_lines AS DOUBLE) / CAST(l.n_lines AS DOUBLE)
+                       AS dup_line_frac,
+                   CASE WHEN t.n_toks IS NULL THEN 0.0
+                        ELSE 1.0 - CAST(t.d_toks AS DOUBLE)
+                                   / CAST(t.n_toks AS DOUBLE)
+                   END AS dup_token_frac,
+                   CASE WHEN t.n_toks IS NULL THEN 0.0
+                        ELSE CAST(t.mx AS DOUBLE) / CAST(t.n_toks AS DOUBLE)
+                   END AS top_token_frac
+              FROM documents d
+              JOIN l USING (doc_id)
+              LEFT JOIN t USING (doc_id)
+        """,
+        "decontaminate_docs": r"""
+            WITH tok AS (
+              SELECT doc_id, list_filter(
+                  regexp_split_to_array(lower(coalesce(text, '')),
+                                        '[^a-z0-9]+'),
+                  t -> t <> '') AS toks
+                FROM documents),
+            sh AS (
+              SELECT doc_id, array_to_string(toks[i : i + 3], ' ') AS sh
+                FROM tok, UNNEST(range(1, len(toks) - 2)) AS u(i)
+               WHERE len(toks) >= 4),
+            eval_sh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 53 = 0)
+            SELECT d.doc_id, d.lang, d.source FROM documents d
+             WHERE d.doc_id % 53 <> 0
+               AND NOT EXISTS (SELECT 1 FROM sh s JOIN eval_sh e USING (sh)
+                               WHERE s.doc_id = d.doc_id)
+        """,
+        "weighted_sample_docs": """
+            SELECT doc_id, lang, n_chars FROM documents
+             ORDER BY pow((CAST(((doc_id + 11) * 2654435761) % 4294967296
+                                AS DOUBLE) + 0.5) / 4294967296,
+                          1.0 / n_chars) DESC, doc_id
+             LIMIT 50
         """,
     }

@@ -240,3 +240,109 @@ def vocab_topk(ds, text_col: str, k: int = 50, *,
               .repartition(reduce_partitions)
               .groupby("word").aggregate(Sum("cnt", alias_name="cnt")))
     return totals.sort(["cnt", "word"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# repetition / diversity metrics (Gopher-style quality filters; see Rae et al.
+# 2021 "Scaling Language Models" §A1.1 repetition heuristics — public paper)
+
+
+def _per_row_group_stats(parents: np.ndarray, values: np.ndarray,
+                         n_rows: int) -> tuple[np.ndarray, np.ndarray]:
+    """(distinct count, max group size) of ``values`` within each parent row.
+
+    Vectorized: factorize values globally, build a (row, code) composite
+    int64, one np.unique(return_counts) pass gives both per-row distinct
+    counts and the per-row most-frequent-value count."""
+    d = np.zeros(n_rows, np.int64)
+    mx = np.zeros(n_rows, np.int64)
+    if len(values) == 0:
+        return d, mx
+    import pandas as pd
+
+    codes, uniques = pd.factorize(values)
+    width = np.int64(len(uniques))
+    comp = parents.astype(np.int64) * width + codes
+    uq, counts = np.unique(comp, return_counts=True)
+    rows = (uq // width).astype(np.int64)
+    d[:] = np.bincount(rows, minlength=n_rows)
+    np.maximum.at(mx, rows, counts)
+    return d, mx
+
+
+def repetition_stats(col: pa.Array | pa.ChunkedArray) -> dict[str, pa.Array]:
+    """Per-doc repetition metrics (all exactly SQL-reproducible):
+
+    - ``n_lines``        — count of '\\n'-separated lines (>= 1, like SQL
+      string_split which yields [''] for empty text)
+    - ``dup_line_frac``  — 1 - distinct_lines / n_lines
+    - ``dup_token_frac`` — 1 - distinct_tokens / n_tokens (0.0 if no tokens);
+      tokens are the WORD_SPLIT_RE lowercase tokenization shared with
+      vocab_topk so the DuckDB oracle matches bit-for-bit
+    - ``top_token_frac`` — occurrences of the most frequent token / n_tokens
+      (0.0 if no tokens)
+
+    Fully vectorized: Arrow splits + one factorize/unique pass per metric —
+    no per-document Python loop."""
+    s = pc.fill_null(col, "")
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    n_rows = len(s)
+
+    lines = pc.split_pattern(s, "\n")
+    n_lines = np.asarray(pc.list_value_length(lines), dtype=np.int64)
+    lp = np.asarray(pc.list_parent_indices(lines), dtype=np.int64)
+    lflat = pc.list_flatten(lines).to_numpy(zero_copy_only=False)
+    d_lines, _ = _per_row_group_stats(lp, lflat, n_rows)
+
+    toks = pc.split_pattern_regex(pc.utf8_lower(s), WORD_SPLIT_RE)
+    tp = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+    tflat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    keep = tflat != ""
+    tp, tflat = tp[keep], tflat[keep]
+    n_toks = np.bincount(tp, minlength=n_rows).astype(np.int64)
+    d_toks, mx_toks = _per_row_group_stats(tp, tflat, n_rows)
+
+    dup_line = 1.0 - d_lines.astype(np.float64) / n_lines.astype(np.float64)
+    safe = np.maximum(n_toks, 1).astype(np.float64)
+    dup_tok = np.where(n_toks > 0,
+                       1.0 - d_toks.astype(np.float64) / safe, 0.0)
+    top_tok = np.where(n_toks > 0, mx_toks.astype(np.float64) / safe, 0.0)
+    return {
+        "n_lines": pa.array(n_lines, pa.int64()),
+        "dup_line_frac": pa.array(dup_line, pa.float64()),
+        "dup_token_frac": pa.array(dup_tok, pa.float64()),
+        "top_token_frac": pa.array(top_tok, pa.float64()),
+    }
+
+
+def word_kgrams(col: pa.Array | pa.ChunkedArray, k: int) -> tuple[
+        np.ndarray, pa.Array]:
+    """All word k-gram strings of every row — vectorized, no per-doc loop.
+
+    Tokenization is the shared WORD_SPLIT_RE lowercase split (bit-identical
+    to DuckDB ``regexp_split_to_array(lower(text), '[^a-z0-9]+')``); k-grams
+    are the space-joined runs of k consecutive tokens within one row
+    (DuckDB ``array_to_string(toks[i:i+k-1], ' ')``). Returns
+    ``(row_indices, shingles)`` aligned arrays; rows with fewer than k
+    tokens contribute nothing. The join is one Arrow
+    ``binary_join_element_wise`` over k shifted views of the flattened
+    token array — zero Python-level string work."""
+    s = pc.fill_null(col, "")
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(s), WORD_SPLIT_RE)
+    tp = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+    tflat = pc.list_flatten(toks)
+    if isinstance(tflat, pa.ChunkedArray):
+        tflat = tflat.combine_chunks()
+    mask = pc.not_equal(tflat, "")
+    tp = tp[np.asarray(mask, dtype=bool)] if len(tp) else tp
+    tflat = tflat.filter(mask)
+    n = len(tp)
+    if n < k:
+        return np.empty(0, np.int64), pa.array([], pa.string())
+    valid = tp[: n - k + 1] == tp[k - 1:]
+    shifted = [tflat.slice(off, n - k + 1) for off in range(k)]
+    joined = pc.binary_join_element_wise(*shifted, " ")
+    return tp[: n - k + 1][valid], joined.filter(pa.array(valid))

@@ -169,3 +169,37 @@ def shuffle_deterministic(ds, id_col: str, *, seed: int = 0,
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
     out = global_enumerate(hashed, ["_shuffle_key", id_col], out_col=out_col)
     return out.drop_columns(["_shuffle_key"])
+
+
+def weighted_sample_topk(ds, id_col: str, weight_col: str, k: int, *,
+                         seed: int = 0):
+    """Deterministic weighted sample without replacement (Efraimidis &
+    Spirakis 2006, public algorithm): row i gets key u_i^(1/w_i) with
+    u_i = (hash32(id) + 0.5) / 2^32, and the k largest keys win — each row's
+    inclusion probability is proportional to its weight, yet the selection
+    is a pure function of (id, weight, seed): map-only, restart-safe, and
+    reproducible in SQL (``ORDER BY pow(u, 1.0/w) DESC, id LIMIT k``).
+
+    Distributed shape: per-batch local top-k (argpartition) bounds the
+    exchange at k rows per batch; the global sort+limit runs over that tiny
+    partial stream, never the full input. Weights must be > 0."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column("_wkey", pa.array([], pa.float64()))
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if (w <= 0).any():
+            raise ValueError(f"{weight_col} must be strictly positive")
+        u = (_hash32(ids, seed).astype(np.float64) + 0.5) / M32
+        key = np.power(u, 1.0 / w)
+        if len(key) > k:
+            top = np.argpartition(key, len(key) - k)[len(key) - k:]
+            b = b.take(pa.array(np.sort(top)))
+            key = key[np.sort(top)]
+        return b.append_column("_wkey", pa.array(key, pa.float64()))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = (parts.sort(key=["_wkey", id_col], descending=[True, False])
+           .limit(k))
+    return out.drop_columns(["_wkey"])
