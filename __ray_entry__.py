@@ -1714,6 +1714,91 @@ def q_weighted_sample_docs(sf_dir: str):
     return weighted_sample_topk(ds, "doc_id", "n_chars", 50, seed=11)
 
 
+def q_source_overlap(sf_dir: str):
+    """Cross-source contamination matrix: distinct shared word 3-grams per
+    source pair. Coarse-sharded shingle groupby with per-batch distinct
+    partials; pairs enumerated per distinct presence-bitmask (never per
+    shingle). Exact DuckDB self-join oracle."""
+    from schema_validator_ray.stages.overlap import source_overlap
+
+    ds = _read(sf_dir, "documents", ["text", "source"])
+    return source_overlap(ds, "text", "source", k=3)
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-(label, dimension) embedding stats (centroid mean + min/max):
+    per-batch np.add.at partials over factorized labels ship
+    |labels| x dim rows per batch — rows never explode through a shuffle."""
+    from schema_validator_ray.stages.similarity import grouped_dim_stats
+
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
+    return grouped_dim_stats(ds, emb_col="embedding", group_col="label")
+
+
+def q_events_value_outliers(sf_dir: str):
+    """Events whose value is > 3 population standard deviations from their
+    event-type mean: tiny (n, sum, sumsq) per-type aggregate broadcast via
+    ray.put, then a map-only filter — the distribution-based validation
+    check over a column that a drift profile would reference."""
+    from schema_validator_ray.stages.analytics import group_zscore_outliers
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return group_zscore_outliers(
+        ds, value_col="value", group_col="event_type", threshold=3.0,
+        out_cols=["event_id", "event_type", "value"])
+
+
+def q_source_quality_report(sf_dir: str):
+    """Per-source curation report (doc count, token count, mean quality,
+    mean duplicate-token fraction): per-batch combine -> tiny groupby —
+    the aggregate view a curation run ends with."""
+    from ray.data.aggregate import Sum
+
+    from schema_validator_ray.functions.text import (
+        quality_score,
+        repetition_stats,
+        token_count,
+    )
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = quality_score(b["text"]).to_numpy(zero_copy_only=False)
+        tc = token_count(b["text"]).to_numpy(zero_copy_only=False)
+        dup = (repetition_stats(b["text"])["dup_token_frac"]
+               .to_numpy(zero_copy_only=False))
+        codes, uniq = pd.factorize(b["source"].to_numpy(zero_copy_only=False))
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        sq = np.zeros(len(uniq)); np.add.at(sq, codes, q)
+        st = np.zeros(len(uniq), np.int64); np.add.at(st, codes, tc)
+        sd = np.zeros(len(uniq)); np.add.at(sd, codes, dup)
+        return pa.table({"source": pa.array(uniq, pa.string()),
+                         "n_docs": pa.array(n, pa.int64()),
+                         "n_tokens": pa.array(st, pa.int64()),
+                         "sq": pa.array(sq, pa.float64()),
+                         "sd": pa.array(sd, pa.float64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_tokens", alias_name="n_tokens"),
+                      Sum("sq", alias_name="sq"),
+                      Sum("sd", alias_name="sd")))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = b["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "source": b["source"], "n_docs": b["n_docs"],
+            "n_tokens": b["n_tokens"],
+            "avg_quality": pa.array(
+                b["sq"].to_numpy(zero_copy_only=False) / n, pa.float64()),
+            "avg_dup_token_frac": pa.array(
+                b["sd"].to_numpy(zero_copy_only=False) / n, pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1808,6 +1893,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": q_doc_repetition,
         "decontaminate_docs": q_decontaminate_docs,
         "weighted_sample_docs": q_weighted_sample_docs,
+        "source_overlap": q_source_overlap,
+        "label_centroids": q_label_centroids,
+        "events_value_outliers": q_events_value_outliers,
+        "source_quality_report": q_source_quality_report,
     }
 
 
@@ -2621,5 +2710,80 @@ def oracle_sql() -> dict[str, str]:
                                 AS DOUBLE) + 0.5) / 4294967296,
                           1.0 / n_chars) DESC, doc_id
              LIMIT 50
+        """,
+        "source_overlap": r"""
+            WITH tok AS (
+              SELECT source, list_filter(
+                  regexp_split_to_array(lower(coalesce(text, '')),
+                                        '[^a-z0-9]+'),
+                  t -> t <> '') AS toks
+                FROM documents),
+            sh AS (
+              SELECT DISTINCT source,
+                     array_to_string(toks[i : i + 2], ' ') AS sh
+                FROM tok, UNNEST(range(1, len(toks) - 1)) AS u(i)
+               WHERE len(toks) >= 3)
+            SELECT x.source AS source_a, y.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+              FROM sh x JOIN sh y ON x.sh = y.sh AND x.source < y.source
+             GROUP BY 1, 2
+        """,
+        "label_centroids": """
+            SELECT label, pos, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(e) / COUNT(*) AS mean_v,
+                   CAST(MIN(e) AS DOUBLE) AS vmin,
+                   CAST(MAX(e) AS DOUBLE) AS vmax
+              FROM (SELECT label, unnest(embedding) AS e,
+                           CAST(generate_subscripts(embedding, 1) AS BIGINT)
+                               AS pos
+                      FROM embeddings)
+             GROUP BY label, pos
+        """,
+        "events_value_outliers": """
+            WITH s AS (SELECT event_type, count(*) AS n, sum(value) AS sv,
+                              sum(value * value) AS sq
+                         FROM events GROUP BY 1)
+            SELECT e.event_id, e.event_type, e.value
+              FROM events e JOIN s USING (event_type)
+             WHERE sqrt(s.sq / s.n - (s.sv / s.n) * (s.sv / s.n)) > 0
+               AND abs((e.value - s.sv / s.n)
+                       / sqrt(s.sq / s.n - (s.sv / s.n) * (s.sv / s.n)))
+                   > 3.0
+        """,
+        "source_quality_report": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(lower(coalesce(text, '')),
+                                        '[^a-z0-9]+'),
+                  t -> t <> '')) AS tok
+                FROM documents),
+            tc AS (SELECT doc_id, tok, count(*) AS c
+                     FROM toks GROUP BY doc_id, tok),
+            t AS (SELECT doc_id, sum(c) AS n_toks, count(*) AS d_toks
+                    FROM tc GROUP BY doc_id),
+            per_doc AS (
+              SELECT d.source,
+                     ROUND(
+                       0.4 * LEAST(strlen(coalesce(d.text, '')) / 200.0, 1.0)
+                     + 0.4 * (len(regexp_extract_all(coalesce(d.text, ''),
+                                                     '[A-Za-z]'))
+                              / GREATEST(strlen(coalesce(d.text, '')), 1.0))
+                     + 0.2 * (1.0 - LEAST(4.0 *
+                              len(regexp_extract_all(coalesce(d.text, ''),
+                                                     '[^\w\s]'))
+                              / GREATEST(strlen(coalesce(d.text, '')), 1.0),
+                              1.0)), 6) AS quality,
+                     CAST(len(regexp_extract_all(coalesce(d.text, ''),
+                                                 '\w+')) AS BIGINT) AS n_tok,
+                     CASE WHEN t.n_toks IS NULL THEN 0.0
+                          ELSE 1.0 - CAST(t.d_toks AS DOUBLE)
+                                     / CAST(t.n_toks AS DOUBLE)
+                     END AS dup
+                FROM documents d LEFT JOIN t USING (doc_id))
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                   sum(quality) / count(*) AS avg_quality,
+                   sum(dup) / count(*) AS avg_dup_token_frac
+              FROM per_doc GROUP BY source
         """,
     }

@@ -362,3 +362,64 @@ def _exact_ntile(ds, *, key, order_col, tiebreak, n, out_col):
         return g[in_cols + [out_col]]
 
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def group_zscore_outliers(ds, *, value_col: str, group_col: str,
+                          threshold: float = 3.0, out_cols=None):
+    """Rows whose value deviates more than ``threshold`` standard deviations
+    from their group's mean — the classic distribution-based validation
+    check. Two passes, zero wide shuffle:
+
+    1. tiny per-group (n, sum, sum-of-squares) aggregate — per-batch partials
+       bound the exchange at |groups| rows per batch;
+    2. the per-group (mean, std) table broadcasts via ``ray.put`` and the
+       filter runs map-only (population std, matching SQL
+       ``sqrt(sq/n - (sv/n)^2)``).
+
+    Groups with zero variance emit no rows (any deviation would be infinite,
+    equal values are never outliers) — the SQL oracle's division by zero
+    yields NULL/inf comparisons that drop the same rows."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        codes, uniq = pd.factorize(b[group_col].to_numpy(zero_copy_only=False))
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        sv = np.zeros(len(uniq)); np.add.at(sv, codes, v)
+        sq = np.zeros(len(uniq)); np.add.at(sq, codes, v * v)
+        return pa.table({group_col: pa.array(uniq, b[group_col].type),
+                         "n": pa.array(n, pa.int64()),
+                         "sv": pa.array(sv, pa.float64()),
+                         "sq": pa.array(sq, pa.float64())})
+
+    stats = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(group_col)
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("sv", alias_name="sv"),
+                        Sum("sq", alias_name="sq")))
+    rows = stats.take_all()   # |groups| rows — tiny by construction
+    mean_std = {}
+    for r in rows:
+        n = float(r["n"])
+        mean = r["sv"] / n
+        var = r["sq"] / n - mean * mean
+        mean_std[r[group_col]] = (mean, np.sqrt(var) if var > 0 else 0.0)
+    ref = ray.put(mean_std)
+
+    def flag(b: pa.Table) -> pa.Table:
+        ms = ray.get(ref)
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        keys = b[group_col].to_numpy(zero_copy_only=False)
+        # vectorized lookup via factorize (one dict probe per DISTINCT key)
+        codes, uniq = pd.factorize(keys)
+        mu = np.array([ms[u][0] for u in uniq])
+        sd = np.array([ms[u][1] for u in uniq])
+        sdv = sd[codes]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.abs((v - mu[codes]) / sdv)
+        keep = (sdv > 0) & (z > threshold)
+        out = b.filter(pa.array(keep))
+        return out.select(out_cols) if out_cols else out
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -237,3 +237,71 @@ class IVFIndex:
                              ascending=[True, False, True])
               .reset_index(drop=True))
         return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def grouped_dim_stats(ds, *, emb_col: str, group_col: str):
+    """Per-(group, dimension) statistics of a fixed-width embedding list
+    column — label centroids plus per-dimension min/max — WITHOUT exploding
+    rows through a shuffle.
+
+    Per-batch partials: the (rows x dim) block is reshaped once; per-group
+    sums come from one ``np.add.at`` over the factorized group codes, so each
+    batch ships |groups_in_batch| x dim narrow partial rows. A tiny
+    ``groupby(group, pos)`` merges them. At 10^12 rows the exchange is
+    O(groups x dim x batches), never O(rows x dim)."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({group_col: pa.array([], b[group_col].type),
+                          "pos": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.float64()),
+                          "vmin": pa.array([], pa.float64()),
+                          "vmax": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        arr = b[emb_col].combine_chunks() if isinstance(
+            b[emb_col], pa.ChunkedArray) else b[emb_col]
+        lens = np.asarray(arr.value_lengths())
+        dim = int(lens[0])
+        if not (lens == dim).all():
+            raise ValueError("ragged embedding lists are not supported")
+        m = (arr.flatten().to_numpy(zero_copy_only=False)
+             .astype(np.float64).reshape(-1, dim))
+        codes, uniq = pd.factorize(
+            b[group_col].to_numpy(zero_copy_only=False))
+        ng = len(uniq)
+        sums = np.zeros((ng, dim), np.float64)
+        np.add.at(sums, codes, m)
+        mins = np.full((ng, dim), np.inf)
+        np.minimum.at(mins, codes, m)
+        maxs = np.full((ng, dim), -np.inf)
+        np.maximum.at(maxs, codes, m)
+        counts = np.bincount(codes, minlength=ng).astype(np.int64)
+        gvals = pa.array(np.repeat(uniq, dim), b[group_col].type)
+        return pa.table({
+            group_col: gvals,
+            "pos": pa.array(np.tile(np.arange(1, dim + 1), ng), pa.int64()),
+            "n": pa.array(np.repeat(counts, dim), pa.int64()),
+            "s": pa.array(sums.ravel(), pa.float64()),
+            "vmin": pa.array(mins.ravel(), pa.float64()),
+            "vmax": pa.array(maxs.ravel(), pa.float64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby([group_col, "pos"])
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("s", alias_name="s"),
+                      Min("vmin", alias_name="vmin"),
+                      Max("vmax", alias_name="vmax")))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = b["s"].to_numpy(zero_copy_only=False)
+        return pa.table({group_col: b[group_col], "pos": b["pos"],
+                         "n": b["n"],
+                         "mean_v": pa.array(s / n, pa.float64()),
+                         "vmin": b["vmin"], "vmax": b["vmax"]})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
