@@ -101,6 +101,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_sessionized",
         "vocab_topk",
         "lineitem_quantiles_exact",
+        "decontaminate_docs",
+        "source_overlap",
+        "events_value_outliers",
+        "weighted_sample_docs",
     ]
     qs = m.queries()
     out = {}
