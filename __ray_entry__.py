@@ -1799,6 +1799,49 @@ def q_source_quality_report(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_frequent_users(sf_dir: str):
+    """Exact heavy hitters (users with >= 80 events) WITHOUT a
+    full-cardinality groupby: pigeonhole candidate pass (local count >= 2)
+    + broadcast exact-verify pass — the 10^12-row shape for 'find the hot
+    keys'. SQL oracle is the plain GROUP BY HAVING."""
+    from schema_validator_ray.stages.stats import heavy_hitters_exact
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return heavy_hitters_exact(ds, "user_id", 80, local_threshold=2)
+
+
+def q_events_props_stats(sf_dir: str):
+    """Semi-structured extraction: pull integer field "k" out of the JSON
+    props string with one vectorized RE2 extract (no row loop, no JSON
+    parser), then per-type aggregate via per-batch partials. DuckDB oracle
+    uses the same regex so missing/malformed values agree exactly."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(pc.fill_null(b["props"], ""),
+                               r'"k":\s*(?P<v>-?\d+)')
+        v = pc.cast(pc.struct_field(ext, "v"), pa.int64())
+        ok = pc.is_valid(v)
+        t = pa.table({"event_type": b["event_type"], "k": v}).filter(ok)
+        agg = t.group_by("event_type").aggregate(
+            [("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")])
+        return pa.table({"event_type": agg["event_type"],
+                         "n": pc.cast(agg["k_count"], pa.int64()),
+                         "s": pc.cast(agg["k_sum"], pa.int64()),
+                         "kmin": pc.cast(agg["k_min"], pa.int64()),
+                         "kmax": pc.cast(agg["k_max"], pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n_with_k"),
+                      Sum("s", alias_name="sum_k"),
+                      Min("kmin", alias_name="min_k"),
+                      Max("kmax", alias_name="max_k")))
+    return agg
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1897,6 +1940,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": q_label_centroids,
         "events_value_outliers": q_events_value_outliers,
         "source_quality_report": q_source_quality_report,
+        "frequent_users": q_frequent_users,
+        "events_props_stats": q_events_props_stats,
     }
 
 
@@ -2785,5 +2830,22 @@ def oracle_sql() -> dict[str, str]:
                    sum(quality) / count(*) AS avg_quality,
                    sum(dup) / count(*) AS avg_dup_token_frac
               FROM per_doc GROUP BY source
+        """,
+        "frequent_users": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY user_id
+            HAVING count(*) >= 80
+        """,
+        "events_props_stats": r"""
+            WITH x AS (
+              SELECT event_type,
+                     CAST(regexp_extract(coalesce(props, ''),
+                                         '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+                FROM events)
+            SELECT event_type, CAST(count(k) AS BIGINT) AS n_with_k,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   CAST(min(k) AS BIGINT) AS min_k,
+                   CAST(max(k) AS BIGINT) AS max_k
+              FROM x WHERE k IS NOT NULL GROUP BY event_type
         """,
     }

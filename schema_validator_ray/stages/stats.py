@@ -328,3 +328,86 @@ def exact_quantiles(ds, col: str, qs: list[float]):
         out_v.append(fetched[blk][col][idx - int(bounds[blk])].as_py())
     return pa.table({"q": pa.array(out_q, pa.float64()),
                      "value": pa.array(out_v)})
+
+
+def heavy_hitters_exact(ds, col: str, min_count: int, *,
+                        local_threshold: int | None = None,
+                        candidates_max: int = 5_000_000):
+    """EXACT heavy hitters (keys with global count >= ``min_count``) in two
+    passes, without a full-cardinality groupby:
+
+    1. Candidate pass — each batch emits only keys whose LOCAL count reaches
+       ``local_threshold``. Pigeonhole guarantee: a key with global count
+       >= T over P batches has local count >= ceil(T / P) in at least one
+       batch, so ``local_threshold <= ceil(T / P)`` means zero false
+       negatives; the actual batch count is verified after the pass and the
+       run fails LOUDLY if the guarantee didn't hold (rather than silently
+       dropping hitters).
+    2. Verify pass — the candidate key set broadcasts via ``ray.put``; a
+       map-only pass emits exact per-batch counts for candidates only, a
+       tiny groupby sums them, and the final filter applies ``min_count``.
+
+    At 10^12 rows this touches the full key cardinality in NO exchange:
+    pass 1 ships only locally-frequent keys, pass 2 only candidates.
+    Returns a Dataset of (col, n)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    thr = local_threshold if local_threshold is not None else max(
+        1, min_count // 64)
+
+    def candidates_partial(b: pa.Table) -> pa.Table:
+        agg = (b.select([col]).drop_null().group_by(col)
+               .aggregate([([], "count_all")]))
+        cnt = agg["count_all"].to_numpy(zero_copy_only=False)
+        keep = agg.filter(pa.array(cnt >= thr))
+        # sentinel row (null key) marks one source batch for the P check
+        sent = pa.table({col: pa.array([None], keep[col].type),
+                         "count_all": pa.array([0], keep["count_all"].type)})
+        return pa.concat_tables([keep, sent]).rename_columns([col, "_c"])
+
+    cand_keys, n_batches, total = set(), 0, 0
+    for b in (ds.map_batches(candidates_partial, batch_format="pyarrow")
+              .iter_batches(batch_size=1 << 20, batch_format="pyarrow")):
+        keys = b[col]
+        nulls = keys.null_count
+        n_batches += nulls
+        vals = keys.drop_null().to_pylist()
+        cand_keys.update(vals)
+        total += len(vals)
+        if total > candidates_max:
+            raise ValueError(
+                f"candidate volume exceeds {candidates_max}; raise "
+                f"local_threshold (now {thr}) or min_count")
+    import math
+
+    needed = max(1, math.ceil(min_count / max(n_batches, 1)))
+    if thr > needed:
+        raise ValueError(
+            f"local_threshold {thr} breaks the pigeonhole guarantee for "
+            f"min_count={min_count} over {n_batches} batches (needs <= "
+            f"{needed}); rerun with local_threshold={needed}")
+    keys_ref = ray.put(np.sort(np.array(sorted(cand_keys))))
+
+    def exact_partial(b: pa.Table) -> pa.Table:
+        ev = ray.get(keys_ref)
+        agg = (b.select([col]).drop_null().group_by(col)
+               .aggregate([([], "count_all")]))
+        kv = agg[col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ev, kv)
+        pos[pos == len(ev)] = 0
+        hit = (ev[pos] == kv) if len(ev) else np.zeros(len(kv), bool)
+        keep = agg.filter(pa.array(hit))
+        return pa.table({col: keep[col],
+                         "n": pa.array(
+                             keep["count_all"].to_numpy(zero_copy_only=False)
+                             .astype(np.int64), pa.int64())})
+
+    totals = (ds.map_batches(exact_partial, batch_format="pyarrow")
+              .groupby(col).aggregate(Sum("n", alias_name="n")))
+
+    def final(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(
+            b["n"].to_numpy(zero_copy_only=False) >= min_count))
+
+    return totals.map_batches(final, batch_format="pyarrow")

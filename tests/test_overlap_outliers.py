@@ -97,3 +97,46 @@ def test_zscore_outliers_constant_group_emits_nothing(ray_session):
     got = group_zscore_outliers(rd.from_arrow(t), value_col="value",
                                 group_col="event_type").take_all()
     assert got == []
+
+
+def test_heavy_hitters_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.stats import heavy_hitters_exact
+
+    rng = np.random.default_rng(4)
+    # zipf-ish: a few hot keys over a long tail
+    keys = np.concatenate([np.repeat(np.arange(5), 150),
+                           rng.integers(100, 5000, 8000)])
+    rng.shuffle(keys)
+    ds = rd.from_arrow(pa.table({"k": keys})).repartition(12)
+    got = {r["k"]: r["n"] for r in heavy_hitters_exact(
+        ds, "k", 100, local_threshold=4).take_all()}
+    vals, cnts = np.unique(keys, return_counts=True)
+    want = {int(v): int(c) for v, c in zip(vals, cnts) if c >= 100}
+    assert got == want and len(want) >= 5
+
+
+def test_heavy_hitters_pigeonhole_guard_raises(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from schema_validator_ray.stages.stats import heavy_hitters_exact
+
+    ds = rd.from_arrow(pa.table({"k": np.arange(1000) % 7})).repartition(40)
+    # threshold 50 over 40 batches needs local_threshold <= ceil(50/40)=2
+    with pytest.raises(ValueError, match="pigeonhole"):
+        heavy_hitters_exact(ds, "k", 50, local_threshold=10).take_all()
+
+
+def test_heavy_hitters_no_false_negatives_across_blocking(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.stats import heavy_hitters_exact
+
+    keys = np.repeat(np.arange(20), 30)   # every key has exactly 30
+    ds = rd.from_arrow(pa.table({"k": keys}))
+    for parts in (1, 5, 17):
+        got = sorted(r["k"] for r in heavy_hitters_exact(
+            ds.repartition(parts), "k", 30, local_threshold=1).take_all())
+        assert got == list(range(20)), parts
