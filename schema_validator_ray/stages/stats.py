@@ -362,9 +362,9 @@ def heavy_hitters_exact(ds, col: str, min_count: int, *,
         cnt = agg["count_all"].to_numpy(zero_copy_only=False)
         keep = agg.filter(pa.array(cnt >= thr))
         # sentinel row (null key) marks one source batch for the P check
-        sent = pa.table({col: pa.array([None], keep[col].type),
-                         "count_all": pa.array([0], keep["count_all"].type)})
-        return pa.concat_tables([keep, sent]).rename_columns([col, "_c"])
+        keys = pa.concat_arrays([keep[col].combine_chunks(),
+                                 pa.array([None], keep[col].type)])
+        return pa.table({col: keys})
 
     cand_keys, n_batches, total = set(), 0, 0
     for b in (ds.map_batches(candidates_partial, batch_format="pyarrow")
