@@ -1810,6 +1810,56 @@ def q_frequent_users(sf_dir: str):
     return heavy_hitters_exact(ds, "user_id", 80, local_threshold=2)
 
 
+def q_latest_event_per_user(sf_dir: str):
+    """Recrawl-style argmax dedup: keep each user's newest event row
+    (max ts, ties to min event_id). Per-batch winner pick bounds the
+    exchange at keys-per-batch rows; driver merge under the 5M budget with
+    a distributed groupby re-pick above it."""
+    from schema_validator_ray.stages.dedup import dedup_keep_latest
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+    return dedup_keep_latest(ds, "user_id", "ts", "event_id")
+
+
+def q_top_event_type_per_user(sf_dir: str):
+    """Grouped mode: each user's most frequent event type (ties to the
+    lexicographically smallest type). Per-batch (user, type, cnt) partials
+    bound the shuffle at the distinct-pair count; the winner pick reuses
+    the argmax-dedup machinery."""
+    from ray.data.aggregate import Sum
+
+    from schema_validator_ray.stages.dedup import keep_best_rows
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        agg = b.group_by(["user_id", "event_type"]).aggregate(
+            [("event_type", "count")])
+        return pa.table({"user_id": agg["user_id"],
+                         "event_type": agg["event_type"],
+                         "cnt": pc.cast(agg["event_type_count"], pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["user_id", "event_type"])
+              .aggregate(Sum("cnt", alias_name="cnt")))
+    return keep_best_rows(counts, "user_id",
+                          [("cnt", True), ("event_type", False)])
+
+
+def q_lineitem_corr(sf_dir: str):
+    """Exact per-group Pearson correlation via one pass of sufficient
+    statistics (n, sx, sy, sxx, syy, sxy) — the exchange is O(groups x
+    batches). The oracle computes the identical closed form from SQL sums
+    so both sides share the algorithm; 6dp value rounding absorbs float
+    summation-order noise."""
+    from schema_validator_ray.stages.stats import grouped_corr
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+    return grouped_corr(ds, "l_returnflag", "l_quantity", "l_extendedprice")
+
+
 def q_events_props_stats(sf_dir: str):
     """Semi-structured extraction: pull integer field "k" out of the JSON
     props string with one vectorized RE2 extract (no row loop, no JSON
@@ -1941,6 +1991,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_outliers": q_events_value_outliers,
         "source_quality_report": q_source_quality_report,
         "frequent_users": q_frequent_users,
+        "latest_event_per_user": q_latest_event_per_user,
+        "lineitem_corr": q_lineitem_corr,
+        "top_event_type_per_user": q_top_event_type_per_user,
         "events_props_stats": q_events_props_stats,
     }
 
@@ -2835,6 +2888,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(count(*) AS BIGINT) AS n
               FROM events GROUP BY user_id
             HAVING count(*) >= 80
+        """,
+        "lineitem_corr": """
+            WITH s AS (
+              SELECT l_returnflag AS rf, CAST(count(*) AS BIGINT) AS n,
+                     sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+                     sum(l_quantity * l_quantity) AS sxx,
+                     sum(l_extendedprice * l_extendedprice) AS syy,
+                     sum(l_quantity * l_extendedprice) AS sxy
+                FROM lineitem GROUP BY l_returnflag)
+            SELECT rf AS l_returnflag, n,
+                   CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                        THEN (n * sxy - sx * sy)
+                             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                   END AS corr
+              FROM s
+        """,
+        "latest_event_per_user": """
+            SELECT event_id, ts, user_id, event_type, value
+              FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id ASC) = 1
+        """,
+        "top_event_type_per_user": """
+            WITH c AS (
+              SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY user_id, event_type)
+            SELECT user_id, event_type, cnt FROM c
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) = 1
         """,
         "events_props_stats": r"""
             WITH x AS (

@@ -141,6 +141,78 @@ def dedup_exact_keep_min(ds, text_col: str, id_col: str, *,
 
 
 # ---------------------------------------------------------------------------
+# argmax dedup — keep the "best" row per key (e.g. newest crawl snapshot)
+
+
+def _pick_best(t: pa.Table, key: str, sort_keys: list[tuple[str, str]]
+               ) -> pa.Table:
+    """First row per key after an Arrow multi-key sort — vectorized
+    (sort_indices + shifted-equality first-occurrence mask, no row loop)."""
+    if t.num_rows == 0:
+        return t
+    idx = pc.sort_indices(t, sort_keys=[(key, "ascending"), *sort_keys])
+    st = t.take(idx)
+    k = st[key]
+    if isinstance(k, pa.ChunkedArray):
+        k = k.combine_chunks()
+    neq = pc.invert(pc.equal(k.slice(1), k.slice(0, len(k) - 1)))
+    first = pa.concat_arrays([pa.array([True]), pc.fill_null(neq, True)])
+    return st.filter(first)
+
+
+def keep_best_rows(ds, key: str, order: list[tuple[str, bool]], *,
+                   driver_merge_max: int = 5_000_000):
+    """One surviving row per ``key``: the first under ``order`` — a list of
+    (column, descending) pairs, ties broken by the later entries (callers
+    should end with a unique column so the winner is deterministic).
+
+    Distributed shape (recrawl dedup at 10^12 rows): each batch reduces to
+    one winner row per local key before anything shuffles, so the exchange
+    is bounded by keys-per-batch x row width, not input rows. Below
+    ``driver_merge_max`` partial rows the winners merge with one driver-side
+    pick (same threshold pattern as ``dedup_exact_keep_min``); above it, a
+    distributed ``groupby(key).map_groups`` re-pick over the partials."""
+    import ray.data as rd
+
+    sort_keys = [(c, "descending" if d else "ascending") for c, d in order]
+
+    def partial(b: pa.Table) -> pa.Table:
+        return _pick_best(b, key, sort_keys)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    if driver_merge_max:
+        parts, total, over = [], 0, False
+        for b in partials.iter_batches(batch_size=1 << 20,
+                                       batch_format="pyarrow"):
+            if b.num_rows:
+                parts.append(b)
+                total += b.num_rows
+            if total > driver_merge_max:
+                over = True
+                break
+        if not over:
+            if not parts:
+                return partials
+            return rd.from_arrow(
+                _pick_best(pa.concat_tables(parts), key, sort_keys))
+        partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def re_pick(t: pa.Table) -> pa.Table:
+        return _pick_best(t, key, sort_keys)
+
+    return partials.groupby(key).map_groups(re_pick, batch_format="pyarrow")
+
+
+def dedup_keep_latest(ds, key: str, ts_col: str, tiebreak: str, *,
+                      driver_merge_max: int = 5_000_000):
+    """Recrawl dedup: per key keep the newest row (max ``ts_col``), ties to
+    the smallest ``tiebreak`` — SQL ``ROW_NUMBER() OVER (PARTITION BY key
+    ORDER BY ts DESC, tiebreak) = 1``."""
+    return keep_best_rows(ds, key, [(ts_col, True), (tiebreak, False)],
+                          driver_merge_max=driver_merge_max)
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 
 

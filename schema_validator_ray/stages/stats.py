@@ -18,6 +18,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.sketches import HLL, CountMin, TDigest, hash_column
 
@@ -411,3 +412,54 @@ def heavy_hitters_exact(ds, col: str, min_count: int, *,
             b["n"].to_numpy(zero_copy_only=False) >= min_count))
 
     return totals.map_batches(final, batch_format="pyarrow")
+
+
+def grouped_corr(ds, key: str, x: str, y: str):
+    """Exact per-group Pearson correlation from one pass of sufficient
+    statistics: each batch reduces to (key, n, sx, sy, sxx, syy, sxy), a
+    tiny groupby sums them, and the driver-free finalize applies the
+    closed-form r = (n*sxy - sx*sy) / sqrt((n*sxx - sx^2)(n*syy - sy^2)).
+    The exchange is O(groups x batches) rows regardless of input size.
+    Zero-variance groups yield null (SQL corr() semantics). Rows where
+    either column is null are excluded pairwise (SQL semantics)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select([key, x, y]).drop_null()
+        xv = t[x].to_numpy(zero_copy_only=False).astype(np.float64)
+        yv = t[y].to_numpy(zero_copy_only=False).astype(np.float64)
+        agg_src = pa.table({key: t[key],
+                            "n": pa.array(np.ones(len(xv), np.int64)),
+                            "sx": pa.array(xv), "sy": pa.array(yv),
+                            "sxx": pa.array(xv * xv),
+                            "syy": pa.array(yv * yv),
+                            "sxy": pa.array(xv * yv)})
+        return agg_src.group_by(key).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")]).rename_columns(
+            [key, "n", "sx", "sy", "sxx", "syy", "sxy"])
+
+    totals = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(key)
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("sx", alias_name="sx"),
+                         Sum("sy", alias_name="sy"),
+                         Sum("sxx", alias_name="sxx"),
+                         Sum("syy", alias_name="syy"),
+                         Sum("sxy", alias_name="sxy")))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = b["sx"].to_numpy(zero_copy_only=False)
+        sy = b["sy"].to_numpy(zero_copy_only=False)
+        vx = n * b["sxx"].to_numpy(zero_copy_only=False) - sx * sx
+        vy = n * b["syy"].to_numpy(zero_copy_only=False) - sy * sy
+        cov = n * b["sxy"].to_numpy(zero_copy_only=False) - sx * sy
+        denom = np.sqrt(vx * vy)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.where(denom > 0, cov / denom, np.nan)
+        return pa.table({key: b[key],
+                         "n": pc.cast(b["n"], pa.int64()),
+                         "corr": pa.array(r, pa.float64(), from_pandas=True)})
+
+    return totals.map_batches(finalize, batch_format="pyarrow")
