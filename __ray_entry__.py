@@ -1860,6 +1860,19 @@ def q_lineitem_corr(sf_dir: str):
     return grouped_corr(ds, "l_returnflag", "l_quantity", "l_extendedprice")
 
 
+def q_lineitem_rank(sf_dir: str):
+    """Tie-aware RANK / DENSE_RANK / PERCENT_RANK of quantity within return
+    flag — skew-safe (shard, value-bucket) shuffle with carry-in row +
+    distinct offsets (ties never cross a bucket). pct is (rank-1)/(n-1)
+    computed with identical operands on both sides."""
+    from schema_validator_ray.stages.analytics import rank_window
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"])
+    return rank_window(ds, key="l_returnflag", order_col="l_quantity",
+                       bucket_width=5.0)
+
+
 def q_events_props_stats(sf_dir: str):
     """Semi-structured extraction: pull integer field "k" out of the JSON
     props string with one vectorized RE2 extract (no row loop, no JSON
@@ -1993,6 +2006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_users": q_frequent_users,
         "latest_event_per_user": q_latest_event_per_user,
         "lineitem_corr": q_lineitem_corr,
+        "lineitem_rank": q_lineitem_rank,
         "top_event_type_per_user": q_top_event_type_per_user,
         "events_props_stats": q_events_props_stats,
     }
@@ -2903,6 +2917,14 @@ def oracle_sql() -> dict[str, str]:
                              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
                    END AS corr
               FROM s
+        """,
+        "lineitem_rank": """
+            SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+                   CAST(rank() OVER w AS BIGINT) AS rank,
+                   CAST(dense_rank() OVER w AS BIGINT) AS dense_rank,
+                   percent_rank() OVER w AS pct_rank
+              FROM lineitem
+            WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
         """,
         "latest_event_per_user": """
             SELECT event_id, ts, user_id, event_type, value

@@ -1,4 +1,5 @@
-"""Partitioned analytic (SQL window) functions: running sum, lag, ntile.
+"""Partitioned analytic (SQL window) functions: running sum, lag, ntile,
+rank / dense_rank / percent_rank.
 
 SQL shape: ``f(...) OVER (PARTITION BY key ORDER BY order_col, tiebreak)``.
 Ray Data has no window functions; the naive expression — ``groupby(key)
@@ -423,3 +424,126 @@ def group_zscore_outliers(ds, *, value_col: str, group_col: str,
         return out.select(out_cols) if out_cols else out
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def rank_window(ds, *, key: str, order_col: str, bucket_width=2000.0,
+                n_shards: int = 32,
+                summary_merge_max: int = _SUMMARY_MERGE_MAX):
+    """``RANK() / DENSE_RANK() / PERCENT_RANK() OVER (PARTITION BY key ORDER
+    BY order_col)`` — tie-aware (rows with equal order_col share a rank; no
+    tiebreak column enters the ordering, exactly like SQL).
+
+    Same skew-safe shape as ``ntile``: shuffle on (shard(key), value
+    bucket); ties share a bucket because the bucket is a pure function of
+    the value, so tie handling is always local. Summaries carry per-(key,
+    bucket) row count AND distinct-value count; the driver prefix-sums both
+    into carry-in offsets (rank needs rows-before, dense_rank needs
+    distincts-before) plus per-key totals for percent_rank. Falls back to
+    the exact ``groupby(key)`` path above ``summary_merge_max``."""
+    import ray
+
+    in_cols = list(ds.schema().names)
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["_bkt"] = _bucket_of(b[order_col], bucket_width)
+        out["_shard"] = _shard_series(b[key], n_shards)
+        return out
+
+    def local_scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values([key, order_col], kind="stable")
+             .reset_index(drop=True))
+        seg_brk = _key_segments(g[key])
+        val_brk = seg_brk | (g[order_col] != g[order_col].shift()).to_numpy()
+        idx = np.arange(len(g), dtype=np.int64)
+        seg = np.flatnonzero(seg_brk)
+        seg_id = np.cumsum(seg_brk) - 1
+        run_start = np.flatnonzero(val_brk)[np.cumsum(val_brk) - 1]
+        lt = run_start - seg[seg_id]                 # rows strictly below
+        run_id = np.cumsum(val_brk) - 1
+        dlt = run_id - run_id[seg[seg_id]]           # distincts strictly below
+        ev = g[in_cols + ["_bkt"]].copy()
+        ev["_lt"] = lt
+        ev["_dlt"] = dlt
+        ev["_side"] = np.int8(0)
+        last = np.r_[seg[1:] - 1, len(g) - 1]
+        summ = g.iloc[last][in_cols + ["_bkt"]].copy()
+        summ["_lt"] = (idx - seg[seg_id])[last] + 1  # segment row count
+        summ["_dlt"] = dlt[last] + 1                 # segment distinct count
+        summ["_side"] = np.int8(1)
+        return pd.concat([ev, summ], ignore_index=True)
+
+    tagged = (ds.map_batches(bucketize, batch_format="pandas")
+              .groupby(["_shard", "_bkt"]).map_groups(
+                  local_scan, batch_format="pandas").materialize())
+
+    s = _collect_summaries(tagged, [key, "_bkt", "_lt", "_dlt"],
+                           summary_merge_max)
+    if s is None:
+        return _exact_rank(ds, key=key, order_col=order_col)
+
+    if len(s):
+        s = s.sort_values([key, "_bkt"], kind="stable").reset_index(drop=True)
+        brk = _key_segments(s[key])
+        seg = np.flatnonzero(brk)
+        seg_id = np.cumsum(brk) - 1
+
+        def _exclusive(col):
+            tot = np.cumsum(s[col].to_numpy())
+            base = np.r_[0, tot[:-1]][seg]
+            off = np.r_[0, tot[:-1]] - base[seg_id]
+            key_tot = (tot[np.r_[seg[1:] - 1, len(s) - 1]] - base)[seg_id]
+            return off, key_tot
+
+        s["_off"], s["_tot"] = _exclusive("_lt")
+        s["_doff"], _ = _exclusive("_dlt")
+        s = s[[key, "_bkt", "_off", "_doff", "_tot"]]
+    else:
+        s = s.assign(_off=pd.Series([], dtype="int64"),
+                     _doff=pd.Series([], dtype="int64"),
+                     _tot=pd.Series([], dtype="int64"))[
+            [key, "_bkt", "_off", "_doff", "_tot"]]
+    ref = ray.put(s)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(ref)
+        out = df.merge(r, on=[key, "_bkt"], how="left")
+        rank = (out["_lt"].to_numpy()
+                + out["_off"].to_numpy(dtype=np.int64) + 1)
+        dense = (out["_dlt"].to_numpy()
+                 + out["_doff"].to_numpy(dtype=np.int64) + 1)
+        tot = out["_tot"].to_numpy(dtype=np.int64)
+        pct = np.where(tot > 1, (rank - 1) / np.maximum(tot - 1, 1), 0.0)
+        out["rank"] = rank
+        out["dense_rank"] = dense
+        out["pct_rank"] = pct
+        return out[in_cols + ["rank", "dense_rank", "pct_rank"]]
+
+    return (tagged.filter(expr="_side == 0")
+            .map_batches(finalize, batch_format="pandas"))
+
+
+def _exact_rank(ds, *, key, order_col):
+    in_cols = list(ds.schema().names)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values([key, order_col], kind="stable")
+             .reset_index(drop=True))
+        seg_brk = _key_segments(g[key])
+        val_brk = seg_brk | (g[order_col] != g[order_col].shift()).to_numpy()
+        idx = np.arange(len(g), dtype=np.int64)
+        seg = np.flatnonzero(seg_brk)
+        seg_id = np.cumsum(seg_brk) - 1
+        run_start = np.flatnonzero(val_brk)[np.cumsum(val_brk) - 1]
+        rank = run_start - seg[seg_id] + 1
+        run_id = np.cumsum(val_brk) - 1
+        dense = run_id - run_id[seg[seg_id]] + 1
+        last = np.r_[seg[1:] - 1, len(g) - 1]
+        tot = ((idx - seg[seg_id])[last] + 1)[seg_id]
+        g["rank"] = rank
+        g["dense_rank"] = dense
+        g["pct_rank"] = np.where(tot > 1, (rank - 1)
+                                 / np.maximum(tot - 1, 1), 0.0)
+        return g[in_cols + ["rank", "dense_rank", "pct_rank"]]
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")

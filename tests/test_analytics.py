@@ -166,3 +166,63 @@ def test_running_sum_ties_same_order_value(ray_session):
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs FROM t
         ORDER BY id""")
     assert out["rs"].tolist() == ref["rs"].tolist()
+
+
+def test_rank_window_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from schema_validator_ray.stages.analytics import rank_window
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 5, 800).astype(np.int64),
+        "v": rng.integers(0, 40, 800).astype(np.float64),  # many ties
+        "id": np.arange(800, dtype=np.int64),
+    })
+    out = (rank_window(rd.from_pandas(df).repartition(6), key="k",
+                       order_col="v", bucket_width=7.0)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT id, CAST(rank() OVER w AS BIGINT) AS rank,
+               CAST(dense_rank() OVER w AS BIGINT) AS dense_rank,
+               percent_rank() OVER w AS pct_rank
+          FROM df WINDOW w AS (PARTITION BY k ORDER BY v)
+         ORDER BY id""").df()
+    assert out["rank"].tolist() == exp["rank"].tolist()
+    assert out["dense_rank"].tolist() == exp["dense_rank"].tolist()
+    assert np.allclose(out["pct_rank"], exp["pct_rank"])
+
+
+def test_rank_window_fallback_parity(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.analytics import rank_window
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 3, 300).astype(np.int64),
+        "v": rng.integers(0, 10, 300).astype(np.int64),
+        "id": np.arange(300, dtype=np.int64),
+    })
+    ds = rd.from_pandas(df).repartition(4)
+    a = (rank_window(ds, key="k", order_col="v", bucket_width=3.0)
+         .to_pandas().sort_values("id").reset_index(drop=True))
+    b = (rank_window(ds, key="k", order_col="v", bucket_width=3.0,
+                     summary_merge_max=0)
+         .to_pandas().sort_values("id").reset_index(drop=True))
+    for c in ("rank", "dense_rank", "pct_rank"):
+        assert a[c].tolist() == b[c].tolist(), c
+
+
+def test_rank_window_single_row_partition_pct_zero(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.analytics import rank_window
+
+    df = pd.DataFrame({"k": [1, 2, 2], "v": [5.0, 1.0, 2.0],
+                       "id": [0, 1, 2]})
+    out = (rank_window(rd.from_pandas(df), key="k", order_col="v")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert out.loc[0, "pct_rank"] == 0.0
+    assert out.loc[2, "pct_rank"] == 1.0
