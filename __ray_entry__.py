@@ -1873,6 +1873,16 @@ def q_lineitem_rank(sf_dir: str):
                        bucket_width=5.0)
 
 
+def q_tfidf_terms(sf_dir: str):
+    """Top-3 TF-IDF terms per document. df pass bounds the exchange at the
+    vocabulary; scoring is map-only against the broadcast idf arrays; 6dp
+    score rounding on both sides before ranking kills last-ulp tie flips."""
+    from schema_validator_ray.functions.text import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_top_terms(ds, "text", "doc_id", k=3)
+
+
 def q_events_props_stats(sf_dir: str):
     """Semi-structured extraction: pull integer field "k" out of the JSON
     props string with one vectorized RE2 extract (no row loop, no JSON
@@ -2007,6 +2017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": q_latest_event_per_user,
         "lineitem_corr": q_lineitem_corr,
         "lineitem_rank": q_lineitem_rank,
+        "tfidf_terms": q_tfidf_terms,
         "top_event_type_per_user": q_top_event_type_per_user,
         "events_props_stats": q_events_props_stats,
     }
@@ -2917,6 +2928,27 @@ def oracle_sql() -> dict[str, str]:
                              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
                    END AS corr
               FROM s
+        """,
+        "tfidf_terms": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+')) AS w
+                FROM documents),
+            tf AS (
+              SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+                FROM toks WHERE w <> '' GROUP BY doc_id, w),
+            df AS (
+              SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                FROM toks WHERE w <> '' GROUP BY w),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM documents),
+            sc AS (
+              SELECT tf.doc_id, tf.w,
+                     round(tf.tf * ln(n.nn / df.df), 6) AS score
+                FROM tf JOIN df USING (w) CROSS JOIN n)
+            SELECT doc_id, w AS term, score FROM sc
+            QUALIFY row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, w ASC) <= 3
         """,
         "lineitem_rank": """
             SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,

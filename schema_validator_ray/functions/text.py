@@ -346,3 +346,93 @@ def word_kgrams(col: pa.Array | pa.ChunkedArray, k: int) -> tuple[
     shifted = [tflat.slice(off, n - k + 1) for off in range(k)]
     joined = pc.binary_join_element_wise(*shifted, " ")
     return tp[: n - k + 1][valid], joined.filter(pa.array(valid))
+
+
+def tfidf_top_terms(ds, text_col: str, id_col: str, k: int = 3, *,
+                    vocab_broadcast_max: int = 5_000_000):
+    """Top-k TF-IDF terms per document (ties: higher score, then word asc).
+
+    Two passes, both bounded: (1) document frequency — per-batch per-doc
+    DISTINCT words reduce to (word, df) partials, groupby-summed, then the
+    vocabulary (NOT the corpus) streams to the driver under
+    ``vocab_broadcast_max`` and broadcasts once via ``ray.put`` as sorted
+    word/idf arrays (over budget the run fails loudly; the documented
+    fallback is a hash join of scores against the df table); (2) scoring —
+    map-only: per-batch (doc, word, tf) via Arrow group_by, idf looked up
+    with one searchsorted, per-doc top-k selected with sort_indices + a
+    run-position mask (no row loop). Scores round to 6dp on BOTH sides
+    before ranking so last-ulp libm noise cannot flip a tie.
+
+    Tokenization is ``WORD_SPLIT_RE`` (lowercase, [^a-z0-9]+ splits) —
+    bit-identical to the DuckDB oracle's regexp_split_to_array."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(b[text_col]),
+                                      WORD_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        t = pa.table({"d": parent, "word": flat}).filter(
+            pc.not_equal(flat, ""))
+        uniq = t.group_by(["d", "word"]).aggregate([])
+        agg = uniq.group_by("word").aggregate([([], "count_all")])
+        return pa.table({"word": agg["word"],
+                         "df": pc.cast(agg["count_all"], pa.int64())})
+
+    dfs = (ds.map_batches(df_partial, batch_format="pyarrow")
+           .groupby("word").aggregate(Sum("df", alias_name="df")))
+    parts, total = [], 0
+    for b in dfs.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        parts.append(b)
+        total += b.num_rows
+        if total > vocab_broadcast_max:
+            raise MemoryError(
+                f"vocabulary exceeds broadcast budget ({vocab_broadcast_max});"
+                " join scores against the df table instead")
+    n_docs = ds.count()
+    if parts:
+        vocab = pa.concat_tables(parts).sort_by("word")
+        # numpy '<U' dtype: C string compares in searchsorted (tokens are
+        # ASCII [a-z0-9]+ so '<U' order == Arrow's UTF-8 byte order)
+        words = (vocab["word"].to_numpy(zero_copy_only=False)
+                 .astype(str))
+        idf = np.log(float(n_docs)
+                     / vocab["df"].to_numpy(zero_copy_only=False)
+                     .astype(np.float64))
+    else:
+        words, idf = np.array([], "<U1"), np.array([], np.float64)
+    ref = ray.put((words, idf))
+
+    def score(b: pa.Table) -> pa.Table:
+        w_sorted, idf_v = ray.get(ref)
+        toks = pc.split_pattern_regex(pc.utf8_lower(b[text_col]),
+                                      WORD_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        t = pa.table({"p": parent, "word": flat}).filter(
+            pc.not_equal(flat, ""))
+        tf = t.group_by(["p", "word"]).aggregate([([], "count_all")])
+        wv = tf["word"].to_numpy(zero_copy_only=False).astype(str)
+        pos = np.searchsorted(w_sorted, wv) if len(w_sorted) else \
+            np.zeros(len(wv), np.int64)
+        s = np.round(tf["count_all"].to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * idf_v[pos], 6) if len(w_sorted) \
+            else np.zeros(len(wv), np.float64)
+        st = pa.table({"p": tf["p"], "word": tf["word"],
+                       "score": pa.array(s, pa.float64())})
+        idx = pc.sort_indices(st, sort_keys=[
+            ("p", "ascending"), ("score", "descending"),
+            ("word", "ascending")])
+        st = st.take(idx)
+        pv = st["p"].to_numpy(zero_copy_only=False)
+        brk = np.r_[True, pv[1:] != pv[:-1]]
+        seg = np.flatnonzero(brk)
+        rankpos = np.arange(len(pv)) - seg[np.cumsum(brk) - 1]
+        st = st.filter(pa.array(rankpos < k))
+        ids = b[id_col].take(st["p"])
+        return pa.table({id_col: ids, "term": st["word"],
+                         "score": st["score"]})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow")

@@ -158,3 +158,54 @@ def test_weighted_sample_rejects_nonpositive_weights(ray_session):
     ds = rd.from_arrow(pa.table({"doc_id": [1, 2], "wt": [1, 0]}))
     with pytest.raises(Exception, match="strictly positive"):
         weighted_sample_topk(ds, "doc_id", "wt", 1).take_all()
+
+
+def test_tfidf_top_terms_vs_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_validator_ray.functions.text import tfidf_top_terms
+
+    rng = np.random.default_rng(21)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(3, 30)))
+            for _ in range(120)]
+    df = pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64),
+                       "text": docs})
+    out = (tfidf_top_terms(rd.from_pandas(df).repartition(5), "text",
+                           "doc_id", k=2)
+           .to_pandas().sort_values(["doc_id", "term"])
+           .reset_index(drop=True))
+    exp = duckdb.sql("""
+        WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(
+                          lower(text), '[^a-z0-9]+')) AS w FROM df),
+        tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) tf FROM toks
+                WHERE w <> '' GROUP BY doc_id, w),
+        dfx AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) df
+                 FROM toks WHERE w <> '' GROUP BY w),
+        n AS (SELECT CAST(count(*) AS DOUBLE) nn FROM df),
+        sc AS (SELECT tf.doc_id, tf.w,
+                      round(tf.tf * ln(n.nn / dfx.df), 6) AS score
+                 FROM tf JOIN dfx USING (w) CROSS JOIN n)
+        SELECT doc_id, w AS term, score FROM sc
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, w ASC) <= 2
+        ORDER BY doc_id, term""").df()
+    assert out["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert out["term"].tolist() == exp["term"].tolist()
+    assert np.allclose(out["score"], exp["score"])
+
+
+def test_tfidf_vocab_budget_loud(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from schema_validator_ray.functions.text import tfidf_top_terms
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d", "e f g h"]})
+    with pytest.raises(MemoryError):
+        tfidf_top_terms(rd.from_pandas(df), "text", "doc_id",
+                        vocab_broadcast_max=2).materialize()
