@@ -1883,6 +1883,30 @@ def q_tfidf_terms(sf_dir: str):
     return tfidf_top_terms(ds, "text", "doc_id", k=3)
 
 
+def q_docs_quality_band(sf_dir: str):
+    """Percentile-band curation: keep documents whose quality score lies
+    within the corpus's exact [p10, p90] (quantile_disc semantics, so the
+    thresholds are bit-exact against SQL). Two streaming passes: the exact-
+    quantile sort over the single quality column, then a map-only filter
+    with the two scalars inline — the corpus is never materialized."""
+    from schema_validator_ray.functions.text import quality_score
+    from schema_validator_ray.stages.stats import exact_quantiles
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"],
+                            "quality": quality_score(b["text"])}),
+        batch_format="pyarrow")
+    qt = exact_quantiles(ds, "quality", [0.1, 0.9])
+    lo, hi = qt["value"].to_pylist()
+
+    def band(b: pa.Table) -> pa.Table:
+        qv = b["quality"]
+        return b.filter(pc.and_(pc.greater_equal(qv, lo),
+                                pc.less_equal(qv, hi)))
+
+    return ds.map_batches(band, batch_format="pyarrow")
+
+
 def q_events_props_stats(sf_dir: str):
     """Semi-structured extraction: pull integer field "k" out of the JSON
     props string with one vectorized RE2 extract (no row loop, no JSON
@@ -2018,6 +2042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr": q_lineitem_corr,
         "lineitem_rank": q_lineitem_rank,
         "tfidf_terms": q_tfidf_terms,
+        "docs_quality_band": q_docs_quality_band,
         "top_event_type_per_user": q_top_event_type_per_user,
         "events_props_stats": q_events_props_stats,
     }
@@ -2928,6 +2953,24 @@ def oracle_sql() -> dict[str, str]:
                              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
                    END AS corr
               FROM s
+        """,
+        "docs_quality_band": r"""
+            WITH q AS (
+              SELECT doc_id, ROUND(
+                  0.4 * LEAST(strlen(COALESCE(text,'')) / 200.0, 1.0)
+                + 0.4 * (len(regexp_extract_all(COALESCE(text,''),
+                                                '[A-Za-z]'))
+                         / GREATEST(strlen(COALESCE(text,'')), 1.0))
+                + 0.2 * (1.0 - LEAST(4.0 *
+                         len(regexp_extract_all(COALESCE(text,''),
+                                                '[^\w\s]'))
+                         / GREATEST(strlen(COALESCE(text,'')), 1.0), 1.0)),
+                6) AS quality
+                FROM documents),
+            b AS (SELECT quantile_disc(quality, 0.1) AS lo,
+                         quantile_disc(quality, 0.9) AS hi FROM q)
+            SELECT doc_id, quality FROM q, b
+             WHERE quality BETWEEN lo AND hi
         """,
         "tfidf_terms": """
             WITH toks AS (

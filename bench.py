@@ -117,6 +117,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "source_overlap",
         "events_value_outliers",
         "weighted_sample_docs",
+        "latest_event_per_user",
+        "lineitem_rank",
+        "tfidf_terms",
     ]
     qs = m.queries()
     out = {}
