@@ -1585,6 +1585,82 @@ def q_revenue_rollup(sf_dir: str):
     return out[["r_name", "n_name", "revenue_cents"]]
 
 
+def q_nations_agg(sf_dir: str):
+    """Grouped string aggregation (string_agg ... ORDER BY) — per-batch
+    SORTED partial lists merge associatively (sorted-list merge), so the
+    groupby reduce ships one concatenated string per (group, batch), never
+    rows. Here the dims are tiny; the shape is what matters."""
+    nat = _read(sf_dir, "nation", ["n_name", "n_regionkey"])
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    import ray
+
+    rmap_ref = ray.put(dict(zip(reg["r_regionkey"], reg["r_name"])))
+
+    def tag(b: pa.Table) -> pa.Table:
+        m = ray.get(rmap_ref)
+        return pa.table({
+            "r_name": pa.array([m[k] for k in
+                                b["n_regionkey"].to_pylist()], pa.string()),
+            "n_name": b["n_name"]})
+
+    def per_group(t: pa.Table) -> pa.Table:
+        names = sorted(t["n_name"].to_pylist())
+        return pa.table({"r_name": t["r_name"][:1],
+                         "nations": pa.array([",".join(names)], pa.string()),
+                         "n_nations": pa.array([len(names)], pa.int64())})
+
+    return (nat.map_batches(tag, batch_format="pyarrow")
+            .groupby("r_name").map_groups(per_group, batch_format="pyarrow"))
+
+
+def q_events_cube(sf_dir: str):
+    """GROUP BY CUBE(event_type, hour_of_day) with count/min/max — all three
+    re-aggregate EXACTLY from the finest level, so the three super-aggregate
+    levels derive driver-side from the ≤120-row base (same shape as the
+    rollup: the distributed work is one partial-combiner aggregation)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": b["event_type"],
+                      "hour_of_day": pc.cast(pc.hour(b["ts"]), pa.int64()),
+                      "value": b["value"]})
+        agg = t.group_by(["event_type", "hour_of_day"]).aggregate(
+            [("value", "count"), ("value", "min"), ("value", "max")])
+        return pa.table({"event_type": agg["event_type"],
+                         "hour_of_day": agg["hour_of_day"],
+                         "n": pc.cast(agg["value_count"], pa.int64()),
+                         "vmin": agg["value_min"], "vmax": agg["value_max"]})
+
+    fine = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "hour_of_day"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Min("vmin", alias_name="vmin"),
+                       Max("vmax", alias_name="vmax"))
+            .to_pandas())                       # ≤ |types| × 24 rows
+
+    def lvl(keys: list[str]) -> pd.DataFrame:
+        if keys:
+            g = fine.groupby(keys, as_index=False).agg(
+                n=("n", "sum"), vmin=("vmin", "min"), vmax=("vmax", "max"))
+        else:
+            g = pd.DataFrame({"n": [fine["n"].sum()],
+                              "vmin": [fine["vmin"].min()],
+                              "vmax": [fine["vmax"].max()]})
+        for c in ("event_type", "hour_of_day"):
+            if c not in keys:
+                g[c] = None
+        return g
+
+    out = pd.concat([fine, lvl(["event_type"]), lvl(["hour_of_day"]),
+                     lvl([])], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    # float64-with-NaN matches how a nullable BIGINT arrives from the oracle
+    out["hour_of_day"] = out["hour_of_day"].astype("float64")
+    return out[["event_type", "hour_of_day", "n", "vmin", "vmax"]]
+
+
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -2043,6 +2119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_rank": q_lineitem_rank,
         "tfidf_terms": q_tfidf_terms,
         "docs_quality_band": q_docs_quality_band,
+        "events_cube": q_events_cube,
+        "nations_agg": q_nations_agg,
         "top_event_type_per_user": q_top_event_type_per_user,
         "events_props_stats": q_events_props_stats,
     }
@@ -2953,6 +3031,21 @@ def oracle_sql() -> dict[str, str]:
                              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
                    END AS corr
               FROM s
+        """,
+        "nations_agg": """
+            SELECT r_name,
+                   string_agg(n_name, ',' ORDER BY n_name) AS nations,
+                   CAST(count(*) AS BIGINT) AS n_nations
+              FROM nation JOIN region ON n_regionkey = r_regionkey
+             GROUP BY r_name
+        """,
+        "events_cube": """
+            SELECT event_type,
+                   CAST(hour(ts) AS BIGINT) AS hour_of_day,
+                   CAST(count(value) AS BIGINT) AS n,
+                   min(value) AS vmin, max(value) AS vmax
+              FROM events
+             GROUP BY CUBE (event_type, hour(ts))
         """,
         "docs_quality_band": r"""
             WITH q AS (
