@@ -1585,6 +1585,28 @@ def q_revenue_rollup(sf_dir: str):
     return out[["r_name", "n_name", "revenue_cents"]]
 
 
+def q_events_hourly_uniques(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per hour: per-batch (hour, user) distinct
+    partials bound the shuffle at distinct-pairs-per-batch (never event
+    rows); one groupby(hour) counts uniques per group. A hot hour is
+    bounded by its distinct users, not its event count."""
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"hour": pc.floor_temporal(b["ts"], unit="hour"),
+                      "user_id": b["user_id"]})
+        return t.group_by(["hour", "user_id"]).aggregate([])
+
+    def count_uniques(t: pa.Table) -> pa.Table:
+        uniq = t.group_by("user_id").aggregate([])
+        return pa.table({"hour": t["hour"][:1],
+                         "n_users": pa.array([uniq.num_rows], pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("hour").map_groups(count_uniques,
+                                        batch_format="pyarrow"))
+
+
 def q_nations_agg(sf_dir: str):
     """Grouped string aggregation (string_agg ... ORDER BY) — per-batch
     SORTED partial lists merge associatively (sorted-list merge), so the
@@ -2121,6 +2143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_band": q_docs_quality_band,
         "events_cube": q_events_cube,
         "nations_agg": q_nations_agg,
+        "events_hourly_uniques": q_events_hourly_uniques,
         "top_event_type_per_user": q_top_event_type_per_user,
         "events_props_stats": q_events_props_stats,
     }
@@ -3031,6 +3054,11 @@ def oracle_sql() -> dict[str, str]:
                              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
                    END AS corr
               FROM s
+        """,
+        "events_hourly_uniques": """
+            SELECT date_trunc('hour', ts) AS hour,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+              FROM events GROUP BY date_trunc('hour', ts)
         """,
         "nations_agg": """
             SELECT r_name,
