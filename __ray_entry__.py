@@ -1585,6 +1585,42 @@ def q_revenue_rollup(sf_dir: str):
     return out[["r_name", "n_name", "revenue_cents"]]
 
 
+def q_nation_counts_full_outer(sf_dir: str):
+    """FULL OUTER JOIN of two pre-aggregated sides (per-nation customer vs
+    supplier counts): aggregate-then-join, so the exchange is |nations| rows
+    per side, never base-table rows; missing sides coalesce to 0."""
+    from ray.data.aggregate import Sum
+
+    from schema_validator_ray.stages.referential import (
+        default_join_partitions,
+    )
+
+    def side(table: str, keycol: str, out: str):
+        ds = _read(sf_dir, table, [keycol])
+
+        def partial(b: pa.Table) -> pa.Table:
+            agg = b.group_by(keycol).aggregate([([], "count_all")])
+            return pa.table({"nationkey": agg[keycol],
+                             out: pc.cast(agg["count_all"], pa.int64())})
+
+        return (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("nationkey").aggregate(Sum(out, alias_name=out)))
+
+    c = side("customer", "c_nationkey", "n_customers")
+    s = side("supplier", "s_nationkey", "n_suppliers")
+    joined = c.join(s, join_type="full_outer",
+                    num_partitions=default_join_partitions(4),
+                    on=("nationkey",))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "nationkey": b["nationkey"],
+            "n_customers": pc.fill_null(b["n_customers"], 0),
+            "n_suppliers": pc.fill_null(b["n_suppliers"], 0)})
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_events_hourly_uniques(sf_dir: str):
     """Exact COUNT(DISTINCT user) per hour: per-batch (hour, user) distinct
     partials bound the shuffle at distinct-pairs-per-batch (never event
@@ -2144,6 +2180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": q_events_cube,
         "nations_agg": q_nations_agg,
         "events_hourly_uniques": q_events_hourly_uniques,
+        "nation_counts_full_outer": q_nation_counts_full_outer,
         "top_event_type_per_user": q_top_event_type_per_user,
         "events_props_stats": q_events_props_stats,
     }
@@ -3054,6 +3091,18 @@ def oracle_sql() -> dict[str, str]:
                              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
                    END AS corr
               FROM s
+        """,
+        "nation_counts_full_outer": """
+            WITH c AS (SELECT c_nationkey AS nationkey,
+                              CAST(count(*) AS BIGINT) AS n_customers
+                         FROM customer GROUP BY c_nationkey),
+                 s AS (SELECT s_nationkey AS nationkey,
+                              CAST(count(*) AS BIGINT) AS n_suppliers
+                         FROM supplier GROUP BY s_nationkey)
+            SELECT nationkey,
+                   COALESCE(n_customers, 0) AS n_customers,
+                   COALESCE(n_suppliers, 0) AS n_suppliers
+              FROM c FULL OUTER JOIN s USING (nationkey)
         """,
         "events_hourly_uniques": """
             SELECT date_trunc('hour', ts) AS hour,
