@@ -1585,6 +1585,32 @@ def q_revenue_rollup(sf_dir: str):
     return out[["r_name", "n_name", "revenue_cents"]]
 
 
+def q_dup_orders_composite(sf_dir: str):
+    """Composite-key uniqueness (the reference's `unique` over MULTIPLE
+    fields): duplicate (o_custkey, o_orderdate) pairs. Same pre-aggregated
+    shape as single-key uniqueness — per-batch (key-pair, count) partials
+    bound any pair's shuffle rows at num_batches."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        agg = (b.group_by(["o_custkey", "o_orderdate"])
+               .aggregate([([], "count_all")]))
+        return pa.table({"o_custkey": agg["o_custkey"],
+                         "o_orderdate": agg["o_orderdate"],
+                         "cnt": pc.cast(agg["count_all"], pa.int64())})
+
+    totals = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["o_custkey", "o_orderdate"])
+              .aggregate(Sum("cnt", alias_name="dup_count")))
+
+    def dup_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["dup_count"], 1))
+
+    return totals.map_batches(dup_only, batch_format="pyarrow")
+
+
 def q_nation_counts_full_outer(sf_dir: str):
     """FULL OUTER JOIN of two pre-aggregated sides (per-nation customer vs
     supplier counts): aggregate-then-join, so the exchange is |nations| rows
@@ -2181,6 +2207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_agg": q_nations_agg,
         "events_hourly_uniques": q_events_hourly_uniques,
         "nation_counts_full_outer": q_nation_counts_full_outer,
+        "dup_orders_composite": q_dup_orders_composite,
         "top_event_type_per_user": q_top_event_type_per_user,
         "events_props_stats": q_events_props_stats,
     }
@@ -3091,6 +3118,12 @@ def oracle_sql() -> dict[str, str]:
                              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
                    END AS corr
               FROM s
+        """,
+        "dup_orders_composite": """
+            SELECT o_custkey, o_orderdate,
+                   CAST(count(*) AS BIGINT) AS dup_count
+              FROM orders GROUP BY o_custkey, o_orderdate
+            HAVING count(*) > 1
         """,
         "nation_counts_full_outer": """
             WITH c AS (SELECT c_nationkey AS nationkey,

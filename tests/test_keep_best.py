@@ -100,3 +100,51 @@ def test_grouped_corr_zero_variance_is_null(ray_session):
                        "y": [1.0, 2.0, 3.0]})
     out = grouped_corr(rd.from_pandas(df), "g", "x", "y").to_pandas()
     assert out["corr"].isna().all()
+
+
+def test_keep_best_hot_key(ray_session):
+    """One key holds 90% of rows: the per-batch winner pick must bound the
+    exchange (partials ≤ keys-per-batch) and still return the exact winner."""
+    import ray.data as rd
+
+    n = 20000
+    rng = np.random.default_rng(13)
+    hot = rng.random(n) < 0.9
+    df = pd.DataFrame({
+        "k": np.where(hot, 7, rng.integers(0, 50, n)).astype(np.int64),
+        "ts": rng.integers(0, 10**9, n).astype(np.int64),
+        "id": np.arange(n, dtype=np.int64),
+    })
+    out = (keep_best_rows(rd.from_pandas(df).repartition(16), "k",
+                          [("ts", True), ("id", False)])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = (df.sort_values(["k", "ts", "id"], ascending=[True, False, True])
+           .drop_duplicates("k").sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_rank_window_hot_key_buckets(ray_session):
+    """Skewed key with a wide value range: ranks stay exact across many
+    value buckets (carry-in offsets chain through every bucket)."""
+    import duckdb
+    import ray.data as rd
+
+    from schema_validator_ray.stages.analytics import rank_window
+
+    rng = np.random.default_rng(17)
+    n = 12000
+    df = pd.DataFrame({
+        "k": np.where(rng.random(n) < 0.85, 1,
+                      rng.integers(2, 6, n)).astype(np.int64),
+        "v": rng.integers(0, 10000, n).astype(np.int64),
+        "id": np.arange(n, dtype=np.int64),
+    })
+    out = (rank_window(rd.from_pandas(df).repartition(8), key="k",
+                       order_col="v", bucket_width=250.0)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT id, CAST(rank() OVER w AS BIGINT) AS rank,
+               CAST(dense_rank() OVER w AS BIGINT) AS dense_rank
+          FROM df WINDOW w AS (PARTITION BY k ORDER BY v) ORDER BY id""").df()
+    assert out["rank"].tolist() == exp["rank"].tolist()
+    assert out["dense_rank"].tolist() == exp["dense_rank"].tolist()
