@@ -1463,6 +1463,28 @@ def q_events_lag_gap(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_events_moving_avg(sf_dir: str):
+    """ROWS-frame window (`ROWS BETWEEN 3 PRECEDING AND CURRENT ROW`):
+    per-user moving average of the last 4 event values. The RANGE-frame
+    family lives in stages/windows.py; this is the rows-counted variant —
+    carry-in is the previous buckets' last-k VALUES per key, not a scalar.
+    6dp rounding on both sides absorbs summation-order ulps."""
+    from schema_validator_ray.stages.analytics import rows_moving_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = rows_moving_sum(ds, key="user_id", order_col="ts",
+                          value="value", tiebreak="event_id", k=3,
+                          bucket_width="6h")
+
+    def fin(b: pa.Table) -> pa.Table:
+        avg = pc.divide(b["w_sum"], pc.cast(b["w_cnt"], pa.float64()))
+        return pa.table({"event_id": b["event_id"],
+                         "user_id": b["user_id"],
+                         "avg_w": pc.round(avg, ndigits=6)})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def q_customer_balance_quartiles(sf_dir: str):
     """NTILE(4) OVER (PARTITION BY nation ORDER BY acctbal, custkey) with
     exact SQL tile-size semantics (first count%n tiles get ceil(count/n)
@@ -2185,6 +2207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_phash_neardup": q_images_phash_neardup,
         "orders_running_total": q_orders_running_total,
         "events_lag_gap": q_events_lag_gap,
+        "events_moving_avg": q_events_moving_avg,
         "customer_balance_quartiles": q_customer_balance_quartiles,
         "customer_order_counts": q_customer_order_counts,
         "revenue_rollup": q_revenue_rollup,
@@ -2918,6 +2941,14 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id), -1)
                    AS gap_us
+              FROM events
+        """,
+        "events_moving_avg": """
+            SELECT event_id, user_id,
+                   ROUND(AVG(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+                   AS avg_w
               FROM events
         """,
         "customer_balance_quartiles": """

@@ -365,6 +365,136 @@ def _exact_ntile(ds, *, key, order_col, tiebreak, n, out_col):
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")
 
 
+def rows_moving_sum(ds, *, key: str, order_col: str, value: str,
+                    tiebreak: str, k: int,
+                    sum_col: str = "w_sum", cnt_col: str = "w_cnt",
+                    bucket_width="30d", n_shards: int = 32,
+                    summary_merge_max: int = _SUMMARY_MERGE_MAX):
+    """``SUM(value) / COUNT(*) OVER (PARTITION BY key ORDER BY order_col,
+    tiebreak ROWS BETWEEN k PRECEDING AND CURRENT ROW)`` — the ROWS-frame
+    window family (``sliding_sum`` in windows.py is the RANGE-frame one).
+
+    Same skew-safe (shard(key), order bucket) shuffle as ``running_sum``;
+    the cross-bucket fact is richer: a row in the first ``k`` positions of
+    its (key, bucket) segment needs the last ``k - pos`` VALUES of the key's
+    preceding buckets, so each segment's summary is its last ``min(k, len)``
+    value rows (≤ k per (key, bucket), still summary-sized for small k).
+    The driver chain-walks summaries per key keeping a rolling last-k list
+    and broadcasts per-(key, bucket) carry arrays; short windows add the
+    appropriate carry suffix map-side. Exact ``groupby(key)`` fallback above
+    the summary budget."""
+    import ray
+
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    in_cols = list(ds.schema().names)
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["_bkt"] = _bucket_of(b[order_col], bucket_width)
+        out["_shard"] = _shard_series(b[key], n_shards)
+        return out
+
+    def local_scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values([key, "_bkt", order_col, tiebreak], kind="stable")
+             .reset_index(drop=True))
+        brk = _key_segments(g[key]) | (g["_bkt"] != g["_bkt"].shift()).to_numpy()
+        idx = np.arange(len(g), dtype=np.int64)
+        seg = np.flatnonzero(brk)
+        seg_id = np.cumsum(brk) - 1
+        p = idx - seg[seg_id]                        # local position
+        vals = g[value].to_numpy().astype(np.float64)
+        cs = np.cumsum(vals)
+        lo = idx - np.minimum(p, k)                  # window start index
+        lsum = cs[idx] - (cs[lo] - vals[lo])
+        ev = g[in_cols + ["_bkt"]].copy()
+        ev["_lsum"] = lsum
+        ev["_lcnt"] = np.minimum(p, k) + 1
+        ev["_need"] = np.maximum(k - p, 0)           # carry rows still wanted
+        ev["_side"] = np.int8(0)
+        seg_end = np.r_[seg[1:] - 1, len(g) - 1][seg_id]
+        tail = (seg_end - idx) < k if k else np.zeros(len(g), bool)
+        summ = g[tail][in_cols + ["_bkt"]].copy()
+        summ["_lsum"] = vals[tail]                   # raw value, not a sum
+        summ["_lcnt"] = p[tail]                      # local order for replay
+        summ["_need"] = 0
+        summ["_side"] = np.int8(1)
+        return pd.concat([ev, summ], ignore_index=True)
+
+    tagged = (ds.map_batches(bucketize, batch_format="pandas")
+              .groupby(["_shard", "_bkt"]).map_groups(
+                  local_scan, batch_format="pandas").materialize())
+
+    s = _collect_summaries(tagged, [key, "_bkt", "_lsum", "_lcnt"],
+                           summary_merge_max)
+    if s is None:
+        return _exact_rows_moving(ds, key=key, order_col=order_col,
+                                  value=value, tiebreak=tiebreak, k=k,
+                                  sum_col=sum_col, cnt_col=cnt_col)
+
+    carries: dict[tuple, np.ndarray] = {}
+    if len(s) and k:
+        s = (s.sort_values([key, "_bkt", "_lcnt"], kind="stable")
+             .reset_index(drop=True))
+        cur_key, cur_bkt, roll = None, None, []
+        for kk, bb, vv in zip(s[key].to_numpy(), s["_bkt"].to_numpy(),
+                              s["_lsum"].to_numpy()):
+            if kk != cur_key:
+                cur_key, cur_bkt, roll = kk, bb, []
+            elif bb != cur_bkt:
+                cur_bkt = bb
+                if roll:
+                    carries[(kk, bb)] = np.asarray(roll[-k:], np.float64)
+            roll.append(vv)
+            if len(roll) > 2 * k:                    # amortized last-k trim
+                roll = roll[-k:]
+    ref = ray.put(carries)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref)
+        wsum = df["_lsum"].to_numpy().copy()
+        wcnt = df["_lcnt"].to_numpy().astype(np.int64)
+        need = df["_need"].to_numpy()
+        rows = np.flatnonzero(need > 0)
+        if len(rows) and c:
+            pair = pd.MultiIndex.from_arrays(
+                [df[key].to_numpy()[rows], df["_bkt"].to_numpy()[rows]])
+            codes, uniq = pd.factorize(pair)
+            for u in range(len(uniq)):
+                arr = c.get(uniq[u])
+                if arr is None:
+                    continue
+                ss = np.r_[0.0, np.cumsum(arr[::-1])]  # ss[t] = last-t sum
+                sel = rows[codes == u]
+                take = np.minimum(need[sel], len(arr))
+                wsum[sel] += ss[take]
+                wcnt[sel] += take
+        out = df[in_cols].copy()
+        out[sum_col] = wsum
+        out[cnt_col] = wcnt
+        return out
+
+    return (tagged.filter(expr="_side == 0")
+            .map_batches(finalize, batch_format="pandas"))
+
+
+def _exact_rows_moving(ds, *, key, order_col, value, tiebreak, k,
+                       sum_col, cnt_col):
+    in_cols = list(ds.schema().names)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values([key, order_col, tiebreak], kind="stable")
+             .reset_index(drop=True))
+        grp = g.groupby(key, sort=False)[value]
+        g[sum_col] = grp.transform(
+            lambda v: v.rolling(k + 1, min_periods=1).sum())
+        g[cnt_col] = grp.transform(
+            lambda v: v.rolling(k + 1, min_periods=1).count()).astype(np.int64)
+        return g[in_cols + [sum_col, cnt_col]]
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
 def group_zscore_outliers(ds, *, value_col: str, group_col: str,
                           threshold: float = 3.0, out_cols=None):
     """Rows whose value deviates more than ``threshold`` standard deviations
