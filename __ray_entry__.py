@@ -1485,6 +1485,50 @@ def q_events_moving_avg(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def q_cap_docs_per_source(sf_dir: str):
+    """Per-source contribution cap (anti-domination curation): keep at most
+    10 docs per source, chosen as the smallest multiplicative hashes of
+    doc_id — a deterministic uniform sample of each source. Per-batch top-n
+    partials bound a hot source's shuffle rows at n per batch."""
+    from schema_validator_ray.stages.sampling import cap_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return cap_per_group(ds, group_col="source", id_col="doc_id",
+                         n=10, seed=7)
+
+
+def _events_user_hours(sf_dir: str, event_type: str):
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def pick(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["event_type"], event_type))
+        return pa.table({"user_id": b["user_id"],
+                         "hour": pc.floor_temporal(b["ts"], unit="hour")})
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def q_user_hours_click_and_purchase(sf_dir: str):
+    """Composite-key INTERSECT: (user, hour) cells with BOTH a click and a
+    purchase. Each side ships per-batch distinct tuples with a side flag;
+    one small flag groupby replaces any row-level shuffle."""
+    from schema_validator_ray.stages.setops import intersect_distinct
+
+    return intersect_distinct(_events_user_hours(sf_dir, "click"),
+                              _events_user_hours(sf_dir, "purchase"),
+                              ["user_id", "hour"])
+
+
+def q_user_hours_click_no_purchase(sf_dir: str):
+    """Composite-key EXCEPT: (user, hour) cells that clicked but never
+    purchased (same tagged-distinct shape, left-only membership filter)."""
+    from schema_validator_ray.stages.setops import except_distinct
+
+    return except_distinct(_events_user_hours(sf_dir, "click"),
+                           _events_user_hours(sf_dir, "purchase"),
+                           ["user_id", "hour"])
+
+
 def q_customer_balance_quartiles(sf_dir: str):
     """NTILE(4) OVER (PARTITION BY nation ORDER BY acctbal, custkey) with
     exact SQL tile-size semantics (first count%n tiles get ceil(count/n)
@@ -2208,6 +2252,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_running_total": q_orders_running_total,
         "events_lag_gap": q_events_lag_gap,
         "events_moving_avg": q_events_moving_avg,
+        "cap_docs_per_source": q_cap_docs_per_source,
+        "user_hours_click_and_purchase": q_user_hours_click_and_purchase,
+        "user_hours_click_no_purchase": q_user_hours_click_no_purchase,
         "customer_balance_quartiles": q_customer_balance_quartiles,
         "customer_order_counts": q_customer_order_counts,
         "revenue_rollup": q_revenue_rollup,
@@ -2942,6 +2989,27 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id), -1)
                    AS gap_us
               FROM events
+        """,
+        "user_hours_click_and_purchase": """
+            SELECT user_id, date_trunc('hour', ts) AS hour
+              FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id, date_trunc('hour', ts) AS hour
+              FROM events WHERE event_type = 'purchase'
+        """,
+        "user_hours_click_no_purchase": """
+            SELECT user_id, date_trunc('hour', ts) AS hour
+              FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT user_id, date_trunc('hour', ts) AS hour
+              FROM events WHERE event_type = 'purchase'
+        """,
+        "cap_docs_per_source": """
+            SELECT doc_id, source FROM documents
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY source
+                ORDER BY ((doc_id + 7) * 2654435761) % 4294967296, doc_id
+            ) <= 10
         """,
         "events_moving_avg": """
             SELECT event_id, user_id,

@@ -82,6 +82,34 @@ def hash_split(ds, id_col: str, fractions: dict[str, float], *,
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def cap_per_group(ds, *, group_col: str, id_col: str, n: int,
+                  seed: int = 0, n_shards: int = 32):
+    """Deterministic per-group contribution cap: keep at most ``n`` rows per
+    group, chosen as the ``n`` smallest ``_hash32(id)`` values (a fixed
+    uniform sample of each group, stable across reruns and re-sharding —
+    the standard guard against one source dominating a training mix).
+
+    Composition: map-only hash column + ``grouped_topk`` (per-batch top-n
+    partials bound any group's shuffle rows at n × num_batches; a hot source
+    never concentrates more than that). Equivalent SQL:
+    ``QUALIFY ROW_NUMBER() OVER (PARTITION BY group ORDER BY
+    ((id + seed) * 2654435761) % 4294967296, id) <= n``."""
+    from .windows import grouped_topk
+
+    def add_key(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        h = _hash32(ids, seed)
+        # grouped_topk picks DESCENDING; flip so smallest hash wins
+        neg = (np.uint64(M32 - 1) - h).astype(np.int64)
+        return b.append_column("_caph", pa.array(neg, pa.int64()))
+
+    capped = grouped_topk(ds.map_batches(add_key, batch_format="pyarrow"),
+                          key=group_col, order_col="_caph", k=n,
+                          tie_col=id_col, n_shards=n_shards)
+    return capped.map_batches(lambda b: b.drop_columns(["_caph"]),
+                              batch_format="pyarrow")
+
+
 def stratum_counts(ds, strata_col: str):
     """Tiny distributed count per stratum (pre-agg partials only)."""
     from ray.data.aggregate import Sum

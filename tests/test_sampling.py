@@ -151,3 +151,36 @@ def test_shuffle_deterministic_blocking_invariant(ray_session):
     assert sorted(pos.values()) == list(range(777))
     order = ids[np.lexsort((ids, _hash32(ids, 5)))]
     assert [pos[i] for i in order] == list(range(777))
+
+
+def test_cap_per_group_hot_group_exact(ray_session):
+    """A 90%-hot group is capped to exactly n rows, the winners are the
+    n smallest hashes, and re-sharding doesn't change the picked set."""
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_validator_ray.stages.sampling import (M32, _hash32,
+                                                      cap_per_group)
+
+    rng = np.random.default_rng(23)
+    n = 15000
+    df = pd.DataFrame({
+        "g": np.where(rng.random(n) < 0.9, "hot",
+                      rng.integers(0, 8, n).astype(str)),
+        "id": np.arange(n, dtype=np.int64),
+    })
+
+    def run(parts):
+        out = cap_per_group(rd.from_pandas(df).repartition(parts),
+                            group_col="g", id_col="id", n=12, seed=5)
+        return out.to_pandas().sort_values(["g", "id"]).reset_index(drop=True)
+
+    a, b = run(4), run(19)
+    pd.testing.assert_frame_equal(a, b)          # blocking-invariant
+    assert (a.groupby("g").size() <= 12).all()
+    # winners per group == the 12 smallest (hash, id) pairs
+    h = _hash32(df["id"].to_numpy(), 5).astype(np.uint64)
+    df2 = df.assign(h=h).sort_values(["g", "h", "id"], kind="stable")
+    exp = (df2.groupby("g").head(12)[["g", "id"]]
+           .sort_values(["g", "id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a[["g", "id"]], exp)
