@@ -1529,6 +1529,17 @@ def q_user_hours_click_no_purchase(sf_dir: str):
                            ["user_id", "hour"])
 
 
+def q_price_histogram(sf_dir: str):
+    """Exact equi-width histogram of l_extendedprice (14 bins over
+    [0, 70000), width_bucket edge semantics). Per-batch bincount partials
+    mean at most 16 rows per batch cross the exchange."""
+    from schema_validator_ray.stages.stats import histogram_fixed
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    return histogram_fixed(ds, "l_extendedprice", lo=0.0, hi=70000.0,
+                           n_bins=14)
+
+
 def q_customer_balance_quartiles(sf_dir: str):
     """NTILE(4) OVER (PARTITION BY nation ORDER BY acctbal, custkey) with
     exact SQL tile-size semantics (first count%n tiles get ceil(count/n)
@@ -2253,6 +2264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_gap": q_events_lag_gap,
         "events_moving_avg": q_events_moving_avg,
         "cap_docs_per_source": q_cap_docs_per_source,
+        "price_histogram": q_price_histogram,
         "user_hours_click_and_purchase": q_user_hours_click_and_purchase,
         "user_hours_click_no_purchase": q_user_hours_click_no_purchase,
         "customer_balance_quartiles": q_customer_balance_quartiles,
@@ -2989,6 +3001,15 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id), -1)
                    AS gap_us
               FROM events
+        """,
+        "price_histogram": """
+            SELECT CAST(CASE WHEN l_extendedprice < 0.0 THEN 0
+                             WHEN l_extendedprice >= 70000.0 THEN 15
+                             ELSE floor((l_extendedprice - 0.0)
+                                        / 70000.0 * 14) + 1
+                        END AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n
+              FROM lineitem GROUP BY 1
         """,
         "user_hours_click_and_purchase": """
             SELECT user_id, date_trunc('hour', ts) AS hour

@@ -331,6 +331,39 @@ def exact_quantiles(ds, col: str, qs: list[float]):
                      "value": pa.array(out_v)})
 
 
+def histogram_fixed(ds, col: str, *, lo: float, hi: float, n_bins: int):
+    """Equi-width histogram of a numeric column — the exact companion to the
+    t-digest profile. Bin semantics follow SQL ``width_bucket``: values below
+    ``lo`` land in bin 0, values ≥ ``hi`` in bin ``n_bins + 1``, otherwise
+    ``floor((v - lo) / (hi - lo) * n_bins) + 1`` (the float expression is
+    kept in exactly that order so a SQL oracle using the same literal
+    expression bins boundary values identically). NULLs are excluded.
+
+    Map-only per-batch ``bincount`` partials (≤ n_bins + 2 rows per batch,
+    regardless of batch size) → one tiny groupby. Nothing row-sized crosses
+    the exchange, so the 100-TB shape is a scan plus a |bins|-row shuffle."""
+    from ray.data.aggregate import Sum
+
+    lo_f, hi_f = float(lo), float(hi)
+
+    def part(b: pa.Table) -> pa.Table:
+        arr = b[col]
+        v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        if arr.null_count:
+            v = v[~np.isnan(v)]
+        bins = (np.floor((v - lo_f) / (hi_f - lo_f) * n_bins) + 1).astype(
+            np.int64)
+        bins = np.where(v < lo_f, 0,
+                        np.where(v >= hi_f, n_bins + 1, bins))
+        cnt = np.bincount(bins, minlength=n_bins + 2)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bin": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(cnt[nz].astype(np.int64))})
+
+    return (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("bin").aggregate(Sum("n", alias_name="n")))
+
+
 def heavy_hitters_exact(ds, col: str, min_count: int, *,
                         local_threshold: int | None = None,
                         candidates_max: int = 5_000_000):

@@ -180,3 +180,33 @@ def test_exact_quantiles_empty(ray_session):
     ds = rd.from_arrow(pa.table({"x": pa.array([None, None], pa.float64())}))
     out = exact_quantiles(ds, "x", [0.5])
     assert out.num_rows == 0
+
+
+def test_histogram_fixed_edges_and_nulls(ray_session):
+    """width_bucket edge semantics: below-lo -> 0, exact boundary -> upper
+    bin, >= hi -> n_bins+1; NULLs excluded; counts exact."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_validator_ray.stages.stats import histogram_fixed
+
+    rng = np.random.default_rng(31)
+    v = np.round(rng.random(20000) * 120 - 10, 2)        # spans [-10, 110)
+    v[::97] = 50.0                                        # exact boundary
+    v[::53] = 100.0                                       # == hi
+    df = pd.DataFrame({"v": v})
+    df.loc[::41, "v"] = np.nan
+    out = (histogram_fixed(rd.from_pandas(df).repartition(9), "v",
+                           lo=0.0, hi=100.0, n_bins=10)
+           .to_pandas().sort_values("bin").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT CAST(CASE WHEN v < 0.0 THEN 0
+                         WHEN v >= 100.0 THEN 11
+                         ELSE floor((v - 0.0) / 100.0 * 10) + 1
+                    END AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n
+          FROM df WHERE v IS NOT NULL GROUP BY 1 ORDER BY bin""").df()
+    assert out["bin"].tolist() == exp["bin"].tolist()
+    assert out["n"].tolist() == exp["n"].tolist()
+    assert out["n"].sum() == df["v"].notna().sum()
