@@ -1529,6 +1529,52 @@ def q_user_hours_click_no_purchase(sf_dir: str):
                            ["user_id", "hour"])
 
 
+def q_doc_char_entropy(sf_dir: str):
+    """Per-doc code-point Shannon entropy (bits) — the gibberish filter.
+    Map-only; one np.unique over (row, code-point) keys per batch."""
+    from schema_validator_ray.functions.text import char_entropy
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"],
+                         "char_entropy": char_entropy(b["text"])})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_revenue_by_nationkey_salted(sf_dir: str):
+    """Large-large inner join via SALTING (hot-key-safe): orders' probe side
+    is split across 8 salts, customer replicated once per salt, so a viral
+    custkey spreads over 8 partitions instead of stalling one. Aggregate
+    after the join; exact cents."""
+    from ray.data.aggregate import Count, Sum
+
+    from schema_validator_ray.stages.joins import salted_inner_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j = salted_inner_join(orders, cust, left_on="o_custkey",
+                          right_on="c_custkey", n_salts=8)
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                             pa.int64())})
+
+    agg = (j.map_batches(cents, batch_format="pyarrow")
+           .groupby("c_nationkey")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("cents", alias_name="revenue_cents")))
+    return agg.map_batches(
+        lambda b: pa.table({"c_nationkey": b["c_nationkey"],
+                            "n_orders": pc.cast(b["n_orders"], pa.int64()),
+                            "revenue_cents": pc.cast(b["revenue_cents"],
+                                                     pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_price_histogram(sf_dir: str):
     """Exact equi-width histogram of l_extendedprice (14 bins over
     [0, 70000), width_bucket edge semantics). Per-batch bincount partials
@@ -2265,6 +2311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_avg": q_events_moving_avg,
         "cap_docs_per_source": q_cap_docs_per_source,
         "price_histogram": q_price_histogram,
+        "doc_char_entropy": q_doc_char_entropy,
+        "revenue_by_nationkey_salted": q_revenue_by_nationkey_salted,
         "user_hours_click_and_purchase": q_user_hours_click_and_purchase,
         "user_hours_click_no_purchase": q_user_hours_click_no_purchase,
         "customer_balance_quartiles": q_customer_balance_quartiles,
@@ -3001,6 +3049,20 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id), -1)
                    AS gap_us
               FROM events
+        """,
+        "revenue_by_nationkey_salted": """
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+              FROM orders JOIN customer ON o_custkey = c_custkey
+             GROUP BY c_nationkey
+        """,
+        "doc_char_entropy": """
+            SELECT doc_id, ROUND(entropy(c), 6) AS char_entropy
+              FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+                      FROM documents)
+             GROUP BY doc_id
         """,
         "price_histogram": """
             SELECT CAST(CASE WHEN l_extendedprice < 0.0 THEN 0
