@@ -1472,9 +1472,12 @@ def q_events_moving_avg(sf_dir: str):
     from schema_validator_ray.stages.analytics import rows_moving_sum
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    # bucket span sized so a (user, bucket) segment holds ≫ k rows (≈2
+    # events/user/day here): too-fine buckets make the k-row tail summaries
+    # outnumber the data itself
     out = rows_moving_sum(ds, key="user_id", order_col="ts",
                           value="value", tiebreak="event_id", k=3,
-                          bucket_width="6h")
+                          bucket_width="5d")
 
     def fin(b: pa.Table) -> pa.Table:
         avg = pc.divide(b["w_sum"], pc.cast(b["w_cnt"], pa.float64()))

@@ -120,6 +120,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "latest_event_per_user",
         "lineitem_rank",
         "tfidf_terms",
+        "events_moving_avg",
+        "revenue_by_nationkey_salted",
+        "doc_char_entropy",
+        "user_hours_click_no_purchase",
+        "price_histogram",
     ]
     qs = m.queries()
     out = {}

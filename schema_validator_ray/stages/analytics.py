@@ -379,10 +379,14 @@ def rows_moving_sum(ds, *, key: str, order_col: str, value: str,
     its (key, bucket) segment needs the last ``k - pos`` VALUES of the key's
     preceding buckets, so each segment's summary is its last ``min(k, len)``
     value rows (≤ k per (key, bucket), still summary-sized for small k).
-    The driver chain-walks summaries per key keeping a rolling last-k list
-    and broadcasts per-(key, bucket) carry arrays; short windows add the
-    appropriate carry suffix map-side. Exact ``groupby(key)`` fallback above
-    the summary budget."""
+    The driver sorts summaries by (key, bucket, local order); within a key
+    that concatenation of bucket tails has the property that the k rows
+    before a bucket's first summary row ARE the rolling last-k values, so
+    carry-in reduces to (start offset, available rows) per (key, bucket)
+    plus ONE prefix-sum array over all summary values — fully vectorized,
+    no per-key walk, and the broadcast is two flat arrays. Short windows
+    add ``cs[start] - cs[start - take]`` map-side. Exact ``groupby(key)``
+    fallback above the summary budget."""
     import ray
 
     if k < 0:
@@ -432,43 +436,41 @@ def rows_moving_sum(ds, *, key: str, order_col: str, value: str,
                                   value=value, tiebreak=tiebreak, k=k,
                                   sum_col=sum_col, cnt_col=cnt_col)
 
-    carries: dict[tuple, np.ndarray] = {}
     if len(s) and k:
         s = (s.sort_values([key, "_bkt", "_lcnt"], kind="stable")
              .reset_index(drop=True))
-        cur_key, cur_bkt, roll = None, None, []
-        for kk, bb, vv in zip(s[key].to_numpy(), s["_bkt"].to_numpy(),
-                              s["_lsum"].to_numpy()):
-            if kk != cur_key:
-                cur_key, cur_bkt, roll = kk, bb, []
-            elif bb != cur_bkt:
-                cur_bkt = bb
-                if roll:
-                    carries[(kk, bb)] = np.asarray(roll[-k:], np.float64)
-            roll.append(vv)
-            if len(roll) > 2 * k:                    # amortized last-k trim
-                roll = roll[-k:]
-    ref = ray.put(carries)
+        kv = s[key].to_numpy()
+        bv = s["_bkt"].to_numpy()
+        grp_brk = np.r_[True, (kv[1:] != kv[:-1]) | (bv[1:] != bv[:-1])]
+        starts = np.flatnonzero(grp_brk)
+        key_brk = np.r_[True, kv[1:] != kv[:-1]]
+        key_id = np.cumsum(key_brk) - 1
+        key_start = np.flatnonzero(key_brk)[key_id[starts]]
+        avail = np.minimum(starts - key_start, k)
+        g_tbl = pd.DataFrame({key: kv[starts], "_bkt": bv[starts],
+                              "_cstart": starts.astype(np.int64),
+                              "_avail": avail.astype(np.int64)})
+        g_tbl = g_tbl[g_tbl["_avail"] > 0]
+        cs = np.r_[0.0, np.cumsum(s["_lsum"].to_numpy())]
+    else:
+        g_tbl = pd.DataFrame({key: [], "_bkt": [],
+                              "_cstart": pd.Series([], dtype="int64"),
+                              "_avail": pd.Series([], dtype="int64")})
+        cs = np.zeros(1)
+    ref = ray.put((g_tbl, cs))
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        c = ray.get(ref)
+        g, csum = ray.get(ref)
         wsum = df["_lsum"].to_numpy().copy()
         wcnt = df["_lcnt"].to_numpy().astype(np.int64)
         need = df["_need"].to_numpy()
-        rows = np.flatnonzero(need > 0)
-        if len(rows) and c:
-            pair = pd.MultiIndex.from_arrays(
-                [df[key].to_numpy()[rows], df["_bkt"].to_numpy()[rows]])
-            codes, uniq = pd.factorize(pair)
-            for u in range(len(uniq)):
-                arr = c.get(uniq[u])
-                if arr is None:
-                    continue
-                ss = np.r_[0.0, np.cumsum(arr[::-1])]  # ss[t] = last-t sum
-                sel = rows[codes == u]
-                take = np.minimum(need[sel], len(arr))
-                wsum[sel] += ss[take]
-                wcnt[sel] += take
+        if need.max(initial=0) > 0 and len(g):
+            m = df[[key, "_bkt"]].merge(g, on=[key, "_bkt"], how="left")
+            avail = m["_avail"].fillna(0).to_numpy(dtype=np.int64)
+            start = m["_cstart"].fillna(0).to_numpy(dtype=np.int64)
+            take = np.minimum(need, avail)
+            wsum += csum[start] - csum[start - take]
+            wcnt += take
         out = df[in_cols].copy()
         out[sum_col] = wsum
         out[cnt_col] = wcnt
