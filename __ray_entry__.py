@@ -1578,6 +1578,18 @@ def q_revenue_by_nationkey_salted(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_order_price_median(sf_dir: str):
+    """EXACT grouped median (quantile_disc parity) via distributed
+    selection: pass 1 ships only (key, bucket, count) partials, pass 2
+    ships only the rows of each key's quantile-containing bucket."""
+    from schema_validator_ray.stages.stats import grouped_exact_quantile
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    return grouped_exact_quantile(ds, "o_orderpriority", "o_totalprice",
+                                  0.5, bucket_width=5000.0,
+                                  out_col="med_price")
+
+
 def q_price_histogram(sf_dir: str):
     """Exact equi-width histogram of l_extendedprice (14 bins over
     [0, 70000), width_bucket edge semantics). Per-batch bincount partials
@@ -2314,6 +2326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_avg": q_events_moving_avg,
         "cap_docs_per_source": q_cap_docs_per_source,
         "price_histogram": q_price_histogram,
+        "order_price_median": q_order_price_median,
         "doc_char_entropy": q_doc_char_entropy,
         "revenue_by_nationkey_salted": q_revenue_by_nationkey_salted,
         "user_hours_click_and_purchase": q_user_hours_click_and_purchase,
@@ -3066,6 +3079,11 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
                       FROM documents)
              GROUP BY doc_id
+        """,
+        "order_price_median": """
+            SELECT o_orderpriority,
+                   quantile_disc(o_totalprice, 0.5) AS med_price
+              FROM orders GROUP BY o_orderpriority
         """,
         "price_histogram": """
             SELECT CAST(CASE WHEN l_extendedprice < 0.0 THEN 0

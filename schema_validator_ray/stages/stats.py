@@ -331,6 +331,116 @@ def exact_quantiles(ds, col: str, qs: list[float]):
                      "value": pa.array(out_v)})
 
 
+def grouped_exact_quantile(ds, key: str, col: str, q: float, *,
+                           bucket_width: float = 1.0,
+                           out_col: str = "qvalue",
+                           summary_merge_max: int = 5_000_000):
+    """EXACT per-group order statistic (DuckDB ``quantile_disc(col, q) GROUP
+    BY key`` — the value at sorted index ``max(ceil(q*n)-1, 0)`` of each
+    group's n non-null values). The approximate companion is
+    ``grouped_tdigest``; this is the exactness path.
+
+    Distributed selection, NOT a per-group sort: pass 1 ships only per-batch
+    ``(key, value-bucket, count)`` partials (no row ever shuffles); the
+    driver prefix-sums each key's bucket counts to locate the single bucket
+    containing the target rank and its local rank within that bucket; pass 2
+    re-reads the input, keeps ONLY rows of probed (key, bucket) pairs — the
+    rows within one ``bucket_width`` of the quantile — and one tiny
+    ``map_groups`` sort picks the element. A hot key ships one bucket, never
+    its history. Falls back to a per-key sort (`groupby(key)`, hot-key
+    bounded) if the count summaries exceed ``summary_merge_max``."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def part(b: pa.Table) -> pa.Table:
+        t = b.select([key, col]).drop_null()
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        bkt = np.floor(v / bucket_width).astype(np.int64)
+        tt = pa.table({key: t[key], "_bkt": pa.array(bkt)})
+        agg = tt.group_by([key, "_bkt"]).aggregate([([], "count_all")])
+        return pa.table({key: agg[key], "_bkt": agg["_bkt"],
+                         "cnt": pc.cast(agg["count_all"], pa.int64())})
+
+    counts = (ds.map_batches(part, batch_format="pyarrow")
+              .groupby([key, "_bkt"])
+              .aggregate(Sum("cnt", alias_name="cnt")))
+
+    import pandas as pd
+    parts, total = [], 0
+    for b in counts.iter_batches(batch_size=1 << 20, batch_format="pandas"):
+        if len(b):
+            parts.append(b)
+            total += len(b)
+        if total > summary_merge_max:
+            return _exact_grouped_quantile_fallback(ds, key, col, q, out_col)
+    if not parts:
+        return ds.map_batches(
+            lambda b: pa.table({key: b[key].slice(0, 0),
+                                out_col: b[col].slice(0, 0)}),
+            batch_format="pyarrow")
+    c = (pd.concat(parts, ignore_index=True)
+         .sort_values([key, "_bkt"], kind="stable").reset_index(drop=True))
+    kv = c[key].to_numpy()
+    cnt = c["cnt"].to_numpy()
+    key_brk = np.r_[True, kv[1:] != kv[:-1]]
+    seg = np.flatnonzero(key_brk)
+    seg_id = np.cumsum(key_brk) - 1
+    cum = np.cumsum(cnt)
+    base = np.r_[0, cum[:-1]][seg]                 # rows before each key
+    n_per_key = (cum[np.r_[seg[1:] - 1, len(c) - 1]] - base)[seg_id]
+    target = np.maximum(np.ceil(q * n_per_key) - 1, 0).astype(np.int64)
+    before = np.r_[0, cum[:-1]] - base[seg_id]     # rows before this bucket
+    hit = (target >= before) & (target < before + cnt)
+    probes = {(k, b): int(r) for k, b, r in
+              zip(kv[hit], c["_bkt"].to_numpy()[hit],
+                  (target - before)[hit])}
+    ref = ray.put(probes)
+
+    def keep(b: pa.Table) -> pa.Table:
+        pr = ray.get(ref)
+        t = b.select([key, col]).drop_null()
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        bkt = np.floor(v / bucket_width).astype(np.int64)
+        kk = t[key].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(
+            pd.MultiIndex.from_arrays([kk, bkt]))
+        sel = np.fromiter((u in pr for u in uniq), bool, len(uniq))
+        mask = sel[codes]
+        return pa.table({key: t[key].filter(pa.array(mask)),
+                         col: t[col].filter(pa.array(mask)),
+                         "_bkt": pa.array(bkt[mask])})
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        pr = ray.get(ref)
+        k0 = g[key].iloc[0]
+        r = pr[(k0, int(g["_bkt"].iloc[0]))]
+        v = np.sort(g[col].to_numpy())
+        return pd.DataFrame({key: [k0], out_col: [v[r]]})
+
+    return (ds.map_batches(keep, batch_format="pyarrow")
+            .groupby([key, "_bkt"])
+            .map_groups(pick, batch_format="pandas"))
+
+
+def _exact_grouped_quantile_fallback(ds, key, col, q, out_col):
+    import math
+
+    import pandas as pd
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for k0, sub in g.groupby(key, sort=False):
+            v = np.sort(sub[col].dropna().to_numpy())
+            if not len(v):
+                continue
+            out.append((k0, v[max(math.ceil(q * len(v)) - 1, 0)]))
+        return pd.DataFrame(out, columns=[key, out_col])
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
 def histogram_fixed(ds, col: str, *, lo: float, hi: float, n_bins: int):
     """Equi-width histogram of a numeric column — the exact companion to the
     t-digest profile. Bin semantics follow SQL ``width_bucket``: values below

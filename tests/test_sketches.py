@@ -1,6 +1,7 @@
 """Sketch accuracy + mergeability bounds (FIXTURES.md F6)."""
 
 import numpy as np
+import pytest
 
 from schema_validator_ray.functions.sketches import (
     HLL,
@@ -210,3 +211,48 @@ def test_histogram_fixed_edges_and_nulls(ray_session):
     assert out["bin"].tolist() == exp["bin"].tolist()
     assert out["n"].tolist() == exp["n"].tolist()
     assert out["n"].sum() == df["v"].notna().sum()
+
+
+@pytest.mark.parametrize("q", [0.1, 0.5, 0.9])
+def test_grouped_exact_quantile_matches_quantile_disc(ray_session, q):
+    """Distributed selection parity with DuckDB quantile_disc per group,
+    under a 85%-hot group, duplicate values, and NULLs."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_validator_ray.stages.stats import grouped_exact_quantile
+
+    rng = np.random.default_rng(int(q * 100))
+    n = 30000
+    df = pd.DataFrame({
+        "k": np.where(rng.random(n) < 0.85, "hot",
+                      rng.integers(0, 6, n).astype(str)),
+        "v": np.round(rng.random(n) * 1000, 1),   # heavy ties at 1dp
+    })
+    df.loc[::37, "v"] = np.nan
+    out = (grouped_exact_quantile(rd.from_pandas(df).repartition(12),
+                                  "k", "v", q, bucket_width=50.0)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = duckdb.sql(f"""SELECT k, quantile_disc(v, {q}) AS qvalue
+                           FROM df GROUP BY k ORDER BY k""").df()
+    assert out["k"].tolist() == exp["k"].tolist()
+    assert out["qvalue"].tolist() == exp["qvalue"].tolist()  # bit-exact
+
+
+def test_grouped_exact_quantile_fallback_parity(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_validator_ray.stages.stats import (
+        _exact_grouped_quantile_fallback, grouped_exact_quantile)
+
+    rng = np.random.default_rng(77)
+    df = pd.DataFrame({"k": rng.integers(0, 5, 4000).astype(np.int64),
+                       "v": rng.integers(0, 500, 4000).astype(np.float64)})
+    ds = rd.from_pandas(df).repartition(8)
+    a = (grouped_exact_quantile(ds, "k", "v", 0.5, bucket_width=25.0)
+         .to_pandas().sort_values("k").reset_index(drop=True))
+    b = (_exact_grouped_quantile_fallback(ds, "k", "v", 0.5, "qvalue")
+         .to_pandas().sort_values("k").reset_index(drop=True))
+    assert a["qvalue"].tolist() == b["qvalue"].tolist()
