@@ -1578,6 +1578,48 @@ def q_revenue_by_nationkey_salted(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_part_name_typo_pairs(sf_dir: str):
+    """Fuzzy (Levenshtein ≤ 1) similarity join over distinct part names —
+    SymDelete blocking, never all-pairs; candidates are bounded by the name
+    VOCABULARY, not the row count."""
+    from schema_validator_ray.stages.fuzzy import edit_distance_pairs
+
+    ds = _read(sf_dir, "part", ["p_name"])
+    return edit_distance_pairs(ds, "p_name")
+
+
+def q_order_price_share(sf_dir: str):
+    """Ratio-to-report window (`v / SUM(v) OVER (PARTITION BY key)`): each
+    order's share of its priority class's total spend. Tiny per-group sum
+    aggregate broadcast via ray.put, division map-only — the whole-partition
+    window never shuffles rows (same shape as z-score outliers). 9dp
+    rounding absorbs summation-order ulps (shares are ~1e-4; double error
+    is ~1e-19 here)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    totals = {r["o_orderpriority"]: r["tot"]
+              for r in ds.groupby("o_orderpriority")
+              .aggregate(Sum("o_totalprice", alias_name="tot")).take_all()}
+    ref = ray.put(totals)
+
+    def share(b: pa.Table) -> pa.Table:
+        t = ray.get(ref)
+        import pandas as pd
+
+        codes, uniq = pd.factorize(
+            b["o_orderpriority"].to_numpy(zero_copy_only=False))
+        tot = np.array([t[u] for u in uniq])[codes]
+        v = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_orderpriority": b["o_orderpriority"],
+                         "price_share": pa.array(np.round(v / tot, 9))})
+
+    return ds.map_batches(share, batch_format="pyarrow")
+
+
 def q_order_price_median(sf_dir: str):
     """EXACT grouped median (quantile_disc parity) via distributed
     selection: pass 1 ships only (key, bucket, count) partials, pass 2
@@ -2327,6 +2369,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_docs_per_source": q_cap_docs_per_source,
         "price_histogram": q_price_histogram,
         "order_price_median": q_order_price_median,
+        "order_price_share": q_order_price_share,
+        "part_name_typo_pairs": q_part_name_typo_pairs,
         "doc_char_entropy": q_doc_char_entropy,
         "revenue_by_nationkey_salted": q_revenue_by_nationkey_salted,
         "user_hours_click_and_purchase": q_user_hours_click_and_purchase,
@@ -3079,6 +3123,19 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
                       FROM documents)
              GROUP BY doc_id
+        """,
+        "part_name_typo_pairs": """
+            WITH names AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS a, b.p_name AS b
+              FROM names a JOIN names b
+                ON a.p_name < b.p_name
+               AND levenshtein(a.p_name, b.p_name) <= 1
+        """,
+        "order_price_share": """
+            SELECT o_orderkey, o_orderpriority,
+                   ROUND(o_totalprice / SUM(o_totalprice) OVER (
+                       PARTITION BY o_orderpriority), 9) AS price_share
+              FROM orders
         """,
         "order_price_median": """
             SELECT o_orderpriority,
