@@ -1578,6 +1578,16 @@ def q_revenue_by_nationkey_salted(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_embedding_covariance(sf_dir: str):
+    """Covariance matrix of the first 8 embedding dims (upper triangle,
+    covar_pop semantics) — the PCA-prep pass. Exchange is sufficient
+    statistics only: 36 rows per batch, never rows × dim."""
+    from schema_validator_ray.stages.similarity import dim_covariance
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    return dim_covariance(ds, emb_col="embedding", dims=8)
+
+
 def q_part_name_typo_pairs(sf_dir: str):
     """Fuzzy (Levenshtein ≤ 1) similarity join over distinct part names —
     SymDelete blocking, never all-pairs; candidates are bounded by the name
@@ -2371,6 +2381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_median": q_order_price_median,
         "order_price_share": q_order_price_share,
         "part_name_typo_pairs": q_part_name_typo_pairs,
+        "embedding_covariance": q_embedding_covariance,
         "doc_char_entropy": q_doc_char_entropy,
         "revenue_by_nationkey_salted": q_revenue_by_nationkey_salted,
         "user_hours_click_and_purchase": q_user_hours_click_and_purchase,
@@ -3123,6 +3134,17 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
                       FROM documents)
              GROUP BY doc_id
+        """,
+        "embedding_covariance": """
+            WITH e AS (SELECT vec_id,
+                              CAST(unnest(embedding) AS DOUBLE) AS v,
+                              generate_subscripts(embedding, 1) AS pos
+                         FROM embeddings)
+            SELECT CAST(a.pos AS BIGINT) AS i, CAST(b.pos AS BIGINT) AS j,
+                   ROUND(covar_pop(a.v, b.v), 6) AS cov
+              FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+             WHERE a.pos <= 8 AND b.pos <= 8
+             GROUP BY a.pos, b.pos
         """,
         "part_name_typo_pairs": """
             WITH names AS (SELECT DISTINCT p_name FROM part)

@@ -239,6 +239,65 @@ class IVFIndex:
         return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def dim_covariance(ds, *, emb_col: str, dims: int | None = None):
+    """Population covariance matrix of an embedding column (upper triangle,
+    1-based dims) — the PCA / whitening preprocessing pass. Each batch ships
+    one ``X.T @ X`` worth of sufficient statistics: d(d+1)/2 rows of
+    (i, j, n, sx, sy, sxy), so the exchange is O(dim² × batches), never
+    O(rows × dim). One tiny groupby merges; the closed form
+    ``sxy/n − (sx/n)(sy/n)`` matches SQL ``covar_pop`` (6dp rounded)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"i": pa.array([], pa.int64()),
+                          "j": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "sx": pa.array([], pa.float64()),
+                          "sy": pa.array([], pa.float64()),
+                          "sxy": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        arr = b[emb_col].combine_chunks() if isinstance(
+            b[emb_col], pa.ChunkedArray) else b[emb_col]
+        lens = np.asarray(arr.value_lengths())
+        dim = int(lens[0])
+        if not (lens == dim).all():
+            raise ValueError("ragged embedding lists are not supported")
+        m = (arr.flatten().to_numpy(zero_copy_only=False)
+             .astype(np.float64).reshape(-1, dim))
+        if dims is not None:
+            m = m[:, :dims]
+        d = m.shape[1]
+        iu, ju = np.triu_indices(d)
+        sxy = (m.T @ m)[iu, ju]
+        s = m.sum(axis=0)
+        n = np.full(len(iu), m.shape[0], np.int64)
+        return pa.table({"i": pa.array((iu + 1).astype(np.int64)),
+                         "j": pa.array((ju + 1).astype(np.int64)),
+                         "n": pa.array(n),
+                         "sx": pa.array(s[iu], pa.float64()),
+                         "sy": pa.array(s[ju], pa.float64()),
+                         "sxy": pa.array(sxy, pa.float64())})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["i", "j"])
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("sx", alias_name="sx"),
+                         Sum("sy", alias_name="sy"),
+                         Sum("sxy", alias_name="sxy")))
+
+    def fin(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy().astype(np.float64)
+        sx = b["sx"].to_numpy()
+        sy = b["sy"].to_numpy()
+        sxy = b["sxy"].to_numpy()
+        cov = sxy / n - (sx / n) * (sy / n)
+        return pa.table({"i": b["i"], "j": b["j"],
+                         "cov": pa.array(np.round(cov, 6), pa.float64())})
+
+    return merged.map_batches(fin, batch_format="pyarrow")
+
+
 def grouped_dim_stats(ds, *, emb_col: str, group_col: str):
     """Per-(group, dimension) statistics of a fixed-width embedding list
     column — label centroids plus per-dimension min/max — WITHOUT exploding

@@ -67,3 +67,28 @@ def test_char_entropy_matches_duckdb(ray_session):
     for i, t in enumerate(texts):
         want = exp_map.get(i, 0.0)
         assert abs(got[i] - want) < 1e-9, (t, got[i], want)
+
+
+def test_dim_covariance_matches_numpy(ray_session):
+    """Blocking-invariant sufficient-statistic covariance == np.cov
+    (population) to 6dp."""
+    import ray.data as rd
+
+    from schema_validator_ray.stages.similarity import dim_covariance
+
+    rng = np.random.default_rng(19)
+    n, d = 3000, 6
+    x = (rng.random((n, d)) * 10).astype(np.float32)
+    tbl = pa.table({"emb": pa.array(list(x), pa.list_(pa.float32()))})
+
+    def run(parts):
+        return (dim_covariance(rd.from_arrow(tbl).repartition(parts),
+                               emb_col="emb")
+                .to_pandas().sort_values(["i", "j"]).reset_index(drop=True))
+
+    a, b = run(3), run(11)
+    assert a.values.tolist() == b.values.tolist()      # blocking-invariant
+    c = np.cov(x.astype(np.float64).T, bias=True)
+    iu, ju = np.triu_indices(d)
+    exp = np.round(c[iu, ju], 6)
+    assert np.allclose(a["cov"].to_numpy(), exp, atol=2e-6)
