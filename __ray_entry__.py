@@ -1578,6 +1578,18 @@ def q_revenue_by_nationkey_salted(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_customers_with_orders(sf_dir: str):
+    """SEMI join (EXISTS): customers having at least one order — the
+    positive counterpart of the anti-join referential check. Distinct order
+    keys broadcast once; filter is map-only."""
+    from schema_validator_ray.stages.referential import semi_join_filter
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    return semi_join_filter(cust, orders, "c_custkey",
+                            side_key="o_custkey")
+
+
 def q_embedding_covariance(sf_dir: str):
     """Covariance matrix of the first 8 embedding dims (upper triangle,
     covar_pop semantics) — the PCA-prep pass. Exchange is sufficient
@@ -2382,6 +2394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_share": q_order_price_share,
         "part_name_typo_pairs": q_part_name_typo_pairs,
         "embedding_covariance": q_embedding_covariance,
+        "customers_with_orders": q_customers_with_orders,
         "doc_char_entropy": q_doc_char_entropy,
         "revenue_by_nationkey_salted": q_revenue_by_nationkey_salted,
         "user_hours_click_and_purchase": q_user_hours_click_and_purchase,
@@ -3134,6 +3147,11 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
                       FROM documents)
              GROUP BY doc_id
+        """,
+        "customers_with_orders": """
+            SELECT c_custkey FROM customer
+             WHERE EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey)
         """,
         "embedding_covariance": """
             WITH e AS (SELECT vec_id,

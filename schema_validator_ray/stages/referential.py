@@ -186,6 +186,41 @@ def referential_violations(ds, side_ds, key: str, *,
         batch_format="pyarrow", batch_size=batch_size)
 
 
+class _SemiJoinStage:
+    def __init__(self, key: str, keyset_ref):
+        self.key = key
+        self.keyset_ref = keyset_ref
+        self._keys_arr = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        col = batch[self.key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if self._keys_arr is None:
+            vals = [v for v in ray.get(self.keyset_ref) if v is not None]
+            self._keys_arr = pa.array(sorted(vals), type=col.type)
+        mask = pc.is_in(col, value_set=self._keys_arr).fill_null(False)
+        return batch.filter(mask)
+
+
+def semi_join_filter(ds, side_ds, key: str, *, side_key: str | None = None,
+                     batch_size: int = 65536):
+    """SEMI join (SQL ``EXISTS``): keep rows of ``ds`` whose ``key`` HAS a
+    match in ``side_ds`` — the positive counterpart of
+    :func:`referential_violations`. Exact broadcast set only (a Bloom filter
+    is sound for the ANTI direction, where false positives merely re-check,
+    but would wrongly KEEP rows here); beyond broadcast budget use
+    ``Dataset.join`` with a distinct-keyed side."""
+    import ray
+
+    side_keys = _side_key_column(side_ds, side_key or key)
+    ref = ray.put(set(side_keys.to_pylist()))
+    return ds.map_batches(_SemiJoinStage(key, ref),
+                          batch_format="pyarrow", batch_size=batch_size)
+
+
 def side_key_count(side) -> int:
     """Row count of the side table WITHOUT materializing it: parquet footer
     metadata for paths, ``num_rows`` for in-memory tables, a distributed

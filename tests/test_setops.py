@@ -62,3 +62,20 @@ def test_except_empty_right(ray_session):
     out = (except_distinct(rd.from_pandas(la), rd.from_pandas(rb), "k")
            .to_pandas())
     assert sorted(out["k"].tolist()) == sorted(la["k"].unique().tolist())
+
+
+def test_semi_join_filter_complements_anti(ray_session):
+    """semi(keys) ∪ anti(keys) == all rows; semi keeps exactly the matched
+    ones (null keys never match, same as SQL EXISTS)."""
+    import ray.data as rd
+
+    from schema_validator_ray.stages.referential import semi_join_filter
+
+    import pyarrow as pa
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4, 5, None, 2], "x": range(7)})
+    left["k"] = left["k"].astype("Int64")
+    side = pa.table({"k": pa.array([2, 4, 9], pa.int64())})
+    out = (semi_join_filter(rd.from_pandas(left), side, "k")
+           .to_pandas().sort_values("x").reset_index(drop=True))
+    assert out["x"].tolist() == [1, 3, 6]     # rows with k in {2, 4}
