@@ -1665,6 +1665,22 @@ def q_price_histogram(sf_dir: str):
                            n_bins=14)
 
 
+def q_events_lead_gap(sf_dir: str):
+    """LEAD() — per-user microseconds until the NEXT event (-1 for the
+    last). Mirror of the lag operator: the carry-in is the next bucket's
+    first ts per key."""
+    from schema_validator_ray.stages.analytics import lead_gap_us
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = lead_gap_us(ds, key="user_id", ts="ts", tiebreak="event_id",
+                      out_col="gap_us", bucket_width="6h")
+    return out.map_batches(
+        lambda b: pa.table({"event_id": b["event_id"],
+                            "user_id": b["user_id"],
+                            "gap_us": pc.cast(b["gap_us"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_customer_balance_quartiles(sf_dir: str):
     """NTILE(4) OVER (PARTITION BY nation ORDER BY acctbal, custkey) with
     exact SQL tile-size semantics (first count%n tiles get ceil(count/n)
@@ -2388,6 +2404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_running_total": q_orders_running_total,
         "events_lag_gap": q_events_lag_gap,
         "events_moving_avg": q_events_moving_avg,
+        "events_lead_gap": q_events_lead_gap,
         "cap_docs_per_source": q_cap_docs_per_source,
         "price_histogram": q_price_histogram,
         "order_price_median": q_order_price_median,
@@ -3218,6 +3235,14 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
                    AS avg_w
+              FROM events
+        """,
+        "events_lead_gap": """
+            SELECT event_id, user_id,
+                   COALESCE(LEAD(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       - epoch_us(ts), -1)
+                   AS gap_us
               FROM events
         """,
         "customer_balance_quartiles": """

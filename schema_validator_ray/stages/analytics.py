@@ -246,6 +246,98 @@ def lag_gap_us(ds, *, key: str, ts: str, tiebreak: str,
             .map_batches(finalize, batch_format="pandas"))
 
 
+def lead_gap_us(ds, *, key: str, ts: str, tiebreak: str,
+                out_col: str = "gap_us", bucket_width="30d",
+                n_shards: int = 32,
+                summary_merge_max: int = _SUMMARY_MERGE_MAX):
+    """``LEAD(epoch_us(ts)) OVER (PARTITION BY key ORDER BY ts, tiebreak) -
+    epoch_us(ts)`` with -1 for a key's last row — the mirror of
+    :func:`lag_gap_us`; the cross-bucket fact is the NEXT bucket's FIRST
+    timestamp per key, so summaries shift one bucket backwards in the
+    driver merge."""
+    import ray
+
+    in_cols = list(ds.schema().names)
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["_bkt"] = _bucket_of(b[ts], bucket_width)
+        out["_shard"] = _shard_series(b[key], n_shards)
+        return out
+
+    def local_scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values([key, "_bkt", ts, tiebreak], kind="stable")
+             .reset_index(drop=True))
+        brk = _key_segments(g[key]) | (g["_bkt"] != g["_bkt"].shift()).to_numpy()
+        us = _order_ints(g[ts]) // 1000
+        nxt = np.r_[us[1:], 0] - us
+        last = np.r_[brk[1:], True]              # segment-last rows
+        nxt[last] = -1                           # unknown: resolve via carry
+        ev = g[in_cols + ["_bkt"]].copy()
+        ev["_gap"] = nxt
+        ev["_last"] = last.astype(np.int8)
+        ev["_side"] = np.int8(0)
+        first = np.flatnonzero(brk)
+        summ = g.iloc[first][in_cols + ["_bkt"]].copy()
+        summ["_gap"] = us[first]                 # bucket-FIRST ts per key
+        summ["_last"] = np.int8(0)
+        summ["_side"] = np.int8(1)
+        return pd.concat([ev, summ], ignore_index=True)
+
+    tagged = (ds.map_batches(bucketize, batch_format="pandas")
+              .groupby(["_shard", "_bkt"]).map_groups(
+                  local_scan, batch_format="pandas").materialize())
+
+    s = _collect_summaries(tagged, [key, "_bkt", "_gap"], summary_merge_max)
+    if s is None:
+        return _exact_lead_gap(ds, key=key, ts=ts, tiebreak=tiebreak,
+                               out_col=out_col)
+
+    if len(s):
+        s = s.sort_values([key, "_bkt"], kind="stable").reset_index(drop=True)
+        same_key_next = np.r_[(s[key].to_numpy()[1:]
+                               == s[key].to_numpy()[:-1]), False]
+        nxt = np.r_[s["_gap"].to_numpy()[1:], -1]
+        nxt[~same_key_next] = -1                 # key's last bucket: none
+        s["_next_us"] = nxt
+        s = s[s["_next_us"] >= 0][[key, "_bkt", "_next_us"]]
+    else:
+        s = s.assign(_next_us=pd.Series([], dtype="int64"))[
+            [key, "_bkt", "_next_us"]]
+    ref = ray.put(s)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(ref)
+        out = df.merge(r, on=[key, "_bkt"], how="left") if len(r) else \
+            df.assign(_next_us=np.nan)
+        us = _order_ints(out[ts]) // 1000
+        last = out["_last"].to_numpy().astype(bool)
+        nxt = out["_next_us"].to_numpy(dtype=np.float64)
+        gap = out["_gap"].to_numpy().copy()
+        hit = last & ~np.isnan(nxt)
+        gap[hit] = nxt[hit].astype(np.int64) - us[hit]
+        out[out_col] = gap
+        return out[in_cols + [out_col]]
+
+    return (tagged.filter(expr="_side == 0")
+            .map_batches(finalize, batch_format="pandas"))
+
+
+def _exact_lead_gap(ds, *, key, ts, tiebreak, out_col):
+    in_cols = list(ds.schema().names)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values([key, ts, tiebreak], kind="stable")
+             .reset_index(drop=True))
+        us = _order_ints(g[ts]) // 1000
+        gap = np.r_[us[1:], 0] - us
+        gap[np.r_[_key_segments(g[key])[1:], True]] = -1
+        g[out_col] = gap
+        return g[in_cols + [out_col]]
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
 def _exact_lag_gap(ds, *, key, ts, tiebreak, out_col):
     in_cols = list(ds.schema().names)
 

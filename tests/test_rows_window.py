@@ -89,3 +89,30 @@ def test_rows_moving_fallback_parity(ray_session):
     b["w_sum"] = b["w_sum"].round(6)
     assert a["w_sum"].tolist() == b["w_sum"].tolist()
     assert a["w_cnt"].tolist() == b["w_cnt"].astype(np.int64).tolist()
+
+
+def test_lead_gap_matches_sql(ray_session):
+    """LEAD across bucket boundaries, hot key, duplicate timestamps."""
+    import ray.data as rd
+
+    from schema_validator_ray.stages.analytics import lead_gap_us
+
+    rng = np.random.default_rng(29)
+    n = 8000
+    df = pd.DataFrame({
+        "k": np.where(rng.random(n) < 0.8, 1,
+                      rng.integers(2, 30, n)).astype(np.int64),
+        "ts": pd.to_datetime(
+            rng.integers(0, 10**9, n) * 1000, unit="us", origin="2024-01-01"),
+        "id": np.arange(n, dtype=np.int64),
+    })
+    df.loc[::11, "ts"] = df["ts"].iloc[0]        # heavy ties
+    out = (lead_gap_us(rd.from_pandas(df).repartition(8), key="k", ts="ts",
+                       tiebreak="id", bucket_width="2min")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT id, COALESCE(LEAD(epoch_us(ts)) OVER (
+                   PARTITION BY k ORDER BY ts, id) - epoch_us(ts), -1)
+               AS gap_us FROM df ORDER BY id""").df()
+    assert out["gap_us"].astype(np.int64).tolist() == \
+        exp["gap_us"].astype(np.int64).tolist()
