@@ -1665,6 +1665,49 @@ def q_price_histogram(sf_dir: str):
                            n_bins=14)
 
 
+def q_events_since_first(sf_dir: str):
+    """FIRST_VALUE window: µs since each user's FIRST event. Composition:
+    keep-best (argmin ts) finds the first event per user with per-batch
+    winner partials, the tiny (user, first_ts) table broadcasts, the
+    subtraction is map-only — the window never shuffles rows."""
+    import ray
+
+    from schema_validator_ray.stages.dedup import keep_best_rows
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    first = keep_best_rows(ds, "user_id", [("ts", False), ("event_id", False)])
+    lut = {}
+    for b in first.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        us = b["ts"].cast(pa.int64()).to_numpy()
+        for u, t in zip(b["user_id"].to_numpy(), us):
+            lut[int(u)] = int(t)
+    ref = ray.put(lut)
+
+    def fin(b: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        import pandas as pd
+
+        codes, uniq = pd.factorize(b["user_id"].to_numpy())
+        f = np.array([m[int(u)] for u in uniq], np.int64)[codes]
+        us = b["ts"].cast(pa.int64()).to_numpy()
+        return pa.table({"event_id": b["event_id"],
+                         "user_id": b["user_id"],
+                         "since_us": pa.array(us - f, pa.int64())})
+
+    return ds.map_batches(fin, batch_format="pyarrow")
+
+
+def q_user_event_type_entropy(sf_dir: str):
+    """Grouped categorical entropy: behavioural diversity per user (bits
+    over the event-type distribution). Sum-only pipeline via
+    H = log2(N) − (Σ c·log2 c)/N."""
+    from schema_validator_ray.stages.stats import grouped_entropy
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return grouped_entropy(ds, "user_id", "event_type",
+                           out_col="type_entropy")
+
+
 def q_events_lead_gap(sf_dir: str):
     """LEAD() — per-user microseconds until the NEXT event (-1 for the
     last). Mirror of the lag operator: the carry-in is the next bucket's
@@ -2405,6 +2448,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_gap": q_events_lag_gap,
         "events_moving_avg": q_events_moving_avg,
         "events_lead_gap": q_events_lead_gap,
+        "events_since_first": q_events_since_first,
+        "user_event_type_entropy": q_user_event_type_entropy,
         "cap_docs_per_source": q_cap_docs_per_source,
         "price_histogram": q_price_histogram,
         "order_price_median": q_order_price_median,
@@ -3236,6 +3281,17 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
                    AS avg_w
               FROM events
+        """,
+        "events_since_first": """
+            SELECT event_id, user_id,
+                   epoch_us(ts) - FIRST_VALUE(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                   AS since_us
+              FROM events
+        """,
+        "user_event_type_entropy": """
+            SELECT user_id, ROUND(entropy(event_type), 6) AS type_entropy
+              FROM events GROUP BY user_id
         """,
         "events_lead_gap": """
             SELECT event_id, user_id,

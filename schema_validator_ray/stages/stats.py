@@ -441,6 +441,47 @@ def _exact_grouped_quantile_fallback(ds, key, col, q, out_col):
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")
 
 
+def grouped_entropy(ds, key: str, col: str, *, out_col: str = "entropy"):
+    """Shannon entropy (bits) of ``col``'s value distribution per ``key`` —
+    e.g. behavioural diversity per user, class balance per source. Matches
+    SQL ``entropy(col) GROUP BY key`` (log2) at 6dp.
+
+    Fully vectorized two-stage shape: per-batch ``(key, value, cnt)``
+    partials (exchange bounded by distinct pairs per batch) → groupby sum →
+    the identity ``H = log2(N) − (Σ c·log2 c)/N`` turns the finish into one
+    more Sum-groupby over per-row terms — no per-group function calls."""
+    from ray.data.aggregate import Sum
+
+    def part(b: pa.Table) -> pa.Table:
+        agg = (b.select([key, col]).drop_null()
+               .group_by([key, col]).aggregate([([], "count_all")]))
+        return pa.table({key: agg[key], col: agg[col],
+                         "cnt": pc.cast(agg["count_all"], pa.int64())})
+
+    pairs = (ds.map_batches(part, batch_format="pyarrow")
+             .groupby([key, col])
+             .aggregate(Sum("cnt", alias_name="cnt")))
+
+    def terms(b: pa.Table) -> pa.Table:
+        c = b["cnt"].to_numpy().astype(np.float64)
+        return pa.table({key: b[key],
+                         "n": pa.array(c, pa.float64()),
+                         "clog": pa.array(c * np.log2(c), pa.float64())})
+
+    sums = (pairs.map_batches(terms, batch_format="pyarrow")
+            .groupby(key)
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("clog", alias_name="clog")))
+
+    def fin(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy()
+        h = np.log2(n) - b["clog"].to_numpy() / n
+        return pa.table({key: b[key],
+                         out_col: pa.array(np.round(h, 6), pa.float64())})
+
+    return sums.map_batches(fin, batch_format="pyarrow")
+
+
 def histogram_fixed(ds, col: str, *, lo: float, hi: float, n_bins: int):
     """Equi-width histogram of a numeric column — the exact companion to the
     t-digest profile. Bin semantics follow SQL ``width_bucket``: values below

@@ -256,3 +256,26 @@ def test_grouped_exact_quantile_fallback_parity(ray_session):
     b = (_exact_grouped_quantile_fallback(ds, "k", "v", 0.5, "qvalue")
          .to_pandas().sort_values("k").reset_index(drop=True))
     assert a["qvalue"].tolist() == b["qvalue"].tolist()
+
+
+def test_grouped_entropy_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_validator_ray.stages.stats import grouped_entropy
+
+    rng = np.random.default_rng(43)
+    n = 15000
+    df = pd.DataFrame({
+        "k": np.where(rng.random(n) < 0.8, 0,
+                      rng.integers(1, 40, n)).astype(np.int64),
+        "v": rng.choice(list("abcdef"), n, p=[.5, .2, .1, .1, .05, .05]),
+    })
+    df.loc[::29, "v"] = None                     # entropy() skips NULLs
+    out = (grouped_entropy(rd.from_pandas(df).repartition(10), "k", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = duckdb.sql("""SELECT k, ROUND(entropy(v), 6) AS entropy
+                          FROM df GROUP BY k ORDER BY k""").df()
+    assert out["k"].tolist() == exp["k"].tolist()
+    assert np.allclose(out["entropy"], exp["entropy"], atol=2e-6)
