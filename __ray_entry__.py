@@ -1455,7 +1455,7 @@ def q_events_lag_gap(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     out = lag_gap_us(ds, key="user_id", ts="ts", tiebreak="event_id",
-                     out_col="gap_us", bucket_width="6h")
+                     out_col="gap_us", bucket_width="2d")
     return out.map_batches(
         lambda b: pa.table({"event_id": b["event_id"],
                             "user_id": b["user_id"],
@@ -1716,7 +1716,7 @@ def q_events_lead_gap(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     out = lead_gap_us(ds, key="user_id", ts="ts", tiebreak="event_id",
-                      out_col="gap_us", bucket_width="6h")
+                      out_col="gap_us", bucket_width="2d")
     return out.map_batches(
         lambda b: pa.table({"event_id": b["event_id"],
                             "user_id": b["user_id"],
@@ -1848,28 +1848,15 @@ def q_revenue_rollup(sf_dir: str):
 
 def q_dup_orders_composite(sf_dir: str):
     """Composite-key uniqueness (the reference's `unique` over MULTIPLE
-    fields): duplicate (o_custkey, o_orderdate) pairs. Same pre-aggregated
-    shape as single-key uniqueness — per-batch (key-pair, count) partials
-    bound any pair's shuffle rows at num_batches."""
-    from ray.data.aggregate import Sum
+    fields): duplicate (o_custkey, o_orderdate) pairs. Reuses the single-key
+    machinery generalized to key lists — per-batch (key-tuple, count)
+    partials plus the driver-merge fast path (near-unique composite keys
+    don't pre-reduce, so Ray's sort-aggregate fixed costs would dominate:
+    measured 7.2 s → 0.6 s at sf0.1)."""
+    from schema_validator_ray.stages.uniqueness import duplicate_keys
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
-
-    def partial(b: pa.Table) -> pa.Table:
-        agg = (b.group_by(["o_custkey", "o_orderdate"])
-               .aggregate([([], "count_all")]))
-        return pa.table({"o_custkey": agg["o_custkey"],
-                         "o_orderdate": agg["o_orderdate"],
-                         "cnt": pc.cast(agg["count_all"], pa.int64())})
-
-    totals = (ds.map_batches(partial, batch_format="pyarrow")
-              .groupby(["o_custkey", "o_orderdate"])
-              .aggregate(Sum("cnt", alias_name="dup_count")))
-
-    def dup_only(b: pa.Table) -> pa.Table:
-        return b.filter(pc.greater(b["dup_count"], 1))
-
-    return totals.map_batches(dup_only, batch_format="pyarrow")
+    return duplicate_keys(ds, ["o_custkey", "o_orderdate"])
 
 
 def q_nation_counts_full_outer(sf_dir: str):

@@ -24,28 +24,30 @@ import pyarrow.compute as pc
 
 
 class _PartialCounts:
-    """Per-batch combiner: (key, count) per distinct key in the batch."""
+    """Per-batch combiner: (key, count) per distinct key (or key tuple) in
+    the batch."""
 
-    def __init__(self, key: str):
-        self.key = key
+    def __init__(self, key):
+        self.keys = [key] if isinstance(key, str) else list(key)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # null keys are not "duplicates of each other" (missing keys are the
         # `required` rule's business) — drop them before counting
-        agg = (batch.select([self.key]).drop_null()
-               .group_by(self.key)
+        agg = (batch.select(self.keys).drop_null()
+               .group_by(self.keys)
                .aggregate([([], "count_all")]))
-        return pa.table({
-            self.key: agg[self.key],
-            "cnt": pc.cast(agg["count_all"], pa.int64()),
-        })
+        cols = {k: agg[k] for k in self.keys}
+        cols["cnt"] = pc.cast(agg["count_all"], pa.int64())
+        return pa.table(cols)
 
 
-def duplicate_keys(ds, key: str, *, batch_size: int = 65536,
+def duplicate_keys(ds, key, *, batch_size: int = 65536,
                    reduce_partitions: int | None = 8,
                    driver_merge_max: int = 5_000_000):
-    """Dataset of (key, dup_count) for keys appearing more than once.
-    The shuffle (or driver merge) sees only pre-aggregated partials.
+    """Dataset of (key, dup_count) for keys appearing more than once; ``key``
+    may be one column name or a list (composite uniqueness — the reference's
+    `unique` over multiple fields). The shuffle (or driver merge) sees only
+    pre-aggregated partials.
 
     Below ``driver_merge_max`` partial rows, the narrow (key, count) partials
     are merged with ONE driver-side pyarrow group_by and returned as a
@@ -58,7 +60,8 @@ def duplicate_keys(ds, key: str, *, batch_size: int = 65536,
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    partials = ds.map_batches(_PartialCounts(key), batch_format="pyarrow",
+    keys = [key] if isinstance(key, str) else list(key)
+    partials = ds.map_batches(_PartialCounts(keys), batch_format="pyarrow",
                               batch_size=batch_size)
     if driver_merge_max:
         parts, total, over = [], 0, False
@@ -72,23 +75,24 @@ def duplicate_keys(ds, key: str, *, batch_size: int = 65536,
         if not over:
             if not parts:
                 sch = ds.schema()
-                ktype = dict(zip(sch.names, sch.types))[key]
-                merged = pa.table({key: pa.array([], ktype),
-                                   "dup_count": pa.array([], pa.int64())})
-                return rd.from_arrow(merged)
-            agg = (pa.concat_tables(parts).group_by(key)
+                types = dict(zip(sch.names, sch.types))
+                cols = {k: pa.array([], types[k]) for k in keys}
+                cols["dup_count"] = pa.array([], pa.int64())
+                return rd.from_arrow(pa.table(cols))
+            agg = (pa.concat_tables(parts).group_by(keys)
                    .aggregate([("cnt", "sum")]))
             dup = agg.filter(pc.greater(agg["cnt_sum"], 1))
-            return rd.from_arrow(pa.table({
-                key: dup[key],
-                "dup_count": pc.cast(dup["cnt_sum"], pa.int64())}))
+            cols = {k: dup[k] for k in keys}
+            cols["dup_count"] = pc.cast(dup["cnt_sum"], pa.int64())
+            return rd.from_arrow(pa.table(cols))
         # fall through: too many partials — recompute distributed from source
-        partials = ds.map_batches(_PartialCounts(key),
+        partials = ds.map_batches(_PartialCounts(keys),
                                   batch_format="pyarrow",
                                   batch_size=batch_size)
     if reduce_partitions:
         partials = partials.repartition(reduce_partitions)
-    totals = partials.groupby(key).aggregate(Sum("cnt", alias_name="dup_count"))
+    totals = partials.groupby(keys if len(keys) > 1 else keys[0]).aggregate(
+        Sum("cnt", alias_name="dup_count"))
     return totals.filter(expr="dup_count > 1")
 
 
