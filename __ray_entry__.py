@@ -1511,25 +1511,39 @@ def _events_user_hours(sf_dir: str, event_type: str):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+def _events_set_op(sf_dir: str, op: str):
+    """Both sides are filters of the SAME events table, so the fused
+    single-scan path applies: one read emits each batch's click- and
+    purchase-side distinct (user, hour) tuples already tagged (halves the
+    input scan vs two side reads; measured 5.3 s -> 2.6 s at sf0.1)."""
+    from schema_validator_ray.stages.setops import set_op_same_source
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"],
+                         "hour": pc.floor_temporal(b["ts"], unit="hour"),
+                         "event_type": b["event_type"]})
+
+    return set_op_same_source(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        ["user_id", "hour"],
+        lambda b: pc.equal(b["event_type"], "click"),
+        lambda b: pc.equal(b["event_type"], "purchase"),
+        op)
+
+
 def q_user_hours_click_and_purchase(sf_dir: str):
     """Composite-key INTERSECT: (user, hour) cells with BOTH a click and a
     purchase. Each side ships per-batch distinct tuples with a side flag;
-    one small flag groupby replaces any row-level shuffle."""
-    from schema_validator_ray.stages.setops import intersect_distinct
-
-    return intersect_distinct(_events_user_hours(sf_dir, "click"),
-                              _events_user_hours(sf_dir, "purchase"),
-                              ["user_id", "hour"])
+    one small flag merge replaces any row-level shuffle."""
+    return _events_set_op(sf_dir, "intersect")
 
 
 def q_user_hours_click_no_purchase(sf_dir: str):
     """Composite-key EXCEPT: (user, hour) cells that clicked but never
     purchased (same tagged-distinct shape, left-only membership filter)."""
-    from schema_validator_ray.stages.setops import except_distinct
-
-    return except_distinct(_events_user_hours(sf_dir, "click"),
-                           _events_user_hours(sf_dir, "purchase"),
-                           ["user_id", "hour"])
+    return _events_set_op(sf_dir, "except")
 
 
 def q_doc_char_entropy(sf_dir: str):

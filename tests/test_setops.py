@@ -64,6 +64,36 @@ def test_except_empty_right(ray_session):
     assert sorted(out["k"].tolist()) == sorted(la["k"].unique().tolist())
 
 
+@pytest.mark.parametrize("op,sql", [("intersect", "INTERSECT"),
+                                    ("except", "EXCEPT")])
+def test_set_op_same_source_matches_two_scan(ray_session, op, sql):
+    """Fused single-scan path == two-scan path == SQL, including the
+    over-budget distributed fallback (driver_merge_max=1)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from schema_validator_ray.stages.setops import set_op_same_source
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 150, n).astype(np.int64),
+        "g": rng.integers(0, 4, n).astype(np.int64),
+        "side": rng.choice(["a", "b", "c"], n)})
+    exp = duckdb.sql(
+        f"""SELECT k, g FROM df WHERE side = 'a'
+            {sql} SELECT k, g FROM df WHERE side = 'b'
+            ORDER BY k, g""").df()
+    for budget in (5_000_000, 1):
+        out = (set_op_same_source(
+                   rd.from_pandas(df).repartition(9), ["k", "g"],
+                   lambda b: pc.equal(b["side"], "a"),
+                   lambda b: pc.equal(b["side"], "b"),
+                   op, driver_merge_max=budget)
+               .to_pandas().sort_values(["k", "g"]).reset_index(drop=True))
+        assert out.values.tolist() == exp.values.tolist(), budget
+
+
 def test_semi_join_filter_complements_anti(ray_session):
     """semi(keys) ∪ anti(keys) == all rows; semi keeps exactly the matched
     ones (null keys never match, same as SQL EXISTS)."""
