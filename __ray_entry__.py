@@ -1015,6 +1015,38 @@ def q_knn_embeddings(sf_dir: str):
                      "neighbor_id": out["neighbor_id"]})
 
 
+def q_knn_self_join(sf_dir: str):
+    """Exact cosine k-NN JOIN of embeddings with itself (top-3 most-similar
+    OTHER vectors per vector) — the retrieval-style all-rows variant of
+    knn_embeddings. Corpus matrix broadcast once; map-side final (each batch
+    sees the whole right side). Cosine excluded from the compared projection
+    (float-ulp safety); selection order is (6dp cosine DESC, neighbor_id)
+    on both sides."""
+    from schema_validator_ray.stages.similarity import knn_self_join
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_self_join(ds, k=3)
+    return out.map_batches(
+        lambda b: pa.table({"vec_id": b["vec_id"],
+                            "neighbor_id": b["neighbor_id"]}),
+        batch_format="pyarrow")
+
+
+def q_knn_join_ivf(sf_dir: str):
+    """Approximate k-NN self-join via IVF cell co-partitioning (the 100-TB
+    path: nothing broadcasts but the centroid matrix; candidates meet inside
+    groupby(cell)). Rows-only — recall vs the exact join is pinned in
+    tests/test_knn_join.py."""
+    from schema_validator_ray.stages.similarity import knn_join_ivf
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_join_ivf(ds, k=3, n_cells=8, n_probe=3)
+    return out.map_batches(
+        lambda b: pa.table({"vec_id": b["vec_id"],
+                            "neighbor_id": b["neighbor_id"]}),
+        batch_format="pyarrow")
+
+
 def q_embedding_pairs_cos03(sf_dir: str):
     """All pairs with cosine >= 0.3 — brute verification baseline (the LSH
     variant is q_embedding_near_dup_lsh, rows-only)."""
@@ -2429,6 +2461,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionized": q_events_sessionized,
         "top_orders_per_customer": q_top_orders_per_customer,
         "knn_embeddings": q_knn_embeddings,
+        "knn_self_join": q_knn_self_join,
+        "knn_join_ivf": q_knn_join_ivf,
         "embedding_pairs_cos03": q_embedding_pairs_cos03,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "embedding_dup_groups": q_embedding_dup_groups,
@@ -3087,6 +3121,15 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
              WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                           CAST(b.embedding AS DOUBLE[])) >= 0.3
+        """,
+        "knn_self_join": """
+            SELECT a.vec_id, b.vec_id AS neighbor_id
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY a.vec_id
+                ORDER BY round(list_cosine_similarity(
+                    CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])), 6) DESC, b.vec_id) <= 3
         """,
         "embedding_near_dup_lsh": _lsh_oracle_sql(),
         # exact char-5-gram Jaccard join: DuckDB reproduces the engine's

@@ -102,6 +102,240 @@ def knn_brute(ds, queries: np.ndarray, *, emb_col: str = "embedding",
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def _topk_rows(sims: np.ndarray, k: int, tie_margin: int = 64) -> np.ndarray:
+    """Per-row top-k column indices ordered by (score DESC, column ASC) —
+    O(N) argpartition + an O(m log m) sort of the m = k+tie_margin candidate
+    slice instead of a full O(N log N) row sort. Exact: a row whose k-th
+    score ties the worst candidate (the tie could extend past the slice)
+    falls back to the full stable sort."""
+    n = sims.shape[1]
+    m = min(k + tie_margin, n)
+    if m >= n:
+        return np.argsort(-sims, axis=1, kind="stable")[:, :k]
+    part = np.argpartition(-sims, m - 1, axis=1)[:, :m]
+    psims = np.take_along_axis(sims, part, 1)
+    # row-wise order by (-score primary, column index secondary)
+    ord2 = np.lexsort((part, -psims), axis=1)[:, :k]
+    top = np.take_along_axis(part, ord2, 1)
+    kth = np.take_along_axis(psims, ord2[:, k - 1:k], 1).ravel()
+    bad = kth <= psims.min(axis=1)
+    if bad.any():
+        top[bad] = np.argsort(-sims[bad], axis=1, kind="stable")[:, :k]
+    return top
+
+
+class _SelfJoinTopK:
+    """Per-batch exact top-k against the broadcast corpus matrix. ids_all is
+    sorted ascending so a STABLE argsort over -scores breaks score ties by
+    neighbor_id — the same (score DESC, neighbor_id ASC) order the SQL
+    QUALIFY oracle uses."""
+
+    def __init__(self, emb_col: str, id_col: str, ref, k: int):
+        self.emb_col = emb_col
+        self.id_col = id_col
+        self.ref = ref
+        self.k = k
+        self._corpus = None
+        self._buf = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        import ray
+
+        if self._corpus is None:
+            self._corpus = ray.get(self.ref)
+        ids_all, mat_all = self._corpus
+        mat = _normalize(_to_matrix(batch[self.emb_col]))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        n = len(ids_all)
+        k = min(self.k, n - 1)
+        if k <= 0:
+            return empty
+        # Chunk the (rows x N) score matrix through ONE reused buffer:
+        # peak memory stays chunk x N regardless of batch size, and the
+        # pages are touched once (fresh per-step allocations of the full
+        # matrix dominate wall time on slow-page-fault hosts).
+        chunk = max(1, (4 << 20) // (8 * n))
+        if self._buf is None or self._buf.shape != (chunk, n):
+            self._buf = np.empty((chunk, n), np.float64)
+        out_id, out_nb, out_s = [], [], []
+        for s in range(0, len(ids), chunk):
+            sub = mat[s:s + chunk]
+            sims = np.dot(sub, mat_all.T, out=self._buf[:len(sub)])
+            np.round(sims, 6, out=sims)               # oracle 6dp tie order
+            sims[ids[s:s + chunk, None] == ids_all[None, :]] = -np.inf
+            order = _topk_rows(sims, k)
+            out_id.append(np.repeat(ids[s:s + chunk], k))
+            out_nb.append(ids_all[order.ravel()])
+            out_s.append(np.take_along_axis(sims, order, 1).ravel().copy())
+        return pa.table({
+            "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(out_nb), pa.int64()),
+            "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+
+def knn_self_join(ds, *, emb_col: str = "embedding", id_col: str = "vec_id",
+                  k: int = 5, batch_size: int = 4096,
+                  max_broadcast_rows: int = 2_000_000):
+    """Exact cosine k-NN JOIN of a table with itself (every vector's top-k
+    most-similar OTHER vectors): the id-sorted corpus matrix broadcasts once
+    via ``ray.put`` (zero-copy numpy read per task), each batch is one matmul
+    + stable top-k, and — because every batch sees the whole right side — the
+    result is final map-side, no merge stage. Exact-baseline shape: the
+    corpus must fit the broadcast budget; above it use ``knn_join_ivf``
+    (cell-co-partitioned, approximate)."""
+    import ray
+
+    t = _gather_corpus(ds, emb_col, id_col, max_broadcast_rows)
+    ids_all = t[id_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids_all, kind="stable")
+    ids_all = np.ascontiguousarray(ids_all[order]).astype(np.int64)
+    mat_all = _normalize(_to_matrix(t[emb_col]))[order]
+    ref = ray.put((ids_all, np.ascontiguousarray(mat_all)))
+    return ds.select_columns([id_col, emb_col]).map_batches(
+        _SelfJoinTopK(emb_col, id_col, ref, k),
+        batch_format="pyarrow", batch_size=batch_size)
+
+
+def _gather_corpus(ds, emb_col: str, id_col: str,
+                   max_rows: int) -> pa.Table:
+    parts, total = [], 0
+    for b in ds.select_columns([id_col, emb_col]).iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        parts.append(b)
+        total += b.num_rows
+        if total > max_rows:
+            raise ValueError(
+                f"knn_self_join corpus exceeds the {max_rows}-row broadcast "
+                "budget; use knn_join_ivf (cell-co-partitioned) instead")
+    if not parts:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         emb_col: pa.array([], pa.list_(pa.float32()))})
+    return pa.concat_tables(parts)
+
+
+def knn_join_ivf(ds, *, emb_col: str = "embedding", id_col: str = "vec_id",
+                 k: int = 5, n_cells: int = 16, n_probe: int = 4,
+                 sample_rows: int = 2048, batch_size: int = 4096,
+                 driver_merge_max: int = 5_000_000):
+    """Approximate cosine k-NN self-join at corpus scale: vectors co-partition
+    by nearest-centroid cell, every vector additionally PROBES its n_probe
+    nearest cells (explode to n_probe narrow candidate rows), and each
+    ``groupby(cell)`` group runs one members × probes matmul emitting
+    per-probe top-k partials; a ``groupby(vec_id)`` second stage merges them.
+    Nothing broadcasts but the (n_cells × dim) centroid matrix; the cell id
+    is the storage partition key at scale. Approximate (recall set by
+    n_probe/n_cells) — pin recall in tests, not equality."""
+    import pandas as pd
+
+    import ray
+
+    sample = ds.select_columns([emb_col]).limit(sample_rows)
+    mat = np.vstack([
+        _to_matrix(b[emb_col]) for b in
+        sample.iter_batches(batch_size=sample_rows, batch_format="pyarrow")])
+    cent = train_centroids(mat, n_cells)
+    cent_ref = ray.put(cent)
+
+    def tag(b: pa.Table) -> pa.Table:
+        """Each row -> 1 member row (own cell) + n_probe probe rows."""
+        if b.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                emb_col: pa.array([], b.schema.field(emb_col).type),
+                "cell": pa.array([], pa.int32()),
+                "is_probe": pa.array([], pa.int8())})
+        c = ray.get(cent_ref)
+        m = _normalize(_to_matrix(b[emb_col]))
+        near = np.argsort(-(m @ c.T), axis=1, kind="stable")
+        npb = min(n_probe, near.shape[1])
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        emb = b[emb_col]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        member = pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            emb_col: emb,
+            "cell": pa.array(near[:, 0].astype(np.int32)),
+            "is_probe": pa.array(np.zeros(len(ids), np.int8))})
+        reps = pa.table({
+            id_col: pa.array(np.repeat(ids, npb), pa.int64()),
+            emb_col: emb.take(pa.array(np.repeat(np.arange(len(ids)), npb))),
+            "cell": pa.array(near[:, :npb].ravel().astype(np.int32)),
+            "is_probe": pa.array(np.ones(len(ids) * npb, np.int8))})
+        return pa.concat_tables([member, reps])
+
+    tagged = ds.select_columns([id_col, emb_col]).map_batches(
+        tag, batch_format="pyarrow", batch_size=batch_size)
+
+    def cell_topk(df: pd.DataFrame) -> pd.DataFrame:
+        members = df[df["is_probe"] == 0]
+        probes = df[df["is_probe"] == 1]
+        if not len(members) or not len(probes):
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "neighbor_id": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        m_ids = members[id_col].to_numpy()
+        ms = np.argsort(m_ids, kind="stable")
+        m_ids = m_ids[ms]
+        m_mat = _normalize(np.vstack(members[emb_col].to_numpy()[ms])
+                           .astype(np.float64))
+        p_ids = probes[id_col].to_numpy()
+        p_mat = _normalize(np.vstack(probes[emb_col].to_numpy())
+                           .astype(np.float64))
+        sims = np.round(p_mat @ m_mat.T, 6)
+        sims[p_ids[:, None] == m_ids[None, :]] = -np.inf
+        kk = min(k, sims.shape[1])
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        out = pd.DataFrame({
+            "vec_id": np.repeat(p_ids, kk).astype(np.int64),
+            "neighbor_id": m_ids[order.ravel()].astype(np.int64),
+            "cosine": np.take_along_axis(sims, order, 1).ravel()})
+        return out[np.isfinite(out["cosine"])]
+
+    partials = tagged.groupby("cell").map_groups(
+        cell_topk, batch_format="pandas")
+
+    # The per-probe partials are tiny (<= (n_probe+1) x k rows per vector),
+    # so below the budget ONE driver merge replaces a second sort-groupby's
+    # fixed costs; above it, the distributed groupby(vec_id) merge runs.
+    if driver_merge_max:
+        import ray.data as rd
+
+        parts, total, over = [], 0, False
+        for b in partials.iter_batches(batch_format="pandas",
+                                       batch_size=None):
+            parts.append(b)
+            total += len(b)
+            if total > driver_merge_max:
+                over = True
+                break
+        if not over:
+            if not parts:
+                return partials
+            allp = (pd.concat(parts)
+                    .drop_duplicates(["vec_id", "neighbor_id"])
+                    .sort_values(["vec_id", "cosine", "neighbor_id"],
+                                 ascending=[True, False, True]))
+            out = allp.groupby("vec_id", sort=True).head(k)
+            return rd.from_pandas(out.reset_index(drop=True))
+        partials = tagged.groupby("cell").map_groups(
+            cell_topk, batch_format="pandas")
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.drop_duplicates(["vec_id", "neighbor_id"])
+                .sort_values(["cosine", "neighbor_id"],
+                             ascending=[False, True]).head(k))
+
+    return partials.groupby("vec_id").map_groups(
+        merge_topk, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # IVF
 

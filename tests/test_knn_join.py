@@ -1,0 +1,111 @@
+"""k-NN self-join: exact brute path vs a local numpy reference (bit-exact
+membership incl. tie order), IVF co-partitioned path recall, and the
+broadcast-budget guard."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from schema_validator_ray.stages.similarity import (knn_join_ivf,
+                                                    knn_self_join)
+
+
+def _emb_df(seed: int, n: int, dim: int = 16, clusters: int = 5):
+    """Clustered vectors (so IVF cells are meaningful) + a few exact clones
+    (score ties exercise the stable ordering)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(clusters, dim))
+    lab = rng.integers(0, clusters, n)
+    v = centers[lab] + 0.15 * rng.normal(size=(n, dim))
+    v[7] = v[3]
+    v[11] = v[3]
+    return pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                         "embedding": list(v.astype(np.float32))})
+
+
+def _emb_ds(df: pd.DataFrame):
+    """Arrow fixed-size-list embedding column (the parquet-native layout —
+    rd.from_pandas would produce Ray's tensor extension type instead)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    v = np.vstack(df["embedding"].to_numpy()).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(df["vec_id"].to_numpy(), pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(v.ravel(), pa.float32()), v.shape[1])})
+    return rd.from_arrow(t)
+
+
+def _local_topk(df: pd.DataFrame, k: int) -> set[tuple[int, int]]:
+    m = np.vstack(df["embedding"].to_numpy()).astype(np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    ids = df["vec_id"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    ids, m = ids[order], m[order]
+    sims = np.round(m @ m.T, 6)
+    np.fill_diagonal(sims, -np.inf)
+    top = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+    return {(int(ids[i]), int(ids[j])) for i in range(len(ids))
+            for j in top[i]}
+
+
+def test_knn_self_join_matches_local_reference(ray_session):
+    import ray.data as rd
+
+    df = _emb_df(5, 120)
+    got = (knn_self_join(_emb_ds(df).repartition(6), k=4)
+           .to_pandas())
+    pairs = set(zip(got["vec_id"], got["neighbor_id"]))
+    assert pairs == _local_topk(df, 4)
+    # the clone group finds each other with cosine 1.0
+    clones = got[got["vec_id"] == 3]
+    assert {7, 11} <= set(clones["neighbor_id"])
+    assert (clones[clones["neighbor_id"].isin([7, 11])]["cosine"]
+            == 1.0).all()
+    assert got.groupby("vec_id").size().eq(4).all()
+
+
+def test_topk_rows_matches_full_sort():
+    """argpartition fast path == full stable sort, including rows that are
+    ALL ties (forces the boundary fallback) and quantized near-ties."""
+    from schema_validator_ray.stages.similarity import _topk_rows
+
+    rng = np.random.default_rng(2)
+    sims = np.round(rng.normal(size=(50, 300)), 1)   # heavy ties at 1dp
+    sims[7, :] = 0.5                                  # a full-tie row
+    sims[12, 5:] = -np.inf
+    for k, margin in ((3, 2), (10, 64), (1, 0)):
+        exp = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+        got = _topk_rows(sims, k, tie_margin=margin)
+        assert (got == exp).all(), (k, margin)
+
+
+def test_knn_self_join_budget_guard(ray_session):
+    import ray.data as rd
+
+    with pytest.raises(ValueError, match="broadcast budget"):
+        knn_self_join(_emb_ds(_emb_df(1, 50)), k=2,
+                      max_broadcast_rows=10)
+
+
+def test_knn_join_ivf_recall(ray_session):
+    """Cell-co-partitioned approximate join: high recall on clustered data,
+    every emitted neighbor real (subset of the corpus, never self)."""
+    import ray.data as rd
+
+    df = _emb_df(9, 400, dim=12, clusters=4)
+    exact = _local_topk(df, 3)
+    got = (knn_join_ivf(_emb_ds(df).repartition(8), k=3,
+                        n_cells=6, n_probe=3)
+           .to_pandas())
+    assert (got["vec_id"] != got["neighbor_id"]).all()
+    assert got.groupby("vec_id").size().le(3).all()
+    assert got["vec_id"].nunique() == 400
+    pairs = set(zip(got["vec_id"], got["neighbor_id"]))
+    recall = len(pairs & exact) / len(exact)
+    assert recall >= 0.9, recall
+    # over-budget distributed merge returns the same pair set
+    got2 = (knn_join_ivf(_emb_ds(df).repartition(8), k=3,
+                         n_cells=6, n_probe=3, driver_merge_max=1)
+            .to_pandas())
+    assert set(zip(got2["vec_id"], got2["neighbor_id"])) == pairs
