@@ -2202,6 +2202,19 @@ def q_events_value_outliers(sf_dir: str):
         out_cols=["event_id", "event_type", "value"])
 
 
+def q_events_mad_outliers(sf_dir: str):
+    """Robust outliers: events beyond 3.5 MADs from their event-type MEDIAN
+    (median/MAD resists the very outliers a mean/std z-score is dragged by).
+    Exact quantile_disc medians via distributed selection; both broadcast
+    tables are |event types| rows."""
+    from schema_validator_ray.stages.analytics import mad_outliers
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return mad_outliers(
+        ds, value_col="value", group_col="event_type", k=3.5,
+        bucket_width=10.0, out_cols=["event_id", "event_type", "value"])
+
+
 def q_source_quality_report(sf_dir: str):
     """Per-source curation report (doc count, token count, mean quality,
     mean duplicate-token fraction): per-batch combine -> tiny groupby —
@@ -2507,6 +2520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": q_source_overlap,
         "label_centroids": q_label_centroids,
         "events_value_outliers": q_events_value_outliers,
+        "events_mad_outliers": q_events_mad_outliers,
         "source_quality_report": q_source_quality_report,
         "frequent_users": q_frequent_users,
         "latest_event_per_user": q_latest_event_per_user,
@@ -3476,6 +3490,19 @@ def oracle_sql() -> dict[str, str]:
                                AS pos
                       FROM embeddings)
              GROUP BY label, pos
+        """,
+        "events_mad_outliers": """
+            WITH med AS (SELECT event_type,
+                                quantile_disc(value, 0.5) AS med
+                           FROM events GROUP BY 1),
+                 mad AS (SELECT e.event_type,
+                                quantile_disc(abs(e.value - m.med), 0.5) AS mad
+                           FROM events e JOIN med m USING (event_type)
+                          GROUP BY 1)
+            SELECT e.event_id, e.event_type, e.value
+              FROM events e JOIN med m USING (event_type)
+                            JOIN mad d USING (event_type)
+             WHERE abs(e.value - m.med) > 3.5 * d.mad
         """,
         "events_value_outliers": """
             WITH s AS (SELECT event_type, count(*) AS n, sum(value) AS sv,

@@ -650,6 +650,67 @@ def group_zscore_outliers(ds, *, value_col: str, group_col: str,
     return ds.map_batches(flag, batch_format="pyarrow")
 
 
+def mad_outliers(ds, *, value_col: str, group_col: str, k: float = 3.5,
+                 bucket_width: float = 1.0, out_cols=None):
+    """Rows whose value deviates more than ``k`` median-absolute-deviations
+    from their group's MEDIAN — the robust companion of
+    ``group_zscore_outliers`` (a z-score is itself dragged by the outliers
+    it hunts; median/MAD is not). Exact quantile_disc medians, so the SQL
+    oracle matches bit-for-bit.
+
+    Three passes, zero row-level shuffle:
+
+    1. per-group median via ``grouped_exact_quantile`` (distributed
+       selection — only (key, bucket, count) partials move);
+    2. the medians broadcast via ``ray.put``; a map-only derived
+       ``|v − med|`` column feeds a second ``grouped_exact_quantile`` for
+       the per-group MAD;
+    3. the (median, MAD) table broadcasts and the filter runs map-only.
+
+    Groups where MAD = 0 (more than half the values identical) flag every
+    ``v != median`` row, same as the SQL comparison."""
+    import ray
+
+    from schema_validator_ray.stages.stats import grouped_exact_quantile
+
+    med_rows = grouped_exact_quantile(
+        ds, group_col, value_col, 0.5, bucket_width=bucket_width,
+        out_col="med").take_all()                      # |groups| rows
+    med = {r[group_col]: r["med"] for r in med_rows}
+    med_ref = ray.put(med)
+
+    def absdev(b: pa.Table) -> pa.Table:
+        mm = ray.get(med_ref)
+        t = b.select([group_col, value_col]).drop_null()
+        codes, uniq = pd.factorize(
+            t[group_col].to_numpy(zero_copy_only=False))
+        mu = np.array([mm.get(u, np.nan) for u in uniq])
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({group_col: t[group_col],
+                         "_absdev": pa.array(np.abs(v - mu[codes]),
+                                             pa.float64())})
+
+    dev = ds.map_batches(absdev, batch_format="pyarrow")
+    mad_rows = grouped_exact_quantile(
+        dev, group_col, "_absdev", 0.5, bucket_width=bucket_width,
+        out_col="mad").take_all()
+    mad = {r[group_col]: r["mad"] for r in mad_rows}
+    ref = ray.put((med, mad))
+
+    def flag(b: pa.Table) -> pa.Table:
+        mm, dd = ray.get(ref)
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        codes, uniq = pd.factorize(
+            b[group_col].to_numpy(zero_copy_only=False))
+        mu = np.array([mm.get(u, np.nan) for u in uniq])
+        ma = np.array([dd.get(u, np.nan) for u in uniq])
+        keep = np.abs(v - mu[codes]) > k * ma[codes]   # NaN compares False
+        out = b.filter(pa.array(keep))
+        return out.select(out_cols) if out_cols else out
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
 def rank_window(ds, *, key: str, order_col: str, bucket_width=2000.0,
                 n_shards: int = 32,
                 summary_merge_max: int = _SUMMARY_MERGE_MAX):

@@ -226,3 +226,45 @@ def test_rank_window_single_row_partition_pct_zero(ray_session):
            .to_pandas().sort_values("id").reset_index(drop=True))
     assert out.loc[0, "pct_rank"] == 0.0
     assert out.loc[2, "pct_rank"] == 1.0
+
+
+def test_mad_outliers_vs_duckdb(ray_session):
+    """Robust outliers match the SQL median/MAD formulation exactly,
+    including a zero-MAD group (every non-median row flags) and null
+    values (never flagged)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_validator_ray.stages.analytics import mad_outliers
+
+    rng = np.random.default_rng(6)
+    n = 4000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "g": rng.choice(["a", "b", "zero_mad"], n),
+        "v": rng.normal(50, 10, n).round(2)})
+    df.loc[df["g"] == "zero_mad", "v"] = 7.0          # constant group...
+    spike = df.index[df["g"] == "zero_mad"][:5]
+    df.loc[spike, "v"] = 9.0                          # ...plus 5 deviants
+    df.loc[::97, "v"] = np.nan                        # nulls never flag
+    df.loc[3, "v"] = 500.0                            # an obvious outlier
+
+    out = (mad_outliers(rd.from_pandas(df).repartition(8),
+                        value_col="v", group_col="g", k=3.5,
+                        bucket_width=5.0,
+                        out_cols=["event_id", "g", "v"])
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    exp = duckdb.sql("""
+        WITH med AS (SELECT g, quantile_disc(v, 0.5) AS med
+                       FROM df GROUP BY 1),
+             mad AS (SELECT e.g, quantile_disc(abs(e.v - m.med), 0.5) AS mad
+                       FROM df e JOIN med m USING (g) GROUP BY 1)
+        SELECT e.event_id, e.g, e.v
+          FROM df e JOIN med m USING (g) JOIN mad d USING (g)
+         WHERE abs(e.v - m.med) > 3.5 * d.mad
+         ORDER BY e.event_id""").df()
+    assert out["event_id"].tolist() == exp["event_id"].tolist()
+    assert 3 in out["event_id"].values
+    assert set(spike) <= set(out["event_id"].values)   # zero-MAD deviants
