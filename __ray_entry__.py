@@ -1047,6 +1047,19 @@ def q_knn_join_ivf(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_embedding_kmeans(sf_dir: str):
+    """Distributed spherical k-means over the full embeddings table (Lloyd:
+    per-iteration broadcast centroids + O(k × dim × batches) partial-sum
+    exchange, never a row shuffle). Rows-only — clustering has no SQL
+    equivalent; determinism, inertia monotonicity and
+    assignment-is-nearest-final-centroid are pinned in tests."""
+    from schema_validator_ray.stages.similarity import kmeans
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    assigned, _cent, _hist = kmeans(ds, k=8, iters=8, seed=11)
+    return assigned
+
+
 def q_embedding_pairs_cos03(sf_dir: str):
     """All pairs with cosine >= 0.3 — brute verification baseline (the LSH
     variant is q_embedding_near_dup_lsh, rows-only)."""
@@ -2476,6 +2489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embeddings": q_knn_embeddings,
         "knn_self_join": q_knn_self_join,
         "knn_join_ivf": q_knn_join_ivf,
+        "embedding_kmeans": q_embedding_kmeans,
         "embedding_pairs_cos03": q_embedding_pairs_cos03,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "embedding_dup_groups": q_embedding_dup_groups,

@@ -336,6 +336,115 @@ def knn_join_ivf(ds, *, emb_col: str = "embedding", id_col: str = "vec_id",
         merge_topk, batch_format="pandas")
 
 
+def kmeans(ds, *, emb_col: str = "embedding", id_col: str = "vec_id",
+           k: int = 8, iters: int = 10, seed: int = 11,
+           batch_size: int = 4096, tol: float = 1e-6):
+    """Distributed Lloyd's k-means over the WHOLE dataset (cosine/spherical:
+    vectors and centroids unit-normalized — the embedding-native metric;
+    ``train_centroids`` is the sampled sketch used for IVF, this is the full
+    clustering operator).
+
+    Each iteration is ONE streaming pass: centroids broadcast via
+    ``ray.put``, every batch emits k partial rows (cell, count, vector sum)
+    — the exchange is O(k × dim × batches), never O(rows) — and the driver
+    merges them in (cell, batch) order (deterministic summation). Empty
+    cells keep their previous centroid. Stops early when total centroid
+    movement drops below ``tol``.
+
+    Returns ``(assigned_ds, centroids, inertia_per_iter)`` where
+    ``assigned_ds`` appends a ``cluster`` column map-side (one extra pass)
+    and inertia is Σ(1 − cos) of the assignment pass of each iteration."""
+    import ray
+
+    sample = ds.select_columns([emb_col]).limit(max(4 * k, 256))
+    mat = np.vstack([
+        _to_matrix(b[emb_col]) for b in
+        sample.iter_batches(batch_size=1 << 20, batch_format="pyarrow")])
+    rng = np.random.default_rng(seed)
+    cent = _normalize(np.asarray(mat, np.float64))[
+        rng.choice(len(mat), size=min(k, len(mat)), replace=False)]
+    inertia_hist: list[float] = []
+
+    def partials_fn(cent_ref):
+        def fn(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({
+                    "cell": pa.array([], pa.int32()),
+                    "n": pa.array([], pa.int64()),
+                    "sum": pa.array([], pa.list_(pa.float64())),
+                    "loss": pa.array([], pa.float64())})
+            c = ray.get(cent_ref)
+            m = _normalize(_to_matrix(b[emb_col]))
+            sims = m @ c.T
+            cell = sims.argmax(axis=1)
+            best = sims[np.arange(len(m)), cell]
+            n = np.bincount(cell, minlength=len(c)).astype(np.int64)
+            s = np.zeros((len(c), m.shape[1]))
+            np.add.at(s, cell, m)
+            loss = np.zeros(len(c))
+            np.add.at(loss, cell, 1.0 - best)
+            keep = n > 0
+            return pa.table({
+                "cell": pa.array(np.flatnonzero(keep).astype(np.int32)),
+                "n": pa.array(n[keep], pa.int64()),
+                "sum": pa.array(list(s[keep]), pa.list_(pa.float64())),
+                "loss": pa.array(loss[keep], pa.float64())})
+        return fn
+
+    # pin the NARROW working set (the embedding column only) in the object
+    # store once — every Lloyd pass re-reads it from plasma instead of
+    # re-scanning storage; spills to disk if it outgrows memory
+    emb = ds.select_columns([emb_col]).materialize()
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+        rows = []
+        for b in emb.map_batches(
+                partials_fn(cent_ref), batch_format="pyarrow",
+                batch_size=batch_size).iter_batches(
+                batch_format="pandas", batch_size=None):
+            rows.append(b)
+        import pandas as pd
+
+        if not rows:
+            break
+        allp = pd.concat(rows).sort_values("cell", kind="stable")
+        new = cent.copy()
+        moved = 0.0
+        tot_loss = float(np.sort(allp["loss"].to_numpy()).sum())
+        for cell, g in allp.groupby("cell", sort=True):
+            sums = np.vstack(g["sum"].to_numpy())
+            # canonical summation order (partials arrive in task-completion
+            # order, which is not deterministic): sort rows by (n, sum
+            # vector) before reducing so reruns are bit-identical
+            order = np.lexsort(
+                tuple(sums.T[::-1]) + (g["n"].to_numpy(),))
+            s = np.sum(sums[order], axis=0)
+            v = s / max(float(g["n"].sum()), 1.0)
+            nv = v / max(np.linalg.norm(v), 1e-12)
+            moved += float(np.linalg.norm(nv - cent[cell]))
+            new[cell] = nv
+        inertia_hist.append(tot_loss)
+        cent = new
+        if moved < tol:
+            break
+
+    final_ref = ray.put(cent)
+
+    def assign(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int32())})
+        c = ray.get(final_ref)
+        m = _normalize(_to_matrix(b[emb_col]))
+        return pa.table({
+            id_col: b[id_col],
+            "cluster": pa.array((m @ c.T).argmax(axis=1).astype(np.int32))})
+
+    assigned = ds.select_columns([id_col, emb_col]).map_batches(
+        assign, batch_format="pyarrow", batch_size=batch_size)
+    return assigned, cent, inertia_hist
+
+
 # ---------------------------------------------------------------------------
 # IVF
 
