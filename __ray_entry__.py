@@ -2215,6 +2215,20 @@ def q_events_value_outliers(sf_dir: str):
         out_cols=["event_id", "event_type", "value"])
 
 
+def q_events_funnel(sf_dir: str):
+    """Windowed conversion funnel view -> click -> purchase (each step within
+    1 day of the previous): per-user (t1, t2, t3) epoch-µs table, NULL from
+    the first missed step. Narrow per-step min tables, hash joins, map-side
+    window filters — exact against the SQL chain of correlated mins."""
+    from schema_validator_ray.stages.funnel import funnel
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel(ds, user_col="user_id", ts_col="ts",
+                  type_col="event_type",
+                  steps=["view", "click", "purchase"],
+                  window_us=86_400_000_000)
+
+
 def q_events_mad_outliers(sf_dir: str):
     """Robust outliers: events beyond 3.5 MADs from their event-type MEDIAN
     (median/MAD resists the very outliers a mean/std z-score is dragged by).
@@ -2535,6 +2549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": q_label_centroids,
         "events_value_outliers": q_events_value_outliers,
         "events_mad_outliers": q_events_mad_outliers,
+        "events_funnel": q_events_funnel,
         "source_quality_report": q_source_quality_report,
         "frequent_users": q_frequent_users,
         "latest_event_per_user": q_latest_event_per_user,
@@ -3504,6 +3519,26 @@ def oracle_sql() -> dict[str, str]:
                                AS pos
                       FROM embeddings)
              GROUP BY label, pos
+        """,
+        "events_funnel": """
+            WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t1
+                         FROM events WHERE event_type = 'view' GROUP BY 1),
+                 c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+                         FROM events e JOIN v USING (user_id)
+                        WHERE e.event_type = 'click'
+                          AND epoch_us(e.ts) > v.t1
+                          AND epoch_us(e.ts) <= v.t1 + 86400000000
+                        GROUP BY 1),
+                 p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+                         FROM events e JOIN c USING (user_id)
+                        WHERE e.event_type = 'purchase'
+                          AND epoch_us(e.ts) > c.t2
+                          AND epoch_us(e.ts) <= c.t2 + 86400000000
+                        GROUP BY 1)
+            SELECT v.user_id, CAST(v.t1 AS DOUBLE) AS t1,
+                   CAST(c.t2 AS DOUBLE) AS t2, CAST(p.t3 AS DOUBLE) AS t3
+              FROM v LEFT JOIN c USING (user_id)
+                     LEFT JOIN p USING (user_id)
         """,
         "events_mad_outliers": """
             WITH med AS (SELECT event_type,

@@ -1,0 +1,87 @@
+"""Windowed conversion funnel — the product-analytics sequence operator
+(did the user do step1, then step2 within W of step1, then step3 within W of
+step2, …), new-engine surface (the reference has no event analytics; cited
+vs SURVEY.md §2.7 windowed-operator family).
+
+Distributed shape: ONE exchange. Events pre-filter map-side to the step
+types (columns pruned to (user, ts µs, step index) — three narrow columns),
+hash-partition by user, and each ``groupby(user)`` group walks the step
+chain with numpy masks: t1 = min ts of step 1, t_i = min ts of step i in
+``(t_{i-1}, t_{i-1}+window]``. A group is bounded by ONE user's step-typed
+events — the same bound the equivalent SQL chain of correlated mins has; no
+join, no broadcast, nothing driver-side.
+
+(The first cut composed per-step ``Dataset.join``s; Ray 2.49 emits
+zero-column pandas blocks for empty aggregate/join partitions and a
+downstream join fails on them nondeterministically — "No match or multiple
+matches for key field reference". The single-groupby shape is both immune
+and one exchange instead of 2(n−1).)
+
+Timestamps stay int64 microseconds throughout — results hash-compare
+bit-exactly against the SQL oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def funnel(events, *, user_col: str, ts_col: str, type_col: str,
+           steps: list[str], window_us: int):
+    """Per-user funnel table: (user, t1, …, tn) where t1 = first ``steps[0]``
+    event and t_i = first ``steps[i-1]`` event in ``(t_{i-1}, t_{i-1} +
+    window_us]`` — NULL from the first missed step on. Rows: every user who
+    completed step 1."""
+    step_ix = {s: i for i, s in enumerate(steps)}
+    n = len(steps)
+    t_cols = [f"t{i}" for i in range(1, n + 1)]
+
+    def narrow(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b[type_col], value_set=pa.array(steps))
+        t = b.filter(m)
+        # index_in maps each row's type to its step index; normalize the
+        # timestamp to µs BEFORE the int cast (pandas-origin columns are ns)
+        ix = pc.index_in(t[type_col], value_set=pa.array(steps))
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        return pa.table({
+            user_col: t[user_col],
+            "_ts": pc.cast(ts, pa.int64()),
+            "_step": pc.cast(ix, pa.int8())})
+
+    def walk(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["_ts"].to_numpy()
+        st = g["_step"].to_numpy()
+        out = {}
+        prev = None
+        for i in range(n):
+            mine = ts[st == i]
+            if prev is None:                       # step 1: plain min
+                cand = mine
+            else:
+                cand = mine[(mine > prev) & (mine <= prev + window_us)]
+            if len(cand) == 0:
+                if i == 0:
+                    return pd.DataFrame(
+                        {user_col: pd.Series([], dtype=g[user_col].dtype)}
+                        | {c: pd.Series([], dtype="float64")
+                           for c in t_cols})
+                # remaining steps are unreachable
+                for j in range(i, n):
+                    out[t_cols[j]] = np.nan
+                break
+            prev = int(cand.min())
+            out[t_cols[i]] = float(prev)
+        # epoch-µs as float64 (exact below 2^53): the NULL-able funnel tail
+        # must round-trip as NaN to compare against SQL
+        return pd.DataFrame({user_col: [g[user_col].iloc[0]]}
+                            | {c: np.array([out[c]], np.float64)
+                               for c in t_cols})
+
+    return (events.map_batches(narrow, batch_format="pyarrow")
+            .groupby(user_col)
+            .map_groups(walk, batch_format="pandas"))
