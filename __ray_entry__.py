@@ -2215,6 +2215,24 @@ def q_events_value_outliers(sf_dir: str):
         out_cols=["event_id", "event_type", "value"])
 
 
+def q_events_chi2(sf_dir: str):
+    """Chi-square independence of event_type × hour-of-day — "does activity
+    mix shift across the day". Per-batch (type, hour, count) partials bound
+    the exchange at distinct pairs; the ≤|types|×24-cell finish (including
+    zero-observed cells) is driver-side behind a loud budget."""
+    from schema_validator_ray.stages.stats import chi2_independence
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "hod": pc.cast(pc.hour(b["ts"]), pa.int64())})
+
+    return chi2_independence(
+        ds.map_batches(derive, batch_format="pyarrow"), "event_type", "hod")
+
+
 def q_events_funnel(sf_dir: str):
     """Windowed conversion funnel view -> click -> purchase (each step within
     1 day of the previous): per-user (t1, t2, t3) epoch-µs table, NULL from
@@ -2550,6 +2568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_outliers": q_events_value_outliers,
         "events_mad_outliers": q_events_mad_outliers,
         "events_funnel": q_events_funnel,
+        "events_chi2": q_events_chi2,
         "source_quality_report": q_source_quality_report,
         "frequent_users": q_frequent_users,
         "latest_event_per_user": q_latest_event_per_user,
@@ -3519,6 +3538,25 @@ def oracle_sql() -> dict[str, str]:
                                AS pos
                       FROM embeddings)
              GROUP BY label, pos
+        """,
+        "events_chi2": """
+            WITH o AS (SELECT event_type AS a,
+                              CAST(hour(ts) AS BIGINT) AS b,
+                              CAST(count(*) AS DOUBLE) AS cnt
+                         FROM events GROUP BY 1, 2),
+                 ra AS (SELECT a, sum(cnt) AS na FROM o GROUP BY 1),
+                 rb AS (SELECT b, sum(cnt) AS nb FROM o GROUP BY 1),
+                 t AS (SELECT sum(cnt) AS tot FROM o),
+                 cells AS (SELECT ra.a, rb.b,
+                                  coalesce(o.cnt, 0.0) AS obs,
+                                  ra.na * rb.nb / t.tot AS exp
+                             FROM ra CROSS JOIN rb CROSS JOIN t
+                             LEFT JOIN o ON o.a = ra.a AND o.b = rb.b)
+            SELECT round(sum((obs - exp) * (obs - exp) / exp), 6) AS chi2,
+                   CAST(((SELECT count(*) FROM ra) - 1)
+                        * ((SELECT count(*) FROM rb) - 1) AS BIGINT) AS dof,
+                   CAST((SELECT tot FROM t) AS BIGINT) AS n
+              FROM cells
         """,
         "events_funnel": """
             WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t1

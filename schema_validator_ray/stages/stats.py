@@ -647,3 +647,62 @@ def grouped_corr(ds, key: str, x: str, y: str):
                          "corr": pa.array(r, pa.float64(), from_pandas=True)})
 
     return totals.map_batches(finalize, batch_format="pyarrow")
+
+
+def chi2_independence(ds, col_a: str, col_b: str, *,
+                      cell_budget: int = 5_000_000):
+    """Pearson chi-square test of independence between two categorical
+    columns — the "did the distribution of B shift across A" validation
+    check (drift across sources, time buckets, shards).
+
+    Pre-aggregated shape: per-batch ``(a, b, count)`` partials (exchange
+    bounded by the batch's DISTINCT pairs, never its rows) merge into the
+    contingency table; the chi-square finish — including ZERO-observed
+    cells, whose (O−E)²/E = E term SQL formulations silently drop — runs
+    driver-side over |A|×|B| cells behind a loud ``cell_budget`` guard
+    (a categorical pair with millions of distinct levels isn't a
+    chi-square-shaped question).
+
+    Returns a one-row Dataset: (chi2 rounded 6dp, dof, n)."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    def part(b: pa.Table) -> pa.Table:
+        t = b.select([col_a, col_b]).drop_null()
+        agg = t.group_by([col_a, col_b]).aggregate([([], "count_all")])
+        return pa.table({col_a: agg[col_a], col_b: agg[col_b],
+                         "cnt": pc.cast(agg["count_all"], pa.int64())})
+
+    parts, total = [], 0
+    for b in ds.map_batches(part, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        parts.append(b)
+        total += b.num_rows
+        if total > cell_budget:
+            raise ValueError(
+                f"chi2_independence: contingency partials exceed the "
+                f"{cell_budget}-row budget — reduce the level count "
+                "(bucket one of the columns) before testing")
+    empty = pa.table({"chi2": pa.array([], pa.float64()),
+                      "dof": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64())})
+    if not parts:
+        return rd.from_arrow(empty)
+    m = (pa.concat_tables(parts).group_by([col_a, col_b])
+         .aggregate([("cnt", "sum")]))
+    df = m.to_pandas().sort_values([col_a, col_b]).reset_index(drop=True)
+    ca, ua = pd.factorize(df[col_a])
+    cb, ub = pd.factorize(df[col_b])
+    obs = np.zeros((len(ua), len(ub)))
+    obs[ca, cb] = df["cnt_sum"].to_numpy()
+    n = obs.sum()
+    if n == 0:
+        return rd.from_arrow(empty)
+    exp = obs.sum(1, keepdims=True) @ obs.sum(0, keepdims=True) / n
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+    dof = (len(ua) - 1) * (len(ub) - 1)
+    return rd.from_arrow(pa.table({
+        "chi2": pa.array([round(chi2, 6)], pa.float64()),
+        "dof": pa.array([dof], pa.int64()),
+        "n": pa.array([int(n)], pa.int64())}))

@@ -279,3 +279,42 @@ def test_grouped_entropy_matches_duckdb(ray_session):
                           FROM df GROUP BY k ORDER BY k""").df()
     assert out["k"].tolist() == exp["k"].tolist()
     assert np.allclose(out["entropy"], exp["entropy"], atol=2e-6)
+
+
+def test_chi2_independence(ray_session):
+    """Contingency chi-square vs a local numpy reference, including
+    zero-observed cells (their (O-E)^2/E = E term must be counted) and the
+    cell-budget guard."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from schema_validator_ray.stages.stats import chi2_independence
+
+    rng = np.random.default_rng(4)
+    n = 6000
+    a = rng.choice(["x", "y", "z"], n, p=[0.5, 0.3, 0.2])
+    # b depends on a for 'x' rows -> non-trivial chi2; ('z','h2') never occurs
+    b = np.where(a == "x",
+                 rng.choice(["h0", "h1"], n, p=[0.8, 0.2]),
+                 rng.choice(["h0", "h1", "h2"], n))
+    b = np.where((a == "z") & (b == "h2"), "h0", b)
+    df = pd.DataFrame({"a": a, "b": b})
+    df.loc[::53, "a"] = None                     # nulls drop
+
+    out = (chi2_independence(rd.from_pandas(df).repartition(9), "a", "b")
+           .to_pandas())
+    d = df.dropna()
+    obs = pd.crosstab(d["a"], d["b"]).to_numpy().astype(float)
+    exp = obs.sum(1, keepdims=True) @ obs.sum(0, keepdims=True) / obs.sum()
+    assert obs.min() == 0.0                      # the zero cell exists
+    chi2 = ((obs - exp) ** 2 / exp).sum()
+    assert out["chi2"].iloc[0] == round(chi2, 6)
+    assert out["dof"].iloc[0] == 2 * 2
+    assert out["n"].iloc[0] == len(d)
+
+    with pytest.raises(ValueError, match="budget"):
+        chi2_independence(rd.from_pandas(
+            pd.DataFrame({"a": np.arange(100), "b": np.arange(100)})),
+            "a", "b", cell_budget=10)
