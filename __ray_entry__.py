@@ -2385,6 +2385,18 @@ def q_lineitem_rank(sf_dir: str):
                        bucket_width=5.0)
 
 
+def q_lineitem_price_pctrank(sf_dir: str):
+    """Global CDF (PERCENT_RANK with an empty partition clause) of extended
+    price — the quantile-normalization transform. Constant-key rank_window:
+    parallelism comes from the value buckets; carry chain is one summary row
+    per bucket."""
+    from schema_validator_ray.stages.analytics import global_rank
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    return global_rank(ds, order_col="l_extendedprice", bucket_width=2000.0)
+
+
 def q_tfidf_terms(sf_dir: str):
     """Top-3 TF-IDF terms per document. df pass bounds the exchange at the
     vocabulary; scoring is map-only against the broadcast idf arrays; 6dp
@@ -2574,6 +2586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": q_latest_event_per_user,
         "lineitem_corr": q_lineitem_corr,
         "lineitem_rank": q_lineitem_rank,
+        "lineitem_price_pctrank": q_lineitem_price_pctrank,
         "tfidf_terms": q_tfidf_terms,
         "docs_quality_band": q_docs_quality_band,
         "events_cube": q_events_cube,
@@ -3734,6 +3747,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, w AS term, score FROM sc
             QUALIFY row_number() OVER (
                 PARTITION BY doc_id ORDER BY score DESC, w ASC) <= 3
+        """,
+        "lineitem_price_pctrank": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice,
+                   CAST(rank() OVER w AS BIGINT) AS rank,
+                   CAST(dense_rank() OVER w AS BIGINT) AS dense_rank,
+                   percent_rank() OVER w AS pct_rank
+              FROM lineitem
+            WINDOW w AS (ORDER BY l_extendedprice)
         """,
         "lineitem_rank": """
             SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,

@@ -832,3 +832,29 @@ def _exact_rank(ds, *, key, order_col):
         return g[in_cols + ["rank", "dense_rank", "pct_rank"]]
 
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def global_rank(ds, *, order_col: str, bucket_width=2000.0,
+                summary_merge_max: int = _SUMMARY_MERGE_MAX):
+    """``RANK()/DENSE_RANK()/PERCENT_RANK() OVER (ORDER BY order_col)`` with
+    an EMPTY partition clause — the global CDF / quantile-normalization
+    transform (map a score to its corpus-wide percentile). Reuses
+    ``rank_window`` with a constant key: the shuffle key degenerates to the
+    VALUE BUCKET alone, so parallelism comes from the value range (size
+    ``bucket_width`` to the data's spread) and the carry-in summary chain is
+    one row per bucket."""
+    in_cols = list(ds.schema().names)
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    out = rank_window(ds.map_batches(tag, batch_format="pyarrow"),
+                      key="_g", order_col=order_col,
+                      bucket_width=bucket_width, n_shards=1,
+                      summary_merge_max=summary_merge_max)
+
+    def drop(b: pa.Table) -> pa.Table:
+        return b.select(in_cols + ["rank", "dense_rank", "pct_rank"])
+
+    return out.map_batches(drop, batch_format="pyarrow")

@@ -268,3 +268,32 @@ def test_mad_outliers_vs_duckdb(ray_session):
     assert out["event_id"].tolist() == exp["event_id"].tolist()
     assert 3 in out["event_id"].values
     assert set(spike) <= set(out["event_id"].values)   # zero-MAD deviants
+
+
+def test_global_rank_vs_duckdb(ray_session):
+    """Empty-partition-clause rank/dense/pct vs SQL, heavy ties across
+    bucket boundaries, plus the over-budget exact fallback."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_validator_ray.stages.analytics import global_rank
+
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame({"id": np.arange(3000, dtype=np.int64),
+                       "v": rng.integers(0, 40, 3000).astype(np.float64)})
+    exp = duckdb.sql("""
+        SELECT id, CAST(rank() OVER w AS BIGINT) AS rank,
+               CAST(dense_rank() OVER w AS BIGINT) AS dense_rank,
+               percent_rank() OVER w AS pct_rank
+          FROM df WINDOW w AS (ORDER BY v) ORDER BY id""").df()
+    for budget in (5_000_000, 1):
+        got = (global_rank(rd.from_pandas(df).repartition(8),
+                           order_col="v", bucket_width=7.0,
+                           summary_merge_max=budget)
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        assert got["rank"].tolist() == exp["rank"].tolist(), budget
+        assert got["dense_rank"].tolist() == exp["dense_rank"].tolist()
+        assert np.array_equal(got["pct_rank"].to_numpy(),
+                              exp["pct_rank"].to_numpy())
