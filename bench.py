@@ -125,6 +125,13 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "doc_char_entropy",
         "user_hours_click_no_purchase",
         "price_histogram",
+        "knn_self_join",
+        "knn_join_ivf",
+        "embedding_kmeans",
+        "events_funnel",
+        "events_mad_outliers",
+        "events_chi2",
+        "lineitem_price_pctrank",
     ]
     qs = m.queries()
     out = {}
