@@ -673,8 +673,12 @@ def mad_outliers(ds, *, value_col: str, group_col: str, k: float = 3.5,
 
     from schema_validator_ray.stages.stats import grouped_exact_quantile
 
+    # the two quantile selections are 2 passes each + the final filter —
+    # pin the pruned (group, value) columns in the object store once instead
+    # of 5 storage scans (spills if it outgrows memory)
+    narrow = ds.select_columns([group_col, value_col]).materialize()
     med_rows = grouped_exact_quantile(
-        ds, group_col, value_col, 0.5, bucket_width=bucket_width,
+        narrow, group_col, value_col, 0.5, bucket_width=bucket_width,
         out_col="med").take_all()                      # |groups| rows
     med = {r[group_col]: r["med"] for r in med_rows}
     med_ref = ray.put(med)
@@ -690,7 +694,7 @@ def mad_outliers(ds, *, value_col: str, group_col: str, k: float = 3.5,
                          "_absdev": pa.array(np.abs(v - mu[codes]),
                                              pa.float64())})
 
-    dev = ds.map_batches(absdev, batch_format="pyarrow")
+    dev = narrow.map_batches(absdev, batch_format="pyarrow")
     mad_rows = grouped_exact_quantile(
         dev, group_col, "_absdev", 0.5, bucket_width=bucket_width,
         out_col="mad").take_all()
