@@ -1047,6 +1047,23 @@ def q_knn_join_ivf(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_label_diversity(sf_dir: str):
+    """Mean pairwise cosine within each label — embedding redundancy per
+    class, exact WITHOUT pair materialization via the sufficient-statistic
+    identity Σ_{i<j} cos = (‖Σv̂‖² − n)/2; exchange is O(labels × dim ×
+    batches). Oracle computes the literal pairwise average."""
+    from schema_validator_ray.stages.similarity import (
+        grouped_mean_pairwise_cosine)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    out = grouped_mean_pairwise_cosine(ds, emb_col="embedding",
+                                       group_col="label")
+    return out.map_batches(
+        lambda b: pa.table({"label": pc.cast(b["label"], pa.int64()),
+                            "n": b["n"], "mean_cos": b["mean_cos"]}),
+        batch_format="pyarrow")
+
+
 def q_embedding_kmeans(sf_dir: str):
     """Distributed spherical k-means over the full embeddings table (Lloyd:
     per-iteration broadcast centroids + O(k × dim × batches) partial-sum
@@ -2534,6 +2551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_self_join": q_knn_self_join,
         "knn_join_ivf": q_knn_join_ivf,
         "embedding_kmeans": q_embedding_kmeans,
+        "label_diversity": q_label_diversity,
         "embedding_pairs_cos03": q_embedding_pairs_cos03,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "embedding_dup_groups": q_embedding_dup_groups,
@@ -3196,6 +3214,20 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
              WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                           CAST(b.embedding AS DOUBLE[])) >= 0.3
+        """,
+        "label_diversity": """
+            WITH p AS (SELECT a.label,
+                              list_cosine_similarity(
+                                  CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) AS c
+                         FROM embeddings a JOIN embeddings b
+                           ON a.label = b.label AND a.vec_id < b.vec_id),
+                 n AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+                         FROM embeddings GROUP BY 1)
+            SELECT n.label, n.n,
+                   round((SELECT avg(c) FROM p WHERE p.label = n.label),
+                         6) AS mean_cos
+              FROM n
         """,
         "knn_self_join": """
             SELECT a.vec_id, b.vec_id AS neighbor_id

@@ -707,3 +707,67 @@ def grouped_dim_stats(ds, *, emb_col: str, group_col: str):
                          "vmin": b["vmin"], "vmax": b["vmax"]})
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def grouped_mean_pairwise_cosine(ds, *, emb_col: str, group_col: str,
+                                 id_col: str | None = None):
+    """Mean pairwise cosine similarity WITHIN each group — the embedding
+    diversity / redundancy score per label or source (high mean = the
+    group's vectors are near-duplicates; a curation signal before
+    dedup/mixing). Exact, WITHOUT materializing any pair:
+
+        Σ_{i<j} cos(v_i, v_j) = (‖Σ v̂‖² − n) / 2    (v̂ unit-normalized)
+
+    so per-batch partials are just (group, n, per-dim sums of v̂) — the
+    ``grouped_dim_stats`` exchange shape, O(groups × dim × batches) — and
+    the finish divides by n(n−1)/2 on the ≤|groups|×dim aggregate. Groups
+    with a single vector emit NULL (no pairs)."""
+    import pandas as pd
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({group_col: pa.array([], b[group_col].type),
+                          "pos": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        m = _normalize(_to_matrix(b[emb_col]))
+        codes, uniq = pd.factorize(
+            b[group_col].to_numpy(zero_copy_only=False))
+        ng, dim = len(uniq), m.shape[1]
+        sums = np.zeros((ng, dim), np.float64)
+        np.add.at(sums, codes, m)
+        counts = np.bincount(codes, minlength=ng).astype(np.int64)
+        return pa.table({
+            group_col: pa.array(np.repeat(uniq, dim), b[group_col].type),
+            "pos": pa.array(np.tile(np.arange(dim), ng), pa.int64()),
+            "n": pa.array(np.repeat(counts, dim), pa.int64()),
+            "s": pa.array(sums.ravel(), pa.float64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby([group_col, "pos"])
+           .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for g, sub in df.groupby(group_col, sort=True):
+            # canonical (pos) order so reruns are bit-identical
+            sub = sub.sort_values("pos")
+            n = int(sub["n"].iloc[0])
+            sq = float((sub["s"].to_numpy() ** 2).sum())
+            mean = round((sq - n) / (n * (n - 1)), 6) if n > 1 else np.nan
+            out.append((g, n, mean))
+        return pd.DataFrame(out, columns=[group_col, "n", "mean_cos"])
+
+    # |groups| x dim rows — driver-finished like the covariance operator
+    parts = [b for b in agg.iter_batches(batch_format="pandas",
+                                         batch_size=None) if len(b)]
+    if not parts:
+        return rd.from_arrow(pa.table({
+            group_col: pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "mean_cos": pa.array([], pa.float64())}))
+    return rd.from_pandas(finish(pd.concat(parts, ignore_index=True)))

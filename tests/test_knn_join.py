@@ -3,6 +3,7 @@ membership incl. tie order), IVF co-partitioned path recall, and the
 broadcast-budget guard."""
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 from schema_validator_ray.stages.similarity import (knn_join_ivf,
@@ -148,3 +149,45 @@ def test_knn_join_ivf_recall(ray_session):
                          n_cells=6, n_probe=3, driver_merge_max=1)
             .to_pandas())
     assert set(zip(got2["vec_id"], got2["neighbor_id"])) == pairs
+
+
+def test_grouped_mean_pairwise_cosine(ray_session):
+    """Sufficient-statistic identity == brute pairwise average (6dp),
+    single-member groups emit NaN, clones drive mean toward 1."""
+    import ray.data as rd
+
+    from schema_validator_ray.stages.similarity import (
+        grouped_mean_pairwise_cosine)
+
+    rng = np.random.default_rng(13)
+    n, dim = 240, 8
+    v = rng.normal(size=(n, dim))
+    lab = rng.integers(0, 3, n)
+    lab[:5] = 3; v[:5] = v[0]          # a clone-only label -> mean 1.0
+    lab[5] = 4                          # singleton label -> NaN
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "label": lab.astype(np.int32),
+                       "embedding": list(v.astype(np.float32))})
+    vv = np.vstack(df["embedding"].to_numpy()).astype(np.float64)
+    vv /= np.maximum(np.linalg.norm(vv, axis=1, keepdims=True), 1e-12)
+
+    t = pa.table({"vec_id": pa.array(df["vec_id"].to_numpy(), pa.int64()),
+                  "label": pa.array(df["label"].to_numpy(), pa.int32()),
+                  "embedding": pa.FixedSizeListArray.from_arrays(
+                      pa.array(vv.astype(np.float32).ravel(), pa.float32()),
+                      dim)})
+    got = (grouped_mean_pairwise_cosine(
+               rd.from_arrow(t).repartition(7),
+               emb_col="embedding", group_col="label")
+           .to_pandas().set_index("label").sort_index())
+    for g in (0, 1, 2, 3):
+        idx = np.flatnonzero(df["label"].to_numpy() == g)
+        m = vv[idx] / np.maximum(
+            np.linalg.norm(vv[idx], axis=1, keepdims=True), 1e-12)
+        sims = m @ m.T
+        iu = np.triu_indices(len(idx), 1)
+        assert got.loc[g, "mean_cos"] == pytest.approx(
+            sims[iu].mean(), abs=2e-6), g
+        assert got.loc[g, "n"] == len(idx)
+    assert got.loc[3, "mean_cos"] == pytest.approx(1.0, abs=1e-6)
+    assert np.isnan(got.loc[4, "mean_cos"])
