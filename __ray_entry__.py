@@ -1047,6 +1047,19 @@ def q_knn_join_ivf(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_mix_docs_budget(sf_dir: str):
+    """Token-budget training mix: deterministic per-source hash-sample sized
+    so each source's expected kept chars hit its budget (src0 boosted 2×).
+    Thresholds are exact integers ((budget<<32)//total) on both sides —
+    float-free, so the oracle can't drift."""
+    from schema_validator_ray.stages.sampling import budget_mix
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return budget_mix(ds, id_col="doc_id", group_col="source",
+                      weight_col="n_chars",
+                      budgets={"src0": 6000}, default_budget=3000)
+
+
 def q_label_diversity(sf_dir: str):
     """Mean pairwise cosine within each label — embedding redundancy per
     class, exact WITHOUT pair materialization via the sufficient-statistic
@@ -2552,6 +2565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join_ivf": q_knn_join_ivf,
         "embedding_kmeans": q_embedding_kmeans,
         "label_diversity": q_label_diversity,
+        "mix_docs_budget": q_mix_docs_budget,
         "embedding_pairs_cos03": q_embedding_pairs_cos03,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "embedding_dup_groups": q_embedding_dup_groups,
@@ -3214,6 +3228,17 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
              WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                           CAST(b.embedding AS DOUBLE[])) >= 0.3
+        """,
+        "mix_docs_budget": """
+            WITH tot AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS s
+                           FROM documents GROUP BY 1)
+            SELECT d.doc_id, d.source, d.n_chars
+              FROM documents d JOIN tot USING (source)
+             WHERE (d.doc_id * 2654435761) % 4294967296
+                   < least(4294967296,
+                           (CAST(CASE WHEN d.source = 'src0' THEN 6000
+                                      ELSE 3000 END AS BIGINT) * 4294967296)
+                           // tot.s)
         """,
         "label_diversity": """
             WITH p AS (SELECT a.label,

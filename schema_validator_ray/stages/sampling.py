@@ -231,3 +231,54 @@ def weighted_sample_topk(ds, id_col: str, weight_col: str, k: int, *,
     out = (parts.sort(key=["_wkey", id_col], descending=[True, False])
            .limit(k))
     return out.drop_columns(["_wkey"])
+
+
+def budget_mix(ds, *, id_col: str, group_col: str, weight_col: str,
+               budgets: dict | None = None, default_budget: int | None = None,
+               seed: int = 0):
+    """Training-mix sampling under per-source token budgets: keep a
+    deterministic hash-sample of each source sized so its EXPECTED kept
+    weight (tokens/chars) matches the source's budget — the "mix web at 2×
+    books" curation step, restart-safe like every sampler here.
+
+    Pass 1 is a tiny pre-aggregated per-source weight census (per-batch
+    (source, Σweight) partials, |sources| rows out); keep-thresholds are
+    EXACT integers ``min(2^32, (budget << 32) // total)`` — integer
+    arithmetic on both engine and SQL sides, so no float-rounding drift can
+    desync the oracle (the hash_split lesson). Pass 2 is the map-only hash
+    filter; oversubscribed budgets (≥ total) keep the whole source."""
+    import pandas as pd
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    budgets = budgets or {}
+
+    def part(b: pa.Table) -> pa.Table:
+        t = b.select([group_col, weight_col]).drop_null()
+        agg = t.group_by(group_col).aggregate([(weight_col, "sum")])
+        return pa.table({group_col: agg[group_col],
+                         "s": pc.cast(agg[f"{weight_col}_sum"], pa.int64())})
+
+    totals = (ds.map_batches(part, batch_format="pyarrow")
+              .groupby(group_col).aggregate(Sum("s", alias_name="s")))
+    thr = {}
+    for r in totals.take_all():                   # |sources| rows — tiny
+        bgt = budgets.get(r[group_col], default_budget)
+        if bgt is None:
+            raise ValueError(
+                f"budget_mix: no budget for source {r[group_col]!r} and no "
+                "default_budget")
+        thr[r[group_col]] = min(M32, (int(bgt) << 32) // max(int(r["s"]), 1))
+    ref = ray.put(thr)
+
+    def pick(b: pa.Table) -> pa.Table:
+        t = ray.get(ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(
+            b[group_col].to_numpy(zero_copy_only=False))
+        tv = np.array([t.get(u, 0) for u in uniq], np.uint64)
+        keep = _hash32(ids, seed) < tv[codes]
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow")

@@ -184,3 +184,50 @@ def test_cap_per_group_hot_group_exact(ray_session):
     exp = (df2.groupby("g").head(12)[["g", "id"]]
            .sort_values(["g", "id"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a[["g", "id"]], exp)
+
+
+def test_budget_mix(ray_session):
+    """Exact SQL parity of the integer thresholds, expected kept weight near
+    the budget, oversubscribed budgets keep everything, missing budget is
+    loud."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from schema_validator_ray.stages.sampling import budget_mix
+
+    rng = np.random.default_rng(17)
+    n = 12000
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": rng.choice(["a", "b", "tiny"], n, p=[0.6, 0.39, 0.01]),
+        "w": rng.integers(50, 400, n).astype(np.int64)})
+    budgets = {"a": 200_000, "tiny": 10_000_000}     # tiny oversubscribed
+    got = (budget_mix(rd.from_pandas(df).repartition(9),
+                      id_col="doc_id", group_col="source", weight_col="w",
+                      budgets=budgets, default_budget=100_000)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    exp = duckdb.sql("""
+        WITH tot AS (SELECT source, CAST(sum(w) AS BIGINT) AS s
+                       FROM df GROUP BY 1)
+        SELECT d.doc_id, d.source, d.w
+          FROM df d JOIN tot USING (source)
+         WHERE (d.doc_id * 2654435761) % 4294967296
+               < least(4294967296,
+                       (CAST(CASE WHEN d.source = 'a' THEN 200000
+                                  WHEN d.source = 'tiny' THEN 10000000
+                                  ELSE 100000 END AS BIGINT) * 4294967296)
+                       // tot.s)
+         ORDER BY d.doc_id""").df()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    # oversubscribed source kept whole
+    assert (got["source"] == "tiny").sum() == (df["source"] == "tiny").sum()
+    # expected kept weight within 10% of budget for the big sources
+    for s, b in (("a", 200_000), ("b", 100_000)):
+        kept = got.loc[got["source"] == s, "w"].sum()
+        assert abs(kept - b) / b < 0.10, (s, kept)
+    with pytest.raises(ValueError, match="no budget"):
+        budget_mix(rd.from_pandas(df), id_col="doc_id", group_col="source",
+                   weight_col="w", budgets={"a": 1})
