@@ -2245,6 +2245,27 @@ def q_events_value_outliers(sf_dir: str):
         out_cols=["event_id", "event_type", "value"])
 
 
+def q_events_value_trend(sf_dir: str):
+    """Per-event-type value trend over time (simple linear regression slope +
+    intercept, x = hours since 2024-01-01): one sufficient-statistics pass,
+    O(types × batches) exchange. Oracle computes the identical closed form
+    from SQL sums (the grouped_corr pattern)."""
+    from schema_validator_ray.stages.stats import grouped_linreg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    epoch0 = pa.scalar(pd.Timestamp("2024-01-01").value // 1000, pa.int64())
+
+    def derive(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())
+        hours = pc.divide(pc.cast(pc.subtract(us, epoch0), pa.float64()),
+                          3.6e9)
+        return pa.table({"event_type": b["event_type"],
+                         "h": hours, "value": b["value"]})
+
+    return grouped_linreg(ds.map_batches(derive, batch_format="pyarrow"),
+                          "event_type", "h", "value")
+
+
 def q_events_chi2(sf_dir: str):
     """Chi-square independence of event_type × hour-of-day — "does activity
     mix shift across the day". Per-batch (type, hour, count) partials bound
@@ -2613,6 +2634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mad_outliers": q_events_mad_outliers,
         "events_funnel": q_events_funnel,
         "events_chi2": q_events_chi2,
+        "events_value_trend": q_events_value_trend,
         "source_quality_report": q_source_quality_report,
         "frequent_users": q_frequent_users,
         "latest_event_per_user": q_latest_event_per_user,
@@ -3608,6 +3630,27 @@ def oracle_sql() -> dict[str, str]:
                                AS pos
                       FROM embeddings)
              GROUP BY label, pos
+        """,
+        "events_value_trend": """
+            WITH s AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     sum(h) AS sx, sum(value) AS sy,
+                     sum(h * h) AS sxx, sum(h * value) AS sxy
+                FROM (SELECT event_type, value,
+                             CAST(epoch_us(ts)
+                                  - epoch_us(TIMESTAMP '2024-01-01')
+                                  AS DOUBLE) / 3600000000.0 AS h
+                        FROM events WHERE value IS NOT NULL)
+               GROUP BY event_type)
+            SELECT event_type, n,
+                   CASE WHEN n * sxx - sx * sx > 0
+                        THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                   END AS slope,
+                   CASE WHEN n * sxx - sx * sx > 0
+                        THEN (sy - (n * sxy - sx * sy)
+                                   / (n * sxx - sx * sx) * sx) / n
+                   END AS intercept
+              FROM s
         """,
         "events_chi2": """
             WITH o AS (SELECT event_type AS a,

@@ -706,3 +706,58 @@ def chi2_independence(ds, col_a: str, col_b: str, *,
         "chi2": pa.array([round(chi2, 6)], pa.float64()),
         "dof": pa.array([dof], pa.int64()),
         "n": pa.array([int(n)], pa.int64())}))
+
+
+def grouped_linreg(ds, key: str, x: str, y: str):
+    """Exact per-group simple linear regression (slope + intercept) from one
+    pass of sufficient statistics — trend detection per key (is a source's
+    quality drifting? a user's activity value rising?). Same shape as
+    ``grouped_corr``: per-batch (key, n, sx, sy, sxx, sxy) partials, tiny
+    groupby, closed-form finish
+
+        slope = (n·sxy − sx·sy) / (n·sxx − sx²)
+        intercept = (sy − slope·sx) / n
+
+    O(groups × batches) exchange. Zero-x-variance groups yield null (SQL
+    regr_slope semantics); pairwise-null rows excluded."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select([key, x, y]).drop_null()
+        xv = t[x].to_numpy(zero_copy_only=False).astype(np.float64)
+        yv = t[y].to_numpy(zero_copy_only=False).astype(np.float64)
+        src = pa.table({key: t[key],
+                        "n": pa.array(np.ones(len(xv), np.int64)),
+                        "sx": pa.array(xv), "sy": pa.array(yv),
+                        "sxx": pa.array(xv * xv),
+                        "sxy": pa.array(xv * yv)})
+        return src.group_by(key).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("sxy", "sum")]).rename_columns(
+            [key, "n", "sx", "sy", "sxx", "sxy"])
+
+    totals = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(key)
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("sx", alias_name="sx"),
+                         Sum("sy", alias_name="sy"),
+                         Sum("sxx", alias_name="sxx"),
+                         Sum("sxy", alias_name="sxy")))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = b["sx"].to_numpy(zero_copy_only=False)
+        sy = b["sy"].to_numpy(zero_copy_only=False)
+        vx = n * b["sxx"].to_numpy(zero_copy_only=False) - sx * sx
+        cov = n * b["sxy"].to_numpy(zero_copy_only=False) - sx * sy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = np.where(vx > 0, cov / vx, np.nan)
+            intercept = np.where(vx > 0, (sy - slope * sx) / n, np.nan)
+        return pa.table({
+            key: b[key],
+            "n": pc.cast(b["n"], pa.int64()),
+            "slope": pa.array(slope, pa.float64(), from_pandas=True),
+            "intercept": pa.array(intercept, pa.float64(),
+                                  from_pandas=True)})
+
+    return totals.map_batches(finalize, batch_format="pyarrow")

@@ -318,3 +318,36 @@ def test_chi2_independence(ray_session):
         chi2_independence(rd.from_pandas(
             pd.DataFrame({"a": np.arange(100), "b": np.arange(100)})),
             "a", "b", cell_budget=10)
+
+
+def test_grouped_linreg(ray_session):
+    """Slope/intercept match numpy polyfit per group; zero-x-variance group
+    yields NULL; pairwise nulls excluded."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from schema_validator_ray.stages.stats import grouped_linreg
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    g = rng.choice(["up", "down", "flatx"], n)
+    x = rng.uniform(0, 100, n)
+    x[g == "flatx"] = 42.0                       # no x variance
+    y = np.where(g == "up", 3.0 * x + 7, -1.5 * x + 2) \
+        + rng.normal(0, 0.5, n)
+    df = pd.DataFrame({"g": g, "x": x, "y": y})
+    df.loc[::71, "y"] = np.nan
+    out = (grouped_linreg(rd.from_pandas(df).repartition(8), "g", "x", "y")
+           .to_pandas().set_index("g"))
+    for grp, want in (("up", 3.0), ("down", -1.5)):
+        sub = df[(df["g"] == grp) & df["y"].notna()]
+        slope, intercept = np.polyfit(sub["x"], sub["y"], 1)
+        assert out.loc[grp, "slope"] == pytest.approx(slope, rel=1e-6)
+        assert out.loc[grp, "intercept"] == pytest.approx(intercept,
+                                                          rel=1e-4)
+        assert out.loc[grp, "n"] == len(sub)
+        assert abs(out.loc[grp, "slope"] - want) < 0.05
+    assert np.isnan(out.loc["flatx", "slope"])
+    assert np.isnan(out.loc["flatx", "intercept"])
