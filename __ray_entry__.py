@@ -2245,6 +2245,17 @@ def q_events_value_outliers(sf_dir: str):
         out_cols=["event_id", "event_type", "value"])
 
 
+def q_events_cohort_retention(sf_dir: str):
+    """Weekly cohort retention matrix (cohort = first-activity week, offset =
+    weeks later the user was active again, n_users per cell) — one row-level
+    exchange over DISTINCT (user, week) partials, then a ≤weeks² cell
+    groupby. Integer week buckets match the SQL epoch_us // constant."""
+    from schema_validator_ray.stages.funnel import cohort_retention
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return cohort_retention(ds, user_col="user_id", ts_col="ts")
+
+
 def q_events_value_trend(sf_dir: str):
     """Per-event-type value trend over time (simple linear regression slope +
     intercept, x = hours since 2024-01-01): one sufficient-statistics pass,
@@ -2635,6 +2646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q_events_funnel,
         "events_chi2": q_events_chi2,
         "events_value_trend": q_events_value_trend,
+        "events_cohort_retention": q_events_cohort_retention,
         "source_quality_report": q_source_quality_report,
         "frequent_users": q_frequent_users,
         "latest_event_per_user": q_latest_event_per_user,
@@ -3630,6 +3642,16 @@ def oracle_sql() -> dict[str, str]:
                                AS pos
                       FROM embeddings)
              GROUP BY label, pos
+        """,
+        "events_cohort_retention": """
+            WITH a AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // 604800000000 AS w
+                         FROM events),
+                 f AS (SELECT user_id, min(w) AS w0 FROM a GROUP BY 1)
+            SELECT f.w0 AS cohort, a.w - f.w0 AS "offset",
+                   CAST(count(*) AS BIGINT) AS n_users
+              FROM a JOIN f USING (user_id)
+             GROUP BY 1, 2
         """,
         "events_value_trend": """
             WITH s AS (

@@ -85,3 +85,52 @@ def funnel(events, *, user_col: str, ts_col: str, type_col: str,
     return (events.map_batches(narrow, batch_format="pyarrow")
             .groupby(user_col)
             .map_groups(walk, batch_format="pandas"))
+
+
+WEEK_US = 7 * 86_400_000_000
+
+
+def cohort_retention(events, *, user_col: str, ts_col: str,
+                     bucket_us: int = WEEK_US):
+    """Cohort retention matrix: users bucketed by their FIRST-activity week
+    (cohort), counted once per (cohort, offset) cell where offset = weeks
+    since the cohort week they were active again — the standard
+    product-retention table, over integer epoch-µs week buckets (identical
+    arithmetic on both engine and SQL sides).
+
+    Distributed shape, one row-level exchange: per-batch DISTINCT
+    (user, week) partials bound a hot user's shuffle rows at one per batch
+    per active week; ``groupby(user)`` derives cohort = min(week) and emits
+    each user's ≤|weeks| (cohort, offset) rows; per-batch (cohort, offset,
+    count) partials then reduce in a tiny groupby (cells ≤ weeks²)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def weeks(b: pa.Table) -> pa.Table:
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        # integer division (epochs are positive, trunc == floor) — the same
+        # `epoch_us(ts) // bucket` the SQL oracle computes
+        w = pc.divide(pc.cast(ts, pa.int64()),
+                      pa.scalar(int(bucket_us), pa.int64()))
+        t = pa.table({user_col: b[user_col], "_w": w}).drop_null()
+        return t.group_by([user_col, "_w"]).aggregate([])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        w = np.unique(g["_w"].to_numpy())
+        return pd.DataFrame({"cohort": np.full(len(w), w[0], np.int64),
+                             "offset": (w - w[0]).astype(np.int64)})
+
+    cells = (events.map_batches(weeks, batch_format="pyarrow")
+             .groupby(user_col)
+             .map_groups(per_user, batch_format="pandas"))
+
+    def part(b: pa.Table) -> pa.Table:
+        agg = b.group_by(["cohort", "offset"]).aggregate([([], "count_all")])
+        return pa.table({"cohort": agg["cohort"], "offset": agg["offset"],
+                         "n": pc.cast(agg["count_all"], pa.int64())})
+
+    return (cells.map_batches(part, batch_format="pyarrow")
+            .groupby(["cohort", "offset"])
+            .aggregate(Sum("n", alias_name="n_users")))

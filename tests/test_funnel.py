@@ -74,3 +74,38 @@ def test_funnel_matches_sql(ray_session):
     assert byu.loc[4, "t2"] == 70_000_000         # pre-view click ignored
     assert byu.loc[7, "t2"] == 1                  # strict > t1
     assert pd.isna(byu.loc[6, "t3"])
+
+
+def test_cohort_retention_vs_sql(ray_session):
+    """Retention matrix == the SQL distinct-(user,week) formulation; a user
+    active in weeks {0, 2} contributes to offsets 0 and 2 only; full first
+    column (every user is in their own cohort at offset 0)."""
+    import ray.data as rd
+
+    from schema_validator_ray.stages.funnel import cohort_retention
+
+    rng = np.random.default_rng(14)
+    n = 6000
+    base = 1_700_000_000_000_000                     # epoch µs anchor
+    week = 604_800_000_000
+    users = rng.integers(0, 300, n)
+    weeks = rng.integers(0, 8, n) + (users % 3)      # staggered cohorts
+    ts = base + weeks * week + rng.integers(0, week, n)
+    df = pd.DataFrame({"user_id": users.astype(np.int64),
+                       "ts": ts.astype("datetime64[us]")})
+    got = (cohort_retention(rd.from_pandas(df).repartition(7),
+                            user_col="user_id", ts_col="ts")
+           .to_pandas().sort_values(["cohort", "offset"])
+           .reset_index(drop=True))
+    exp = duckdb.sql("""
+        WITH a AS (SELECT DISTINCT user_id,
+                          epoch_us(ts) // 604800000000 AS w FROM df),
+             f AS (SELECT user_id, min(w) AS w0 FROM a GROUP BY 1)
+        SELECT f.w0 AS cohort, a.w - f.w0 AS "offset",
+               CAST(count(*) AS BIGINT) AS n_users
+          FROM a JOIN f USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    assert got.values.tolist() == exp.values.tolist()
+    # offset-0 cells account for every user exactly once
+    assert got.loc[got["offset"] == 0, "n_users"].sum() == \
+        df["user_id"].nunique()
