@@ -132,6 +132,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_mad_outliers",
         "events_chi2",
         "lineitem_price_pctrank",
+        "label_diversity",
+        "mix_docs_budget",
+        "events_value_trend",
+        "events_cohort_retention",
     ]
     qs = m.queries()
     out = {}
