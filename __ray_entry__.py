@@ -1575,17 +1575,6 @@ def q_cap_docs_per_source(sf_dir: str):
                          n=10, seed=7)
 
 
-def _events_user_hours(sf_dir: str, event_type: str):
-    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
-
-    def pick(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.equal(b["event_type"], event_type))
-        return pa.table({"user_id": b["user_id"],
-                         "hour": pc.floor_temporal(b["ts"], unit="hour")})
-
-    return ds.map_batches(pick, batch_format="pyarrow")
-
-
 def _events_set_op(sf_dir: str, op: str):
     """Both sides are filters of the SAME events table, so the fused
     single-scan path applies: one read emits each batch's click- and
@@ -3662,7 +3651,9 @@ def oracle_sql() -> dict[str, str]:
                              CAST(epoch_us(ts)
                                   - epoch_us(TIMESTAMP '2024-01-01')
                                   AS DOUBLE) / 3600000000.0 AS h
-                        FROM events WHERE value IS NOT NULL)
+                        FROM events
+                       WHERE value IS NOT NULL AND ts IS NOT NULL
+                         AND event_type IS NOT NULL)
                GROUP BY event_type)
             SELECT event_type, n,
                    CASE WHEN n * sxx - sx * sx > 0
@@ -3678,7 +3669,9 @@ def oracle_sql() -> dict[str, str]:
             WITH o AS (SELECT event_type AS a,
                               CAST(hour(ts) AS BIGINT) AS b,
                               CAST(count(*) AS DOUBLE) AS cnt
-                         FROM events GROUP BY 1, 2),
+                         FROM events
+                        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                        GROUP BY 1, 2),
                  ra AS (SELECT a, sum(cnt) AS na FROM o GROUP BY 1),
                  rb AS (SELECT b, sum(cnt) AS nb FROM o GROUP BY 1),
                  t AS (SELECT sum(cnt) AS tot FROM o),

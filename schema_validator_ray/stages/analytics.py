@@ -706,9 +706,16 @@ def mad_outliers(ds, *, value_col: str, group_col: str, k: float = 3.5,
         v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         codes, uniq = pd.factorize(
             b[group_col].to_numpy(zero_copy_only=False))
-        mu = np.array([mm.get(u, np.nan) for u in uniq])
-        ma = np.array([dd.get(u, np.nan) for u in uniq])
-        keep = np.abs(v - mu[codes]) > k * ma[codes]   # NaN compares False
+        # null-group rows (factorize code −1) are never outliers — the SQL
+        # oracle's JOIN USING(group) drops them; indexing mu[-1] would
+        # silently test them against the LAST group's stats
+        keep = np.zeros(len(codes), bool)
+        valid = codes >= 0
+        if len(uniq) and valid.any():
+            mu = np.array([mm.get(u, np.nan) for u in uniq])
+            ma = np.array([dd.get(u, np.nan) for u in uniq])
+            cv = codes[valid]
+            keep[valid] = np.abs(v[valid] - mu[cv]) > k * ma[cv]  # NaN→False
         out = b.filter(pa.array(keep))
         return out.select(out_cols) if out_cols else out
 

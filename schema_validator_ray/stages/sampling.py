@@ -277,8 +277,13 @@ def budget_mix(ds, *, id_col: str, group_col: str, weight_col: str,
         ids = b[id_col].to_numpy(zero_copy_only=False)
         codes, uniq = pd.factorize(
             b[group_col].to_numpy(zero_copy_only=False))
-        tv = np.array([t.get(u, 0) for u in uniq], np.uint64)
-        keep = _hash32(ids, seed) < tv[codes]
+        # null-source rows (factorize code −1) drop, matching the oracle's
+        # JOIN USING(source); tv[-1] would apply the last source's threshold
+        keep = np.zeros(len(codes), bool)
+        valid = codes >= 0
+        if len(uniq) and valid.any():
+            tv = np.array([t.get(u, 0) for u in uniq], np.uint64)
+            keep[valid] = _hash32(ids[valid], seed) < tv[codes[valid]]
         return b.filter(pa.array(keep))
 
     return ds.map_batches(pick, batch_format="pyarrow")

@@ -303,10 +303,13 @@ def knn_join_ivf(ds, *, emb_col: str = "embedding", id_col: str = "vec_id",
 
     # The per-probe partials are tiny (<= (n_probe+1) x k rows per vector),
     # so below the budget ONE driver merge replaces a second sort-groupby's
-    # fixed costs; above it, the distributed groupby(vec_id) merge runs.
+    # fixed costs; above it, the distributed groupby(vec_id) merge runs over
+    # the SAME pinned partials — materialize first so the over-budget path
+    # never re-executes the heavy cell matmul stage.
     if driver_merge_max:
         import ray.data as rd
 
+        partials = partials.materialize()
         parts, total, over = [], 0, False
         for b in partials.iter_batches(batch_format="pandas",
                                        batch_size=None):
@@ -324,8 +327,6 @@ def knn_join_ivf(ds, *, emb_col: str = "embedding", id_col: str = "vec_id",
                                  ascending=[True, False, True]))
             out = allp.groupby("vec_id", sort=True).head(k)
             return rd.from_pandas(out.reset_index(drop=True))
-        partials = tagged.groupby("cell").map_groups(
-            cell_topk, batch_format="pandas")
 
     def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
         return (df.drop_duplicates(["vec_id", "neighbor_id"])
@@ -766,8 +767,10 @@ def grouped_mean_pairwise_cosine(ds, *, emb_col: str, group_col: str,
     parts = [b for b in agg.iter_batches(batch_format="pandas",
                                          batch_size=None) if len(b)]
     if not parts:
+        sch = ds.schema()
+        gtype = dict(zip(sch.names, sch.types))[group_col]
         return rd.from_arrow(pa.table({
-            group_col: pa.array([], pa.string()),
+            group_col: pa.array([], gtype),
             "n": pa.array([], pa.int64()),
             "mean_cos": pa.array([], pa.float64())}))
     return rd.from_pandas(finish(pd.concat(parts, ignore_index=True)))

@@ -401,6 +401,10 @@ def grouped_exact_quantile(ds, key: str, col: str, q: float, *,
     def keep(b: pa.Table) -> pa.Table:
         pr = ray.get(ref)
         t = b.select([key, col]).drop_null()
+        if t.num_rows == 0:
+            # factorize of an empty MultiIndex raises ("cannot infer number
+            # of levels"); an all-null batch must just contribute nothing
+            return t.append_column("_bkt", pa.array([], pa.int64()))
         v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
         bkt = np.floor(v / bucket_width).astype(np.int64)
         kk = t[key].to_numpy(zero_copy_only=False)
@@ -663,6 +667,9 @@ def chi2_independence(ds, col_a: str, col_b: str, *,
     (a categorical pair with millions of distinct levels isn't a
     chi-square-shaped question).
 
+    Rows with a null in EITHER column are excluded — null is not a category
+    level here (pair the op with the `required` rule to surface them).
+
     Returns a one-row Dataset: (chi2 rounded 6dp, dof, n)."""
     import pandas as pd
 
@@ -731,10 +738,13 @@ def grouped_linreg(ds, key: str, x: str, y: str):
                         "sx": pa.array(xv), "sy": pa.array(yv),
                         "sxx": pa.array(xv * xv),
                         "sxy": pa.array(xv * yv)})
-        return src.group_by(key).aggregate(
+        agg = src.group_by(key).aggregate(
             [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
-             ("sxx", "sum"), ("sxy", "sum")]).rename_columns(
-            [key, "n", "sx", "sy", "sxx", "sxy"])
+             ("sxx", "sum"), ("sxy", "sum")])
+        # name-based relabel (positional rename breaks if pyarrow's
+        # group_by column ordering ever changes)
+        return pa.table({key: agg[key]} | {
+            c: agg[f"{c}_sum"] for c in ("n", "sx", "sy", "sxx", "sxy")})
 
     totals = (ds.map_batches(partial, batch_format="pyarrow")
               .groupby(key)

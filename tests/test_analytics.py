@@ -297,3 +297,28 @@ def test_global_rank_vs_duckdb(ray_session):
         assert got["dense_rank"].tolist() == exp["dense_rank"].tolist()
         assert np.array_equal(got["pct_rank"].to_numpy(),
                               exp["pct_rank"].to_numpy())
+
+
+def test_mad_outliers_null_group_rows_never_flag(ray_session):
+    """Rows with a null group are dropped (the SQL JOIN semantics), never
+    tested against another group's stats; an all-null-group batch is safe."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_validator_ray.stages.analytics import mad_outliers
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "event_id": np.arange(600, dtype=np.int64),
+        "g": ["a"] * 300 + ["b"] * 200 + [None] * 100,
+        "v": np.r_[rng.normal(1, 0.1, 300), rng.normal(100, 0.1, 200),
+                   np.full(100, 1.0)]})
+    df.loc[0, "v"] = 50.0                           # real outlier in a
+    out = (mad_outliers(rd.from_pandas(df).repartition(6),
+                        value_col="v", group_col="g", k=3.5,
+                        bucket_width=1.0,
+                        out_cols=["event_id", "g", "v"])
+           .to_pandas())
+    assert 0 in out["event_id"].values
+    assert out["g"].notna().all()                   # no null-group rows

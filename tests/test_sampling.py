@@ -231,3 +231,24 @@ def test_budget_mix(ray_session):
     with pytest.raises(ValueError, match="no budget"):
         budget_mix(rd.from_pandas(df), id_col="doc_id", group_col="source",
                    weight_col="w", budgets={"a": 1})
+
+
+def test_budget_mix_null_source_rows_drop(ray_session):
+    """Null-source rows drop (oracle JOIN semantics) instead of inheriting
+    the last source's threshold."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_validator_ray.stages.sampling import budget_mix
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(400, dtype=np.int64),
+        "source": ["a"] * 200 + [None] * 200,
+        "w": np.full(400, 100, np.int64)})
+    out = (budget_mix(rd.from_pandas(df).repartition(5),
+                      id_col="doc_id", group_col="source", weight_col="w",
+                      budgets={"a": 10_000_000})     # oversubscribed: keep all a
+           .to_pandas())
+    assert (out["source"] == "a").all()
+    assert len(out) == 200
