@@ -49,19 +49,11 @@ def _collided_keys(ds, col: str, *, driver_merge_max: int = 5_000_000,
     sort-groupby's fixed stage costs (the same pattern the flagship uses for
     its duplicate-key sets). Above it, falls back to the distributed
     ``duplicate_keys`` groupby (per-batch combine bounds hot keys)."""
+    from ._collect import collect_up_to
     from .uniqueness import _PartialCounts
 
     partials = ds.map_batches(_PartialCounts(col), batch_format="pyarrow")
-    parts: list[pa.Table] = []
-    total = 0
-    over = False
-    for b in partials.iter_batches(batch_size=1 << 20,
-                                   batch_format="pyarrow"):
-        parts.append(b)
-        total += b.num_rows
-        if total > driver_merge_max:
-            over = True
-            break
+    parts, over = collect_up_to(partials, driver_merge_max)
     if not over:
         if not parts:
             return set(), 0

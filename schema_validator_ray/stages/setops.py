@@ -59,14 +59,9 @@ def _merge_tagged(tagged, keys: list[str], op: str, driver_merge_max: int,
     if driver_merge_max:
         import ray.data as rd
 
-        parts, total, over = [], 0, False
-        for b in tagged.iter_batches(batch_format="pyarrow",
-                                     batch_size=None):
-            parts.append(b)
-            total += b.num_rows
-            if total > driver_merge_max:
-                over = True
-                break
+        from ._collect import collect_up_to
+
+        parts, over = collect_up_to(tagged, driver_merge_max)
         if not over:
             if not parts:
                 return tagged.map_batches(pick, batch_format="pyarrow")

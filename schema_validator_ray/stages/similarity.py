@@ -204,15 +204,14 @@ def knn_self_join(ds, *, emb_col: str = "embedding", id_col: str = "vec_id",
 
 def _gather_corpus(ds, emb_col: str, id_col: str,
                    max_rows: int) -> pa.Table:
-    parts, total = [], 0
-    for b in ds.select_columns([id_col, emb_col]).iter_batches(
-            batch_format="pyarrow", batch_size=None):
-        parts.append(b)
-        total += b.num_rows
-        if total > max_rows:
-            raise ValueError(
-                f"knn_self_join corpus exceeds the {max_rows}-row broadcast "
-                "budget; use knn_join_ivf (cell-co-partitioned) instead")
+    from ._collect import collect_up_to
+
+    parts, over = collect_up_to(ds.select_columns([id_col, emb_col]),
+                                max_rows)
+    if over:
+        raise ValueError(
+            f"knn_self_join corpus exceeds the {max_rows}-row broadcast "
+            "budget; use knn_join_ivf (cell-co-partitioned) instead")
     if not parts:
         return pa.table({id_col: pa.array([], pa.int64()),
                          emb_col: pa.array([], pa.list_(pa.float32()))})
@@ -309,15 +308,11 @@ def knn_join_ivf(ds, *, emb_col: str = "embedding", id_col: str = "vec_id",
     if driver_merge_max:
         import ray.data as rd
 
+        from ._collect import collect_up_to
+
         partials = partials.materialize()
-        parts, total, over = [], 0, False
-        for b in partials.iter_batches(batch_format="pandas",
-                                       batch_size=None):
-            parts.append(b)
-            total += len(b)
-            if total > driver_merge_max:
-                over = True
-                break
+        parts, over = collect_up_to(partials, driver_merge_max,
+                                    batch_format="pandas")
         if not over:
             if not parts:
                 return partials

@@ -681,16 +681,15 @@ def chi2_independence(ds, col_a: str, col_b: str, *,
         return pa.table({col_a: agg[col_a], col_b: agg[col_b],
                          "cnt": pc.cast(agg["count_all"], pa.int64())})
 
-    parts, total = [], 0
-    for b in ds.map_batches(part, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow", batch_size=None):
-        parts.append(b)
-        total += b.num_rows
-        if total > cell_budget:
-            raise ValueError(
-                f"chi2_independence: contingency partials exceed the "
-                f"{cell_budget}-row budget — reduce the level count "
-                "(bucket one of the columns) before testing")
+    from ._collect import collect_up_to
+
+    parts, over = collect_up_to(
+        ds.map_batches(part, batch_format="pyarrow"), cell_budget)
+    if over:
+        raise ValueError(
+            f"chi2_independence: contingency partials exceed the "
+            f"{cell_budget}-row budget — reduce the level count "
+            "(bucket one of the columns) before testing")
     empty = pa.table({"chi2": pa.array([], pa.float64()),
                       "dof": pa.array([], pa.int64()),
                       "n": pa.array([], pa.int64())})

@@ -64,14 +64,9 @@ def duplicate_keys(ds, key, *, batch_size: int = 65536,
     partials = ds.map_batches(_PartialCounts(keys), batch_format="pyarrow",
                               batch_size=batch_size)
     if driver_merge_max:
-        parts, total, over = [], 0, False
-        for b in partials.iter_batches(batch_size=1 << 20,
-                                       batch_format="pyarrow"):
-            parts.append(b)
-            total += b.num_rows
-            if total > driver_merge_max:
-                over = True
-                break
+        from ._collect import collect_up_to
+
+        parts, over = collect_up_to(partials, driver_merge_max)
         if not over:
             if not parts:
                 sch = ds.schema()
