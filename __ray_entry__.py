@@ -2234,6 +2234,17 @@ def q_events_value_outliers(sf_dir: str):
         out_cols=["event_id", "event_type", "value"])
 
 
+def q_events_ab_ttest(sf_dir: str):
+    """Welch's t-test: does `value` differ between click and purchase events
+    (the A/B significance check)? One (n, Σv, Σv²) sufficient-statistics
+    pass; the 2-row finish is driver-side. Oracle computes the identical
+    closed form from SQL sums."""
+    from schema_validator_ray.stages.stats import welch_ttest
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return welch_ttest(ds, "event_type", "value", "click", "purchase")
+
+
 def q_events_cohort_retention(sf_dir: str):
     """Weekly cohort retention matrix (cohort = first-activity week, offset =
     weeks later the user was active again, n_users per cell) — one row-level
@@ -2636,6 +2647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_chi2": q_events_chi2,
         "events_value_trend": q_events_value_trend,
         "events_cohort_retention": q_events_cohort_retention,
+        "events_ab_ttest": q_events_ab_ttest,
         "source_quality_report": q_source_quality_report,
         "frequent_users": q_frequent_users,
         "latest_event_per_user": q_latest_event_per_user,
@@ -3631,6 +3643,30 @@ def oracle_sql() -> dict[str, str]:
                                AS pos
                       FROM embeddings)
              GROUP BY label, pos
+        """,
+        "events_ab_ttest": """
+            WITH s AS (SELECT event_type AS g,
+                              CAST(count(*) AS BIGINT) AS n,
+                              sum(value) AS sv, sum(value * value) AS sq
+                         FROM events
+                        WHERE value IS NOT NULL
+                          AND event_type IN ('click', 'purchase')
+                        GROUP BY 1),
+                 a AS (SELECT * FROM s WHERE g = 'click'),
+                 b AS (SELECT * FROM s WHERE g = 'purchase')
+            SELECT (a.sv / a.n - b.sv / b.n)
+                   / sqrt(((a.sq - a.sv * a.sv / a.n) / (a.n - 1)) / a.n
+                          + ((b.sq - b.sv * b.sv / b.n) / (b.n - 1)) / b.n)
+                       AS t,
+                   pow(((a.sq - a.sv * a.sv / a.n) / (a.n - 1)) / a.n
+                       + ((b.sq - b.sv * b.sv / b.n) / (b.n - 1)) / b.n, 2)
+                   / (pow(((a.sq - a.sv * a.sv / a.n) / (a.n - 1)) / a.n, 2)
+                          / (a.n - 1)
+                      + pow(((b.sq - b.sv * b.sv / b.n) / (b.n - 1)) / b.n,
+                            2) / (b.n - 1)) AS dof,
+                   a.n AS n_a, b.n AS n_b,
+                   a.sv / a.n AS mean_a, b.sv / b.n AS mean_b
+              FROM a, b
         """,
         "events_cohort_retention": """
             WITH a AS (SELECT DISTINCT user_id,

@@ -770,3 +770,68 @@ def grouped_linreg(ds, key: str, x: str, y: str):
                                   from_pandas=True)})
 
     return totals.map_batches(finalize, batch_format="pyarrow")
+
+
+def welch_ttest(ds, group_col: str, value_col: str, group_a, group_b):
+    """Welch's two-sample t-test between two groups of one column — the A/B
+    significance check (did the new pipeline shift the quality score?).
+    One pass of (n, Σv, Σv²) sufficient statistics per side (per-batch
+    partials, exchange O(batches)); the finish computes
+
+        t = (m_a − m_b) / sqrt(va/na + vb/nb)        (sample variances)
+        dof = (va/na + vb/nb)² / ((va/na)²/(na−1) + (vb/nb)²/(nb−1))
+
+    driver-side from 2 rows. Returns a one-row Dataset (t, dof, n_a, n_b,
+    mean_a, mean_b). Null values drop; a side with <2 rows yields nulls."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def part(b: pa.Table) -> pa.Table:
+        t = b.select([group_col, value_col]).drop_null()
+        m = pc.is_in(t[group_col], value_set=pa.array([group_a, group_b]))
+        t = t.filter(m)
+        agg = t.group_by(group_col).aggregate([(value_col, "sum"),
+                                               ([], "count_all")])
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        sq = pa.table({group_col: t[group_col],
+                       "sq": pa.array(v * v)}).group_by(group_col).aggregate(
+            [("sq", "sum")])
+        merged = agg.join(sq, keys=group_col)
+        return pa.table({
+            group_col: merged[group_col],
+            "n": pc.cast(merged["count_all"], pa.int64()),
+            "sv": pc.cast(merged[f"{value_col}_sum"], pa.float64()),
+            "sq": merged["sq_sum"]})
+
+    totals = (ds.map_batches(part, batch_format="pyarrow")
+              .groupby(group_col)
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("sv", alias_name="sv"),
+                         Sum("sq", alias_name="sq")))
+    stats = {r[group_col]: (int(r["n"]), float(r["sv"]), float(r["sq"]))
+             for r in totals.take_all()}          # ≤ 2 rows
+
+    def side(g):
+        n, sv, sq = stats.get(g, (0, 0.0, 0.0))
+        if n < 2:
+            return n, np.nan, np.nan
+        mean = sv / n
+        var = (sq - sv * sv / n) / (n - 1)        # sample variance
+        return n, mean, var
+
+    na, ma, va = side(group_a)
+    nb, mb, vb = side(group_b)
+    if na >= 2 and nb >= 2 and (va / na + vb / nb) > 0:
+        se2 = va / na + vb / nb
+        tstat = (ma - mb) / np.sqrt(se2)
+        dof = se2 * se2 / ((va / na) ** 2 / (na - 1)
+                           + (vb / nb) ** 2 / (nb - 1))
+    else:
+        tstat, dof = np.nan, np.nan
+    return rd.from_arrow(pa.table({
+        "t": pa.array([tstat], pa.float64(), from_pandas=True),
+        "dof": pa.array([dof], pa.float64(), from_pandas=True),
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "mean_a": pa.array([ma], pa.float64(), from_pandas=True),
+        "mean_b": pa.array([mb], pa.float64(), from_pandas=True)}))

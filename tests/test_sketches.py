@@ -351,3 +351,38 @@ def test_grouped_linreg(ray_session):
         assert abs(out.loc[grp, "slope"] - want) < 0.05
     assert np.isnan(out.loc["flatx", "slope"])
     assert np.isnan(out.loc["flatx", "intercept"])
+
+
+def test_welch_ttest(ray_session):
+    """t and dof match scipy-free closed-form reference on planted shift;
+    degenerate sides (n<2 / missing group) yield nulls."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from schema_validator_ray.stages.stats import welch_ttest
+
+    rng = np.random.default_rng(5)
+    a = rng.normal(10.0, 2.0, 4000)
+    b = rng.normal(10.5, 3.0, 2500)
+    df = pd.DataFrame({
+        "g": ["a"] * len(a) + ["b"] * len(b) + ["c"] * 50,
+        "v": np.r_[a, b, rng.normal(0, 1, 50)]})
+    df.loc[::113, "v"] = np.nan
+    out = (welch_ttest(rd.from_pandas(df).repartition(7), "g", "v", "a", "b")
+           .to_pandas().iloc[0])
+    aa = df.loc[(df["g"] == "a") & df["v"].notna(), "v"].to_numpy()
+    bb = df.loc[(df["g"] == "b") & df["v"].notna(), "v"].to_numpy()
+    va, vb = aa.var(ddof=1), bb.var(ddof=1)
+    se2 = va / len(aa) + vb / len(bb)
+    t_ref = (aa.mean() - bb.mean()) / np.sqrt(se2)
+    dof_ref = se2 ** 2 / ((va / len(aa)) ** 2 / (len(aa) - 1)
+                          + (vb / len(bb)) ** 2 / (len(bb) - 1))
+    assert out["t"] == pytest.approx(t_ref, rel=1e-9)
+    assert out["dof"] == pytest.approx(dof_ref, rel=1e-9)
+    assert out["n_a"] == len(aa) and out["n_b"] == len(bb)
+    # missing side -> nulls
+    out2 = (welch_ttest(rd.from_pandas(df), "g", "v", "a", "zzz")
+            .to_pandas().iloc[0])
+    assert np.isnan(out2["t"]) and out2["n_b"] == 0
