@@ -738,7 +738,10 @@ def rank_window(ds, *, key: str, order_col: str, bucket_width=2000.0,
     the exact ``groupby(key)`` path above ``summary_merge_max``."""
     import ray
 
-    in_cols = list(ds.schema().names)
+    sch = ds.schema()
+    if sch is None:        # schema-less = zero rows after an upstream map
+        return ds
+    in_cols = list(sch.names)
 
     def bucketize(b: pd.DataFrame) -> pd.DataFrame:
         out = b.copy()
