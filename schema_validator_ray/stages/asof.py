@@ -90,15 +90,9 @@ def asof_join(left_ds, right_ds, *, key: str, ts: str,
     if broadcast_right_max:
         import ray
 
-        parts, total, over = [], 0, False
-        for b in right_ds.iter_batches(batch_size=1 << 20,
-                                       batch_format="pyarrow"):
-            if b.num_rows:
-                parts.append(b)
-                total += b.num_rows
-            if total > broadcast_right_max:
-                over = True
-                break
+        from ._collect import collect_up_to
+
+        parts, over = collect_up_to(right_ds, broadcast_right_max)
         if not over:
             if parts:
                 rt = pa.concat_tables(parts)
@@ -224,16 +218,10 @@ def asof_join(left_ds, right_ds, *, key: str, ts: str,
     # duplicate_keys); above it, the per-shard distributed path runs
     summaries = lb.union(rl)
     carries = None
+    from ._collect import collect_up_to
+
     driver_merge_max = 5_000_000
-    parts, total, over = [], 0, False
-    for b in summaries.iter_batches(batch_size=1 << 20,
-                                    batch_format="pyarrow"):
-        if b.num_rows:
-            parts.append(b)
-            total += b.num_rows
-        if total > driver_merge_max:
-            over = True
-            break
+    parts, over = collect_up_to(summaries, driver_merge_max)
     if not over:
         import ray.data as rd
 

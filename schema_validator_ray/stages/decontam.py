@@ -46,17 +46,17 @@ def eval_shingles(eval_ds, text_col: str, k: int = 8) -> np.ndarray:
         _, sh = word_kgrams(b[text_col], k)
         return pa.table({"sh": pc.unique(sh)})
 
-    parts, total = [], 0
-    for b in (eval_ds.map_batches(partial, batch_format="pyarrow")
-              .iter_batches(batch_size=1 << 20, batch_format="pyarrow")):
-        if b.num_rows:
-            parts.append(b["sh"])
-            total += b.num_rows
-        if total > EVAL_SHINGLES_MAX:
-            raise ValueError(
-                f"eval shingle vocabulary exceeds {EVAL_SHINGLES_MAX}; "
-                "use a shuffle semi-join on shingle hash instead of the "
-                "broadcast path")
+    from ._collect import collect_up_to
+
+    tabs, over = collect_up_to(
+        eval_ds.map_batches(partial, batch_format="pyarrow"),
+        EVAL_SHINGLES_MAX)
+    if over:
+        raise ValueError(
+            f"eval shingle vocabulary exceeds {EVAL_SHINGLES_MAX}; "
+            "use a shuffle semi-join on shingle hash instead of the "
+            "broadcast path")
+    parts = [t["sh"] for t in tabs]
     if not parts:
         return np.empty(0, dtype=object)
     allsh = pa.concat_arrays([p.combine_chunks() if isinstance(

@@ -114,15 +114,12 @@ def dedup_exact_keep_min(ds, text_col: str, id_col: str, *,
 
     partials = hashed.map_batches(partial_min, batch_format="pyarrow")
     if driver_merge_max:
-        parts, total, over = [], 0, False
-        for b in partials.iter_batches(batch_size=1 << 20,
-                                       batch_format="pyarrow"):
-            parts.append(b)
-            total += b.num_rows
-            if total > driver_merge_max:
-                over = True
-                break
+        from ._collect import collect_up_to
+
+        parts, over = collect_up_to(partials, driver_merge_max)
         if not over:
+            if not parts:
+                return partials
             merged = (pa.concat_tables(parts).group_by("content_hash")
                       .aggregate([(id_col, "min")])
                       .rename_columns(["content_hash", id_col]))
@@ -173,15 +170,9 @@ def keep_best_rows(ds, key: str, order: list[tuple[str, bool]], *,
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     if driver_merge_max:
-        parts, total, over = [], 0, False
-        for b in partials.iter_batches(batch_size=1 << 20,
-                                       batch_format="pyarrow"):
-            if b.num_rows:
-                parts.append(b)
-                total += b.num_rows
-            if total > driver_merge_max:
-                over = True
-                break
+        from ._collect import collect_up_to
+
+        parts, over = collect_up_to(partials, driver_merge_max)
         if not over:
             if not parts:
                 return partials
@@ -757,16 +748,14 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, *, k: int = 5,
             .groupby(["a", "b"]).aggregate(Count(alias_name="_c"))
             .select_columns(["a", "b"]))
 
-    parts, total = [], 0
-    for b in cand.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        if b.num_rows:
-            parts.append(b)
-            total += b.num_rows
-        if total > max_candidates:
-            raise ValueError(
-                f"ngram_jaccard_pairs: >{max_candidates} candidate pairs — "
-                f"the corpus is dominated by near-duplicates; run exact "
-                f"dedup first or raise `threshold`")
+    from ._collect import collect_up_to
+
+    parts, over = collect_up_to(cand, max_candidates)
+    if over:
+        raise ValueError(
+            f"ngram_jaccard_pairs: >{max_candidates} candidate pairs — "
+            f"the corpus is dominated by near-duplicates; run exact "
+            f"dedup first or raise `threshold`")
     sch = ds.schema()
     t0 = sch.types[sch.names.index(id_col)]
     id_type = t0 if isinstance(t0, pa.DataType) else pa.int64()
