@@ -1688,6 +1688,16 @@ def q_part_name_typo_pairs(sf_dir: str):
     return edit_distance_pairs(ds, "p_name")
 
 
+def q_part_name_typo2_pairs(sf_dir: str):
+    """Fuzzy (Levenshtein ≤ 2) similarity join — the SymDelete index with
+    up-to-2 deletions per side plus banded-DP verification. Candidate
+    volume is O(vocabulary × len²), still independent of row count."""
+    from schema_validator_ray.stages.fuzzy import edit_distance_pairs
+
+    ds = _read(sf_dir, "part", ["p_name"])
+    return edit_distance_pairs(ds, "p_name", max_dist=2)
+
+
 def q_order_price_share(sf_dir: str):
     """Ratio-to-report window (`v / SUM(v) OVER (PARTITION BY key)`): each
     order's share of its priority class's total spend. Tiny per-group sum
@@ -1752,25 +1762,36 @@ def q_events_since_first(sf_dir: str):
 
     from schema_validator_ray.stages.dedup import keep_best_rows
 
+    from schema_validator_ray.stages._collect import collect_up_to
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     first = keep_best_rows(ds, "user_id", [("ts", False), ("event_id", False)])
-    lut = {}
-    for b in first.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        us = b["ts"].cast(pa.int64()).to_numpy()
-        for u, t in zip(b["user_id"].to_numpy(), us):
-            lut[int(u)] = int(t)
-    ref = ray.put(lut)
+    # loud budget on the broadcast side (|users| rows — the one driver-side
+    # collect here), then sorted arrays + searchsorted: no per-user dict,
+    # no integer-id assumption, vectorized lookup in the map stage
+    parts, over = collect_up_to(first.select_columns(["user_id", "ts"]),
+                                5_000_000)
+    if over:
+        raise ValueError("events_since_first: per-user first-ts table "
+                         "exceeds the 5M-row broadcast budget — shard the "
+                         "user space or use the rank_window path")
+    if parts:
+        ft = pa.concat_tables(parts)
+        uid = ft["user_id"].to_numpy(zero_copy_only=False)
+        fts = ft["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(uid, kind="stable")
+        ref = ray.put((uid[order], fts[order]))
+    else:
+        ref = ray.put((np.array([]), np.array([], np.int64)))
 
     def fin(b: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        import pandas as pd
-
-        codes, uniq = pd.factorize(b["user_id"].to_numpy())
-        f = np.array([m[int(u)] for u in uniq], np.int64)[codes]
+        su, st = ray.get(ref)
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(su, u)
         us = b["ts"].cast(pa.int64()).to_numpy()
         return pa.table({"event_id": b["event_id"],
                          "user_id": b["user_id"],
-                         "since_us": pa.array(us - f, pa.int64())})
+                         "since_us": pa.array(us - st[pos], pa.int64())})
 
     return ds.map_batches(fin, batch_format="pyarrow")
 
@@ -2625,6 +2646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_median": q_order_price_median,
         "order_price_share": q_order_price_share,
         "part_name_typo_pairs": q_part_name_typo_pairs,
+        "part_name_typo2_pairs": q_part_name_typo2_pairs,
         "embedding_covariance": q_embedding_covariance,
         "customers_with_orders": q_customers_with_orders,
         "doc_char_entropy": q_doc_char_entropy,
@@ -3443,6 +3465,13 @@ def oracle_sql() -> dict[str, str]:
               FROM names a JOIN names b
                 ON a.p_name < b.p_name
                AND levenshtein(a.p_name, b.p_name) <= 1
+        """,
+        "part_name_typo2_pairs": """
+            WITH names AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS a, b.p_name AS b
+              FROM names a JOIN names b
+                ON a.p_name < b.p_name
+               AND levenshtein(a.p_name, b.p_name) <= 2
         """,
         "order_price_share": """
             SELECT o_orderkey, o_orderpriority,

@@ -608,8 +608,17 @@ def group_zscore_outliers(ds, *, value_col: str, group_col: str,
     from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
+        # drop null groups AND null/NaN values: SQL sum/stddev ignore NULLs
+        # — one NULL value would NaN-poison the whole group's (sv, sq) (and
+        # worse: a NaN partial row is silently SKIPPED by the downstream
+        # Sum, dropping the entire batch's contribution), and a NULL key
+        # factorizes to code −1 (a negative np.bincount index)
+        b = b.select([group_col, value_col]).drop_null()
         v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        codes, uniq = pd.factorize(b[group_col].to_numpy(zero_copy_only=False))
+        keys = b[group_col].to_numpy(zero_copy_only=False)
+        fin = ~np.isnan(v)
+        v, keys = v[fin], keys[fin]
+        codes, uniq = pd.factorize(keys)
         n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
         sv = np.zeros(len(uniq)); np.add.at(sv, codes, v)
         sq = np.zeros(len(uniq)); np.add.at(sq, codes, v * v)
@@ -636,14 +645,20 @@ def group_zscore_outliers(ds, *, value_col: str, group_col: str,
         ms = ray.get(ref)
         v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         keys = b[group_col].to_numpy(zero_copy_only=False)
-        # vectorized lookup via factorize (one dict probe per DISTINCT key)
+        # vectorized lookup via factorize (one dict probe per DISTINCT key);
+        # null-key rows (factorize code −1) are never outliers — indexing
+        # mu[-1] would silently test them against the LAST group's stats
         codes, uniq = pd.factorize(keys)
-        mu = np.array([ms[u][0] for u in uniq])
-        sd = np.array([ms[u][1] for u in uniq])
-        sdv = sd[codes]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            z = np.abs((v - mu[codes]) / sdv)
-        keep = (sdv > 0) & (z > threshold)
+        keep = np.zeros(len(codes), bool)
+        valid = codes >= 0
+        if len(uniq) and valid.any():
+            mu = np.array([ms.get(u, (np.nan, 0.0))[0] for u in uniq])
+            sd = np.array([ms.get(u, (np.nan, 0.0))[1] for u in uniq])
+            cv = codes[valid]
+            sdv = sd[cv]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                z = np.abs((v[valid] - mu[cv]) / sdv)
+            keep[valid] = (sdv > 0) & (z > threshold)
         out = b.filter(pa.array(keep))
         return out.select(out_cols) if out_cols else out
 

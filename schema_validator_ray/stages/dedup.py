@@ -144,8 +144,14 @@ def _pick_best(t: pa.Table, key: str, sort_keys: list[tuple[str, str]]
     k = st[key]
     if isinstance(k, pa.ChunkedArray):
         k = k.combine_chunks()
-    neq = pc.invert(pc.equal(k.slice(1), k.slice(0, len(k) - 1)))
-    first = pa.concat_arrays([pa.array([True]), pc.fill_null(neq, True)])
+    # null-aware adjacent equality: NULL keys form ONE partition with one
+    # winner (SQL ROW_NUMBER() OVER (PARTITION BY key) semantics — NULLs
+    # group together). pc.equal(null, null) is null, so fill with the
+    # both-null test instead of blanket True (which kept EVERY null-key row)
+    hi, lo = k.slice(1), k.slice(0, len(k) - 1)
+    eq = pc.or_(pc.fill_null(pc.equal(hi, lo), False),
+                pc.and_(pc.is_null(hi), pc.is_null(lo)))
+    first = pa.concat_arrays([pa.array([True]), pc.invert(eq)])
     return st.filter(first)
 
 
@@ -183,7 +189,34 @@ def keep_best_rows(ds, key: str, order: list[tuple[str, bool]], *,
     def re_pick(t: pa.Table) -> pa.Table:
         return _pick_best(t, key, sort_keys)
 
-    return partials.groupby(key).map_groups(re_pick, batch_format="pyarrow")
+    # Ray's sort-based groupby cannot partition on null keys (None is not
+    # orderable against real values in the boundary search), so the
+    # distributed fallback splits them out. Null-key partials are already
+    # reduced to <=1 winner row per batch, so the null side is
+    # block-count-bounded and finishes with one driver pick.
+    def keep_nonnull(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t[key]))
+
+    def keep_null(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t[key]))
+
+    nn = (partials.map_batches(keep_nonnull, batch_format="pyarrow")
+          .groupby(key).map_groups(re_pick, batch_format="pyarrow"))
+    from ._collect import collect_up_to
+
+    null_parts, n_over = collect_up_to(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(keep_null, batch_format="pyarrow"), 1_000_000)
+    if n_over:
+        raise ValueError("keep_best_rows: null-key winner partials exceed "
+                         "the 1M-row driver budget — drop null keys "
+                         "upstream")
+    if not null_parts:
+        return nn
+    import ray.data as rd
+    null_win = rd.from_arrow(
+        _pick_best(pa.concat_tables(null_parts), key, sort_keys))
+    return nn.union(null_win)
 
 
 def dedup_keep_latest(ds, key: str, ts_col: str, tiebreak: str, *,

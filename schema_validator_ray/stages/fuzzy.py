@@ -2,24 +2,30 @@
 
 Completes the near-duplicate family (exact hash, MinHash-Jaccard, SimHash /
 Hamming, n-gram Jaccard, embedding cosine — stages/dedup.py) with the
-typo-class metric: pairs of values within Levenshtein distance 1.
+typo-class metric: pairs of values within Levenshtein distance ``max_dist``
+(1 or 2).
 
 Shape (never all-pairs):
 1. distinct values — per-batch distinct partials → groupby (fuzzy matching
    runs on the value DICTIONARY, which is vocabulary-bounded, not on rows);
 2. SymDelete blocking (symmetric-deletion spell-check indexing, public
-   SymSpell technique): each value explodes into its ≤ (len+1) single-
-   deletion variants; two values at edit distance ≤ 1 ALWAYS share a
-   variant (substitution: deleting the differing position from both gives
-   the same string; insert/delete: the shorter IS a deletion of the longer);
+   SymSpell technique): each value explodes into every variant reachable by
+   deleting ≤ ``max_dist`` characters. Two values at edit distance ≤ d
+   ALWAYS share such a variant (each edit op touches one position; deleting
+   the touched positions from both sides converges on a common string) —
+   the standard SymSpell completeness guarantee;
 3. per-bucket pair generation inside ``groupby(bucket).map_groups`` with a
    mega-bucket cap, distributed ``groupby(a, b)`` pair dedup;
-4. exact ed≤1 verification (shared deletion only guarantees ed ≤ 2):
-   same-length values must differ in ≤ 1 position, length-±1 values must
-   align around one gap — both O(len) checks, no DP table.
+4. exact ed ≤ d verification: d=1 uses the O(len) alignment check, d=2 a
+   banded (Ukkonen width 2d+1) early-exit DP — shared deletion variants only
+   guarantee ed ≤ 2d, so verification is load-bearing.
 
 The dictionary pass bounds every later stage: candidate volume is
-O(vocabulary × value length), independent of row count.
+O(vocabulary × value length^d), independent of row count.
+
+A deletion bucket larger than ``max_bucket`` RAISES by default (an
+over-large bucket means dropped genuine pairs — the repo's loud-budget
+convention); pass ``on_mega_bucket="skip"`` to opt into best-effort.
 """
 
 from __future__ import annotations
@@ -48,14 +54,72 @@ def _ed_le_1(a: str, b: str) -> bool:
     return a[i:] == b[i + 1:]
 
 
+def _ed_le(a: str, b: str, d: int) -> bool:
+    """Exact Levenshtein ≤ d via banded DP (band 2d+1, early exit when a
+    whole row exceeds d). O(len × d) — strings here are dictionary values,
+    not documents."""
+    if d == 1:
+        return _ed_le_1(a, b)
+    la, lb = len(a), len(b)
+    if abs(la - lb) > d:
+        return False
+    if a == b:
+        return True
+    inf = d + 1
+    prev = [j if j <= d else inf for j in range(lb + 1)]
+    for i in range(1, la + 1):
+        lo = max(1, i - d)
+        hi = min(lb, i + d)
+        cur = [inf] * (lb + 1)
+        if i <= d:
+            cur[0] = i
+        ca = a[i - 1]
+        best = cur[0]
+        for j in range(lo, hi + 1):
+            v = prev[j - 1] + (ca != b[j - 1])
+            if prev[j] + 1 < v:
+                v = prev[j] + 1
+            if cur[j - 1] + 1 < v:
+                v = cur[j - 1] + 1
+            if v <= d:
+                cur[j] = v
+                if v < best:
+                    best = v
+        if best > d:
+            return False
+        prev = cur
+    return prev[lb] <= d
+
+
+def _deletes(v: str, d: int) -> set:
+    """All distinct strings reachable from ``v`` by ≤ d character
+    deletions (including ``v`` itself)."""
+    res = {v}
+    frontier = {v}
+    for _ in range(d):
+        nxt = set()
+        for s in frontier:
+            for i in range(len(s)):
+                nxt.add(s[:i] + s[i + 1:])
+        frontier = nxt - res
+        res |= frontier
+    return res
+
+
 def edit_distance_pairs(ds, col: str, *, max_dist: int = 1,
-                        max_bucket: int = _MAX_BUCKET):
+                        max_bucket: int = _MAX_BUCKET,
+                        on_mega_bucket: str = "error"):
     """All unordered pairs of DISTINCT ``col`` values with Levenshtein
-    distance ≤ 1 (``max_dist`` other than 1 is not implemented — the
-    SymDelete index generalizes but verification would need banded DP).
-    Returns columns (a, b) with a < b lexically."""
-    if max_dist != 1:
-        raise NotImplementedError("only max_dist=1 is implemented")
+    distance ≤ ``max_dist`` (1 or 2). Returns columns (a, b) with
+    a < b lexically.
+
+    ``on_mega_bucket``: ``"error"`` (default) raises when a deletion bucket
+    exceeds ``max_bucket`` (skipping would silently drop genuine pairs);
+    ``"skip"`` opts into best-effort with a logged skip."""
+    if max_dist not in (1, 2):
+        raise NotImplementedError("only max_dist in (1, 2) is implemented")
+    if on_mega_bucket not in ("error", "skip"):
+        raise ValueError("on_mega_bucket must be 'error' or 'skip'")
     from ray.data.aggregate import Min
 
     def distinct_part(b: pa.Table) -> pa.Table:
@@ -71,10 +135,8 @@ def edit_distance_pairs(ds, col: str, *, max_dist: int = 1,
     def explode(b: pa.Table) -> pa.Table:
         keys, vals = [], []
         for v in b["v"].to_pylist():
-            keys.append(v)                    # the value itself
-            vals.append(v)
-            for i in range(len(v)):           # all single deletions
-                keys.append(v[:i] + v[i + 1:])
+            for k in _deletes(v, max_dist):
+                keys.append(k)
                 vals.append(v)
         return pa.table({"bucket": pa.array(keys, pa.string()),
                          "v": pa.array(vals, pa.string())})
@@ -86,15 +148,23 @@ def edit_distance_pairs(ds, col: str, *, max_dist: int = 1,
                           "b": pa.array([], pa.string())})
         vs = sorted(set(g["v"].to_pylist()))
         n = len(vs)
-        if n < 2 or n > max_bucket:
-            if n > max_bucket:
-                print(f"edit_distance_pairs: skipping mega-bucket "
-                      f"({n} members)")
+        if n > max_bucket:
+            if on_mega_bucket == "error":
+                raise ValueError(
+                    f"edit_distance_pairs: deletion bucket "
+                    f"{g['bucket'][0].as_py()!r} has {n} members "
+                    f"(max_bucket={max_bucket}) — pairs would be dropped; "
+                    f"raise max_bucket or pass on_mega_bucket='skip'")
+            print(f"edit_distance_pairs: skipping mega-bucket ({n} members)")
+            return empty
+        if n < 2:
             return empty
         a_l, b_l = [], []
         for i in range(n):
+            # banded length filter: values are length-sorted only weakly by
+            # lexical order, so filter per pair (O(1) before the DP)
             for j in range(i + 1, n):
-                if _ed_le_1(vs[i], vs[j]):
+                if _ed_le(vs[i], vs[j], max_dist):
                     a_l.append(vs[i])
                     b_l.append(vs[j])
         if not a_l:

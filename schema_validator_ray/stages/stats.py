@@ -504,8 +504,10 @@ def histogram_fixed(ds, col: str, *, lo: float, hi: float, n_bins: int):
     def part(b: pa.Table) -> pa.Table:
         arr = b[col]
         v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
-        if arr.null_count:
-            v = v[~np.isnan(v)]
+        # always mask NaN, not just when null_count > 0: a literal NaN in a
+        # non-null float column would yield an undefined bin index that
+        # escapes both where-clamps (NaN < lo and NaN >= hi are both False)
+        v = v[~np.isnan(v)]
         bins = (np.floor((v - lo_f) / (hi_f - lo_f) * n_bins) + 1).astype(
             np.int64)
         bins = np.where(v < lo_f, 0,

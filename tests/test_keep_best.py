@@ -148,3 +148,20 @@ def test_rank_window_hot_key_buckets(ray_session):
           FROM df WINDOW w AS (PARTITION BY k ORDER BY v) ORDER BY id""").df()
     assert out["rank"].tolist() == exp["rank"].tolist()
     assert out["dense_rank"].tolist() == exp["dense_rank"].tolist()
+
+
+def test_keep_best_null_keys_form_one_partition(ray_session):
+    """SQL ROW_NUMBER() OVER (PARTITION BY key) puts every NULL key in ONE
+    partition with one winner (review fix: pc.equal(null,null)->null used
+    to keep ALL null-key rows). Driver-merge and distributed paths agree."""
+    import ray.data as rd
+
+    df = pd.DataFrame({"k": ["a", None, "a", None, None, "b"],
+                       "ts": [5, 9, 7, 3, 9, 1],
+                       "id": [1, 2, 3, 4, 5, 6]})
+    for budget in (5_000_000, 0):
+        out = (keep_best_rows(rd.from_pandas(df).repartition(3), "k",
+                              [("ts", True), ("id", False)],
+                              driver_merge_max=budget)
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        assert out["id"].tolist() == [2, 3, 6], f"budget={budget}"

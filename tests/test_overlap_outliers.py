@@ -140,3 +140,29 @@ def test_heavy_hitters_no_false_negatives_across_blocking(ray_session):
         got = sorted(r["k"] for r in heavy_hitters_exact(
             ds.repartition(parts), "k", 30, local_threshold=1).take_all())
         assert got == list(range(20)), parts
+
+
+def test_zscore_outliers_null_value_and_null_group(ray_session):
+    """A NULL value must not NaN-poison its group's stats (SQL stddev
+    ignores NULLs) and NULL-group rows are never outliers (review fix:
+    factorize code -1 used to crash bincount / index the last group)."""
+    import ray.data as rd
+
+    from schema_validator_ray.stages.analytics import group_zscore_outliers
+
+    rng = np.random.default_rng(13)
+    n = 400
+    val = np.r_[rng.standard_normal(n - 2), 100.0, 100.0]
+    t = pa.table({
+        "event_id": pa.array(np.arange(n + 3, dtype=np.int64)),
+        "event_type": pa.array(["g"] * n + [None, None, "g"]),
+        "value": pa.array(np.r_[val, 0.0, 100.0, np.nan].tolist(),
+                          pa.float64()),
+    })
+    got = sorted(r["event_id"] for r in group_zscore_outliers(
+        rd.from_arrow(t).repartition(5), value_col="value",
+        group_col="event_type", threshold=3.0).take_all())
+    # expected from numpy over the non-null g rows only
+    mu, sd = val.mean(), val.std()
+    want = sorted(np.arange(n)[np.abs((val - mu) / sd) > 3.0].tolist())
+    assert got == want and len(got) >= 2

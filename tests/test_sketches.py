@@ -386,3 +386,21 @@ def test_welch_ttest(ray_session):
     out2 = (welch_ttest(rd.from_pandas(df), "g", "v", "a", "zzz")
             .to_pandas().iloc[0])
     assert np.isnan(out2["t"]) and out2["n_b"] == 0
+
+
+def test_histogram_fixed_literal_nan_in_nonnull_column(ray_session):
+    """A literal NaN in a float column with null_count == 0 must be masked
+    (review fix: floor(NaN) escaped both where-clamps as an undefined
+    int64 bin index)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from schema_validator_ray.stages.stats import histogram_fixed
+
+    t = pa.table({"v": pa.array([1.0, np.nan, 5.0, np.nan, 9.0],
+                                pa.float64())})
+    assert t["v"].null_count == 0
+    out = {r["bin"]: r["n"]
+           for r in histogram_fixed(rd.from_arrow(t).repartition(2), "v",
+                                    lo=0.0, hi=10.0, n_bins=5).take_all()}
+    assert out == {1: 1, 3: 1, 5: 1}
