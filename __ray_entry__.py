@@ -924,7 +924,7 @@ def q_asof_join_events(sf_dir: str):
             "user_id": merged["user_id"], "ts": merged["ts"],
             "ckpt_value": merged["ckpt_value_max"]}))
     out = asof_join(left, right, key="user_id", ts="ts",
-                    value_cols=["ckpt_value"], bucket="6h")
+                    value_cols=["ckpt_value"])
     return out.map_batches(
         lambda b: pa.table({
             "event_id": b["event_id"],
@@ -980,7 +980,7 @@ def q_events_in_sessions(sf_dir: str):
         key="user_id", ts="ts", gap="30min")
     out = interval_join(events, sessions, key="user_id", ts="ts",
                         start="session_start", end="session_end",
-                        payload_cols=[], bucket="6h", how="inner",
+                        payload_cols=[], how="inner",
                         broadcast_intervals_max=2_000_000)
     return out.map_batches(
         lambda b: pa.table({"event_id": b["event_id"],
@@ -1513,7 +1513,7 @@ def q_orders_running_total(sf_dir: str):
         }), batch_format="pyarrow")
     out = running_sum(ds, key="o_custkey", order_col="o_orderdate",
                       value="cents", tiebreak="o_orderkey",
-                      out_col="running_cents", bucket_width="30d")
+                      out_col="running_cents")
     return out.map_batches(
         lambda b: pa.table({"o_orderkey": b["o_orderkey"],
                             "o_custkey": b["o_custkey"],
@@ -1530,7 +1530,7 @@ def q_events_lag_gap(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     out = lag_gap_us(ds, key="user_id", ts="ts", tiebreak="event_id",
-                     out_col="gap_us", bucket_width="2d")
+                     out_col="gap_us")
     return out.map_batches(
         lambda b: pa.table({"event_id": b["event_id"],
                             "user_id": b["user_id"],
@@ -1547,12 +1547,8 @@ def q_events_moving_avg(sf_dir: str):
     from schema_validator_ray.stages.analytics import rows_moving_sum
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-    # bucket span sized so a (user, bucket) segment holds ≫ k rows (≈2
-    # events/user/day here): too-fine buckets make the k-row tail summaries
-    # outnumber the data itself
     out = rows_moving_sum(ds, key="user_id", order_col="ts",
-                          value="value", tiebreak="event_id", k=3,
-                          bucket_width="5d")
+                          value="value", tiebreak="event_id", k=3)
 
     def fin(b: pa.Table) -> pa.Table:
         avg = pc.divide(b["w_sum"], pc.cast(b["w_cnt"], pa.float64()))
@@ -1738,7 +1734,7 @@ def q_order_price_median(sf_dir: str):
 
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
     return grouped_exact_quantile(ds, "o_orderpriority", "o_totalprice",
-                                  0.5, bucket_width=5000.0,
+                                  0.5,
                                   out_col="med_price")
 
 
@@ -1815,7 +1811,7 @@ def q_events_lead_gap(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     out = lead_gap_us(ds, key="user_id", ts="ts", tiebreak="event_id",
-                      out_col="gap_us", bucket_width="2d")
+                      out_col="gap_us")
     return out.map_batches(
         lambda b: pa.table({"event_id": b["event_id"],
                             "user_id": b["user_id"],
@@ -1832,8 +1828,7 @@ def q_customer_balance_quartiles(sf_dir: str):
 
     ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
     out = ntile(ds, key="c_nationkey", order_col="c_acctbal",
-                tiebreak="c_custkey", n=4, out_col="quartile",
-                bucket_width=2000.0)
+                tiebreak="c_custkey", n=4, out_col="quartile")
     return out.map_batches(
         lambda b: pa.table({"c_custkey": b["c_custkey"],
                             "c_nationkey": b["c_nationkey"],
@@ -2340,7 +2335,7 @@ def q_events_mad_outliers(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
     return mad_outliers(
         ds, value_col="value", group_col="event_type", k=3.5,
-        bucket_width=10.0, out_cols=["event_id", "event_type", "value"])
+        out_cols=["event_id", "event_type", "value"])
 
 
 def q_source_quality_report(sf_dir: str):
@@ -2464,8 +2459,7 @@ def q_lineitem_rank(sf_dir: str):
 
     ds = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"])
-    return rank_window(ds, key="l_returnflag", order_col="l_quantity",
-                       bucket_width=5.0)
+    return rank_window(ds, key="l_returnflag", order_col="l_quantity")
 
 
 def q_lineitem_price_pctrank(sf_dir: str):
@@ -2477,7 +2471,7 @@ def q_lineitem_price_pctrank(sf_dir: str):
 
     ds = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_linenumber", "l_extendedprice"])
-    return global_rank(ds, order_col="l_extendedprice", bucket_width=2000.0)
+    return global_rank(ds, order_col="l_extendedprice")
 
 
 def q_tfidf_terms(sf_dir: str):

@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ._calibrate import resolve_bucket_width
 from .windows import _shard_series
 
 _SUMMARY_MERGE_MAX = 5_000_000
@@ -72,7 +73,7 @@ def _key_segments(kv: pd.Series) -> np.ndarray:
 
 def running_sum(ds, *, key: str, order_col: str, value: str,
                 tiebreak: str, out_col: str = "running_sum",
-                bucket_width="30d", n_shards: int = 32,
+                bucket_width="auto", n_shards: int = 32,
                 summary_merge_max: int = _SUMMARY_MERGE_MAX):
     """``SUM(value) OVER (PARTITION BY key ORDER BY order_col, tiebreak)``
     (cumulative / inclusive). Local cumsum per (key, bucket) group + one
@@ -81,6 +82,7 @@ def running_sum(ds, *, key: str, order_col: str, value: str,
     import ray
 
     in_cols = list(ds.schema().names)
+    bucket_width = resolve_bucket_width(ds, order_col, bucket_width)
 
     def bucketize(b: pd.DataFrame) -> pd.DataFrame:
         out = b.copy()
@@ -172,7 +174,7 @@ def _exact_running_sum(ds, *, key, order_col, value, tiebreak, out_col):
 
 
 def lag_gap_us(ds, *, key: str, ts: str, tiebreak: str,
-               out_col: str = "gap_us", bucket_width="30d",
+               out_col: str = "gap_us", bucket_width="auto",
                n_shards: int = 32,
                summary_merge_max: int = _SUMMARY_MERGE_MAX):
     """``epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY key ORDER BY ts,
@@ -182,6 +184,7 @@ def lag_gap_us(ds, *, key: str, ts: str, tiebreak: str,
     import ray
 
     in_cols = list(ds.schema().names)
+    bucket_width = resolve_bucket_width(ds, ts, bucket_width)
 
     def bucketize(b: pd.DataFrame) -> pd.DataFrame:
         out = b.copy()
@@ -247,7 +250,7 @@ def lag_gap_us(ds, *, key: str, ts: str, tiebreak: str,
 
 
 def lead_gap_us(ds, *, key: str, ts: str, tiebreak: str,
-                out_col: str = "gap_us", bucket_width="30d",
+                out_col: str = "gap_us", bucket_width="auto",
                 n_shards: int = 32,
                 summary_merge_max: int = _SUMMARY_MERGE_MAX):
     """``LEAD(epoch_us(ts)) OVER (PARTITION BY key ORDER BY ts, tiebreak) -
@@ -258,6 +261,7 @@ def lead_gap_us(ds, *, key: str, ts: str, tiebreak: str,
     import ray
 
     in_cols = list(ds.schema().names)
+    bucket_width = resolve_bucket_width(ds, ts, bucket_width)
 
     def bucketize(b: pd.DataFrame) -> pd.DataFrame:
         out = b.copy()
@@ -354,7 +358,7 @@ def _exact_lag_gap(ds, *, key, ts, tiebreak, out_col):
 
 
 def ntile(ds, *, key: str, order_col: str, tiebreak: str, n: int,
-          out_col: str = "tile", bucket_width=2000.0, n_shards: int = 32,
+          out_col: str = "tile", bucket_width="auto", n_shards: int = 32,
           summary_merge_max: int = _SUMMARY_MERGE_MAX):
     """``NTILE(n) OVER (PARTITION BY key ORDER BY order_col, tiebreak)``
     (SQL semantics: the first ``count % n`` tiles get ``ceil(count/n)`` rows).
@@ -363,6 +367,7 @@ def ntile(ds, *, key: str, order_col: str, tiebreak: str, n: int,
     import ray
 
     in_cols = list(ds.schema().names)
+    bucket_width = resolve_bucket_width(ds, order_col, bucket_width)
 
     def bucketize(b: pd.DataFrame) -> pd.DataFrame:
         out = b.copy()
@@ -460,7 +465,7 @@ def _exact_ntile(ds, *, key, order_col, tiebreak, n, out_col):
 def rows_moving_sum(ds, *, key: str, order_col: str, value: str,
                     tiebreak: str, k: int,
                     sum_col: str = "w_sum", cnt_col: str = "w_cnt",
-                    bucket_width="30d", n_shards: int = 32,
+                    bucket_width="auto", n_shards: int = 32,
                     summary_merge_max: int = _SUMMARY_MERGE_MAX):
     """``SUM(value) / COUNT(*) OVER (PARTITION BY key ORDER BY order_col,
     tiebreak ROWS BETWEEN k PRECEDING AND CURRENT ROW)`` — the ROWS-frame
@@ -484,6 +489,11 @@ def rows_moving_sum(ds, *, key: str, order_col: str, value: str,
     if k < 0:
         raise ValueError("k must be >= 0")
     in_cols = list(ds.schema().names)
+    # coarser grid than the rank family: each (key, bucket) segment emits a
+    # k-row TAIL summary (not one row), so summary volume scales with
+    # k × buckets — shards already provide the baseline parallelism
+    bucket_width = resolve_bucket_width(ds, order_col, bucket_width,
+                                        target_buckets=8)
 
     def bucketize(b: pd.DataFrame) -> pd.DataFrame:
         out = b.copy()
@@ -666,7 +676,7 @@ def group_zscore_outliers(ds, *, value_col: str, group_col: str,
 
 
 def mad_outliers(ds, *, value_col: str, group_col: str, k: float = 3.5,
-                 bucket_width: float = 1.0, out_cols=None):
+                 bucket_width="auto", out_cols=None):
     """Rows whose value deviates more than ``k`` median-absolute-deviations
     from their group's MEDIAN — the robust companion of
     ``group_zscore_outliers`` (a z-score is itself dragged by the outliers
@@ -737,7 +747,7 @@ def mad_outliers(ds, *, value_col: str, group_col: str, k: float = 3.5,
     return ds.map_batches(flag, batch_format="pyarrow")
 
 
-def rank_window(ds, *, key: str, order_col: str, bucket_width=2000.0,
+def rank_window(ds, *, key: str, order_col: str, bucket_width="auto",
                 n_shards: int = 32,
                 summary_merge_max: int = _SUMMARY_MERGE_MAX):
     """``RANK() / DENSE_RANK() / PERCENT_RANK() OVER (PARTITION BY key ORDER
@@ -757,6 +767,7 @@ def rank_window(ds, *, key: str, order_col: str, bucket_width=2000.0,
     if sch is None:        # schema-less = zero rows after an upstream map
         return ds
     in_cols = list(sch.names)
+    bucket_width = resolve_bucket_width(ds, order_col, bucket_width)
 
     def bucketize(b: pd.DataFrame) -> pd.DataFrame:
         out = b.copy()
@@ -863,7 +874,7 @@ def _exact_rank(ds, *, key, order_col):
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")
 
 
-def global_rank(ds, *, order_col: str, bucket_width=2000.0,
+def global_rank(ds, *, order_col: str, bucket_width="auto",
                 summary_merge_max: int = _SUMMARY_MERGE_MAX):
     """``RANK()/DENSE_RANK()/PERCENT_RANK() OVER (ORDER BY order_col)`` with
     an EMPTY partition clause — the global CDF / quantile-normalization
@@ -873,6 +884,10 @@ def global_rank(ds, *, order_col: str, bucket_width=2000.0,
     ``bucket_width`` to the data's spread) and the carry-in summary chain is
     one row per bucket."""
     in_cols = list(ds.schema().names)
+    # n_shards=1 here: ALL parallelism comes from the value buckets, so
+    # calibrate to a finer grid than the sharded operators
+    bucket_width = resolve_bucket_width(ds, order_col, bucket_width,
+                                        target_buckets=256)
 
     def tag(b: pa.Table) -> pa.Table:
         return b.append_column(

@@ -59,7 +59,7 @@ def _conform(t: pa.Table, schema: pa.Schema) -> pa.Table:
 
 
 def asof_join(left_ds, right_ds, *, key: str, ts: str,
-              value_cols: list[str], bucket: str = "6h",
+              value_cols: list[str], bucket: str = "auto",
               right_suffix: str = "_r", n_shards: int = 32,
               blk_factor: int = 16,
               broadcast_right_max: int = 1_000_000):
@@ -72,8 +72,12 @@ def asof_join(left_ds, right_ds, *, key: str, ts: str,
     it is broadcast once via ``ray.put`` and the whole join runs map-side
     with one ``pd.merge_asof`` per left batch: zero shuffle, no sort stage,
     and the left side streams. Above the cap (or with the cap set to 0) the
-    skew-safe sharded-bucket shuffle below runs instead."""
-    bucket_ns = pd.Timedelta(bucket).value
+    skew-safe sharded-bucket shuffle below runs instead.
+
+    ``bucket="auto"`` (default) calibrates the bucket span from a sampled
+    quantile pre-pass over the left timestamp column — resolved lazily,
+    only when the shuffle path actually runs (the broadcast fast path needs
+    no buckets and pays no pre-pass)."""
     out_ts = f"{ts}{right_suffix}"
     out_vals = [f"{c}{right_suffix}" for c in value_cols]
 
@@ -129,6 +133,18 @@ def asof_join(left_ds, right_ds, *, key: str, ts: str,
             return (left_ds.map_batches(bcast_asof, batch_format="pandas")
                     .map_batches(lambda b: _conform(b, out_schema_final),
                                  batch_format="pyarrow"))
+
+    if bucket == "auto":
+        from ._calibrate import calibrate_bucket_width
+
+        # blk_factor buckets merge into one shuffle block, so target
+        # n_shards × blk_factor buckets ≈ n_shards blocks of work
+        w = calibrate_bucket_width(left_ds, ts,
+                                   target_buckets=n_shards * blk_factor)
+        bucket_ns = (int(w.value) if isinstance(w, pd.Timedelta)
+                     else max(int(w), 1))
+    else:
+        bucket_ns = pd.Timedelta(bucket).value
 
     # unified schema for the (left ∪ right ∪ carry) grouped shuffle
     uschema = pa.schema(

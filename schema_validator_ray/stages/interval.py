@@ -105,7 +105,7 @@ def _iv_sorted_cached(ref, key: str, start: str, end: str):
 
 def interval_join(left_ds, intervals_ds, *, key: str, ts: str,
                   start: str, end: str, payload_cols: list[str],
-                  bucket: str = "6h", how: str = "inner",
+                  bucket: str = "auto", how: str = "inner",
                   max_span_buckets: int = 1024, n_shards: int = 32,
                   blk_factor: int = 16,
                   broadcast_intervals_max: int = 0):
@@ -123,7 +123,19 @@ def interval_join(left_ds, intervals_ds, *, key: str, ts: str,
     path would run concurrently with the left scan."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
-    bucket_ns = pd.Timedelta(bucket).value
+    if bucket == "auto":
+        # calibrate from the LEFT timestamps only (the interval side is
+        # often itself a derived shuffle — pre-scanning it would recompute
+        # it); the max_span_buckets guard below stays the loud backstop if
+        # intervals turn out to be long relative to the calibrated width
+        from ._calibrate import calibrate_bucket_width
+
+        w = calibrate_bucket_width(left_ds, ts,
+                                   target_buckets=n_shards * blk_factor)
+        bucket_ns = (int(w.value) if isinstance(w, pd.Timedelta)
+                     else max(int(w), 1))
+    else:
+        bucket_ns = pd.Timedelta(bucket).value
 
     left_schema = left_ds.schema()
     lsch = pa.schema(list(zip(left_schema.names, left_schema.types)))

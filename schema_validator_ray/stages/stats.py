@@ -332,7 +332,7 @@ def exact_quantiles(ds, col: str, qs: list[float]):
 
 
 def grouped_exact_quantile(ds, key: str, col: str, q: float, *,
-                           bucket_width: float = 1.0,
+                           bucket_width="auto",
                            out_col: str = "qvalue",
                            summary_merge_max: int = 5_000_000):
     """EXACT per-group order statistic (DuckDB ``quantile_disc(col, q) GROUP
@@ -348,11 +348,20 @@ def grouped_exact_quantile(ds, key: str, col: str, q: float, *,
     rows within one ``bucket_width`` of the quantile — and one tiny
     ``map_groups`` sort picks the element. A hot key ships one bucket, never
     its history. Falls back to a per-key sort (`groupby(key)`, hot-key
-    bounded) if the count summaries exceed ``summary_merge_max``."""
+    bounded) if the count summaries exceed ``summary_merge_max``.
+
+    ``bucket_width="auto"`` (default) calibrates from a sampled-quantile
+    pre-pass over ``col`` — a finer grid than the rank operators (the width
+    bounds how many rows pass 2 re-ships per key)."""
     import math
 
     import ray
     from ray.data.aggregate import Sum
+
+    from ._calibrate import resolve_bucket_width
+
+    bucket_width = float(resolve_bucket_width(ds, col, bucket_width,
+                                              target_buckets=256))
 
     def part(b: pa.Table) -> pa.Table:
         t = b.select([key, col]).drop_null()
