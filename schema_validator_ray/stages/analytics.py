@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ._calibrate import resolve_bucket_width
 from .windows import _shard_series
@@ -71,6 +72,51 @@ def _key_segments(kv: pd.Series) -> np.ndarray:
     return (kv != kv.shift()).to_numpy()
 
 
+def _bucket_of_col(col, bucket_width) -> np.ndarray:
+    """Arrow column → int64 bucket ids (same math as ``_bucket_of``)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    v = col.to_numpy(zero_copy_only=False)
+    if v.dtype.kind == "M":
+        ns = v.astype("datetime64[ns]").astype(np.int64)
+        return ns // int(pd.Timedelta(bucket_width).value)
+    return np.floor(v.astype(np.float64) / float(bucket_width)).astype(np.int64)
+
+
+def _adjacent_break(col, n: int) -> np.ndarray:
+    """True where row i differs from row i−1 (row 0 always True) — the
+    Arrow-native ``_key_segments`` over a sorted column; nulls break a run
+    exactly like the pandas ``NaN != NaN`` they replace."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    ne = pc.fill_null(pc.not_equal(col.slice(1), col.slice(0, n - 1)), True)
+    return np.r_[True, ne.to_numpy(zero_copy_only=False)]
+
+
+def _probe_summary(b: pa.Table, key: str, sdf: pd.DataFrame,
+                   val_cols: list[str],
+                   dtypes: list | None = None,
+                   fills: list | None = None) -> list[np.ndarray]:
+    """Vectorized carry-in lookup for an Arrow batch: factorize the batch's
+    (key, _bkt) pairs and merge ONLY the distinct pairs against the
+    broadcast summary frame — the per-row work is a single int gather, and
+    pandas touches |distinct pairs| rows, never the event stream. Missing
+    pairs carry 0 (a bucket with no earlier carry)."""
+    kv = b[key].to_numpy(zero_copy_only=False)
+    bv = b["_bkt"].to_numpy(zero_copy_only=False)
+    codes, uniq = pd.factorize(pd.MultiIndex.from_arrays([kv, bv]))
+    pairs = pd.DataFrame({key: uniq.get_level_values(0),
+                          "_bkt": uniq.get_level_values(1)})
+    m = pairs.merge(sdf, on=[key, "_bkt"], how="left") if len(sdf) else \
+        pairs.assign(**{c: np.nan for c in val_cols})
+    if dtypes is None:
+        dtypes = [np.int64] * len(val_cols)
+    if fills is None:
+        fills = [0] * len(val_cols)
+    return [m[c].fillna(f).to_numpy(dtype=d)[codes]
+            for c, d, f in zip(val_cols, dtypes, fills)]
+
+
 def running_sum(ds, *, key: str, order_col: str, value: str,
                 tiebreak: str, out_col: str = "running_sum",
                 bucket_width="auto", n_shards: int = 32,
@@ -84,17 +130,21 @@ def running_sum(ds, *, key: str, order_col: str, value: str,
     in_cols = list(ds.schema().names)
     bucket_width = resolve_bucket_width(ds, order_col, bucket_width)
 
-    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
-        out = b.copy()
-        out["_bkt"] = _bucket_of(b[order_col], bucket_width)
-        out["_shard"] = _shard_series(b[key], n_shards)
-        return out
+    def bucketize(b: pa.Table) -> pa.Table:
+        t = b.append_column("_bkt", pa.array(
+            _bucket_of_col(b[order_col], bucket_width), pa.int64()))
+        from .asof import _shard_of
+        return t.append_column("_shard",
+                               pa.array(_shard_of(b[key], n_shards)))
 
-    def local_scan(g: pd.DataFrame) -> pd.DataFrame:
-        g = (g.sort_values([key, "_bkt", order_col, tiebreak], kind="stable")
-             .reset_index(drop=True))
-        brk = _key_segments(g[key]) | (g["_bkt"] != g["_bkt"].shift()).to_numpy()
-        vals = g[value].to_numpy()
+    def local_scan(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        t = g.take(pc.sort_indices(
+            g, sort_keys=[(key, "ascending"), ("_bkt", "ascending"),
+                          (order_col, "ascending"),
+                          (tiebreak, "ascending")]))
+        brk = _adjacent_break(t[key], n) | _adjacent_break(t["_bkt"], n)
+        vals = t[value].to_numpy(zero_copy_only=False)
         # integer inputs accumulate exactly (int64); floats keep float64 —
         # bucket-total association then differs from a sequential scan by
         # O(eps · magnitude), fine under rounded comparison, never for ints
@@ -105,18 +155,19 @@ def running_sum(ds, *, key: str, order_col: str, value: str,
         seg_id = np.cumsum(brk) - 1
         base = np.r_[cs.dtype.type(0), cs[:-1]][seg]   # cumsum before segment
         local = cs - base[seg_id]
-        ev = g[in_cols + ["_bkt"]].copy()
-        ev["_lsum"] = local
-        ev["_side"] = np.int8(0)
-        last = np.r_[seg[1:] - 1, len(g) - 1]    # last row of each segment
-        summ = g.iloc[last][in_cols + ["_bkt"]].copy()
-        summ["_lsum"] = local[last]              # segment (bucket) total
-        summ["_side"] = np.int8(1)
-        return pd.concat([ev, summ], ignore_index=True)
+        tb = t.select(in_cols + ["_bkt"])
+        ev = (tb.append_column("_lsum", pa.array(local))
+              .append_column("_side", pa.array(np.zeros(n, np.int8))))
+        last = np.r_[seg[1:] - 1, n - 1]         # last row of each segment
+        summ = (tb.take(pa.array(last))
+                .append_column("_lsum", pa.array(local[last]))
+                .append_column("_side",
+                               pa.array(np.ones(len(last), np.int8))))
+        return pa.concat_tables([ev, summ])
 
-    tagged = (ds.map_batches(bucketize, batch_format="pandas")
+    tagged = (ds.map_batches(bucketize, batch_format="pyarrow")
               .groupby(["_shard", "_bkt"]).map_groups(
-                  local_scan, batch_format="pandas").materialize())
+                  local_scan, batch_format="pyarrow").materialize())
 
     s = _collect_summaries(tagged, [key, "_bkt", "_lsum"], summary_merge_max)
     if s is None:
@@ -138,19 +189,19 @@ def running_sum(ds, *, key: str, order_col: str, value: str,
         s = s.assign(_off=pd.Series([], dtype="float64"))
     ref = ray.put(s[[key, "_bkt", "_off"]])
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+    def finalize(b: pa.Table) -> pa.Table:
         r = ray.get(ref)
-        out = df.merge(r, on=[key, "_bkt"], how="left") if len(r) else \
-            df.assign(_off=0.0)
-        lsum = out["_lsum"].to_numpy()
-        res = lsum + out["_off"].fillna(0).to_numpy()
-        if np.issubdtype(lsum.dtype, np.integer):
+        lsum = b["_lsum"].to_numpy(zero_copy_only=False)
+        is_int = np.issubdtype(lsum.dtype, np.integer)
+        (off,) = _probe_summary(b, key, r, ["_off"],
+                                [np.int64 if is_int else np.float64])
+        res = lsum + off
+        if is_int:
             res = res.astype(np.int64)           # offsets exact below 2^53
-        out[out_col] = res
-        return out[in_cols + [out_col]]
+        return b.select(in_cols).append_column(out_col, pa.array(res))
 
     return (tagged.filter(expr="_side == 0")
-            .map_batches(finalize, batch_format="pandas"))
+            .map_batches(finalize, batch_format="pyarrow"))
 
 
 def _exact_running_sum(ds, *, key, order_col, value, tiebreak, out_col):
@@ -186,34 +237,40 @@ def lag_gap_us(ds, *, key: str, ts: str, tiebreak: str,
     in_cols = list(ds.schema().names)
     bucket_width = resolve_bucket_width(ds, ts, bucket_width)
 
-    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
-        out = b.copy()
-        out["_bkt"] = _bucket_of(b[ts], bucket_width)
-        out["_shard"] = _shard_series(b[key], n_shards)
-        return out
+    def bucketize(b: pa.Table) -> pa.Table:
+        t = b.append_column("_bkt", pa.array(
+            _bucket_of_col(b[ts], bucket_width), pa.int64()))
+        from .asof import _shard_of
+        return t.append_column("_shard",
+                               pa.array(_shard_of(b[key], n_shards)))
 
-    def local_scan(g: pd.DataFrame) -> pd.DataFrame:
-        g = (g.sort_values([key, "_bkt", ts, tiebreak], kind="stable")
-             .reset_index(drop=True))
-        brk = _key_segments(g[key]) | (g["_bkt"] != g["_bkt"].shift()).to_numpy()
-        us = _order_ints(g[ts]) // 1000
+    def local_scan(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        t = g.take(pc.sort_indices(
+            g, sort_keys=[(key, "ascending"), ("_bkt", "ascending"),
+                          (ts, "ascending"), (tiebreak, "ascending")]))
+        brk = _adjacent_break(t[key], n) | _adjacent_break(t["_bkt"], n)
+        us = (t[ts].to_numpy(zero_copy_only=False)
+              .astype("datetime64[ns]").astype(np.int64) // 1000)
         gap = us - np.r_[0, us[:-1]]
         gap[brk] = -1                            # unknown: resolve via carry-in
-        ev = g[in_cols + ["_bkt"]].copy()
-        ev["_gap"] = gap
-        ev["_first"] = brk.astype(np.int8)
-        ev["_side"] = np.int8(0)
+        tb = t.select(in_cols + ["_bkt"])
+        ev = (tb.append_column("_gap", pa.array(gap))
+              .append_column("_first", pa.array(brk.astype(np.int8)))
+              .append_column("_side", pa.array(np.zeros(n, np.int8))))
         seg = np.flatnonzero(brk)
-        last = np.r_[seg[1:] - 1, len(g) - 1]
-        summ = g.iloc[last][in_cols + ["_bkt"]].copy()
-        summ["_gap"] = us[last]                  # bucket-last ts (µs) per key
-        summ["_first"] = np.int8(0)
-        summ["_side"] = np.int8(1)
-        return pd.concat([ev, summ], ignore_index=True)
+        last = np.r_[seg[1:] - 1, n - 1]
+        summ = (tb.take(pa.array(last))
+                .append_column("_gap", pa.array(us[last]))  # bucket-last µs
+                .append_column("_first",
+                               pa.array(np.zeros(len(last), np.int8)))
+                .append_column("_side",
+                               pa.array(np.ones(len(last), np.int8))))
+        return pa.concat_tables([ev, summ])
 
-    tagged = (ds.map_batches(bucketize, batch_format="pandas")
+    tagged = (ds.map_batches(bucketize, batch_format="pyarrow")
               .groupby(["_shard", "_bkt"]).map_groups(
-                  local_scan, batch_format="pandas").materialize())
+                  local_scan, batch_format="pyarrow").materialize())
 
     s = _collect_summaries(tagged, [key, "_bkt", "_gap"], summary_merge_max)
     if s is None:
@@ -232,21 +289,21 @@ def lag_gap_us(ds, *, key: str, ts: str, tiebreak: str,
             [key, "_bkt", "_prev_us"]]
     ref = ray.put(s)
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+    def finalize(b: pa.Table) -> pa.Table:
         r = ray.get(ref)
-        out = df.merge(r, on=[key, "_bkt"], how="left") if len(r) else \
-            df.assign(_prev_us=np.nan)
-        us = _order_ints(out[ts]) // 1000
-        first = out["_first"].to_numpy().astype(bool)
-        prev = out["_prev_us"].to_numpy(dtype=np.float64)
-        gap = out["_gap"].to_numpy().copy()
-        hit = first & ~np.isnan(prev)
-        gap[hit] = us[hit] - prev[hit].astype(np.int64)
-        out[out_col] = gap
-        return out[in_cols + [out_col]]
+        sentinel = np.iinfo(np.int64).min        # no real epoch equals it
+        (prev,) = _probe_summary(b, key, r, ["_prev_us"],
+                                 fills=[sentinel])
+        us = (b[ts].to_numpy(zero_copy_only=False)
+              .astype("datetime64[ns]").astype(np.int64) // 1000)
+        first = b["_first"].to_numpy(zero_copy_only=False).astype(bool)
+        gap = b["_gap"].to_numpy(zero_copy_only=False).copy()
+        hit = first & (prev != sentinel)
+        gap[hit] = us[hit] - prev[hit]
+        return b.select(in_cols).append_column(out_col, pa.array(gap))
 
     return (tagged.filter(expr="_side == 0")
-            .map_batches(finalize, batch_format="pandas"))
+            .map_batches(finalize, batch_format="pyarrow"))
 
 
 def lead_gap_us(ds, *, key: str, ts: str, tiebreak: str,
@@ -263,34 +320,40 @@ def lead_gap_us(ds, *, key: str, ts: str, tiebreak: str,
     in_cols = list(ds.schema().names)
     bucket_width = resolve_bucket_width(ds, ts, bucket_width)
 
-    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
-        out = b.copy()
-        out["_bkt"] = _bucket_of(b[ts], bucket_width)
-        out["_shard"] = _shard_series(b[key], n_shards)
-        return out
+    def bucketize(b: pa.Table) -> pa.Table:
+        t = b.append_column("_bkt", pa.array(
+            _bucket_of_col(b[ts], bucket_width), pa.int64()))
+        from .asof import _shard_of
+        return t.append_column("_shard",
+                               pa.array(_shard_of(b[key], n_shards)))
 
-    def local_scan(g: pd.DataFrame) -> pd.DataFrame:
-        g = (g.sort_values([key, "_bkt", ts, tiebreak], kind="stable")
-             .reset_index(drop=True))
-        brk = _key_segments(g[key]) | (g["_bkt"] != g["_bkt"].shift()).to_numpy()
-        us = _order_ints(g[ts]) // 1000
+    def local_scan(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        t = g.take(pc.sort_indices(
+            g, sort_keys=[(key, "ascending"), ("_bkt", "ascending"),
+                          (ts, "ascending"), (tiebreak, "ascending")]))
+        brk = _adjacent_break(t[key], n) | _adjacent_break(t["_bkt"], n)
+        us = (t[ts].to_numpy(zero_copy_only=False)
+              .astype("datetime64[ns]").astype(np.int64) // 1000)
         nxt = np.r_[us[1:], 0] - us
         last = np.r_[brk[1:], True]              # segment-last rows
         nxt[last] = -1                           # unknown: resolve via carry
-        ev = g[in_cols + ["_bkt"]].copy()
-        ev["_gap"] = nxt
-        ev["_last"] = last.astype(np.int8)
-        ev["_side"] = np.int8(0)
+        tb = t.select(in_cols + ["_bkt"])
+        ev = (tb.append_column("_gap", pa.array(nxt))
+              .append_column("_last", pa.array(last.astype(np.int8)))
+              .append_column("_side", pa.array(np.zeros(n, np.int8))))
         first = np.flatnonzero(brk)
-        summ = g.iloc[first][in_cols + ["_bkt"]].copy()
-        summ["_gap"] = us[first]                 # bucket-FIRST ts per key
-        summ["_last"] = np.int8(0)
-        summ["_side"] = np.int8(1)
-        return pd.concat([ev, summ], ignore_index=True)
+        summ = (tb.take(pa.array(first))
+                .append_column("_gap", pa.array(us[first]))  # bucket-FIRST
+                .append_column("_last",
+                               pa.array(np.zeros(len(first), np.int8)))
+                .append_column("_side",
+                               pa.array(np.ones(len(first), np.int8))))
+        return pa.concat_tables([ev, summ])
 
-    tagged = (ds.map_batches(bucketize, batch_format="pandas")
+    tagged = (ds.map_batches(bucketize, batch_format="pyarrow")
               .groupby(["_shard", "_bkt"]).map_groups(
-                  local_scan, batch_format="pandas").materialize())
+                  local_scan, batch_format="pyarrow").materialize())
 
     s = _collect_summaries(tagged, [key, "_bkt", "_gap"], summary_merge_max)
     if s is None:
@@ -310,21 +373,20 @@ def lead_gap_us(ds, *, key: str, ts: str, tiebreak: str,
             [key, "_bkt", "_next_us"]]
     ref = ray.put(s)
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+    def finalize(b: pa.Table) -> pa.Table:
         r = ray.get(ref)
-        out = df.merge(r, on=[key, "_bkt"], how="left") if len(r) else \
-            df.assign(_next_us=np.nan)
-        us = _order_ints(out[ts]) // 1000
-        last = out["_last"].to_numpy().astype(bool)
-        nxt = out["_next_us"].to_numpy(dtype=np.float64)
-        gap = out["_gap"].to_numpy().copy()
-        hit = last & ~np.isnan(nxt)
-        gap[hit] = nxt[hit].astype(np.int64) - us[hit]
-        out[out_col] = gap
-        return out[in_cols + [out_col]]
+        sentinel = np.iinfo(np.int64).min
+        (nxt,) = _probe_summary(b, key, r, ["_next_us"], fills=[sentinel])
+        us = (b[ts].to_numpy(zero_copy_only=False)
+              .astype("datetime64[ns]").astype(np.int64) // 1000)
+        last = b["_last"].to_numpy(zero_copy_only=False).astype(bool)
+        gap = b["_gap"].to_numpy(zero_copy_only=False).copy()
+        hit = last & (nxt != sentinel)
+        gap[hit] = nxt[hit] - us[hit]
+        return b.select(in_cols).append_column(out_col, pa.array(gap))
 
     return (tagged.filter(expr="_side == 0")
-            .map_batches(finalize, batch_format="pandas"))
+            .map_batches(finalize, batch_format="pyarrow"))
 
 
 def _exact_lead_gap(ds, *, key, ts, tiebreak, out_col):
@@ -369,31 +431,36 @@ def ntile(ds, *, key: str, order_col: str, tiebreak: str, n: int,
     in_cols = list(ds.schema().names)
     bucket_width = resolve_bucket_width(ds, order_col, bucket_width)
 
-    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
-        out = b.copy()
-        out["_bkt"] = _bucket_of(b[order_col], bucket_width)
-        out["_shard"] = _shard_series(b[key], n_shards)
-        return out
+    def bucketize(b: pa.Table) -> pa.Table:
+        t = b.append_column("_bkt", pa.array(
+            _bucket_of_col(b[order_col], bucket_width), pa.int64()))
+        from .asof import _shard_of
+        return t.append_column("_shard",
+                               pa.array(_shard_of(b[key], n_shards)))
 
-    def local_scan(g: pd.DataFrame) -> pd.DataFrame:
-        g = (g.sort_values([key, "_bkt", order_col, tiebreak], kind="stable")
-             .reset_index(drop=True))
-        brk = _key_segments(g[key]) | (g["_bkt"] != g["_bkt"].shift()).to_numpy()
-        idx = np.arange(len(g), dtype=np.int64)
+    def local_scan(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        t = g.take(pc.sort_indices(
+            g, sort_keys=[(key, "ascending"), ("_bkt", "ascending"),
+                          (order_col, "ascending"),
+                          (tiebreak, "ascending")]))
+        brk = _adjacent_break(t[key], n) | _adjacent_break(t["_bkt"], n)
+        idx = np.arange(n, dtype=np.int64)
         seg = np.flatnonzero(brk)
         lrank = idx - seg[np.cumsum(brk) - 1]
-        ev = g[in_cols + ["_bkt"]].copy()
-        ev["_lrank"] = lrank
-        ev["_side"] = np.int8(0)
-        last = np.r_[seg[1:] - 1, len(g) - 1]
-        summ = g.iloc[last][in_cols + ["_bkt"]].copy()
-        summ["_lrank"] = lrank[last] + 1         # segment count
-        summ["_side"] = np.int8(1)
-        return pd.concat([ev, summ], ignore_index=True)
+        base = t.select(in_cols + ["_bkt"])
+        ev = (base.append_column("_lrank", pa.array(lrank))
+              .append_column("_side", pa.array(np.zeros(n, np.int8))))
+        last = np.r_[seg[1:] - 1, n - 1]
+        summ = (base.take(pa.array(last))
+                .append_column("_lrank", pa.array(lrank[last] + 1))
+                .append_column("_side",
+                               pa.array(np.ones(len(last), np.int8))))
+        return pa.concat_tables([ev, summ])
 
-    tagged = (ds.map_batches(bucketize, batch_format="pandas")
+    tagged = (ds.map_batches(bucketize, batch_format="pyarrow")
               .groupby(["_shard", "_bkt"]).map_groups(
-                  local_scan, batch_format="pandas").materialize())
+                  local_scan, batch_format="pyarrow").materialize())
 
     s = _collect_summaries(tagged, [key, "_bkt", "_lrank"], summary_merge_max)
     if s is None:
@@ -418,17 +485,15 @@ def ntile(ds, *, key: str, order_col: str, tiebreak: str, n: int,
             [key, "_bkt", "_off", "_tot"]]
     ref = ray.put(s)
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+    def finalize(b: pa.Table) -> pa.Table:
         r = ray.get(ref)
-        out = df.merge(r, on=[key, "_bkt"], how="left")
-        rank = (out["_lrank"].to_numpy()
-                + out["_off"].to_numpy(dtype=np.int64))
-        g = out["_tot"].to_numpy(dtype=np.int64)
-        out[out_col] = _ntile_of(rank, g, n)
-        return out[in_cols + [out_col]]
+        off, g = _probe_summary(b, key, r, ["_off", "_tot"])
+        rank = b["_lrank"].to_numpy(zero_copy_only=False) + off
+        return (b.select(in_cols)
+                .append_column(out_col, pa.array(_ntile_of(rank, g, n))))
 
     return (tagged.filter(expr="_side == 0")
-            .map_batches(finalize, batch_format="pandas"))
+            .map_batches(finalize, batch_format="pyarrow"))
 
 
 def _ntile_of(rank: np.ndarray, total: np.ndarray, n: int) -> np.ndarray:
@@ -495,41 +560,48 @@ def rows_moving_sum(ds, *, key: str, order_col: str, value: str,
     bucket_width = resolve_bucket_width(ds, order_col, bucket_width,
                                         target_buckets=8)
 
-    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
-        out = b.copy()
-        out["_bkt"] = _bucket_of(b[order_col], bucket_width)
-        out["_shard"] = _shard_series(b[key], n_shards)
-        return out
+    def bucketize(b: pa.Table) -> pa.Table:
+        t = b.append_column("_bkt", pa.array(
+            _bucket_of_col(b[order_col], bucket_width), pa.int64()))
+        from .asof import _shard_of
+        return t.append_column("_shard",
+                               pa.array(_shard_of(b[key], n_shards)))
 
-    def local_scan(g: pd.DataFrame) -> pd.DataFrame:
-        g = (g.sort_values([key, "_bkt", order_col, tiebreak], kind="stable")
-             .reset_index(drop=True))
-        brk = _key_segments(g[key]) | (g["_bkt"] != g["_bkt"].shift()).to_numpy()
-        idx = np.arange(len(g), dtype=np.int64)
+    def local_scan(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        t = g.take(pc.sort_indices(
+            g, sort_keys=[(key, "ascending"), ("_bkt", "ascending"),
+                          (order_col, "ascending"),
+                          (tiebreak, "ascending")]))
+        brk = _adjacent_break(t[key], n) | _adjacent_break(t["_bkt"], n)
+        idx = np.arange(n, dtype=np.int64)
         seg = np.flatnonzero(brk)
         seg_id = np.cumsum(brk) - 1
         p = idx - seg[seg_id]                        # local position
-        vals = g[value].to_numpy().astype(np.float64)
+        vals = t[value].to_numpy(zero_copy_only=False).astype(np.float64)
         cs = np.cumsum(vals)
         lo = idx - np.minimum(p, k)                  # window start index
         lsum = cs[idx] - (cs[lo] - vals[lo])
-        ev = g[in_cols + ["_bkt"]].copy()
-        ev["_lsum"] = lsum
-        ev["_lcnt"] = np.minimum(p, k) + 1
-        ev["_need"] = np.maximum(k - p, 0)           # carry rows still wanted
-        ev["_side"] = np.int8(0)
-        seg_end = np.r_[seg[1:] - 1, len(g) - 1][seg_id]
-        tail = (seg_end - idx) < k if k else np.zeros(len(g), bool)
-        summ = g[tail][in_cols + ["_bkt"]].copy()
-        summ["_lsum"] = vals[tail]                   # raw value, not a sum
-        summ["_lcnt"] = p[tail]                      # local order for replay
-        summ["_need"] = 0
-        summ["_side"] = np.int8(1)
-        return pd.concat([ev, summ], ignore_index=True)
+        tb = t.select(in_cols + ["_bkt"])
+        ev = (tb.append_column("_lsum", pa.array(lsum))
+              .append_column("_lcnt", pa.array(np.minimum(p, k) + 1))
+              .append_column("_need", pa.array(np.maximum(k - p, 0)))
+              .append_column("_side", pa.array(np.zeros(n, np.int8))))
+        seg_end = np.r_[seg[1:] - 1, n - 1][seg_id]
+        tail = (seg_end - idx) < k if k else np.zeros(n, bool)
+        ti = np.flatnonzero(tail)
+        summ = (tb.take(pa.array(ti))
+                .append_column("_lsum", pa.array(vals[ti]))  # raw value
+                .append_column("_lcnt", pa.array(p[ti]))     # replay order
+                .append_column("_need",
+                               pa.array(np.zeros(len(ti), np.int64)))
+                .append_column("_side",
+                               pa.array(np.ones(len(ti), np.int8))))
+        return pa.concat_tables([ev, summ])
 
-    tagged = (ds.map_batches(bucketize, batch_format="pandas")
+    tagged = (ds.map_batches(bucketize, batch_format="pyarrow")
               .groupby(["_shard", "_bkt"]).map_groups(
-                  local_scan, batch_format="pandas").materialize())
+                  local_scan, batch_format="pyarrow").materialize())
 
     s = _collect_summaries(tagged, [key, "_bkt", "_lsum", "_lcnt"],
                            summary_merge_max)
@@ -561,25 +633,22 @@ def rows_moving_sum(ds, *, key: str, order_col: str, value: str,
         cs = np.zeros(1)
     ref = ray.put((g_tbl, cs))
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+    def finalize(b: pa.Table) -> pa.Table:
         g, csum = ray.get(ref)
-        wsum = df["_lsum"].to_numpy().copy()
-        wcnt = df["_lcnt"].to_numpy().astype(np.int64)
-        need = df["_need"].to_numpy()
+        wsum = b["_lsum"].to_numpy(zero_copy_only=False)
+        wcnt = b["_lcnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        need = b["_need"].to_numpy(zero_copy_only=False)
         if need.max(initial=0) > 0 and len(g):
-            m = df[[key, "_bkt"]].merge(g, on=[key, "_bkt"], how="left")
-            avail = m["_avail"].fillna(0).to_numpy(dtype=np.int64)
-            start = m["_cstart"].fillna(0).to_numpy(dtype=np.int64)
+            avail, start = _probe_summary(b, key, g, ["_avail", "_cstart"])
             take = np.minimum(need, avail)
-            wsum += csum[start] - csum[start - take]
-            wcnt += take
-        out = df[in_cols].copy()
-        out[sum_col] = wsum
-        out[cnt_col] = wcnt
-        return out
+            wsum = wsum + (csum[start] - csum[start - take])
+            wcnt = wcnt + take
+        return (b.select(in_cols)
+                .append_column(sum_col, pa.array(wsum, pa.float64()))
+                .append_column(cnt_col, pa.array(wcnt)))
 
     return (tagged.filter(expr="_side == 0")
-            .map_batches(finalize, batch_format="pandas"))
+            .map_batches(finalize, batch_format="pyarrow"))
 
 
 def _exact_rows_moving(ds, *, key, order_col, value, tiebreak, k,
@@ -769,38 +838,41 @@ def rank_window(ds, *, key: str, order_col: str, bucket_width="auto",
     in_cols = list(sch.names)
     bucket_width = resolve_bucket_width(ds, order_col, bucket_width)
 
-    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
-        out = b.copy()
-        out["_bkt"] = _bucket_of(b[order_col], bucket_width)
-        out["_shard"] = _shard_series(b[key], n_shards)
-        return out
+    def bucketize(b: pa.Table) -> pa.Table:
+        t = b.append_column("_bkt", pa.array(
+            _bucket_of_col(b[order_col], bucket_width), pa.int64()))
+        from .asof import _shard_of
+        return t.append_column("_shard",
+                               pa.array(_shard_of(b[key], n_shards)))
 
-    def local_scan(g: pd.DataFrame) -> pd.DataFrame:
-        g = (g.sort_values([key, order_col], kind="stable")
-             .reset_index(drop=True))
-        seg_brk = _key_segments(g[key])
-        val_brk = seg_brk | (g[order_col] != g[order_col].shift()).to_numpy()
-        idx = np.arange(len(g), dtype=np.int64)
+    def local_scan(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        t = g.take(pc.sort_indices(
+            g, sort_keys=[(key, "ascending"), (order_col, "ascending")]))
+        seg_brk = _adjacent_break(t[key], n)
+        val_brk = seg_brk | _adjacent_break(t[order_col], n)
+        idx = np.arange(n, dtype=np.int64)
         seg = np.flatnonzero(seg_brk)
         seg_id = np.cumsum(seg_brk) - 1
         run_start = np.flatnonzero(val_brk)[np.cumsum(val_brk) - 1]
         lt = run_start - seg[seg_id]                 # rows strictly below
         run_id = np.cumsum(val_brk) - 1
         dlt = run_id - run_id[seg[seg_id]]           # distincts strictly below
-        ev = g[in_cols + ["_bkt"]].copy()
-        ev["_lt"] = lt
-        ev["_dlt"] = dlt
-        ev["_side"] = np.int8(0)
-        last = np.r_[seg[1:] - 1, len(g) - 1]
-        summ = g.iloc[last][in_cols + ["_bkt"]].copy()
-        summ["_lt"] = (idx - seg[seg_id])[last] + 1  # segment row count
-        summ["_dlt"] = dlt[last] + 1                 # segment distinct count
-        summ["_side"] = np.int8(1)
-        return pd.concat([ev, summ], ignore_index=True)
+        base = t.select(in_cols + ["_bkt"])
+        ev = (base.append_column("_lt", pa.array(lt))
+              .append_column("_dlt", pa.array(dlt))
+              .append_column("_side", pa.array(np.zeros(n, np.int8))))
+        last = np.r_[seg[1:] - 1, n - 1]
+        summ = (base.take(pa.array(last))
+                .append_column("_lt", pa.array((idx - seg[seg_id])[last] + 1))
+                .append_column("_dlt", pa.array(dlt[last] + 1))
+                .append_column("_side",
+                               pa.array(np.ones(len(last), np.int8))))
+        return pa.concat_tables([ev, summ])
 
-    tagged = (ds.map_batches(bucketize, batch_format="pandas")
+    tagged = (ds.map_batches(bucketize, batch_format="pyarrow")
               .groupby(["_shard", "_bkt"]).map_groups(
-                  local_scan, batch_format="pandas").materialize())
+                  local_scan, batch_format="pyarrow").materialize())
 
     s = _collect_summaries(tagged, [key, "_bkt", "_lt", "_dlt"],
                            summary_merge_max)
@@ -830,22 +902,19 @@ def rank_window(ds, *, key: str, order_col: str, bucket_width="auto",
             [key, "_bkt", "_off", "_doff", "_tot"]]
     ref = ray.put(s)
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+    def finalize(b: pa.Table) -> pa.Table:
         r = ray.get(ref)
-        out = df.merge(r, on=[key, "_bkt"], how="left")
-        rank = (out["_lt"].to_numpy()
-                + out["_off"].to_numpy(dtype=np.int64) + 1)
-        dense = (out["_dlt"].to_numpy()
-                 + out["_doff"].to_numpy(dtype=np.int64) + 1)
-        tot = out["_tot"].to_numpy(dtype=np.int64)
+        off, doff, tot = _probe_summary(b, key, r, ["_off", "_doff", "_tot"])
+        rank = b["_lt"].to_numpy(zero_copy_only=False) + off + 1
+        dense = b["_dlt"].to_numpy(zero_copy_only=False) + doff + 1
         pct = np.where(tot > 1, (rank - 1) / np.maximum(tot - 1, 1), 0.0)
-        out["rank"] = rank
-        out["dense_rank"] = dense
-        out["pct_rank"] = pct
-        return out[in_cols + ["rank", "dense_rank", "pct_rank"]]
+        return (b.select(in_cols)
+                .append_column("rank", pa.array(rank))
+                .append_column("dense_rank", pa.array(dense))
+                .append_column("pct_rank", pa.array(pct)))
 
     return (tagged.filter(expr="_side == 0")
-            .map_batches(finalize, batch_format="pandas"))
+            .map_batches(finalize, batch_format="pyarrow"))
 
 
 def _exact_rank(ds, *, key, order_col):

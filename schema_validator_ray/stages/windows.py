@@ -78,6 +78,25 @@ def _ts_ns(series) -> np.ndarray:
     return series.to_numpy().astype("datetime64[ns]").astype(np.int64)
 
 
+def _col_ts_ns(col) -> np.ndarray:
+    """Arrow timestamp column → int64 ns."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return (col.to_numpy(zero_copy_only=False)
+            .astype("datetime64[ns]").astype(np.int64))
+
+
+def _codes_of(col) -> np.ndarray:
+    """Injective int codes of an Arrow column for numpy lexsort: integers
+    pass through, everything else dictionary-encodes (C-speed, no Python
+    object comparisons)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        return col.to_numpy(zero_copy_only=False)
+    return col.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+
+
 def _shard_series(series, n_shards: int) -> np.ndarray:
     import pyarrow as _pa
 
@@ -304,44 +323,48 @@ def session_windows(ds, *, key: str, ts: str, gap: str = "30min",
                             ("session_end", pa.timestamp("ns")),
                             ("n_events", pa.int64())])
 
-    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
-        out = b.copy()
-        out["_bkt"] = _ts_ns(b[ts]) // bucket_ns
-        out["_shard"] = _shard_series(b[key], n_shards)
-        return out
+    def bucketize(b: pa.Table) -> pa.Table:
+        from .asof import _shard_of
 
-    def local_sessions(g: pd.DataFrame) -> pd.DataFrame:
-        # numpy throughout: factorize + lexsort beats a pandas string sort,
+        t = b.append_column("_bkt", pa.array(_col_ts_ns(b[ts]) // bucket_ns,
+                                             pa.int64()))
+        return t.append_column("_shard",
+                               pa.array(_shard_of(b[key], n_shards)))
+
+    def local_sessions(g: pa.Table) -> pa.Table:
+        # numpy throughout: dictionary codes + lexsort beat a string sort,
         # and session bounds come from break-segment arithmetic, not a
         # groupby-agg (sessions are contiguous runs after the sort)
-        bkt = int(g["_bkt"].iloc[0])
-        codes, uniq = pd.factorize(g[key], sort=False)
-        ts_np = g[ts].to_numpy()
-        ts_ns = ts_np.astype("datetime64[ns]").astype(np.int64)
+        bkt = int(g["_bkt"][0].as_py())
+        codes = _codes_of(g[key])
+        ts_ns = _col_ts_ns(g[ts])
         order = np.lexsort((ts_ns, codes))
         c = codes[order]
         t_ns = ts_ns[order]
-        t = ts_np[order]
         new_key = np.r_[True, c[1:] != c[:-1]]
         brk = new_key | np.r_[False, (t_ns[1:] - t_ns[:-1]) > delta.value]
         seg = np.flatnonzero(brk)
-        last = np.r_[seg[1:] - 1, len(t) - 1]
+        last = np.r_[seg[1:] - 1, len(t_ns) - 1]
         s_ns = t_ns[seg]
         e_ns = t_ns[last]
-        return pd.DataFrame({
-            key: np.asarray(uniq)[c[seg]],
-            "session_start": t[seg],
-            "session_end": t[last],
-            "n_events": np.diff(np.r_[seg, len(t)]).astype(np.int64),
-            "_bdry": np.where(
+        karr = g[key]
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        return pa.table({
+            key: karr.take(pa.array(order[seg])),
+            "session_start": pa.array(s_ns.astype("datetime64[ns]")),
+            "session_end": pa.array(e_ns.astype("datetime64[ns]")),
+            "n_events": pa.array(np.diff(np.r_[seg, len(t_ns)])
+                                 .astype(np.int64)),
+            "_bdry": pa.array(np.where(
                 (s_ns - bkt * bucket_ns <= delta.value)
                 | ((bkt + 1) * bucket_ns - e_ns <= delta.value),
-                np.int8(1), np.int8(0)),
+                np.int8(1), np.int8(0))),
         })
 
-    local = (ds.map_batches(bucketize, batch_format="pandas")
+    local = (ds.map_batches(bucketize, batch_format="pyarrow")
              .groupby(["_shard", "_bkt"]).map_groups(
-                 local_sessions, batch_format="pandas").materialize())
+                 local_sessions, batch_format="pyarrow").materialize())
 
     parts, total, over = [], 0, False
     for b in (local.filter(expr="_bdry == 1")
@@ -404,54 +427,61 @@ def sessionize(ds, *, key: str, ts: str, gap: str = "30min",
         + [("session_start", pa.timestamp("ns")),
            ("session_end", pa.timestamp("ns"))])
 
-    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
-        out = b.copy()
-        out["_bkt"] = _ts_ns(b[ts]) // bucket_ns
-        out["_shard"] = _shard_series(b[key], n_shards)
-        return out
+    def bucketize(b: pa.Table) -> pa.Table:
+        from .asof import _shard_of
 
-    def local_assign(g: pd.DataFrame) -> pd.DataFrame:
-        codes, _ = pd.factorize(g[key], sort=False)
-        ts_ns_all = g[ts].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        t = b.append_column("_bkt", pa.array(_col_ts_ns(b[ts]) // bucket_ns,
+                                             pa.int64()))
+        return t.append_column("_shard",
+                               pa.array(_shard_of(b[key], n_shards)))
+
+    def local_assign(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        codes = _codes_of(g[key])
+        ts_ns_all = _col_ts_ns(g[ts])
         order = np.lexsort((ts_ns_all, codes))
-        g = g.iloc[order].reset_index(drop=True)
-        kv = g[key]
+        t = g.take(pa.array(order))
         c = codes[order]
         t_ns = ts_ns_all[order]
         new_key = np.r_[True, c[1:] != c[:-1]]
         brk = new_key | np.r_[False, (t_ns[1:] - t_ns[:-1]) > delta.value]
         seg = np.flatnonzero(brk)
         seg_id = np.cumsum(brk) - 1
-        ts_np = g[ts].to_numpy()
-        starts = ts_np[seg]
-        ends = ts_np[np.r_[seg[1:] - 1, len(g) - 1]]
-        ev = g[in_cols].copy()
-        ev["session_start"] = starts[seg_id]
-        ev["session_end"] = ends[seg_id]
-        ev["_side"] = np.int8(0)
+        last = np.r_[seg[1:] - 1, n - 1]
+        starts_ns = t_ns[seg]
+        ends_ns = t_ns[last]
+        base = t.select(in_cols)
+        ev = (base
+              .append_column("session_start",
+                             pa.array(starts_ns[seg_id].astype(
+                                 "datetime64[ns]")))
+              .append_column("session_end",
+                             pa.array(ends_ns[seg_id].astype(
+                                 "datetime64[ns]")))
+              .append_column("_side", pa.array(np.zeros(n, np.int8))))
         # boundary sessions only: the sole candidates for cross-bucket merges
-        bkt = int(g["_bkt"].iloc[0])
-        s_ns = starts.astype("datetime64[ns]").astype(np.int64)
-        e_ns = ends.astype("datetime64[ns]").astype(np.int64)
-        is_b = ((s_ns - bkt * bucket_ns <= delta.value)
-                | ((bkt + 1) * bucket_ns - e_ns <= delta.value))
+        bkt = int(t["_bkt"][0].as_py())
+        is_b = ((starts_ns - bkt * bucket_ns <= delta.value)
+                | ((bkt + 1) * bucket_ns - ends_ns <= delta.value))
         if is_b.any():
-            summ = pd.DataFrame({key: kv.to_numpy()[seg][is_b],
-                                 "session_start": starts[is_b],
-                                 "session_end": ends[is_b]})
-            summ["_side"] = np.int8(1)
-            # filler (ignored) payload keeps dtypes identical across groups:
-            # NaN-filled columns would promote int payloads to float in
-            # summary-bearing groups only, breaking block schema unification
-            for c in in_cols:
-                if c not in summ.columns:
-                    summ[c] = ev[c].iloc[0]
-            ev = pd.concat([ev, summ[ev.columns]], ignore_index=True)
+            bi = np.flatnonzero(is_b)
+            # each boundary session's first event row rides as the (ignored)
+            # payload filler — keeps dtypes identical across groups
+            summ = (base.take(pa.array(seg[bi]))
+                    .append_column("session_start",
+                                   pa.array(starts_ns[bi].astype(
+                                       "datetime64[ns]")))
+                    .append_column("session_end",
+                                   pa.array(ends_ns[bi].astype(
+                                       "datetime64[ns]")))
+                    .append_column("_side",
+                                   pa.array(np.ones(len(bi), np.int8))))
+            ev = pa.concat_tables([ev, summ])
         return ev
 
-    tagged = (ds.map_batches(bucketize, batch_format="pandas")
+    tagged = (ds.map_batches(bucketize, batch_format="pyarrow")
               .groupby(["_shard", "_bkt"]).map_groups(
-                  local_assign, batch_format="pandas").materialize())
+                  local_assign, batch_format="pyarrow").materialize())
 
     # ---- driver-side chain merge over the boundary summaries (guarded) ----
     parts, total, over = [], 0, False
@@ -500,17 +530,30 @@ def sessionize(ds, *, key: str, ts: str, gap: str = "30min",
                               "_fs": fs[chained], "_fe": fe[chained]})
     ref = ray.put(remap)
 
-    def apply_remap(df: pd.DataFrame) -> pd.DataFrame:
+    def apply_remap(b: pa.Table) -> pa.Table:
         r = ray.get(ref)
-        if r.empty:
-            return df[in_cols + ["session_start", "session_end"]]
-        out = df.merge(r, on=[key, "session_start"], how="left")
-        hit = out["_fs"].notna()
-        out.loc[hit, "session_end"] = out.loc[hit, "_fe"]
-        out.loc[hit, "session_start"] = out.loc[hit, "_fs"]
-        return out[in_cols + ["session_start", "session_end"]]
+        ss = (b["session_start"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[ns]"))
+        se = (b["session_end"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[ns]"))
+        if len(r):
+            kv = b[key].to_numpy(zero_copy_only=False)
+            # distinct (key, local session start) pairs only touch pandas;
+            # per-row work is one int gather
+            codes, uniq = pd.factorize(pd.MultiIndex.from_arrays([kv, ss]))
+            pairs = pd.DataFrame({key: uniq.get_level_values(0),
+                                  "session_start": uniq.get_level_values(1)})
+            m = pairs.merge(r, on=[key, "session_start"], how="left")
+            fs = m["_fs"].to_numpy().astype("datetime64[ns]")[codes]
+            fe = m["_fe"].to_numpy().astype("datetime64[ns]")[codes]
+            hit = ~np.isnat(fs)
+            ss = np.where(hit, fs, ss)
+            se = np.where(hit, fe, se)
+        return (b.select(in_cols)
+                .append_column("session_start", pa.array(ss))
+                .append_column("session_end", pa.array(se)))
 
     events = tagged.filter(expr="_side == 0")
-    return (events.map_batches(apply_remap, batch_format="pandas")
+    return (events.map_batches(apply_remap, batch_format="pyarrow")
             .map_batches(lambda b: _conform(b, out_schema),
                          batch_format="pyarrow"))
