@@ -41,10 +41,15 @@ def _is_temporal(ds, order_col: str) -> bool:
     if sch is None:
         return False
     try:
-        t = pa.schema(list(zip(sch.names, sch.types))).field(order_col).type
-    except KeyError:
+        t = sch.types[sch.names.index(order_col)]
+    except ValueError:
         return False
-    return pa.types.is_timestamp(t) or pa.types.is_date(t)
+    if isinstance(t, pa.DataType):
+        return pa.types.is_timestamp(t) or pa.types.is_date(t)
+    try:                       # pandas-backed block: numpy dtype / class
+        return np.issubdtype(np.dtype(t), np.datetime64)
+    except TypeError:
+        return False
 
 
 def calibrate_bucket_width(ds, order_col: str, *, target_buckets: int = 64):

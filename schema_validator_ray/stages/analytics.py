@@ -744,32 +744,43 @@ def group_zscore_outliers(ds, *, value_col: str, group_col: str,
     return ds.map_batches(flag, batch_format="pyarrow")
 
 
-def mad_outliers(ds, *, value_col: str, group_col: str, k: float = 3.5,
-                 bucket_width="auto", out_cols=None):
-    """Rows whose value deviates more than ``k`` median-absolute-deviations
-    from their group's MEDIAN — the robust companion of
-    ``group_zscore_outliers`` (a z-score is itself dragged by the outliers
-    it hunts; median/MAD is not). Exact quantile_disc medians, so the SQL
-    oracle matches bit-for-bit.
+def _mad_flag(ds, med: dict, mad: dict, *, value_col, group_col, k,
+              out_cols):
+    """Map-only final filter shared by both mad_outliers paths."""
+    import ray
 
-    Three passes, zero row-level shuffle:
+    ref = ray.put((med, mad))
 
-    1. per-group median via ``grouped_exact_quantile`` (distributed
-       selection — only (key, bucket, count) partials move);
-    2. the medians broadcast via ``ray.put``; a map-only derived
-       ``|v − med|`` column feeds a second ``grouped_exact_quantile`` for
-       the per-group MAD;
-    3. the (median, MAD) table broadcasts and the filter runs map-only.
+    def flag(b: pa.Table) -> pa.Table:
+        mm, dd = ray.get(ref)
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        codes, uniq = pd.factorize(
+            b[group_col].to_numpy(zero_copy_only=False))
+        # null-group rows (factorize code −1) are never outliers — the SQL
+        # oracle's JOIN USING(group) drops them; indexing mu[-1] would
+        # silently test them against the LAST group's stats
+        keep = np.zeros(len(codes), bool)
+        valid = codes >= 0
+        if len(uniq) and valid.any():
+            mu = np.array([mm.get(u, np.nan) for u in uniq])
+            ma = np.array([dd.get(u, np.nan) for u in uniq])
+            cv = codes[valid]
+            keep[valid] = np.abs(v[valid] - mu[cv]) > k * ma[cv]  # NaN→False
+        out = b.filter(pa.array(keep))
+        return out.select(out_cols) if out_cols else out
 
-    Groups where MAD = 0 (more than half the values identical) flag every
-    ``v != median`` row, same as the SQL comparison."""
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def _mad_two_selection_path(ds, *, value_col, group_col, k, bucket_width,
+                            out_cols):
+    """Fallback path: two full ``grouped_exact_quantile`` distributed
+    selections over a materialized narrow column (the pre-round-4 shape —
+    always exact, ~2× the passes of the digest-steered fast path)."""
     import ray
 
     from schema_validator_ray.stages.stats import grouped_exact_quantile
 
-    # the two quantile selections are 2 passes each + the final filter —
-    # pin the pruned (group, value) columns in the object store once instead
-    # of 5 storage scans (spills if it outgrows memory)
     narrow = ds.select_columns([group_col, value_col]).materialize()
     med_rows = grouped_exact_quantile(
         narrow, group_col, value_col, 0.5, bucket_width=bucket_width,
@@ -793,27 +804,232 @@ def mad_outliers(ds, *, value_col: str, group_col: str, k: float = 3.5,
         dev, group_col, "_absdev", 0.5, bucket_width=bucket_width,
         out_col="mad").take_all()
     mad = {r[group_col]: r["mad"] for r in mad_rows}
-    ref = ray.put((med, mad))
+    return _mad_flag(ds, med, mad, value_col=value_col, group_col=group_col,
+                     k=k, out_cols=out_cols)
 
-    def flag(b: pa.Table) -> pa.Table:
-        mm, dd = ray.get(ref)
-        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        codes, uniq = pd.factorize(
-            b[group_col].to_numpy(zero_copy_only=False))
-        # null-group rows (factorize code −1) are never outliers — the SQL
-        # oracle's JOIN USING(group) drops them; indexing mu[-1] would
-        # silently test them against the LAST group's stats
-        keep = np.zeros(len(codes), bool)
-        valid = codes >= 0
-        if len(uniq) and valid.any():
-            mu = np.array([mm.get(u, np.nan) for u in uniq])
-            ma = np.array([dd.get(u, np.nan) for u in uniq])
-            cv = codes[valid]
-            keep[valid] = np.abs(v[valid] - mu[cv]) > k * ma[cv]  # NaN→False
-        out = b.filter(pa.array(keep))
-        return out.select(out_cols) if out_cols else out
 
-    return ds.map_batches(flag, batch_format="pyarrow")
+def _weighted_pick(vals: np.ndarray, cnts: np.ndarray, idx: int):
+    """idx-th (0-based) element of the sorted multiset given (sorted
+    distinct value, count) arrays; None when idx is out of range."""
+    if idx < 0:
+        return None
+    cum = np.cumsum(cnts)
+    if len(cum) == 0 or idx >= cum[-1]:
+        return None
+    return float(vals[int(np.searchsorted(cum, idx, side="right"))])
+
+
+def mad_outliers(ds, *, value_col: str, group_col: str, k: float = 3.5,
+                 bucket_width="auto", out_cols=None,
+                 probe_budget: int = 5_000_000):
+    """Rows whose value deviates more than ``k`` median-absolute-deviations
+    from their group's MEDIAN — the robust companion of
+    ``group_zscore_outliers`` (a z-score is itself dragged by the outliers
+    it hunts; median/MAD is not). Exact quantile_disc medians, so the SQL
+    oracle matches bit-for-bit.
+
+    Digest-steered fused design — FOUR passes (the former shape paid eight:
+    materialize + two width calibrations + two 2-pass selections + flag):
+
+    1. ONE storage scan materializes the pruned (group, value) columns with
+       per-(key, batch) t-digest partials FUSED into the same pass (union
+       schema, ``_side`` flag); the driver merges the small blobs per key —
+       giving exact per-key counts and approximate quantiles.
+    2. The digests STEER an exact median selection: a per-key rank window
+       [q(0.43), q(0.57)] broadcasts; one pass over the pinned narrow rows
+       emits the EXACT count of rows strictly below each key's window plus
+       (key, value, count) distinct partials inside it. ``target − below``
+       indexes the weighted window values → exact quantile_disc median.
+       Digest error can NEVER produce a wrong answer, only a missed window
+       — which falls back LOUDLY to the two-selection path.
+    3. Same window trick on ``|v − med|`` (window bounds from the digest's
+       CDF mass folded around the exact median) → exact MAD.
+    4. Map-only flag over the original dataset.
+
+    Groups where MAD = 0 (more than half the values identical) flag every
+    ``v != median`` row, same as the SQL comparison. ``bucket_width`` only
+    parameterizes the fallback path."""
+    import math
+
+    import ray
+
+    from ..functions.sketches import TDigest
+    from ._collect import collect_up_to
+
+    def fallback(reason: str):
+        print(f"mad_outliers: digest-steered fast path unavailable "
+              f"({reason}) — using the two-selection path")
+        return _mad_two_selection_path(
+            ds, value_col=value_col, group_col=group_col, k=k,
+            bucket_width=bucket_width, out_cols=out_cols)
+
+    vtype = pa.float64()
+
+    def mat_with_digests(b: pa.Table) -> pa.Table:
+        t = b.select([group_col, value_col]).drop_null()
+        n = t.num_rows
+        kt = t[group_col]
+        if isinstance(kt, pa.ChunkedArray):
+            kt = kt.combine_chunks()
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        rows = pa.table({group_col: kt, value_col: pa.array(v, vtype),
+                         "_blob": pa.nulls(n, pa.binary()),
+                         "_side": pa.array(np.zeros(n, np.int8))})
+        if n == 0:
+            return rows
+        codes, uniq = pd.factorize(kt.to_numpy(zero_copy_only=False))
+        order = np.argsort(codes, kind="stable")
+        cs, vs = codes[order], v[order]
+        seg = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        ends = np.r_[seg[1:], n]
+        blobs = []
+        for s_, e_ in zip(seg, ends):
+            td = TDigest()
+            td.add(vs[s_:e_])
+            blobs.append(td.dumps())
+        dig = pa.table({group_col: kt.take(pa.array(order[seg])),
+                        value_col: pa.nulls(len(seg), vtype),
+                        "_blob": pa.array(blobs, pa.binary()),
+                        "_side": pa.array(np.ones(len(seg), np.int8))})
+        return pa.concat_tables([rows, dig])
+
+    tagged = (ds.map_batches(mat_with_digests, batch_format="pyarrow")
+              .materialize())
+    narrow = tagged.filter(expr="_side == 0")
+
+    dparts, over = collect_up_to(tagged.filter(expr="_side == 1"),
+                                 probe_budget)
+    if over:
+        return fallback("digest partials exceed the probe budget")
+    # batch the per-key merge: one concatenate + one compress per key
+    acc: dict = {}
+    for p in dparts:
+        for kv, blob in zip(p[group_col].to_pylist(),
+                            p["_blob"].to_pylist()):
+            acc.setdefault(kv, []).append(blob)
+    digs = {}
+    for kv, blobs in acc.items():
+        tds = [TDigest.loads(x) for x in blobs]
+        td = tds[0]
+        if len(tds) > 1:
+            td.means = np.concatenate([t.means for t in tds])
+            td.weights = np.concatenate([t.weights for t in tds])
+            td.n = float(sum(t.n for t in tds))
+            td._min = min(t._min for t in tds)
+            td._max = max(t._max for t in tds)
+            td._compress()
+        digs[kv] = td
+    if not digs:
+        return _mad_flag(ds, {}, {}, value_col=value_col,
+                         group_col=group_col, k=k, out_cols=out_cols)
+
+    targets = {kv: max(math.ceil(0.5 * round(td.n)) - 1, 0)
+               for kv, td in digs.items()}
+
+    def window_probe(lo: dict, hi: dict, transform_med: dict | None):
+        """One pass over the pinned narrow rows: per key, exact strictly-
+        below-window count + (value, count) distinct partials inside the
+        window. ``transform_med`` switches the probed quantity from v to
+        |v − med|."""
+        ref = ray.put((lo, hi, transform_med))
+
+        def probe(b: pa.Table) -> pa.Table:
+            LO, HI, MED = ray.get(ref)
+            keys = b[group_col].to_numpy(zero_copy_only=False)
+            v = b[value_col].to_numpy(zero_copy_only=False)
+            codes, uniq = pd.factorize(keys)
+            la = np.array([LO.get(u, np.inf) for u in uniq])
+            ha = np.array([HI.get(u, -np.inf) for u in uniq])
+            if MED is not None:
+                mu = np.array([MED.get(u, np.nan) for u in uniq])
+                v = np.abs(v - mu[codes])
+            lov, hiv = la[codes], ha[codes]
+            below = v < lov
+            nb = np.bincount(codes[below], minlength=len(uniq))
+            inw = (v >= lov) & (v <= hiv)
+            ic, iv = codes[inw], v[inw]
+            o = np.lexsort((iv, ic))
+            ic, iv = ic[o], iv[o]
+            brk = np.r_[True, (ic[1:] != ic[:-1]) | (iv[1:] != iv[:-1])]
+            seg = np.flatnonzero(brk)
+            cnt = np.diff(np.r_[seg, len(ic)])
+            kt = pa.array(uniq, b[group_col].type)
+            t_below = pa.table({group_col: kt,
+                                "v": pa.nulls(len(uniq), pa.float64()),
+                                "n": pa.array(nb.astype(np.int64)),
+                                "s": pa.array(np.zeros(len(uniq), np.int8))})
+            t_win = pa.table({group_col: kt.take(pa.array(ic[seg])),
+                              "v": pa.array(iv[seg], pa.float64()),
+                              "n": pa.array(cnt.astype(np.int64)),
+                              "s": pa.array(np.ones(len(seg), np.int8))})
+            return pa.concat_tables([t_below, t_win])
+
+        parts, p_over = collect_up_to(
+            narrow.map_batches(probe, batch_format="pyarrow"), probe_budget)
+        if p_over:
+            return None, None
+        below: dict = {}
+        win: dict = {}
+        for p in parts:
+            kv_l = p[group_col].to_pylist()
+            vv = p["v"].to_numpy(zero_copy_only=False)
+            nn = p["n"].to_numpy(zero_copy_only=False)
+            ss = p["s"].to_numpy(zero_copy_only=False)
+            for kv, val, cnt, sd in zip(kv_l, vv, nn, ss):
+                if sd == 0:
+                    below[kv] = below.get(kv, 0) + int(cnt)
+                else:
+                    win.setdefault(kv, {})
+                    win[kv][val] = win[kv].get(val, 0) + int(cnt)
+        return below, win
+
+    def pick_all(below: dict, win: dict):
+        out = {}
+        for kv, tgt in targets.items():
+            idx = tgt - below.get(kv, 0)
+            w = win.get(kv, {})
+            vals = np.array(sorted(w))
+            cnts = np.array([w[x] for x in vals]) if len(vals) else \
+                np.array([], np.int64)
+            got = _weighted_pick(vals, cnts, idx)
+            if got is None:
+                return None
+            out[kv] = got
+        return out
+
+    lo = {kv: td.quantile(0.43) for kv, td in digs.items()}
+    hi = {kv: td.quantile(0.57) for kv, td in digs.items()}
+    below, win = window_probe(lo, hi, None)
+    if below is None:
+        return fallback("median window exceeds the probe budget")
+    med = pick_all(below, win)
+    if med is None:
+        return fallback("median rank fell outside the digest window")
+
+    # MAD window: fold the digest CDF around the exact median on a value
+    # grid — mass(t) = CDF(med + t) − CDF(med − t) is monotone in t
+    lo2, hi2 = {}, {}
+    for kv, td in digs.items():
+        m = med[kv]
+        tmax = max(td._max - m, m - td._min, 0.0)
+        if tmax == 0.0:
+            lo2[kv] = hi2[kv] = 0.0
+            continue
+        ts = np.linspace(0.0, tmax, 512)
+        mass = td.cdf(m + ts) - td.cdf(m - ts)
+        i_lo = int(np.searchsorted(mass, 0.43, side="left"))
+        i_hi = int(np.searchsorted(mass, 0.57, side="right"))
+        lo2[kv] = float(ts[max(i_lo - 1, 0)])
+        hi2[kv] = float(ts[min(i_hi, len(ts) - 1)])
+    below2, win2 = window_probe(lo2, hi2, med)
+    if below2 is None:
+        return fallback("MAD window exceeds the probe budget")
+    mad = pick_all(below2, win2)
+    if mad is None:
+        return fallback("MAD rank fell outside the digest window")
+
+    return _mad_flag(ds, med, mad, value_col=value_col, group_col=group_col,
+                     k=k, out_cols=out_cols)
 
 
 def rank_window(ds, *, key: str, order_col: str, bucket_width="auto",

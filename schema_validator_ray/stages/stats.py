@@ -665,26 +665,29 @@ def grouped_corr(ds, key: str, x: str, y: str):
 
 
 def chi2_independence(ds, col_a: str, col_b: str, *,
-                      cell_budget: int = 5_000_000):
+                      level_budget: int = 2_000_000):
     """Pearson chi-square test of independence between two categorical
     columns — the "did the distribution of B shift across A" validation
     check (drift across sources, time buckets, shards).
 
-    Pre-aggregated shape: per-batch ``(a, b, count)`` partials (exchange
-    bounded by the batch's DISTINCT pairs, never its rows) merge into the
-    contingency table; the chi-square finish — including ZERO-observed
-    cells, whose (O−E)²/E = E term SQL formulations silently drop — runs
-    driver-side over |A|×|B| cells behind a loud ``cell_budget`` guard
-    (a categorical pair with millions of distinct levels isn't a
-    chi-square-shaped question).
+    Fully distributed: per-batch ``(a, b, count)`` partials (exchange
+    bounded by the batch's DISTINCT pairs, never its rows) merge into a
+    DISTRIBUTED contingency-cell dataset that is never collected. Only the
+    MARGINALS come to the driver (|A| + |B| rows, behind the loud
+    ``level_budget`` — millions of category levels isn't a chi-square-shaped
+    question); they broadcast via ``ray.put`` and the (O−E)²/E deltas run
+    as a map over the cell table. ZERO-observed cells — whose (O−E)²/E = E
+    term SQL formulations silently drop — never need enumerating: expected
+    values sum to n over the FULL |A|×|B| grid, so their total contribution
+    is exactly ``n − Σ_observed E``.
 
     Rows with a null in EITHER column are excluded — null is not a category
     level here (pair the op with the `required` rule to surface them).
 
     Returns a one-row Dataset: (chi2 rounded 6dp, dof, n)."""
-    import pandas as pd
-
+    import ray
     import ray.data as rd
+    from ray.data.aggregate import Sum
 
     def part(b: pa.Table) -> pa.Table:
         t = b.select([col_a, col_b]).drop_null()
@@ -694,31 +697,55 @@ def chi2_independence(ds, col_a: str, col_b: str, *,
 
     from ._collect import collect_up_to
 
-    parts, over = collect_up_to(
-        ds.map_batches(part, batch_format="pyarrow"), cell_budget)
-    if over:
-        raise ValueError(
-            f"chi2_independence: contingency partials exceed the "
-            f"{cell_budget}-row budget — reduce the level count "
-            "(bucket one of the columns) before testing")
+    cells = (ds.map_batches(part, batch_format="pyarrow")
+             .groupby([col_a, col_b])
+             .aggregate(Sum("cnt", alias_name="cnt"))
+             .materialize())                    # reused: marginals + deltas
+
+    def _marginal(col):
+        m = cells.groupby(col).aggregate(Sum("cnt", alias_name="m"))
+        parts, over = collect_up_to(m, level_budget)
+        if over:
+            raise ValueError(
+                f"chi2_independence: {col} exceeds the {level_budget}-level "
+                "budget — bucket the column before testing")
+        if not parts:
+            return {}, np.int64(0)
+        t = pa.concat_tables(parts)
+        vals = t["m"].to_numpy(zero_copy_only=False)
+        return dict(zip(t[col].to_pylist(), vals.tolist())), vals.sum()
+
+    ma, n_a = _marginal(col_a)
+    mb, _ = _marginal(col_b)
     empty = pa.table({"chi2": pa.array([], pa.float64()),
                       "dof": pa.array([], pa.int64()),
                       "n": pa.array([], pa.int64())})
-    if not parts:
-        return rd.from_arrow(empty)
-    m = (pa.concat_tables(parts).group_by([col_a, col_b])
-         .aggregate([("cnt", "sum")]))
-    df = m.to_pandas().sort_values([col_a, col_b]).reset_index(drop=True)
-    ca, ua = pd.factorize(df[col_a])
-    cb, ub = pd.factorize(df[col_b])
-    obs = np.zeros((len(ua), len(ub)))
-    obs[ca, cb] = df["cnt_sum"].to_numpy()
-    n = obs.sum()
+    n = float(n_a)
     if n == 0:
         return rd.from_arrow(empty)
-    exp = obs.sum(1, keepdims=True) @ obs.sum(0, keepdims=True) / n
-    chi2 = float(((obs - exp) ** 2 / exp).sum())
-    dof = (len(ua) - 1) * (len(ub) - 1)
+    ref = ray.put((ma, mb, n))
+
+    def deltas(t: pa.Table) -> pa.Table:
+        A, B, tot = ray.get(ref)
+        o = t["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # one dict probe per DISTINCT level, then a vectorized gather
+        import pandas as pd
+        ca, ua = pd.factorize(t[col_a].to_numpy(zero_copy_only=False))
+        cb, ub = pd.factorize(t[col_b].to_numpy(zero_copy_only=False))
+        e = (np.array([A[x] for x in ua], np.float64)[ca]
+             * np.array([B[x] for x in ub], np.float64)[cb] / tot)
+        return pa.table({"chi": pa.array([float(((o - e) ** 2 / e).sum())]),
+                         "esum": pa.array([float(e.sum())])})
+
+    stat = cells.map_batches(deltas, batch_format="pyarrow")
+    sparts, _ = collect_up_to(stat, 10_000_000)   # one row per cell block
+    st = pa.concat_tables(sparts) if sparts else pa.table(
+        {"chi": pa.array([], pa.float64()), "esum": pa.array([],
+                                                            pa.float64())})
+    chi_obs = float(pc.sum(st["chi"]).as_py() or 0.0)
+    e_obs = float(pc.sum(st["esum"]).as_py() or 0.0)
+    chi2 = chi_obs + (n - e_obs)                  # zero-observed cells
+    dof = (len(ma) - 1) * (len(mb) - 1)
     return rd.from_arrow(pa.table({
         "chi2": pa.array([round(chi2, 6)], pa.float64()),
         "dof": pa.array([dof], pa.int64()),

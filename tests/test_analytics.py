@@ -322,3 +322,34 @@ def test_mad_outliers_null_group_rows_never_flag(ray_session):
            .to_pandas())
     assert 0 in out["event_id"].values
     assert out["g"].notna().all()                   # no null-group rows
+
+
+def test_mad_outliers_fast_path_matches_fallback(ray_session):
+    """The digest-steered 4-pass path and the two-selection fallback must
+    agree exactly — including a heavy-duplicate group (MAD 0) and a tiny
+    group. A shrunken probe_budget forces the fallback for the B side."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_validator_ray.stages.analytics import mad_outliers
+
+    rng = np.random.default_rng(31)
+    n = 4000
+    df = pd.DataFrame({
+        "event_id": np.arange(n + 3, dtype=np.int64),
+        "event_type": (["a"] * (n // 2) + ["dup"] * (n // 2 - 1)
+                       + ["tiny"] + ["a", "dup", "tiny"]),
+        "value": np.r_[rng.normal(0, 2, n // 2).round(3),
+                       np.full(n // 2 - 1, 7.0), 5.0,
+                       50.0, 9.0, 5.0],
+    })
+    ds = rd.from_pandas(df).repartition(7)
+    fast = sorted(r["event_id"] for r in mad_outliers(
+        ds, value_col="value", group_col="event_type", k=3.5).take_all())
+    slow = sorted(r["event_id"] for r in mad_outliers(
+        ds, value_col="value", group_col="event_type", k=3.5,
+        probe_budget=2).take_all())     # forces the two-selection fallback
+    assert fast == slow and len(fast) > 0
+    assert n in fast        # the planted 50.0 in group a
+    assert n + 1 in fast    # 9.0 in the MAD-0 dup group (!= median 7.0)

@@ -317,7 +317,7 @@ def test_chi2_independence(ray_session):
     with pytest.raises(ValueError, match="budget"):
         chi2_independence(rd.from_pandas(
             pd.DataFrame({"a": np.arange(100), "b": np.arange(100)})),
-            "a", "b", cell_budget=10)
+            "a", "b", level_budget=10)
 
 
 def test_grouped_linreg(ray_session):
