@@ -24,6 +24,35 @@ FMT_NAMES = {v: k for k, v in FMT_CODES.items()}
 LOSSY = {"jpeg", "webp"}
 _Q_SHIFT = 2  # lossy quantization: drop 2 LSBs -> max error 3, PSNR ~ 43-48 dB
 
+# optional real-decoder seam: when PIL is importable, decode() falls through
+# to it for any payload that is NOT stand-in (FIMG) framed — so pointing the
+# engine at real JPEG/PNG/WebP files works the day the environment has
+# codecs, while FIMG payloads take the byte-identical stand-in branch first
+try:                                              # pragma: no cover - env
+    from PIL import Image as _PILImage
+
+    HAVE_PIL = True
+except ImportError:                               # the shipped container
+    _PILImage = None
+    HAVE_PIL = False
+
+
+def _pil_decode(data) -> tuple[np.ndarray, str, int, int]:
+    """Real-codec branch: grayscale pixels via PIL. Only reachable when the
+    payload is not FIMG-framed and PIL is installed."""
+    import io
+
+    try:
+        with _PILImage.open(io.BytesIO(bytes(data))) as im:
+            fmt = (im.format or "").lower()
+            if fmt == "jpg":
+                fmt = "jpeg"
+            px = np.asarray(im.convert("L"), dtype=np.uint8)
+    except Exception as e:  # PIL raises a zoo of types on corrupt input
+        raise CodecError(f"undecodable image payload: {e}") from None
+    h, w = px.shape
+    return px, fmt, w, h
+
 
 class CodecError(ValueError):
     """Raised on undecodable payloads (truncated / corrupt / unknown format)."""
@@ -45,8 +74,14 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
 
 def decode(data) -> tuple[np.ndarray, str, int, int]:
     """Returns (pixels HxW uint8, fmt, w, h). Raises CodecError on bad input.
-    Accepts bytes or any buffer (e.g. a zero-copy Arrow memoryview)."""
+    Accepts bytes or any buffer (e.g. a zero-copy Arrow memoryview).
+
+    FIMG-framed payloads always take the stand-in branch (byte-identical
+    whether or not PIL is installed); anything else goes to PIL when
+    available, else raises CodecError as before."""
     if len(data) < 13 or bytes(data[:4]) != MAGIC:
+        if HAVE_PIL and len(data) >= 4 and bytes(data[:4]) != MAGIC:
+            return _pil_decode(data)
         raise CodecError("bad magic / truncated header")
     code, w, h = struct.unpack("<BII", data[4:13])
     fmt = FMT_NAMES.get(code)

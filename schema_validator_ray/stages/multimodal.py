@@ -104,22 +104,57 @@ def make_fake_audio(n_samples: int, seed: int = 0) -> bytes:
     return _FAUD + struct.pack("<I", n_samples) + samples.tobytes()
 
 
+try:                                              # pragma: no cover - env
+    import av as _av
+
+    HAVE_PYAV = True
+except ImportError:                               # the shipped container
+    _av = None
+    HAVE_PYAV = False
+
+try:                                              # pragma: no cover - env
+    import soundfile as _sf
+
+    HAVE_SOUNDFILE = True
+except ImportError:
+    _sf = None
+    HAVE_SOUNDFILE = False
+
+
 def _decode_video(blob) -> np.ndarray:
-    """-> frames (n, h, w) uint8. REAL DECODER SWAP POINT: plug pyav/cv2 here.
-    Non-fake payloads raise NotImplementedError (no video libs in container)."""
-    if bytes(blob[:4]) != _FVID:
-        raise NotImplementedError("real video decoding requires pyav/cv2")
-    n, w, h = struct.unpack("<IHH", bytes(blob[4:12]))
-    return np.frombuffer(blob, dtype=np.uint8, count=n * h * w,
-                         offset=12).reshape(n, h, w)
+    """-> frames (n, h, w) uint8. Fake (FVID) payloads always take the
+    deterministic branch; real containers decode via pyav when installed,
+    else raise NotImplementedError (no video libs in this container)."""
+    if bytes(blob[:4]) == _FVID:
+        n, w, h = struct.unpack("<IHH", bytes(blob[4:12]))
+        return np.frombuffer(blob, dtype=np.uint8, count=n * h * w,
+                             offset=12).reshape(n, h, w)
+    if HAVE_PYAV:
+        import io
+
+        frames = []
+        with _av.open(io.BytesIO(bytes(blob))) as container:
+            for frame in container.decode(video=0):
+                frames.append(frame.to_ndarray(format="gray"))
+        if not frames:
+            return np.zeros((0, 0, 0), np.uint8)
+        return np.stack(frames)
+    raise NotImplementedError("real video decoding requires pyav/cv2")
 
 
 def _decode_audio(blob) -> np.ndarray:
-    """-> mono int16 samples. REAL DECODER SWAP POINT (soundfile/librosa)."""
-    if bytes(blob[:4]) != _FAUD:
-        raise NotImplementedError("real audio decoding requires soundfile")
-    (n,) = struct.unpack("<I", bytes(blob[4:8]))
-    return np.frombuffer(blob, dtype=np.int16, count=n, offset=8)
+    """-> mono int16 samples. Fake (FAUD) payloads always take the
+    deterministic branch; real files decode via soundfile when installed."""
+    if bytes(blob[:4]) == _FAUD:
+        (n,) = struct.unpack("<I", bytes(blob[4:8]))
+        return np.frombuffer(blob, dtype=np.int16, count=n, offset=8)
+    if HAVE_SOUNDFILE:
+        import io
+
+        data, _rate = _sf.read(io.BytesIO(bytes(blob)), dtype="int16",
+                               always_2d=True)
+        return np.ascontiguousarray(data.mean(axis=1)).astype(np.int16)
+    raise NotImplementedError("real audio decoding requires soundfile")
 
 
 class VideoFrameSampleStage:
