@@ -2540,6 +2540,89 @@ def q_events_props_stats(sf_dir: str):
     return agg
 
 
+def q_lineitem_qty_quartiles(sf_dir: str):
+    """Exact grouped p25/median/p75 in ONE two-pass selection — all three
+    targets probe the same count pass and the same fetch pass
+    (`grouped_exact_quantiles`); the widen step shuffles |keys|×3 picked
+    rows, never the input."""
+    from schema_validator_ray.stages.stats import grouped_exact_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return grouped_exact_quantiles(ds, "l_returnflag", "l_quantity",
+                                   [0.25, 0.5, 0.75],
+                                   out_cols=["p25", "med", "p75"])
+
+
+def q_lineitem_price_winsorized(sf_dir: str):
+    """Per-returnflag winsorization of extended price into the exact
+    [p05, p95] band — one multi-quantile selection + broadcast thresholds +
+    map-only clip. 6dp rounding on both sides absorbs float formatting."""
+    from schema_validator_ray.stages.stats import winsorize_by_group
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_returnflag",
+                "l_extendedprice"])
+    out = winsorize_by_group(ds, "l_returnflag", "l_extendedprice",
+                             lo_q=0.05, hi_q=0.95, out_col="price_w",
+                             keep_cols=["l_orderkey", "l_linenumber",
+                                        "l_returnflag"])
+    return out.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("price_w"),
+                               "price_w", pc.round(b["price_w"], 6)),
+        batch_format="pyarrow")
+
+
+def q_supplier_part_cooccur(sf_dir: str):
+    """Supplier pairs stocking ≥ 5 common parts — co-occurrence similarity
+    over the distinct (supplier, part) edge list; pair volume is bounded by
+    part degree (TPC-H ships each part from ~4 suppliers), with a loud
+    hot-item budget."""
+    from schema_validator_ray.stages.cooccur import cooccurrence_pairs
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    return cooccurrence_pairs(ds, "l_suppkey", "l_partkey", min_shared=5)
+
+
+def q_part_name_linkage(sf_dir: str):
+    """Cross-table record linkage: part names from the odd-key half matched
+    against the even-key half at Levenshtein ≤ 1 (equal names included) —
+    SymDelete blocking with a side tag, pairs only cross the halves."""
+    from schema_validator_ray.stages.fuzzy import edit_distance_join
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def half(par: int):
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.equal(pc.bit_wise_and(b["p_partkey"], 1),
+                         pa.scalar(par, pa.int64()))
+            return b.filter(m).select(["p_name"])
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    return edit_distance_join(half(1), half(0), "p_name", "p_name",
+                              max_dist=1)
+
+
+def q_events_resurrected(sf_dir: str):
+    """Resurrected-user events: rows arriving after a ≥ 3-day silence from
+    the same user (churn-and-return detection) — a map-only filter over the
+    LAG operator's per-user gap column."""
+    from schema_validator_ray.stages.analytics import lag_gap_us
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = lag_gap_us(ds, key="user_id", ts="ts", tiebreak="event_id",
+                     out_col="gap_us")
+    gap = 3 * 86400 * 1_000_000
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = pc.greater_equal(b["gap_us"], pa.scalar(gap, pa.int64()))
+        t = b.filter(m)
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "gap_us": pc.cast(t["gap_us"], pa.int64())})
+
+    return out.map_batches(keep, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -2664,6 +2747,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_trend": q_events_value_trend,
         "events_cohort_retention": q_events_cohort_retention,
         "events_ab_ttest": q_events_ab_ttest,
+        "lineitem_qty_quartiles": q_lineitem_qty_quartiles,
+        "lineitem_price_winsorized": q_lineitem_price_winsorized,
+        "supplier_part_cooccur": q_supplier_part_cooccur,
+        "part_name_linkage": q_part_name_linkage,
+        "events_resurrected": q_events_resurrected,
         "source_quality_report": q_source_quality_report,
         "frequent_users": q_frequent_users,
         "latest_event_per_user": q_latest_event_per_user,
@@ -3666,6 +3754,51 @@ def oracle_sql() -> dict[str, str]:
                                AS pos
                       FROM embeddings)
              GROUP BY label, pos
+        """,
+        "lineitem_qty_quartiles": """
+            SELECT l_returnflag,
+                   quantile_disc(l_quantity, 0.25) AS p25,
+                   quantile_disc(l_quantity, 0.50) AS med,
+                   quantile_disc(l_quantity, 0.75) AS p75
+              FROM lineitem
+             GROUP BY l_returnflag
+        """,
+        "lineitem_price_winsorized": """
+            WITH q AS (SELECT l_returnflag,
+                              quantile_disc(l_extendedprice, 0.05) AS lo,
+                              quantile_disc(l_extendedprice, 0.95) AS hi
+                         FROM lineitem GROUP BY l_returnflag)
+            SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+                   ROUND(LEAST(GREATEST(l.l_extendedprice, q.lo), q.hi), 6)
+                       AS price_w
+              FROM lineitem l JOIN q USING (l_returnflag)
+        """,
+        "supplier_part_cooccur": """
+            WITH e AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+            SELECT a.l_suppkey AS a, b.l_suppkey AS b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+              FROM e a JOIN e b
+                ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+             GROUP BY 1, 2
+            HAVING count(*) >= 5
+        """,
+        "part_name_linkage": """
+            WITH odd AS (SELECT DISTINCT p_name FROM part
+                          WHERE p_partkey % 2 = 1),
+                 evn AS (SELECT DISTINCT p_name FROM part
+                          WHERE p_partkey % 2 = 0)
+            SELECT o.p_name AS a, e.p_name AS b
+              FROM odd o JOIN evn e
+                ON levenshtein(o.p_name, e.p_name) <= 1
+        """,
+        "events_resurrected": """
+            SELECT event_id, user_id, gap_us FROM (
+                SELECT event_id, user_id,
+                       COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id), -1)
+                       AS gap_us
+                  FROM events)
+             WHERE gap_us >= 259200000000
         """,
         "events_ab_ttest": """
             WITH s AS (SELECT event_type AS g,

@@ -182,3 +182,90 @@ def edit_distance_pairs(ds, col: str, *, max_dist: int = 1,
         .groupby(["a", "b"]).aggregate(Min("_one", alias_name="_one"))
         .map_batches(lambda t: t.drop_columns(["_one"]),
                      batch_format="pyarrow"))
+
+
+def edit_distance_join(ds_a, ds_b, col_a: str, col_b: str, *,
+                       max_dist: int = 1, max_bucket: int = _MAX_BUCKET,
+                       on_mega_bucket: str = "error"):
+    """Record linkage across TWO tables: all (a, b) pairs with a a distinct
+    ``col_a`` value of ``ds_a``, b a distinct ``col_b`` value of ``ds_b``,
+    and Levenshtein(a, b) ≤ ``max_dist`` (equal values included — distance
+    0). Same SymDelete dictionary blocking as ``edit_distance_pairs``; a
+    side tag rides the exploded variants so pair generation only crosses
+    sides inside a bucket (never within one table)."""
+    if max_dist not in (1, 2):
+        raise NotImplementedError("only max_dist in (1, 2) is implemented")
+    if on_mega_bucket not in ("error", "skip"):
+        raise ValueError("on_mega_bucket must be 'error' or 'skip'")
+    from ray.data.aggregate import Min
+
+    def vocab_of(ds, col, side):
+        def distinct_part(b: pa.Table) -> pa.Table:
+            u = pc.unique(b[col].drop_null())
+            return pa.table({"v": pc.cast(u, pa.string()),
+                             "_c": pa.array(np.ones(len(u), np.int8))})
+
+        return (ds.map_batches(distinct_part, batch_format="pyarrow")
+                .groupby("v").aggregate(Min("_c", alias_name="_c"))
+                .map_batches(
+                    lambda t: pa.table({
+                        "v": t["v"],
+                        "side": pa.array(
+                            np.full(t.num_rows, side, np.int8))}),
+                    batch_format="pyarrow"))
+
+    vocab = vocab_of(ds_a, col_a, 0).union(vocab_of(ds_b, col_b, 1))
+
+    def explode(b: pa.Table) -> pa.Table:
+        keys, vals, sides = [], [], []
+        for v, s in zip(b["v"].to_pylist(), b["side"].to_pylist()):
+            for k in _deletes(v, max_dist):
+                keys.append(k)
+                vals.append(v)
+                sides.append(s)
+        return pa.table({"bucket": pa.array(keys, pa.string()),
+                         "v": pa.array(vals, pa.string()),
+                         "side": pa.array(sides, pa.int8())})
+
+    exploded = vocab.map_batches(explode, batch_format="pyarrow")
+
+    def pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string())})
+        sides = g["side"].to_numpy(zero_copy_only=False)
+        va = sorted(set(np.asarray(g["v"].to_pylist(),
+                                   object)[sides == 0].tolist()))
+        vb = sorted(set(np.asarray(g["v"].to_pylist(),
+                                   object)[sides == 1].tolist()))
+        n = len(va) + len(vb)
+        if n > max_bucket:
+            if on_mega_bucket == "error":
+                raise ValueError(
+                    f"edit_distance_join: deletion bucket "
+                    f"{g['bucket'][0].as_py()!r} has {n} members "
+                    f"(max_bucket={max_bucket}) — pairs would be dropped; "
+                    f"raise max_bucket or pass on_mega_bucket='skip'")
+            print(f"edit_distance_join: skipping mega-bucket ({n} members)")
+            return empty
+        if not va or not vb:
+            return empty
+        a_l, b_l = [], []
+        for x in va:
+            for y in vb:
+                if _ed_le(x, y, max_dist):
+                    a_l.append(x)
+                    b_l.append(y)
+        if not a_l:
+            return empty
+        return pa.table({"a": pa.array(a_l, pa.string()),
+                         "b": pa.array(b_l, pa.string())})
+
+    cand = exploded.groupby("bucket").map_groups(pairs,
+                                                 batch_format="pyarrow")
+    return (cand.map_batches(
+        lambda t: t.append_column("_one", pa.array(np.ones(t.num_rows,
+                                                           np.int8))),
+        batch_format="pyarrow")
+        .groupby(["a", "b"]).aggregate(Min("_one", alias_name="_one"))
+        .map_batches(lambda t: t.drop_columns(["_one"]),
+                     batch_format="pyarrow"))

@@ -454,6 +454,174 @@ def _exact_grouped_quantile_fallback(ds, key, col, q, out_col):
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")
 
 
+def grouped_exact_quantiles(ds, key: str, col: str, qs, *,
+                            out_cols=None, bucket_width="auto",
+                            summary_merge_max: int = 5_000_000):
+    """EXACT per-group order statistics for SEVERAL quantiles at once
+    (DuckDB ``quantile_disc(col, q_i) GROUP BY key``, one wide row per key)
+    — the same two-pass distributed selection as
+    ``grouped_exact_quantile``, but ALL targets probe in the SAME count
+    pass and the SAME fetch pass: p25/p50/p75 cost one selection, not
+    three (2 passes instead of 6). The widen step is a tiny shuffle over
+    |keys| × |qs| picked rows, never the input."""
+    import math
+
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ._calibrate import resolve_bucket_width
+
+    qs = [float(q) for q in qs]
+    if out_cols is None:
+        out_cols = [f"q{int(round(q * 100)):02d}" for q in qs]
+    if len(out_cols) != len(qs):
+        raise ValueError("out_cols must align with qs")
+    bucket_width = float(resolve_bucket_width(ds, col, bucket_width,
+                                              target_buckets=256))
+
+    def part(b: pa.Table) -> pa.Table:
+        t = b.select([key, col]).drop_null()
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        bkt = np.floor(v / bucket_width).astype(np.int64)
+        tt = pa.table({key: t[key], "_bkt": pa.array(bkt)})
+        agg = tt.group_by([key, "_bkt"]).aggregate([([], "count_all")])
+        return pa.table({key: agg[key], "_bkt": agg["_bkt"],
+                         "cnt": pc.cast(agg["count_all"], pa.int64())})
+
+    counts = (ds.map_batches(part, batch_format="pyarrow")
+              .groupby([key, "_bkt"])
+              .aggregate(Sum("cnt", alias_name="cnt")))
+
+    from ._collect import collect_up_to
+
+    cparts, over = collect_up_to(counts, summary_merge_max,
+                                 batch_format="pandas")
+    if over:
+        return _exact_grouped_quantiles_fallback(ds, key, col, qs, out_cols)
+    if not cparts:
+        return ds.map_batches(
+            lambda b: pa.table(
+                {key: b[key].slice(0, 0)}
+                | {oc: b[col].slice(0, 0) for oc in out_cols}),
+            batch_format="pyarrow")
+    c = (pd.concat(cparts, ignore_index=True)
+         .sort_values([key, "_bkt"], kind="stable").reset_index(drop=True))
+    kv = c[key].to_numpy()
+    cnt = c["cnt"].to_numpy()
+    key_brk = np.r_[True, kv[1:] != kv[:-1]]
+    seg = np.flatnonzero(key_brk)
+    seg_id = np.cumsum(key_brk) - 1
+    cum = np.cumsum(cnt)
+    base = np.r_[0, cum[:-1]][seg]
+    n_per_key = (cum[np.r_[seg[1:] - 1, len(c) - 1]] - base)[seg_id]
+    before = np.r_[0, cum[:-1]] - base[seg_id]
+    probes: dict = {}
+    for qi, q in enumerate(qs):
+        target = np.maximum(np.ceil(q * n_per_key) - 1, 0).astype(np.int64)
+        hit = (target >= before) & (target < before + cnt)
+        for k, bk, r in zip(kv[hit], c["_bkt"].to_numpy()[hit],
+                            (target - before)[hit]):
+            probes.setdefault((k, bk), []).append((qi, int(r)))
+    ref = ray.put(probes)
+
+    def keep(b: pa.Table) -> pa.Table:
+        pr = ray.get(ref)
+        t = b.select([key, col]).drop_null()
+        if t.num_rows == 0:
+            return t.append_column("_bkt", pa.array([], pa.int64()))
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        bkt = np.floor(v / bucket_width).astype(np.int64)
+        kk = t[key].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(pd.MultiIndex.from_arrays([kk, bkt]))
+        sel = np.fromiter((u in pr for u in uniq), bool, len(uniq))
+        mask = sel[codes]
+        return pa.table({key: t[key].filter(pa.array(mask)),
+                         col: t[col].filter(pa.array(mask)),
+                         "_bkt": pa.array(bkt[mask])})
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        pr = ray.get(ref)
+        k0 = g[key].iloc[0]
+        v = np.sort(g[col].to_numpy())
+        rows = [(k0, qi, v[r]) for qi, r in pr[(k0, int(g["_bkt"].iloc[0]))]]
+        return pd.DataFrame(rows, columns=[key, "_qi", "_qv"])
+
+    picked = (ds.map_batches(keep, batch_format="pyarrow")
+              .groupby([key, "_bkt"])
+              .map_groups(pick, batch_format="pandas"))
+
+    def widen(g: pd.DataFrame) -> pd.DataFrame:
+        row = {key: [g[key].iloc[0]]}
+        got = dict(zip(g["_qi"], g["_qv"]))
+        for qi, oc in enumerate(out_cols):
+            row[oc] = [got[qi]]
+        return pd.DataFrame(row)
+
+    return picked.groupby(key).map_groups(widen, batch_format="pandas")
+
+
+def _exact_grouped_quantiles_fallback(ds, key, col, qs, out_cols):
+    import math
+
+    import pandas as pd
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for k0, sub in g.groupby(key, sort=False):
+            v = np.sort(sub[col].dropna().to_numpy())
+            if not len(v):
+                continue
+            out.append([k0] + [v[max(math.ceil(q * len(v)) - 1, 0)]
+                               for q in qs])
+        return pd.DataFrame(out, columns=[key] + list(out_cols))
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def winsorize_by_group(ds, key: str, col: str, *, lo_q: float = 0.05,
+                       hi_q: float = 0.95, out_col: str = "v_w",
+                       keep_cols=None, bucket_width="auto"):
+    """Clip ``col`` into its group's exact [quantile_disc(lo_q),
+    quantile_disc(hi_q)] band — heavy-tail taming before any mean-based
+    statistic. ONE multi-quantile selection (2 passes, both thresholds
+    probed together via ``grouped_exact_quantiles``), the |groups|×2
+    threshold table broadcasts via ``ray.put``, and the clip runs
+    map-only. Rows with a null key or null value are dropped (the SQL
+    oracle's inner JOIN USING(key) semantics)."""
+    import pandas as pd
+    import ray
+
+    bands = grouped_exact_quantiles(ds, key, col, [lo_q, hi_q],
+                                    out_cols=["_lo", "_hi"],
+                                    bucket_width=bucket_width)
+    lut = {r[key]: (float(r["_lo"]), float(r["_hi"]))
+           for r in bands.take_all()}             # |groups| rows
+    ref = ray.put(lut)
+    cols = keep_cols if keep_cols is not None else None
+
+    def clip(b: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        t = b
+        keys = t[key].to_numpy(zero_copy_only=False)
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        codes, uniq = pd.factorize(keys)
+        keep = (codes >= 0) & ~np.isnan(v)
+        if len(uniq):
+            lo = np.array([m.get(u, (np.nan, np.nan))[0] for u in uniq])
+            hi = np.array([m.get(u, (np.nan, np.nan))[1] for u in uniq])
+            keep &= ~np.isnan(lo[np.maximum(codes, 0)])
+            w = np.minimum(np.maximum(v, lo[np.maximum(codes, 0)]),
+                           hi[np.maximum(codes, 0)])
+        else:
+            w = v
+        out = t.filter(pa.array(keep))
+        sel = out.select(cols) if cols else out
+        return sel.append_column(out_col, pa.array(w[keep], pa.float64()))
+
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
 def grouped_entropy(ds, key: str, col: str, *, out_col: str = "entropy"):
     """Shannon entropy (bits) of ``col``'s value distribution per ``key`` —
     e.g. behavioural diversity per user, class balance per source. Matches
