@@ -2623,6 +2623,73 @@ def q_events_resurrected(sf_dir: str):
     return out.map_batches(keep, batch_format="pyarrow")
 
 
+def q_click_then_purchase(sf_dir: str):
+    """Per-event sequence match: every click followed by a purchase from
+    the same user within 30 minutes (strictly after), with the first such
+    purchase's timestamp — one narrow hash exchange by user, vectorized
+    searchsorted per group, no pair materialization."""
+    from schema_validator_ray.stages.funnel import followed_by
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    return followed_by(ds, user_col="user_id", ts_col="ts",
+                       type_col="event_type", id_col="event_id",
+                       first="click", then="purchase",
+                       window_us=30 * 60 * 1_000_000)
+
+
+def q_events_distinct_types_running(sf_dir: str):
+    """Cumulative distinct event types per user (`COUNT(DISTINCT) OVER` —
+    which SQL engines lack; the oracle uses the first-occurrence-flag
+    identity). Pure composition: argmin first-occurrence winners per
+    (user, type) → winner ids broadcast → map-only 0/1 flag →
+    ``running_sum`` of the flag."""
+    import ray
+
+    from schema_validator_ray.stages._collect import collect_up_to
+    from schema_validator_ray.stages.analytics import running_sum
+    from schema_validator_ray.stages.dedup import keep_best_rows
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def with_combo(b: pa.Table) -> pa.Table:
+        combo = pc.binary_join_element_wise(
+            pc.cast(b["user_id"], pa.string()), b["event_type"], "|")
+        return b.append_column("_ut", combo)
+
+    winners = keep_best_rows(ds.map_batches(with_combo,
+                                            batch_format="pyarrow"),
+                             "_ut", [("ts", False), ("event_id", False)])
+    parts, over = collect_up_to(winners.select_columns(["event_id"]),
+                                5_000_000)
+    if over:
+        raise ValueError("distinct-types-running: winner set exceeds the "
+                         "5M-row broadcast budget")
+    ids = (pa.concat_tables(parts)["event_id"]
+           .to_numpy(zero_copy_only=False) if parts
+           else np.array([], np.int64))
+    ref = ray.put(np.sort(ids))
+
+    def flag(b: pa.Table) -> pa.Table:
+        w = ray.get(ref)
+        ev = b["event_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(w, ev)
+        is_first = (pos < len(w)) & (w[np.minimum(pos, max(len(w) - 1, 0))]
+                                     == ev) if len(w) else \
+            np.zeros(len(ev), bool)
+        return pa.table({"event_id": b["event_id"],
+                         "user_id": b["user_id"], "ts": b["ts"],
+                         "_new": pa.array(is_first.astype(np.int64))})
+
+    out = running_sum(ds.map_batches(flag, batch_format="pyarrow"),
+                      key="user_id", order_col="ts", value="_new",
+                      tiebreak="event_id", out_col="n_types")
+    return out.map_batches(
+        lambda b: pa.table({"event_id": b["event_id"],
+                            "user_id": b["user_id"],
+                            "n_types": pc.cast(b["n_types"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -2752,6 +2819,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_part_cooccur": q_supplier_part_cooccur,
         "part_name_linkage": q_part_name_linkage,
         "events_resurrected": q_events_resurrected,
+        "click_then_purchase": q_click_then_purchase,
+        "events_distinct_types_running": q_events_distinct_types_running,
         "source_quality_report": q_source_quality_report,
         "frequent_users": q_frequent_users,
         "latest_event_per_user": q_latest_event_per_user,
@@ -3754,6 +3823,27 @@ def oracle_sql() -> dict[str, str]:
                                AS pos
                       FROM embeddings)
              GROUP BY label, pos
+        """,
+        "click_then_purchase": """
+            SELECT c.event_id, c.user_id,
+                   CAST(min(epoch_us(p.ts)) AS BIGINT) AS next_us
+              FROM events c JOIN events p
+                ON p.user_id = c.user_id AND p.event_type = 'purchase'
+               AND epoch_us(p.ts) > epoch_us(c.ts)
+               AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+             WHERE c.event_type = 'click'
+             GROUP BY 1, 2
+        """,
+        "events_distinct_types_running": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS BIGINT) AS n_types
+              FROM (SELECT event_id, user_id, ts,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS rn
+                      FROM events)
         """,
         "lineitem_qty_quartiles": """
             SELECT l_returnflag,

@@ -87,6 +87,59 @@ def funnel(events, *, user_col: str, ts_col: str, type_col: str,
             .map_groups(walk, batch_format="pandas"))
 
 
+def followed_by(events, *, user_col: str, ts_col: str, type_col: str,
+                id_col: str, first: str, then: str, window_us: int,
+                out_col: str = "next_us"):
+    """Per-EVENT sequence matching (``funnel`` is per-user): every
+    ``first``-type event followed by a ``then``-type event of the same user
+    strictly after it and within ``window_us``. Returns (id, user,
+    ``out_col`` = the FIRST such follower's epoch-µs).
+
+    One narrow hash exchange by user (3 int columns + the type flag); per
+    user a single vectorized ``searchsorted`` of the follower timestamps
+    against the lead timestamps — no pair materialization, hot user
+    bounded by their own events."""
+    def narrow(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b[type_col], value_set=pa.array([first, then]))
+        t = b.filter(m)
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        return pa.table({
+            user_col: t[user_col],
+            id_col: t[id_col],
+            "_ts": pc.cast(ts, pa.int64()),
+            "_lead": pc.cast(pc.equal(t[type_col], pa.scalar(first)),
+                             pa.int8())})
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        lead = g["_lead"].to_numpy().astype(bool)
+        ts = g["_ts"].to_numpy()
+        a_ts = ts[lead]
+        a_id = g[id_col].to_numpy()[lead]
+        b_ts = np.sort(ts[~lead])
+        empty = pd.DataFrame({
+            id_col: pd.Series([], dtype=g[id_col].dtype),
+            user_col: pd.Series([], dtype=g[user_col].dtype),
+            out_col: pd.Series([], dtype="int64")})
+        if len(a_ts) == 0 or len(b_ts) == 0:
+            return empty
+        pos = np.searchsorted(b_ts, a_ts, side="right")  # first b > a
+        ok = pos < len(b_ts)
+        nxt = np.where(ok, b_ts[np.minimum(pos, len(b_ts) - 1)], 0)
+        hit = ok & (nxt <= a_ts + window_us)
+        if not hit.any():
+            return empty
+        return pd.DataFrame({
+            id_col: a_id[hit],
+            user_col: np.repeat(g[user_col].iloc[0], int(hit.sum())),
+            out_col: nxt[hit].astype(np.int64)})
+
+    return (events.map_batches(narrow, batch_format="pyarrow")
+            .groupby(user_col)
+            .map_groups(match, batch_format="pandas"))
+
+
 WEEK_US = 7 * 86_400_000_000
 
 

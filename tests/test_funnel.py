@@ -109,3 +109,48 @@ def test_cohort_retention_vs_sql(ray_session):
     # offset-0 cells account for every user exactly once
     assert got.loc[got["offset"] == 0, "n_users"].sum() == \
         df["user_id"].nunique()
+
+
+def test_followed_by_matches_brute_force(ray_session):
+    """Per-event A-then-B matching vs a pandas brute force, incl. the
+    strictly-after semantics (a purchase at the same microsecond does NOT
+    count) and the first-follower pick."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_validator_ray.stages.funnel import followed_by
+
+    rng = np.random.default_rng(21)
+    n = 4000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 40, n).astype(np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+        "event_type": rng.choice(["click", "purchase", "view"], n,
+                                 p=[0.4, 0.2, 0.4]),
+    })
+    # plant an exact-tie pair: same-instant purchase must NOT match
+    df.loc[0, ["user_id", "ts", "event_type"]] = [99, pd.Timestamp(0), "click"]
+    df.loc[1, ["user_id", "ts", "event_type"]] = [99, pd.Timestamp(0),
+                                                  "purchase"]
+    w = 3600 * 1_000_000
+    out = (followed_by(rd.from_pandas(df).repartition(7), user_col="user_id",
+                       ts_col="ts", type_col="event_type",
+                       id_col="event_id", first="click", then="purchase",
+                       window_us=w)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    us = df["ts"].astype("datetime64[us]").astype(np.int64)
+    exp = []
+    for _, c in df[df["event_type"] == "click"].iterrows():
+        cu = us[c.name]
+        p = df[(df["event_type"] == "purchase")
+               & (df["user_id"] == c["user_id"])]
+        nxt = us[p.index][(us[p.index] > cu) & (us[p.index] <= cu + w)]
+        if len(nxt):
+            exp.append((c["event_id"], c["user_id"], int(nxt.min())))
+    exp = sorted(exp)
+    got = list(map(tuple, out[["event_id", "user_id", "next_us"]]
+                   .values.tolist()))
+    assert got == exp and len(exp) > 20
+    assert 0 not in out["event_id"].tolist()      # the planted tie
