@@ -275,6 +275,30 @@ def q_knn_ivf(sf_dir: str):
     return idx.search(_query_vectors(sf_dir), k=5)
 
 
+def q_knn_pq(sf_dir: str):
+    """Product-quantization ADC top-k (rows-only: compressed-domain
+    approximate search; exact baseline is q_knn_embeddings). Codebooks train
+    on a driver-side sample, the corpus encodes map-only to m-byte codes
+    (64× smaller than the float column), the scan runs in the compressed
+    domain."""
+    import ray
+
+    from schema_validator_ray.stages.pq import (pq_encode, pq_knn_rerank,
+                                                train_pq_codebooks)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sample = np.array([r["embedding"]
+                       for r in ds.limit(2048).take_all()], np.float64)
+    books = train_pq_codebooks(sample, m=8, nbits=8, iters=6)
+    codes = pq_encode(ds, ray.put(books))
+    out = pq_knn_rerank(codes, ds, _query_vectors(sf_dir), books, k=5)
+    return out.map_batches(
+        lambda b: pa.table({"query_id": pc.cast(b["query_id"], pa.int64()),
+                            "neighbor_id": pc.cast(b["neighbor_id"],
+                                                   pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_violation_counts_customer(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -2717,6 +2741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "violation_counts_customer": q_violation_counts_customer,
         "verdicts_customer_by_segment": q_verdicts_customer_by_segment,
         "knn_ivf": q_knn_ivf,
+        "knn_pq": q_knn_pq,
         "dup_custkeys_orders": q_dup_custkeys_orders,
         "unique_orderkeys": q_unique_orderkeys,
         "dedup_docs_keep_min": q_dedup_docs_keep_min,

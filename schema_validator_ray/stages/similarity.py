@@ -23,6 +23,9 @@ def _to_matrix(col) -> np.ndarray:
         col = col.combine_chunks()
     if len(col) == 0:
         return np.zeros((0, 1), np.float64)
+    if not hasattr(col, "flatten"):     # Ray ArrowTensorArray (ndarray col)
+        return np.asarray(col.to_numpy(zero_copy_only=False),
+                          np.float64).reshape(len(col), -1)
     return np.asarray(col.flatten().to_numpy(zero_copy_only=False),
                       np.float64).reshape(len(col), -1)
 
