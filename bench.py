@@ -136,6 +136,15 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "mix_docs_budget",
         "events_value_trend",
         "events_cohort_retention",
+        "part_name_typo2_pairs",
+        "lineitem_qty_quartiles",
+        "lineitem_price_winsorized",
+        "supplier_part_cooccur",
+        "part_name_linkage",
+        "events_resurrected",
+        "click_then_purchase",
+        "events_distinct_types_running",
+        "knn_pq",
     ]
     qs = m.queries()
     out = {}

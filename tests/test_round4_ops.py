@@ -121,3 +121,24 @@ def test_edit_distance_join_matches_duckdb(ray_session):
     assert out.values.tolist() == exp.values.tolist()
     # within-side near-pairs must NOT appear ("cat"/"cart" both sides apart)
     assert ["cart", "cart"] in out.values.tolist()
+
+
+def test_cooccurrence_over_budget_parity(ray_session):
+    """driver_merge_max=1 forces the fully distributed path (global groupby
+    distinct + per-item map_groups + pair groupby); results must match the
+    driver fast path exactly."""
+    import ray.data as rd
+
+    from schema_validator_ray.stages.cooccur import cooccurrence_pairs
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({"u": rng.integers(0, 20, 2000),
+                       "it": rng.integers(0, 60, 2000)})
+    ds = rd.from_pandas(df).repartition(5)
+    a = (cooccurrence_pairs(ds, "u", "it", min_shared=4)
+         .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    b = (cooccurrence_pairs(ds, "u", "it", min_shared=4,
+                            driver_merge_max=1)
+         .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a[["a", "b", "n_shared"]],
+                                  b[["a", "b", "n_shared"]])
