@@ -2714,6 +2714,43 @@ def q_events_distinct_types_running(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_docs_changed_vs_snapshot(sf_dir: str):
+    """Recrawl / incremental-validation delta: doc_ids whose text is NEW or
+    CHANGED vs a previous snapshot (simulated in-query: docs with
+    doc_id % 7 == 0 had their text reversed in the "old" snapshot). Both
+    sides hash map-only (the 64-bit content hash stands in for the text in
+    the exchange — full documents never shuffle), then one composite-key
+    EXCEPT. At 10^12 rows this is the entry point that lets a re-run
+    validate only the delta."""
+    from schema_validator_ray.stages.dedup import AddContentHash
+    from schema_validator_ray.stages.setops import except_distinct
+
+    new = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def make_old(b: pa.Table) -> pa.Table:
+        is_mod = pc.equal(
+            pc.subtract(b["doc_id"],
+                        pc.multiply(pc.divide(b["doc_id"],
+                                              pa.scalar(7, pa.int64())),
+                                    pa.scalar(7, pa.int64()))),
+            pa.scalar(0, pa.int64()))
+        text = pc.if_else(is_mod, pc.utf8_reverse(b["text"]), b["text"])
+        return pa.table({"doc_id": b["doc_id"], "text": text})
+
+    old = new.map_batches(make_old, batch_format="pyarrow")
+
+    def hashed(ds):
+        return (ds.map_batches(AddContentHash("text"),
+                               batch_format="pyarrow")
+                .map_batches(lambda t: t.select(["doc_id", "content_hash"]),
+                             batch_format="pyarrow"))
+
+    delta = except_distinct(hashed(new), hashed(old),
+                            ["doc_id", "content_hash"])
+    return delta.map_batches(lambda t: t.select(["doc_id"]),
+                             batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -2742,6 +2779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "verdicts_customer_by_segment": q_verdicts_customer_by_segment,
         "knn_ivf": q_knn_ivf,
         "knn_pq": q_knn_pq,
+        "docs_changed_vs_snapshot": q_docs_changed_vs_snapshot,
         "dup_custkeys_orders": q_dup_custkeys_orders,
         "unique_orderkeys": q_unique_orderkeys,
         "dedup_docs_keep_min": q_dedup_docs_keep_min,
@@ -3848,6 +3886,16 @@ def oracle_sql() -> dict[str, str]:
                                AS pos
                       FROM embeddings)
              GROUP BY label, pos
+        """,
+        "docs_changed_vs_snapshot": """
+            WITH old AS (SELECT doc_id,
+                                CASE WHEN doc_id % 7 = 0 THEN reverse(text)
+                                     ELSE text END AS text
+                           FROM documents)
+            SELECT d.doc_id FROM documents d
+             WHERE NOT EXISTS (SELECT 1 FROM old o
+                                WHERE o.doc_id = d.doc_id
+                                  AND o.text = d.text)
         """,
         "click_then_purchase": """
             SELECT c.event_id, c.user_id,
