@@ -576,6 +576,28 @@ def q_images_resize(sf_dir: str):
                      "ok_rows": pa.array([ok_rows], pa.int64())})
 
 
+def q_images_quality(sf_dir: str):
+    """Per-image curation metrics (contrast, sharpness/blur proxy,
+    saturation fraction) over the synthetic image table — rows-only (binary
+    payloads are not SQL-accessible); 6dp rounding for stability."""
+    import ray.data as rd
+
+    from schema_validator_ray.stages.multimodal import ImageQualityStage
+
+    d = _images_dir(sf_dir, _images_rows_for(sf_dir))
+    ds = rd.read_parquet(d, columns=["image_id", "bytes"])
+    out = ds.map_batches(ImageQualityStage, batch_format="pyarrow",
+                         batch_size=512, concurrency=4)
+    return out.map_batches(
+        lambda b: pa.table({
+            "image_id": b["image_id"],
+            "mean_intensity": pc.round(b["mean_intensity"], 6),
+            "sharpness": pc.round(b["sharpness"], 6),
+            "saturated_frac": pc.round(b["saturated_frac"], 6),
+            "ok": b["ok"]}),
+        batch_format="pyarrow")
+
+
 def q_multimodal_audio(sf_dir: str):
     """Audio feature extraction over deterministic fake payloads (rows-only;
     audio libs absent — plumbing and features are real)."""
@@ -2794,6 +2816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_value_1h": q_events_sliding_value_1h,
         "events_sessions_30m": q_events_sessions_30m,
         "images_resize": q_images_resize,
+        "images_quality": q_images_quality,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_video": q_multimodal_video,
         "curated_docs": q_curated_docs,

@@ -157,6 +157,49 @@ def _decode_audio(blob) -> np.ndarray:
     raise NotImplementedError("real audio decoding requires soundfile")
 
 
+class ImageQualityStage:
+    """(image_id, bytes) → per-image quality metrics for curation filters:
+    mean/std intensity (contrast proxy), mean gradient magnitude (sharpness
+    / blur proxy — blurry images have weak gradients), and the fraction of
+    saturated pixels (≤2 or ≥253). Undecodable payloads emit nulls with
+    ``ok=False`` instead of failing the task (lineage-safe). Actor-pool
+    stage: pass the CLASS to ``map_batches(..., concurrency=N)``."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        blobs = _binary_views(batch["bytes"])
+        mean_l, std_l, grad_l, sat_l, ok_l = [], [], [], [], []
+        for blob in blobs:
+            if blob is None:
+                mean_l.append(None); std_l.append(None)
+                grad_l.append(None); sat_l.append(None); ok_l.append(False)
+                continue
+            try:
+                px, _fmt, _w, _h = codec.decode(blob)
+            except codec.CodecError:
+                mean_l.append(None); std_l.append(None)
+                grad_l.append(None); sat_l.append(None); ok_l.append(False)
+                continue
+            f = px.astype(np.float64)
+            gy = np.abs(np.diff(f, axis=0))
+            gx = np.abs(np.diff(f, axis=1))
+            n_grad = gy.size + gx.size
+            grad = ((gy.sum() + gx.sum()) / n_grad) if n_grad else 0.0
+            mean_l.append(float(f.mean()))
+            std_l.append(float(f.std()))
+            grad_l.append(float(grad))
+            sat_l.append(float(((px <= 2) | (px >= 253)).mean()))
+            ok_l.append(True)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "mean_intensity": pa.array(mean_l, pa.float64()),
+            "std_intensity": pa.array(std_l, pa.float64()),
+            "sharpness": pa.array(grad_l, pa.float64()),
+            "saturated_frac": pa.array(sat_l, pa.float64()),
+            "ok": pa.array(ok_l, pa.bool_()),
+        })
+
+
 class VideoFrameSampleStage:
     """(video_id, bytes) -> one row per sampled frame:
     (video_id, frame_index, frame: binary (encoded png via the image codec)).

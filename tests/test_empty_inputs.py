@@ -127,3 +127,41 @@ def test_global_rank_empty(ray_session):
     out = global_rank(_empty_events().select_columns(
         ["event_id", "value"]), order_col="value").to_pandas()
     assert len(out) == 0
+
+
+def test_round4_ops_empty_inputs(ray_session):
+    """Round-4 operators on zero-row inputs: no crashes, empty outputs."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_validator_ray.stages.cooccur import cooccurrence_pairs
+    from schema_validator_ray.stages.fuzzy import (edit_distance_join,
+                                                   edit_distance_pairs)
+    from schema_validator_ray.stages.funnel import followed_by
+    from schema_validator_ray.stages.stats import (grouped_exact_quantiles,
+                                                   winsorize_by_group)
+
+    ek = rd.from_pandas(pd.DataFrame({
+        "k": pd.Series([], dtype="object"),
+        "v": pd.Series([], dtype="float64")}))
+    assert grouped_exact_quantiles(ek, "k", "v", [0.5]).count() == 0
+    assert winsorize_by_group(ek, "k", "v", keep_cols=["k"]).count() == 0
+
+    ee = rd.from_pandas(pd.DataFrame({
+        "u": pd.Series([], dtype="int64"),
+        "it": pd.Series([], dtype="int64")}))
+    assert cooccurrence_pairs(ee, "u", "it").count() == 0
+
+    es = rd.from_pandas(pd.DataFrame({"x": pd.Series([], dtype="object")}))
+    assert edit_distance_pairs(es, "x", max_dist=2).count() == 0
+    assert edit_distance_join(es, es, "x", "x").count() == 0
+
+    ev = rd.from_pandas(pd.DataFrame({
+        "event_id": pd.Series([], dtype="int64"),
+        "user_id": pd.Series([], dtype="int64"),
+        "ts": pd.Series([], dtype="datetime64[ns]"),
+        "event_type": pd.Series([], dtype="object")}))
+    assert followed_by(ev, user_col="user_id", ts_col="ts",
+                       type_col="event_type", id_col="event_id",
+                       first="a", then="b", window_us=1000).count() == 0

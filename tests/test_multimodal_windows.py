@@ -408,3 +408,31 @@ def test_sessionize_duplicate_timestamps(ray_session):
     second = out[out.event_id >= 4]
     assert (second["session_start"] == base + pd.Timedelta("2h")).all()
     assert (second["session_end"] == base + pd.Timedelta("2h")).all()
+
+
+def test_image_quality_stage_metrics(ray_session):
+    """Quality metrics vs direct numpy on known payloads; corrupt payloads
+    emit ok=False nulls instead of failing the task."""
+    import numpy as np
+    import pyarrow as pa
+
+    from schema_validator_ray.functions import imagecodec as codec
+    from schema_validator_ray.stages.multimodal import ImageQualityStage
+
+    flat = np.full((20, 30), 128, np.uint8)          # zero gradient
+    grad = np.tile(np.arange(0, 240, 8, dtype=np.uint8), (20, 1))
+    sat = np.full((10, 10), 128, np.uint8); sat[:5] = 255
+    t = pa.table({
+        "image_id": pa.array(["flat", "grad", "sat", "bad"], pa.string()),
+        "bytes": pa.array([codec.encode(flat, "png"),
+                           codec.encode(grad, "png"),
+                           codec.encode(sat, "png"), b"garbage"],
+                          pa.binary())})
+    out = ImageQualityStage()(t)
+    d = {r["image_id"]: r for r in out.to_pylist()}
+    assert d["flat"]["sharpness"] == 0.0
+    assert d["flat"]["std_intensity"] == 0.0
+    assert d["grad"]["sharpness"] > 1.0
+    assert abs(d["sat"]["saturated_frac"] - 0.5) < 1e-9
+    assert d["bad"]["ok"] is False and d["bad"]["sharpness"] is None
+    assert all(d[k]["ok"] for k in ("flat", "grad", "sat"))
