@@ -360,8 +360,12 @@ def grouped_exact_quantile(ds, key: str, col: str, q: float, *,
 
     from ._calibrate import resolve_bucket_width
 
-    bucket_width = float(resolve_bucket_width(ds, col, bucket_width,
-                                              target_buckets=256))
+    bucket_width = resolve_bucket_width(ds, col, bucket_width,
+                                        target_buckets=256)
+    import pandas as _pd
+    if isinstance(bucket_width, _pd.Timedelta):
+        bucket_width = float(bucket_width.value)   # ns, matching the cast
+    bucket_width = float(bucket_width)
 
     def part(b: pa.Table) -> pa.Table:
         t = b.select([key, col]).drop_null()
@@ -477,8 +481,12 @@ def grouped_exact_quantiles(ds, key: str, col: str, qs, *,
         out_cols = [f"q{int(round(q * 100)):02d}" for q in qs]
     if len(out_cols) != len(qs):
         raise ValueError("out_cols must align with qs")
-    bucket_width = float(resolve_bucket_width(ds, col, bucket_width,
-                                              target_buckets=256))
+    bucket_width = resolve_bucket_width(ds, col, bucket_width,
+                                        target_buckets=256)
+    import pandas as _pd
+    if isinstance(bucket_width, _pd.Timedelta):
+        bucket_width = float(bucket_width.value)   # ns, matching the cast
+    bucket_width = float(bucket_width)
 
     def part(b: pa.Table) -> pa.Table:
         t = b.select([key, col]).drop_null()

@@ -142,3 +142,25 @@ def test_cooccurrence_over_budget_parity(ray_session):
          .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a[["a", "b", "n_shared"]],
                                   b[["a", "b", "n_shared"]])
+
+
+def test_grouped_exact_quantile_temporal_column(ray_session):
+    """Auto width on a TIMESTAMP value column (calibrate returns a
+    Timedelta, which must convert to the ns float grid, not crash)."""
+    import ray.data as rd
+
+    from schema_validator_ray.stages.stats import grouped_exact_quantile
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], 1000),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, 1000), unit="s"),
+    })
+    out = (grouped_exact_quantile(rd.from_pandas(df).repartition(4),
+                                  "k", "ts", 0.5, out_col="med")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT k, epoch_us(quantile_disc(ts, 0.5)) * 1000.0 AS med
+          FROM df GROUP BY k ORDER BY k""").df()
+    assert np.allclose(out["med"].to_numpy(dtype=np.float64),
+                       exp["med"].to_numpy())
