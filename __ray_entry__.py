@@ -299,6 +299,23 @@ def q_knn_pq(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_embedding_pca2(sf_dir: str):
+    """Top-2 principal-component projection of the embedding column
+    (rows-only: eigendecomposition is not SQL-expressible; numpy parity is
+    pinned in tests). Covariance sufficient stats are the only exchange;
+    the projection is map-only."""
+    from schema_validator_ray.stages.similarity import pca_project
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = pca_project(ds, emb_col="embedding", n_components=2)
+    return out.map_batches(
+        lambda b: pa.table({
+            "vec_id": b["vec_id"],
+            "pc1": pc.round(pc.list_element(b["pc"], 0), 6),
+            "pc2": pc.round(pc.list_element(b["pc"], 1), 6)}),
+        batch_format="pyarrow")
+
+
 def q_violation_counts_customer(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -2802,6 +2819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "knn_pq": q_knn_pq,
         "docs_changed_vs_snapshot": q_docs_changed_vs_snapshot,
+        "embedding_pca2": q_embedding_pca2,
         "dup_custkeys_orders": q_dup_custkeys_orders,
         "unique_orderkeys": q_unique_orderkeys,
         "dedup_docs_keep_min": q_dedup_docs_keep_min,

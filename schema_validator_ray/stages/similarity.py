@@ -640,6 +640,89 @@ def dim_covariance(ds, *, emb_col: str, dims: int | None = None):
     return merged.map_batches(fin, batch_format="pyarrow")
 
 
+def pca_project(ds, *, emb_col: str, id_col: str = "vec_id",
+                n_components: int = 2, out_col: str = "pc",
+                driver_cov_max_dim: int = 2048):
+    """PCA projection of the embedding column onto its top
+    ``n_components`` principal axes — the dimensionality-reduction /
+    whitening prep pass before clustering or ANN.
+
+    Distributed shape: the covariance SUFFICIENT STATISTICS come from the
+    same O(dim² × batches) exchange as ``dim_covariance`` (rows never
+    shuffle); the dim×dim eigendecomposition runs on the driver (guarded —
+    dim > ``driver_cov_max_dim`` means this isn't a covariance-PCA-shaped
+    problem); mean + axes broadcast via ``ray.put`` and the projection is
+    one map-only matmul per batch. Axis SIGNS are fixed deterministically
+    (largest-|component| entry made positive) so re-runs and re-blockings
+    agree."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"i": pa.array([], pa.int64()),
+                          "j": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "sx": pa.array([], pa.float64()),
+                          "sxy": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        m = _to_matrix(b[emb_col])
+        d = m.shape[1]
+        if d > driver_cov_max_dim:
+            raise ValueError(f"pca_project: dim {d} exceeds "
+                             f"driver_cov_max_dim={driver_cov_max_dim}")
+        iu, ju = np.triu_indices(d)
+        sxy = (m.T @ m)[iu, ju]
+        s = m.sum(axis=0)
+        return pa.table({"i": pa.array(iu.astype(np.int64)),
+                         "j": pa.array(ju.astype(np.int64)),
+                         "n": pa.array(np.full(len(iu), m.shape[0],
+                                               np.int64)),
+                         "sx": pa.array(np.where(iu == ju, s[iu], 0.0),
+                                        pa.float64()),
+                         "sxy": pa.array(sxy, pa.float64())})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["i", "j"])
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("sx", alias_name="sx"),
+                         Sum("sxy", alias_name="sxy"))).take_all()
+    if not merged:
+        return ds.map_batches(
+            lambda b: pa.table({id_col: b[id_col].slice(0, 0),
+                                out_col: pa.array([], pa.list_(
+                                    pa.float64(), n_components))}),
+            batch_format="pyarrow")
+    d = max(int(r["i"]) for r in merged) + 1
+    n = float(next(r["n"] for r in merged))
+    mean = np.zeros(d)
+    s2 = np.zeros((d, d))
+    for r in merged:
+        i, j = int(r["i"]), int(r["j"])
+        s2[i, j] = s2[j, i] = r["sxy"]
+        if i == j:
+            mean[i] = r["sx"] / n
+    cov = s2 / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)                      # ascending
+    axes = v[:, ::-1][:, :n_components]             # top components
+    # deterministic sign: the largest-magnitude entry of each axis positive
+    flip = axes[np.abs(axes).argmax(axis=0), np.arange(axes.shape[1])] < 0
+    axes[:, flip] *= -1
+    ref = ray.put((mean, axes))
+
+    def project(b: pa.Table) -> pa.Table:
+        mu, ax = ray.get(ref)
+        m = _to_matrix(b[emb_col])
+        pcs = (m - mu) @ ax
+        return pa.table({
+            id_col: b[id_col],
+            out_col: pa.FixedSizeListArray.from_arrays(
+                pa.array(pcs.ravel(), pa.float64()), ax.shape[1])})
+
+    return ds.select_columns([id_col, emb_col]).map_batches(
+        project, batch_format="pyarrow")
+
+
 def grouped_dim_stats(ds, *, emb_col: str, group_col: str):
     """Per-(group, dimension) statistics of a fixed-width embedding list
     column — label centroids plus per-dimension min/max — WITHOUT exploding

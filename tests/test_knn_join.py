@@ -191,3 +191,33 @@ def test_grouped_mean_pairwise_cosine(ray_session):
         assert got.loc[g, "n"] == len(idx)
     assert got.loc[3, "mean_cos"] == pytest.approx(1.0, abs=1e-6)
     assert np.isnan(got.loc[4, "mean_cos"])
+
+
+def test_pca_project_matches_numpy(ray_session):
+    """Distributed PCA projection == numpy eigh on the same covariance
+    (up to the pinned deterministic sign), re-run-stable."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_validator_ray.stages.similarity import pca_project
+
+    rng = np.random.default_rng(12)
+    base = rng.standard_normal((800, 2)) @ rng.standard_normal((2, 16)) \
+        + rng.standard_normal((800, 16)) * 0.05 + 3.0
+    df = pd.DataFrame({"vec_id": np.arange(800, dtype=np.int64),
+                       "embedding": list(map(list, base))})
+    out = (pca_project(rd.from_pandas(df).repartition(5),
+                       emb_col="embedding", n_components=2)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    got = np.stack(out["pc"].to_numpy())
+    mu = base.mean(0)
+    cov = np.cov(base.T, bias=True)
+    w, v = np.linalg.eigh(cov)
+    axes = v[:, ::-1][:, :2]
+    flip = axes[np.abs(axes).argmax(axis=0), np.arange(2)] < 0
+    axes[:, flip] *= -1
+    want = (base - mu) @ axes
+    assert np.allclose(got, want, atol=1e-6)
+    # the two top components carry almost all variance of this rank-2 data
+    assert got.var(0).sum() / base.var(0).sum() > 0.95
