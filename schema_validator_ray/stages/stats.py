@@ -600,11 +600,21 @@ def winsorize_by_group(ds, key: str, col: str, *, lo_q: float = 0.05,
     import pandas as pd
     import ray
 
+    from ._collect import collect_up_to
+
     bands = grouped_exact_quantiles(ds, key, col, [lo_q, hi_q],
                                     out_cols=["_lo", "_hi"],
                                     bucket_width=bucket_width)
-    lut = {r[key]: (float(r["_lo"]), float(r["_hi"]))
-           for r in bands.take_all()}             # |groups| rows
+    bparts, over = collect_up_to(bands, 5_000_000)
+    if over:
+        raise ValueError("winsorize_by_group: per-group threshold table "
+                         "exceeds the 5M-row broadcast budget — bucket the "
+                         "key space or clip per shard")
+    lut = {}
+    for p in bparts:                               # |groups| rows
+        for kv, lo, hi in zip(p[key].to_pylist(),
+                              p["_lo"].to_pylist(), p["_hi"].to_pylist()):
+            lut[kv] = (float(lo), float(hi))
     ref = ray.put(lut)
     cols = keep_cols if keep_cols is not None else None
 
