@@ -90,6 +90,30 @@ def q_rules_customer(sf_dir: str):
     return _violations(ds, spec, "c_custkey")
 
 
+def q_customers_valid(sf_dir: str):
+    """Quarantine split, keep side: customer rows passing EVERY rule
+    (annotate mode appends ``_valid``; the filter is map-only). The oracle
+    is derived from the rules_customer oracle string, so the two cannot
+    drift."""
+    from schema_validator_ray.engine import RuleStage
+
+    ds = _read(sf_dir, "customer",
+               ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"])
+    spec = {
+        "c_name": "required",
+        "c_mktsegment": f"required|oneof={SEGMENTS}",
+        "c_acctbal": "min=0",
+        "c_custkey": "min=1",
+    }
+    out = ds.map_batches(RuleStage(spec, id_column="c_custkey",
+                                   mode="annotate"),
+                         batch_format="pyarrow", batch_size=16384)
+    return out.map_batches(
+        lambda b: pa.table({"c_custkey":
+                            b.filter(b["_valid"])["c_custkey"]}),
+        batch_format="pyarrow")
+
+
 def q_rules_orders(sf_dir: str):
     ds = _read(sf_dir, "orders",
                ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"])
@@ -2805,6 +2829,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rules_customer": q_rules_customer,
+        "customers_valid": q_customers_valid,
         "rules_orders": q_rules_orders,
         "rules_orders_cond": q_rules_orders_cond,
         "rules_events": q_rules_events,
@@ -2978,7 +3003,7 @@ def _lsh_oracle_sql(dim: int = 64, n_planes: int = 6, seed: int = 7,
 def oracle_sql() -> dict[str, str]:
     seg_list = ",".join(f"'{s}'" for s in SEGMENTS.split(","))
     evt_list = ",".join(f"'{s}'" for s in EVENT_TYPES.split(","))
-    return {
+    o = {
         "rules_customer": f"""
             SELECT c_custkey, 'required' AS rule_id, 'c_name' AS col
               FROM customer WHERE c_name IS NULL OR c_name = ''
@@ -4302,3 +4327,10 @@ def oracle_sql() -> dict[str, str]:
               FROM x WHERE k IS NOT NULL GROUP BY event_type
         """,
     }
+    # quarantine / annotate-mode oracle: valid rows = NOT IN the violation
+    # id set — derived from the SAME rules_customer oracle string so the two
+    # can never drift apart
+    o["customers_valid"] = (
+        "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+        "(SELECT c_custkey FROM (" + o["rules_customer"] + "))")
+    return o
