@@ -95,11 +95,14 @@ def followed_by(events, *, user_col: str, ts_col: str, type_col: str,
     strictly after it and within ``window_us``. Returns (id, user,
     ``out_col`` = the FIRST such follower's epoch-µs).
 
-    One narrow hash exchange by user (3 int columns + the type flag); per
-    user a single vectorized ``searchsorted`` of the follower timestamps
-    against the lead timestamps — no pair materialization, hot user
-    bounded by their own events."""
+    One narrow hash exchange by user SHARD (Ray's per-group map_groups cost
+    × |users| would dominate — the cooccurrence lesson); within a shard one
+    lexsort groups the users and a tiny per-user ``searchsorted`` of the
+    follower timestamps against the lead timestamps runs over each run —
+    no pair materialization, hot user bounded by their own events."""
     def narrow(b: pa.Table) -> pa.Table:
+        from .asof import _shard_of
+
         m = pc.is_in(b[type_col], value_set=pa.array([first, then]))
         t = b.filter(m)
         ts = t[ts_col]
@@ -110,34 +113,52 @@ def followed_by(events, *, user_col: str, ts_col: str, type_col: str,
             id_col: t[id_col],
             "_ts": pc.cast(ts, pa.int64()),
             "_lead": pc.cast(pc.equal(t[type_col], pa.scalar(first)),
-                             pa.int8())})
+                             pa.int8()),
+            "_shard": pa.array(_shard_of(t[user_col], 64))})
 
-    def match(g: pd.DataFrame) -> pd.DataFrame:
-        lead = g["_lead"].to_numpy().astype(bool)
-        ts = g["_ts"].to_numpy()
-        a_ts = ts[lead]
-        a_id = g[id_col].to_numpy()[lead]
-        b_ts = np.sort(ts[~lead])
-        empty = pd.DataFrame({
-            id_col: pd.Series([], dtype=g[id_col].dtype),
-            user_col: pd.Series([], dtype=g[user_col].dtype),
-            out_col: pd.Series([], dtype="int64")})
-        if len(a_ts) == 0 or len(b_ts) == 0:
+    def match_shard(g: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], g[id_col].type),
+                          user_col: pa.array([], g[user_col].type),
+                          out_col: pa.array([], pa.int64())})
+        n = g.num_rows
+        if n == 0:
             return empty
-        pos = np.searchsorted(b_ts, a_ts, side="right")  # first b > a
-        ok = pos < len(b_ts)
-        nxt = np.where(ok, b_ts[np.minimum(pos, len(b_ts) - 1)], 0)
-        hit = ok & (nxt <= a_ts + window_us)
-        if not hit.any():
+        codes, _ = pd.factorize(g[user_col].to_numpy(zero_copy_only=False))
+        ts = g["_ts"].to_numpy(zero_copy_only=False)
+        lead = g["_lead"].to_numpy(zero_copy_only=False).astype(bool)
+        order = np.lexsort((ts, lead, codes))
+        cs, tss, ld = codes[order], ts[order], lead[order]
+        seg = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        ends = np.r_[seg[1:], n]
+        out_idx, out_nxt = [], []
+        for s, e in zip(seg, ends):
+            l_seg = ld[s:e]
+            k = int(l_seg.argmax()) if l_seg.any() else (e - s)
+            b_ts = tss[s:s + k]                     # followers sort first
+            a_ts = tss[s + k:e]
+            if not len(a_ts) or not len(b_ts):
+                continue
+            pos = np.searchsorted(b_ts, a_ts, side="right")  # first b > a
+            ok = pos < len(b_ts)
+            nxt = b_ts[np.minimum(pos, len(b_ts) - 1)]
+            hit = ok & (nxt <= a_ts + window_us)
+            if hit.any():
+                out_idx.append(np.flatnonzero(hit) + s + k)
+                out_nxt.append(nxt[hit])
+        if not out_idx:
             return empty
-        return pd.DataFrame({
-            id_col: a_id[hit],
-            user_col: np.repeat(g[user_col].iloc[0], int(hit.sum())),
-            out_col: nxt[hit].astype(np.int64)})
+        take = pa.array(order[np.concatenate(out_idx)])
+        return pa.table({
+            id_col: (g[id_col].combine_chunks() if isinstance(
+                g[id_col], pa.ChunkedArray) else g[id_col]).take(take),
+            user_col: (g[user_col].combine_chunks() if isinstance(
+                g[user_col], pa.ChunkedArray)
+                else g[user_col]).take(take),
+            out_col: pa.array(np.concatenate(out_nxt).astype(np.int64))})
 
     return (events.map_batches(narrow, batch_format="pyarrow")
-            .groupby(user_col)
-            .map_groups(match, batch_format="pandas"))
+            .groupby("_shard")
+            .map_groups(match_shard, batch_format="pyarrow"))
 
 
 WEEK_US = 7 * 86_400_000_000
