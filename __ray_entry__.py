@@ -627,8 +627,12 @@ def q_images_quality(sf_dir: str):
 
     d = _images_dir(sf_dir, _images_rows_for(sf_dir))
     ds = rd.read_parquet(d, columns=["image_id", "bytes"])
-    out = ds.map_batches(ImageQualityStage, batch_format="pyarrow",
-                         batch_size=512, concurrency=4)
+    # instance (task pool), NOT the class with concurrency=N: an actor pool
+    # of N pins N CPUs and can starve the upstream read on a small
+    # (num_cpus=4) session — the cluster deployment passes the class with a
+    # concurrency sized to the node
+    out = ds.map_batches(ImageQualityStage(), batch_format="pyarrow",
+                         batch_size=512)
     return out.map_batches(
         lambda b: pa.table({
             "image_id": b["image_id"],
