@@ -1260,6 +1260,28 @@ def q_simhash_pairs_docs(sf_dir: str):
     return simhash_pairs(ds, "text", "doc_id", max_hamming=3, batch_size=256)
 
 
+def q_semdedup_embeddings(sf_dir: str):
+    """Semantic dedup (SemDeDup keep-rule): a vector survives iff no lower-id
+    vector has cosine >= 0.3 with it — brute broadcast-matmul path, map-only,
+    SQL-oracled via NOT EXISTS + list_cosine_similarity. The clustered scale
+    path is q_semdedup_ivf (rows-only; recall pinned in tests)."""
+    from schema_validator_ray.stages.similarity import semdedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semdedup(ds, emb_col="embedding", id_col="vec_id", threshold=0.3)
+
+
+def q_semdedup_ivf(sf_dir: str):
+    """SemDeDup scale shape: domination checked within coarse k-means cells
+    (groupby(cell).map_groups); cross-cell near-dups missed by construction,
+    so rows-only — parity/recall vs the brute path pinned in tests."""
+    from schema_validator_ray.stages.similarity import semdedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semdedup(ds, emb_col="embedding", id_col="vec_id", threshold=0.3,
+                    n_cells=8)
+
+
 def q_ngram_jaccard_docs(sf_dir: str):
     """EXACT character-5-gram Jaccard similarity join (prefix filtering —
     never all-pairs): every doc pair with J >= 0.8 plus the exact score.
@@ -2897,6 +2919,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_diversity": q_label_diversity,
         "mix_docs_budget": q_mix_docs_budget,
         "embedding_pairs_cos03": q_embedding_pairs_cos03,
+        "semdedup_embeddings": q_semdedup_embeddings,
+        "semdedup_ivf": q_semdedup_ivf,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "embedding_dup_groups": q_embedding_dup_groups,
         "minhash_pairs_docs": q_minhash_pairs_docs,
@@ -3569,6 +3593,16 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
              WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                           CAST(b.embedding AS DOUBLE[])) >= 0.3
+        """,
+        "semdedup_embeddings": """
+            SELECT a.vec_id
+              FROM embeddings a
+             WHERE NOT EXISTS (
+                    SELECT 1 FROM embeddings b
+                     WHERE b.vec_id < a.vec_id
+                       AND list_cosine_similarity(
+                               CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.3)
         """,
         "mix_docs_budget": """
             WITH tot AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS s

@@ -145,6 +145,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "click_then_purchase",
         "events_distinct_types_running",
         "knn_pq",
+        "semdedup_embeddings",
+        "semdedup_ivf",
     ]
     qs = m.queries()
     out = {}

@@ -855,3 +855,107 @@ def grouped_mean_pairwise_cosine(ds, *, emb_col: str, group_col: str,
             "n": pa.array([], pa.int64()),
             "mean_cos": pa.array([], pa.float64())}))
     return rd.from_pandas(finish(pd.concat(parts, ignore_index=True)))
+
+
+class _DominatedStage:
+    """Map-only 'has a lower-id neighbor above threshold' check against a
+    broadcast normalized corpus matrix (ray.put once, ray.get once per actor
+    process — never per batch)."""
+
+    def __init__(self, emb_col: str, id_col: str, ref, threshold: float):
+        self.emb_col = emb_col
+        self.id_col = id_col
+        self.ref = ref
+        self.threshold = threshold
+        self._corpus = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({self.id_col: pa.array([], pa.int64())})
+        import ray
+
+        if self._corpus is None:
+            self._corpus = ray.get(self.ref)
+        ids_all, mat_all = self._corpus
+        m = _normalize(_to_matrix(batch[self.emb_col]))
+        ids = batch[self.id_col].combine_chunks() if isinstance(
+            batch[self.id_col], pa.ChunkedArray) else batch[self.id_col]
+        ids = ids.to_numpy(zero_copy_only=False)
+        sims = m @ mat_all.T                                  # (batch, N)
+        dom = ((sims >= self.threshold)
+               & (ids_all[None, :] < ids[:, None])).any(axis=1)
+        return pa.table({self.id_col: pa.array(ids[~dom], pa.int64())})
+
+
+def semdedup(ds, *, emb_col: str = "embedding", id_col: str = "vec_id",
+             threshold: float = 0.3, n_cells: int | None = None,
+             sample_rows: int = 2048, batch_size: int = 2048,
+             corpus_max: int = 2_000_000):
+    """Semantic dedup over an embedding column (SemDeDup-style): a row
+    SURVIVES iff no lower-id row has cosine similarity >= ``threshold`` with
+    it. The rule is non-iterative ("dominated by any earlier row", not
+    "earlier *kept* row"), so it is deterministic, order-free and exactly
+    SQL-expressible (``NOT EXISTS (... b.id < a.id AND cos >= t)``).
+
+    Two paths:
+
+    - ``n_cells=None`` — exact/brute verification baseline: the normalized
+      corpus matrix + id vector broadcast ONCE via ``ray.put`` (guarded by
+      ``corpus_max``); each batch runs one matmul against it and a vectorized
+      any-lower-id-neighbor reduction. Map-only, zero shuffle,
+      O(N^2 / workers) compute — the baseline the scale path is pinned
+      against.
+    - ``n_cells=K`` — the SemDeDup scale shape: vectors are assigned to their
+      nearest coarse centroid (seeded driver-side k-means on a sample, same
+      machinery as IVF) and domination is checked WITHIN each cell via
+      ``groupby(cell).map_groups``. Cross-cell near-duplicates are missed by
+      construction — the documented approximation of the published method —
+      and recall vs the brute path is pinned in tests. At 100 TB the cell id
+      is the storage partition key: nothing broadcasts but K centroids, and
+      the only exchange is the cell-key shuffle.
+
+    Returns a Dataset with the surviving ``id_col`` values.
+    """
+    import ray
+
+    if n_cells is None:
+        n = ds.count()
+        if n > corpus_max:
+            raise ValueError(
+                f"semdedup brute path needs the corpus broadcast "
+                f"({n} rows > corpus_max={corpus_max}); pass n_cells=K "
+                f"for the cluster-partitioned scale path")
+        tbls = [b for b in ds.select_columns([id_col, emb_col]).iter_batches(
+            batch_size=65536, batch_format="pyarrow")]
+        t = pa.concat_tables(tbls) if tbls else pa.table(
+            {id_col: pa.array([], pa.int64()), emb_col: pa.array([], pa.list_(pa.float32()))})
+        ids_all = np.asarray(t[id_col].to_numpy(zero_copy_only=False), np.int64)
+        mat_all = _normalize(_to_matrix(t[emb_col]))
+        ref = ray.put((ids_all, mat_all))
+        return ds.select_columns([id_col, emb_col]).map_batches(
+            _DominatedStage(emb_col, id_col, ref, threshold),
+            batch_format="pyarrow", batch_size=batch_size)
+
+    sample = ds.select_columns([emb_col]).limit(sample_rows)
+    mat = np.vstack([_to_matrix(b[emb_col]) for b in sample.iter_batches(
+        batch_size=sample_rows, batch_format="pyarrow")])
+    cent_ref = ray.put(train_centroids(mat, n_cells))
+    assigned = ds.select_columns([id_col, emb_col]).map_batches(
+        AssignCellStage(emb_col, cent_ref), batch_format="pyarrow",
+        batch_size=batch_size)
+    thr = threshold
+    ecol, icol = emb_col, id_col
+
+    def cell_survivors(df):
+        import pandas as pd
+
+        ids = df[icol].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = _normalize(np.vstack(df[ecol].to_numpy()[order]).astype(np.float64))
+        sims = m @ m.T
+        # strictly-lower-id comparisons only (rows sorted by id)
+        dom = (np.tril(sims >= thr, k=-1)).any(axis=1)
+        return pd.DataFrame({icol: ids[~dom].astype(np.int64)})
+
+    return assigned.groupby("cell").map_groups(cell_survivors)
