@@ -1282,6 +1282,39 @@ def q_semdedup_ivf(sf_dir: str):
                     n_cells=8)
 
 
+def q_docs_shared_span(sf_dir: str):
+    """EXACT shared-span duplication (grid-exact substring dedup, Lee et
+    al. 2022 shape): docs sharing any verbatim 40-char span with a lower-id
+    doc. Hash-partitioned, span-STRING-verified — SQL-oracled via a
+    substring-shingle self-join."""
+    from schema_validator_ray.stages.spans import shared_span_docs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=16)
+    return shared_span_docs(ds, "text", "doc_id", k=40)
+
+
+def q_docs_span_components(sf_dir: str):
+    """Dup-cluster canonicalization: connected components of the
+    share-a-40-char-span graph (distributed min-label propagation +
+    pointer jumping), each member mapped to its component's min doc_id.
+    SQL-oracled via a recursive-CTE transitive closure."""
+    from schema_validator_ray.stages.spans import span_dup_components
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=16)
+    return span_dup_components(ds, "text", "doc_id", k=40)
+
+
+def q_events_decayed_value(sf_dir: str):
+    """Recency-weighted user value: Σ value·exp(−(max_ts − ts)/7d) per
+    user — one sufficient-statistics pass, no EWMA state or sort. SQL
+    computes the identical closed form."""
+    from schema_validator_ray.stages.stats import grouped_decayed_sum
+
+    ds = _read(sf_dir, "events", ["user_id", "value", "ts"])
+    return grouped_decayed_sum(ds, "user_id", "value", "ts",
+                               tau_s=7 * 86400.0)
+
+
 def q_ngram_jaccard_docs(sf_dir: str):
     """EXACT character-5-gram Jaccard similarity join (prefix filtering —
     never all-pairs): every doc pair with J >= 0.8 plus the exact score.
@@ -2926,6 +2959,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs_docs": q_minhash_pairs_docs,
         "simhash_pairs_docs": q_simhash_pairs_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
+        "docs_shared_span": q_docs_shared_span,
+        "docs_span_components": q_docs_span_components,
+        "events_decayed_value": q_events_decayed_value,
         "hamming_pairs_orders": q_hamming_pairs_orders,
         "profile_lineitem": q_profile_lineitem,
         "profile_sketches": q_profile_sketches,
@@ -3669,6 +3705,54 @@ def oracle_sql() -> dict[str, str]:
               JOIN sz sa ON i.a = sa.doc_id
               JOIN sz sb ON i.b = sb.doc_id
              WHERE i.i::DOUBLE / (sa.n + sb.n - i.i) >= 0.8
+        """,
+        "docs_shared_span": """
+            WITH base AS (
+              SELECT doc_id, coalesce(text, '') AS txt FROM documents
+               WHERE length(coalesce(text, '')) >= 40
+            ), pos AS (
+              SELECT doc_id, txt,
+                     unnest(generate_series(1, length(txt) - 39)) AS i
+                FROM base
+            ), sh AS (
+              SELECT DISTINCT doc_id, substring(txt, i, 40) AS g FROM pos
+            )
+            SELECT DISTINCT a.doc_id
+              FROM sh a JOIN sh b ON a.g = b.g AND b.doc_id < a.doc_id
+        """,
+        "docs_span_components": """
+            WITH RECURSIVE base AS (
+              SELECT doc_id, coalesce(text, '') AS txt FROM documents
+               WHERE length(coalesce(text, '')) >= 40
+            ), pos AS (
+              SELECT doc_id, txt,
+                     unnest(generate_series(1, length(txt) - 39)) AS i
+                FROM base
+            ), sh AS (
+              SELECT DISTINCT doc_id, substring(txt, i, 40) AS g FROM pos
+            ), edges AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id <> y.doc_id
+            ), reach(s, t) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
+            )
+            SELECT s AS doc_id,
+                   CAST(least(s, min(t)) AS BIGINT) AS canonical_id
+              FROM reach GROUP BY s
+        """,
+        "events_decayed_value": """
+            WITH mx AS (SELECT max(ts) AS tr FROM events)
+            SELECT user_id,
+                   sum(value * exp(-CAST(epoch_us(tr) - epoch_us(ts)
+                                         AS DOUBLE)
+                                   / (7 * 86400.0 * 1000000.0)))
+                     AS decayed_value
+              FROM events, mx
+             WHERE ts IS NOT NULL AND value IS NOT NULL
+               AND user_id IS NOT NULL
+             GROUP BY user_id
         """,
         # bit-exact hash_hamming_pairs check: same key derivation as the
         # engine (mix mod 2^64 via HUGEINT, signed-view, one flipped bit),

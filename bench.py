@@ -147,6 +147,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "knn_pq",
         "semdedup_embeddings",
         "semdedup_ivf",
+        "docs_shared_span",
+        "docs_span_components",
+        "events_decayed_value",
     ]
     qs = m.queries()
     out = {}

@@ -1,0 +1,299 @@
+"""Exact shared-span duplication over a text column.
+
+The grid-exact variant of exact substring dedup (cf. Lee et al. 2022,
+"Deduplicating Training Data Makes Language Models Better", which uses a
+suffix array): every character k-gram of every doc is a span candidate, so
+any shared substring of length >= k between two docs is caught — no suffix
+array, no approximation. This is the EXACT complement to MinHash/SimHash:
+those find mostly-similar docs cheaply; this finds verbatim copied spans.
+
+No analogue in the reference (weilence/schema-validator is a per-record
+rule engine); part of the training-data surface SURVEY §2.7 adds.
+
+Data movement (see SCALE.md) — the naive shape would shuffle the full
+k-gram string stream (~(k+16)x the text volume); instead:
+
+1. pass A ships ONLY per-batch (span-hash, count) int64 partials
+   (combinable, ~8 bytes per text char before in-batch dedup) to find span
+   hashes seen in >= 2 docs — driver pyarrow merge under a loud budget,
+   distributed groupby above it;
+2. the duplicated-hash set (bounded by the corpus's verbatim-duplication
+   volume, tiny on real data) broadcasts once via ``ray.put``;
+3. pass B re-explodes and keeps only records whose hash is in the set —
+   the surviving (hash, span, id) stream is duplication-sized, NOT
+   corpus-sized — and every decision is verified against the span STRING,
+   so hash collisions cannot create false positives.
+
+Both passes are map-only; the only all-to-all in the common case is the
+(h, n) partial exchange. Every driver merge sits behind ``collect_up_to``
+with the distributed coarse-hash-group shuffle as the loud fallback.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.sketches import hash64_ints
+from ._collect import collect_up_to
+
+_N_GROUPS = 256  # coarse shuffle groups (the repo's standard pattern)
+
+
+class _SpanExplode:
+    """map_batches stage: (text, id) -> per-doc-distinct (h, g, id) span
+    records.
+
+    ASCII fast path: one sliding_window_view over the UTF-8 bytes, per-doc
+    dedup via a void view + np.unique, the output string array built
+    zero-copy from the unique-window buffer. Non-ASCII rows (byte length
+    != char length, so byte windows would not match SQL's character
+    substring) fall back to per-row character windowing.
+    """
+
+    def __init__(self, text_col: str, id_col: str, k: int,
+                 hashes_only: bool = False):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+        self.hashes_only = hashes_only
+        self.weights = np.power(np.uint64(1315423911),
+                                np.arange(k, dtype=np.uint64),
+                                dtype=np.uint64)
+
+    def _hash_rows(self, mat: np.ndarray) -> np.ndarray:
+        # polynomial over the first k BYTES (ties only partition work; the
+        # span string itself is the verified key)
+        return hash64_ints((mat.astype(np.uint64) * self.weights[:mat.shape[1]])
+                           .sum(axis=1, dtype=np.uint64)).view(np.int64)
+
+    def _empty(self) -> pa.Table:
+        cols = {"h": pa.array([], pa.int64())}
+        if not self.hashes_only:
+            cols["g"] = pa.array([], pa.string())
+            cols[self.id_col] = pa.array([], pa.int64())
+        return pa.table(cols)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        k = self.k
+        texts = batch[self.text_col].to_pylist()
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        spans_parts: list[pa.Array] = []
+        hash_parts: list[np.ndarray] = []
+        id_parts: list[np.ndarray] = []
+        for i, t in enumerate(texts):
+            t = t or ""
+            if len(t) < k:
+                continue
+            b = t.encode()
+            if len(b) == len(t):  # pure-ASCII: byte grid == char grid
+                w = np.lib.stride_tricks.sliding_window_view(
+                    np.frombuffer(b, np.uint8), k)
+                u = np.unique(np.ascontiguousarray(w)
+                              .view(np.dtype((np.void, k))).ravel())
+                n = len(u)
+                buf = u.tobytes()
+                mat = np.frombuffer(buf, np.uint8).reshape(n, k)
+                if not self.hashes_only:
+                    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * k)
+                    spans_parts.append(pa.StringArray.from_buffers(
+                        n, offsets.buffers()[1], pa.py_buffer(buf)))
+            else:  # multibyte chars: per-row character windows
+                uniq = sorted({t[j:j + k] for j in range(len(t) - k + 1)})
+                n = len(uniq)
+                # hash the first k bytes of each span's utf-8 encoding
+                mat = np.zeros((n, k), np.uint8)
+                for r, s in enumerate(uniq):
+                    eb = s.encode()[:k]
+                    mat[r, :len(eb)] = np.frombuffer(eb, np.uint8)
+                if not self.hashes_only:
+                    spans_parts.append(pa.array(uniq, pa.string()))
+            hash_parts.append(self._hash_rows(mat))
+            if not self.hashes_only:
+                id_parts.append(np.full(n, ids[i], np.int64))
+        if not hash_parts:
+            return self._empty()
+        cols = {"h": pa.array(np.concatenate(hash_parts))}
+        if not self.hashes_only:
+            cols["g"] = pa.concat_arrays(spans_parts)
+            cols[self.id_col] = pa.array(np.concatenate(id_parts))
+        return pa.table(cols)
+
+
+def _edges_from_records(t: pa.Table, id_col: str) -> pa.Table:
+    """Distinct star edges (a = span's min id, b = higher id sharing it)
+    from (g, id) span records — span-STRING-exact via group_by + index_in."""
+    if t.num_rows == 0:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    mins = t.group_by("g").aggregate([(id_col, "min")])
+    idx = pc.index_in(t["g"], value_set=mins["g"].combine_chunks())
+    minid = pc.take(mins[f"{id_col}_min"], idx)
+    mask = pc.greater(t[id_col], minid)
+    a = pc.filter(minid, mask).to_numpy(zero_copy_only=False)
+    b = pc.filter(t[id_col], mask).to_numpy(zero_copy_only=False)
+    if len(a) == 0:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    u = np.unique(np.stack([a, b], axis=1), axis=0)
+    return pa.table({"a": pa.array(u[:, 0].astype(np.int64)),
+                     "b": pa.array(u[:, 1].astype(np.int64))})
+
+
+def _edges_shuffle(exploded, id_col: str, *, n_groups: int = _N_GROUPS):
+    """Over-budget fallback: shuffle (h, g, id) records into coarse hash
+    groups, compute exact edges per group, dedup with a distributed
+    two-key groupby. Correct at any scale; pays the full string shuffle."""
+    from ray.data.aggregate import Count
+
+    def add_grp(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy(zero_copy_only=False)
+        return t.append_column("_grp", pa.array(
+            (h.astype(np.uint64) % np.uint64(n_groups)).astype(np.int32)))
+
+    def group_edges(g: pa.Table) -> pa.Table:
+        return _edges_from_records(g, id_col)
+
+    edges = (exploded.map_batches(add_grp, batch_format="pyarrow")
+             .groupby("_grp").map_groups(group_edges, batch_format="pyarrow"))
+    return (edges.groupby(["a", "b"]).aggregate(Count())
+            .select_columns(["a", "b"]))
+
+
+def _span_edges(ds, text_col: str, id_col: str, *, k: int,
+                driver_merge_max: int = 4_000_000):
+    """Distinct share-a-span star edges.
+
+    Returns ``(table, dataset)`` — exactly one non-None: a driver-side
+    pa.Table when every budget holds (the common case: edges are bounded
+    by verbatim duplication), else a distributed Dataset from the shuffle
+    fallback.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    narrow = ds.select_columns([id_col, text_col])
+    hasher = _SpanExplode(text_col, id_col, k, hashes_only=True)
+
+    def h_counts(b: pa.Table) -> pa.Table:
+        t = hasher(b)
+        if t.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        agg = t.group_by("h").aggregate([("h", "count")])
+        return pa.table({"h": agg["h"], "n": pc.cast(agg["h_count"],
+                                                     pa.int64())})
+
+    hc = narrow.map_batches(h_counts, batch_format="pyarrow")
+    parts, over = collect_up_to(hc, driver_merge_max)
+    dup_h: np.ndarray | None
+    if not over:
+        if parts:
+            m = pa.concat_tables(parts).group_by("h").aggregate(
+                [("n", "sum")])
+            m = m.filter(pc.greater(m["n_sum"], 1))
+            dup_h = np.sort(m["h"].to_numpy(zero_copy_only=False))
+        else:
+            dup_h = np.empty(0, np.int64)
+    else:
+        # distributed count, then only hashes seen >= 2x come back (that
+        # set is duplication-bounded); if even IT blows the budget, take
+        # the full string-shuffle path
+        dups = (hc.groupby("h").aggregate(Sum("n", alias_name="n"))
+                .map_batches(lambda t: pa.table(
+                    {"h": pc.filter(t["h"], pc.greater(t["n"], 1))}),
+                    batch_format="pyarrow"))
+        dparts, dover = collect_up_to(dups, driver_merge_max)
+        if dover:
+            exploded = narrow.map_batches(
+                _SpanExplode(text_col, id_col, k), batch_format="pyarrow")
+            return None, _edges_shuffle(exploded, id_col)
+        dup_h = np.sort(np.concatenate(
+            [p["h"].to_numpy(zero_copy_only=False) for p in dparts])
+            if dparts else np.empty(0, np.int64))
+
+    if len(dup_h) == 0:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())}), None
+
+    ref = ray.put(dup_h)
+    explode = _SpanExplode(text_col, id_col, k)
+
+    def survivors(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        t = explode(b)
+        if t.num_rows == 0:
+            return t
+        dh = _ray.get(ref)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(dh, h)
+        idx[idx == len(dh)] = 0
+        return t.filter(pa.array(dh[idx] == h))
+
+    surv = narrow.map_batches(survivors, batch_format="pyarrow")
+    sparts, sover = collect_up_to(surv, driver_merge_max)
+    if sover:
+        return None, _edges_shuffle(surv, id_col)
+    if not sparts:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())}), None
+    return _edges_from_records(
+        pa.concat_tables(sparts).select(["g", id_col]), id_col), None
+
+
+def shared_span_docs(ds, text_col: str = "text", id_col: str = "doc_id", *,
+                     k: int = 40, driver_merge_max: int = 4_000_000):
+    """Docs that share at least one exact ``k``-char span with a LOWER-id
+    doc (the deterministic keep-first convention every dedup op here uses).
+    Returns a Dataset with the dominated ``id_col`` values, one row each.
+
+    SQL-exact: ``SELECT DISTINCT a.doc_id FROM shingles a JOIN shingles b
+    ON a.g = b.g AND b.doc_id < a.doc_id`` — star edges always point at
+    the span min, and min < id covers exactly the lower-id witnesses.
+    """
+    import ray.data as rd
+
+    et, eds = _span_edges(ds, text_col, id_col, k=k,
+                          driver_merge_max=driver_merge_max)
+    if et is not None:
+        u = np.unique(et["b"].to_numpy(zero_copy_only=False))
+        return rd.from_arrow(pa.table({id_col: pa.array(
+            u.astype(np.int64))}))
+
+    def only_b(t: pa.Table) -> pa.Table:
+        u = np.unique(t["b"].to_numpy(zero_copy_only=False))
+        return pa.table({id_col: pa.array(u.astype(np.int64))})
+
+    from ray.data.aggregate import Count
+
+    return (eds.map_batches(only_b, batch_format="pyarrow")
+            .groupby(id_col).aggregate(Count()).select_columns([id_col]))
+
+
+def span_dup_components(ds, text_col: str = "text", id_col: str = "doc_id",
+                        *, k: int = 40, driver_merge_max: int = 4_000_000):
+    """Connected components of the share-a-``k``-char-span graph: every doc
+    that shares a span with any other gets (``id_col``, ``canonical_id``)
+    where canonical_id = the component's min doc id. Star edges per span
+    preserve components exactly (a span's sharers form a clique; each
+    member is connected to the span min). Singleton docs are not emitted —
+    matching the SQL oracle's edge-driven recursive closure.
+    """
+    import ray.data as rd
+
+    from .dedup import connected_components, connected_components_ds
+
+    et, eds = _span_edges(ds, text_col, id_col, k=k,
+                          driver_merge_max=driver_merge_max)
+    if et is not None:
+        labels = connected_components(et, a_col="a", b_col="b")
+        return rd.from_arrow(pa.table({
+            id_col: pc.cast(labels["id"], pa.int64()),
+            "canonical_id": pc.cast(labels["rep"], pa.int64())}))
+    labels = connected_components_ds(eds, a_col="a", b_col="b")
+    return labels.map_batches(
+        lambda t: pa.table({id_col: pc.cast(t["id"], pa.int64()),
+                            "canonical_id": pc.cast(t["rep"], pa.int64())}),
+        batch_format="pyarrow")

@@ -1,0 +1,160 @@
+"""Exact shared-span dedup + span-graph components + decayed sum: brute
+numpy/python parity, non-ASCII char-grid path, short/empty inputs."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _docs_df(k=12):
+    """Hand-built corpus with planted verbatim spans (>= k chars)."""
+    span1 = "the quick brown fox jumps over it"   # 33 chars
+    span2 = "zebra yankee xray whisky victor"     # 31 chars
+    rows = [
+        (0, "A unique document with no copies at all here."),
+        (1, f"intro text {span1} and an outro"),
+        (2, f"other words {span1} trailing stuff"),          # shares with 1
+        (3, f"start {span2} finish"),
+        (4, f"{span2} leading position"),                    # shares with 3
+        (5, f"bridges both {span1} and {span2} spans"),      # joins 1-2-3-4
+        (6, "short"),                                        # < k chars
+        (7, None),                                           # null text
+        (8, "completely unrelated content that is long enough"),
+    ]
+    return pd.DataFrame({"doc_id": [r[0] for r in rows],
+                         "text": [r[1] for r in rows]})
+
+
+def _brute_shared(df, k):
+    sh = {}
+    for did, t in zip(df["doc_id"], df["text"]):
+        t = t or ""
+        sh[did] = {t[i:i + k] for i in range(len(t) - k + 1)}
+    out = set()
+    for did, s in sh.items():
+        for other, so in sh.items():
+            if other < did and s & so:
+                out.add(did)
+    return out
+
+
+def _brute_components(df, k):
+    sh = {}
+    for did, t in zip(df["doc_id"], df["text"]):
+        t = t or ""
+        sh[did] = {t[i:i + k] for i in range(len(t) - k + 1)}
+    parent = {d: d for d in sh}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    edged = set()
+    for a in sh:
+        for b in sh:
+            if b < a and sh[a] & sh[b]:
+                edged |= {a, b}
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    return {d: find(d) for d in edged}
+
+
+def test_shared_span_matches_brute(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.spans import shared_span_docs
+
+    df = _docs_df()
+    out = shared_span_docs(rd.from_pandas(df).repartition(4),
+                           "text", "doc_id", k=12).to_pandas()
+    assert set(out["doc_id"]) == _brute_shared(df, 12)
+
+
+def test_span_components_match_union_find(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.spans import span_dup_components
+
+    df = _docs_df()
+    out = span_dup_components(rd.from_pandas(df).repartition(4),
+                              "text", "doc_id", k=12).to_pandas()
+    got = dict(zip(out["doc_id"], out["canonical_id"]))
+    assert got == _brute_components(df, 12)
+    # doc 5 bridges spans 1 and 2: everything collapses to canonical 1
+    assert got[5] == 1 and got[4] == 1
+
+
+def test_shared_span_non_ascii_char_grid(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.spans import shared_span_docs
+
+    # multibyte chars: byte windows would misalign; char grid must be used
+    span = "αβγδε ζηθικ λμνξο"  # 17 chars, mostly 2-byte
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [f"pre {span} post", f"{span} other tail",
+                 "ascii only text with no duplicate span here"],
+    })
+    out = shared_span_docs(rd.from_pandas(df), "text", "doc_id",
+                           k=10).to_pandas()
+    assert set(out["doc_id"]) == _brute_shared(df, 10)
+    assert 1 in set(out["doc_id"])
+
+
+def test_shared_span_empty_and_all_short(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.spans import shared_span_docs
+
+    df = pd.DataFrame({"doc_id": pd.array([0, 1], dtype="int64"),
+                       "text": ["tiny", "also tiny"]})
+    assert shared_span_docs(rd.from_pandas(df), "text", "doc_id",
+                            k=40).count() == 0
+
+
+def test_grouped_decayed_sum_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.stats import grouped_decayed_sum
+
+    rng = np.random.default_rng(7)
+    n = 500
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 20, n).astype(np.int64),
+        "value": rng.normal(10, 3, n),
+        "ts": pd.Timestamp("2024-03-01")
+              + pd.to_timedelta(rng.integers(0, 30 * 86400, n), unit="s"),
+    })
+    df.loc[5, "value"] = None   # nulls excluded
+    df.loc[6, "user_id"] = None
+    out = grouped_decayed_sum(
+        rd.from_pandas(df).repartition(6), "user_id", "value", "ts",
+        tau_s=86400.0 * 7).to_pandas().set_index("user_id")["decayed_value"]
+    d = df.dropna(subset=["user_id", "value", "ts"])
+    tr = df["ts"].max().value // 1000
+    w = d["value"].to_numpy() * np.exp(
+        -(tr - d["ts"].astype("int64").to_numpy() // 1000)
+        / (86400.0 * 7 * 1e6))
+    exp = pd.Series(w, index=d["user_id"].astype(np.int64)).groupby(level=0).sum()
+    for uid, v in exp.items():
+        assert abs(out[uid] - v) < 1e-9 * max(1.0, abs(v))
+
+
+def test_grouped_decayed_sum_explicit_tref(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.stats import grouped_decayed_sum
+
+    df = pd.DataFrame({
+        "k": pd.array([1, 1], dtype="int64"),
+        "v": [1.0, 1.0],
+        "ts": [pd.Timestamp("2024-01-01"), pd.Timestamp("2024-01-02")],
+    })
+    out = grouped_decayed_sum(
+        rd.from_pandas(df), "k", "v", "ts", tau_s=86400.0,
+        t_ref=pd.Timestamp("2024-01-02")).to_pandas()
+    assert abs(out["decayed_value"].iloc[0] - (1.0 + np.exp(-1.0))) < 1e-12
