@@ -1304,6 +1304,18 @@ def q_docs_span_components(sf_dir: str):
     return span_dup_components(ds, "text", "doc_id", k=40)
 
 
+def q_docs_dedup_spans(sf_dir: str):
+    """EXACT duplicated-span REMOVAL (the cleaned-corpus output of Lee et
+    al. 2022 exact substring dedup): chars covered by a 40-char span that
+    also occurs in a lower-id doc are excised; span-winner docs keep their
+    text. SQL-oracled char-exact via a substring-shingle winner join +
+    per-char NOT EXISTS rebuild."""
+    from schema_validator_ray.stages.spans import dedup_spans_remove
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=16)
+    return dedup_spans_remove(ds, "text", "doc_id", k=40)
+
+
 def q_events_decayed_value(sf_dir: str):
     """Recency-weighted user value: Σ value·exp(−(max_ts − ts)/7d) per
     user — one sufficient-statistics pass, no EWMA state or sort. SQL
@@ -2961,6 +2973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "docs_shared_span": q_docs_shared_span,
         "docs_span_components": q_docs_span_components,
+        "docs_dedup_spans": q_docs_dedup_spans,
         "events_decayed_value": q_events_decayed_value,
         "hamming_pairs_orders": q_hamming_pairs_orders,
         "profile_lineitem": q_profile_lineitem,
@@ -3741,6 +3754,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT s AS doc_id,
                    CAST(least(s, min(t)) AS BIGINT) AS canonical_id
               FROM reach GROUP BY s
+        """,
+        "docs_dedup_spans": """
+            WITH base AS (
+              SELECT doc_id, coalesce(text, '') AS txt FROM documents
+            ), w2 AS (
+              SELECT doc_id, i, substring(txt, i, 40) AS g
+                FROM (SELECT doc_id, txt,
+                             unnest(generate_series(1, length(txt) - 39))
+                               AS i
+                        FROM base WHERE length(txt) >= 40)
+            ), mn AS (
+              SELECT g, min(doc_id) AS mid FROM w2 GROUP BY g
+            ), rem AS (
+              SELECT w.doc_id, w.i FROM w2 w
+                JOIN mn ON mn.g = w.g AND mn.mid < w.doc_id
+            ), chars AS (
+              SELECT doc_id, c, substring(txt, c, 1) AS s
+                FROM (SELECT doc_id, txt,
+                             unnest(generate_series(1, length(txt))) AS c
+                        FROM base WHERE length(txt) >= 1)
+            ), kept AS (
+              SELECT ch.doc_id, ch.c, ch.s FROM chars ch
+               WHERE NOT EXISTS (SELECT 1 FROM rem r
+                                  WHERE r.doc_id = ch.doc_id
+                                    AND r.i <= ch.c AND ch.c < r.i + 40)
+            )
+            SELECT b.doc_id,
+                   coalesce(string_agg(k.s, '' ORDER BY k.c), '')
+                     AS text_dedup
+              FROM base b LEFT JOIN kept k ON k.doc_id = b.doc_id
+             GROUP BY b.doc_id
         """,
         "events_decayed_value": """
             WITH mx AS (SELECT max(ts) AS tr FROM events)

@@ -149,6 +149,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "semdedup_ivf",
         "docs_shared_span",
         "docs_span_components",
+        "docs_dedup_spans",
         "events_decayed_value",
     ]
     qs = m.queries()

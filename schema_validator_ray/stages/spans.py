@@ -75,6 +75,26 @@ class _SpanExplode:
             cols[self.id_col] = pa.array([], pa.int64())
         return pa.table(cols)
 
+    def pos_hashes(self, t: str) -> np.ndarray:
+        """Per-START-POSITION span hashes for one doc (NO per-doc dedup) —
+        the removal pass needs every window instance, not the distinct set.
+        Returns an int64 array of length ``len(t) - k + 1`` (empty when the
+        doc is shorter than k)."""
+        k = self.k
+        if len(t) < k:
+            return np.empty(0, np.int64)
+        b = t.encode()
+        if len(b) == len(t):  # ASCII: byte grid == char grid
+            mat = np.lib.stride_tricks.sliding_window_view(
+                np.frombuffer(b, np.uint8), k)
+        else:
+            n = len(t) - k + 1
+            mat = np.zeros((n, k), np.uint8)
+            for j in range(n):
+                eb = t[j:j + k].encode()[:k]
+                mat[j, :len(eb)] = np.frombuffer(eb, np.uint8)
+        return self._hash_rows(mat)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         k = self.k
         texts = batch[self.text_col].to_pylist()
@@ -161,19 +181,14 @@ def _edges_shuffle(exploded, id_col: str, *, n_groups: int = _N_GROUPS):
             .select_columns(["a", "b"]))
 
 
-def _span_edges(ds, text_col: str, id_col: str, *, k: int,
-                driver_merge_max: int = 4_000_000):
-    """Distinct share-a-span star edges.
-
-    Returns ``(table, dataset)`` — exactly one non-None: a driver-side
-    pa.Table when every budget holds (the common case: edges are bounded
-    by verbatim duplication), else a distributed Dataset from the shuffle
-    fallback.
-    """
-    import ray
+def _dup_hash_array(narrow, text_col: str, id_col: str, k: int,
+                    driver_merge_max: int):
+    """Sorted int64 array of span hashes seen in >= 2 docs, or ``None``
+    when even the duplicated-hash set blows the budget (callers pick their
+    own heavy fallback — the set itself is duplication-bounded, so None
+    means the corpus is duplication-dominated)."""
     from ray.data.aggregate import Sum
 
-    narrow = ds.select_columns([id_col, text_col])
     hasher = _SpanExplode(text_col, id_col, k, hashes_only=True)
 
     def h_counts(b: pa.Table) -> pa.Table:
@@ -187,31 +202,44 @@ def _span_edges(ds, text_col: str, id_col: str, *, k: int,
 
     hc = narrow.map_batches(h_counts, batch_format="pyarrow")
     parts, over = collect_up_to(hc, driver_merge_max)
-    dup_h: np.ndarray | None
     if not over:
         if parts:
             m = pa.concat_tables(parts).group_by("h").aggregate(
                 [("n", "sum")])
             m = m.filter(pc.greater(m["n_sum"], 1))
-            dup_h = np.sort(m["h"].to_numpy(zero_copy_only=False))
-        else:
-            dup_h = np.empty(0, np.int64)
-    else:
-        # distributed count, then only hashes seen >= 2x come back (that
-        # set is duplication-bounded); if even IT blows the budget, take
-        # the full string-shuffle path
-        dups = (hc.groupby("h").aggregate(Sum("n", alias_name="n"))
-                .map_batches(lambda t: pa.table(
-                    {"h": pc.filter(t["h"], pc.greater(t["n"], 1))}),
-                    batch_format="pyarrow"))
-        dparts, dover = collect_up_to(dups, driver_merge_max)
-        if dover:
-            exploded = narrow.map_batches(
-                _SpanExplode(text_col, id_col, k), batch_format="pyarrow")
-            return None, _edges_shuffle(exploded, id_col)
-        dup_h = np.sort(np.concatenate(
-            [p["h"].to_numpy(zero_copy_only=False) for p in dparts])
-            if dparts else np.empty(0, np.int64))
+            return np.sort(m["h"].to_numpy(zero_copy_only=False))
+        return np.empty(0, np.int64)
+    # distributed count, then only hashes seen >= 2x come back (that set
+    # is duplication-bounded); if even IT blows the budget, return None
+    dups = (hc.groupby("h").aggregate(Sum("n", alias_name="n"))
+            .map_batches(lambda t: pa.table(
+                {"h": pc.filter(t["h"], pc.greater(t["n"], 1))}),
+                batch_format="pyarrow"))
+    dparts, dover = collect_up_to(dups, driver_merge_max)
+    if dover:
+        return None
+    return np.sort(np.concatenate(
+        [p["h"].to_numpy(zero_copy_only=False) for p in dparts])
+        if dparts else np.empty(0, np.int64))
+
+
+def _span_edges(ds, text_col: str, id_col: str, *, k: int,
+                driver_merge_max: int = 4_000_000):
+    """Distinct share-a-span star edges.
+
+    Returns ``(table, dataset)`` — exactly one non-None: a driver-side
+    pa.Table when every budget holds (the common case: edges are bounded
+    by verbatim duplication), else a distributed Dataset from the shuffle
+    fallback.
+    """
+    import ray
+
+    narrow = ds.select_columns([id_col, text_col])
+    dup_h = _dup_hash_array(narrow, text_col, id_col, k, driver_merge_max)
+    if dup_h is None:
+        exploded = narrow.map_batches(
+            _SpanExplode(text_col, id_col, k), batch_format="pyarrow")
+        return None, _edges_shuffle(exploded, id_col)
 
     if len(dup_h) == 0:
         return pa.table({"a": pa.array([], pa.int64()),
@@ -297,3 +325,204 @@ def span_dup_components(ds, text_col: str = "text", id_col: str = "doc_id",
         lambda t: pa.table({id_col: pc.cast(t["id"], pa.int64()),
                             "canonical_id": pc.cast(t["rep"], pa.int64())}),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span REMOVAL — the actual dedup output (cleaned text), not
+# just flags: the operation Lee et al. 2022 run with a suffix array.
+
+
+def _strip_spans(t: str, starts: np.ndarray, k: int) -> str:
+    """Remove every char covered by a window starting at ``starts`` —
+    coverage union via a +1/−1 delta array + cumsum, one vectorized pass."""
+    delta = np.zeros(len(t) + 1, np.int32)
+    np.add.at(delta, starts, 1)
+    np.add.at(delta, np.minimum(starts + k, len(t)), -1)
+    covered = np.cumsum(delta[:-1]) > 0
+    if not covered.any():
+        return t
+    b = t.encode()
+    if len(b) == len(t):  # ASCII: mask the byte array directly
+        return np.frombuffer(b, np.uint8)[~covered].tobytes().decode()
+    return "".join(np.array(list(t), dtype=object)[~covered])
+
+
+class _SpanRemover:
+    """map_batches stage: rebuild each doc's text with duplicated spans
+    excised. Candidate windows come from a searchsorted against the
+    broadcast dup-hash array; only those few consult the (span -> min id)
+    winner dict — so the per-doc work is one vectorized hash pass plus
+    duplication-bounded dict lookups, never a per-window Python loop."""
+
+    def __init__(self, text_col, id_col, k, out_col, dup_ref, winner_ref):
+        self.text_col, self.id_col, self.k = text_col, id_col, k
+        self.out_col = out_col
+        self.dup_ref, self.winner_ref = dup_ref, winner_ref
+        self.hasher = _SpanExplode(text_col, id_col, k, hashes_only=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        dup_h = ray.get(self.dup_ref)
+        winner = ray.get(self.winner_ref)
+        k = self.k
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        out = []
+        for i, t in enumerate(batch[self.text_col].to_pylist()):
+            t = t or ""
+            h = self.hasher.pos_hashes(t)
+            if len(h) == 0 or len(dup_h) == 0:
+                out.append(t)
+                continue
+            idx = np.searchsorted(dup_h, h)
+            idx[idx == len(dup_h)] = 0
+            cand = np.flatnonzero(dup_h[idx] == h)
+            did = int(ids[i])
+            starts = [j for j in cand
+                      if winner.get(t[j:j + k], did) < did]
+            out.append(_strip_spans(t, np.asarray(starts, np.int64), k)
+                       if starts else t)
+        return pa.table({self.id_col: batch[self.id_col],
+                         self.out_col: pa.array(out, pa.string())})
+
+
+def dedup_spans_remove(ds, text_col: str = "text", id_col: str = "doc_id",
+                       *, k: int = 40, driver_merge_max: int = 4_000_000,
+                       out_col: str = "text_dedup"):
+    """EXACT duplicated-span removal (the cleaned-corpus output of exact
+    substring dedup, Lee et al. 2022): every char of every doc covered by a
+    ``k``-char window whose exact string also occurs in a LOWER-id doc is
+    removed; the span's winner doc (corpus-min ``id_col``) keeps its text
+    untouched. Returns one row per input doc: (``id_col``, ``out_col``)
+    with null text coalesced to ''.
+
+    Data movement: the dup-hash pre-pass + winner-dict collect are the
+    spans-module shape (int64 partials, duplication-bounded survivors);
+    the rebuild is MAP-ONLY against the two broadcasts. When the winner
+    set blows the driver budget, the fallback shuffles only dup-hash-
+    filtered (still duplication-bounded) position records by coarse hash
+    group, resolves winners per group, and rebuilds inside
+    ``groupby(id)`` — the full corpus text never re-exchanges more than
+    once. A corpus whose duplicated-hash SET alone exceeds the budget is
+    duplication-dominated; that degenerate case raises loudly (position
+    records would be ~k× the text volume) rather than silently shipping
+    petabytes."""
+    import ray
+    import ray.data as rd
+
+    narrow = ds.select_columns([id_col, text_col])
+    dup_h = _dup_hash_array(narrow, text_col, id_col, k, driver_merge_max)
+    if dup_h is None:
+        raise ValueError(
+            "dedup_spans_remove: the duplicated-span-hash set alone "
+            f"exceeds driver_merge_max={driver_merge_max} — the corpus is "
+            "duplication-dominated and the removal fallback would shuffle "
+            "~k× the text volume; raise driver_merge_max or run "
+            "shared_span_docs + drop whole docs instead")
+
+    passthrough = narrow.map_batches(
+        lambda b: pa.table({
+            id_col: b[id_col],
+            out_col: pc.coalesce(pc.cast(b[text_col], pa.string()), "")}),
+        batch_format="pyarrow")
+    if len(dup_h) == 0:
+        return passthrough
+
+    dup_ref = ray.put(dup_h)
+    explode = _SpanExplode(text_col, id_col, k)
+
+    def survivors(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        t = explode(b)
+        if t.num_rows == 0:
+            return t
+        dh = _ray.get(dup_ref)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(dh, h)
+        idx[idx == len(dh)] = 0
+        return t.filter(pa.array(dh[idx] == h))
+
+    surv = narrow.map_batches(survivors, batch_format="pyarrow")
+    sparts, sover = collect_up_to(surv, driver_merge_max)
+    if not sover:
+        winner: dict = {}
+        if sparts:
+            st = pa.concat_tables(sparts)
+            mins = st.group_by("g").aggregate([(id_col, "min")])
+            winner = dict(zip(mins["g"].to_pylist(),
+                              mins[f"{id_col}_min"].to_pylist()))
+        return narrow.map_batches(
+            _SpanRemover(text_col, id_col, k, out_col, dup_ref,
+                         ray.put(winner)),
+            batch_format="pyarrow")
+
+    # distributed fallback: dup-filtered POSITION records (id, pos, g)
+    # shuffle once by coarse span-hash group; winners resolve per group and
+    # the (id, pos) removal list — duplication-bounded — flows into a
+    # groupby(id) rebuild alongside the doc texts.
+    hasher = _SpanExplode(text_col, id_col, k, hashes_only=True)
+
+    def explode_pos(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        dh = _ray.get(dup_ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        rid, rpos, rg, rh = [], [], [], []
+        for i, t in enumerate(b[text_col].to_pylist()):
+            t = t or ""
+            h = hasher.pos_hashes(t)
+            if len(h) == 0:
+                continue
+            idx = np.searchsorted(dh, h)
+            idx[idx == len(dh)] = 0
+            cand = np.flatnonzero(dh[idx] == h)
+            for j in cand:
+                rid.append(int(ids[i]))
+                rpos.append(int(j))
+                rg.append(t[j:j + k])
+                rh.append(int(h[j]))
+        # group by the DETERMINISTIC span hash (python's hash() is salted
+        # per process — same string, different group on another worker)
+        grp = (np.array(rh, np.int64).view(np.uint64) % np.uint64(_N_GROUPS)
+               if rh else np.empty(0, np.uint64))
+        return pa.table({"_grp": pa.array(grp.astype(np.int32)),
+                         id_col: pa.array(rid, pa.int64()),
+                         "pos": pa.array(rpos, pa.int64()),
+                         "g": pa.array(rg, pa.string())})
+
+    def group_removals(g: pa.Table) -> pa.Table:
+        mins = g.group_by("g").aggregate([(id_col, "min")])
+        idx = pc.index_in(g["g"], value_set=mins["g"].combine_chunks())
+        minid = pc.take(mins[f"{id_col}_min"], idx)
+        keep = pc.greater(g[id_col], minid)
+        return pa.table({id_col: pc.filter(g[id_col], keep),
+                         "pos": pc.filter(g["pos"], keep)})
+
+    removal = (narrow.map_batches(explode_pos, batch_format="pyarrow")
+               .groupby("_grp")
+               .map_groups(group_removals, batch_format="pyarrow"))
+    tagged_docs = narrow.map_batches(
+        lambda b: pa.table({
+            id_col: pc.cast(b[id_col], pa.int64()),
+            "pos": pa.nulls(b.num_rows, pa.int64()),
+            "txt": pc.coalesce(pc.cast(b[text_col], pa.string()), "")}),
+        batch_format="pyarrow")
+    tagged_rem = removal.map_batches(
+        lambda b: pa.table({id_col: pc.cast(b[id_col], pa.int64()),
+                            "pos": b["pos"],
+                            "txt": pa.nulls(b.num_rows, pa.string())}),
+        batch_format="pyarrow")
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        txts = g["txt"].drop_null()
+        t = txts[0].as_py() if len(txts) else ""
+        starts = g["pos"].drop_null().to_numpy(zero_copy_only=False)
+        did = g[id_col][0].as_py()
+        return pa.table({id_col: pa.array([did], pa.int64()),
+                         out_col: pa.array(
+                             [_strip_spans(t, starts.astype(np.int64), k)
+                              if len(starts) else t], pa.string())})
+
+    return (tagged_docs.union(tagged_rem).groupby(id_col)
+            .map_groups(rebuild, batch_format="pyarrow"))

@@ -116,6 +116,91 @@ def test_shared_span_empty_and_all_short(ray_session):
                             k=40).count() == 0
 
 
+def _brute_remove(df, k):
+    mn = {}
+    for did, t in zip(df["doc_id"], df["text"]):
+        t = t or ""
+        for j in range(len(t) - k + 1):
+            g = t[j:j + k]
+            mn[g] = min(mn.get(g, did), did)
+    out = {}
+    for did, t in zip(df["doc_id"], df["text"]):
+        t = t or ""
+        covered = [False] * len(t)
+        for j in range(len(t) - k + 1):
+            if mn[t[j:j + k]] < did:
+                for c in range(j, j + k):
+                    covered[c] = True
+        out[did] = "".join(c for c, cv in zip(t, covered) if not cv)
+    return out
+
+
+def test_dedup_spans_remove_matches_brute(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.spans import dedup_spans_remove
+
+    df = _docs_df()
+    out = dedup_spans_remove(rd.from_pandas(df).repartition(4),
+                             "text", "doc_id", k=12).to_pandas()
+    got = dict(zip(out["doc_id"], out["text_dedup"]))
+    exp = _brute_remove(df, 12)
+    assert got == exp
+    # winner docs (1 and 3 hold the span minima) keep their text verbatim
+    assert got[1] == df.loc[1, "text"] and got[3] == df.loc[3, "text"]
+    # dominated docs lost the planted spans
+    assert "quick brown fox" not in got[2] and "zebra yankee" not in got[4]
+    assert got[7] == ""  # null text -> ''
+
+
+def test_dedup_spans_remove_non_ascii(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.spans import dedup_spans_remove
+
+    span = "αβγδε ζηθικ λμνξο"
+    df = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": [f"pre {span} post", f"{span} different tail here"],
+    })
+    out = dedup_spans_remove(rd.from_pandas(df), "text", "doc_id",
+                             k=10).to_pandas()
+    got = dict(zip(out["doc_id"], out["text_dedup"]))
+    assert got == _brute_remove(df, 10)
+    assert got[0] == df.loc[0, "text"]  # winner untouched
+
+
+def test_dedup_spans_remove_fallback_parity(ray_session):
+    """Tiny winner budget forces the distributed coarse-group fallback;
+    result must match the driver path / brute exactly."""
+    import ray.data as rd
+
+    from schema_validator_ray.stages.spans import dedup_spans_remove
+
+    rng = np.random.default_rng(3)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+
+    def rnd(n):
+        return "".join(rng.choice(letters, n))
+
+    base = rnd(70)  # ONE shared region: the dup-hash set (~55 windows)
+    texts = []      # stays under budget, survivor records (~14 docs x
+    for i in range(40):  # ~55 spans) blow it
+        t = rnd(120)
+        if i % 3 == 0:
+            t = t[:30] + base + t[30:]
+        texts.append(t)
+    df = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64),
+                       "text": texts})
+    exp = _brute_remove(df, 16)
+    ds = rd.from_pandas(df).repartition(5)
+    fast = dedup_spans_remove(ds, "text", "doc_id", k=16).to_pandas()
+    assert dict(zip(fast["doc_id"], fast["text_dedup"])) == exp
+    slow = dedup_spans_remove(ds, "text", "doc_id", k=16,
+                              driver_merge_max=150).to_pandas()
+    assert dict(zip(slow["doc_id"], slow["text_dedup"])) == exp
+
+
 def test_grouped_decayed_sum_matches_numpy(ray_session):
     import ray.data as rd
 
