@@ -1618,6 +1618,35 @@ def q_images_phash_neardup(sf_dir: str):
                               max_bucket_size=4096)
 
 
+def q_images_phash_canonical(sf_dir: str):
+    """North-rule dup-cluster canonicalization: every member of a phash
+    Hamming<=3 near-dup cluster mapped to its cluster's best-resolution
+    member (max w*h, tie -> min image_id) — the keep-rule an image
+    curation pipeline applies after near-dup detection. Rows-only (the
+    phash derivation isn't SQL-expressible); cluster/argmax semantics are
+    pinned vs brute union-find in tests/test_dedup_hamming.py."""
+    import ray.data as rd
+
+    from schema_validator_ray.stages.dedup import hamming_canonicalize
+
+    d = _images_dir(sf_dir, _images_rows_for(sf_dir))
+    ds = rd.read_parquet(d, columns=["image_id", "phash", "w", "h"])
+
+    def add_area(b):
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        return b.append_column("area", _pc.cast(
+            _pc.multiply(_pc.cast(b["w"], _pa.int64()),
+                         _pc.cast(b["h"], _pa.int64())), _pa.int64()))
+
+    return hamming_canonicalize(ds.map_batches(add_area,
+                                               batch_format="pyarrow"),
+                                "phash", "image_id",
+                                order=[("area", True)], max_hamming=3,
+                                max_bucket_size=4096)
+
+
 # xorshift* multiplier; < 2^62 so the oracle's HUGEINT product (key * mix)
 # stays within 128 bits before the mod-2^64 reduction
 _HAMMING_MIX = 0x2545F4914F6CDD1D
@@ -2985,6 +3014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_rule_counts": q_images_rule_counts,
         "images_drift": q_images_drift,
         "images_phash_neardup": q_images_phash_neardup,
+        "images_phash_canonical": q_images_phash_canonical,
         "orders_running_total": q_orders_running_total,
         "events_lag_gap": q_events_lag_gap,
         "events_moving_avg": q_events_moving_avg,

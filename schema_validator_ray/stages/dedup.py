@@ -1413,3 +1413,74 @@ def embedding_near_dup_pairs(ds, emb_col: str, id_col: str, dim: int, *,
                          "cosine": pa.array([], pa.float64())})
     return pa.concat_tables(chunks).sort_by(
         [("a", "ascending"), ("b", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# near-dup cluster canonicalization — pick the BEST member per cluster
+# (north-rule image curation: keep the highest-resolution copy of each
+# phash near-dup cluster, map every member to it)
+
+
+def hamming_canonicalize(ds, hash_col: str, id_col: str, *,
+                         order: list, max_hamming: int = 3,
+                         max_bucket_size: int = 1024,
+                         driver_merge_max: int = 5_000_000):
+    """(``id_col``, ``canonical_id``) for every member of a Hamming-
+    near-dup cluster on ``hash_col``: clusters are connected components of
+    the Hamming<=``max_hamming`` pair graph (:func:`hash_hamming_pairs`,
+    4x16-bit banding), and each cluster's canonical is the member that
+    wins ``order`` — a list of (column, descending) pairs, ties broken by
+    min ``id_col``. Singletons are not emitted (nothing to redirect).
+
+    Movement: pairs and components are duplication-bounded (the pair pass
+    already enforces bucket caps + loud budgets); the member->rep mapping
+    broadcasts once; the score scan is map-only with per-batch winner
+    partials (``keep_best_rows`` shape), so the full table never shuffles.
+    """
+    import ray
+    import ray.data as rd
+
+    from ._collect import collect_up_to
+
+    pairs = hash_hamming_pairs(ds, hash_col, id_col,
+                               max_hamming=max_hamming,
+                               max_bucket_size=max_bucket_size)
+    if pairs.num_rows == 0:
+        idt = pairs["a"].type  # hash_hamming_pairs carried the id type
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], idt), "canonical_id": pa.array([], idt)}))
+    labels = connected_components(pairs, a_col="a", b_col="b",
+                                  driver_pairs_max=driver_merge_max)
+    member_rep = dict(zip(labels["id"].to_pylist(),
+                          labels["rep"].to_pylist()))
+    mref = ray.put(member_rep)
+
+    score_cols = [c for c, _ in order]
+
+    def members(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        mr = _ray.get(mref)
+        t = b.select([id_col, *score_cols])
+        ids = t[id_col].to_pylist()
+        keep = np.fromiter((i in mr for i in ids), bool, len(ids))
+        t = t.filter(pa.array(keep))
+        reps = [mr[i] for i, k in zip(ids, keep) if k]
+        return t.append_column("_rep", pa.array(reps))
+
+    scored = ds.map_batches(members, batch_format="pyarrow")
+    winners = keep_best_rows(scored, "_rep", [*order, (id_col, False)],
+                             driver_merge_max=driver_merge_max)
+    wparts, wover = collect_up_to(winners.select_columns(["_rep", id_col]),
+                                  driver_merge_max)
+    if wover:  # cannot happen when the CC above fit the same budget
+        raise ValueError(
+            "hamming_canonicalize: winner table exceeds driver_merge_max "
+            f"({driver_merge_max}) — raise the budget")
+    canon = {}
+    for p in wparts:
+        canon.update(zip(p["_rep"].to_pylist(), p[id_col].to_pylist()))
+    mids = labels["id"].to_pylist()
+    return rd.from_arrow(pa.table({
+        id_col: pa.array(mids),
+        "canonical_id": pa.array([canon[member_rep[i]] for i in mids])}))

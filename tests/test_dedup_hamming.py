@@ -95,3 +95,78 @@ def test_max_hamming_guard():
                                  "h": pa.array([0], pa.int64())}))
     with pytest.raises(ValueError, match="max_hamming"):
         hash_hamming_pairs(ds, "h", "i", max_hamming=4)
+
+
+def test_hamming_canonicalize_matches_brute(ray_session):
+    """Clusters from union-find over brute hamming<=3 pairs; canonical =
+    argmax score, tie min id — string ids, planted flips and singletons."""
+    from schema_validator_ray.stages.dedup import hamming_canonicalize
+
+    rng = np.random.default_rng(17)
+    base_a = 0x0123456789ABCDEF
+    base_b = -0x7EDCBA9876543210
+    hs, ids, score = [], [], []
+    for i in range(6):      # cluster A: <=3-bit flips off base_a
+        v = base_a
+        for bit in rng.choice(64, size=i % 4, replace=False):
+            v ^= 1 << int(bit)
+        hs.append(int(np.uint64(v).astype(np.int64)))
+        ids.append(f"img-{i:03d}")
+        score.append(int(rng.integers(10, 1000)))
+    for i in range(6, 9):   # cluster B: exact dups of base_b
+        hs.append(base_b)
+        ids.append(f"img-{i:03d}")
+        score.append(500)   # ties -> min id wins
+    for i in range(9, 30):  # noise singletons
+        hs.append(int(rng.integers(-(2 ** 62), 2 ** 62)))
+        ids.append(f"img-{i:03d}")
+        score.append(int(rng.integers(10, 1000)))
+
+    ds = rd.from_arrow(pa.table({
+        "image_id": pa.array(ids), "ph": pa.array(hs, pa.int64()),
+        "area": pa.array(score, pa.int64())})).repartition(4)
+    out = hamming_canonicalize(ds, "ph", "image_id",
+                               order=[("area", True)],
+                               max_hamming=3, max_bucket_size=4096)
+    got = dict(zip(*[out.to_pandas()[c] for c in
+                     ("image_id", "canonical_id")]))
+
+    # brute: union-find over hamming<=3 pairs, then argmax(area, -id)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    members = set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            d = bin(np.uint64(hs[x]) ^ np.uint64(hs[y])).count("1")
+            if d <= 3:
+                members |= {ids[x], ids[y]}
+                rx, ry = find(ids[x]), find(ids[y])
+                if rx != ry:
+                    parent[max(rx, ry)] = min(rx, ry)
+    best = {}
+    for i, s in zip(ids, score):
+        if i not in members:
+            continue
+        r = find(i)
+        if r not in best or (-s, i) < (-best[r][1], best[r][0]):
+            best[r] = (i, s)
+    exp = {i: best[find(i)][0] for i in members}
+    assert got == exp
+    assert len(got) >= 9  # both planted clusters present
+
+
+def test_hamming_canonicalize_no_pairs(ray_session):
+    from schema_validator_ray.stages.dedup import hamming_canonicalize
+
+    ds = rd.from_arrow(pa.table({
+        "i": pa.array(["a", "b"]),
+        "h": pa.array([1 << 40, -(1 << 50)], pa.int64()),
+        "s": pa.array([1, 2], pa.int64())}))
+    out = hamming_canonicalize(ds, "h", "i", order=[("s", True)])
+    assert out.count() == 0
