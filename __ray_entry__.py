@@ -1618,6 +1618,48 @@ def q_images_phash_neardup(sf_dir: str):
                               max_bucket_size=4096)
 
 
+def q_orders_range_parts(sf_dir: str):
+    """EXACT range-partition assignment over o_totalprice (8 parts): the
+    planning half of a range-sharded export / global sort — boundaries
+    are bit-exact quantile_disc values, partition id = count of
+    boundaries strictly below the value. SQL computes the identical
+    count against the same quantile_disc boundaries."""
+    from schema_validator_ray.stages.sampling import assign_range_partitions
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return assign_range_partitions(ds, "o_totalprice", 8).select_columns(
+        ["o_orderkey", "part_id"])
+
+
+def q_orders_upsert_merge(sf_dir: str):
+    """CDC upsert / latest-wins merge: a deterministic 'changes' stream
+    (every o_orderkey % 7 == 0 flips o_orderstatus to 'X' at version 2)
+    merged into the base table (version 1) — one union + the keep-best
+    winner machinery (per-batch winner partials, no full-table
+    shuffle beyond the tiny key exchange). SQL mirrors with UNION ALL +
+    ROW_NUMBER() latest-wins."""
+    import pyarrow as _pa
+
+    from schema_validator_ray.stages.dedup import keep_best_rows
+
+    base = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    basev = base.map_batches(
+        lambda b: b.append_column("v", _pa.array(
+            np.ones(b.num_rows, np.int64))),
+        batch_format="pyarrow")
+    def make_changes(b: pa.Table) -> pa.Table:
+        keys = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        sel = keys[keys % 7 == 0]
+        return pa.table({
+            "o_orderkey": pa.array(sel, _pa.int64()),
+            "o_orderstatus": pa.array(["X"] * len(sel), _pa.string()),
+            "v": pa.array(np.full(len(sel), 2, np.int64))})
+
+    changes = base.map_batches(make_changes, batch_format="pyarrow")
+    return keep_best_rows(basev.union(changes), "o_orderkey",
+                          [("v", True)])
+
+
 def q_images_phash_canonical(sf_dir: str):
     """North-rule dup-cluster canonicalization: every member of a phash
     Hamming<=3 near-dup cluster mapped to its cluster's best-resolution
@@ -3003,6 +3045,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_shared_span": q_docs_shared_span,
         "docs_span_components": q_docs_span_components,
         "docs_dedup_spans": q_docs_dedup_spans,
+        "orders_range_parts": q_orders_range_parts,
+        "orders_upsert_merge": q_orders_upsert_merge,
         "events_decayed_value": q_events_decayed_value,
         "hamming_pairs_orders": q_hamming_pairs_orders,
         "profile_lineitem": q_profile_lineitem,
@@ -3784,6 +3828,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT s AS doc_id,
                    CAST(least(s, min(t)) AS BIGINT) AS canonical_id
               FROM reach GROUP BY s
+        """,
+        "orders_range_parts": """
+            WITH bs AS (
+              SELECT unnest(quantile_disc(o_totalprice,
+                            [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]))
+                       AS b
+                FROM orders
+            )
+            SELECT o.o_orderkey,
+                   (SELECT count(*) FROM bs WHERE bs.b < o.o_totalprice)
+                     AS part_id
+              FROM orders o
+        """,
+        "orders_upsert_merge": """
+            WITH changes AS (
+              SELECT o_orderkey, 'X' AS o_orderstatus,
+                     CAST(2 AS BIGINT) AS v
+                FROM orders WHERE o_orderkey % 7 = 0
+            ), unioned AS (
+              SELECT o_orderkey, o_orderstatus, CAST(1 AS BIGINT) AS v
+                FROM orders
+              UNION ALL
+              SELECT * FROM changes
+            )
+            SELECT o_orderkey, o_orderstatus, v FROM unioned
+            QUALIFY row_number() OVER (PARTITION BY o_orderkey
+                                       ORDER BY v DESC) = 1
         """,
         "docs_dedup_spans": """
             WITH base AS (

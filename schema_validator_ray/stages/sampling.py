@@ -287,3 +287,43 @@ def budget_mix(ds, *, id_col: str, group_col: str, weight_col: str,
         return b.filter(pa.array(keep))
 
     return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def assign_range_partitions(ds, col: str, n_parts: int, *,
+                            out_col: str = "part_id"):
+    """EXACT range-partition assignment — the planning half of a global
+    sort / range-sharded export: boundaries are the bit-exact
+    ``quantile_disc`` values at i/n_parts (i = 1..n_parts-1, via
+    :func:`stats.exact_quantiles`), and a row's partition id is the count
+    of boundaries STRICTLY below its value (boundary ties land left, SQL
+    ``count(*) where b < v`` semantics; NULL values get partition 0 —
+    ``b < NULL`` is never true). Map-only after the quantile pre-pass:
+    write each part to its own directory and the output is globally
+    range-ordered and resumable without ever running a full-table sort.
+    Skew note: quantile boundaries equalize ROW COUNTS per part by
+    construction — a hot single value spanning multiple quantiles
+    collapses its boundaries and lands in one part (ties-left keeps the
+    assignment deterministic)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from .stats import exact_quantiles
+
+    qs = [i / n_parts for i in range(1, n_parts)]
+    qt = exact_quantiles(ds, col, qs)
+    bounds = np.sort(qt["value"].to_numpy(zero_copy_only=False)
+                     .astype(np.float64))
+    ref = ray.put(bounds)
+
+    def assign(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        bd = _ray.get(ref)
+        v = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        pid = np.searchsorted(bd, v, side="left")
+        pid[np.isnan(v)] = 0
+        return b.append_column(out_col, pa.array(pid.astype(np.int64)))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

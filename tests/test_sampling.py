@@ -252,3 +252,31 @@ def test_budget_mix_null_source_rows_drop(ray_session):
            .to_pandas())
     assert (out["source"] == "a").all()
     assert len(out) == 200
+
+
+def test_assign_range_partitions_matches_numpy(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_validator_ray.stages.sampling import assign_range_partitions
+
+    rng = np.random.default_rng(5)
+    v = rng.normal(100, 25, 2000)
+    v[::50] = 100.0  # a hot exact value spanning boundaries (ties-left)
+    df = pd.DataFrame({"id": np.arange(2000, dtype=np.int64), "v": v})
+    df.loc[7, "v"] = None  # null -> partition 0
+    out = (assign_range_partitions(rd.from_pandas(df).repartition(6),
+                                   "v", 4)
+           .to_pandas().set_index("id")["part_id"])
+    vv = df["v"].dropna().to_numpy()
+    n = len(vv)
+    s = np.sort(vv)
+    bounds = np.sort([s[max(int(np.ceil(q * n)) - 1, 0)]
+                      for q in (0.25, 0.5, 0.75)])
+    for i, val in zip(df["id"], df["v"]):
+        exp = 0 if pd.isna(val) else int((bounds < val).sum())
+        assert out[i] == exp
+    # row counts per part are near-equal (within the tie mass)
+    counts = out.value_counts()
+    assert counts.min() > 300 and counts.max() < 700
