@@ -1618,6 +1618,23 @@ def q_images_phash_neardup(sf_dir: str):
                               max_bucket_size=4096)
 
 
+def q_docs_stream_dedup(sf_dir: str):
+    """STREAMING dedup through the shared mutable seen-key index (the raw-
+    actor escape hatch: cross-batch/cross-run admission state no Dataset
+    transform can express). Survivor ROWS are first-arrival; the survivor
+    KEY SET is exactly the distinct set — which is what the oracle checks.
+    Keys are coalesced text (at 100 TB you'd admit on a 64-bit content
+    hash via hash_keys=True instead of shipping strings to the shards)."""
+    from schema_validator_ray.state.seen_index import SeenKeyIndex
+
+    ds = _read(sf_dir, "documents", ["text"])
+    keyed = ds.map_batches(
+        lambda b: pa.table({"k": pc.coalesce(
+            pc.cast(b["text"], pa.string()), "")}),
+        batch_format="pyarrow")
+    return SeenKeyIndex(n_shards=8).filter_unseen(keyed, "k")
+
+
 def q_orders_range_parts(sf_dir: str):
     """EXACT range-partition assignment over o_totalprice (8 parts): the
     planning half of a range-sharded export / global sort — boundaries
@@ -3047,6 +3064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_spans": q_docs_dedup_spans,
         "orders_range_parts": q_orders_range_parts,
         "orders_upsert_merge": q_orders_upsert_merge,
+        "docs_stream_dedup": q_docs_stream_dedup,
         "events_decayed_value": q_events_decayed_value,
         "hamming_pairs_orders": q_hamming_pairs_orders,
         "profile_lineitem": q_profile_lineitem,
@@ -3828,6 +3846,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT s AS doc_id,
                    CAST(least(s, min(t)) AS BIGINT) AS canonical_id
               FROM reach GROUP BY s
+        """,
+        "docs_stream_dedup": """
+            SELECT DISTINCT coalesce(text, '') AS k FROM documents
         """,
         "orders_range_parts": """
             WITH bs AS (
