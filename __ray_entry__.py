@@ -1618,6 +1618,36 @@ def q_images_phash_neardup(sf_dir: str):
                               max_bucket_size=4096)
 
 
+def q_orders_customer_bucket_join(sf_dir: str):
+    """Shuffle-free large-large join via CO-PARTITIONED BUCKETED STORAGE:
+    both sides written once with the same key hash and n_buckets (cached
+    per sf under /tmp), then one task per bucket reads exactly its two
+    bucket dirs and hash-joins in memory — zero exchange at join time,
+    the write-time layout IS the shuffle, amortized over every recurring
+    join. SQL-oracled vs the plain inner join."""
+    import ray.data as rd
+
+    from schema_validator_ray.sources.sinks import bucket_join, write_bucketed
+
+    key = hashlib.blake2b(f"bj-{sf_dir}".encode(),
+                          digest_size=6).hexdigest()
+    base = f"/tmp/svr_bucketed/{key}"
+    ld, rd_dir = f"{base}/orders", f"{base}/customer"
+    if not (os.path.isdir(ld) and os.path.isdir(rd_dir)):
+        write_bucketed(_read(sf_dir, "orders",
+                             ["o_orderkey", "o_custkey"]),
+                       ld, "o_custkey", 16)
+        write_bucketed(_read(sf_dir, "customer",
+                             ["c_custkey", "c_mktsegment"]),
+                       rd_dir, "c_custkey", 16)
+    joined = bucket_join(ld, rd_dir, "o_custkey", n_buckets=16,
+                         right_key="c_custkey",
+                         columns_l=["o_orderkey", "o_custkey"],
+                         columns_r=["c_custkey", "c_mktsegment"])
+    return joined.select_columns(["o_orderkey", "o_custkey",
+                                  "c_mktsegment"])
+
+
 def q_docs_stream_dedup(sf_dir: str):
     """STREAMING dedup through the shared mutable seen-key index (the raw-
     actor escape hatch: cross-batch/cross-run admission state no Dataset
@@ -3065,6 +3095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_range_parts": q_orders_range_parts,
         "orders_upsert_merge": q_orders_upsert_merge,
         "docs_stream_dedup": q_docs_stream_dedup,
+        "orders_customer_bucket_join": q_orders_customer_bucket_join,
         "events_decayed_value": q_events_decayed_value,
         "hamming_pairs_orders": q_hamming_pairs_orders,
         "profile_lineitem": q_profile_lineitem,
@@ -3849,6 +3880,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_stream_dedup": """
             SELECT DISTINCT coalesce(text, '') AS k FROM documents
+        """,
+        "orders_customer_bucket_join": """
+            SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         """,
         "orders_range_parts": """
             WITH bs AS (

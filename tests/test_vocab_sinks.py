@@ -89,3 +89,65 @@ def test_ivf_cells_as_storage_partitions(ray_session, tmp_path):
     total = sum(len(read_partitioned(out + f"/cell={p}").take_all())
                 for p in parts)
     assert total == 200
+
+
+def test_bucket_join_matches_plain_join(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_validator_ray.sources.sinks import bucket_join, write_bucketed
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 50, 300).astype(np.int64),
+        "a": np.arange(300, dtype=np.int64)})
+    right = pd.DataFrame({
+        "k": rng.integers(25, 75, 120).astype(np.int64),
+        "b": np.arange(120, dtype=np.int64) * 10})
+    ld, rd_ = str(tmp_path / "l"), str(tmp_path / "r")
+    write_bucketed(rd.from_pandas(left).repartition(5), ld, "k", 8)
+    write_bucketed(rd.from_pandas(right).repartition(3), rd_, "k", 8)
+
+    got = (bucket_join(ld, rd_, "k", n_buckets=8)
+           .to_pandas().sort_values(["k", "a", "b"]).reset_index(drop=True))
+    exp = (left.merge(right, on="k")
+           .sort_values(["k", "a", "b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["k", "a", "b"]], exp[["k", "a", "b"]])
+
+
+def test_bucket_join_left_outer_null_keys(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_validator_ray.sources.sinks import bucket_join, write_bucketed
+
+    left = pd.DataFrame({"k": pd.array([1, 2, None, 4], dtype="Int64"),
+                         "a": ["w", "x", "y", "z"]})
+    right = pd.DataFrame({"k": pd.array([2, None], dtype="Int64"),
+                          "b": pd.array([20, 99], dtype="Int64")})
+    ld, rdir = str(tmp_path / "lo_l"), str(tmp_path / "lo_r")
+    write_bucketed(rd.from_pandas(left), ld, "k", 4)
+    write_bucketed(rd.from_pandas(right), rdir, "k", 4)
+    got = (bucket_join(ld, rdir, "k", n_buckets=4, join_type="left outer")
+           .to_pandas().sort_values("a").reset_index(drop=True))
+    # null keys never match; the null-key LEFT row survives unmatched
+    assert got["a"].tolist() == ["w", "x", "y", "z"]
+    assert got["b"].fillna(-1).tolist() == [-1, 20, -1, -1]
+
+
+def test_bucket_join_column_pruning(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_validator_ray.sources.sinks import bucket_join, write_bucketed
+
+    left = pd.DataFrame({"k": [1, 2], "a": [1, 2], "junk": ["p", "q"]})
+    right = pd.DataFrame({"k": [1, 2], "b": [5, 6]})
+    ld, rdir = str(tmp_path / "cp_l"), str(tmp_path / "cp_r")
+    write_bucketed(rd.from_pandas(left), ld, "k", 2)
+    write_bucketed(rd.from_pandas(right), rdir, "k", 2)
+    out = bucket_join(ld, rdir, "k", n_buckets=2,
+                      columns_l=["k", "a"]).to_pandas()
+    assert sorted(out.columns) == ["a", "b", "k"]
