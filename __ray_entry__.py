@@ -1618,6 +1618,23 @@ def q_images_phash_neardup(sf_dir: str):
                               max_bucket_size=4096)
 
 
+def q_embedding_model_score(sf_dir: str):
+    """Batched model inference in an actor pool: the 'model' (a
+    deterministic linear head, w_i = sin(i)) loads once per actor in
+    __init__, each batch scores with ONE float64 matmul. SQL-exact: the
+    oracle recomputes the identical cosine from exploded list elements in
+    DOUBLE."""
+    import pyarrow.parquet as pq
+
+    from schema_validator_ray.stages.inference import model_score
+
+    dim = len(pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+              .read_row_group(0, columns=["embedding"])["embedding"][0])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return model_score(ds, "embedding", "vec_id",
+                       np.sin(np.arange(1, dim + 1)))
+
+
 def q_orders_customer_bucket_join(sf_dir: str):
     """Shuffle-free large-large join via CO-PARTITIONED BUCKETED STORAGE:
     both sides written once with the same key hash and n_buckets (cached
@@ -3096,6 +3113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_upsert_merge": q_orders_upsert_merge,
         "docs_stream_dedup": q_docs_stream_dedup,
         "orders_customer_bucket_join": q_orders_customer_bucket_join,
+        "embedding_model_score": q_embedding_model_score,
         "events_decayed_value": q_events_decayed_value,
         "hamming_pairs_orders": q_hamming_pairs_orders,
         "profile_lineitem": q_profile_lineitem,
@@ -3884,6 +3902,22 @@ def oracle_sql() -> dict[str, str]:
         "orders_customer_bucket_join": """
             SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "embedding_model_score": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding[i] AS DOUBLE) AS v,
+                     sin(CAST(i AS DOUBLE)) AS w
+                FROM (SELECT vec_id, embedding,
+                             unnest(generate_series(1, len(embedding)))
+                               AS i
+                        FROM embeddings WHERE embedding IS NOT NULL)
+            ), s AS (
+              SELECT vec_id, sum(v * w) AS dot,
+                     sqrt(sum(v * v)) AS nv, sqrt(sum(w * w)) AS nw
+                FROM e GROUP BY vec_id
+            )
+            SELECT vec_id, dot / (nv * nw) AS score
+              FROM s WHERE nv > 0
         """,
         "orders_range_parts": """
             WITH bs AS (
