@@ -1618,6 +1618,41 @@ def q_images_phash_neardup(sf_dir: str):
                               max_bucket_size=4096)
 
 
+def q_docs_quality_pctrank(sf_dir: str):
+    """Cross-source quality CALIBRATION: a doc's quality percentile within
+    its own source (PERCENT_RANK PARTITION BY source) — the comparable
+    score for mixing sources whose raw quality scales differ. Composition:
+    quality kernel (rounded to the oracle's 6dp so tie structure matches
+    SQL exactly) -> skew-safe rank_window keyed by source."""
+    from schema_validator_ray.functions.text import quality_score
+    from schema_validator_ray.stages.analytics import rank_window
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    scored = ds.map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"], "source": b["source"],
+            "quality": pc.round(quality_score(b["text"]), ndigits=6)}),
+        batch_format="pyarrow")
+    out = rank_window(scored, key="source", order_col="quality")
+    return out.select_columns(["doc_id", "source", "quality", "pct_rank"])
+
+
+def q_docs_format_census(sf_dir: str):
+    """Schema-drift format census: per (column, pattern) match counts over
+    the documents feed — RE2 on both sides (pc.match_substring_regex and
+    DuckDB regexp_matches run the identical pattern), so the oracle is
+    exact."""
+    from schema_validator_ray.stages.stats import column_format_census
+
+    ds = _read(sf_dir, "documents", ["lang", "source", "text"])
+    return column_format_census(ds, [
+        ("lang", "iso2", "^[a-z]{2}$"),
+        ("source", "wordlike", "^[a-z_]+$"),
+        ("text", "has_digit", "[0-9]"),
+        ("text", "startcap", "^[A-Z]"),
+    ])
+
+
 def q_embedding_model_score(sf_dir: str):
     """Batched model inference in an actor pool: the 'model' (a
     deterministic linear head, w_i = sin(i)) loads once per actor in
@@ -3114,6 +3149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stream_dedup": q_docs_stream_dedup,
         "orders_customer_bucket_join": q_orders_customer_bucket_join,
         "embedding_model_score": q_embedding_model_score,
+        "docs_format_census": q_docs_format_census,
+        "docs_quality_pctrank": q_docs_quality_pctrank,
         "events_decayed_value": q_events_decayed_value,
         "hamming_pairs_orders": q_hamming_pairs_orders,
         "profile_lineitem": q_profile_lineitem,
@@ -3902,6 +3939,53 @@ def oracle_sql() -> dict[str, str]:
         "orders_customer_bucket_join": """
             SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "docs_quality_pctrank": """
+            WITH q AS (
+              SELECT doc_id, source, ROUND(
+                  0.4 * LEAST(strlen(COALESCE(text,'')) / 200.0, 1.0)
+                + 0.4 * (len(regexp_extract_all(COALESCE(text,''),
+                             '[A-Za-z]'))
+                         / GREATEST(strlen(COALESCE(text,'')), 1.0))
+                + 0.2 * (1.0 - LEAST(4.0 *
+                         len(regexp_extract_all(COALESCE(text,''),
+                             '[^\\w\\s]'))
+                         / GREATEST(strlen(COALESCE(text,'')), 1.0), 1.0)),
+                6) AS quality
+                FROM documents
+            )
+            SELECT doc_id, source, quality,
+                   PERCENT_RANK() OVER (PARTITION BY source
+                                        ORDER BY quality) AS pct_rank
+              FROM q
+        """,
+        "docs_format_census": """
+            SELECT * FROM (
+              SELECT 'lang' AS "column", 'iso2' AS pattern,
+                     CAST(coalesce(sum(CASE WHEN regexp_matches(lang,
+                         '^[a-z]{2}$') THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_match,
+                     count(lang) AS n
+                FROM documents
+              UNION ALL
+              SELECT 'source', 'wordlike',
+                     CAST(coalesce(sum(CASE WHEN regexp_matches(source,
+                         '^[a-z_]+$') THEN 1 ELSE 0 END), 0) AS BIGINT),
+                     count(source)
+                FROM documents
+              UNION ALL
+              SELECT 'text', 'has_digit',
+                     CAST(coalesce(sum(CASE WHEN regexp_matches(text,
+                         '[0-9]') THEN 1 ELSE 0 END), 0) AS BIGINT),
+                     count(text)
+                FROM documents
+              UNION ALL
+              SELECT 'text', 'startcap',
+                     CAST(coalesce(sum(CASE WHEN regexp_matches(text,
+                         '^[A-Z]') THEN 1 ELSE 0 END), 0) AS BIGINT),
+                     count(text)
+                FROM documents
+            )
         """,
         "embedding_model_score": """
             WITH e AS (

@@ -1108,3 +1108,42 @@ def grouped_decayed_sum(ds, key: str, value_col: str, ts_col: str, *,
 
     return (narrow.map_batches(partial, batch_format="pyarrow")
             .groupby(key).aggregate(Sum("w", alias_name=out_col)))
+
+
+def column_format_census(ds, specs: list):
+    """Value-FORMAT census over string columns — the schema-drift profile
+    the validation tier runs before trusting a feed: for each (column,
+    pattern_name, regex) spec, how many non-null values match. One
+    vectorized RE2 pass per spec per batch (``pc.match_substring_regex``
+    — DuckDB's regexp_matches is RE2 too, so the SQL oracle runs the
+    IDENTICAL pattern), per-batch count partials, one tiny groupby. A
+    format whose match fraction moves between snapshots is a
+    schema-drift alarm no type check catches (think: zip codes turning
+    into emails)."""
+    from ray.data.aggregate import Sum
+
+    cols = sorted({c for c, _, _ in specs})
+    narrow = ds.select_columns(cols)
+
+    def part(b: pa.Table) -> pa.Table:
+        col_out, pat_out, nm_out, n_out = [], [], [], []
+        for col, name, pattern in specs:
+            arr = b[col]
+            if not pa.types.is_string(arr.type):
+                arr = pc.cast(arr, pa.string())
+            n = len(arr) - arr.null_count
+            m = pc.match_substring_regex(arr, pattern)
+            nm = pc.sum(pc.cast(pc.fill_null(m, False), pa.int64())).as_py()
+            col_out.append(col)
+            pat_out.append(name)
+            nm_out.append(int(nm or 0))
+            n_out.append(int(n))
+        return pa.table({"column": pa.array(col_out, pa.string()),
+                         "pattern": pa.array(pat_out, pa.string()),
+                         "n_match": pa.array(nm_out, pa.int64()),
+                         "n": pa.array(n_out, pa.int64())})
+
+    return (narrow.map_batches(part, batch_format="pyarrow")
+            .groupby(["column", "pattern"])
+            .aggregate(Sum("n_match", alias_name="n_match"),
+                       Sum("n", alias_name="n")))

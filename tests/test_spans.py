@@ -243,3 +243,22 @@ def test_grouped_decayed_sum_explicit_tref(ray_session):
         rd.from_pandas(df), "k", "v", "ts", tau_s=86400.0,
         t_ref=pd.Timestamp("2024-01-02")).to_pandas()
     assert abs(out["decayed_value"].iloc[0] - (1.0 + np.exp(-1.0))) < 1e-12
+
+
+def test_column_format_census(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.stats import column_format_census
+
+    df = pd.DataFrame({
+        "code": ["en", "zh", "EN", None, "x1"],
+        "n": pd.array([1, 22, 333, 4, None], dtype="Int64"),
+    })
+    out = (column_format_census(
+        rd.from_pandas(df).repartition(3),
+        [("code", "iso2", "^[a-z]{2}$"), ("n", "multi", "^[0-9]{2,}$")])
+        .to_pandas().set_index(["column", "pattern"]))
+    assert out.loc[("code", "iso2"), "n_match"] == 2   # EN fails, null skips
+    assert out.loc[("code", "iso2"), "n"] == 4
+    assert out.loc[("n", "multi"), "n_match"] == 2     # 22, 333
+    assert out.loc[("n", "multi"), "n"] == 4
