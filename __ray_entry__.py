@@ -1618,6 +1618,22 @@ def q_images_phash_neardup(sf_dir: str):
                               max_bucket_size=4096)
 
 
+def q_curate_images_pipeline(sf_dir: str):
+    """Image-curation capstone over the north-rule image table: field
+    validation -> decoded quality filter -> phash near-dup clusters keep
+    only the best-resolution member. Rows-only (decode + phash not SQL-
+    expressible); keep-rule determinism + stage ledger pinned in
+    tests/test_curate_images.py."""
+    import ray.data as rd
+
+    from schema_validator_ray.pipelines.curate_images import curate_images
+
+    d = _images_dir(sf_dir, _images_rows_for(sf_dir))
+    ds = rd.read_parquet(d, columns=["image_id", "bytes", "w", "h",
+                                     "fmt", "phash"])
+    return curate_images(ds, collect_stats=False)["curated"]
+
+
 def q_docs_quality_pctrank(sf_dir: str):
     """Cross-source quality CALIBRATION: a doc's quality percentile within
     its own source (PERCENT_RANK PARTITION BY source) — the comparable
@@ -3151,6 +3167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_model_score": q_embedding_model_score,
         "docs_format_census": q_docs_format_census,
         "docs_quality_pctrank": q_docs_quality_pctrank,
+        "curate_images_pipeline": q_curate_images_pipeline,
         "events_decayed_value": q_events_decayed_value,
         "hamming_pairs_orders": q_hamming_pairs_orders,
         "profile_lineitem": q_profile_lineitem,
