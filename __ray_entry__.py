@@ -1618,6 +1618,23 @@ def q_images_phash_neardup(sf_dir: str):
                               max_bucket_size=4096)
 
 
+def q_docs_nfc(sf_dir: str):
+    """Unicode NFC normalization pass (ingest hygiene before any hashing /
+    dedup — byte-different, canonically-equal strings must collapse).
+    Map-only; ASCII fast path skips per-row work. SQL-exact: DuckDB's
+    nfc_normalize implements the same Unicode NFC."""
+    from schema_validator_ray.functions.text import nfc_normalize_column
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(b: pa.Table) -> pa.Table:
+        vals, changed = nfc_normalize_column(b["text"])
+        return pa.table({"doc_id": b["doc_id"], "text_nfc": vals,
+                         "changed": changed})
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
 def q_curate_images_pipeline(sf_dir: str):
     """Image-curation capstone over the north-rule image table: field
     validation -> decoded quality filter -> phash near-dup clusters keep
@@ -3168,6 +3185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_format_census": q_docs_format_census,
         "docs_quality_pctrank": q_docs_quality_pctrank,
         "curate_images_pipeline": q_curate_images_pipeline,
+        "docs_nfc": q_docs_nfc,
         "events_decayed_value": q_events_decayed_value,
         "hamming_pairs_orders": q_hamming_pairs_orders,
         "profile_lineitem": q_profile_lineitem,
@@ -3956,6 +3974,13 @@ def oracle_sql() -> dict[str, str]:
         "orders_customer_bucket_join": """
             SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "docs_nfc": """
+            SELECT doc_id,
+                   nfc_normalize(coalesce(text, '')) AS text_nfc,
+                   nfc_normalize(coalesce(text, '')) <> coalesce(text, '')
+                     AS changed
+              FROM documents
         """,
         "docs_quality_pctrank": """
             WITH q AS (

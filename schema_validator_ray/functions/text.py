@@ -462,3 +462,29 @@ def tfidf_top_terms(ds, text_col: str, id_col: str, k: int = 3, *,
 
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow")
+
+
+def nfc_normalize_column(col) -> tuple:
+    """Unicode NFC normalization of a string column → (normalized array,
+    changed mask). Parity: python's ``unicodedata.normalize('NFC', s)``
+    and DuckDB's ``nfc_normalize`` both implement Unicode NFC, so the SQL
+    oracle is exact. Fast path: a pure-ASCII string is NFC by definition —
+    one vectorized byte-length==char-length check skips the per-row call
+    for the (dominant, in web text) ASCII mass. NULL → ''."""
+    import unicodedata
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    s = pc.coalesce(pc.cast(col, pa.string()), "")
+    ascii_mask = pc.equal(pc.binary_length(s), pc.utf8_length(s))
+    vals = s.to_pylist()
+    changed = np.zeros(len(vals), bool)
+    for i, is_ascii in enumerate(ascii_mask.to_numpy(
+            zero_copy_only=False)):
+        if is_ascii:
+            continue
+        n = unicodedata.normalize("NFC", vals[i])
+        if n != vals[i]:
+            vals[i] = n
+            changed[i] = True
+    return pa.array(vals, pa.string()), pa.array(changed)

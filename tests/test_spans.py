@@ -262,3 +262,16 @@ def test_column_format_census(ray_session):
     assert out.loc[("code", "iso2"), "n"] == 4
     assert out.loc[("n", "multi"), "n_match"] == 2     # 22, 333
     assert out.loc[("n", "multi"), "n"] == 4
+
+
+def test_nfc_normalize_column(ray_session):
+    import unicodedata
+
+    from schema_validator_ray.functions.text import nfc_normalize_column
+
+    decomp = "e\u0301clair"  # explicitly decomposed combining acute
+    comp = unicodedata.normalize("NFC", decomp)  # é-composed
+    vals, changed = nfc_normalize_column(pa.array(
+        ["plain ascii", decomp, comp, None, "αβγ"]))
+    assert vals.to_pylist() == ["plain ascii", comp, comp, "", "αβγ"]
+    assert changed.to_pylist() == [False, True, False, False, False]
