@@ -150,6 +150,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_shared_span",
         "docs_span_components",
         "docs_dedup_spans",
+        "embedding_model_score",
+        "orders_customer_bucket_join",
+        "docs_stream_dedup",
+        "orders_range_parts",
         "events_decayed_value",
     ]
     qs = m.queries()

@@ -151,3 +151,22 @@ def test_bucket_join_column_pruning(ray_session, tmp_path):
     out = bucket_join(ld, rdir, "k", n_buckets=2,
                       columns_l=["k", "a"]).to_pandas()
     assert sorted(out.columns) == ["a", "b", "k"]
+
+
+def test_bucket_join_semi_anti(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_validator_ray.sources.sinks import bucket_join, write_bucketed
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "a": ["w", "x", "y", "z"]})
+    right = pd.DataFrame({"k": [2, 4, 4], "b": [1, 2, 3]})
+    ld, rdir = str(tmp_path / "sa_l"), str(tmp_path / "sa_r")
+    write_bucketed(rd.from_pandas(left), ld, "k", 3)
+    write_bucketed(rd.from_pandas(right), rdir, "k", 3)
+    semi = bucket_join(ld, rdir, "k", n_buckets=3,
+                       join_type="left semi").to_pandas()
+    assert sorted(semi["a"]) == ["x", "z"]  # one row per left match
+    anti = bucket_join(ld, rdir, "k", n_buckets=3,
+                       join_type="left anti").to_pandas()
+    assert sorted(anti["a"]) == ["w", "y"]
