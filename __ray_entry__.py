@@ -1618,6 +1618,58 @@ def q_images_phash_neardup(sf_dir: str):
                               max_bucket_size=4096)
 
 
+def q_events_hourly_anomaly(sf_dir: str):
+    """Rate-anomaly monitoring: hourly event counts per type whose
+    within-type z-score exceeds 2 (traffic spikes / outages). The count
+    aggregate is the only exchange (per-batch partials, |types × hours|
+    rows); the per-type mean/std finish runs on that tiny table under a
+    loud budget. SQL-exact closed form."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from schema_validator_ray.stages._collect import collect_up_to
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.drop_null()
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        agg = (pa.table({"event_type": t["event_type"], "hour": hour})
+               .group_by(["event_type", "hour"])
+               .aggregate([([], "count_all")]))
+        return pa.table({"event_type": agg["event_type"],
+                         "hour": agg["hour"],
+                         "n": pc.cast(agg["count_all"], pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "hour"])
+              .aggregate(Sum("n", alias_name="n")))
+    parts, over = collect_up_to(counts, 2_000_000)
+    if over:
+        raise ValueError("events_hourly_anomaly: |types × hours| exceeds "
+                         "the 2M-row budget — shard the stats finish")
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "hour": pa.array([], pa.timestamp("us")),
+                      "n": pa.array([], pa.int64()),
+                      "z": pa.array([], pa.float64())})
+    if not parts:
+        return rd.from_arrow(empty)
+    t = pa.concat_tables(parts)
+    import pandas as pd
+
+    df = t.to_pandas()
+    g = df.groupby("event_type")["n"]
+    m = g.transform("mean")
+    sd = g.transform(lambda s: s.std(ddof=0))
+    z = (df["n"] - m) / sd
+    keep = (sd > 0) & (z.abs() > 2)
+    out = df.loc[keep].assign(z=z[keep])
+    if not len(out):
+        return rd.from_arrow(empty)
+    return rd.from_arrow(pa.Table.from_pandas(
+        out[["event_type", "hour", "n", "z"]], preserve_index=False))
+
+
 def q_docs_nfc(sf_dir: str):
     """Unicode NFC normalization pass (ingest hygiene before any hashing /
     dedup — byte-different, canonically-equal strings must collapse).
@@ -1652,22 +1704,24 @@ def q_curate_images_pipeline(sf_dir: str):
 
 
 def q_docs_quality_pctrank(sf_dir: str):
-    """Cross-source quality CALIBRATION: a doc's quality percentile within
-    its own source (PERCENT_RANK PARTITION BY source) — the comparable
-    score for mixing sources whose raw quality scales differ. Composition:
-    quality kernel (rounded to the oracle's 6dp so tie structure matches
-    SQL exactly) -> skew-safe rank_window keyed by source."""
-    from schema_validator_ray.functions.text import quality_score
+    """Cross-source length/quality CALIBRATION: a doc's token-count
+    percentile within its own source (PERCENT_RANK PARTITION BY source) —
+    the comparable score for mixing sources whose raw scales differ.
+    Ranks the EXACT integer token count (tokenizer parity is already
+    SQL-pinned) rather than a rounded float score: a continuous score's
+    .5-ULP rounding boundary flips rank groups between float
+    implementations — found the hard way at sf0.1."""
+    from schema_validator_ray.functions.text import token_count
     from schema_validator_ray.stages.analytics import rank_window
 
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
     scored = ds.map_batches(
         lambda b: pa.table({
             "doc_id": b["doc_id"], "source": b["source"],
-            "quality": pc.round(quality_score(b["text"]), ndigits=6)}),
+            "n_tokens": token_count(b["text"])}),
         batch_format="pyarrow")
-    out = rank_window(scored, key="source", order_col="quality")
-    return out.select_columns(["doc_id", "source", "quality", "pct_rank"])
+    out = rank_window(scored, key="source", order_col="n_tokens")
+    return out.select_columns(["doc_id", "source", "n_tokens", "pct_rank"])
 
 
 def q_docs_format_census(sf_dir: str):
@@ -3186,6 +3240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_pctrank": q_docs_quality_pctrank,
         "curate_images_pipeline": q_curate_images_pipeline,
         "docs_nfc": q_docs_nfc,
+        "events_hourly_anomaly": q_events_hourly_anomaly,
         "events_decayed_value": q_events_decayed_value,
         "hamming_pairs_orders": q_hamming_pairs_orders,
         "profile_lineitem": q_profile_lineitem,
@@ -3975,6 +4030,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         """,
+        "events_hourly_anomaly": """
+            WITH h AS (
+              SELECT event_type, date_trunc('hour', ts) AS hour,
+                     count(*) AS n
+                FROM events
+               WHERE ts IS NOT NULL AND event_type IS NOT NULL
+               GROUP BY 1, 2
+            ), s AS (
+              SELECT event_type, avg(n) AS m, stddev_pop(n) AS sd
+                FROM h GROUP BY 1
+            )
+            SELECT h.event_type, h.hour, h.n, (h.n - s.m) / s.sd AS z
+              FROM h JOIN s USING (event_type)
+             WHERE s.sd > 0 AND abs((h.n - s.m) / s.sd) > 2
+        """,
         "docs_nfc": """
             SELECT doc_id,
                    nfc_normalize(coalesce(text, '')) AS text_nfc,
@@ -3984,21 +4054,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_quality_pctrank": """
             WITH q AS (
-              SELECT doc_id, source, ROUND(
-                  0.4 * LEAST(strlen(COALESCE(text,'')) / 200.0, 1.0)
-                + 0.4 * (len(regexp_extract_all(COALESCE(text,''),
-                             '[A-Za-z]'))
-                         / GREATEST(strlen(COALESCE(text,'')), 1.0))
-                + 0.2 * (1.0 - LEAST(4.0 *
-                         len(regexp_extract_all(COALESCE(text,''),
-                             '[^\\w\\s]'))
-                         / GREATEST(strlen(COALESCE(text,'')), 1.0), 1.0)),
-                6) AS quality
+              SELECT doc_id, source,
+                     CAST(len(regexp_extract_all(COALESCE(text, ''),
+                              '\\w+')) AS BIGINT) AS n_tokens
                 FROM documents
             )
-            SELECT doc_id, source, quality,
+            SELECT doc_id, source, n_tokens,
                    PERCENT_RANK() OVER (PARTITION BY source
-                                        ORDER BY quality) AS pct_rank
+                                        ORDER BY n_tokens) AS pct_rank
               FROM q
         """,
         "docs_format_census": """
