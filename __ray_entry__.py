@@ -1618,6 +1618,27 @@ def q_images_phash_neardup(sf_dir: str):
                               max_bucket_size=4096)
 
 
+def q_images_embed_knn(sf_dir: str):
+    """The multimodal → embedding → ANN chain end to end (the CLIP-dedup
+    shape with a deterministic stand-in embedder): decode → 24-dim
+    histogram descriptor → exact cosine top-3 self-join (bounded n×k
+    output — a THRESHOLD pair query degenerates to all-pairs on this
+    corpus because iid-noise images are indistinguishable below pixel
+    level; near-dup by threshold belongs to phash here). Rows-only;
+    descriptor determinism + clone/crop recall pinned in
+    tests/test_multimodal_embed.py."""
+    import ray.data as rd
+
+    from schema_validator_ray.stages.multimodal import ImageEmbedStage
+    from schema_validator_ray.stages.similarity import knn_self_join
+
+    d = _images_dir(sf_dir, _images_rows_for(sf_dir))
+    ds = rd.read_parquet(d, columns=["image_id", "bytes"])
+    emb = ds.map_batches(ImageEmbedStage(), batch_format="pyarrow") \
+            .map_batches(lambda b: b.drop_null(), batch_format="pyarrow")
+    return knn_self_join(emb, emb_col="embedding", id_col="image_id", k=3)
+
+
 def q_events_hourly_anomaly(sf_dir: str):
     """Rate-anomaly monitoring: hourly event counts per type whose
     within-type z-score exceeds 2 (traffic spikes / outages). The count
@@ -3241,6 +3262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_images_pipeline": q_curate_images_pipeline,
         "docs_nfc": q_docs_nfc,
         "events_hourly_anomaly": q_events_hourly_anomaly,
+        "images_embed_knn": q_images_embed_knn,
         "events_decayed_value": q_events_decayed_value,
         "hamming_pairs_orders": q_hamming_pairs_orders,
         "profile_lineitem": q_profile_lineitem,

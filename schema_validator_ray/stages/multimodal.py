@@ -264,3 +264,44 @@ class AudioFeatureStage:
             "zero_crossings": pa.array(zc, pa.int64()),
             "band_energy": pa.array(bands, pa.list_(pa.float64())),
         })
+
+
+class ImageEmbedStage:
+    """(image_id, bytes) → a deterministic 24-dim feature embedding: the
+    16-bin intensity histogram ++ an 8-bin gradient-magnitude histogram,
+    L2-normalized — a REAL (if simple) visual descriptor, not a stub: it
+    is resolution-robust (distributions, not pixels) and feeds the same
+    embedding near-dup / ANN machinery a CLIP-style embedder would (swap
+    the model in at this stage's seam, exactly like imagecodec's PIL
+    seam). Undecodable payloads emit null embeddings (lineage-safe).
+    Actor-pool stage: pass the CLASS to map_batches(concurrency=N) when a
+    real model needs loading; the histogram version is stateless."""
+
+    DIM = 24
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        blobs = _binary_views(batch["bytes"])
+        out = []
+        for blob in blobs:
+            if blob is None:
+                out.append(None)
+                continue
+            try:
+                px, _fmt, _w, _h = codec.decode(blob)
+            except codec.CodecError:
+                out.append(None)
+                continue
+            ih = codec.intensity_histogram(px, bins=16).astype(np.float64)
+            ih /= max(px.size, 1)
+            g = np.abs(np.diff(px.astype(np.float64), axis=1))
+            gh = (np.bincount(np.minimum(g.astype(np.int64) >> 5, 7)
+                              .ravel(), minlength=8).astype(np.float64)
+                  / max(g.size, 1)) if g.size else np.zeros(8)
+            v = np.concatenate([ih, gh])
+            n = np.linalg.norm(v)
+            out.append((v / n if n > 0 else v).astype(np.float32).tolist())
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "embedding": pa.array(out, pa.list_(pa.float32())),
+        })

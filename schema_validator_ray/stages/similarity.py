@@ -142,8 +142,9 @@ class _SelfJoinTopK:
         self._buf = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        empty = pa.table({"vec_id": pa.array([], pa.int64()),
-                          "neighbor_id": pa.array([], pa.int64()),
+        idt = batch.schema.field(self.id_col).type  # int64 OR string ids
+        empty = pa.table({"vec_id": pa.array([], idt),
+                          "neighbor_id": pa.array([], idt),
                           "cosine": pa.array([], pa.float64())})
         if batch.num_rows == 0:
             return empty
@@ -176,8 +177,8 @@ class _SelfJoinTopK:
             out_nb.append(ids_all[order.ravel()])
             out_s.append(np.take_along_axis(sims, order, 1).ravel().copy())
         return pa.table({
-            "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
-            "neighbor_id": pa.array(np.concatenate(out_nb), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_id), idt),
+            "neighbor_id": pa.array(np.concatenate(out_nb), idt),
             "cosine": pa.array(np.concatenate(out_s), pa.float64()),
         })
 
@@ -197,7 +198,9 @@ def knn_self_join(ds, *, emb_col: str = "embedding", id_col: str = "vec_id",
     t = _gather_corpus(ds, emb_col, id_col, max_broadcast_rows)
     ids_all = t[id_col].to_numpy(zero_copy_only=False)
     order = np.argsort(ids_all, kind="stable")
-    ids_all = np.ascontiguousarray(ids_all[order]).astype(np.int64)
+    ids_all = np.ascontiguousarray(ids_all[order])
+    if np.issubdtype(ids_all.dtype, np.integer):
+        ids_all = ids_all.astype(np.int64)  # string ids stay object
     mat_all = _normalize(_to_matrix(t[emb_col]))[order]
     ref = ray.put((ids_all, np.ascontiguousarray(mat_all)))
     return ds.select_columns([id_col, emb_col]).map_batches(
@@ -359,6 +362,10 @@ def kmeans(ds, *, emb_col: str = "embedding", id_col: str = "vec_id",
     mat = np.vstack([
         _to_matrix(b[emb_col]) for b in
         sample.iter_batches(batch_size=1 << 20, batch_format="pyarrow")])
+    # iter_batches does NOT guarantee block arrival order — sort the
+    # sample lexicographically so the seeded init picks the same rows no
+    # matter how the executor interleaved (was a load-dependent flake)
+    mat = mat[np.lexsort(mat.T[::-1])]
     rng = np.random.default_rng(seed)
     cent = _normalize(np.asarray(mat, np.float64))[
         rng.choice(len(mat), size=min(k, len(mat)), replace=False)]
