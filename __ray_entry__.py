@@ -1618,6 +1618,34 @@ def q_images_phash_neardup(sf_dir: str):
                               max_bucket_size=4096)
 
 
+def q_docs_budget_head(sf_dir: str):
+    """Token-budget head selection — the last step of corpus assembly:
+    keep documents in (n_tokens DESC, doc_id) order until the cumulative
+    token count reaches the budget. A global ordered prefix sum (the
+    running-sum machinery with a constant partition key and the doc id as
+    tiebreak) + a map-only filter; ranks integers (tokenizer SQL-pinned),
+    never floats. SQL-exact vs SUM() OVER (ORDER BY ...)."""
+    from schema_validator_ray.functions.text import token_count
+    from schema_validator_ray.stages.analytics import running_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def annotate(b: pa.Table) -> pa.Table:
+        nt = token_count(b["text"])
+        return pa.table({
+            "doc_id": b["doc_id"], "n_tokens": nt,
+            "_k": pa.array(np.zeros(b.num_rows, np.int8)),
+            "_ord": pc.negate(pc.cast(nt, pa.int64()))})
+
+    rs = running_sum(ds.map_batches(annotate, batch_format="pyarrow"),
+                     key="_k", order_col="_ord", value="n_tokens",
+                     tiebreak="doc_id", out_col="cum_tokens")
+    return rs.map_batches(
+        lambda b: b.filter(pc.less_equal(b["cum_tokens"], 10_000))
+                   .select(["doc_id", "n_tokens", "cum_tokens"]),
+        batch_format="pyarrow")
+
+
 def q_images_embed_knn(sf_dir: str):
     """The multimodal → embedding → ANN chain end to end (the CLIP-dedup
     shape with a deterministic stand-in embedder): decode → 24-dim
@@ -3263,6 +3291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_nfc": q_docs_nfc,
         "events_hourly_anomaly": q_events_hourly_anomaly,
         "images_embed_knn": q_images_embed_knn,
+        "docs_budget_head": q_docs_budget_head,
         "events_decayed_value": q_events_decayed_value,
         "hamming_pairs_orders": q_hamming_pairs_orders,
         "profile_lineitem": q_profile_lineitem,
@@ -4051,6 +4080,22 @@ def oracle_sql() -> dict[str, str]:
         "orders_customer_bucket_join": """
             SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "docs_budget_head": """
+            WITH q AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(COALESCE(text, ''),
+                              '\\w+')) AS BIGINT) AS n_tokens
+                FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC,
+                                              doc_id) AS BIGINT)
+                       AS cum_tokens
+                FROM q
+            )
+            SELECT doc_id, n_tokens, cum_tokens FROM c
+             WHERE cum_tokens <= 10000
         """,
         "events_hourly_anomaly": """
             WITH h AS (
