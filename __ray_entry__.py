@@ -1618,6 +1618,23 @@ def q_images_phash_neardup(sf_dir: str):
                               max_bucket_size=4096)
 
 
+def q_embeddings_mmr(sf_dir: str):
+    """Diverse top-k (Maximal Marginal Relevance): the coreset-style pick
+    after scoring — greedy lam*relevance − (1−lam)*redundancy over a
+    distributed relevance top-pool. Rows-only (greedy selection isn't
+    SQL-expressible); parity vs brute greedy + pool semantics pinned in
+    tests/test_knn_join.py."""
+    import pyarrow.parquet as pq
+
+    from schema_validator_ray.stages.similarity import mmr_select
+
+    dim = len(pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+              .read_row_group(0, columns=["embedding"])["embedding"][0])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return mmr_select(ds, query_vec=np.sin(np.arange(1, dim + 1)),
+                      k=20, lam=0.5, candidate_pool=256)
+
+
 def q_docs_budget_head(sf_dir: str):
     """Token-budget head selection — the last step of corpus assembly:
     keep documents in (n_tokens DESC, doc_id) order until the cumulative
@@ -3292,6 +3309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_anomaly": q_events_hourly_anomaly,
         "images_embed_knn": q_images_embed_knn,
         "docs_budget_head": q_docs_budget_head,
+        "embeddings_mmr": q_embeddings_mmr,
         "events_decayed_value": q_events_decayed_value,
         "hamming_pairs_orders": q_hamming_pairs_orders,
         "profile_lineitem": q_profile_lineitem,

@@ -966,3 +966,86 @@ def semdedup(ds, *, emb_col: str = "embedding", id_col: str = "vec_id",
         return pd.DataFrame({icol: ids[~dom].astype(np.int64)})
 
     return assigned.groupby("cell").map_groups(cell_survivors)
+
+
+def mmr_select(ds, *, emb_col: str = "embedding", id_col: str = "vec_id",
+               query_vec, k: int = 20, lam: float = 0.5,
+               candidate_pool: int = 1024):
+    """Maximal-Marginal-Relevance selection — the diverse-subset pick a
+    curation pass runs after scoring (coreset / dedup-aware top-k):
+    greedily take the row maximizing
+
+        lam * cos(v, query) - (1 - lam) * max_{s in selected} cos(v, s)
+
+    Distributed shape: one map pass keeps each batch's top-``candidate_
+    pool`` by relevance (per-batch partials, ties -> min id), the driver
+    merges partials and runs the O(pool × k × dim) greedy on the pooled
+    candidates only — the corpus never materializes. The pool bound is
+    the documented approximation: a row outside the global relevance
+    top-pool cannot be selected (standard MMR-over-shortlist practice).
+    Deterministic: float64 scores, ties broken by ascending id.
+
+    Returns a driver pa.Table (id, rank, relevance, mmr_score) — k rows.
+    """
+    import heapq
+
+    q = np.asarray(query_vec, np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+
+    def pool_partial(b: pa.Table) -> pa.Table:
+        t = b.select([id_col, emb_col]).drop_null()
+        if t.num_rows == 0:
+            return t
+        m = _normalize(_to_matrix(t[emb_col]))
+        rel = m @ q
+        n = min(candidate_pool, len(rel))
+        # top-n by (rel DESC, id ASC): stable argsort over -rel after an
+        # id sort gives deterministic tie order
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        io = np.argsort(ids, kind="stable")
+        keep = io[np.argsort(-rel[io], kind="stable")[:n]]
+        return pa.table({id_col: t[id_col].take(pa.array(keep)),
+                         emb_col: t[emb_col].take(pa.array(keep)),
+                         "_rel": pa.array(rel[keep])})
+
+    parts = list(ds.map_batches(pool_partial, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow", batch_size=None))
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        sch = ds.schema()
+        idt = dict(zip(sch.names, sch.types))[id_col] if sch else pa.int64()
+        return pa.table({id_col: pa.array([], idt),
+                         "rank": pa.array([], pa.int64()),
+                         "relevance": pa.array([], pa.float64()),
+                         "mmr_score": pa.array([], pa.float64())})
+    t = pa.concat_tables(parts)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    rel = t["_rel"].to_numpy(zero_copy_only=False)
+    io = np.argsort(ids, kind="stable")
+    order = io[np.argsort(-rel[io], kind="stable")[:candidate_pool]]
+    ids, rel = ids[order], rel[order]
+    M = _normalize(_to_matrix(t[emb_col]))[order]
+
+    sel: list[int] = []
+    max_sim = np.full(len(ids), -np.inf)
+    out_rank, out_id, out_rel, out_score = [], [], [], []
+    for r in range(min(k, len(ids))):
+        if sel:
+            score = lam * rel - (1 - lam) * max_sim
+        else:
+            score = lam * rel
+        score[sel] = -np.inf
+        # argmax with ascending-id tiebreak (ids sorted into rel order, so
+        # walk candidates equal to the max and take the smallest id)
+        best = np.flatnonzero(score == score.max())
+        i = best[np.argsort(ids[best], kind="stable")[0]]
+        sel.append(int(i))
+        out_rank.append(r)
+        out_id.append(ids[i])
+        out_rel.append(float(rel[i]))
+        out_score.append(float(score[i]))
+        max_sim = np.maximum(max_sim, M @ M[i])
+    return pa.table({id_col: pa.array(out_id),
+                     "rank": pa.array(out_rank, pa.int64()),
+                     "relevance": pa.array(out_rel, pa.float64()),
+                     "mmr_score": pa.array(out_score, pa.float64())})

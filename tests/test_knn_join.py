@@ -221,3 +221,65 @@ def test_pca_project_matches_numpy(ray_session):
     assert np.allclose(got, want, atol=1e-6)
     # the two top components carry almost all variance of this rank-2 data
     assert got.var(0).sum() / base.var(0).sum() > 0.95
+
+
+def test_mmr_select_matches_brute_greedy(ray_session):
+    """Pool = whole corpus, so the distributed MMR must equal the plain
+    greedy; diversity actually bites (a redundant high-relevance clone
+    is passed over for a diverse lower-relevance row)."""
+    import ray.data as rd
+
+    from schema_validator_ray.stages.similarity import mmr_select
+
+    rng = np.random.default_rng(12)
+    dim, n = 8, 120
+    V = rng.normal(size=(n, dim))
+    V[1] = V[0] * 1.001  # near-clone of the most relevant row
+    q = rng.normal(size=dim)
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([v.astype(np.float32).tolist() for v in V],
+                              pa.list_(pa.float32()))})).repartition(5)
+    k, lam = 10, 0.5
+    out = mmr_select(ds, emb_col="embedding", id_col="vec_id",
+                     query_vec=q, k=k, lam=lam, candidate_pool=n)
+
+    # brute greedy in float64 (float32 storage first, like the engine)
+    M = V.astype(np.float32).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    qq = q / np.linalg.norm(q)
+    rel = M @ qq
+    sel, max_sim = [], np.full(n, -np.inf)
+    for _ in range(k):
+        score = lam * rel - np.where(
+            np.isinf(max_sim), 0.0, (1 - lam) * max_sim)
+        if not sel:
+            score = lam * rel
+        score[sel] = -np.inf
+        cand = np.flatnonzero(score == score.max())
+        i = int(cand[np.argmin(ids[cand])])
+        sel.append(i)
+        max_sim = np.maximum(max_sim, M @ M[i])
+    assert out["vec_id"].to_pylist() == [int(ids[i]) for i in sel]
+    # exactly ONE of the clone pair is selected (whichever fp dust makes
+    # infinitesimally more relevant); the other is redundancy-suppressed
+    got = set(out["vec_id"].to_pylist())
+    assert len(got & {0, 1}) == 1
+
+
+def test_mmr_pool_limits_candidates(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.similarity import mmr_select
+
+    rng = np.random.default_rng(3)
+    V = rng.normal(size=(60, 6))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(60, dtype=np.int64)),
+        "embedding": pa.array([v.astype(np.float32).tolist() for v in V],
+                              pa.list_(pa.float32()))}))
+    out = mmr_select(ds, query_vec=rng.normal(size=6), k=5,
+                     candidate_pool=10)
+    assert out.num_rows == 5
+    assert out["rank"].to_pylist() == [0, 1, 2, 3, 4]
