@@ -1618,6 +1618,29 @@ def q_images_phash_neardup(sf_dir: str):
                               max_bucket_size=4096)
 
 
+def q_customers_pseudonymize(sf_dir: str):
+    """PII-safe export: identifying columns replaced by a deterministic
+    token (md5 here — python hashlib and DuckDB md5() agree byte-for-
+    byte) so joins/dedup still work on the token while the value never
+    leaves the pipeline. Map-only. For real deployments swap in a KEYED
+    hash (hmac) at this seam — unkeyed md5 is linkable by dictionary
+    attack; the seam and the parity are what this query pins."""
+    import hashlib as _hl
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name",
+                                    "c_mktsegment"])
+
+    def tok(b: pa.Table) -> pa.Table:
+        names = b["c_name"].to_pylist()
+        t = [(_hl.md5(x.encode()).hexdigest() if x is not None else None)
+             for x in names]
+        return pa.table({"c_custkey": b["c_custkey"],
+                         "name_token": pa.array(t, pa.string()),
+                         "c_mktsegment": b["c_mktsegment"]})
+
+    return ds.map_batches(tok, batch_format="pyarrow")
+
+
 def q_embeddings_mmr(sf_dir: str):
     """Diverse top-k (Maximal Marginal Relevance): the coreset-style pick
     after scoring — greedy lam*relevance − (1−lam)*redundancy over a
@@ -3310,6 +3333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_embed_knn": q_images_embed_knn,
         "docs_budget_head": q_docs_budget_head,
         "embeddings_mmr": q_embeddings_mmr,
+        "customers_pseudonymize": q_customers_pseudonymize,
         "events_decayed_value": q_events_decayed_value,
         "hamming_pairs_orders": q_hamming_pairs_orders,
         "profile_lineitem": q_profile_lineitem,
@@ -4098,6 +4122,10 @@ def oracle_sql() -> dict[str, str]:
         "orders_customer_bucket_join": """
             SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "customers_pseudonymize": """
+            SELECT c_custkey, md5(c_name) AS name_token, c_mktsegment
+              FROM customer
         """,
         "docs_budget_head": """
             WITH q AS (
