@@ -95,3 +95,56 @@ def test_curate_images_no_dups(ray_session):
     res = curate_images(rd.from_arrow(pa.Table.from_pylist(rows)),
                         collect_stats=False)
     assert res["curated"].count() == 6
+
+
+def test_run_curate_resumable(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from schema_validator_ray.pipelines.curate_images import (
+        curate_images, run_curate_resumable)
+
+    t = _table()
+    shards = []
+    for i in range(3):  # 3 shards; the clone cluster SPANS shards
+        p = str(tmp_path / f"in-{i}.parquet")
+        pq.write_table(t.slice(i * 4, 4), p)
+        shards.append(p)
+    out = str(tmp_path / "out")
+
+    r1 = run_curate_resumable(shards, out, min_sharpness=0.5,
+                              max_saturated_frac=0.9)
+    assert sorted(r1["ran"]) == ["00000", "00001", "00002"]
+    assert r1["skipped"] == [] and r1["failed"] == []
+    assert r1["dominated"] == 3
+
+    # union of per-shard outputs == the single-pass capstone's curated set
+    import glob
+
+    got = sorted(pa.concat_tables(
+        [pq.read_table(f) for f in
+         glob.glob(f"{out}/curated/part-*/curated.parquet")]
+    )["image_id"].to_pylist())
+    import ray.data as rd
+
+    exp = sorted(curate_images(rd.from_arrow(t), min_sharpness=0.5,
+                               max_saturated_frac=0.9,
+                               collect_stats=False)["curated"]
+                 .to_pandas()["image_id"])
+    assert got == exp == ["huge-1", "solo-1", "solo-2"]
+
+    # resume: nothing re-runs, dominated set reused from its digest cache
+    r2 = run_curate_resumable(shards, out, min_sharpness=0.5,
+                              max_saturated_frac=0.9)
+    assert r2["ran"] == [] and len(r2["skipped"]) == 3
+    assert r2["dominated"] == 3
+
+    # touching one input invalidates ONLY that shard (digest mismatch) —
+    # and the dominated cache (inputs digest changed) recomputes
+    import time as _t
+
+    _t.sleep(1.1)
+    d0 = pq.read_table(shards[0])
+    pq.write_table(d0, shards[0])  # rewrite -> new mtime digest
+    r3 = run_curate_resumable(shards, out, min_sharpness=0.5,
+                              max_saturated_frac=0.9)
+    assert r3["ran"] == ["00000"] and len(r3["skipped"]) == 2
