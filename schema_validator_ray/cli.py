@@ -148,6 +148,33 @@ def cmd_profile(args) -> int:
             ray.shutdown()
 
 
+def cmd_curate(args) -> int:
+    import glob
+    import os
+
+    import ray
+
+    owned = _init_ray(args.num_cpus)
+    try:
+        from .pipelines.curate_images import run_curate_resumable
+
+        paths = (sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+                 if os.path.isdir(args.input) else [args.input])
+        res = run_curate_resumable(
+            paths, args.out, min_sharpness=args.min_sharpness,
+            max_saturated_frac=args.max_saturated_frac,
+            job_id=args.job_id)
+        print(json.dumps({"ran": len(res["ran"]),
+                          "skipped": len(res["skipped"]),
+                          "failed": res["failed"],
+                          "curated_rows": res["curated_rows"],
+                          "dominated": res["dominated"]}))
+        return 1 if res["failed"] else 0
+    finally:
+        if owned:
+            ray.shutdown()
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="schema_validator_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -182,6 +209,17 @@ def main(argv=None) -> int:
     pr.add_argument("--keys", default="")
     pr.add_argument("--num-cpus", type=int)
     pr.set_defaults(fn=cmd_profile)
+
+    cu = sub.add_parser("curate", help="resumable image curation: validate"
+                        " -> quality -> near-dup canonical keep")
+    cu.add_argument("--input", required=True,
+                    help="parquet shard dir or one file")
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--min-sharpness", type=float, default=0.5)
+    cu.add_argument("--max-saturated-frac", type=float, default=0.9)
+    cu.add_argument("--job-id", default="job")
+    cu.add_argument("--num-cpus", type=int)
+    cu.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -148,3 +148,29 @@ def test_run_curate_resumable(ray_session, tmp_path):
     r3 = run_curate_resumable(shards, out, min_sharpness=0.5,
                               max_saturated_frac=0.9)
     assert r3["ran"] == ["00000"] and len(r3["skipped"]) == 2
+
+
+def test_cli_curate(ray_session, tmp_path):
+    """Drive the curate subcommand end-to-end: run then resume."""
+    import contextlib
+    import io
+    import json
+
+    from schema_validator_ray.cli import main
+    from schema_validator_ray.sources.synth import write_images_dataset
+
+    d = tmp_path / "imgs"
+    write_images_dataset(str(d), 300, seed=6, shards=2)
+
+    def run():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = main(["curate", "--input", str(d),
+                       "--out", str(tmp_path / "cur")])
+        return rc, json.loads(buf.getvalue())
+
+    rc, s = run()
+    assert rc == 0 and s["ran"] == 2 and s["failed"] == []
+    assert 0 < s["curated_rows"] <= 300
+    rc2, s2 = run()
+    assert rc2 == 0 and s2["ran"] == 0 and s2["skipped"] == 2
