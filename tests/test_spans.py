@@ -275,3 +275,49 @@ def test_nfc_normalize_column(ray_session):
         ["plain ascii", decomp, comp, None, "αβγ"]))
     assert vals.to_pylist() == ["plain ascii", comp, comp, "", "αβγ"]
     assert changed.to_pylist() == [False, True, False, False, False]
+
+
+def test_spans_property_random_corpora(ray_session):
+    """Property sweep (seeded, hypothesis-style without per-example Ray
+    datasets — one Ray call per corpus): random corpora with randomly
+    planted copied regions; shared/removal/components all match brute."""
+    import ray.data as rd
+
+    from schema_validator_ray.stages.spans import (dedup_spans_remove,
+                                                   shared_span_docs,
+                                                   span_dup_components)
+
+    alphabet = np.array(list("abcdef"))  # small alphabet: chance dups too
+    for trial in range(6):
+        rng = np.random.default_rng(100 + trial)
+        k = int(rng.integers(5, 9))
+        n_docs = int(rng.integers(5, 14))
+        frags = ["".join(rng.choice(alphabet, int(rng.integers(k, 2 * k))))
+                 for _ in range(3)]
+        texts = []
+        for _ in range(n_docs):
+            t = "".join(rng.choice(alphabet, int(rng.integers(0, 40))))
+            if rng.random() < 0.5 and len(t) > 4:
+                f = frags[int(rng.integers(0, 3))]
+                p = int(rng.integers(0, len(t)))
+                t = t[:p] + f + t[p:]
+            texts.append(t if rng.random() > 0.1 else None)
+        df = pd.DataFrame({"doc_id": np.arange(n_docs, dtype=np.int64),
+                           "text": texts})
+        ds = rd.from_pandas(df).repartition(3)
+
+        def col(df, c):
+            return df[c] if c in df.columns else []
+
+        sh = shared_span_docs(ds, "text", "doc_id", k=k).to_pandas()
+        got_shared = set(col(sh, "doc_id"))
+        assert got_shared == _brute_shared(df, k), (trial, k)
+
+        rem = dedup_spans_remove(ds, "text", "doc_id", k=k).to_pandas()
+        assert dict(zip(col(rem, "doc_id"), col(rem, "text_dedup"))) == \
+            _brute_remove(df, k), (trial, k)
+
+        comp = span_dup_components(ds, "text", "doc_id", k=k).to_pandas()
+        assert dict(zip(col(comp, "doc_id"),
+                        col(comp, "canonical_id"))) == \
+            _brute_components(df, k), (trial, k)
