@@ -1618,6 +1618,18 @@ def q_images_phash_neardup(sf_dir: str):
                               max_bucket_size=4096)
 
 
+def q_docs_unigram_logprob(sf_dir: str):
+    """CCNet-style perplexity scoring (unigram stand-in LM trained on the
+    corpus itself): mean ln P(token) per doc — the quality signal behind
+    'filter text that doesn't look like the reference corpus'. SQL-exact:
+    identical tokenization (regexp_split parity) + ln(freq/N) closed
+    form."""
+    from schema_validator_ray.functions.text import unigram_logprob_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return unigram_logprob_score(ds, "text", "doc_id")
+
+
 def q_customers_pseudonymize(sf_dir: str):
     """PII-safe export: identifying columns replaced by a deterministic
     token (md5 here — python hashlib and DuckDB md5() agree byte-for-
@@ -3334,6 +3346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_budget_head": q_docs_budget_head,
         "embeddings_mmr": q_embeddings_mmr,
         "customers_pseudonymize": q_customers_pseudonymize,
+        "docs_unigram_logprob": q_docs_unigram_logprob,
         "events_decayed_value": q_events_decayed_value,
         "hamming_pairs_orders": q_hamming_pairs_orders,
         "profile_lineitem": q_profile_lineitem,
@@ -4122,6 +4135,24 @@ def oracle_sql() -> dict[str, str]:
         "orders_customer_bucket_join": """
             SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "docs_unigram_logprob": """
+            WITH tk AS (
+              SELECT doc_id, w
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(
+                               lower(coalesce(text, '')), '[^a-z0-9]+'))
+                               AS w
+                        FROM documents)
+               WHERE w <> ''
+            ), freq AS (
+              SELECT w, count(*) AS c FROM tk GROUP BY w
+            ), tot AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n FROM tk
+            )
+            SELECT t.doc_id, avg(ln(f.c / tot.n)) AS avg_logprob
+              FROM tk t JOIN freq f USING (w), tot
+             GROUP BY t.doc_id
         """,
         "customers_pseudonymize": """
             SELECT c_custkey, md5(c_name) AS name_token, c_mktsegment

@@ -488,3 +488,84 @@ def nfc_normalize_column(col) -> tuple:
             vals[i] = n
             changed[i] = True
     return pa.array(vals, pa.string()), pa.array(changed)
+
+
+def unigram_logprob_score(ds, text_col: str, id_col: str, *,
+                          vocab_max: int = 2_000_000,
+                          out_col: str = "avg_logprob"):
+    """CCNet-style perplexity filter with a unigram stand-in LM: score
+    each doc by the MEAN ln P(token) under the corpus's own unigram
+    distribution (low = rare/garbled text; the real thing swaps a KenLM
+    in at the scoring seam — the two-pass shape is identical). Zero-token
+    docs are excluded (SQL join semantics).
+
+    Pass 1: corpus token counts — per-batch (word, cnt) partials bounded
+    by batch VOCABULARY (never token count) → groupby sum → driver merge
+    under a loud ``vocab_max`` budget; the (sorted words, logprob) arrays
+    broadcast once. Pass 2 is map-only: tokens resolve by searchsorted,
+    per-doc means by one ``np.add.at`` over list-parent indices. OOV
+    tokens (scoring a dataset other than the training corpus) take the
+    floor logprob ln(0.5/N)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages._collect import collect_up_to
+
+    narrow = ds.select_columns([id_col, text_col])
+    counts = (narrow.map_batches(
+        lambda b: word_count_partial(b[text_col]), batch_format="pyarrow")
+        .groupby("word").aggregate(Sum("cnt", alias_name="cnt")))
+    parts, over = collect_up_to(counts, vocab_max)
+    if over:
+        raise ValueError(
+            f"unigram_logprob_score: corpus vocabulary exceeds vocab_max="
+            f"{vocab_max} — raise the budget or pre-trim the vocabulary")
+    if not parts:
+        return narrow.map_batches(
+            lambda b: pa.table({id_col: b[id_col].slice(0, 0),
+                                out_col: pa.array([], pa.float64())}),
+            batch_format="pyarrow")
+    vt = pa.concat_tables(parts)
+    words = vt["word"].to_numpy(zero_copy_only=False)
+    cnts = vt["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.argsort(words, kind="stable")
+    words, cnts = words[order], cnts[order]
+    total = cnts.sum()
+    logp = np.log(cnts / total)
+    floor = float(np.log(0.5 / total))
+    ref = ray.put((words, logp))
+
+    def score(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        w_sorted, lp = _ray.get(ref)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(b[text_col], "")), WORD_SPLIT_RE)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        fw = flat.to_numpy(zero_copy_only=False)[keep]
+        parents = parents[keep]
+        n_docs = b.num_rows
+        if len(fw):
+            idx = np.searchsorted(w_sorted, fw)
+            idx[idx == len(w_sorted)] = 0
+            v = np.where(w_sorted[idx] == fw, lp[idx], floor)
+            s = np.zeros(n_docs)
+            c = np.zeros(n_docs)
+            np.add.at(s, parents, v)
+            np.add.at(c, parents, 1.0)
+        else:
+            s = np.zeros(n_docs)
+            c = np.zeros(n_docs)
+        has = c > 0
+        out = pa.table({id_col: b[id_col],
+                        out_col: pa.array(
+                            np.divide(s, c, out=np.zeros(n_docs),
+                                      where=has))})
+        return out.filter(pa.array(has))
+
+    return narrow.map_batches(score, batch_format="pyarrow")

@@ -321,3 +321,51 @@ def test_spans_property_random_corpora(ray_session):
         assert dict(zip(col(comp, "doc_id"),
                         col(comp, "canonical_id"))) == \
             _brute_components(df, k), (trial, k)
+
+
+def test_unigram_logprob_matches_numpy(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from schema_validator_ray.functions.text import unigram_logprob_score
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": ["the cat sat", "the the the", "cat! cat? dog.",
+                 None, "..."],  # null and punctuation-only -> excluded
+    })
+    out = (unigram_logprob_score(rd.from_pandas(df).repartition(3),
+                                 "text", "doc_id")
+           .to_pandas().set_index("doc_id")["avg_logprob"])
+    toks = {0: ["the", "cat", "sat"], 1: ["the", "the", "the"],
+            2: ["cat", "cat", "dog"]}
+    from collections import Counter
+
+    freq = Counter(w for ws in toks.values() for w in ws)
+    n = sum(freq.values())
+    assert sorted(out.index) == [0, 1, 2]
+    for d, ws in toks.items():
+        exp = sum(math.log(freq[w] / n) for w in ws) / len(ws)
+        assert abs(out[d] - exp) < 1e-12
+    # "the the the" (common token) scores higher than the mixed docs
+    assert out[1] > out[0]
+
+
+def test_unigram_logprob_oov_floor(ray_session):
+    """Scoring a doc whose tokens were NOT in the training corpus uses
+    the floor — exercised by scoring a second dataset against... the
+    same function on a corpus that contains unseen tokens is impossible
+    by construction, so pin the floor via the vocab budget instead:
+    tiny vocab_max raises loudly."""
+    import pytest
+    import ray.data as rd
+
+    from schema_validator_ray.functions.text import unigram_logprob_score
+
+    df = pd.DataFrame({"doc_id": np.arange(50, dtype=np.int64),
+                       "text": [f"tok{i} tok{i+1} tok{i+2}"
+                                for i in range(50)]})
+    with pytest.raises(ValueError, match="vocab_max"):
+        unigram_logprob_score(rd.from_pandas(df), "text", "doc_id",
+                              vocab_max=10).to_pandas()
