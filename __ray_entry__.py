@@ -1618,6 +1618,17 @@ def q_images_phash_neardup(sf_dir: str):
                               max_bucket_size=4096)
 
 
+def q_source_unigram_jsd(sf_dir: str):
+    """Domain-shift matrix: pairwise Jensen–Shannon divergence between
+    each source's unigram distribution — 'are these two crawls the same
+    corpus?' before mixing. SQL-exact (same tokenization; JSD closed
+    form over the per-pair union vocabulary)."""
+    from schema_validator_ray.functions.text import source_unigram_jsd
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    return source_unigram_jsd(ds, "text", "source")
+
+
 def q_docs_unigram_logprob(sf_dir: str):
     """CCNet-style perplexity scoring (unigram stand-in LM trained on the
     corpus itself): mean ln P(token) per doc — the quality signal behind
@@ -3347,6 +3358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_mmr": q_embeddings_mmr,
         "customers_pseudonymize": q_customers_pseudonymize,
         "docs_unigram_logprob": q_docs_unigram_logprob,
+        "source_unigram_jsd": q_source_unigram_jsd,
         "events_decayed_value": q_events_decayed_value,
         "hamming_pairs_orders": q_hamming_pairs_orders,
         "profile_lineitem": q_profile_lineitem,
@@ -4135,6 +4147,41 @@ def oracle_sql() -> dict[str, str]:
         "orders_customer_bucket_join": """
             SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "source_unigram_jsd": """
+            WITH tk AS (
+              SELECT g, w
+                FROM (SELECT coalesce(CAST(source AS VARCHAR), '') AS g,
+                             unnest(regexp_split_to_array(
+                               lower(coalesce(text, '')), '[^a-z0-9]+'))
+                               AS w
+                        FROM documents)
+               WHERE w <> ''
+            ), f AS (
+              SELECT g, w, count(*) AS c FROM tk GROUP BY g, w
+            ), n AS (
+              SELECT g, CAST(sum(c) AS DOUBLE) AS n FROM f GROUP BY g
+            ), p AS (
+              SELECT f.g, f.w, f.c / n.n AS p FROM f JOIN n USING (g)
+            ), pairs AS (
+              SELECT a.g AS sa, b.g AS sb FROM n a JOIN n b ON a.g < b.g
+            ), cells AS (
+              SELECT x.sa, x.sb, v.w,
+                     coalesce(pa.p, 0) AS pa, coalesce(pb.p, 0) AS pb
+                FROM pairs x
+                CROSS JOIN (SELECT DISTINCT w FROM f) v
+                LEFT JOIN p pa ON pa.g = x.sa AND pa.w = v.w
+                LEFT JOIN p pb ON pb.g = x.sb AND pb.w = v.w
+               WHERE coalesce(pa.p, 0) + coalesce(pb.p, 0) > 0
+            )
+            SELECT sa AS source_a, sb AS source_b,
+                   sum(CASE WHEN pa > 0
+                            THEN 0.5 * pa * ln(pa / ((pa + pb) / 2))
+                            ELSE 0 END
+                     + CASE WHEN pb > 0
+                            THEN 0.5 * pb * ln(pb / ((pa + pb) / 2))
+                            ELSE 0 END) AS jsd
+              FROM cells GROUP BY sa, sb
         """,
         "docs_unigram_logprob": """
             WITH tk AS (

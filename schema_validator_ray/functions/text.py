@@ -569,3 +569,74 @@ def unigram_logprob_score(ds, text_col: str, id_col: str, *,
         return out.filter(pa.array(has))
 
     return narrow.map_batches(score, batch_format="pyarrow")
+
+
+def source_unigram_jsd(ds, text_col: str, group_col: str, *,
+                       cell_max: int = 5_000_000):
+    """Pairwise Jensen–Shannon divergence between the unigram
+    distributions of each ``group_col`` value — the domain-shift /
+    source-similarity signal behind mixing decisions ("these two crawls
+    are near-identical; don't double-weight them"). Natural-log JSD in
+    [0, ln 2]; 0 = identical distributions.
+
+    Movement: per-batch (group, word, cnt) partials (bounded by batch
+    vocabulary × groups present in the batch) → one groupby-sum → the
+    |groups|×|vocab| cell table reaches the driver under a loud
+    ``cell_max`` budget; the pairwise JSD is a dense |groups|²×|vocab|
+    numpy pass. A million-word vocabulary across hundreds of sources is
+    not a driver-sized question — the budget says so loudly."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages._collect import collect_up_to
+
+    def partial(b: pa.Table) -> pa.Table:
+        grp = pc.fill_null(pc.cast(b[group_col], pa.string()), "")
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(b[text_col], "")), WORD_SPLIT_RE)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        g = pc.take(grp, parents)
+        t = pa.table({"g": g, "w": flat}).filter(pc.not_equal(flat, ""))
+        agg = t.group_by(["g", "w"]).aggregate([([], "count_all")])
+        return pa.table({"g": agg["g"], "w": agg["w"],
+                         "cnt": pc.cast(agg["count_all"], pa.int64())})
+
+    cells = (ds.select_columns([group_col, text_col])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby(["g", "w"]).aggregate(Sum("cnt", alias_name="cnt")))
+    parts, over = collect_up_to(cells, cell_max)
+    empty = pa.table({"source_a": pa.array([], pa.string()),
+                      "source_b": pa.array([], pa.string()),
+                      "jsd": pa.array([], pa.float64())})
+    if over:
+        raise ValueError(
+            f"source_unigram_jsd: |groups|x|vocab| cells exceed cell_max="
+            f"{cell_max} — trim the vocabulary (top-k) or raise the budget")
+    if not parts:
+        return rd.from_arrow(empty)
+    df = pa.concat_tables(parts).to_pandas()
+    piv = df.pivot_table(index="w", columns="g", values="cnt",
+                         aggfunc="sum", fill_value=0.0)
+    P = piv.to_numpy(np.float64)
+    P = P / P.sum(axis=0, keepdims=True)
+    groups = list(piv.columns)
+    rows_a, rows_b, rows_j = [], [], []
+    for i in range(len(groups)):
+        for j in range(i + 1, len(groups)):
+            p, q = P[:, i], P[:, j]
+            m = 0.5 * (p + q)
+            kl_p = np.sum(np.where(p > 0, p * np.log(
+                np.divide(p, m, out=np.ones_like(p), where=m > 0)), 0.0))
+            kl_q = np.sum(np.where(q > 0, q * np.log(
+                np.divide(q, m, out=np.ones_like(q), where=m > 0)), 0.0))
+            rows_a.append(groups[i])
+            rows_b.append(groups[j])
+            rows_j.append(0.5 * kl_p + 0.5 * kl_q)
+    return rd.from_arrow(pa.table({
+        "source_a": pa.array(rows_a, pa.string()),
+        "source_b": pa.array(rows_b, pa.string()),
+        "jsd": pa.array(rows_j, pa.float64())}))

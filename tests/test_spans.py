@@ -369,3 +369,22 @@ def test_unigram_logprob_oov_floor(ray_session):
     with pytest.raises(ValueError, match="vocab_max"):
         unigram_logprob_score(rd.from_pandas(df), "text", "doc_id",
                               vocab_max=10).to_pandas()
+
+
+def test_source_unigram_jsd(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.functions.text import source_unigram_jsd
+
+    df = pd.DataFrame({
+        "src": ["a", "a", "b", "b", "c"],
+        "text": ["x y z", "x y", "x y z", "y x", "q q q r"],
+    })
+    out = (source_unigram_jsd(rd.from_pandas(df).repartition(3),
+                              "text", "src")
+           .to_pandas().set_index(["source_a", "source_b"])["jsd"])
+    # a and b share the same token multiset ratios? a: x2 y2 z1, b: x2 y2 z1
+    assert abs(out[("a", "b")]) < 1e-12          # identical distributions
+    assert out[("a", "c")] > 0.5                  # disjoint vocab -> ~ln 2
+    assert abs(out[("a", "c")] - np.log(2)) < 1e-9
+    assert len(out) == 3
