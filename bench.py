@@ -154,6 +154,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "orders_customer_bucket_join",
         "docs_stream_dedup",
         "orders_range_parts",
+        "docs_unigram_logprob",
+        "source_unigram_jsd",
+        "docs_budget_head",
+        "events_hourly_anomaly",
         "events_decayed_value",
     ]
     qs = m.queries()
