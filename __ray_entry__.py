@@ -1618,6 +1618,18 @@ def q_images_phash_neardup(sf_dir: str):
                               max_bucket_size=4096)
 
 
+def q_docs_bigram_pmi(sf_dir: str):
+    """Collocation extraction: top-50 corpus bigrams by count with PMI
+    (phrase-mining / tokenizer-merge signal). Distributed sort+limit
+    picks the winners — the bigram table never reaches the driver; PMI
+    attaches map-side from the broadcast unigram counts. SQL-exact (same
+    tokenization, positional pairing, identical tie order)."""
+    from schema_validator_ray.functions.text import bigram_pmi_topk
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return bigram_pmi_topk(ds, "text", k=50)
+
+
 def q_source_unigram_jsd(sf_dir: str):
     """Domain-shift matrix: pairwise Jensen–Shannon divergence between
     each source's unigram distribution — 'are these two crawls the same
@@ -3359,6 +3371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_pseudonymize": q_customers_pseudonymize,
         "docs_unigram_logprob": q_docs_unigram_logprob,
         "source_unigram_jsd": q_source_unigram_jsd,
+        "docs_bigram_pmi": q_docs_bigram_pmi,
         "events_decayed_value": q_events_decayed_value,
         "hamming_pairs_orders": q_hamming_pairs_orders,
         "profile_lineitem": q_profile_lineitem,
@@ -4147,6 +4160,35 @@ def oracle_sql() -> dict[str, str]:
         "orders_customer_bucket_join": """
             SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "docs_bigram_pmi": """
+            WITH toks AS (
+              SELECT list_filter(regexp_split_to_array(
+                       lower(coalesce(text, '')), '[^a-z0-9]+'),
+                       x -> x <> '') AS l
+                FROM documents
+            ), bg AS (
+              SELECT l[i] AS a, l[i + 1] AS b
+                FROM (SELECT l, unnest(generate_series(1, len(l) - 1))
+                               AS i
+                        FROM toks WHERE len(l) >= 2)
+            ), bc AS (
+              SELECT a, b, CAST(count(*) AS BIGINT) AS cnt
+                FROM bg GROUP BY a, b
+            ), uni AS (
+              SELECT w, count(*) AS c
+                FROM (SELECT unnest(l) AS w FROM toks) GROUP BY w
+            ), tot AS (
+              SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni
+            ), top AS (
+              SELECT a, b, cnt FROM bc
+               ORDER BY cnt DESC, a, b LIMIT 50
+            )
+            SELECT t.a, t.b, t.cnt,
+                   ln(t.cnt * tot.n / (ua.c * ub.c)) AS pmi
+              FROM top t
+              JOIN uni ua ON ua.w = t.a
+              JOIN uni ub ON ub.w = t.b, tot
         """,
         "source_unigram_jsd": """
             WITH tk AS (

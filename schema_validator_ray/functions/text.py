@@ -640,3 +640,91 @@ def source_unigram_jsd(ds, text_col: str, group_col: str, *,
         "source_a": pa.array(rows_a, pa.string()),
         "source_b": pa.array(rows_b, pa.string()),
         "jsd": pa.array(rows_j, pa.float64())}))
+
+
+def bigram_pmi_topk(ds, text_col: str, *, k: int = 50,
+                    vocab_max: int = 2_000_000):
+    """Collocation extraction: the corpus's top-``k`` bigrams by count
+    (ties → (a, b) ascending) with their pointwise mutual information
+    ``pmi = ln(c_ab · N_uni / (c_a · c_b))`` — high-count high-PMI pairs
+    are multiword expressions ("new york"), high-count LOW-PMI pairs are
+    chance collocations of frequent words; both matter for tokenizer and
+    phrase-mining decisions.
+
+    Movement: per-batch (a, b, cnt) partials bounded by the batch's
+    bigram vocabulary → groupby-sum → DISTRIBUTED sort+limit picks the
+    top-k (the bigram table never reaches the driver); unigram counts
+    (loud ``vocab_max`` budget) broadcast once and PMI attaches to the
+    k winner rows only. Adjacency is over the empty-filtered token
+    sequence — identical to the SQL oracle's list_filter + positional
+    pairing."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages._collect import collect_up_to
+
+    def bigram_partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(b[text_col], "")), WORD_SPLIT_RE)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        fw = flat.to_numpy(zero_copy_only=False)[keep]
+        parents = parents[keep]
+        if len(fw) < 2:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        adj = parents[1:] == parents[:-1]
+        t = pa.table({"a": pa.array(fw[:-1][adj]),
+                      "b": pa.array(fw[1:][adj])})
+        agg = t.group_by(["a", "b"]).aggregate([([], "count_all")])
+        return pa.table({"a": agg["a"], "b": agg["b"],
+                         "cnt": pc.cast(agg["count_all"], pa.int64())})
+
+    top = (ds.select_columns([text_col])
+           .map_batches(bigram_partial, batch_format="pyarrow")
+           .groupby(["a", "b"]).aggregate(Sum("cnt", alias_name="cnt"))
+           .sort(["cnt", "a", "b"], descending=[True, False, False])
+           .limit(k))
+
+    uni = (ds.select_columns([text_col]).map_batches(
+        lambda b: word_count_partial(b[text_col]), batch_format="pyarrow")
+        .groupby("word").aggregate(Sum("cnt", alias_name="cnt")))
+    parts, over = collect_up_to(uni, vocab_max)
+    if over:
+        raise ValueError(f"bigram_pmi_topk: unigram vocabulary exceeds "
+                         f"vocab_max={vocab_max}")
+    if not parts:
+        return top.map_batches(
+            lambda b: b.append_column("pmi", pa.nulls(b.num_rows,
+                                                      pa.float64())),
+            batch_format="pyarrow")
+    ut = pa.concat_tables(parts)
+    words = ut["word"].to_numpy(zero_copy_only=False)
+    cnts = ut["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.argsort(words, kind="stable")
+    words, cnts = words[order], cnts[order]
+    n_uni = cnts.sum()
+    ref = ray.put((words, cnts, n_uni))
+
+    def attach_pmi(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        w_sorted, wc, n = _ray.get(ref)
+
+        def lookup(col):
+            v = col.to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(w_sorted, v)
+            idx[idx == len(w_sorted)] = 0
+            return np.where(w_sorted[idx] == v, wc[idx], np.nan)
+
+        ca, cb = lookup(b["a"]), lookup(b["b"])
+        c = b["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.log(c * n / (ca * cb))
+        return b.append_column("pmi", pa.array(pmi, pa.float64()))
+
+    return top.map_batches(attach_pmi, batch_format="pyarrow")

@@ -388,3 +388,25 @@ def test_source_unigram_jsd(ray_session):
     assert out[("a", "c")] > 0.5                  # disjoint vocab -> ~ln 2
     assert abs(out[("a", "c")] - np.log(2)) < 1e-9
     assert len(out) == 3
+
+
+def test_bigram_pmi_topk(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from schema_validator_ray.functions.text import bigram_pmi_topk
+
+    df = pd.DataFrame({"text": ["new york new york", "new york city",
+                                "the city", None, "x--y x y"]})
+    out = (bigram_pmi_topk(rd.from_pandas(df).repartition(3), "text",
+                           k=3).to_pandas())
+    # counts: (new,york)=3, (x,y)=2, (york,new)=1, (york,city)=1, ...
+    assert out.iloc[0][["a", "b", "cnt"]].tolist() == ["new", "york", 3]
+    assert out.iloc[1][["a", "b", "cnt"]].tolist() == ["x", "y", 2]
+    # punctuation between tokens does NOT break adjacency (filtered seq)
+    # PMI closed form for the winner
+    # tokens: new,york,new,york | new,york,city | the,city | x,y,x,y
+    tot = 13
+    exp = math.log(3 * tot / (3 * 3))
+    assert abs(out.iloc[0]["pmi"] - exp) < 1e-12
