@@ -1618,6 +1618,19 @@ def q_images_phash_neardup(sf_dir: str):
                               max_bucket_size=4096)
 
 
+def q_knn_hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive training: each vector's top-3
+    most-similar vectors with a DIFFERENT label — the near-boundary
+    negatives that move the loss. knn_self_join's broadcast-matmul shape
+    plus a same-label mask; SQL-oracled via the same QUALIFY pattern with
+    a label inequality."""
+    from schema_validator_ray.stages.similarity import knn_hard_negatives
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    return knn_hard_negatives(ds, k=3).select_columns(
+        ["vec_id", "neighbor_id"])
+
+
 def q_docs_bigram_pmi(sf_dir: str):
     """Collocation extraction: top-50 corpus bigrams by count with PMI
     (phrase-mining / tokenizer-merge signal). Distributed sort+limit
@@ -3372,6 +3385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_unigram_logprob": q_docs_unigram_logprob,
         "source_unigram_jsd": q_source_unigram_jsd,
         "docs_bigram_pmi": q_docs_bigram_pmi,
+        "knn_hard_negatives": q_knn_hard_negatives,
         "events_decayed_value": q_events_decayed_value,
         "hamming_pairs_orders": q_hamming_pairs_orders,
         "profile_lineitem": q_profile_lineitem,
@@ -4160,6 +4174,19 @@ def oracle_sql() -> dict[str, str]:
         "orders_customer_bucket_join": """
             SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "knn_hard_negatives": """
+            SELECT a.vec_id, b.vec_id AS neighbor_id
+              FROM embeddings a JOIN embeddings b
+                ON a.vec_id <> b.vec_id AND a.label <> b.label
+             WHERE a.label IS NOT NULL AND b.label IS NOT NULL
+               AND a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY a.vec_id
+                ORDER BY round(list_cosine_similarity(
+                    CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                    b.vec_id) <= 3
         """,
         "docs_bigram_pmi": """
             WITH toks AS (

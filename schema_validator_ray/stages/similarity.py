@@ -133,11 +133,13 @@ class _SelfJoinTopK:
     neighbor_id — the same (score DESC, neighbor_id ASC) order the SQL
     QUALIFY oracle uses."""
 
-    def __init__(self, emb_col: str, id_col: str, ref, k: int):
+    def __init__(self, emb_col: str, id_col: str, ref, k: int,
+                 label_col: str | None = None):
         self.emb_col = emb_col
         self.id_col = id_col
         self.ref = ref
         self.k = k
+        self.label_col = label_col  # set -> SAME-label columns masked too
         self._corpus = None
         self._buf = None
 
@@ -152,9 +154,12 @@ class _SelfJoinTopK:
 
         if self._corpus is None:
             self._corpus = ray.get(self.ref)
-        ids_all, mat_all = self._corpus
+        ids_all, mat_all = self._corpus[0], self._corpus[1]
+        labels_all = self._corpus[2] if len(self._corpus) > 2 else None
         mat = _normalize(_to_matrix(batch[self.emb_col]))
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        labs = (batch[self.label_col].to_numpy(zero_copy_only=False)
+                if self.label_col else None)
         n = len(ids_all)
         k = min(self.k, n - 1)
         if k <= 0:
@@ -172,6 +177,9 @@ class _SelfJoinTopK:
             sims = np.dot(sub, mat_all.T, out=self._buf[:len(sub)])
             np.round(sims, 6, out=sims)               # oracle 6dp tie order
             sims[ids[s:s + chunk, None] == ids_all[None, :]] = -np.inf
+            if labs is not None:
+                sims[labs[s:s + chunk, None] == labels_all[None, :]] \
+                    = -np.inf
             order = _topk_rows(sims, k)
             out_id.append(np.repeat(ids[s:s + chunk], k))
             out_nb.append(ids_all[order.ravel()])
@@ -209,18 +217,21 @@ def knn_self_join(ds, *, emb_col: str = "embedding", id_col: str = "vec_id",
 
 
 def _gather_corpus(ds, emb_col: str, id_col: str,
-                   max_rows: int) -> pa.Table:
+                   max_rows: int, extra_cols: list | None = None
+                   ) -> pa.Table:
     from ._collect import collect_up_to
 
-    parts, over = collect_up_to(ds.select_columns([id_col, emb_col]),
-                                max_rows)
+    cols = [id_col, emb_col, *(extra_cols or [])]
+    parts, over = collect_up_to(ds.select_columns(cols), max_rows)
     if over:
         raise ValueError(
             f"knn_self_join corpus exceeds the {max_rows}-row broadcast "
             "budget; use knn_join_ivf (cell-co-partitioned) instead")
     if not parts:
-        return pa.table({id_col: pa.array([], pa.int64()),
-                         emb_col: pa.array([], pa.list_(pa.float32()))})
+        return pa.table(
+            {id_col: pa.array([], pa.int64()),
+             emb_col: pa.array([], pa.list_(pa.float32()))}
+            | {c: pa.array([], pa.int64()) for c in (extra_cols or [])})
     return pa.concat_tables(parts)
 
 
@@ -1049,3 +1060,33 @@ def mmr_select(ds, *, emb_col: str = "embedding", id_col: str = "vec_id",
                      "rank": pa.array(out_rank, pa.int64()),
                      "relevance": pa.array(out_rel, pa.float64()),
                      "mmr_score": pa.array(out_score, pa.float64())})
+
+
+def knn_hard_negatives(ds, *, emb_col: str = "embedding",
+                       id_col: str = "vec_id", label_col: str = "label",
+                       k: int = 5, batch_size: int = 4096,
+                       max_broadcast_rows: int = 2_000_000):
+    """Hard-negative mining for contrastive training: each row's top-``k``
+    most-similar rows with a DIFFERENT label (the near-boundary negatives
+    that actually move a contrastive loss). Same exact broadcast-matmul
+    shape as :func:`knn_self_join` with a same-label mask on top; rows
+    with a NULL label are excluded from both sides (SQL ``<>``
+    semantics — NULL labels match nothing)."""
+    import ray
+
+    clean = ds.select_columns([id_col, emb_col, label_col]).map_batches(
+        lambda b: b.drop_null(), batch_format="pyarrow")
+    t = _gather_corpus(clean, emb_col, id_col, max_broadcast_rows,
+                       extra_cols=[label_col])
+    ids_all = t[id_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids_all, kind="stable")
+    ids_all = np.ascontiguousarray(ids_all[order])
+    if np.issubdtype(ids_all.dtype, np.integer):
+        ids_all = ids_all.astype(np.int64)
+    labels_all = np.ascontiguousarray(
+        t[label_col].to_numpy(zero_copy_only=False)[order])
+    mat_all = _normalize(_to_matrix(t[emb_col]))[order]
+    ref = ray.put((ids_all, np.ascontiguousarray(mat_all), labels_all))
+    return clean.map_batches(
+        _SelfJoinTopK(emb_col, id_col, ref, k, label_col=label_col),
+        batch_format="pyarrow", batch_size=batch_size)

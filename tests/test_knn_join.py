@@ -283,3 +283,34 @@ def test_mmr_pool_limits_candidates(ray_session):
                      candidate_pool=10)
     assert out.num_rows == 5
     assert out["rank"].to_pylist() == [0, 1, 2, 3, 4]
+
+
+def test_hard_negatives_excludes_same_label(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.similarity import knn_hard_negatives
+
+    df = _emb_df(13, 150, dim=8, clusters=3)
+    rng = np.random.default_rng(4)
+    lab = rng.integers(0, 3, 150).astype(np.int64)
+    lab[5] = lab[3]  # ensure clones (rows 3 and 7 identical) share labels?
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(150, dtype=np.int64)),
+        "embedding": pa.array(df["embedding"].tolist(),
+                              pa.list_(pa.float32())),
+        "label": pa.array(lab)})).repartition(4)
+    out = knn_hard_negatives(ds, k=4).to_pandas()
+    labmap = dict(zip(range(150), lab))
+    assert len(out) == 150 * 4
+    for vid, nid in zip(out["vec_id"], out["neighbor_id"]):
+        assert labmap[vid] != labmap[nid]
+        assert vid != nid
+    # brute parity for one row: top-4 different-label neighbors of row 0
+    M = np.vstack(df["embedding"].to_numpy()).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    sims = np.round(M @ M[0], 6)
+    cand = [(-s, i) for i, s in enumerate(sims)
+            if i != 0 and lab[i] != lab[0]]
+    exp = [i for _, i in sorted(cand)[:4]]
+    got0 = out[out["vec_id"] == 0]["neighbor_id"].tolist()
+    assert got0 == exp
