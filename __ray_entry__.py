@@ -1618,6 +1618,18 @@ def q_images_phash_neardup(sf_dir: str):
                               max_bucket_size=4096)
 
 
+def q_embeddings_balanced(sf_dir: str):
+    """Class-balanced oversampling: rows repeat floor(max_class/n_class)
+    times (capped, >=1) with a 1-based rep index — deterministic
+    minority-class parity before training. SQL mirrors with a counts CTE
+    + lateral generate_series."""
+    from schema_validator_ray.stages.sampling import balanced_resample
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label"])
+    return balanced_resample(ds, "label", factor_cap=4).select_columns(
+        ["vec_id", "label", "rep"])
+
+
 def q_knn_hard_negatives(sf_dir: str):
     """Hard-negative mining for contrastive training: each vector's top-3
     most-similar vectors with a DIFFERENT label — the near-boundary
@@ -3386,6 +3398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_unigram_jsd": q_source_unigram_jsd,
         "docs_bigram_pmi": q_docs_bigram_pmi,
         "knn_hard_negatives": q_knn_hard_negatives,
+        "embeddings_balanced": q_embeddings_balanced,
         "events_decayed_value": q_events_decayed_value,
         "hamming_pairs_orders": q_hamming_pairs_orders,
         "profile_lineitem": q_profile_lineitem,
@@ -4174,6 +4187,23 @@ def oracle_sql() -> dict[str, str]:
         "orders_customer_bucket_join": """
             SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "embeddings_balanced": """
+            WITH c AS (
+              SELECT label, count(*) AS n FROM embeddings
+               WHERE label IS NOT NULL GROUP BY label
+            ), mx AS (
+              SELECT max(n) AS m FROM c
+            ), f AS (
+              SELECT label,
+                     greatest(least(4, CAST(floor(m * 1.0 / n) AS BIGINT)),
+                              1) AS fct
+                FROM c, mx
+            )
+            SELECT e.vec_id, e.label, CAST(t.rep AS BIGINT) AS rep
+              FROM embeddings e
+              JOIN f USING (label),
+                   unnest(generate_series(1, f.fct)) AS t(rep)
         """,
         "knn_hard_negatives": """
             SELECT a.vec_id, b.vec_id AS neighbor_id

@@ -327,3 +327,72 @@ def assign_range_partitions(ds, col: str, n_parts: int, *,
         return b.append_column(out_col, pa.array(pid.astype(np.int64)))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def balanced_resample(ds, label_col: str, *, factor_cap: int = 8,
+                      labels_max: int = 1_000_000):
+    """Deterministic class-balanced oversampling: each row repeats
+    ``min(factor_cap, floor(max_class_count / class_count))`` times
+    (≥1), appending a 1-based ``rep`` index — the reproducible
+    "duplicate the minority classes to parity" pass a training-prep
+    pipeline runs before shuffling (downstream dedup-by-(id, rep) or
+    epoch-level shuffling treats each repetition as a distinct sample).
+
+    Movement: a (label, count) census (per-batch partials, loud
+    ``labels_max`` budget) broadcasts the factor map once; the explode is
+    MAP-ONLY (np.repeat + vectorized per-row rep indices) and output
+    volume is bounded by ``factor_cap`` × input."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ._collect import collect_up_to
+
+    def census(b: pa.Table) -> pa.Table:
+        t = b.select([label_col]).drop_null()
+        agg = t.group_by(label_col).aggregate([([], "count_all")])
+        return pa.table({label_col: agg[label_col],
+                         "n": pc.cast(agg["count_all"], pa.int64())})
+
+    counts = (ds.map_batches(census, batch_format="pyarrow")
+              .groupby(label_col).aggregate(Sum("n", alias_name="n")))
+    parts, over = collect_up_to(counts, labels_max)
+    if over:
+        raise ValueError(f"balanced_resample: label cardinality exceeds "
+                         f"labels_max={labels_max}")
+    if not parts:
+        return ds.map_batches(
+            lambda b: b.append_column("rep", pa.array(
+                np.ones(b.num_rows, np.int64))).filter(
+                pa.array(np.zeros(b.num_rows, bool))),
+            batch_format="pyarrow")
+    ct = pa.concat_tables(parts)
+    labs = ct[label_col].to_numpy(zero_copy_only=False)
+    ns = ct["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    mx = ns.max()
+    fct = np.minimum(factor_cap, np.floor(mx / ns)).astype(np.int64)
+    fct = np.maximum(fct, 1)
+    order = np.argsort(labs, kind="stable")
+    ref = ray.put((labs[order], fct[order]))
+
+    def explode(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ls, fs = _ray.get(ref)
+        t = b.filter(pc.is_valid(b[label_col]))
+        if t.num_rows == 0:
+            return t.append_column("rep", pa.array([], pa.int64()))
+        lv = t[label_col].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ls, lv)
+        idx[idx == len(ls)] = 0
+        reps = np.where(ls[idx] == lv, fs[idx], 1).astype(np.int64)
+        take = np.repeat(np.arange(t.num_rows), reps)
+        total = int(reps.sum())
+        rep_no = (np.arange(total)
+                  - np.repeat(np.cumsum(reps) - reps, reps) + 1)
+        return t.take(pa.array(take)).append_column(
+            "rep", pa.array(rep_no.astype(np.int64)))
+
+    return ds.map_batches(explode, batch_format="pyarrow")

@@ -280,3 +280,33 @@ def test_assign_range_partitions_matches_numpy(ray_session):
     # row counts per part are near-equal (within the tie mass)
     counts = out.value_counts()
     assert counts.min() > 300 and counts.max() < 700
+
+
+def test_balanced_resample(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_validator_ray.stages.sampling import balanced_resample
+
+    # imbalanced: label 0 x 60, label 1 x 12, label 2 x 5, + nulls
+    lab = [0] * 60 + [1] * 12 + [2] * 5 + [None] * 3
+    df = pd.DataFrame({"id": np.arange(80, dtype=np.int64),
+                       "label": pd.array(lab, dtype="Int64")})
+    out = (balanced_resample(rd.from_pandas(df).repartition(4), "label",
+                             factor_cap=8)
+           .to_pandas())
+    cnt = out.groupby("label")["id"].count()
+    # factors: 0 -> 1, 1 -> floor(60/12)=5, 2 -> floor(60/5)=8 (cap hit... 12)
+    assert cnt[0] == 60 and cnt[1] == 12 * 5 and cnt[2] == 5 * 8
+    # rep indices are 1..factor per source row
+    reps2 = out[out["label"] == 2].groupby("id")["rep"].apply(list)
+    assert all(sorted(r) == list(range(1, 9)) for r in reps2)
+    # null labels dropped
+    assert out["label"].notna().all()
+
+    # cap binds: factor_cap=3 clamps label 2's 12x to 3x
+    out2 = (balanced_resample(rd.from_pandas(df), "label", factor_cap=3)
+            .to_pandas())
+    c2 = out2.groupby("label")["id"].count()
+    assert c2[1] == 12 * 3 and c2[2] == 5 * 3
