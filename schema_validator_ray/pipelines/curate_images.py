@@ -167,7 +167,14 @@ def run_curate_resumable(input_paths: list, out_dir: str, *,
 
     os.makedirs(out_dir, exist_ok=True)
     inputs = {f"{i:05d}": p for i, p in enumerate(sorted(input_paths))}
+    # Curation parameters are part of every cache key: re-running with a
+    # different threshold on the same out_dir must invalidate BOTH the
+    # phase-1 dominated set and the per-shard done markers (round-4
+    # advice — otherwise output silently mixes old and new thresholds).
+    params_sig = (f"ms={min_sharpness!r},sf={max_saturated_frac!r},"
+                  f"hd={max_hamming},bk={max_bucket_size}")
     inputs_digest = "|".join(f"{k}:{_digest(p)}" for k, p in inputs.items())
+    inputs_digest += f"|params:{params_sig}"
 
     # ---- phase 1: global dominated set (cached by inputs digest) -------
     dom_path = os.path.join(out_dir, "dominated.parquet")
@@ -210,7 +217,9 @@ def run_curate_resumable(input_paths: list, out_dir: str, *,
 
     # ---- phase 2: per-shard rewrite under the manifest ------------------
     man = Manifest(out_dir)
-    done = man.done_partitions(inputs)
+    shard_digests = {pid: f"{_digest(p)}|{params_sig}"
+                     for pid, p in inputs.items()}
+    done = man.done_fragments(shard_digests)
     ran, skipped, failed = [], [], []
     curated_rows = 0
     for pid, path in inputs.items():
@@ -243,7 +252,8 @@ def run_curate_resumable(input_paths: list, out_dir: str, *,
                        attempt=attempt, rows=0, failed_rows=0,
                        violations=0,
                        wall_seconds=time.perf_counter() - t0,
-                       job_id=job_id, verdict="fail")
+                       job_id=job_id, verdict="fail",
+                       input_digest=shard_digests[pid])
             failed.append(pid)
             continue
         in_rows = pq.read_metadata(path).num_rows
@@ -255,7 +265,7 @@ def run_curate_resumable(input_paths: list, out_dir: str, *,
                    failed_rows=in_rows - tbl.num_rows,
                    violations=in_rows - tbl.num_rows,
                    wall_seconds=time.perf_counter() - t0, job_id=job_id,
-                   verdict="pass")
+                   verdict="pass", input_digest=shard_digests[pid])
         curated_rows += tbl.num_rows
         ran.append(pid)
     return {"ran": ran, "skipped": skipped, "failed": failed,

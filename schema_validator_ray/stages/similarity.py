@@ -181,9 +181,15 @@ class _SelfJoinTopK:
                 sims[labs[s:s + chunk, None] == labels_all[None, :]] \
                     = -np.inf
             order = _topk_rows(sims, k)
-            out_id.append(np.repeat(ids[s:s + chunk], k))
-            out_nb.append(ids_all[order.ravel()])
-            out_s.append(np.take_along_axis(sims, order, 1).ravel().copy())
+            scores = np.take_along_axis(sims, order, 1)
+            # A row with fewer than k unmasked candidates (label masking can
+            # eliminate most of the corpus) would otherwise emit -inf-scored
+            # same-label / self entries — emit min(k, valid) rows instead,
+            # matching the SQL QUALIFY oracle.
+            valid = (scores > -np.inf).ravel()
+            out_id.append(np.repeat(ids[s:s + chunk], k)[valid])
+            out_nb.append(ids_all[order.ravel()[valid]])
+            out_s.append(scores.ravel()[valid].copy())
         return pa.table({
             "vec_id": pa.array(np.concatenate(out_id), idt),
             "neighbor_id": pa.array(np.concatenate(out_nb), idt),

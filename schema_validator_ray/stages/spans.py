@@ -38,6 +38,11 @@ import pyarrow.compute as pc
 from ..functions.sketches import hash64_ints
 from ._collect import collect_up_to
 
+# One StringArray's int32 offsets cap its value buffer at 2 GiB; a single
+# doc whose unique-window count × k exceeds this must be chunked (module
+# constant so tests can exercise the chunk path without a 2 GiB doc).
+_I32_OFFSET_LIMIT = 2**31
+
 _N_GROUPS = 256  # coarse shuffle groups (the repo's standard pattern)
 
 
@@ -116,9 +121,23 @@ class _SpanExplode:
                 buf = u.tobytes()
                 mat = np.frombuffer(buf, np.uint8).reshape(n, k)
                 if not self.hashes_only:
-                    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * k)
-                    spans_parts.append(pa.StringArray.from_buffers(
-                        n, offsets.buffers()[1], pa.py_buffer(buf)))
+                    if (n + 1) * k < _I32_OFFSET_LIMIT:
+                        offsets = pa.array(
+                            np.arange(n + 1, dtype=np.int32) * k)
+                        spans_parts.append(pa.StringArray.from_buffers(
+                            n, offsets.buffers()[1], pa.py_buffer(buf)))
+                    else:
+                        # int32 offsets would overflow (one doc's unique
+                        # windows × k > 2 GiB): chunk the span list so each
+                        # StringArray stays under the int32 offset limit
+                        step = max(1, (_I32_OFFSET_LIMIT - 1) // k - 1)
+                        for s0 in range(0, n, step):
+                            m = min(step, n - s0)
+                            off = pa.array(
+                                np.arange(m + 1, dtype=np.int32) * k)
+                            spans_parts.append(pa.StringArray.from_buffers(
+                                m, off.buffers()[1],
+                                pa.py_buffer(buf[s0 * k:(s0 + m) * k])))
             else:  # multibyte chars: per-row character windows
                 uniq = sorted({t[j:j + k] for j in range(len(t) - k + 1)})
                 n = len(uniq)

@@ -149,6 +149,18 @@ def test_run_curate_resumable(ray_session, tmp_path):
                               max_saturated_frac=0.9)
     assert r3["ran"] == ["00000"] and len(r3["skipped"]) == 2
 
+    # changing a curation PARAMETER invalidates everything: the dominated
+    # cache and all done shards (round-4 advice — same inputs, new
+    # thresholds must not reuse stale state)
+    r4 = run_curate_resumable(shards, out, min_sharpness=0.0,
+                              max_saturated_frac=1.0)
+    assert sorted(r4["ran"]) == ["00000", "00001", "00002"]
+    assert r4["skipped"] == []
+    # relaxed thresholds admit blurry + satur into the phash pass, where
+    # hamming(0, 7) = 3 absorbs them into huge-1's cluster: the dominated
+    # set MUST be recomputed (5, was 3) — stale-cache reuse would keep 3
+    assert r4["dominated"] == 5
+
 
 def test_cli_curate(ray_session, tmp_path):
     """Drive the curate subcommand end-to-end: run then resume."""

@@ -314,3 +314,28 @@ def test_hard_negatives_excludes_same_label(ray_session):
     exp = [i for _, i in sorted(cand)[:4]]
     got0 = out[out["vec_id"] == 0]["neighbor_id"].tolist()
     assert got0 == exp
+
+
+def test_hard_negatives_fewer_than_k_candidates(ray_session):
+    """A row with < k different-label candidates must emit only the valid
+    ones — never -inf-scored same-label / self fillers (round-4 advice)."""
+    import ray.data as rd
+
+    from schema_validator_ray.stages.similarity import knn_hard_negatives
+
+    rng = np.random.default_rng(7)
+    V = rng.normal(size=(6, 4))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    lab = np.array([0, 0, 0, 0, 0, 1], dtype=np.int64)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(6, dtype=np.int64)),
+        "embedding": pa.array([v.astype(np.float32).tolist() for v in V],
+                              pa.list_(pa.float32())),
+        "label": pa.array(lab)}))
+    out = knn_hard_negatives(ds, k=3).to_pandas()
+    # label-0 rows have exactly ONE different-label candidate (row 5);
+    # the label-1 row has five, capped at k=3.
+    assert len(out) == 5 * 1 + 3
+    assert np.isfinite(out["cosine"]).all()
+    for vid, nid in zip(out["vec_id"], out["neighbor_id"]):
+        assert lab[vid] != lab[nid] and vid != nid

@@ -410,3 +410,26 @@ def test_bigram_pmi_topk(ray_session):
     tot = 13
     exp = math.log(3 * tot / (3 * 3))
     assert abs(out.iloc[0]["pmi"] - exp) < 1e-12
+
+
+def test_span_explode_i32_offset_chunking(monkeypatch):
+    """A doc whose unique-window bytes exceed the int32 offset limit must
+    chunk the StringArray instead of silently overflowing (round-4 advice).
+    Exercised by patching the limit down — same code path, tiny doc."""
+    from schema_validator_ray.stages import spans as sp
+
+    k = 8
+    text = "".join(chr(97 + (i * 7) % 26) for i in range(200))  # ASCII
+    tbl = pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "text": pa.array([text], pa.string())})
+
+    big = sp._SpanExplode("text", "doc_id", k)(tbl)
+
+    # limit small enough that (n+1)*k overflows it -> chunked path
+    monkeypatch.setattr(sp, "_I32_OFFSET_LIMIT", 41 * k)
+    small = sp._SpanExplode("text", "doc_id", k)(tbl)
+
+    assert big.num_rows == small.num_rows == len(
+        {text[i:i + k] for i in range(len(text) - k + 1)})
+    assert sorted(big["g"].to_pylist()) == sorted(small["g"].to_pylist())
+    assert big["h"].to_pylist() == small["h"].to_pylist()
