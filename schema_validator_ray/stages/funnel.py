@@ -5,11 +5,13 @@ vs SURVEY.md §2.7 windowed-operator family).
 
 Distributed shape: ONE exchange. Events pre-filter map-side to the step
 types (columns pruned to (user, ts µs, step index) — three narrow columns),
-hash-partition by user, and each ``groupby(user)`` group walks the step
-chain with numpy masks: t1 = min ts of step 1, t_i = min ts of step i in
-``(t_{i-1}, t_{i-1}+window]``. A group is bounded by ONE user's step-typed
-events — the same bound the equivalent SQL chain of correlated mins has; no
-join, no broadcast, nothing driver-side.
+hash-partition by user SHARD (64 shards, not per-user groups: Ray's
+per-group invocation cost × |users| would dominate at 10^8 users — the
+``followed_by`` lesson), and each shard walks ALL its users' step chains
+simultaneously with ``np.minimum.at`` scatter-mins over factorized user
+codes: t1[u] = min ts of step 1, t_i[u] = min ts of step i in
+``(t_{i-1}[u], t_{i-1}[u]+window]``. Work per shard is O(n_steps × rows),
+fully vectorized; a hot user is bounded by their own step-typed events.
 
 (The first cut composed per-step ``Dataset.join``s; Ray 2.49 emits
 zero-column pandas blocks for empty aggregate/join partitions and a
@@ -40,6 +42,8 @@ def funnel(events, *, user_col: str, ts_col: str, type_col: str,
     t_cols = [f"t{i}" for i in range(1, n + 1)]
 
     def narrow(b: pa.Table) -> pa.Table:
+        from .asof import _shard_of
+
         m = pc.is_in(b[type_col], value_set=pa.array(steps))
         t = b.filter(m)
         # index_in maps each row's type to its step index; normalize the
@@ -51,40 +55,50 @@ def funnel(events, *, user_col: str, ts_col: str, type_col: str,
         return pa.table({
             user_col: t[user_col],
             "_ts": pc.cast(ts, pa.int64()),
-            "_step": pc.cast(ix, pa.int8())})
+            "_step": pc.cast(ix, pa.int8()),
+            "_shard": pa.array(_shard_of(t[user_col], 64))})
 
-    def walk(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["_ts"].to_numpy()
-        st = g["_step"].to_numpy()
-        out = {}
-        prev = None
-        for i in range(n):
-            mine = ts[st == i]
-            if prev is None:                       # step 1: plain min
-                cand = mine
-            else:
-                cand = mine[(mine > prev) & (mine <= prev + window_us)]
-            if len(cand) == 0:
-                if i == 0:
-                    return pd.DataFrame(
-                        {user_col: pd.Series([], dtype=g[user_col].dtype)}
-                        | {c: pd.Series([], dtype="float64")
-                           for c in t_cols})
-                # remaining steps are unreachable
-                for j in range(i, n):
-                    out[t_cols[j]] = np.nan
-                break
-            prev = int(cand.min())
-            out[t_cols[i]] = float(prev)
+    def walk_shard(g: pa.Table) -> pa.Table:
+        utype = g[user_col].type
+        empty = pa.table({user_col: pa.array([], utype)}
+                         | {c: pa.array([], pa.float64()) for c in t_cols})
+        if g.num_rows == 0:
+            return empty
+        codes, uniq = pd.factorize(
+            g[user_col].to_numpy(zero_copy_only=False))
         # epoch-µs as float64 (exact below 2^53): the NULL-able funnel tail
         # must round-trip as NaN to compare against SQL
-        return pd.DataFrame({user_col: [g[user_col].iloc[0]]}
-                            | {c: np.array([out[c]], np.float64)
-                               for c in t_cols})
+        ts = g["_ts"].to_numpy(zero_copy_only=False).astype(np.float64)
+        st = g["_step"].to_numpy(zero_copy_only=False)
+        nu = len(uniq)
+        prev: np.ndarray | None = None
+        outs: list[np.ndarray] = []
+        for i in range(n):
+            acc = np.full(nu, np.inf)
+            m = st == i
+            if prev is None:                       # step 1: plain min
+                cm = m
+            else:                                  # min in (prev, prev+W]
+                p = prev[codes]
+                cm = m & (ts > p) & (ts <= p + window_us)
+            np.minimum.at(acc, codes[cm], ts[cm])
+            outs.append(acc)
+            prev = acc                             # inf propagates: no
+            #                                        candidate beats it
+        keep = np.isfinite(outs[0])                # completed step 1
+        if not keep.any():
+            return empty
+        return pa.table(
+            {user_col: pa.array(uniq[keep], utype)}
+            # from_pandas=True: NaN (missed step) -> Arrow null, matching
+            # the SQL oracle's NULL funnel tail
+            | {c: pa.array(np.where(np.isfinite(v[keep]), v[keep], np.nan),
+                           from_pandas=True)
+               for c, v in zip(t_cols, outs)})
 
     return (events.map_batches(narrow, batch_format="pyarrow")
-            .groupby(user_col)
-            .map_groups(walk, batch_format="pandas"))
+            .groupby("_shard")
+            .map_groups(walk_shard, batch_format="pyarrow"))
 
 
 def followed_by(events, *, user_col: str, ts_col: str, type_col: str,
@@ -174,13 +188,16 @@ def cohort_retention(events, *, user_col: str, ts_col: str,
 
     Distributed shape, one row-level exchange: per-batch DISTINCT
     (user, week) partials bound a hot user's shuffle rows at one per batch
-    per active week; ``groupby(user)`` derives cohort = min(week) and emits
-    each user's ≤|weeks| (cohort, offset) rows; per-batch (cohort, offset,
-    count) partials then reduce in a tiny groupby (cells ≤ weeks²)."""
-    import pandas as pd
+    per active week; a 64-way user-SHARD groupby (not per-user groups —
+    Ray's per-group invocation cost × |users| would dominate at 10^8
+    users) derives each user's cohort = min(week) via a scatter-min over
+    factorized codes and emits per-shard (cohort, offset, count) partials;
+    a tiny final groupby (cells ≤ weeks²) sums them."""
     from ray.data.aggregate import Sum
 
     def weeks(b: pa.Table) -> pa.Table:
+        from .asof import _shard_of
+
         ts = b[ts_col]
         if pa.types.is_timestamp(ts.type):
             ts = pc.cast(ts, pa.timestamp("us"))
@@ -189,22 +206,34 @@ def cohort_retention(events, *, user_col: str, ts_col: str,
         w = pc.divide(pc.cast(ts, pa.int64()),
                       pa.scalar(int(bucket_us), pa.int64()))
         t = pa.table({user_col: b[user_col], "_w": w}).drop_null()
-        return t.group_by([user_col, "_w"]).aggregate([])
+        t = t.group_by([user_col, "_w"]).aggregate([])
+        return t.append_column("_shard", pa.array(_shard_of(t[user_col],
+                                                            64)))
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        w = np.unique(g["_w"].to_numpy())
-        return pd.DataFrame({"cohort": np.full(len(w), w[0], np.int64),
-                             "offset": (w - w[0]).astype(np.int64)})
+    def shard_cells(g: pa.Table) -> pa.Table:
+        empty = pa.table({"cohort": pa.array([], pa.int64()),
+                          "offset": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        codes, _ = pd.factorize(g[user_col].to_numpy(zero_copy_only=False))
+        w = g["_w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # distinct (user, week): batch partials can repeat a pair across
+        # batches — keep first occurrence in (code, week) sort order
+        order = np.lexsort((w, codes))
+        cs, ws = codes[order], w[order]
+        first = np.r_[True, (cs[1:] != cs[:-1]) | (ws[1:] != ws[:-1])]
+        cs, ws = cs[first], ws[first]
+        cohort = np.full(codes.max() + 1, np.iinfo(np.int64).max)
+        np.minimum.at(cohort, cs, ws)
+        cells = np.stack([cohort[cs], ws - cohort[cs]], axis=1)
+        uc, cnt = np.unique(cells, axis=0, return_counts=True)
+        return pa.table({"cohort": pa.array(uc[:, 0]),
+                         "offset": pa.array(uc[:, 1]),
+                         "n": pa.array(cnt.astype(np.int64))})
 
-    cells = (events.map_batches(weeks, batch_format="pyarrow")
-             .groupby(user_col)
-             .map_groups(per_user, batch_format="pandas"))
-
-    def part(b: pa.Table) -> pa.Table:
-        agg = b.group_by(["cohort", "offset"]).aggregate([([], "count_all")])
-        return pa.table({"cohort": agg["cohort"], "offset": agg["offset"],
-                         "n": pc.cast(agg["count_all"], pa.int64())})
-
-    return (cells.map_batches(part, batch_format="pyarrow")
+    return (events.map_batches(weeks, batch_format="pyarrow")
+            .groupby("_shard")
+            .map_groups(shard_cells, batch_format="pyarrow")
             .groupby(["cohort", "offset"])
             .aggregate(Sum("n", alias_name="n_users")))
