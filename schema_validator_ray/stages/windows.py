@@ -145,6 +145,68 @@ def grouped_topk(ds, *, key: str, order_col: str, k: int,
     return parts.groupby("_shard").map_groups(final, batch_format="pyarrow")
 
 
+def _sliding(ds, *, key: str, ts: str, window: str, bucket_multiple: int,
+             n_shards: int, out_col: str, group_fn):
+    """Shared Arrow-native owner/context skeleton for the sliding family:
+    map-side explode tags every event with (shard, time bucket) plus
+    duplicated *context* rows for events inside the trailing window of the
+    next bucket's start, so each (shard, bucket) group sees every owner's
+    full trailing window locally. ``group_fn(tt, aux, win_ns) -> np.ndarray``
+    computes the per-key window values over one key's time-sorted segment."""
+    win_ns = pd.Timedelta(window).value
+    bucket_ns = win_ns * bucket_multiple
+    helper = ["_tns", "_bkt", "_shard", "_own"]
+
+    def explode(b: pa.Table) -> pa.Table:
+        from .asof import _shard_of
+
+        t_ns = _col_ts_ns(b[ts])
+        bkt = t_ns // bucket_ns
+        shard = _shard_of(b[key], n_shards)
+        n = len(t_ns)
+        own = (b.append_column("_tns", pa.array(t_ns))
+               .append_column("_bkt", pa.array(bkt))
+               .append_column("_shard", pa.array(shard))
+               .append_column("_own", pa.array(np.ones(n, bool))))
+        ctx_idx = np.flatnonzero(t_ns >= (bkt + 1) * bucket_ns - win_ns)
+        if not len(ctx_idx):
+            return own
+        take = pa.array(ctx_idx)
+        ctx = (b.take(take)
+               .append_column("_tns", pa.array(t_ns[ctx_idx]))
+               .append_column("_bkt", pa.array(bkt[ctx_idx] + 1))
+               .append_column("_shard", pa.array(shard[ctx_idx]))
+               .append_column("_own",
+                              pa.array(np.zeros(len(ctx_idx), bool))))
+        return pa.concat_tables([own, ctx])
+
+    def per_group(g: pa.Table) -> pa.Table:
+        # one (shard, bucket) group = many keys; per-key searchsorted over
+        # contiguous key segments of the (key-code, ts)-lexsorted order
+        if g.num_rows == 0:
+            return g.drop_columns(helper).append_column(
+                out_col, pa.array(np.empty(0, group_fn["dtype"])))
+        kcodes = _codes_of(g[key])
+        tns = g["_tns"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tns, kcodes))
+        kv, t = kcodes[order], tns[order]
+        aux = group_fn["prep"](g, order)
+        seg = np.flatnonzero(np.r_[True, kv[1:] != kv[:-1]])
+        seg = np.r_[seg, len(kv)]
+        out = np.empty(len(kv), group_fn["dtype"])
+        for a, b_ in zip(seg[:-1], seg[1:]):
+            out[a:b_] = group_fn["win"](
+                t[a:b_], None if aux is None else aux[a:b_], win_ns)
+        res = (g.take(pa.array(order))
+               .append_column(out_col, pa.array(out)))
+        own = res["_own"].to_numpy(zero_copy_only=False)
+        return res.filter(pa.array(own)).drop_columns(helper)
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby(["_shard", "_bkt"])
+            .map_groups(per_group, batch_format="pyarrow"))
+
+
 def sliding_count(ds, *, key: str, ts: str, window: str = "1h",
                   bucket_multiple: int = 64, n_shards: int = 32):
     """Per event: number of events of the same key within the trailing window
@@ -159,49 +221,18 @@ def sliding_count(ds, *, key: str, ts: str, window: str = "1h",
     the next bucket's start are duplicated there as *context* rows, so every
     owner sees its full trailing window locally. A hot key is bounded by its
     event rate over one bucket + one window, never its total history;
-    duplication overhead is 1/bucket_multiple of the stream in expectation."""
-    delta = pd.Timedelta(window)
-    win_ns = delta.value
-    bucket_ns = win_ns * bucket_multiple
+    duplication overhead is 1/bucket_multiple of the stream in expectation.
+    Arrow-native end to end (zero-copy blocks, no pandas round-trip)."""
 
-    def explode(b: pd.DataFrame) -> pd.DataFrame:
-        t_ns = _ts_ns(b[ts])
-        bkt = t_ns // bucket_ns
-        shard = _shard_series(b[key], n_shards)
-        own = b.copy()
-        own["_bkt"] = bkt
-        own["_shard"] = shard
-        own["_own"] = True
-        next_start = (bkt + 1) * bucket_ns
-        ctx_mask = t_ns >= next_start - win_ns
-        ctx = b[ctx_mask].copy()
-        ctx["_bkt"] = bkt[ctx_mask] + 1
-        ctx["_shard"] = shard[ctx_mask]
-        ctx["_own"] = False
-        return pd.concat([own, ctx], ignore_index=True)
+    def win(tt, _aux, win_ns):
+        return (np.searchsorted(tt, tt, side="right")
+                - np.searchsorted(tt, tt - win_ns, side="left"))
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        # one (shard, bucket) group = many keys; per-key searchsorted over
-        # contiguous key segments of the (key, ts)-sorted frame
-        g = g.sort_values([key, ts], kind="stable").reset_index(drop=True)
-        t = g[ts].to_numpy()
-        kv = g[key].to_numpy()
-        seg = np.flatnonzero(np.r_[True, kv[1:] != kv[:-1]])
-        seg = np.r_[seg, len(kv)]
-        cnt = np.empty(len(kv), np.int64)
-        for a, b_ in zip(seg[:-1], seg[1:]):
-            tt = t[a:b_]
-            cnt[a:b_] = (np.searchsorted(tt, tt, side="right")
-                         - np.searchsorted(tt, tt - delta.to_numpy(),
-                                           side="left"))
-        g["cnt_window"] = cnt
-        g = g[g["_own"]]
-        return g.drop(columns=["_bkt", "_shard", "_own"]).reset_index(
-            drop=True)
-
-    exploded = ds.map_batches(explode, batch_format="pandas")
-    return exploded.groupby(["_shard", "_bkt"]).map_groups(
-        per_group, batch_format="pandas")
+    return _sliding(ds, key=key, ts=ts, window=window,
+                    bucket_multiple=bucket_multiple, n_shards=n_shards,
+                    out_col="cnt_window",
+                    group_fn={"prep": lambda g, order: None,
+                              "win": win, "dtype": np.int64})
 
 
 def sliding_sum(ds, *, key: str, ts: str, value: str, window: str = "1h",
@@ -212,51 +243,24 @@ def sliding_sum(ds, *, key: str, ts: str, value: str, window: str = "1h",
     BETWEEN INTERVAL window PRECEDING AND CURRENT ROW). Same skew-safe
     sharded owner/context shape as :func:`sliding_count`; in-group sums via
     per-key prefix sums (rounded to ``round_digits`` for cross-engine float
-    comparability)."""
-    delta = pd.Timedelta(window)
-    win_ns = delta.value
-    bucket_ns = win_ns * bucket_multiple
+    comparability). SQL window SUM skips NULLs — treated as 0 here (an
+    all-null window yields 0.0 vs SQL NULL; documented divergence)."""
 
-    def explode(b: pd.DataFrame) -> pd.DataFrame:
-        t_ns = _ts_ns(b[ts])
-        bkt = t_ns // bucket_ns
-        shard = _shard_series(b[key], n_shards)
-        own = b.copy()
-        own["_bkt"] = bkt
-        own["_shard"] = shard
-        own["_own"] = True
-        next_start = (bkt + 1) * bucket_ns
-        ctx_mask = t_ns >= next_start - win_ns
-        ctx = b[ctx_mask].copy()
-        ctx["_bkt"] = bkt[ctx_mask] + 1
-        ctx["_shard"] = shard[ctx_mask]
-        ctx["_own"] = False
-        return pd.concat([own, ctx], ignore_index=True)
+    def prep(g: pa.Table, order: np.ndarray) -> np.ndarray:
+        v = pc.cast(g[value], pa.float64()).to_numpy(zero_copy_only=False)
+        return np.nan_to_num(v)[order]
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key, ts], kind="stable").reset_index(drop=True)
-        t = g[ts].to_numpy()
-        kv = g[key].to_numpy()
-        # SQL window SUM skips NULLs — treat them as 0 (an all-null window
-        # yields 0.0 here vs SQL NULL; documented divergence)
-        v = np.nan_to_num(g[value].to_numpy().astype(np.float64))
-        seg = np.flatnonzero(np.r_[True, kv[1:] != kv[:-1]])
-        seg = np.r_[seg, len(kv)]
-        out = np.empty(len(kv), np.float64)
-        for a, b_ in zip(seg[:-1], seg[1:]):
-            tt = t[a:b_]
-            cum = np.concatenate([[0.0], np.cumsum(v[a:b_])])
-            lo = np.searchsorted(tt, tt - delta.to_numpy(), side="left")
-            hi = np.searchsorted(tt, tt, side="right")
-            out[a:b_] = cum[hi] - cum[lo]
-        g["sum_window"] = np.round(out, round_digits)
-        g = g[g["_own"]]
-        return g.drop(columns=["_bkt", "_shard", "_own"]).reset_index(
-            drop=True)
+    def win(tt, vv, win_ns):
+        cum = np.concatenate([[0.0], np.cumsum(vv)])
+        lo = np.searchsorted(tt, tt - win_ns, side="left")
+        hi = np.searchsorted(tt, tt, side="right")
+        return np.round(cum[hi] - cum[lo], round_digits)
 
-    exploded = ds.map_batches(explode, batch_format="pandas")
-    return exploded.groupby(["_shard", "_bkt"]).map_groups(
-        per_group, batch_format="pandas")
+    return _sliding(ds, key=key, ts=ts, window=window,
+                    bucket_multiple=bucket_multiple, n_shards=n_shards,
+                    out_col="sum_window",
+                    group_fn={"prep": prep, "win": win,
+                              "dtype": np.float64})
 
 
 def _collapse_session_chains(g: pd.DataFrame, delta: pd.Timedelta,
