@@ -3305,10 +3305,76 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # --- First 50 keys: the driver's CORRECTNESS window verifies only
+        # --- this prefix, so it samples EVERY operator family (round-4
+        # --- verdict ask #3). Remaining queries keep their prior order.
+        # rules engine / violations
         "rules_customer": q_rules_customer,
         "customers_valid": q_customers_valid,
-        "rules_orders": q_rules_orders,
         "rules_orders_cond": q_rules_orders_cond,
+        "verdicts_customer_by_segment": q_verdicts_customer_by_segment,
+        # joins: bucketed / as-of / interval / referential anti
+        "orders_customer_bucket_join": q_orders_customer_bucket_join,
+        "asof_join_events": q_asof_join_events,
+        "events_in_sessions": q_events_in_sessions,
+        "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
+        # uniqueness
+        "dup_orders_composite": q_dup_orders_composite,
+        # aggregations: TPC-H / rollup / pivot / grouped top-k
+        "pricing_summary": q_pricing_summary,
+        "revenue_rollup": q_revenue_rollup,
+        "events_type_pivot": q_events_type_pivot,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        # windows: tumbling / sliding / sessions
+        "events_hourly": q_events_hourly,
+        "events_sliding_1h": q_events_sliding_1h,
+        "events_sessions_30m": q_events_sessions_30m,
+        # analytic window funcs
+        "orders_running_total": q_orders_running_total,
+        "events_lag_gap": q_events_lag_gap,
+        "lineitem_rank": q_lineitem_rank,
+        # stats & sketches
+        "lineitem_quantiles_exact": q_lineitem_quantiles_exact,
+        "events_mad_outliers": q_events_mad_outliers,
+        "events_chi2": q_events_chi2,
+        "lineitem_corr": q_lineitem_corr,
+        "events_hourly_anomaly": q_events_hourly_anomaly,
+        "profile_sketches": q_profile_sketches,
+        # drift / census / calibration
+        "lang_drift_psi": q_lang_drift_psi,
+        "docs_format_census": q_docs_format_census,
+        "source_unigram_jsd": q_source_unigram_jsd,
+        # set ops: CDC delta / upsert / range partition
+        "docs_changed_vs_snapshot": q_docs_changed_vs_snapshot,
+        "orders_upsert_merge": q_orders_upsert_merge,
+        "orders_range_parts": q_orders_range_parts,
+        # sequences: funnel / retention
+        "events_funnel": q_events_funnel,
+        "events_cohort_retention": q_events_cohort_retention,
+        # dedup: exact / MinHash / spans / streaming / semantic
+        "dedup_docs_keep_min": q_dedup_docs_keep_min,
+        "minhash_pairs_docs": q_minhash_pairs_docs,
+        "docs_dedup_spans": q_docs_dedup_spans,
+        "docs_stream_dedup": q_docs_stream_dedup,
+        "semdedup_embeddings": q_semdedup_embeddings,
+        # ANN & embedding ops
+        "knn_embeddings": q_knn_embeddings,
+        "knn_pq": q_knn_pq,
+        "knn_hard_negatives": q_knn_hard_negatives,
+        "embedding_model_score": q_embedding_model_score,
+        # text analysis
+        "doc_langid": q_doc_langid,
+        "docs_unigram_logprob": q_docs_unigram_logprob,
+        # capstones
+        "curated_docs": q_curated_docs,
+        "curate_images_pipeline": q_curate_images_pipeline,
+        "prepare_training_data": q_prepare_training_data,
+        # image/north-rule family
+        "images_validate": q_images_validate,
+        "images_phash_neardup": q_images_phash_neardup,
+        "images_embed_knn": q_images_embed_knn,
+        # --- remaining queries (order unchanged) ---
+        "rules_orders": q_rules_orders,
         "rules_events": q_rules_events,
         "rules_lineitem_crossfield": q_rules_lineitem_crossfield,
         "rules_embeddings": q_rules_embeddings,
@@ -3317,40 +3383,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": q_revenue_by_nation,
         "region_nation_counts": q_region_nation_counts,
         "violation_counts_customer": q_violation_counts_customer,
-        "verdicts_customer_by_segment": q_verdicts_customer_by_segment,
         "knn_ivf": q_knn_ivf,
-        "knn_pq": q_knn_pq,
-        "docs_changed_vs_snapshot": q_docs_changed_vs_snapshot,
         "embedding_pca2": q_embedding_pca2,
         "dup_custkeys_orders": q_dup_custkeys_orders,
         "unique_orderkeys": q_unique_orderkeys,
-        "dedup_docs_keep_min": q_dedup_docs_keep_min,
-        "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "distinct_parts": q_distinct_parts,
-        "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
         "anti_join_shuffle": q_anti_join_shuffle,
         "orders_join_customer": q_orders_join_customer,
-        "events_hourly": q_events_hourly,
-        "events_sliding_1h": q_events_sliding_1h,
         "events_sliding_value_1h": q_events_sliding_value_1h,
-        "events_sessions_30m": q_events_sessions_30m,
         "images_resize": q_images_resize,
         "images_quality": q_images_quality,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_video": q_multimodal_video,
-        "curated_docs": q_curated_docs,
         "curated_docs_neardup": q_curated_docs_neardup,
-        "prepare_training_data": q_prepare_training_data,
         "prepare_training_data_chunked": q_prepare_training_data_chunked,
-        "lang_drift_psi": q_lang_drift_psi,
         "clean_docs": q_clean_docs,
         "redact_docs": q_redact_docs,
         "token_counts": q_token_counts,
         "vocab_topk": q_vocab_topk,
         "text_quality": q_text_quality,
         "lang_distribution": q_lang_distribution,
-        "doc_langid": q_doc_langid,
         "fingerprint_docs": q_fingerprint_docs,
         "sample_docs_hash": q_sample_docs_hash,
         "stratified_docs_by_lang": q_stratified_docs_by_lang,
@@ -3359,60 +3412,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_buckets": q_doc_length_buckets,
         "pack_docs_greedy": q_pack_docs_greedy,
         "chunk_docs": q_chunk_docs,
-        "asof_join_events": q_asof_join_events,
-        "events_in_sessions": q_events_in_sessions,
         "events_sessionized": q_events_sessionized,
-        "top_orders_per_customer": q_top_orders_per_customer,
-        "knn_embeddings": q_knn_embeddings,
         "knn_self_join": q_knn_self_join,
         "knn_join_ivf": q_knn_join_ivf,
         "embedding_kmeans": q_embedding_kmeans,
         "label_diversity": q_label_diversity,
         "mix_docs_budget": q_mix_docs_budget,
         "embedding_pairs_cos03": q_embedding_pairs_cos03,
-        "semdedup_embeddings": q_semdedup_embeddings,
         "semdedup_ivf": q_semdedup_ivf,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "embedding_dup_groups": q_embedding_dup_groups,
-        "minhash_pairs_docs": q_minhash_pairs_docs,
         "simhash_pairs_docs": q_simhash_pairs_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "docs_shared_span": q_docs_shared_span,
         "docs_span_components": q_docs_span_components,
-        "docs_dedup_spans": q_docs_dedup_spans,
-        "orders_range_parts": q_orders_range_parts,
-        "orders_upsert_merge": q_orders_upsert_merge,
-        "docs_stream_dedup": q_docs_stream_dedup,
-        "orders_customer_bucket_join": q_orders_customer_bucket_join,
-        "embedding_model_score": q_embedding_model_score,
-        "docs_format_census": q_docs_format_census,
         "docs_quality_pctrank": q_docs_quality_pctrank,
-        "curate_images_pipeline": q_curate_images_pipeline,
         "docs_nfc": q_docs_nfc,
-        "events_hourly_anomaly": q_events_hourly_anomaly,
-        "images_embed_knn": q_images_embed_knn,
         "docs_budget_head": q_docs_budget_head,
         "embeddings_mmr": q_embeddings_mmr,
         "customers_pseudonymize": q_customers_pseudonymize,
-        "docs_unigram_logprob": q_docs_unigram_logprob,
-        "source_unigram_jsd": q_source_unigram_jsd,
         "docs_bigram_pmi": q_docs_bigram_pmi,
-        "knn_hard_negatives": q_knn_hard_negatives,
         "embeddings_balanced": q_embeddings_balanced,
         "events_decayed_value": q_events_decayed_value,
         "hamming_pairs_orders": q_hamming_pairs_orders,
         "profile_lineitem": q_profile_lineitem,
-        "profile_sketches": q_profile_sketches,
         "group_quantiles": q_group_quantiles,
-        "lineitem_quantiles_exact": q_lineitem_quantiles_exact,
         "group_distinct": q_group_distinct,
-        "images_validate": q_images_validate,
         "images_rule_counts": q_images_rule_counts,
         "images_drift": q_images_drift,
-        "images_phash_neardup": q_images_phash_neardup,
         "images_phash_canonical": q_images_phash_canonical,
-        "orders_running_total": q_orders_running_total,
-        "events_lag_gap": q_events_lag_gap,
         "events_moving_avg": q_events_moving_avg,
         "events_lead_gap": q_events_lead_gap,
         "events_since_first": q_events_since_first,
@@ -3431,8 +3459,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_hours_click_no_purchase": q_user_hours_click_no_purchase,
         "customer_balance_quartiles": q_customer_balance_quartiles,
         "customer_order_counts": q_customer_order_counts,
-        "revenue_rollup": q_revenue_rollup,
-        "events_type_pivot": q_events_type_pivot,
         "embedding_dim_stats": q_embedding_dim_stats,
         "doc_repetition": q_doc_repetition,
         "decontaminate_docs": q_decontaminate_docs,
@@ -3440,11 +3466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": q_source_overlap,
         "label_centroids": q_label_centroids,
         "events_value_outliers": q_events_value_outliers,
-        "events_mad_outliers": q_events_mad_outliers,
-        "events_funnel": q_events_funnel,
-        "events_chi2": q_events_chi2,
         "events_value_trend": q_events_value_trend,
-        "events_cohort_retention": q_events_cohort_retention,
         "events_ab_ttest": q_events_ab_ttest,
         "lineitem_qty_quartiles": q_lineitem_qty_quartiles,
         "lineitem_price_winsorized": q_lineitem_price_winsorized,
@@ -3456,8 +3478,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quality_report": q_source_quality_report,
         "frequent_users": q_frequent_users,
         "latest_event_per_user": q_latest_event_per_user,
-        "lineitem_corr": q_lineitem_corr,
-        "lineitem_rank": q_lineitem_rank,
         "lineitem_price_pctrank": q_lineitem_price_pctrank,
         "tfidf_terms": q_tfidf_terms,
         "docs_quality_band": q_docs_quality_band,
@@ -3465,7 +3485,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_agg": q_nations_agg,
         "events_hourly_uniques": q_events_hourly_uniques,
         "nation_counts_full_outer": q_nation_counts_full_outer,
-        "dup_orders_composite": q_dup_orders_composite,
         "top_event_type_per_user": q_top_event_type_per_user,
         "events_props_stats": q_events_props_stats,
     }

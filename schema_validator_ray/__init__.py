@@ -12,7 +12,8 @@ Nothing here calls ``ray.init()`` — sessions are owned by bench.py / CLI / tes
 
 from . import rules  # populate the default registry  # noqa: F401
 from .builder import array, field, obj
-from .compile import CompiledRuleSet, When, compile_ruleset, when
+from .compile import (CompiledRuleSet, When, compile_ruleset,
+                      merge_specs, when)
 from .dsl import DslConfig, Rule, parse_tag
 from .errors import error_counts, has_error_code, has_field_error
 from .registry import CompileError, Registry, default_registry, register
@@ -31,6 +32,7 @@ __all__ = [
     "field",
     "has_error_code",
     "has_field_error",
+    "merge_specs",
     "obj",
     "parse_tag",
     "register",

@@ -317,6 +317,41 @@ def compile_ruleset(
     return CompiledRuleSet(plans, schema)
 
 
+def merge_specs(a: dict, b: dict) -> dict:
+    """Deep-merge two spec dicts on field-name collision — the reference's
+    ``AddField``/``mergeSchema`` semantics (schema/object.go:121-152):
+    colliding OBJECT schemas merge recursively per field, colliding FIELD
+    schemas concatenate their validator lists (``a``'s rules first, then
+    ``b``'s — AddValidator append order). A dict (object) colliding with a
+    non-dict (field/array) entry is a :class:`CompileError`, mirroring the
+    reference's type-assertion panic. Inputs are not mutated.
+
+    Caveat for list columns: the dive marker is positional in the DSL, so
+    concatenating after an entry like ``"min=1|dive|len=4"`` places the
+    appended rules in the ELEMENT scope. To add array-level rules to a
+    field that dives, splice them before the dive in the left spec's list
+    form — the reference merges ArraySchema validators at the array level,
+    which the flat tag grammar cannot express positionally."""
+    out: dict = {}
+    for key in {**a, **b}:
+        if key not in a:
+            out[key] = b[key]
+        elif key not in b:
+            out[key] = a[key]
+        else:
+            ea, eb = a[key], b[key]
+            if isinstance(ea, dict) and isinstance(eb, dict):
+                out[key] = merge_specs(ea, eb)
+            elif isinstance(ea, dict) or isinstance(eb, dict):
+                raise CompileError(
+                    f"cannot merge object spec with field spec at {key!r}")
+            else:
+                la = [ea] if isinstance(ea, str) else list(ea)
+                lb = [eb] if isinstance(eb, str) else list(eb)
+                out[key] = la + lb
+    return out
+
+
 def _flatten_spec(block: dict, schema: pa.Schema,
                   value_types: tuple[pa.DataType, ...] = (), prefix: str = ""):
     for key, entry in block.items():

@@ -347,3 +347,66 @@ def test_i18n_every_rule_has_explicit_templates():
         assert "A,B" in message_for("oneof", "f", ("A", "B"), locale)
         assert "A" in message_for("required_with", "f", ("A", "B"), locale)
         assert "A" in message_for("datetime", "f", ("A",), locale)
+
+
+# --- schema deep-merge (AddField collision semantics) -------------------------
+
+
+def test_merge_specs_field_collision_concats_rules():
+    """Parity with mergeSchema (schema/object.go:121-152): a colliding FIELD
+    entry concatenates validator lists — a's rules run first, then b's."""
+    from schema_validator_ray import merge_specs
+
+    merged = merge_specs({"name": "required"}, {"name": "min=3"})
+    assert merged == {"name": ["required", "min=3"]}
+    tbl = pa.table({"name": pa.array(["ok", None, "fine"])})
+    cs = compile_ruleset(merged, tbl.schema)
+    pm, v = cs.evaluate(tbl)
+    # "ok" fails min=3 only; None fails required (and skips the rest)
+    assert list(pm) == [False, False, True]
+    rows = {(r["row_index"], r["rule_id"]) for r in v.to_pylist()}
+    assert (0, "min") in rows and (1, "required") in rows
+
+
+def test_merge_specs_object_collision_recurses():
+    """Colliding OBJECT schemas merge per field, recursively; non-colliding
+    fields pass through from either side."""
+    from schema_validator_ray import merge_specs
+
+    a = {"address": {"zip": "required", "city": "required"},
+         "name": "required"}
+    b = {"address": {"zip": "min=5|max=5", "country": "required"}}
+    merged = merge_specs(a, b)
+    assert merged == {
+        "address": {"zip": ["required", "min=5|max=5"],
+                    "city": "required", "country": "required"},
+        "name": "required"}
+    st = pa.struct([("zip", pa.string()), ("city", pa.string()),
+                    ("country", pa.string())])
+    tbl = pa.table({
+        "name": pa.array(["John", "Jane"]),
+        "address": pa.array([{"zip": "123", "city": "X", "country": "US"},
+                             {"zip": "12345", "city": "Y", "country": "US"}],
+                            st)})
+    pm, v = compile_ruleset(merged, tbl.schema).evaluate(tbl)
+    # row 0's zip fails the merged min=5 (the US-zip AddField case,
+    # validator_test.go:444-452)
+    assert list(pm) == [False, True]
+    assert {(r["row_index"], r["rule_id"], r["column"])
+            for r in v.to_pylist()} == {(0, "min", "address.zip")}
+
+
+def test_merge_specs_type_mismatch_and_purity():
+    """Object-vs-field collision raises (the reference panics on the type
+    assertion); inputs are never mutated."""
+    from schema_validator_ray import CompileError, merge_specs
+
+    a = {"address": {"zip": "required"}}
+    b = {"address": "required"}
+    with pytest.raises(CompileError, match="merge"):
+        merge_specs(a, b)
+    a2 = {"items": "min=1|dive|len=4"}
+    b2 = {"items": ["max=10"]}
+    merged = merge_specs(a2, b2)
+    assert merged == {"items": ["min=1|dive|len=4", "max=10"]}
+    assert a2 == {"items": "min=1|dive|len=4"} and b2 == {"items": ["max=10"]}
