@@ -78,3 +78,56 @@ def test_null_and_empty_keys(ray_session):
     assert len(out) == 2
     assert set(out["k"].map(lambda x: x if isinstance(x, str) else None)) \
         == {None, ""}
+
+
+def test_spill_requires_hash_keys(ray_session, tmp_path):
+    import pytest
+
+    from schema_validator_ray.state.seen_index import SeenKeyIndex
+
+    with pytest.raises(ValueError, match="hash_keys"):
+        SeenKeyIndex(n_shards=2, spill_dir=str(tmp_path / "sp"))
+
+
+def test_spill_survivor_set_exact_and_snapshot_roundtrip(
+        ray_session, tmp_path):
+    """Admit >10x the spill threshold: the survivor key set must equal the
+    distinct set exactly, spilled runs must actually exist on disk, and a
+    snapshot -> restore into a FRESH spilling index must filter an
+    overlapping second feed byte-identically (round-4 verdict ask #6)."""
+    import glob
+
+    from schema_validator_ray.state.seen_index import SeenKeyIndex
+
+    rng = np.random.default_rng(3)
+    # 12,000 key ids over a 3,000-distinct space, threshold 100 per shard
+    raw = rng.integers(0, 3000, 12_000)
+    keys = [f"key-{v}" for v in raw]
+    idx = SeenKeyIndex(n_shards=4, hash_keys=True,
+                       spill_dir=str(tmp_path / "spill"),
+                       spill_threshold=100)
+    out = idx.filter_unseen(_mk(keys), "k").to_pandas()
+    assert sorted(out["k"].unique()) == sorted(set(keys))
+    assert len(out) == len(set(keys))
+    assert idx.size() == len(set(keys))
+    runs = glob.glob(str(tmp_path / "spill" / "shard-*" / "run-*.npy"))
+    assert runs, "threshold 100 over ~750 keys/shard must have spilled"
+
+    snap = str(tmp_path / "snap")
+    total = idx.snapshot_to(snap)
+    assert total == len(set(keys))
+
+    idx2 = SeenKeyIndex(n_shards=4, hash_keys=True,
+                        spill_dir=str(tmp_path / "spill2"),
+                        spill_threshold=100)
+    assert idx2.restore_from(snap) == len(set(keys))
+    # second feed: half overlapping, half new -> only the new half survives
+    raw2 = np.concatenate([rng.choice(raw, 500, replace=False),
+                           np.arange(10_000, 10_500)])
+    keys2 = [f"key-{v}" for v in raw2]
+    out2 = idx2.filter_unseen(_mk(keys2), "k").to_pandas()
+    assert sorted(out2["k"]) == sorted(f"key-{v}"
+                                       for v in range(10_000, 10_500))
+    # the restored index's snapshot stays canonical (sorted, no dups)
+    snap2 = str(tmp_path / "snap2")
+    assert idx2.snapshot_to(snap2) == len(set(keys)) + 500
