@@ -340,6 +340,57 @@ def q_embedding_pca2(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_embedding_pca2_var(sf_dir: str):
+    """SQL-checked PCA invariants (the gate companion to the rows-only
+    ``embedding_pca2``): total input variance (trace of the covariance —
+    SQL-exact via per-dim var_pop) plus invariants of the engine's actual
+    projections computed from per-batch sufficient stats — projections are
+    centered (means 0), mutually orthogonal (cross-covariance 0), variance-
+    ordered, and explain no more than the total variance. The SQL side
+    supplies the mathematically-required values; a broken eigen/projection
+    path flips the engine side and hash-mismatches."""
+    from schema_validator_ray.stages.similarity import _to_matrix, pca_project
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def part_in(b: pa.Table) -> pa.Table:
+        m = _to_matrix(b["embedding"]).astype(np.float64)
+        return pa.table({"n": pa.array([len(m)], pa.int64()),
+                         "s": pa.array([m.sum(0).tolist()]),
+                         "ss": pa.array([(m * m).sum(0).tolist()])})
+
+    # one partial row per batch — bounded driver merge
+    pin = ds.map_batches(part_in, batch_format="pyarrow").to_pandas()
+    n = int(pin["n"].sum())
+    s = np.sum([np.asarray(x) for x in pin["s"]], axis=0)
+    ss = np.sum([np.asarray(x) for x in pin["ss"]], axis=0)
+    total_var = float(np.round(np.sum(ss / n - (s / n) ** 2), 6))
+
+    def part_pc(b: pa.Table) -> pa.Table:
+        p = np.asarray(b["pc"].to_pylist(), np.float64)
+        return pa.table({
+            "n": pa.array([len(p)], pa.int64()),
+            "s1": pa.array([float(p[:, 0].sum())]),
+            "s2": pa.array([float(p[:, 1].sum())]),
+            "s11": pa.array([float((p[:, 0] ** 2).sum())]),
+            "s22": pa.array([float((p[:, 1] ** 2).sum())]),
+            "s12": pa.array([float((p[:, 0] * p[:, 1]).sum())])})
+
+    pc = (pca_project(ds, emb_col="embedding", n_components=2)
+          .map_batches(part_pc, batch_format="pyarrow").to_pandas())
+    m1, m2 = pc["s1"].sum() / n, pc["s2"].sum() / n
+    v1 = pc["s11"].sum() / n - m1 ** 2
+    v2 = pc["s22"].sum() / n - m2 ** 2
+    c12 = pc["s12"].sum() / n - m1 * m2
+    return pd.DataFrame([{
+        "total_var": total_var,
+        "mean_pc1": round(float(m1), 6) + 0.0,   # +0.0 folds -0.0 -> 0.0
+        "mean_pc2": round(float(m2), 6) + 0.0,
+        "orth_cov": round(float(c12), 6) + 0.0,
+        "explained_le_total": bool(v1 + v2 <= total_var + 1e-6),
+        "var_order_ok": bool(v1 >= v2 - 1e-9)}])
+
+
 def q_violation_counts_customer(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -868,10 +919,11 @@ def q_doc_langid(sf_dir: str):
 
 
 def q_fingerprint_docs(sf_dir: str):
-    """Winnowing fingerprints (rows-only: min-of-rolling-hashes is a
-    similarity sketch — near-identical docs intentionally share prints, so no
-    SQL-expressible equality projection exists; raw values are pinned by unit
-    tests in tests/test_dedup_similarity_text.py)."""
+    """Winnowing fingerprints — SQL-oracled BIT-EXACTLY: the oracle
+    reproduces the byte-polynomial rolling hash, splitmix avalanche and
+    unsigned min in DuckDB hugeint arithmetic (valid on the synth docs:
+    ASCII, len >= 8). Raw values additionally pinned by unit tests in
+    tests/test_dedup_similarity_text.py."""
     from schema_validator_ray.functions.text import fingerprint64
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -3385,6 +3437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "violation_counts_customer": q_violation_counts_customer,
         "knn_ivf": q_knn_ivf,
         "embedding_pca2": q_embedding_pca2,
+        "embedding_pca2_var": q_embedding_pca2_var,
         "dup_custkeys_orders": q_dup_custkeys_orders,
         "unique_orderkeys": q_unique_orderkeys,
         "top_customers": q_top_customers,
@@ -3526,6 +3579,67 @@ def oracle_sql() -> dict[str, str]:
     seg_list = ",".join(f"'{s}'" for s in SEGMENTS.split(","))
     evt_list = ",".join(f"'{s}'" for s in EVENT_TYPES.split(","))
     o = {
+        # Winnowing fingerprint reproduced EXACTLY in SQL: per-window
+        # byte-polynomial hash (weights 257^j mod 2^64; each term fits
+        # BIGINT, the sum reduces mod 2^64 in HUGEINT), then the splitmix
+        # avalanche with 64-bit multiplies split into 32-bit halves, then
+        # the unsigned min reinterpreted as int64. Valid while the synth
+        # documents are ASCII with len >= 8 (true at every sf) — the
+        # engine's blake2b short-doc fallback is unreachable there.
+        "fingerprint_docs": """
+            WITH pos AS (
+              SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS i
+                FROM documents),
+            wh AS (
+              SELECT doc_id,
+                (( ord(substr(text, i+0, 1))::HUGEINT * 1
+                 + ord(substr(text, i+1, 1))::HUGEINT * 257
+                 + ord(substr(text, i+2, 1))::HUGEINT * 66049
+                 + ord(substr(text, i+3, 1))::HUGEINT * 16974593
+                 + ord(substr(text, i+4, 1))::HUGEINT * 4362470401
+                 + ord(substr(text, i+5, 1))::HUGEINT * 1121154893057
+                 + ord(substr(text, i+6, 1))::HUGEINT * 288136807515649
+                 + ord(substr(text, i+7, 1))::HUGEINT * 74051159531521793
+                 ) % 18446744073709551616) AS h
+                FROM pos),
+            s1 AS (SELECT doc_id, xor(h, h >> 33) AS h FROM wh),
+            m1 AS (SELECT doc_id,
+              (( (h % 4294967296) * 18397679294719823053::HUGEINT )
+                  % 18446744073709551616
+               + (((h >> 32) * 18397679294719823053::HUGEINT)
+                  % 4294967296) * 4294967296
+              ) % 18446744073709551616 AS h FROM s1),
+            s2 AS (SELECT doc_id, xor(h, h >> 33) AS h FROM m1),
+            m2 AS (SELECT doc_id,
+              (( (h % 4294967296) * 14181476777654086739::HUGEINT )
+                  % 18446744073709551616
+               + (((h >> 32) * 14181476777654086739::HUGEINT)
+                  % 4294967296) * 4294967296
+              ) % 18446744073709551616 AS h FROM s2),
+            s3 AS (SELECT doc_id, xor(h, h >> 33) AS h FROM m2),
+            mn AS (SELECT doc_id, min(h) AS h FROM s3 GROUP BY doc_id)
+            SELECT doc_id,
+                   (CASE WHEN h >= 9223372036854775808
+                         THEN h - 18446744073709551616
+                         ELSE h END)::BIGINT AS fingerprint
+              FROM mn
+        """,
+        # total_var is genuinely SQL-computed (trace of the covariance);
+        # the remaining columns are the mathematically-required invariant
+        # values the ENGINE computes from its actual projections —
+        # a broken eigen/projection path mismatches on those.
+        "embedding_pca2_var": """
+            WITH dv AS (
+              SELECT var_pop(CAST(e AS DOUBLE)) AS v
+                FROM (SELECT unnest(embedding) AS e,
+                             generate_subscripts(embedding, 1) AS pos
+                        FROM embeddings)
+               GROUP BY pos)
+            SELECT ROUND(SUM(v), 6) AS total_var,
+                   0.0 AS mean_pc1, 0.0 AS mean_pc2, 0.0 AS orth_cov,
+                   TRUE AS explained_le_total, TRUE AS var_order_ok
+              FROM dv
+        """,
         "rules_customer": f"""
             SELECT c_custkey, 'required' AS rule_id, 'c_name' AS col
               FROM customer WHERE c_name IS NULL OR c_name = ''
