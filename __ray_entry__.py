@@ -748,6 +748,33 @@ def q_curated_docs(sf_dir: str):
     return _collect(out, pa.schema([("doc_id", pa.int64())]))
 
 
+def q_curate_docs_pipeline(sf_dir: str):
+    """Document-curation CAPSTONE, resumable two-phase runner: quality
+    filter + exact dedup keep-min + SemDeDup drop (embeddings aligned on
+    doc_id) + exact shared-span REMOVAL, manifest-recorded per shard.
+    SQL-oracled end to end: the oracle composes the curated_docs quality/
+    dedup SQL, the semdedup NOT-EXISTS drop and the docs_dedup_spans
+    char-rebuild over the kept set. Output cached per (sf_dir, mtime)
+    under /tmp — a re-run exercises the resume path (all shards skip)."""
+    import ray.data as rd
+
+    from schema_validator_ray.pipelines.curate_documents import (
+        run_curate_docs_resumable,
+    )
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(docs_path)
+    key = hashlib.blake2b(
+        f"curatedocs-{docs_path}-{st.st_size}-{int(st.st_mtime)}".encode(),
+        digest_size=6).hexdigest()
+    out = f"/tmp/svr_curate_docs/{key}"
+    run_curate_docs_resumable([docs_path], out, embeddings_path=emb_path,
+                              min_quality=0.75, min_tokens=15, span_k=40,
+                              sem_threshold=0.3)
+    return rd.read_parquet(os.path.join(out, "curated"))
+
+
 def q_curated_docs_neardup(sf_dir: str):
     """Curation with transitive near-dup removal (rows-only: MinHash buckets
     are not SQL; survivors invariants pinned by tests)."""
@@ -3540,6 +3567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_counts_full_outer": q_nation_counts_full_outer,
         "top_event_type_per_user": q_top_event_type_per_user,
         "events_props_stats": q_events_props_stats,
+        "curate_docs_pipeline": q_curate_docs_pipeline,
     }
 
 
@@ -4557,6 +4585,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_orderstatus, v FROM unioned
             QUALIFY row_number() OVER (PARTITION BY o_orderkey
                                        ORDER BY v DESC) = 1
+        """,
+        "curate_docs_pipeline": r"""
+            WITH annotated AS (
+              SELECT doc_id, text,
+                     0.4 * LEAST(strlen(COALESCE(text,'')) / 200.0, 1.0)
+                   + 0.4 * (len(regexp_extract_all(COALESCE(text,''), '[A-Za-z]'))
+                            / GREATEST(strlen(COALESCE(text,'')), 1.0))
+                   + 0.2 * (1.0 - LEAST(4.0 *
+                            len(regexp_extract_all(COALESCE(text,''), '[^\w\s]'))
+                            / GREATEST(strlen(COALESCE(text,'')), 1.0), 1.0))
+                       AS q,
+                     len(regexp_extract_all(COALESCE(text,''), '\w+')) AS nt
+                FROM documents),
+            qual AS (
+              SELECT doc_id, text FROM annotated
+               WHERE ROUND(q, 6) >= 0.75 AND nt >= 15),
+            exact_kept AS (
+              SELECT MIN(doc_id) AS doc_id FROM qual GROUP BY text),
+            sem_drop AS (
+              SELECT a.vec_id FROM embeddings a
+               WHERE EXISTS (
+                     SELECT 1 FROM embeddings b
+                      WHERE b.vec_id < a.vec_id
+                        AND list_cosine_similarity(
+                                CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) >= 0.3)),
+            kept AS (
+              SELECT doc_id FROM exact_kept
+               WHERE doc_id NOT IN (SELECT vec_id FROM sem_drop)),
+            base AS (
+              SELECT d.doc_id, coalesce(d.text, '') AS txt
+                FROM documents d JOIN kept USING (doc_id)),
+            w2 AS (
+              SELECT doc_id, i, substring(txt, i, 40) AS g
+                FROM (SELECT doc_id, txt,
+                             unnest(generate_series(1, length(txt) - 39))
+                               AS i
+                        FROM base WHERE length(txt) >= 40)
+            ), mn AS (
+              SELECT g, min(doc_id) AS mid FROM w2 GROUP BY g
+            ), rem AS (
+              SELECT w.doc_id, w.i FROM w2 w
+                JOIN mn ON mn.g = w.g AND mn.mid < w.doc_id
+            ), chars AS (
+              SELECT doc_id, c, substring(txt, c, 1) AS s
+                FROM (SELECT doc_id, txt,
+                             unnest(generate_series(1, length(txt))) AS c
+                        FROM base WHERE length(txt) >= 1)
+            ), keptc AS (
+              SELECT ch.doc_id, ch.c, ch.s FROM chars ch
+               WHERE NOT EXISTS (SELECT 1 FROM rem r
+                                  WHERE r.doc_id = ch.doc_id
+                                    AND r.i <= ch.c AND ch.c < r.i + 40)
+            )
+            SELECT b.doc_id,
+                   coalesce(string_agg(k.s, '' ORDER BY k.c), '')
+                     AS text_dedup
+              FROM base b LEFT JOIN keptc k ON k.doc_id = b.doc_id
+             GROUP BY b.doc_id
         """,
         "docs_dedup_spans": """
             WITH base AS (

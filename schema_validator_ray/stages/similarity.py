@@ -886,11 +886,13 @@ class _DominatedStage:
     broadcast normalized corpus matrix (ray.put once, ray.get once per actor
     process — never per batch)."""
 
-    def __init__(self, emb_col: str, id_col: str, ref, threshold: float):
+    def __init__(self, emb_col: str, id_col: str, ref, threshold: float,
+                 invert: bool = False):
         self.emb_col = emb_col
         self.id_col = id_col
         self.ref = ref
         self.threshold = threshold
+        self.invert = invert    # True -> emit the DOMINATED ids instead
         self._corpus = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -908,13 +910,14 @@ class _DominatedStage:
         sims = m @ mat_all.T                                  # (batch, N)
         dom = ((sims >= self.threshold)
                & (ids_all[None, :] < ids[:, None])).any(axis=1)
-        return pa.table({self.id_col: pa.array(ids[~dom], pa.int64())})
+        keep = dom if self.invert else ~dom
+        return pa.table({self.id_col: pa.array(ids[keep], pa.int64())})
 
 
 def semdedup(ds, *, emb_col: str = "embedding", id_col: str = "vec_id",
              threshold: float = 0.3, n_cells: int | None = None,
              sample_rows: int = 2048, batch_size: int = 2048,
-             corpus_max: int = 2_000_000):
+             corpus_max: int = 2_000_000, invert: bool = False):
     """Semantic dedup over an embedding column (SemDeDup-style): a row
     SURVIVES iff no lower-id row has cosine similarity >= ``threshold`` with
     it. The rule is non-iterative ("dominated by any earlier row", not
@@ -938,7 +941,9 @@ def semdedup(ds, *, emb_col: str = "embedding", id_col: str = "vec_id",
       is the storage partition key: nothing broadcasts but K centroids, and
       the only exchange is the cell-key shuffle.
 
-    Returns a Dataset with the surviving ``id_col`` values.
+    Returns a Dataset with the surviving ``id_col`` values
+    (``invert=True`` returns the DOMINATED ids instead — the
+    duplication-bounded drop set a resumable curation pipeline persists).
     """
     import ray
 
@@ -957,7 +962,7 @@ def semdedup(ds, *, emb_col: str = "embedding", id_col: str = "vec_id",
         mat_all = _normalize(_to_matrix(t[emb_col]))
         ref = ray.put((ids_all, mat_all))
         return ds.select_columns([id_col, emb_col]).map_batches(
-            _DominatedStage(emb_col, id_col, ref, threshold),
+            _DominatedStage(emb_col, id_col, ref, threshold, invert),
             batch_format="pyarrow", batch_size=batch_size)
 
     sample = ds.select_columns([emb_col]).limit(sample_rows)
@@ -980,7 +985,8 @@ def semdedup(ds, *, emb_col: str = "embedding", id_col: str = "vec_id",
         sims = m @ m.T
         # strictly-lower-id comparisons only (rows sorted by id)
         dom = (np.tril(sims >= thr, k=-1)).any(axis=1)
-        return pd.DataFrame({icol: ids[~dom].astype(np.int64)})
+        kp = dom if invert else ~dom
+        return pd.DataFrame({icol: ids[kp].astype(np.int64)})
 
     return assigned.groupby("cell").map_groups(cell_survivors)
 

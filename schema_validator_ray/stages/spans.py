@@ -405,6 +405,83 @@ class _SpanRemover:
                          self.out_col: pa.array(out, pa.string())})
 
 
+def span_removal_state(ds, text_col: str = "text", id_col: str = "doc_id",
+                       *, k: int = 40, driver_merge_max: int = 4_000_000
+                       ) -> tuple[np.ndarray, dict | None]:
+    """Compute the BROADCASTABLE state the map-only span-removal pass
+    needs: (sorted dup-span hash array, span-string -> winner-min-id
+    dict). Both are duplication-bounded, so a resumable pipeline can
+    persist them between phases and rebuild any shard independently
+    (see pipelines/curate_documents.run_curate_docs_resumable).
+
+    Returns ``(dup_h, None)`` when the winner collect exceeds
+    ``driver_merge_max`` (callers fall back to the shuffle path in
+    :func:`dedup_spans_remove`); raises when the dup-hash set alone is
+    over budget (duplication-dominated corpus — the fallback would
+    shuffle ~k× the text)."""
+    import ray
+
+    narrow = ds.select_columns([id_col, text_col])
+    dup_h = _dup_hash_array(narrow, text_col, id_col, k, driver_merge_max)
+    if dup_h is None:
+        raise ValueError(
+            "span_removal_state: the duplicated-span-hash set alone "
+            f"exceeds driver_merge_max={driver_merge_max} — the corpus is "
+            "duplication-dominated; raise driver_merge_max or run "
+            "shared_span_docs + drop whole docs instead")
+    if len(dup_h) == 0:
+        return dup_h, {}
+    dup_ref = ray.put(dup_h)
+    explode = _SpanExplode(text_col, id_col, k)
+
+    def survivors(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        t = explode(b)
+        if t.num_rows == 0:
+            return t
+        dh = _ray.get(dup_ref)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(dh, h)
+        idx[idx == len(dh)] = 0
+        return t.filter(pa.array(dh[idx] == h))
+
+    surv = narrow.map_batches(survivors, batch_format="pyarrow")
+    sparts, sover = collect_up_to(surv, driver_merge_max)
+    if sover:
+        return dup_h, None
+    winner: dict = {}
+    if sparts:
+        st = pa.concat_tables(sparts)
+        mins = st.group_by("g").aggregate([(id_col, "min")])
+        winner = dict(zip(mins["g"].to_pylist(),
+                          mins[f"{id_col}_min"].to_pylist()))
+    return dup_h, winner
+
+
+def apply_span_removal(ds, state: tuple[np.ndarray, dict], *,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       k: int = 40, out_col: str = "text_dedup"):
+    """Map-only duplicated-span excision against a precomputed
+    :func:`span_removal_state` — one broadcast, no shuffle, shard-
+    independent (the resumable-pipeline phase-2 shape)."""
+    import ray
+
+    narrow = ds.select_columns([id_col, text_col])
+    dup_h, winner = state
+    if len(dup_h) == 0:
+        return narrow.map_batches(
+            lambda b: pa.table({
+                id_col: b[id_col],
+                out_col: pc.coalesce(pc.cast(b[text_col], pa.string()),
+                                     "")}),
+            batch_format="pyarrow")
+    return narrow.map_batches(
+        _SpanRemover(text_col, id_col, k, out_col, ray.put(dup_h),
+                     ray.put(winner)),
+        batch_format="pyarrow")
+
+
 def dedup_spans_remove(ds, text_col: str = "text", id_col: str = "doc_id",
                        *, k: int = 40, driver_merge_max: int = 4_000_000,
                        out_col: str = "text_dedup"):
@@ -430,51 +507,12 @@ def dedup_spans_remove(ds, text_col: str = "text", id_col: str = "doc_id",
     import ray.data as rd
 
     narrow = ds.select_columns([id_col, text_col])
-    dup_h = _dup_hash_array(narrow, text_col, id_col, k, driver_merge_max)
-    if dup_h is None:
-        raise ValueError(
-            "dedup_spans_remove: the duplicated-span-hash set alone "
-            f"exceeds driver_merge_max={driver_merge_max} — the corpus is "
-            "duplication-dominated and the removal fallback would shuffle "
-            "~k× the text volume; raise driver_merge_max or run "
-            "shared_span_docs + drop whole docs instead")
-
-    passthrough = narrow.map_batches(
-        lambda b: pa.table({
-            id_col: b[id_col],
-            out_col: pc.coalesce(pc.cast(b[text_col], pa.string()), "")}),
-        batch_format="pyarrow")
-    if len(dup_h) == 0:
-        return passthrough
-
+    dup_h, winner = span_removal_state(ds, text_col, id_col, k=k,
+                                       driver_merge_max=driver_merge_max)
+    if winner is not None:
+        return apply_span_removal(ds, (dup_h, winner), text_col=text_col,
+                                  id_col=id_col, k=k, out_col=out_col)
     dup_ref = ray.put(dup_h)
-    explode = _SpanExplode(text_col, id_col, k)
-
-    def survivors(b: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        t = explode(b)
-        if t.num_rows == 0:
-            return t
-        dh = _ray.get(dup_ref)
-        h = t["h"].to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(dh, h)
-        idx[idx == len(dh)] = 0
-        return t.filter(pa.array(dh[idx] == h))
-
-    surv = narrow.map_batches(survivors, batch_format="pyarrow")
-    sparts, sover = collect_up_to(surv, driver_merge_max)
-    if not sover:
-        winner: dict = {}
-        if sparts:
-            st = pa.concat_tables(sparts)
-            mins = st.group_by("g").aggregate([(id_col, "min")])
-            winner = dict(zip(mins["g"].to_pylist(),
-                              mins[f"{id_col}_min"].to_pylist()))
-        return narrow.map_batches(
-            _SpanRemover(text_col, id_col, k, out_col, dup_ref,
-                         ray.put(winner)),
-            batch_format="pyarrow")
 
     # distributed fallback: dup-filtered POSITION records (id, pos, g)
     # shuffle once by coarse span-hash group; winners resolve per group and

@@ -266,6 +266,48 @@ class SeenKeyIndex:
         return ds.map_batches(stage, batch_format="pyarrow",
                               max_retries=0)
 
+    def annotate_seen(self, ds, key_col: str, out_col: str = "_seen"):
+        """Like :meth:`filter_unseen` but KEEPS every row, appending a
+        boolean ``out_col`` — True where the key was already admitted
+        (by a prior run's restored snapshot or an earlier batch). One
+        admission pass: unseen keys are admitted as a side effect, so the
+        seen/unseen split and the state update cost a single exchange.
+        Same at-most-once contract as filter_unseen (max_retries=0)."""
+        shards = self._shards
+        n = self.n_shards
+        hash_keys = self.hash_keys
+
+        def stage(b: pa.Table) -> pa.Table:
+            import ray
+
+            if b.num_rows == 0:
+                return b.append_column(out_col, pa.array([], pa.bool_()))
+            col = b[key_col]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            h = hash_column(col)
+            sid = (h % np.uint64(n)).astype(np.int64)
+            keys = h.view(np.int64).tolist() if hash_keys \
+                else col.to_pylist()
+            fresh = np.zeros(b.num_rows, bool)
+            order = np.argsort(sid, kind="stable")
+            bounds = np.searchsorted(sid[order], np.arange(n + 1))
+            refs, spans = [], []
+            for s in range(n):
+                lo, hi = bounds[s], bounds[s + 1]
+                if lo == hi:
+                    continue
+                idx = order[lo:hi]
+                refs.append(shards[s].check_and_add.remote(
+                    [keys[i] for i in idx]))
+                spans.append(idx)
+            for idx, mask in zip(spans, ray.get(refs)):
+                fresh[idx] = mask
+            return b.append_column(out_col, pa.array(~fresh))
+
+        return ds.map_batches(stage, batch_format="pyarrow",
+                              max_retries=0)
+
     # -- lifecycle ---------------------------------------------------------
     def size(self) -> int:
         import ray
