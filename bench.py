@@ -159,6 +159,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_budget_head",
         "events_hourly_anomaly",
         "events_decayed_value",
+        "events_sliding_1h",
+        "events_sliding_value_1h",
+        "fingerprint_docs",
+        "embedding_pca2_var",
+        "knn_hard_negatives",
     ]
     qs = m.queries()
     # warm best-of-N per query (default 2 passes over the whole list):

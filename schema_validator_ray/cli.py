@@ -175,6 +175,35 @@ def cmd_curate(args) -> int:
             ray.shutdown()
 
 
+def cmd_curate_docs(args) -> int:
+    import glob
+    import os
+
+    import ray
+
+    owned = _init_ray(args.num_cpus)
+    try:
+        from .pipelines.curate_documents import run_curate_docs_resumable
+
+        paths = (sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+                 if os.path.isdir(args.input) else [args.input])
+        res = run_curate_docs_resumable(
+            paths, args.out, embeddings_path=args.embeddings,
+            min_quality=args.min_quality, min_tokens=args.min_tokens,
+            span_k=args.span_k, prior_seen=args.prior_seen,
+            job_id=args.job_id)
+        print(json.dumps({"ran": len(res["ran"]),
+                          "skipped": len(res["skipped"]),
+                          "failed": res["failed"],
+                          "curated_rows": res["curated_rows"],
+                          "dropped": res["phase1"]["dropped"],
+                          "dup_spans": res["phase1"]["dup_spans"]}))
+        return 1 if res["failed"] else 0
+    finally:
+        if owned:
+            ray.shutdown()
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="schema_validator_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -220,6 +249,25 @@ def main(argv=None) -> int:
     cu.add_argument("--job-id", default="job")
     cu.add_argument("--num-cpus", type=int)
     cu.set_defaults(fn=cmd_curate)
+
+    cd = sub.add_parser("curate-docs", help="resumable document curation: "
+                        "quality -> exact/streaming/semantic dedup -> exact "
+                        "span removal")
+    cd.add_argument("--input", required=True,
+                    help="parquet shard dir or one file (doc_id, text)")
+    cd.add_argument("--out", required=True)
+    cd.add_argument("--embeddings",
+                    help="embeddings parquet (vec_id aligned with doc_id) "
+                         "enabling the SemDeDup drop set")
+    cd.add_argument("--min-quality", type=float, default=0.75)
+    cd.add_argument("--min-tokens", type=int, default=15)
+    cd.add_argument("--span-k", type=int, default=40)
+    cd.add_argument("--prior-seen",
+                    help="seen-key snapshot dir from a previous run: its "
+                         "content is deduped away (incremental feeds)")
+    cd.add_argument("--job-id", default="job")
+    cd.add_argument("--num-cpus", type=int)
+    cd.set_defaults(fn=cmd_curate_docs)
 
     args = p.parse_args(argv)
     return args.fn(args)

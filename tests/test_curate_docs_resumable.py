@@ -40,7 +40,7 @@ def _mk_corpus(tmp_path, n_shards=3):
     # embeddings: doc 8 is a near-dup of doc 3 (cos ~1)
     emb = rng.normal(size=(24, 8))
     emb[8] = emb[3] + 1e-4
-    ep = str(tmp_path / "emb.parquet")
+    ep = str(tmp_path / "emb.npq")  # not *.parquet: the CLI globs the dir
     pq.write_table(pa.table({
         "vec_id": pa.array(np.arange(24, dtype=np.int64)),
         "embedding": pa.array([v.astype(np.float32).tolist() for v in emb],
@@ -135,3 +135,31 @@ def test_curate_docs_prior_seen_streaming_dedup(ray_session, tmp_path):
     # every survivor is from the new half; no re-crawled text survives
     assert set(d2["doc_id"]) <= {100, 101, 102, 103}
     assert not set(d2["text_dedup"]) & set(d1["text_dedup"])
+
+
+def test_cli_curate_docs(ray_session, tmp_path):
+    """Drive the curate-docs subcommand end-to-end: run then resume."""
+    import contextlib
+    import io
+    import json
+
+    from schema_validator_ray.cli import main
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    shards, ep = _mk_corpus(docs_dir)
+
+    def run():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = main(["curate-docs", "--input", str(docs_dir),
+                       "--out", str(tmp_path / "cur"),
+                       "--embeddings", ep,
+                       "--min-quality", "0.5", "--min-tokens", "8"])
+        return rc, json.loads(buf.getvalue())
+
+    rc, s = run()
+    assert rc == 0 and s["ran"] == 3 and s["failed"] == []
+    assert 0 < s["curated_rows"] < 24 and s["dropped"] > 0
+    rc2, s2 = run()
+    assert rc2 == 0 and s2["ran"] == 0 and s2["skipped"] == 3
