@@ -776,8 +776,10 @@ def q_curate_docs_pipeline(sf_dir: str):
 
 
 def q_curated_docs_neardup(sf_dir: str):
-    """Curation with transitive near-dup removal (rows-only: MinHash buckets
-    are not SQL; survivors invariants pinned by tests)."""
+    """Curation with transitive near-dup removal — SQL-oracled end to end
+    now that MinHash is bit-exact in SQL: the oracle composes the quality/
+    exact-dedup keep set, MinHash pairs among kept docs and the recursive-
+    CTE component closure."""
     from schema_validator_ray.pipelines.curate_documents import (
         curate_documents,
     )
@@ -3577,6 +3579,85 @@ def _sampling_threshold(rate: float) -> int:
     return threshold_for(rate)
 
 
+def _minhash_oracle_sql(num_perm: int = 128, bands: int = 16,
+                        threshold: float = 0.4, shingle_k: int = 5,
+                        seed: int = 1234) -> str:
+    """Bit-exact SQL reproduction of minhash_lsh_pairs: byte-polynomial
+    5-gram shingle hashes (weights 1315423911^j mod 2^64) through the
+    splitmix avalanche (64-bit multiplies split into 32-bit halves in
+    HUGEINT), per-permutation (a*x+b) mod 2^64 mins against the SAME
+    seeded permutation constants the engine uses (inlined as literals),
+    LSH candidates = pairs sharing one full band slice, est = fraction of
+    equal components. Valid while the synth docs are ASCII with
+    len >= shingle_k (byte grid == char grid; true at every sf). The
+    engine's blake2b band-bucket hash is injective in practice, so
+    band-slice equality is the same candidate set."""
+    return f"""
+        WITH {_minhash_pairs_ctes('documents', num_perm=num_perm,
+                                  bands=bands, shingle_k=shingle_k,
+                                  seed=seed)}
+        SELECT a, b, jaccard_est FROM est WHERE jaccard_est >= {threshold}
+    """
+
+
+def _minhash_pairs_ctes(rel: str, *, num_perm: int = 128, bands: int = 16,
+                        shingle_k: int = 5, seed: int = 1234) -> str:
+    """The MinHash CTE chain (pos .. est) over relation ``rel`` —
+    embeddable into a larger WITH (see curated_docs_neardup)."""
+    from schema_validator_ray.stages.dedup import _perm_params
+
+    a, b = _perm_params(num_perm, seed)
+    rows = num_perm // bands
+    M64 = 18446744073709551616
+    W = [pow(1315423911, j, M64) for j in range(shingle_k)]
+    perms_vals = ",".join(
+        f"({p},{int(a[p])}::HUGEINT,{int(b[p])}::HUGEINT)"
+        for p in range(num_perm))
+    wh_terms = " + ".join(
+        f"ord(substr(text, i+{j}, 1))::HUGEINT * {W[j]}"
+        for j in range(shingle_k))
+    return f"""pos AS (
+          SELECT doc_id, text,
+                 unnest(range(1, length(text) - {shingle_k - 2})) AS i
+            FROM {rel}),
+        raw AS (
+          SELECT doc_id, (({wh_terms}) % {M64}) AS h FROM pos),
+        s1 AS (SELECT doc_id, xor(h, h >> 33) AS h FROM raw),
+        m1 AS (SELECT doc_id,
+          (( (h % 4294967296) * 18397679294719823053::HUGEINT ) % {M64}
+           + (((h >> 32) * 18397679294719823053::HUGEINT)
+              % 4294967296) * 4294967296
+          ) % {M64} AS h FROM s1),
+        s2 AS (SELECT doc_id, xor(h, h >> 33) AS h FROM m1),
+        m2 AS (SELECT doc_id,
+          (( (h % 4294967296) * 14181476777654086739::HUGEINT ) % {M64}
+           + (((h >> 32) * 14181476777654086739::HUGEINT)
+              % 4294967296) * 4294967296
+          ) % {M64} AS h FROM s2),
+        sh AS (SELECT DISTINCT doc_id, xor(h, h >> 33) AS s FROM m2),
+        perms(p, pa, pb) AS (VALUES {perms_vals}),
+        sig AS (
+          SELECT doc_id, p, min((pa * s + pb) % {M64}) AS v
+            FROM sh, perms GROUP BY doc_id, p),
+        bnd AS (
+          SELECT doc_id, p // {rows} AS band,
+                 array_agg(v ORDER BY p) AS slice
+            FROM sig GROUP BY doc_id, p // {rows}),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bnd x JOIN bnd y
+              ON x.band = y.band AND x.slice = y.slice
+             AND x.doc_id < y.doc_id),
+        est AS (
+          SELECT c.a, c.b,
+                 round_even(SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END)
+                            / {num_perm}.0, 6) AS jaccard_est
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.a
+            JOIN sig sb ON sb.doc_id = c.b AND sb.p = sa.p
+           GROUP BY c.a, c.b)"""
+
+
 def _lsh_oracle_sql(dim: int = 64, n_planes: int = 6, seed: int = 7,
                     threshold: float = 0.3) -> str:
     """Independent DuckDB evaluation of the hyperplane-LSH near-dup pairs:
@@ -3607,6 +3688,43 @@ def oracle_sql() -> dict[str, str]:
     seg_list = ",".join(f"'{s}'" for s in SEGMENTS.split(","))
     evt_list = ",".join(f"'{s}'" for s in EVENT_TYPES.split(","))
     o = {
+        # MinHash-LSH reproduced EXACTLY in SQL (see _minhash_oracle_sql)
+        "minhash_pairs_docs": _minhash_oracle_sql(threshold=0.4),
+        # near-dup curation: quality/exact-dedup keep set, MinHash pairs
+        # among the kept docs (pairwise est is corpus-independent, so
+        # pairs-over-kept == pairs-over-all restricted to kept), transitive
+        # closure via the recursive CTE, survivors = component min ids
+        "curated_docs_neardup": r"""
+            WITH RECURSIVE annotated AS (
+              SELECT doc_id, text,
+                     0.4 * LEAST(strlen(COALESCE(text,'')) / 200.0, 1.0)
+                   + 0.4 * (len(regexp_extract_all(COALESCE(text,''), '[A-Za-z]'))
+                            / GREATEST(strlen(COALESCE(text,'')), 1.0))
+                   + 0.2 * (1.0 - LEAST(4.0 *
+                            len(regexp_extract_all(COALESCE(text,''), '[^\w\s]'))
+                            / GREATEST(strlen(COALESCE(text,'')), 1.0), 1.0))
+                       AS q,
+                     len(regexp_extract_all(COALESCE(text,''), '\w+')) AS nt
+                FROM documents),
+            exact_kept AS (
+              SELECT MIN(doc_id) AS doc_id, text
+                FROM annotated
+               WHERE ROUND(q, 6) >= 0.75 AND nt >= 15
+               GROUP BY text),
+        """ + _minhash_pairs_ctes("exact_kept") + r""",
+            pairs AS (SELECT a, b FROM est WHERE jaccard_est >= 0.5),
+            edges AS (SELECT a, b FROM pairs
+                      UNION SELECT b, a FROM pairs),
+            reach(s, t) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a),
+            dropped AS (
+              SELECT s AS doc_id FROM reach
+               GROUP BY s HAVING least(s, min(t)) <> s)
+            SELECT doc_id FROM exact_kept
+             WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        """,
         # Winnowing fingerprint reproduced EXACTLY in SQL: per-window
         # byte-polynomial hash (weights 257^j mod 2^64; each term fits
         # BIGINT, the sum reduces mod 2^64 in HUGEINT), then the splitmix
