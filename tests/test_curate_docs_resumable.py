@@ -156,7 +156,7 @@ def test_cli_curate_docs(ray_session, tmp_path):
                        "--out", str(tmp_path / "cur"),
                        "--embeddings", ep,
                        "--min-quality", "0.5", "--min-tokens", "8"])
-        return rc, json.loads(buf.getvalue())
+        return rc, json.loads(buf.getvalue().strip().splitlines()[-1])
 
     rc, s = run()
     assert rc == 0 and s["ran"] == 3 and s["failed"] == []

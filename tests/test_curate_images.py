@@ -179,7 +179,7 @@ def test_cli_curate(ray_session, tmp_path):
         with contextlib.redirect_stdout(buf):
             rc = main(["curate", "--input", str(d),
                        "--out", str(tmp_path / "cur")])
-        return rc, json.loads(buf.getvalue())
+        return rc, json.loads(buf.getvalue().strip().splitlines()[-1])
 
     rc, s = run()
     assert rc == 0 and s["ran"] == 2 and s["failed"] == []

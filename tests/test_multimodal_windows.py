@@ -163,7 +163,7 @@ def test_cli_validate(ray_session, tmp_path):
     with contextlib.redirect_stdout(buf):
         rc = main(["validate", "--input", str(d), "--no-decode"])
     assert rc == 0
-    summary = json.loads(buf.getvalue())
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert "violations_by_rule" in summary and "required" in summary["violations_by_rule"]
 
     buf = io.StringIO()
@@ -172,7 +172,7 @@ def test_cli_validate(ray_session, tmp_path):
         rc = main(["validate", "--input", str(d), "--out", str(out_dir),
                    "--no-decode"])
     assert rc == 0
-    s2 = json.loads(buf.getvalue())
+    s2 = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert s2["ran"] == 2 and s2["skipped"] == 0
 
 
