@@ -2829,6 +2829,24 @@ def q_doc_repetition(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def q_doc_ngram_repetition(sf_dir: str):
+    """Duplicate word-BIGRAM fraction per document — the n-gram level of the
+    Gopher repetition rules (Rae et al. 2021 §A1.1) that `doc_repetition`'s
+    token/line metrics don't cover. Map-only: one shifted-view Arrow join
+    builds every bigram, one factorize/unique pass scores each doc; no
+    shuffle. `rep_ok` applies the paper's ≤0.2 duplicate-2-gram gate."""
+    from schema_validator_ray.functions.text import ngram_repetition_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        out = ngram_repetition_stats(b["text"], 2)
+        return pa.table({"doc_id": b["doc_id"], **out,
+                         "rep_ok": pc.less_equal(out["dup_ngram_frac"], 0.2)})
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
 def q_decontaminate_docs(sf_dir: str):
     """Benchmark decontamination: drop training docs (doc_id % 53 != 0)
     sharing any word 4-gram with the eval set (doc_id % 53 == 0). Eval
@@ -3570,6 +3588,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_event_type_per_user": q_top_event_type_per_user,
         "events_props_stats": q_events_props_stats,
         "curate_docs_pipeline": q_curate_docs_pipeline,
+        # round-5 corpus-shaping additions (appended: the driver oracles the
+        # first 50 keys, which already sample every family)
+        "doc_ngram_repetition": q_doc_ngram_repetition,
     }
 
 
@@ -5074,6 +5095,35 @@ def oracle_sql() -> dict[str, str]:
               FROM documents d
               JOIN l USING (doc_id)
               LEFT JOIN t USING (doc_id)
+        """,
+        "doc_ngram_repetition": r"""
+            WITH tok AS (
+              SELECT doc_id, list_filter(
+                  regexp_split_to_array(lower(coalesce(text, '')),
+                                        '[^a-z0-9]+'),
+                  t -> t <> '') AS toks
+                FROM documents),
+            bg AS (
+              SELECT doc_id, array_to_string(toks[i : i + 1], ' ') AS bg
+                FROM tok, UNNEST(range(1, len(toks))) AS u(i)
+               WHERE len(toks) >= 2),
+            c AS (SELECT doc_id, bg, count(*) AS c
+                    FROM bg GROUP BY doc_id, bg),
+            s AS (SELECT doc_id, sum(c) AS n, count(*) AS d, max(c) AS mx
+                    FROM c GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(s.n, 0) AS BIGINT) AS n_ngrams,
+                   CASE WHEN s.n IS NULL THEN 0.0
+                        ELSE 1.0 - CAST(s.d AS DOUBLE) / CAST(s.n AS DOUBLE)
+                   END AS dup_ngram_frac,
+                   CASE WHEN s.n IS NULL THEN 0.0
+                        ELSE CAST(s.mx AS DOUBLE) / CAST(s.n AS DOUBLE)
+                   END AS top_ngram_frac,
+                   (CASE WHEN s.n IS NULL THEN 0.0
+                         ELSE 1.0 - CAST(s.d AS DOUBLE) / CAST(s.n AS DOUBLE)
+                    END) <= 0.2 AS rep_ok
+              FROM documents d
+              LEFT JOIN s USING (doc_id)
         """,
         "decontaminate_docs": r"""
             WITH tok AS (

@@ -342,6 +342,39 @@ def repetition_stats(col: pa.Array | pa.ChunkedArray) -> dict[str, pa.Array]:
     }
 
 
+def ngram_repetition_stats(col: pa.Array | pa.ChunkedArray,
+                           k: int = 2) -> dict[str, pa.Array]:
+    """Per-doc duplicate word-k-gram metrics (Rae et al. 2021 §A1.1's
+    "fraction of duplicate n-grams" rule — the n-gram level that
+    ``repetition_stats`` (token/line level) does not cover):
+
+    - ``n_ngrams``        — count of word k-grams (0 if < k tokens)
+    - ``dup_ngram_frac``  — 1 - distinct_kgrams / n_ngrams (0.0 if none)
+    - ``top_ngram_frac``  — occurrences of the most frequent k-gram /
+      n_ngrams (0.0 if none)
+
+    Tokenization and k-gram construction are ``word_kgrams`` (shared with
+    decontamination / the MinHash shingler), so the DuckDB oracle —
+    ``array_to_string(toks[i : i + k - 1], ' ')`` over
+    ``regexp_split_to_array(lower(text), '[^a-z0-9]+')`` — matches
+    bit-for-bit. Fully vectorized: one shifted-view Arrow join + one
+    factorize/unique pass, no per-document Python loop. Map-only."""
+    s = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n_rows = len(s)
+    rows, grams = word_kgrams(s, k)
+    n = np.bincount(rows, minlength=n_rows).astype(np.int64)
+    gflat = grams.to_numpy(zero_copy_only=False)
+    d, mx = _per_row_group_stats(rows, gflat, n_rows)
+    safe = np.maximum(n, 1).astype(np.float64)
+    dup = np.where(n > 0, 1.0 - d.astype(np.float64) / safe, 0.0)
+    top = np.where(n > 0, mx.astype(np.float64) / safe, 0.0)
+    return {
+        "n_ngrams": pa.array(n, pa.int64()),
+        "dup_ngram_frac": pa.array(dup, pa.float64()),
+        "top_ngram_frac": pa.array(top, pa.float64()),
+    }
+
+
 def word_kgrams(col: pa.Array | pa.ChunkedArray, k: int) -> tuple[
         np.ndarray, pa.Array]:
     """All word k-gram strings of every row — vectorized, no per-doc loop.

@@ -38,6 +38,35 @@ def test_repetition_stats_case_and_punct_fold_into_tokens():
     assert out["top_token_frac"].to_pylist() == [1.0]
 
 
+def test_ngram_repetition_stats_hand_values():
+    from schema_validator_ray.functions.text import ngram_repetition_stats
+
+    col = pa.array([
+        "a b a b a b",   # bigrams: ab ba ab ba ab -> n=5, d=2, mx=3
+        "x y z",         # xy yz -> all unique
+        "w",             # < 2 tokens: no bigrams
+        "",              # empty
+        None,            # null == empty
+    ])
+    out = ngram_repetition_stats(col, 2)
+    assert out["n_ngrams"].to_pylist() == [5, 2, 0, 0, 0]
+    assert out["dup_ngram_frac"].to_pylist() == [1.0 - 2.0 / 5.0, 0.0,
+                                                 0.0, 0.0, 0.0]
+    assert out["top_ngram_frac"].to_pylist() == [3.0 / 5.0, 0.5,
+                                                 0.0, 0.0, 0.0]
+
+
+def test_ngram_repetition_stats_k3_and_case_fold():
+    from schema_validator_ray.functions.text import ngram_repetition_stats
+
+    out = ngram_repetition_stats(
+        pa.array(["Cat dog cat Dog cat", "a b"]), 3)
+    # trigrams: 'cat dog cat','dog cat dog','cat dog cat' -> n=3, d=2, mx=2
+    assert out["n_ngrams"].to_pylist() == [3, 0]
+    assert out["dup_ngram_frac"].to_pylist() == [1.0 - 2.0 / 3.0, 0.0]
+    assert out["top_ngram_frac"].to_pylist() == [2.0 / 3.0, 0.0]
+
+
 # ---------------------------------------------------------------------------
 # word_kgrams
 
