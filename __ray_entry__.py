@@ -2847,6 +2847,17 @@ def q_doc_ngram_repetition(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def q_docs_oov_filter(sf_dir: str):
+    """Vocabulary-coverage gate: keep docs whose out-of-vocabulary token
+    fraction vs the corpus's own top-15 vocabulary is <= 0.5. Pass 1 bounds
+    the exchange at per-batch vocabulary; the 15-word vocab broadcasts once
+    via ray.put; pass 2 is a map-only searchsorted membership probe."""
+    from schema_validator_ray.functions.text import oov_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return oov_filter(ds, "text", "doc_id", vocab_k=15, max_oov_frac=0.5)
+
+
 def q_decontaminate_docs(sf_dir: str):
     """Benchmark decontamination: drop training docs (doc_id % 53 != 0)
     sharing any word 4-gram with the eval set (doc_id % 53 == 0). Eval
@@ -3591,6 +3602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 corpus-shaping additions (appended: the driver oracles the
         # first 50 keys, which already sample every family)
         "doc_ngram_repetition": q_doc_ngram_repetition,
+        "docs_oov_filter": q_docs_oov_filter,
     }
 
 
@@ -5124,6 +5136,25 @@ def oracle_sql() -> dict[str, str]:
                     END) <= 0.2 AS rep_ok
               FROM documents d
               LEFT JOIN s USING (doc_id)
+        """,
+        "docs_oov_filter": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(lower(coalesce(text, '')),
+                                        '[^a-z0-9]+'),
+                  t -> t <> '')) AS tok
+                FROM documents),
+            cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+            vocab AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT 15),
+            per AS (
+              SELECT doc_id, count(*) AS n,
+                     sum((tok NOT IN (SELECT tok FROM vocab))::int) AS oov
+                FROM toks GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_tokens,
+                   CAST(oov AS DOUBLE) / CAST(n AS DOUBLE) AS oov_frac
+              FROM per
+             WHERE CAST(oov AS DOUBLE) / CAST(n AS DOUBLE) <= 0.5
         """,
         "decontaminate_docs": r"""
             WITH tok AS (

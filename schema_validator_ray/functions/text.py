@@ -268,6 +268,69 @@ def vocab_topk(ds, text_col: str, k: int = 50, *,
     return totals.sort(["cnt", "word"], descending=[True, False]).limit(k)
 
 
+_BCAST_VOCAB_CACHE: dict = {}
+
+
+def _vocab_cached(ref) -> np.ndarray:
+    """Per-process cache for the broadcast vocabulary (one entry held)."""
+    hexid = ref.hex()
+    ent = _BCAST_VOCAB_CACHE.get(hexid)
+    if ent is None:
+        import ray
+
+        ent = ray.get(ref)
+        _BCAST_VOCAB_CACHE.clear()
+        _BCAST_VOCAB_CACHE[hexid] = ent
+    return ent
+
+
+def oov_filter(ds, text_col: str, id_col: str, *, vocab_k: int = 50,
+               max_oov_frac: float = 0.5):
+    """Vocabulary-coverage filter: drop documents whose out-of-vocabulary
+    token fraction exceeds ``max_oov_frac``, where the vocabulary is the
+    corpus's own top-``vocab_k`` words (count desc, word asc tie-break —
+    deterministic). The standard "does this doc look like the target
+    distribution?" cheap gate run before expensive scoring stages.
+
+    Distributed shape: pass 1 is ``vocab_topk`` (per-batch (word, cnt)
+    partials bound the exchange at batch vocabulary); the resulting k rows
+    are a k-bounded driver collect broadcast once via ``ray.put`` (read per
+    worker process, never re-shipped per batch). Pass 2 is map-only: one
+    sorted-membership searchsorted probe per batch, no shuffle. Emits
+    ``(id, n_tokens, oov_frac)`` for surviving docs (>= 1 token and
+    oov_frac <= threshold)."""
+    import ray
+
+    vocab_rows = vocab_topk(ds, text_col, vocab_k).take(vocab_k)  # k-bounded
+    vocab = np.sort(np.array([r["word"] for r in vocab_rows], dtype=object))
+    ref = ray.put(vocab)
+
+    def score(b: pa.Table) -> pa.Table:
+        vv = _vocab_cached(ref)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(b[text_col], "")), WORD_SPLIT_RE)
+        tp = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        tflat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        keep = tflat != ""
+        tp, tflat = tp[keep], tflat[keep]
+        n = np.bincount(tp, minlength=b.num_rows).astype(np.int64)
+        if len(vv) and len(tflat):
+            pos = np.searchsorted(vv, tflat)
+            pos[pos == len(vv)] = 0
+            inv = vv[pos] == tflat
+        else:
+            inv = np.zeros(len(tflat), bool)
+        oov = np.bincount(tp[~inv], minlength=b.num_rows).astype(np.int64)
+        frac = oov.astype(np.float64) / np.maximum(n, 1).astype(np.float64)
+        mask = (n > 0) & (frac <= max_oov_frac)
+        out = pa.table({id_col: b[id_col],
+                        "n_tokens": pa.array(n, pa.int64()),
+                        "oov_frac": pa.array(frac, pa.float64())})
+        return out.filter(pa.array(mask))
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # repetition / diversity metrics (Gopher-style quality filters; see Rae et al.
 # 2021 "Scaling Language Models" §A1.1 repetition heuristics — public paper)

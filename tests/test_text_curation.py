@@ -67,6 +67,28 @@ def test_ngram_repetition_stats_k3_and_case_fold():
     assert out["top_ngram_frac"].to_pylist() == [2.0 / 3.0, 0.0]
 
 
+def test_oov_filter_planted(ray_session):
+    import ray.data
+
+    from schema_validator_ray.functions.text import oov_filter
+
+    # vocab_k=2 -> vocabulary {'a','b'} (counts 4 and 3, beat 'z' x2 via
+    # count then word tie-break); doc 3 is all-OOV, doc 4 has no tokens
+    rows = [
+        {"doc_id": 1, "text": "a a b z"},      # oov 1/4 = 0.25 -> keep
+        {"doc_id": 2, "text": "a b a b"},      # oov 0.0 -> keep
+        {"doc_id": 3, "text": "z q q q"},      # oov 1.0 -> drop
+        {"doc_id": 4, "text": ""},             # no tokens -> drop
+        {"doc_id": 5, "text": "a w w w"},      # oov 0.75 -> drop
+    ]
+    ds = ray.data.from_items(rows)
+    out = oov_filter(ds, "text", "doc_id", vocab_k=2, max_oov_frac=0.5)
+    got = {r["doc_id"]: r for r in out.take_all()}
+    assert sorted(got) == [1, 2]
+    assert got[1]["n_tokens"] == 4 and got[1]["oov_frac"] == 0.25
+    assert got[2]["oov_frac"] == 0.0
+
+
 # ---------------------------------------------------------------------------
 # word_kgrams
 
