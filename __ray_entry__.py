@@ -2858,6 +2858,24 @@ def q_docs_oov_filter(sf_dir: str):
     return oov_filter(ds, "text", "doc_id", vocab_k=15, max_oov_frac=0.5)
 
 
+def q_docs_adaptive_quality(sf_dir: str):
+    """Adaptive per-source quality gate: drop each source's worst quartile
+    by the shared 6dp quality score (a fixed global threshold over-prunes
+    weak sources and under-prunes strong ones). One exact grouped selection
+    pass -> |sources|-row threshold broadcast -> map-only filter."""
+    from schema_validator_ray.functions.text import quality_score
+    from schema_validator_ray.stages.stats import filter_by_group_quantile
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    scored = ds.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "source": b["source"],
+                            "quality": quality_score(b["text"])}),
+        batch_format="pyarrow")
+    return filter_by_group_quantile(scored, "source", "quality", q=0.25,
+                                    keep_cols=["doc_id", "source"],
+                                    thr_col="src_p25")
+
+
 def q_decontaminate_docs(sf_dir: str):
     """Benchmark decontamination: drop training docs (doc_id % 53 != 0)
     sharing any word 4-gram with the eval set (doc_id % 53 == 0). Eval
@@ -3603,6 +3621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # first 50 keys, which already sample every family)
         "doc_ngram_repetition": q_doc_ngram_repetition,
         "docs_oov_filter": q_docs_oov_filter,
+        "docs_adaptive_quality": q_docs_adaptive_quality,
     }
 
 
@@ -5155,6 +5174,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(oov AS DOUBLE) / CAST(n AS DOUBLE) AS oov_frac
               FROM per
              WHERE CAST(oov AS DOUBLE) / CAST(n AS DOUBLE) <= 0.5
+        """,
+        "docs_adaptive_quality": r"""
+            WITH s AS (
+              SELECT doc_id, source, ROUND(
+                0.4 * LEAST(strlen(COALESCE(text,'')) / 200.0, 1.0)
+              + 0.4 * (len(regexp_extract_all(COALESCE(text,''), '[A-Za-z]'))
+                       / GREATEST(strlen(COALESCE(text,'')), 1.0))
+              + 0.2 * (1.0 - LEAST(4.0 *
+                       len(regexp_extract_all(COALESCE(text,''), '[^\w\s]'))
+                       / GREATEST(strlen(COALESCE(text,'')), 1.0), 1.0)),
+              6) AS quality
+              FROM documents),
+            thr AS (SELECT source, quantile_disc(quality, 0.25) AS src_p25
+                      FROM s GROUP BY source)
+            SELECT s.doc_id, s.source, s.quality, thr.src_p25
+              FROM s JOIN thr USING (source)
+             WHERE s.quality >= thr.src_p25
         """,
         "decontaminate_docs": r"""
             WITH tok AS (

@@ -640,6 +640,56 @@ def winsorize_by_group(ds, key: str, col: str, *, lo_q: float = 0.05,
     return ds.map_batches(clip, batch_format="pyarrow")
 
 
+def filter_by_group_quantile(ds, key: str, col: str, *, q: float = 0.25,
+                             keep_cols=None, thr_col: str = "thr",
+                             bucket_width="auto"):
+    """Adaptive per-group quality gate: keep rows whose ``col`` is >= their
+    OWN group's exact quantile_disc(``q``) — the "drop each source's worst
+    quartile" curation rule, robust to sources whose score scales differ
+    (a fixed global threshold over- or under-prunes skewed sources).
+
+    Same distributed shape as ``winsorize_by_group``: ONE exact selection
+    pass per group (``grouped_exact_quantiles``), the |groups|-row threshold
+    table broadcast once via ``ray.put``, then a map-only filter. Rows with
+    a null key or null value are dropped (SQL inner-JOIN semantics)."""
+    import pandas as pd
+    import ray
+
+    from ._collect import collect_up_to
+
+    bands = grouped_exact_quantiles(ds, key, col, [q], out_cols=["_thr"],
+                                    bucket_width=bucket_width)
+    bparts, over = collect_up_to(bands, 5_000_000)
+    if over:
+        raise ValueError("filter_by_group_quantile: per-group threshold "
+                         "table exceeds the 5M-row broadcast budget — "
+                         "bucket the key space first")
+    lut = {}
+    for p in bparts:                               # |groups| rows
+        for kv, t in zip(p[key].to_pylist(), p["_thr"].to_pylist()):
+            lut[kv] = float(t)
+    ref = ray.put(lut)
+    cols = list(keep_cols) if keep_cols is not None else None
+
+    def gate(b: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        keys = b[key].to_numpy(zero_copy_only=False)
+        v = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        codes, uniq = pd.factorize(keys)
+        keep = (codes >= 0) & ~np.isnan(v)
+        if len(uniq):
+            thr = np.array([m.get(u, np.nan) for u in uniq], np.float64)
+            tv = thr[np.maximum(codes, 0)]
+            keep &= ~np.isnan(tv) & (v >= tv)
+        else:
+            tv = np.full(len(v), np.nan)
+        out = b.filter(pa.array(keep))
+        sel = out.select(cols + [col]) if cols else out
+        return sel.append_column(thr_col, pa.array(tv[keep], pa.float64()))
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
 def grouped_entropy(ds, key: str, col: str, *, out_col: str = "entropy"):
     """Shannon entropy (bits) of ``col``'s value distribution per ``key`` —
     e.g. behavioural diversity per user, class balance per source. Matches
