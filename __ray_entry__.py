@@ -2929,6 +2929,18 @@ def q_label_centroids(sf_dir: str):
     return grouped_dim_stats(ds, emb_col="embedding", group_col="label")
 
 
+def q_embedding_centroid_outliers(sf_dir: str):
+    """Label-noise / junk filter over the embedding table: rows whose cosine
+    to their OWN label centroid is < 0 (the CLIP-score-style 'does this
+    example look like its class?' gate). Sufficient-stats centroid pass,
+    |labels| x dim broadcast, map-only cosine; 6dp rounding on both sides."""
+    from schema_validator_ray.stages.similarity import centroid_outliers
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    return centroid_outliers(ds, emb_col="embedding", id_col="vec_id",
+                             label_col="label", max_cos=0.0)
+
+
 def q_events_value_outliers(sf_dir: str):
     """Events whose value is > 3 population standard deviations from their
     event-type mean: tiny (n, sum, sumsq) per-type aggregate broadcast via
@@ -3622,6 +3634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_repetition": q_doc_ngram_repetition,
         "docs_oov_filter": q_docs_oov_filter,
         "docs_adaptive_quality": q_docs_adaptive_quality,
+        "embedding_centroid_outliers": q_embedding_centroid_outliers,
     }
 
 
@@ -5174,6 +5187,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(oov AS DOUBLE) / CAST(n AS DOUBLE) AS oov_frac
               FROM per
              WHERE CAST(oov AS DOUBLE) / CAST(n AS DOUBLE) <= 0.5
+        """,
+        "embedding_centroid_outliers": r"""
+            WITH dims AS (
+              SELECT label, i, avg(v) AS m
+                FROM (SELECT label, unnest(embedding) AS v,
+                             generate_subscripts(embedding, 1) AS i
+                        FROM embeddings)
+               GROUP BY label, i),
+            cent AS (SELECT label, list(m ORDER BY i) AS c
+                       FROM dims GROUP BY label)
+            SELECT e.vec_id, e.label,
+                   round(list_cosine_similarity(e.embedding, cent.c), 6)
+                       AS centroid_cos
+              FROM embeddings e JOIN cent USING (label)
+             WHERE round(list_cosine_similarity(e.embedding, cent.c), 6)
+                   < 0.0
         """,
         "docs_adaptive_quality": r"""
             WITH s AS (

@@ -815,6 +815,65 @@ def grouped_dim_stats(ds, *, emb_col: str, group_col: str):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def centroid_outliers(ds, *, emb_col: str, id_col: str, label_col: str,
+                      max_cos: float = 0.0, cells_max: int = 50_000_000):
+    """Embedding-based label-noise / junk filter: emit rows whose cosine to
+    their OWN label's centroid is below ``max_cos`` — the "this example
+    doesn't look like its class" curation signal (the CLIP-score-style
+    filter applied to any labeled embedding table).
+
+    Distributed shape: pass 1 is ``grouped_dim_stats`` (per-batch np.add.at
+    partials, the exchange is |labels| x dim narrow rows per batch, never
+    rows x dim); the |labels| x dim centroid table is a bounded driver
+    collect (loud guard) broadcast once via ``ray.put``; pass 2 is map-only
+    cosine against the looked-up centroid. ``centroid_cos`` is rounded to
+    6dp and the threshold compares the ROUNDED value so the DuckDB oracle
+    (avg per dim + list_cosine_similarity) matches bit-for-bit."""
+    import ray
+
+    from ._collect import collect_up_to
+
+    stats = grouped_dim_stats(ds, emb_col=emb_col, group_col=label_col)
+    parts, over = collect_up_to(stats, cells_max)
+    if over:
+        raise ValueError(
+            f"centroid table exceeds {cells_max} cells — bucket the label "
+            "space or co-partition by label instead of broadcasting")
+    import pandas as pd
+
+    dfs = [p.select([label_col, "pos", "mean_v"]).to_pandas()
+           for p in parts if p.num_rows]
+    cmat: dict = {}
+    if dfs:
+        df = pd.concat(dfs).sort_values([label_col, "pos"])
+        cmat = {lv: g["mean_v"].to_numpy(np.float64)
+                for lv, g in df.groupby(label_col, sort=False)}
+    ref = ray.put(cmat)
+
+    def score(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        m = ray.get(ref)
+        emb = _to_matrix(b[emb_col])
+        labs = b[label_col].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(labs)
+        dim = emb.shape[1] if emb.ndim == 2 else 0
+        cmat_b = np.stack([m.get(u, np.full(dim, np.nan)) for u in uniq]) \
+            if len(uniq) else np.zeros((0, dim))
+        cc = cmat_b[np.maximum(codes, 0)] if len(uniq) else emb
+        num = np.einsum("ij,ij->i", emb, cc)
+        denom = np.linalg.norm(emb, axis=1) * np.linalg.norm(cc, axis=1)
+        cos = num / np.maximum(denom, 1e-300)
+        cos[codes < 0] = np.nan
+        cos6 = np.round(cos, 6)
+        keep = ~np.isnan(cos6) & (cos6 < max_cos)
+        out = pa.table({id_col: b[id_col], label_col: b[label_col],
+                        "centroid_cos": pa.array(cos6, pa.float64())})
+        return out.filter(pa.array(keep))
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def grouped_mean_pairwise_cosine(ds, *, emb_col: str, group_col: str,
                                  id_col: str | None = None):
     """Mean pairwise cosine similarity WITHIN each group — the embedding

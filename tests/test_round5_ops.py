@@ -26,6 +26,63 @@ def test_filter_by_group_quantile_planted(ray_session):
     assert got[got["k"] == "b"]["thr"].unique().tolist() == [10.0]
 
 
+def test_centroid_outliers_planted(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.similarity import centroid_outliers
+
+    # label 0: three vectors near +x, one pointing -x (the outlier);
+    # label 1: two near +y, none below the threshold
+    rows = [
+        {"vec_id": 1, "label": 0, "embedding": [1.0, 0.1]},
+        {"vec_id": 2, "label": 0, "embedding": [1.0, -0.1]},
+        {"vec_id": 3, "label": 0, "embedding": [0.9, 0.0]},
+        {"vec_id": 4, "label": 0, "embedding": [-1.0, 0.0]},
+        {"vec_id": 5, "label": 1, "embedding": [0.0, 1.0]},
+        {"vec_id": 6, "label": 1, "embedding": [0.1, 1.0]},
+    ]
+    out = centroid_outliers(rd.from_items(rows).repartition(2),
+                            emb_col="embedding", id_col="vec_id",
+                            label_col="label", max_cos=0.0).to_pandas()
+    assert out["vec_id"].tolist() == [4]
+    assert out["centroid_cos"].iloc[0] < 0.0
+
+
+def test_centroid_outliers_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from schema_validator_ray.stages.similarity import centroid_outliers
+
+    rng = np.random.default_rng(11)
+    n, dim = 300, 16
+    df = pd.DataFrame({
+        "vec_id": np.arange(n),
+        "label": rng.integers(0, 4, n),
+        "embedding": rng.normal(0, 1, (n, dim)).round(4).tolist(),
+    })
+    out = (centroid_outliers(rd.from_pandas(df).repartition(4),
+                             emb_col="embedding", id_col="vec_id",
+                             label_col="label", max_cos=0.1)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    exp = duckdb.sql("""
+        WITH dims AS (
+          SELECT label, i, avg(v) AS m
+            FROM (SELECT label, unnest(embedding) AS v,
+                         generate_subscripts(embedding, 1) AS i FROM df)
+           GROUP BY label, i),
+        cent AS (SELECT label, list(m ORDER BY i) AS c FROM dims
+                  GROUP BY label)
+        SELECT df.vec_id, df.label,
+               round(list_cosine_similarity(df.embedding, cent.c), 6) AS cc
+          FROM df JOIN cent USING (label)
+         WHERE round(list_cosine_similarity(df.embedding, cent.c), 6) < 0.1
+         ORDER BY df.vec_id""").df()
+    assert out["vec_id"].tolist() == exp["vec_id"].tolist()
+    assert np.allclose(out["centroid_cos"].to_numpy(), exp["cc"].to_numpy(),
+                       atol=1e-9)
+
+
 def test_filter_by_group_quantile_matches_duckdb(ray_session):
     import duckdb
     import ray.data as rd
