@@ -2941,6 +2941,17 @@ def q_embedding_centroid_outliers(sf_dir: str):
                              label_col="label", max_cos=0.0)
 
 
+def q_knn_label_agreement(sf_dir: str):
+    """Label-noise score: fraction of each vector's 10 exact nearest
+    neighbors sharing its label (low = probable mislabel). Broadcast-matmul
+    top-k reduced to one narrow row per input inside the task."""
+    from schema_validator_ray.stages.similarity import knn_label_agreement
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    return knn_label_agreement(ds, emb_col="embedding", id_col="vec_id",
+                               label_col="label", k=10)
+
+
 def q_events_value_outliers(sf_dir: str):
     """Events whose value is > 3 population standard deviations from their
     event-type mean: tiny (n, sum, sumsq) per-type aggregate broadcast via
@@ -3635,6 +3646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_oov_filter": q_docs_oov_filter,
         "docs_adaptive_quality": q_docs_adaptive_quality,
         "embedding_centroid_outliers": q_embedding_centroid_outliers,
+        "knn_label_agreement": q_knn_label_agreement,
     }
 
 
@@ -5187,6 +5199,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(oov AS DOUBLE) / CAST(n AS DOUBLE) AS oov_frac
               FROM per
              WHERE CAST(oov AS DOUBLE) / CAST(n AS DOUBLE) <= 0.5
+        """,
+        "knn_label_agreement": r"""
+            WITH pairs AS (
+              SELECT a.vec_id, a.label, b.label AS nl
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id <> b.vec_id
+              QUALIFY ROW_NUMBER() OVER (
+                  PARTITION BY a.vec_id
+                  ORDER BY round(list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                      b.vec_id) <= 10)
+            SELECT vec_id, label,
+                   CAST(count(*) AS BIGINT) AS n_neighbors,
+                   CAST(sum((nl = label)::int) AS DOUBLE) / count(*)
+                       AS agree_frac
+              FROM pairs GROUP BY vec_id, label
         """,
         "embedding_centroid_outliers": r"""
             WITH dims AS (

@@ -1133,6 +1133,96 @@ def mmr_select(ds, *, emb_col: str = "embedding", id_col: str = "vec_id",
                      "mmr_score": pa.array(out_score, pa.float64())})
 
 
+class _LabelAgreeTopK:
+    """Per-batch exact top-k (same chunked reused-buffer matmul and 6dp
+    stable tie order as :class:`_SelfJoinTopK`) that reduces straight to the
+    per-row label-agreement fraction instead of emitting pairs — the k
+    neighbor rows never leave the task."""
+
+    def __init__(self, emb_col: str, id_col: str, label_col: str, ref,
+                 k: int):
+        self.emb_col, self.id_col, self.label_col = emb_col, id_col, label_col
+        self.ref, self.k = ref, k
+        self._corpus = None
+        self._buf = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idt = batch.schema.field(self.id_col).type
+        lt = batch.schema.field(self.label_col).type
+        empty = pa.table({self.id_col: pa.array([], idt),
+                          self.label_col: pa.array([], lt),
+                          "n_neighbors": pa.array([], pa.int64()),
+                          "agree_frac": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        import ray
+
+        if self._corpus is None:
+            self._corpus = ray.get(self.ref)
+        ids_all, mat_all, labels_all = self._corpus
+        mat = _normalize(_to_matrix(batch[self.emb_col]))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        labs = batch[self.label_col].to_numpy(zero_copy_only=False)
+        n = len(ids_all)
+        k = min(self.k, n - 1)
+        if k <= 0:
+            return empty
+        chunk = max(1, (4 << 20) // (8 * n))
+        if self._buf is None or self._buf.shape != (chunk, n):
+            self._buf = np.empty((chunk, n), np.float64)
+        nn = np.empty(len(ids), np.int64)
+        agree = np.empty(len(ids), np.float64)
+        for s in range(0, len(ids), chunk):
+            sub = mat[s:s + chunk]
+            sims = np.dot(sub, mat_all.T, out=self._buf[:len(sub)])
+            np.round(sims, 6, out=sims)
+            sims[ids[s:s + chunk, None] == ids_all[None, :]] = -np.inf
+            order = _topk_rows(sims, k)
+            scores = np.take_along_axis(sims, order, 1)
+            valid = scores > -np.inf
+            same = (labels_all[order] == labs[s:s + chunk, None]) & valid
+            cnt = valid.sum(1)
+            nn[s:s + chunk] = cnt
+            agree[s:s + chunk] = same.sum(1) / np.maximum(cnt, 1)
+        keep = nn > 0
+        return pa.table({self.id_col: pa.array(ids[keep], idt),
+                         self.label_col: pa.array(labs[keep], lt),
+                         "n_neighbors": pa.array(nn[keep], pa.int64()),
+                         "agree_frac": pa.array(agree[keep], pa.float64())})
+
+
+def knn_label_agreement(ds, *, emb_col: str = "embedding",
+                        id_col: str = "vec_id", label_col: str = "label",
+                        k: int = 10, batch_size: int = 4096,
+                        max_broadcast_rows: int = 2_000_000):
+    """Label-noise scoring (Confident-Learning-lite): for every row, the
+    fraction of its exact ``k`` nearest OTHER rows (cosine, 6dp stable tie
+    order) that share its label. Low agreement = probable mislabel or
+    boundary sample — rank by it before relabeling/dropping. Same
+    broadcast-matmul shape as :func:`knn_self_join`; the reduction to a
+    per-row fraction happens inside the task, so only one narrow row per
+    input row leaves the stage. Rows with NULL label/id are excluded from
+    both sides."""
+    import ray
+
+    clean = ds.select_columns([id_col, emb_col, label_col]).map_batches(
+        lambda b: b.drop_null(), batch_format="pyarrow")
+    t = _gather_corpus(clean, emb_col, id_col, max_broadcast_rows,
+                       extra_cols=[label_col])
+    ids_all = t[id_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids_all, kind="stable")
+    ids_all = np.ascontiguousarray(ids_all[order])
+    if np.issubdtype(ids_all.dtype, np.integer):
+        ids_all = ids_all.astype(np.int64)
+    labels_all = np.ascontiguousarray(
+        t[label_col].to_numpy(zero_copy_only=False)[order])
+    mat_all = _normalize(_to_matrix(t[emb_col]))[order]
+    ref = ray.put((ids_all, np.ascontiguousarray(mat_all), labels_all))
+    return clean.map_batches(
+        _LabelAgreeTopK(emb_col, id_col, label_col, ref, k),
+        batch_format="pyarrow", batch_size=batch_size)
+
+
 def knn_hard_negatives(ds, *, emb_col: str = "embedding",
                        id_col: str = "vec_id", label_col: str = "label",
                        k: int = 5, batch_size: int = 4096,

@@ -83,6 +83,61 @@ def test_centroid_outliers_matches_duckdb(ray_session):
                        atol=1e-9)
 
 
+def test_knn_label_agreement_planted(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.similarity import knn_label_agreement
+
+    # two tight clusters; vec 4 sits in cluster A but carries label 1
+    rows = [
+        {"vec_id": 1, "label": 0, "embedding": [1.0, 0.0]},
+        {"vec_id": 2, "label": 0, "embedding": [0.99, 0.01]},
+        {"vec_id": 3, "label": 0, "embedding": [0.98, -0.01]},
+        {"vec_id": 4, "label": 1, "embedding": [0.97, 0.02]},   # mislabel
+        {"vec_id": 5, "label": 1, "embedding": [0.0, 1.0]},
+        {"vec_id": 6, "label": 1, "embedding": [0.01, 0.99]},
+    ]
+    out = (knn_label_agreement(rd.from_items(rows).repartition(2),
+                               emb_col="embedding", id_col="vec_id",
+                               label_col="label", k=2)
+           .to_pandas().set_index("vec_id"))
+    assert out.loc[4, "agree_frac"] == 0.0        # both NNs are label 0
+    assert out.loc[1, "agree_frac"] == 1.0
+    assert (out["n_neighbors"] == 2).all()
+
+
+def test_knn_label_agreement_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from schema_validator_ray.stages.similarity import knn_label_agreement
+
+    rng = np.random.default_rng(13)
+    n, dim = 200, 8
+    df = pd.DataFrame({
+        "vec_id": np.arange(n),
+        "label": rng.integers(0, 3, n),
+        "embedding": rng.normal(0, 1, (n, dim)).round(4).tolist(),
+    })
+    out = (knn_label_agreement(rd.from_pandas(df).repartition(4),
+                               emb_col="embedding", id_col="vec_id",
+                               label_col="label", k=5)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    exp = duckdb.sql("""
+        WITH pairs AS (
+          SELECT a.vec_id, a.label, b.label AS nl
+            FROM df a JOIN df b ON a.vec_id <> b.vec_id
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY a.vec_id
+              ORDER BY round(list_cosine_similarity(
+                  CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])), 6) DESC, b.vec_id) <= 5)
+        SELECT vec_id, label, count(*) AS nn,
+               CAST(sum((nl = label)::int) AS DOUBLE) / count(*) AS af
+          FROM pairs GROUP BY vec_id, label ORDER BY vec_id""").df()
+    assert out["vec_id"].tolist() == exp["vec_id"].tolist()
+    assert np.array_equal(out["agree_frac"].to_numpy(), exp["af"].to_numpy())
+
+
 def test_filter_by_group_quantile_matches_duckdb(ray_session):
     import duckdb
     import ray.data as rd
