@@ -2952,6 +2952,30 @@ def q_knn_label_agreement(sf_dir: str):
                                label_col="label", k=10)
 
 
+def q_events_transition_matrix(sf_dir: str):
+    """Markov transition matrix over per-user event sequences: counts and
+    row-normalized probabilities of (prev_type -> next_type), the path-
+    analysis primitive behind next-action prediction and journey maps.
+    One narrow 64-way user-shard exchange; per-shard np.unique partials;
+    the final table is <= |types|^2 rows, so the probability normalization
+    finishes on the driver over a bounded result."""
+    from schema_validator_ray.stages.funnel import transition_counts
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    out = transition_counts(ds, user_col="user_id", ts_col="ts",
+                            type_col="event_type", tiebreak_col="event_id")
+    t = _collect(out, pa.schema([("prev_type", pa.string()),
+                                 ("next_type", pa.string()),
+                                 ("n", pa.int64())]))
+    df = t.to_pandas().sort_values(["prev_type", "next_type"]) \
+          .reset_index(drop=True)
+    tot = df.groupby("prev_type")["n"].transform("sum")
+    # exact-int division on both sides -> bit-identical doubles vs SQL
+    df["prob"] = df["n"].astype("float64") / tot.astype("float64")
+    df["n"] = df["n"].astype("int64")
+    return df
+
+
 def q_events_value_outliers(sf_dir: str):
     """Events whose value is > 3 population standard deviations from their
     event-type mean: tiny (n, sum, sumsq) per-type aggregate broadcast via
@@ -3647,6 +3671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_adaptive_quality": q_docs_adaptive_quality,
         "embedding_centroid_outliers": q_embedding_centroid_outliers,
         "knn_label_agreement": q_knn_label_agreement,
+        "events_transition_matrix": q_events_transition_matrix,
     }
 
 
@@ -5216,6 +5241,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum((nl = label)::int) AS DOUBLE) / count(*)
                        AS agree_frac
               FROM pairs GROUP BY vec_id, label
+        """,
+        "events_transition_matrix": r"""
+            WITH seq AS (
+              SELECT user_id, event_type,
+                     LAG(event_type) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id)
+                         AS prev_type
+                FROM events),
+            c AS (SELECT prev_type, event_type AS next_type,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                    FROM seq WHERE prev_type IS NOT NULL
+                   GROUP BY 1, 2)
+            SELECT prev_type, next_type, n,
+                   CAST(n AS DOUBLE)
+                       / SUM(n) OVER (PARTITION BY prev_type) AS prob
+              FROM c
         """,
         "embedding_centroid_outliers": r"""
             WITH dims AS (

@@ -175,6 +175,67 @@ def followed_by(events, *, user_col: str, ts_col: str, type_col: str,
             .map_groups(match_shard, batch_format="pyarrow"))
 
 
+def transition_counts(events, *, user_col: str, ts_col: str, type_col: str,
+                      tiebreak_col: str):
+    """Markov transition counts over per-user event sequences: for every
+    adjacent pair of events of the same user (ordered by ``ts_col`` then
+    ``tiebreak_col`` — the same total order as SQL's ``LAG() OVER (PARTITION
+    BY user ORDER BY ts, id)``), count (prev_type -> next_type). Returns a
+    Dataset of (prev_type, next_type, n) — at most |types|² rows.
+
+    Distributed shape, one narrow exchange: events project map-side to four
+    columns (user, µs, tiebreak, type), hash-partition by user SHARD (64
+    shards, never per-user groups — the ``followed_by`` lesson), and each
+    shard lexsorts once, dictionary-encodes the types, and reduces every
+    same-user adjacent pair to per-shard (prev, next, count) partials via one
+    ``np.unique`` over packed int codes. The final groupby sums |shards| ×
+    |types|² partial rows — tiny regardless of event volume."""
+    from ray.data.aggregate import Sum
+
+    def narrow(b: pa.Table) -> pa.Table:
+        from .asof import _shard_of
+
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        return pa.table({
+            user_col: b[user_col],
+            "_ts": pc.cast(ts, pa.int64()),
+            "_tb": b[tiebreak_col],
+            "_ty": b[type_col],
+            "_shard": pa.array(_shard_of(b[user_col], 64))})
+
+    def count_shard(g: pa.Table) -> pa.Table:
+        empty = pa.table({"prev_type": pa.array([], pa.string()),
+                          "next_type": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if g.num_rows < 2:
+            return empty
+        codes, _ = pd.factorize(g[user_col].to_numpy(zero_copy_only=False))
+        ts = g["_ts"].to_numpy(zero_copy_only=False)
+        tb = g["_tb"].to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(g["_ty"].combine_chunks())
+        ty = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        k = len(vocab)
+        order = np.lexsort((tb, ts, codes))
+        cs, tys = codes[order], ty[order]
+        m = cs[1:] == cs[:-1]
+        if not m.any():
+            return empty
+        key = tys[:-1][m] * k + tys[1:][m]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"prev_type": vocab.take(pa.array(uk // k)),
+                         "next_type": vocab.take(pa.array(uk % k)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    return (events.map_batches(narrow, batch_format="pyarrow")
+            .groupby("_shard")
+            .map_groups(count_shard, batch_format="pyarrow")
+            .groupby(["prev_type", "next_type"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
 WEEK_US = 7 * 86_400_000_000
 
 
