@@ -2976,6 +2976,19 @@ def q_events_transition_matrix(sf_dir: str):
     return df
 
 
+def q_user_conversion_latency(sf_dir: str):
+    """Time-to-convert distribution input: per user, seconds from the first
+    click to the first purchase at-or-after it (converting users only).
+    One narrow user-shard exchange, two scatter-mins per shard, no join —
+    a shard holds all of its users' rows so the reduction is global."""
+    from schema_validator_ray.stages.funnel import conversion_latency
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return conversion_latency(ds, user_col="user_id", ts_col="ts",
+                              type_col="event_type", first="click",
+                              then="purchase", out_col="latency_s")
+
+
 def q_events_value_outliers(sf_dir: str):
     """Events whose value is > 3 population standard deviations from their
     event-type mean: tiny (n, sum, sumsq) per-type aggregate broadcast via
@@ -3672,6 +3685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroid_outliers": q_embedding_centroid_outliers,
         "knn_label_agreement": q_knn_label_agreement,
         "events_transition_matrix": q_events_transition_matrix,
+        "user_conversion_latency": q_user_conversion_latency,
     }
 
 
@@ -5257,6 +5271,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS DOUBLE)
                        / SUM(n) OVER (PARTITION BY prev_type) AS prob
               FROM c
+        """,
+        "user_conversion_latency": r"""
+            WITH fc AS (
+              SELECT user_id, min(ts) AS c_ts
+                FROM events WHERE event_type = 'click' GROUP BY 1),
+            fp AS (
+              SELECT e.user_id, min(e.ts) AS p_ts
+                FROM events e JOIN fc USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts >= fc.c_ts
+               GROUP BY 1)
+            SELECT fc.user_id,
+                   CAST(epoch_us(fp.p_ts) - epoch_us(fc.c_ts) AS DOUBLE)
+                       / 1000000.0 AS latency_s
+              FROM fc JOIN fp USING (user_id)
         """,
         "embedding_centroid_outliers": r"""
             WITH dims AS (

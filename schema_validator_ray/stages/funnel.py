@@ -236,6 +236,63 @@ def transition_counts(events, *, user_col: str, ts_col: str, type_col: str,
             .aggregate(Sum("n", alias_name="n")))
 
 
+def conversion_latency(events, *, user_col: str, ts_col: str, type_col: str,
+                       first: str, then: str, out_col: str = "latency_s"):
+    """Per-user conversion latency: seconds from the user's FIRST
+    ``first``-type event to the first ``then``-type event at-or-after it
+    (unwindowed — the time-to-convert distribution input). Rows: converting
+    users only, (user, ``out_col`` float64 seconds).
+
+    One narrow exchange, no join: events pre-filter map-side to the two
+    types, hash-partition by user SHARD (a shard holds ALL of its users'
+    rows, so the per-user reduction is globally correct), and each shard
+    runs two ``np.minimum.at`` scatter-mins over factorized user codes —
+    first-``first`` µs, then first-``then`` µs among rows at-or-after it.
+    int64 µs throughout; the final divide-by-1e6 matches the SQL oracle's
+    ``epoch_us`` arithmetic bit-exactly."""
+    sent = np.iinfo(np.int64).max
+
+    def narrow(b: pa.Table) -> pa.Table:
+        from .asof import _shard_of
+
+        m = pc.is_in(b[type_col], value_set=pa.array([first, then]))
+        t = b.filter(m)
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        return pa.table({
+            user_col: t[user_col],
+            "_ts": pc.cast(ts, pa.int64()),
+            "_lead": pc.cast(pc.equal(t[type_col], pa.scalar(first)),
+                             pa.int8()),
+            "_shard": pa.array(_shard_of(t[user_col], 64))})
+
+    def reduce_shard(g: pa.Table) -> pa.Table:
+        empty = pa.table({user_col: pa.array([], g[user_col].type),
+                          out_col: pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        codes, uniq = pd.factorize(g[user_col].to_numpy(zero_copy_only=False))
+        ts = g["_ts"].to_numpy(zero_copy_only=False)
+        lead = g["_lead"].to_numpy(zero_copy_only=False).astype(bool)
+        nu = len(uniq)
+        fc = np.full(nu, sent)
+        np.minimum.at(fc, codes[lead], ts[lead])
+        after = ~lead & (ts >= fc[codes])        # `then` rows at/after first
+        fp = np.full(nu, sent)
+        np.minimum.at(fp, codes[after], ts[after])
+        keep = (fc < sent) & (fp < sent)
+        if not keep.any():
+            return empty
+        lat = (fp[keep] - fc[keep]).astype(np.float64) / 1_000_000.0
+        return pa.table({user_col: pa.array(uniq[keep], g[user_col].type),
+                         out_col: pa.array(lat)})
+
+    return (events.map_batches(narrow, batch_format="pyarrow")
+            .groupby("_shard")
+            .map_groups(reduce_shard, batch_format="pyarrow"))
+
+
 WEEK_US = 7 * 86_400_000_000
 
 

@@ -86,3 +86,57 @@ def test_transition_counts_matches_duckdb(ray_session):
     """).df()
     pd.testing.assert_frame_equal(
         got[["prev_type", "next_type", "n"]], exp, check_dtype=False)
+
+
+def test_conversion_latency_planted(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.funnel import conversion_latency
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 3, 4, 4],
+        "ts": pd.to_datetime([10, 40, 20, 50, 30, 5, 100, 100], unit="s"),
+        "event_type": ["click", "purchase", "purchase",
+                       "purchase", "click",        # u2: purchase AFTER click
+                       "purchase",                 # u3: never clicked
+                       "click", "purchase"],       # u4: same-instant convert
+    })
+    out = conversion_latency(
+        rd.from_pandas(df).repartition(3), user_col="user_id",
+        ts_col="ts", type_col="event_type", first="click",
+        then="purchase").to_pandas().sort_values("user_id")
+    # u1: click@10 -> first purchase at/after = 20 (not 40); u2: 50-30;
+    # u3 dropped; u4: 0s (at-or-after includes the same instant)
+    assert out["user_id"].tolist() == [1, 2, 4]
+    assert out["latency_s"].tolist() == [10.0, 20.0, 0.0]
+
+
+def test_conversion_latency_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from schema_validator_ray.stages.funnel import conversion_latency
+
+    df = _events_df(seed=3)
+    out = conversion_latency(
+        rd.from_pandas(df).repartition(5), user_col="user_id",
+        ts_col="ts", type_col="event_type", first="click",
+        then="purchase").to_pandas()
+    got = out.sort_values("user_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("events", df)
+    exp = con.execute("""
+        WITH fc AS (SELECT user_id, min(ts) AS c_ts
+                      FROM events WHERE event_type='click' GROUP BY 1),
+        fp AS (SELECT e.user_id, min(e.ts) AS p_ts
+                 FROM events e JOIN fc USING (user_id)
+                WHERE e.event_type='purchase' AND e.ts >= fc.c_ts
+                GROUP BY 1)
+        SELECT fc.user_id,
+               CAST(epoch_us(fp.p_ts) - epoch_us(fc.c_ts) AS DOUBLE)
+                   / 1000000.0 AS latency_s
+          FROM fc JOIN fp USING (user_id) ORDER BY 1
+    """).df()
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
