@@ -2989,6 +2989,73 @@ def q_user_conversion_latency(sf_dir: str):
                               then="purchase", out_col="latency_s")
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: unshipped-order revenue for one market segment —
+    segment-filtered customers ⋈ date-filtered orders ⋈ shipdate-filtered
+    lineitems, revenue per (order, date, priority), top 10. All three
+    filters run map-side at the read (column-pruned, per-batch Arrow
+    predicates) so the two hash joins only exchange surviving narrow rows;
+    the top-10 is a fully-ordered sort+limit over the aggregated (already
+    small) result. Full tiebreak (revenue DESC, date, orderkey) keeps the
+    LIMIT deterministic on both engines."""
+    import datetime as _dt
+
+    from ray.data.aggregate import Sum
+
+    from schema_validator_ray.stages.referential import default_join_partitions
+
+    cutoff = pa.scalar(_dt.datetime(1998, 1, 1), type=pa.timestamp("us"))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(
+            lambda b: b.filter(pc.equal(b["c_mktsegment"],
+                                        pa.scalar("BUILDING")))
+                       .select(["c_custkey"]),
+            batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_orderpriority"]) \
+        .map_batches(
+            lambda b: b.filter(pc.less(pc.cast(b["o_orderdate"],
+                                               pa.timestamp("us")), cutoff))
+                       .rename_columns(["o_orderkey", "c_custkey",
+                                        "o_orderdate", "o_orderpriority"]),
+            batch_format="pyarrow")
+
+    def li_narrow(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(pc.cast(b["l_shipdate"], pa.timestamp("us")),
+                                cutoff))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_shipdate"]).map_batches(li_narrow, batch_format="pyarrow")
+
+    nparts = default_join_partitions(8)
+    j1 = orders.join(cust, join_type="inner", num_partitions=nparts,
+                     on=("c_custkey",)) \
+        .map_batches(
+            lambda b: pa.table({"l_orderkey": b["o_orderkey"],
+                                "o_orderdate": b["o_orderdate"],
+                                "o_orderpriority": b["o_orderpriority"]}),
+            batch_format="pyarrow")
+    j2 = li.join(j1, join_type="inner", num_partitions=nparts,
+                 on=("l_orderkey",))
+    agg = (j2.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
+           .aggregate(Sum("rev", alias_name="revenue")))
+    ranked = agg.map_batches(
+        lambda b: pa.table({
+            "o_orderkey": b["l_orderkey"],
+            "o_orderdate": b["o_orderdate"],
+            "o_orderpriority": b["o_orderpriority"],
+            "revenue": pc.round(b["revenue"], ndigits=2)}),
+        batch_format="pyarrow")
+    return ranked.sort(["revenue", "o_orderdate", "o_orderkey"],
+                       descending=[True, False, False]).limit(10)
+
+
 def q_events_value_outliers(sf_dir: str):
     """Events whose value is > 3 population standard deviations from their
     event-type mean: tiny (n, sum, sumsq) per-type aggregate broadcast via
@@ -3686,6 +3753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_agreement": q_knn_label_agreement,
         "events_transition_matrix": q_events_transition_matrix,
         "user_conversion_latency": q_user_conversion_latency,
+        "shipping_priority": q_shipping_priority,
     }
 
 
@@ -5271,6 +5339,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS DOUBLE)
                        / SUM(n) OVER (PARTITION BY prev_type) AS prob
               FROM c
+        """,
+        "shipping_priority": r"""
+            SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,
+                   o.o_orderpriority,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue
+              FROM customer c
+              JOIN orders o ON c.c_custkey = o.o_custkey
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             WHERE c.c_mktsegment = 'BUILDING'
+               AND o.o_orderdate < TIMESTAMP '1998-01-01'
+               AND l.l_shipdate  > TIMESTAMP '1998-01-01'
+             GROUP BY 1, 2, 3
+             ORDER BY revenue DESC, o.o_orderdate ASC, 1 ASC
+             LIMIT 10
         """,
         "user_conversion_latency": r"""
             WITH fc AS (
