@@ -3056,6 +3056,17 @@ def q_shipping_priority(sf_dir: str):
                        descending=[True, False, False]).limit(10)
 
 
+def q_zipf_slope_by_source(sf_dir: str):
+    """Zipf rank-frequency slope of each source's unigram distribution —
+    the corpus-health drift signal (natural text ≈ −1; flat = templated,
+    steep = boilerplate). Batch-vocab-bounded partials, one groupby-sum,
+    per-SOURCE closed-form regression (never per-doc groups)."""
+    from schema_validator_ray.functions.text import zipf_slope_by_group
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    return zipf_slope_by_group(ds, "text", "source")
+
+
 def q_events_value_outliers(sf_dir: str):
     """Events whose value is > 3 population standard deviations from their
     event-type mean: tiny (n, sum, sumsq) per-type aggregate broadcast via
@@ -3754,6 +3765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transition_matrix": q_events_transition_matrix,
         "user_conversion_latency": q_user_conversion_latency,
         "shipping_priority": q_shipping_priority,
+        "zipf_slope_by_source": q_zipf_slope_by_source,
     }
 
 
@@ -5339,6 +5351,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS DOUBLE)
                        / SUM(n) OVER (PARTITION BY prev_type) AS prob
               FROM c
+        """,
+        "zipf_slope_by_source": r"""
+            WITH c AS (
+              SELECT source AS g, word AS w, CAST(COUNT(*) AS BIGINT) AS n
+                FROM (SELECT source,
+                             unnest(regexp_split_to_array(
+                                 lower(COALESCE(text, '')), '[^a-z0-9]+'))
+                                 AS word
+                        FROM documents) t
+               WHERE word <> '' GROUP BY 1, 2),
+            r AS (
+              SELECT g, ln(CAST(n AS DOUBLE)) AS y,
+                     ln(CAST(ROW_NUMBER() OVER (
+                         PARTITION BY g ORDER BY n DESC, w ASC) AS DOUBLE))
+                         AS x
+                FROM c),
+            s AS (SELECT g, COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+                         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+                    FROM r GROUP BY g)
+            SELECT g AS source, CAST(k AS BIGINT) AS n_terms,
+                   round_even((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+                       AS zipf_slope
+              FROM s WHERE k >= 2
         """,
         "shipping_priority": r"""
             SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,

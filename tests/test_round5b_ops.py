@@ -140,3 +140,64 @@ def test_conversion_latency_matches_duckdb(ray_session):
     """).df()
     assert len(exp) > 0
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_zipf_slope_planted(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.functions.text import zipf_slope_by_group
+
+    # counts follow n(r) = 64 / r exactly -> slope of ln n on ln rank = -1
+    words = []
+    for r, w in enumerate(["aa", "bb", "cc", "dd", "ee", "ff"], start=1):
+        words += [w] * (64 // r if r <= 4 else (64 // r))
+    df = pd.DataFrame({"source": ["s1"] * 3,
+                       "text": [" ".join(words)] + ["", ""]})
+    out = zipf_slope_by_group(
+        rd.from_pandas(df).repartition(2), "text", "source").to_pandas()
+    assert out["source"].tolist() == ["s1"]
+    # not exactly -1 (64//r truncates) but close and negative
+    assert -1.1 < out["zipf_slope"].iloc[0] < -0.9
+
+
+def test_zipf_slope_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from schema_validator_ray.functions.text import zipf_slope_by_group
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    p = 1.0 / np.arange(1, 41)
+    p /= p.sum()
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(20, 80), p=p))
+            for _ in range(60)]
+    df = pd.DataFrame({
+        "doc_id": np.arange(60),
+        "source": rng.choice(["web", "books", "code"], 60),
+        "text": docs})
+    out = zipf_slope_by_group(
+        rd.from_pandas(df).repartition(4), "text", "source").to_pandas()
+    got = out.sort_values("source").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute("""
+        WITH c AS (
+          SELECT source AS g, word AS w, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT source, unnest(regexp_split_to_array(
+                      lower(COALESCE(text,'')), '[^a-z0-9]+')) AS word
+                    FROM documents) t
+           WHERE word <> '' GROUP BY 1, 2),
+        r AS (SELECT g, ln(CAST(n AS DOUBLE)) AS y,
+                     ln(CAST(ROW_NUMBER() OVER (
+                         PARTITION BY g ORDER BY n DESC, w ASC) AS DOUBLE))
+                         AS x
+                FROM c),
+        s AS (SELECT g, COUNT(*) AS k, SUM(x) sx, SUM(y) sy,
+                     SUM(x*y) sxy, SUM(x*x) sxx FROM r GROUP BY g)
+        SELECT g AS source, CAST(k AS BIGINT) AS n_terms,
+               round_even((k*sxy - sx*sy) / (k*sxx - sx*sx), 6) AS zipf_slope
+          FROM s WHERE k >= 2 ORDER BY source
+    """).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
