@@ -3067,6 +3067,19 @@ def q_zipf_slope_by_source(sf_dir: str):
     return zipf_slope_by_group(ds, "text", "source")
 
 
+def q_embedding_label_margin(sf_dir: str):
+    """Silhouette-style per-example label margin: mean within-label cosine
+    minus the best other-label mean cosine (negative = probable mislabel).
+    Centroid-sufficient for cosine, so pass 1 is the |labels|×dim
+    normalized-sum exchange and pass 2 a map-only matmul — never a pair
+    materialization."""
+    from schema_validator_ray.stages.similarity import label_cosine_margin
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    return label_cosine_margin(ds, emb_col="embedding", id_col="vec_id",
+                               label_col="label")
+
+
 def q_events_value_outliers(sf_dir: str):
     """Events whose value is > 3 population standard deviations from their
     event-type mean: tiny (n, sum, sumsq) per-type aggregate broadcast via
@@ -3766,6 +3779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_conversion_latency": q_user_conversion_latency,
         "shipping_priority": q_shipping_priority,
         "zipf_slope_by_source": q_zipf_slope_by_source,
+        "embedding_label_margin": q_embedding_label_margin,
     }
 
 
@@ -5351,6 +5365,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS DOUBLE)
                        / SUM(n) OVER (PARTITION BY prev_type) AS prob
               FROM c
+        """,
+        "embedding_label_margin": r"""
+            WITH m AS (
+              SELECT a.vec_id, a.label AS la, b.label AS lb,
+                     avg(list_cosine_similarity(
+                         CAST(a.embedding AS DOUBLE[]),
+                         CAST(b.embedding AS DOUBLE[]))) AS mc
+                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+               GROUP BY 1, 2, 3)
+            SELECT vec_id, la AS label,
+                   round_even(max(CASE WHEN la = lb THEN mc END), 6)
+                       AS a_self,
+                   round_even(max(CASE WHEN la <> lb THEN mc END), 6)
+                       AS b_other,
+                   round_even(max(CASE WHEN la = lb THEN mc END)
+                              - max(CASE WHEN la <> lb THEN mc END), 6)
+                       AS margin
+              FROM m GROUP BY 1, 2
+            HAVING max(CASE WHEN la = lb THEN mc END) IS NOT NULL
+               AND max(CASE WHEN la <> lb THEN mc END) IS NOT NULL
         """,
         "zipf_slope_by_source": r"""
             WITH c AS (

@@ -940,6 +940,105 @@ def grouped_mean_pairwise_cosine(ds, *, emb_col: str, group_col: str,
     return rd.from_pandas(finish(pd.concat(parts, ignore_index=True)))
 
 
+def label_cosine_margin(ds, *, emb_col: str, id_col: str, label_col: str,
+                        cells_max: int = 50_000_000):
+    """Silhouette-style label-quality margin per row: ``a_self`` = mean
+    cosine to the OTHER members of the row's own label, ``b_other`` = the
+    best (max) mean cosine to any other label, ``margin = a_self −
+    b_other``. Negative margin = this row sits closer to another class than
+    to its own — the per-example mislabel signal (the cosine analogue of the
+    silhouette a/b decomposition, which IS centroid-sufficient for cosine:
+    mean_j cos(v, u_j) = v̂ · Σ û_j / n).
+
+    Distributed shape: pass 1 reuses the per-label normalized-sum partial
+    (exchange = |labels| × dim narrow rows per batch); the ≤|labels| × dim
+    aggregate is a loud-guarded driver collect broadcast once via
+    ``ray.put``; pass 2 is a map-only (batch × labels) matmul. Rows whose
+    label has a single member (a undefined) are dropped on both engines.
+    6dp rounding absorbs dot-with-sum vs mean-of-cosines ulps."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ._collect import collect_up_to
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({label_col: pa.array([], b[label_col].type),
+                          "pos": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        m = _normalize(_to_matrix(b[emb_col]))
+        codes, uniq = pd.factorize(
+            b[label_col].to_numpy(zero_copy_only=False))
+        ng, dim = len(uniq), m.shape[1]
+        sums = np.zeros((ng, dim), np.float64)
+        np.add.at(sums, codes, m)
+        counts = np.bincount(codes, minlength=ng).astype(np.int64)
+        return pa.table({
+            label_col: pa.array(np.repeat(uniq, dim), b[label_col].type),
+            "pos": pa.array(np.tile(np.arange(dim), ng), pa.int64()),
+            "n": pa.array(np.repeat(counts, dim), pa.int64()),
+            "s": pa.array(sums.ravel(), pa.float64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby([label_col, "pos"])
+           .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s")))
+    parts, over = collect_up_to(agg, cells_max)
+    if over:
+        raise ValueError(
+            f"label-sum table exceeds {cells_max} cells — bucket the label "
+            "space or co-partition by label instead of broadcasting")
+    dfs = [p.select([label_col, "pos", "n", "s"]).to_pandas()
+           for p in parts if p.num_rows]
+    labels: list = []
+    S = np.zeros((0, 0))
+    counts = np.zeros(0, np.int64)
+    if dfs:
+        df = pd.concat(dfs).sort_values([label_col, "pos"])
+        labels = list(df[label_col].unique())
+        dim = int(df["pos"].max()) + 1
+        S = df["s"].to_numpy(np.float64).reshape(len(labels), dim)
+        counts = df.groupby(label_col, sort=False)["n"].first() \
+                   .to_numpy(np.int64)
+    ref = ray.put((labels, S, counts))
+
+    def score(b: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          label_col: pa.array([], b[label_col].type),
+                          "a_self": pa.array([], pa.float64()),
+                          "b_other": pa.array([], pa.float64()),
+                          "margin": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        labs_all, smat, cnts = ray.get(ref)
+        if len(labs_all) < 2:
+            return empty
+        lab_ix = {lv: i for i, lv in enumerate(labs_all)}
+        m = _normalize(_to_matrix(b[emb_col]))
+        labs = b[label_col].to_numpy(zero_copy_only=False)
+        own = np.array([lab_ix[lv] for lv in labs])
+        dots = m @ smat.T                               # (batch, labels)
+        sd = np.einsum("ij,ij->i", m, m)                # self-cosine ≈ 1
+        n_own = cnts[own]
+        rows = np.arange(len(own))
+        a = (dots[rows, own] - sd) / np.maximum(n_own - 1, 1)
+        other = dots / cnts[None, :]
+        other[rows, own] = -np.inf
+        bo = other.max(axis=1)
+        keep = n_own >= 2
+        a6, b6 = np.round(a, 6), np.round(bo, 6)
+        mg6 = np.round(a - bo, 6)
+        out = pa.table({id_col: b[id_col], label_col: b[label_col],
+                        "a_self": pa.array(a6, pa.float64()),
+                        "b_other": pa.array(b6, pa.float64()),
+                        "margin": pa.array(mg6, pa.float64())})
+        return out.filter(pa.array(keep))
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 class _DominatedStage:
     """Map-only 'has a lower-id neighbor above threshold' check against a
     broadcast normalized corpus matrix (ray.put once, ray.get once per actor

@@ -201,3 +201,64 @@ def test_zipf_slope_matches_duckdb(ray_session):
           FROM s WHERE k >= 2 ORDER BY source
     """).df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_label_margin_planted(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.similarity import label_cosine_margin
+
+    # two tight clusters on orthogonal axes + one mislabeled point
+    emb = [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [0.1, 0.9],
+           [0.95, 0.05]]                     # last one labeled B but near A
+    df = pd.DataFrame({
+        "vec_id": np.arange(5, dtype=np.int64),
+        "embedding": emb,
+        "label": np.array([0, 0, 1, 1, 1], np.int32)})
+    out = label_cosine_margin(
+        rd.from_pandas(df).repartition(2), emb_col="embedding",
+        id_col="vec_id", label_col="label").to_pandas()
+    out = out.set_index("vec_id")
+    assert (out.loc[[0, 1, 2, 3], "margin"] > 0).all()
+    assert out.loc[4, "margin"] < 0          # the planted mislabel
+
+
+def test_label_margin_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from schema_validator_ray.stages.similarity import label_cosine_margin
+
+    rng = np.random.default_rng(5)
+    n, d = 120, 8
+    emb = rng.normal(size=(n, d))
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [list(map(float, r)) for r in emb],
+        "label": rng.integers(0, 4, n).astype(np.int32)})
+    out = label_cosine_margin(
+        rd.from_pandas(df).repartition(4), emb_col="embedding",
+        id_col="vec_id", label_col="label").to_pandas()
+    got = out.sort_values("vec_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("embeddings", df)
+    exp = con.execute("""
+        WITH m AS (
+          SELECT a.vec_id, a.label AS la, b.label AS lb,
+                 avg(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])))
+                     AS mc
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+           GROUP BY 1, 2, 3)
+        SELECT vec_id, la AS label,
+               round_even(max(CASE WHEN la = lb THEN mc END), 6) AS a_self,
+               round_even(max(CASE WHEN la <> lb THEN mc END), 6) AS b_other,
+               round_even(max(CASE WHEN la = lb THEN mc END)
+                          - max(CASE WHEN la <> lb THEN mc END), 6) AS margin
+          FROM m GROUP BY 1, 2
+        HAVING max(CASE WHEN la = lb THEN mc END) IS NOT NULL
+           AND max(CASE WHEN la <> lb THEN mc END) IS NOT NULL
+         ORDER BY vec_id
+    """).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
