@@ -3080,6 +3080,17 @@ def q_embedding_label_margin(sf_dir: str):
                                label_col="label")
 
 
+def q_term_burstiness(sf_dir: str):
+    """Fano factor (variance/mean of per-doc counts, zeros included) for
+    the corpus top-20 terms — content words are bursty, function words
+    Poisson-ish; VMR drift on a common term flags templating. Batch-vocab
+    partials, one groupby-sum, vocabulary-sized top-k."""
+    from schema_validator_ray.functions.text import term_burstiness
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return term_burstiness(ds, "text", k=20)
+
+
 def q_events_value_outliers(sf_dir: str):
     """Events whose value is > 3 population standard deviations from their
     event-type mean: tiny (n, sum, sumsq) per-type aggregate broadcast via
@@ -3780,6 +3791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q_shipping_priority,
         "zipf_slope_by_source": q_zipf_slope_by_source,
         "embedding_label_margin": q_embedding_label_margin,
+        "term_burstiness": q_term_burstiness,
     }
 
 
@@ -5365,6 +5377,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS DOUBLE)
                        / SUM(n) OVER (PARTITION BY prev_type) AS prob
               FROM c
+        """,
+        "term_burstiness": r"""
+            WITH t AS (
+              SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS x
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(
+                                 lower(COALESCE(text, '')), '[^a-z0-9]+'))
+                                 AS word
+                        FROM documents)
+               WHERE word <> '' GROUP BY 1, 2),
+            nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+            s AS (SELECT word, SUM(x) AS sx, SUM(x * x) AS sx2
+                    FROM t GROUP BY word
+                   ORDER BY sx DESC, word ASC LIMIT 20)
+            SELECT word AS term, CAST(sx AS BIGINT) AS total,
+                   round_even(sx / n, 6) AS mean_cnt,
+                   round_even(((sx2 - sx * sx / n) / (n - 1)) / (sx / n), 6)
+                       AS vmr
+              FROM s, nd
         """,
         "embedding_label_margin": r"""
             WITH m AS (

@@ -738,6 +738,65 @@ def source_unigram_jsd(ds, text_col: str, group_col: str, *,
         "jsd": pa.array(rows_j, pa.float64())}))
 
 
+def term_burstiness(ds, text_col: str, *, k: int = 20):
+    """Variance-to-mean ratio (Fano factor) of per-document counts for the
+    corpus's top-``k`` terms — the burstiness signal separating topical
+    content words (bursty, VMR ≫ 1) from function words (Poisson-ish,
+    VMR ≈ 1); a drift in a common term's VMR flags templating or spam.
+    Zero-count documents are part of the distribution: mean = Σx/N over ALL
+    N docs, var = (Σx² − (Σx)²/N)/(N−1).
+
+    Distributed shape: a document's tokens live in its own row, so per-doc
+    counts are exact within a batch — per-batch (word, Σx, Σx²) partials
+    bound the exchange at batch vocabulary; one groupby-sum merges; the
+    top-k pick is a vocabulary-sized sort+limit; the k-row finish closes
+    over the scalar doc count. The formula is spelled identically in the
+    SQL oracle; 6dp rounding absorbs int→double conversion ulps."""
+    from ray.data.aggregate import Sum
+
+    n_docs = float(ds.count())
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(b[text_col], "")), WORD_SPLIT_RE)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        t = pa.table({"p": parents, "w": flat}).filter(
+            pc.not_equal(flat, ""))
+        cnt = t.group_by(["p", "w"]).aggregate([([], "count_all")])
+        x = pc.cast(cnt["count_all"], pa.int64())
+        per = pa.table({"w": cnt["w"], "x": x,
+                        "x2": pc.multiply(x, x)})
+        agg = per.group_by("w").aggregate([("x", "sum"), ("x2", "sum")])
+        return pa.table({"w": agg["w"], "sx": agg["x_sum"],
+                         "sx2": agg["x2_sum"]})
+
+    agg = (ds.select_columns([text_col])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("w")
+           .aggregate(Sum("sx", alias_name="sx"),
+                      Sum("sx2", alias_name="sx2")))
+    topk = agg.sort(["sx", "w"], descending=[True, False]).limit(k)
+
+    def finish(b: pa.Table) -> pa.Table:
+        sx = b["sx"].to_numpy(zero_copy_only=False)
+        sx2 = b["sx2"].to_numpy(zero_copy_only=False)
+        n = n_docs
+        # exact-int products converted once, then the same double ops as SQL
+        mean = np.array([float(int(v)) / n for v in sx])
+        var = np.array([(float(int(b_)) - float(int(a_) * int(a_)) / n)
+                        / (n - 1.0) for a_, b_ in zip(sx, sx2)])
+        return pa.table({
+            "term": b["w"],
+            "total": pa.array(sx.astype(np.int64)),
+            "mean_cnt": pa.array(np.round(mean, 6), pa.float64()),
+            "vmr": pa.array(np.round(var / mean, 6), pa.float64())})
+
+    return topk.map_batches(finish, batch_format="pyarrow")
+
+
 def zipf_slope_by_group(ds, text_col: str, group_col: str):
     """Zipf rank-frequency slope per ``group_col``: least-squares slope of
     ln(count) on ln(rank) over each group's unigram vocabulary (rank 1 = most

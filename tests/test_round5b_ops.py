@@ -262,3 +262,54 @@ def test_label_margin_matches_duckdb(ray_session):
          ORDER BY vec_id
     """).df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_term_burstiness_planted(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.functions.text import term_burstiness
+
+    # "the" appears once per doc (VMR -> 0: no variance);
+    # "cats" is bursty: 4 in one doc, 0 in the rest
+    docs = ["the cats cats cats cats"] + ["the"] * 7
+    df = pd.DataFrame({"doc_id": np.arange(8), "text": docs})
+    out = term_burstiness(
+        rd.from_pandas(df).repartition(3), "text", k=2).to_pandas()
+    out = out.set_index("term")
+    assert out.loc["the", "vmr"] == 0.0
+    assert out.loc["cats", "vmr"] > 1.0
+
+
+def test_term_burstiness_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from schema_validator_ray.functions.text import term_burstiness
+
+    rng = np.random.default_rng(19)
+    vocab = [f"t{i}" for i in range(25)]
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(5, 60)))
+            for _ in range(50)]
+    df = pd.DataFrame({"doc_id": np.arange(50), "text": docs})
+    got = term_burstiness(
+        rd.from_pandas(df).repartition(4), "text", k=10).to_pandas()
+    got = got.sort_values("term").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute("""
+        WITH t AS (
+          SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS x
+            FROM (SELECT doc_id, unnest(regexp_split_to_array(
+                      lower(COALESCE(text,'')), '[^a-z0-9]+')) AS word
+                    FROM documents)
+           WHERE word <> '' GROUP BY 1, 2),
+        nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        s AS (SELECT word, SUM(x) AS sx, SUM(x*x) AS sx2
+                FROM t GROUP BY word ORDER BY sx DESC, word ASC LIMIT 10)
+        SELECT word AS term, CAST(sx AS BIGINT) AS total,
+               round_even(sx / n, 6) AS mean_cnt,
+               round_even(((sx2 - sx*sx/n) / (n - 1)) / (sx/n), 6) AS vmr
+          FROM s, nd ORDER BY term
+    """).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
