@@ -3091,6 +3091,19 @@ def q_term_burstiness(sf_dir: str):
     return term_burstiness(ds, "text", k=20)
 
 
+def q_events_value_emd(sf_dir: str):
+    """Exact earth-mover (Wasserstein-1) distance between the click and
+    purchase `value` distributions — the drift metric that weighs how far
+    mass moved, complementing KS/PSI/JSD. No global sort: distinct-value
+    cells partition by calibrated value bucket; per-bucket CDF segments
+    integrate locally against driver prefix-summed carry-ins."""
+    from schema_validator_ray.stages.drift import value_emd
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return value_emd(ds, value_col="value", group_col="event_type",
+                     a="click", b="purchase")
+
+
 def q_events_value_outliers(sf_dir: str):
     """Events whose value is > 3 population standard deviations from their
     event-type mean: tiny (n, sum, sumsq) per-type aggregate broadcast via
@@ -3792,6 +3805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_slope_by_source": q_zipf_slope_by_source,
         "embedding_label_margin": q_embedding_label_margin,
         "term_burstiness": q_term_burstiness,
+        "events_value_emd": q_events_value_emd,
     }
 
 
@@ -5377,6 +5391,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS DOUBLE)
                        / SUM(n) OVER (PARTITION BY prev_type) AS prob
               FROM c
+        """,
+        "events_value_emd": r"""
+            WITH ev AS (
+              SELECT value AS v,
+                     (event_type = 'click')::int AS ia,
+                     (event_type = 'purchase')::int AS ib
+                FROM events
+               WHERE event_type IN ('click', 'purchase')
+                 AND value IS NOT NULL),
+            c AS (SELECT v, SUM(ia) AS ca, SUM(ib) AS cb
+                    FROM ev GROUP BY v),
+            t AS (SELECT v,
+                         SUM(ca) OVER (ORDER BY v) AS cum_a,
+                         SUM(cb) OVER (ORDER BY v) AS cum_b,
+                         LEAD(v) OVER (ORDER BY v) AS nxt
+                    FROM c),
+            tot AS (SELECT CAST(SUM(ca) AS DOUBLE) AS na,
+                           CAST(SUM(cb) AS DOUBLE) AS nb FROM c)
+            SELECT round_even(SUM((nxt - v)
+                       * ABS(cum_a / na - cum_b / nb)), 6) AS emd,
+                   CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+              FROM t, tot WHERE nxt IS NOT NULL
+             GROUP BY na, nb
         """,
         "term_burstiness": r"""
             WITH t AS (

@@ -87,3 +87,109 @@ def merge_histograms(hist_batches) -> np.ndarray:
         a = a.sum(axis=0) if a.ndim == 2 else a
         total = a if total is None else total + a
     return total if total is not None else np.zeros(0, np.int64)
+
+
+def value_emd(ds, *, value_col: str, group_col: str, a, b,
+              bucket_width="auto"):
+    """EXACT 1-D Wasserstein-1 distance (earth-mover distance, EMD) between
+    the empirical distributions of ``value_col`` for groups ``a`` and ``b``
+    — the drift metric that, unlike KS, weighs HOW FAR mass moved, not just
+    the worst CDF gap: EMD = ∫ |F_a(x) − F_b(x)| dx.
+
+    Distributed shape (no global sort, no driver value collect): rows
+    reduce to DISTINCT-value (v, count_a, count_b) cells (per-batch partial
+    + one groupby-sum); cells hash-partition by auto-calibrated VALUE
+    BUCKET (the rank_window pattern — ~256 range partitions, ties always
+    local); per-bucket summaries (Σa, Σb, min/max v) prefix-sum on the
+    driver into carry-in cumulative counts + the previous bucket's max
+    value; a second per-bucket pass integrates its |F_a − F_b| segments
+    locally. The |buckets| partial integrals sum in bucket order. The SQL
+    oracle spells the identical left-point Riemann sum with window
+    functions; 6dp rounding absorbs summation-order ulps.
+
+    Returns a 1-row pandas DataFrame (emd, n_a, n_b) — empty if either
+    group has no non-null values."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ._calibrate import resolve_bucket_width
+    from .analytics import _bucket_of_col
+
+    empty = pd.DataFrame({"emd": pd.Series([], dtype="float64"),
+                          "n_a": pd.Series([], dtype="int64"),
+                          "n_b": pd.Series([], dtype="int64")})
+
+    def narrow(batch):
+        import pyarrow as pa
+
+        m = pc.is_in(batch[group_col], value_set=pa.array([a, b]))
+        t = batch.filter(m)
+        t = t.filter(pc.is_valid(t[value_col]))
+        ca = pc.cast(pc.equal(t[group_col], pa.scalar(a)), pa.int64())
+        cb = pc.cast(pc.equal(t[group_col], pa.scalar(b)), pa.int64())
+        per = pa.table({"v": pc.cast(t[value_col], pa.float64()),
+                        "ca": ca, "cb": cb})
+        agg = per.group_by("v").aggregate([("ca", "sum"), ("cb", "sum")])
+        return pa.table({"v": agg["v"], "ca": agg["ca_sum"],
+                         "cb": agg["cb_sum"]})
+
+    cells = (ds.map_batches(narrow, batch_format="pyarrow")
+             .groupby("v")
+             .aggregate(Sum("ca", alias_name="ca"),
+                        Sum("cb", alias_name="cb")))
+    width = resolve_bucket_width(cells, "v", bucket_width,
+                                 target_buckets=256)
+
+    def bucketize(batch):
+        import pyarrow as pa
+
+        return batch.append_column(
+            "_bkt", pa.array(_bucket_of_col(batch["v"], width), pa.int64()))
+
+    tagged = cells.map_batches(bucketize, batch_format="pyarrow") \
+                  .materialize()
+    s = (tagged.groupby("_bkt")
+         .aggregate(Sum("ca", alias_name="sa"), Sum("cb", alias_name="sb"),
+                    Min("v", alias_name="vmin"), Max("v", alias_name="vmax"))
+         .to_pandas())
+    if not len(s):
+        return empty
+    s = s.sort_values("_bkt").reset_index(drop=True)
+    na, nb = int(s["sa"].sum()), int(s["sb"].sum())
+    if na == 0 or nb == 0:
+        return empty
+    cum_a = np.r_[0, np.cumsum(s["sa"].to_numpy())[:-1]]
+    cum_b = np.r_[0, np.cumsum(s["sb"].to_numpy())[:-1]]
+    prev_x = np.r_[np.nan, s["vmax"].to_numpy(np.float64)[:-1]]
+    carry = {int(k): (int(ca0), int(cb0), float(px))
+             for k, ca0, cb0, px in zip(s["_bkt"], cum_a, cum_b, prev_x)}
+    ref = ray.put((carry, float(na), float(nb)))
+
+    def integrate(g):
+        import pyarrow as pa
+
+        out_empty = pa.table({"_bkt": pa.array([], pa.int64()),
+                              "part": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return out_empty
+        c, fa_n, fb_n = ray.get(ref)
+        bkt = int(g["_bkt"][0].as_py())
+        ca0, cb0, px = c[bkt]
+        t = g.take(pc.sort_indices(g, sort_keys=[("v", "ascending")]))
+        v = t["v"].to_numpy(zero_copy_only=False)
+        fa = (ca0 + np.cumsum(t["ca"].to_numpy(zero_copy_only=False))) / fa_n
+        fb = (cb0 + np.cumsum(t["cb"].to_numpy(zero_copy_only=False))) / fb_n
+        part = float(np.sum(np.diff(v) * np.abs(fa[:-1] - fb[:-1])))
+        if not np.isnan(px):            # segment reaching back to the
+            part += (v[0] - px) * abs(ca0 / fa_n - cb0 / fb_n)  # prev bucket
+        return pa.table({"_bkt": pa.array([bkt], pa.int64()),
+                         "part": pa.array([part], pa.float64())})
+
+    parts = (tagged.groupby("_bkt")
+             .map_groups(integrate, batch_format="pyarrow").to_pandas())
+    parts = parts.sort_values("_bkt")   # deterministic summation order
+    return pd.DataFrame({"emd": [float(np.round(parts["part"].sum(), 6))],
+                         "n_a": pd.array([na], dtype="int64"),
+                         "n_b": pd.array([nb], dtype="int64")})

@@ -313,3 +313,65 @@ def test_term_burstiness_matches_duckdb(ray_session):
           FROM s, nd ORDER BY term
     """).df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_value_emd_planted(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.drift import value_emd
+
+    # identical distributions -> EMD 0; shifted by +2 -> EMD 2
+    df = pd.DataFrame({
+        "g": ["a"] * 4 + ["b"] * 4 + ["z"],
+        "value": [1.0, 2.0, 3.0, 4.0, 3.0, 4.0, 5.0, 6.0, 99.0]})
+    out = value_emd(rd.from_pandas(df).repartition(3), value_col="value",
+                    group_col="g", a="a", b="b")
+    assert out["emd"].tolist() == [2.0]
+    assert out["n_a"].tolist() == [4] and out["n_b"].tolist() == [4]
+
+    same = value_emd(rd.from_pandas(df[df.g != "b"]), value_col="value",
+                     group_col="g", a="a", b="a")
+    # degenerate self-comparison guard: a vs a has zero CDF gap
+    assert same["emd"].tolist() == [0.0]
+
+
+def test_value_emd_matches_scipy_and_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from schema_validator_ray.stages.drift import value_emd
+
+    rng = np.random.default_rng(23)
+    va = np.round(rng.normal(10, 2, 300), 2)
+    vb = np.round(rng.normal(11, 3, 200), 2)
+    df = pd.DataFrame({
+        "g": ["a"] * 300 + ["b"] * 200,
+        "value": np.r_[va, vb]})
+    out = value_emd(rd.from_pandas(df).repartition(5), value_col="value",
+                    group_col="g", a="a", b="b")
+
+    con = duckdb.connect()
+    con.register("events", df.rename(columns={"g": "event_type"}))
+    exp = con.execute("""
+        WITH ev AS (SELECT value AS v, (event_type='a')::int AS ia,
+                           (event_type='b')::int AS ib
+                      FROM events WHERE event_type IN ('a','b')
+                       AND value IS NOT NULL),
+        c AS (SELECT v, SUM(ia) ca, SUM(ib) cb FROM ev GROUP BY v),
+        t AS (SELECT v, SUM(ca) OVER (ORDER BY v) cum_a,
+                     SUM(cb) OVER (ORDER BY v) cum_b,
+                     LEAD(v) OVER (ORDER BY v) nxt FROM c),
+        tot AS (SELECT CAST(SUM(ca) AS DOUBLE) na,
+                       CAST(SUM(cb) AS DOUBLE) nb FROM c)
+        SELECT round_even(SUM((nxt - v) * ABS(cum_a/na - cum_b/nb)), 6)
+                   AS emd
+          FROM t, tot WHERE nxt IS NOT NULL GROUP BY na, nb
+    """).fetchone()[0]
+    assert out["emd"].iloc[0] == exp
+
+    try:
+        from scipy.stats import wasserstein_distance
+        assert abs(out["emd"].iloc[0]
+                   - wasserstein_distance(va, vb)) < 1e-6
+    except ImportError:
+        pass
