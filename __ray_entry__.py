@@ -3104,6 +3104,36 @@ def q_events_value_emd(sf_dir: str):
                      a="click", b="purchase")
 
 
+def q_hapax_rate_by_source(sf_dir: str):
+    """Hapax-legomena rate of each source's vocabulary (spike = OCR noise,
+    collapse = templated text). Batch-vocab partials, one groupby-sum, and
+    a |sources|-row exact-int finish."""
+    from schema_validator_ray.functions.text import hapax_rate_by_group
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    return hapax_rate_by_group(ds, "text", "source")
+
+
+def q_orders_flagged_cust_rate(sf_dir: str):
+    """Per-month rate of orders referencing a FLAGGED customer (negative
+    account balance) — the per-partition referential/quarantine verdict
+    the north rule's caption-presence check generalizes. Sorted key
+    broadcast + searchsorted probe; (month, n, flagged) partials."""
+    from schema_validator_ray.stages.referential import (
+        membership_rate_by_period,
+    )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]) \
+        .map_batches(
+            lambda b: b.filter(pc.less(b["c_acctbal"], pa.scalar(0.0)))
+                       .select(["c_custkey"])
+                       .rename_columns(["o_custkey"]),
+            batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    return membership_rate_by_period(orders, cust, "o_custkey",
+                                     "o_orderdate", unit="month")
+
+
 def q_events_value_outliers(sf_dir: str):
     """Events whose value is > 3 population standard deviations from their
     event-type mean: tiny (n, sum, sumsq) per-type aggregate broadcast via
@@ -3806,6 +3836,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_margin": q_embedding_label_margin,
         "term_burstiness": q_term_burstiness,
         "events_value_emd": q_events_value_emd,
+        "hapax_rate_by_source": q_hapax_rate_by_source,
+        "orders_flagged_cust_rate": q_orders_flagged_cust_rate,
     }
 
 
@@ -5391,6 +5423,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS DOUBLE)
                        / SUM(n) OVER (PARTITION BY prev_type) AS prob
               FROM c
+        """,
+        "orders_flagged_cust_rate": r"""
+            SELECT date_trunc('month', o_orderdate) AS period,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM((o_custkey IN (
+                       SELECT c_custkey FROM customer
+                        WHERE c_acctbal < 0))::int) AS BIGINT) AS n_flagged,
+                   CAST(SUM((o_custkey IN (
+                       SELECT c_custkey FROM customer
+                        WHERE c_acctbal < 0))::int) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS flagged_rate
+              FROM orders GROUP BY 1
+        """,
+        "hapax_rate_by_source": r"""
+            WITH c AS (
+              SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n
+                FROM (SELECT source,
+                             unnest(regexp_split_to_array(
+                                 lower(COALESCE(text, '')), '[^a-z0-9]+'))
+                                 AS word
+                        FROM documents) t
+               WHERE word <> '' GROUP BY 1, 2)
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   CAST(SUM((n = 1)::int) AS BIGINT) AS n_hapax,
+                   CAST(SUM((n = 1)::int) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS hapax_rate
+              FROM c GROUP BY source
         """,
         "events_value_emd": r"""
             WITH ev AS (

@@ -797,6 +797,54 @@ def term_burstiness(ds, text_col: str, *, k: int = 20):
     return topk.map_batches(finish, batch_format="pyarrow")
 
 
+def hapax_rate_by_group(ds, text_col: str, group_col: str):
+    """Hapax-legomena rate per ``group_col``: the fraction of a group's
+    unigram VOCABULARY that occurs exactly once in that group. Healthy
+    natural text sits near 0.4–0.6 (Zipf tail); a spike flags OCR noise /
+    mojibake (garbage tokens are all hapax), a collapse flags templated or
+    deduplicated-to-death text. Per-batch (group, word, cnt) partials →
+    one groupby-sum → a second tiny groupby over |groups|×|vocab| rows;
+    rates are exact-int divisions, identical on both engines."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        grp = pc.fill_null(pc.cast(b[group_col], pa.string()), "")
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(b[text_col], "")), WORD_SPLIT_RE)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        g = pc.take(grp, parents)
+        t = pa.table({"g": g, "w": flat}).filter(pc.not_equal(flat, ""))
+        agg = t.group_by(["g", "w"]).aggregate([([], "count_all")])
+        return pa.table({"g": agg["g"], "w": agg["w"],
+                         "cnt": pc.cast(agg["count_all"], pa.int64())})
+
+    cells = (ds.select_columns([group_col, text_col])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby(["g", "w"]).aggregate(Sum("cnt", alias_name="cnt")))
+
+    def fold(b: pa.Table) -> pa.Table:
+        one = pa.array(np.ones(b.num_rows, np.int64))
+        hap = pc.cast(pc.equal(b["cnt"], pa.scalar(1)), pa.int64())
+        return pa.table({"g": b["g"], "n_terms": one, "n_hapax": hap})
+
+    agg = (cells.map_batches(fold, batch_format="pyarrow")
+           .groupby("g")
+           .aggregate(Sum("n_terms", alias_name="n_terms"),
+                      Sum("n_hapax", alias_name="n_hapax")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "source": b["g"],
+            "n_terms": pc.cast(b["n_terms"], pa.int64()),
+            "n_hapax": pc.cast(b["n_hapax"], pa.int64()),
+            "hapax_rate": pc.divide(
+                pc.cast(b["n_hapax"], pa.float64()),
+                pc.cast(b["n_terms"], pa.float64()))}),
+        batch_format="pyarrow")
+
+
 def zipf_slope_by_group(ds, text_col: str, group_col: str):
     """Zipf rank-frequency slope per ``group_col``: least-squares slope of
     ln(count) on ln(rank) over each group's unigram vocabulary (rank 1 = most

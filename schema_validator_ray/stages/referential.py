@@ -275,3 +275,60 @@ def _side_key_column(side, key: str) -> pa.Array:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     return col
+
+
+def membership_rate_by_period(ds, side_ds, key: str, ts_col: str, *,
+                              unit: str = "month",
+                              rate_col: str = "flagged_rate"):
+    """Per-time-bucket membership rate: for each ``unit``-truncated period
+    of ``ts_col``, the fraction of rows whose ``key`` appears in
+    ``side_ds``'s key column — the per-partition referential/quarantine
+    verdict ("how many of this month's orders reference a flagged
+    account"). The side's key column broadcasts once via ``ray.put`` as a
+    SORTED array (searchsorted probe, no Python set); per-batch
+    (period, n, n_flagged) partials bound the exchange at
+    periods-per-batch; one tiny groupby-sum and an exact-int division
+    finish. For beyond-broadcast sides, pre-filter with the
+    shuffle/bloom referential paths and feed the survivor ids here."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    side_keys = _side_key_column(side_ds, key)
+    sorted_keys = np.sort(side_keys.to_numpy(zero_copy_only=False))
+    ref = ray.put(sorted_keys)
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        period = pc.floor_temporal(ts, unit=unit)
+        k = b[key].to_numpy(zero_copy_only=False)
+        if len(keys):
+            pos = np.searchsorted(keys, k)
+            member = (pos < len(keys)) & (keys[np.minimum(
+                pos, len(keys) - 1)] == k)
+        else:
+            member = np.zeros(len(k), bool)
+        t = pa.table({"period": period,
+                      "n": pa.array(np.ones(b.num_rows, np.int64)),
+                      "flagged": pa.array(member.astype(np.int64))})
+        agg = t.group_by("period").aggregate([("n", "sum"),
+                                              ("flagged", "sum")])
+        return pa.table({"period": agg["period"], "n": agg["n_sum"],
+                         "flagged": agg["flagged_sum"]})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("period")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("flagged", alias_name="flagged")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "period": b["period"],
+            "n": pc.cast(b["n"], pa.int64()),
+            "n_flagged": pc.cast(b["flagged"], pa.int64()),
+            rate_col: pc.divide(pc.cast(b["flagged"], pa.float64()),
+                                pc.cast(b["n"], pa.float64()))}),
+        batch_format="pyarrow")

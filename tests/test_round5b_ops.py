@@ -375,3 +375,40 @@ def test_value_emd_matches_scipy_and_duckdb(ray_session):
                    - wasserstein_distance(va, vb)) < 1e-6
     except ImportError:
         pass
+
+
+def test_hapax_rate_planted(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.functions.text import hapax_rate_by_group
+
+    df = pd.DataFrame({
+        "source": ["s1", "s1", "s2"],
+        "text": ["aa bb aa", "cc", "xx xx yy zz"]})
+    out = hapax_rate_by_group(
+        rd.from_pandas(df).repartition(2), "text", "source").to_pandas()
+    out = out.set_index("source")
+    # s1 vocab {aa:2, bb:1, cc:1} -> 2/3 hapax; s2 {xx:2, yy:1, zz:1} -> 2/3
+    assert out.loc["s1", "n_terms"] == 3 and out.loc["s1", "n_hapax"] == 2
+    assert out.loc["s2", "hapax_rate"] == 2.0 / 3.0
+
+
+def test_membership_rate_by_period_planted(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.referential import (
+        membership_rate_by_period,
+    )
+
+    rows = pd.DataFrame({
+        "k": [1, 2, 3, 1, 9],
+        "ts": pd.to_datetime(["2024-01-03", "2024-01-20", "2024-02-01",
+                              "2024-02-15", "2024-02-20"])})
+    side = pd.DataFrame({"k": [1, 3]})
+    out = membership_rate_by_period(
+        rd.from_pandas(rows).repartition(2), rd.from_pandas(side),
+        "k", "ts", unit="month").to_pandas().sort_values("period")
+    # Jan: k=1 flagged of {1,2} -> 0.5; Feb: {3,1} flagged of {3,1,9} -> 2/3
+    assert out["n"].tolist() == [2, 3]
+    assert out["n_flagged"].tolist() == [1, 2]
+    assert out["flagged_rate"].tolist() == [0.5, 2.0 / 3.0]
