@@ -164,6 +164,15 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "fingerprint_docs",
         "embedding_pca2_var",
         "knn_hard_negatives",
+        "events_transition_matrix",
+        "user_conversion_latency",
+        "shipping_priority",
+        "zipf_slope_by_source",
+        "embedding_label_margin",
+        "term_burstiness",
+        "events_value_emd",
+        "hapax_rate_by_source",
+        "orders_flagged_cust_rate",
     ]
     qs = m.queries()
     # warm best-of-N per query (default 2 passes over the whole list):
