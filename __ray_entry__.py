@@ -3624,6 +3624,18 @@ def q_docs_changed_vs_snapshot(sf_dir: str):
                              batch_format="pyarrow")
 
 
+def q_fd_source_lang(sf_dir: str):
+    """Functional-dependency validation `source -> lang`: sources whose
+    documents span more than one language, with distinct-language and row
+    counts — the cross-column determinism check (one image_id ↔ one phash is
+    the north-rule analogue). Per-batch distinct (source, lang) pair partials
+    bound the exchange at pairs-per-batch; the finish is two narrow groupbys."""
+    from schema_validator_ray.stages.uniqueness import fd_violations
+
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+    return fd_violations(ds, "source", "lang")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -3838,6 +3850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_emd": q_events_value_emd,
         "hapax_rate_by_source": q_hapax_rate_by_source,
         "orders_flagged_cust_rate": q_orders_flagged_cust_rate,
+        "fd_source_lang": q_fd_source_lang,
     }
 
 
@@ -6023,6 +6036,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(k) AS BIGINT) AS min_k,
                    CAST(max(k) AS BIGINT) AS max_k
               FROM x WHERE k IS NOT NULL GROUP BY event_type
+        """,
+        "fd_source_lang": r"""
+            SELECT source,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_values,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+              FROM documents
+             WHERE source IS NOT NULL AND lang IS NOT NULL
+             GROUP BY source
+            HAVING COUNT(DISTINCT lang) > 1
         """,
     }
     # quarantine / annotate-mode oracle: valid rows = NOT IN the violation

@@ -164,6 +164,99 @@ def uniqueness_violations(ds, key: str, *, id_column: str,
         batch_format="pyarrow", batch_size=batch_size)
 
 
+class _PartialPairCounts:
+    """Per-batch combiner for FD checking: one (det, dep, cnt) row per
+    distinct determinant/dependent pair in the batch."""
+
+    def __init__(self, det: str, dep: str):
+        self.det = det
+        self.dep = dep
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        agg = (batch.select([self.det, self.dep]).drop_null()
+               .group_by([self.det, self.dep])
+               .aggregate([([], "count_all")]))
+        return pa.table({
+            self.det: agg[self.det],
+            self.dep: agg[self.dep],
+            "cnt": pc.cast(agg["count_all"], pa.int64()),
+        })
+
+
+def fd_violations(ds, det: str, dep: str, *, batch_size: int = 65536,
+                  reduce_partitions: int | None = 8,
+                  driver_merge_max: int = 5_000_000):
+    """Functional-dependency check ``det -> dep``: determinant values that
+    map to MORE than one distinct dependent value, with the distinct-value
+    and row counts — the cross-column determinism validation a schema rule
+    can't express row-locally (e.g. "every source publishes in one language",
+    "one image_id carries one phash").
+
+    Output columns: ``det`` (original name), ``n_values`` (distinct dependent
+    values observed), ``n_rows`` (rows carrying that determinant). Rows with a
+    null determinant or dependent are excluded (missingness is the `required`
+    rule's business, same policy as :func:`duplicate_keys`).
+
+    Scale shape: the per-batch combine collapses each batch to its distinct
+    (det, dep) pairs before ANY exchange, so the shuffle volume is bounded by
+    pairs-per-batch, never row count — a hot determinant contributes at most
+    |batch| pair rows. The pair→determinant reduction is two narrow groupbys;
+    below ``driver_merge_max`` partial rows a single driver-side pyarrow
+    group_by finishes (the identical guarded-merge pattern as
+    :func:`duplicate_keys`), with the distributed path as fallback."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    partials = ds.map_batches(_PartialPairCounts(det, dep),
+                              batch_format="pyarrow", batch_size=batch_size)
+
+    def _finish(pairs: pa.Table) -> pa.Table:
+        per_det = (pairs.group_by(det)
+                   .aggregate([("cnt", "sum"), ([], "count_all")]))
+        out = per_det.filter(pc.greater(per_det["count_all"], 1))
+        return pa.table({
+            det: out[det],
+            "n_values": pc.cast(out["count_all"], pa.int64()),
+            "n_rows": pc.cast(out["cnt_sum"], pa.int64()),
+        })
+
+    if driver_merge_max:
+        from ._collect import collect_up_to
+
+        parts, over = collect_up_to(partials, driver_merge_max)
+        if not over:
+            if not parts:
+                sch = ds.schema()
+                types = dict(zip(sch.names, sch.types))
+                return rd.from_arrow(pa.table({
+                    det: pa.array([], types[det]),
+                    "n_values": pa.array([], pa.int64()),
+                    "n_rows": pa.array([], pa.int64()),
+                }))
+            agg = (pa.concat_tables(parts).group_by([det, dep])
+                   .aggregate([("cnt", "sum")]))
+            pairs = pa.table({det: agg[det], dep: agg[dep],
+                              "cnt": agg["cnt_sum"]})
+            return rd.from_arrow(_finish(pairs))
+        partials = ds.map_batches(_PartialPairCounts(det, dep),
+                                  batch_format="pyarrow",
+                                  batch_size=batch_size)
+    if reduce_partitions:
+        partials = partials.repartition(reduce_partitions)
+    pairs = (partials.groupby([det, dep])
+             .aggregate(Sum("cnt", alias_name="cnt")))
+    per_det = (pairs.groupby(det)
+               .aggregate(Count(alias_name="n_values"),
+                          Sum("cnt", alias_name="n_rows")))
+    per_det = per_det.filter(expr="n_values > 1")
+    return per_det.map_batches(
+        lambda b: pa.table({
+            det: b[det],
+            "n_values": pc.cast(b["n_values"], pa.int64()),
+            "n_rows": pc.cast(b["n_rows"], pa.int64()),
+        }), batch_format="pyarrow")
+
+
 def dedup_exact(ds, key: str, *, order_col: str | None = None,
                 n_shards: int = 64):
     """Exact dedup keeping full surviving rows: one deterministic

@@ -1,0 +1,53 @@
+"""Round-5 batch-3 operators: functional-dependency violations, Benford
+first-digit census, DAU/WAU stickiness, inter-event gap quantiles,
+label-confusion centroid pairs, min-max normalization."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _fd_df():
+    # source s0 maps to ONE lang; s1 spans two; s2 spans three; plus nulls
+    return pd.DataFrame({
+        "source": ["s0", "s0", "s1", "s1", "s1", "s2", "s2", "s2",
+                   None, "s3"],
+        "lang": ["en", "en", "en", "fr", "fr", "en", "fr", "de",
+                 "en", None],
+    })
+
+
+def test_fd_violations_planted(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.uniqueness import fd_violations
+
+    out = fd_violations(
+        rd.from_pandas(_fd_df()).repartition(3), "source", "lang"
+    ).to_pandas().set_index("source")
+    assert sorted(out.index) == ["s1", "s2"]
+    assert out.loc["s1", "n_values"] == 2 and out.loc["s1", "n_rows"] == 3
+    assert out.loc["s2", "n_values"] == 3 and out.loc["s2", "n_rows"] == 3
+
+
+def test_fd_violations_distributed_path_matches(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.uniqueness import fd_violations
+
+    ds = rd.from_pandas(_fd_df()).repartition(3)
+    a = (fd_violations(ds, "source", "lang")
+         .to_pandas().sort_values("source").reset_index(drop=True))
+    b = (fd_violations(ds, "source", "lang", driver_merge_max=0)
+         .to_pandas().sort_values("source").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_fd_violations_holds_clean(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.uniqueness import fd_violations
+
+    df = pd.DataFrame({"k": ["a", "a", "b"], "v": ["x", "x", "y"]})
+    out = fd_violations(rd.from_pandas(df), "k", "v").to_pandas()
+    assert len(out) == 0
