@@ -3636,6 +3636,16 @@ def q_fd_source_lang(sf_dir: str):
     return fd_violations(ds, "source", "lang")
 
 
+def q_benford_prices(sf_dir: str):
+    """Benford first-digit census over order totals — the fabricated-feed /
+    rescaling alarm: leading-digit shares vs log10(1+1/d). Nine-row per-batch
+    partials; the merge is digit-alphabet-bounded."""
+    from schema_validator_ray.stages.stats import benford_first_digit
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    return benford_first_digit(ds, "o_totalprice")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -3851,6 +3861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_rate_by_source": q_hapax_rate_by_source,
         "orders_flagged_cust_rate": q_orders_flagged_cust_rate,
         "fd_source_lang": q_fd_source_lang,
+        "benford_prices": q_benford_prices,
     }
 
 
@@ -6045,6 +6056,22 @@ def oracle_sql() -> dict[str, str]:
              WHERE source IS NOT NULL AND lang IS NOT NULL
              GROUP BY source
             HAVING COUNT(DISTINCT lang) > 1
+        """,
+        "benford_prices": r"""
+            WITH v AS (
+              SELECT CAST(round_even(o_totalprice * 100, 0) AS BIGINT)
+                         AS cents
+                FROM orders
+               WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+            c AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+                              AS BIGINT) AS digit,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                    FROM v WHERE cents > 0 GROUP BY 1)
+            SELECT digit, n,
+                   round_even(CAST(n AS DOUBLE)
+                              / CAST(SUM(n) OVER () AS DOUBLE), 6) AS pct,
+                   round_even(log10(1 + 1.0 / digit), 6) AS expected
+              FROM c
         """,
     }
     # quarantine / annotate-mode oracle: valid rows = NOT IN the violation

@@ -51,3 +51,20 @@ def test_fd_violations_holds_clean(ray_session):
     df = pd.DataFrame({"k": ["a", "a", "b"], "v": ["x", "x", "y"]})
     out = fd_violations(rd.from_pandas(df), "k", "v").to_pandas()
     assert len(out) == 0
+
+
+def test_benford_first_digit_planted(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.stats import benford_first_digit
+
+    df = pd.DataFrame({"p": [1.23, 12.3, 0.91, 950.0, None, -5.0, 0.0]})
+    out = (benford_first_digit(rd.from_pandas(df).repartition(2), "p")
+           .to_pandas().set_index("digit"))
+    # 1.23->123, 12.3->1230 lead with 1; 0.91->91, 950->95000 lead with 9;
+    # null / negative / zero are excluded
+    assert sorted(out.index) == [1, 9]
+    assert out.loc[1, "n"] == 2 and out.loc[9, "n"] == 2
+    assert out.loc[1, "pct"] == 0.5
+    assert abs(out.loc[1, "expected"] - np.log10(2)) < 1e-6
+    assert abs(out.loc[9, "expected"] - np.log10(10 / 9)) < 1e-6
