@@ -3646,6 +3646,17 @@ def q_benford_prices(sf_dir: str):
     return benford_first_digit(ds, "o_totalprice")
 
 
+def q_dau_stickiness(sf_dir: str):
+    """Weekly DAU/WAU stickiness (avg daily actives over weekly actives) —
+    the engagement-health trend over integer epoch-µs buckets. One exchange
+    of DISTINCT (user, day) partials through 64 user shards, |weeks|-row
+    finish."""
+    from schema_validator_ray.stages.funnel import dau_wau_stickiness
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return dau_wau_stickiness(ds, user_col="user_id", ts_col="ts")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -3862,6 +3873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_flagged_cust_rate": q_orders_flagged_cust_rate,
         "fd_source_lang": q_fd_source_lang,
         "benford_prices": q_benford_prices,
+        "dau_stickiness": q_dau_stickiness,
     }
 
 
@@ -6072,6 +6084,21 @@ def oracle_sql() -> dict[str, str]:
                               / CAST(SUM(n) OVER () AS DOUBLE), 6) AS pct,
                    round_even(log10(1 + 1.0 / digit), 6) AS expected
               FROM c
+        """,
+        "dau_stickiness": r"""
+            WITH ud AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+                FROM events
+               WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            agg AS (SELECT day // 7 AS week,
+                           CAST(COUNT(*) AS BIGINT) AS day_actives,
+                           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+                      FROM ud GROUP BY 1)
+            SELECT week, wau, day_actives,
+                   round_even(CAST(day_actives AS DOUBLE) / 7.0
+                              / CAST(wau AS DOUBLE), 6) AS stickiness
+              FROM agg
         """,
     }
     # quarantine / annotate-mode oracle: valid rows = NOT IN the violation

@@ -355,3 +355,78 @@ def cohort_retention(events, *, user_col: str, ts_col: str,
             .map_groups(shard_cells, batch_format="pyarrow")
             .groupby(["cohort", "offset"])
             .aggregate(Sum("n", alias_name="n_users")))
+
+
+DAY_US = 24 * 3600 * 1_000_000
+
+
+def dau_wau_stickiness(events, *, user_col: str, ts_col: str,
+                       day_us: int = DAY_US, days_per_week: int = 7):
+    """Weekly engagement stickiness: per integer epoch week, the
+    distinct weekly actives (WAU), the sum of daily distinct actives
+    (day_actives = Σ_days DAU), and stickiness = day_actives / 7 / WAU
+    — the avg-DAU/WAU product-health ratio over the same integer
+    epoch-µs buckets as :func:`cohort_retention`.
+
+    Same one-exchange shape: per-batch DISTINCT (user, day) partials
+    (a hot user ships ≤1 row per batch per active day), a 64-way
+    user-shard groupby — each user lives in exactly ONE shard, so
+    per-shard distinct counts sum to the global counts — and a
+    |weeks|-row final aggregate."""
+    from ray.data.aggregate import Sum
+
+    def days(b: pa.Table) -> pa.Table:
+        from .asof import _shard_of
+
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        d = pc.divide(pc.cast(ts, pa.int64()),
+                      pa.scalar(int(day_us), pa.int64()))
+        t = pa.table({user_col: b[user_col], "_d": d}).drop_null()
+        t = t.group_by([user_col, "_d"]).aggregate([])
+        return t.append_column("_shard", pa.array(_shard_of(t[user_col],
+                                                            64)))
+
+    def shard_weeks(g: pa.Table) -> pa.Table:
+        empty = pa.table({"week": pa.array([], pa.int64()),
+                          "day_actives": pa.array([], pa.int64()),
+                          "wau": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        codes, _ = pd.factorize(g[user_col].to_numpy(zero_copy_only=False))
+        d = g["_d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # batch partials can repeat a (user, day) pair — global distinct here
+        order = np.lexsort((d, codes))
+        cs, ds_ = codes[order], d[order]
+        first = np.r_[True, (cs[1:] != cs[:-1]) | (ds_[1:] != ds_[:-1])]
+        cs, ds_ = cs[first], ds_[first]
+        w = ds_ // days_per_week
+        wk_da, da = np.unique(w, return_counts=True)
+        uw = np.unique(np.stack([cs, w], axis=1), axis=0)
+        wk_wa, wa = np.unique(uw[:, 1], return_counts=True)
+        weeks_all = np.union1d(wk_da, wk_wa)
+        da_full = np.zeros(len(weeks_all), dtype=np.int64)
+        da_full[np.searchsorted(weeks_all, wk_da)] = da
+        wa_full = np.zeros(len(weeks_all), dtype=np.int64)
+        wa_full[np.searchsorted(weeks_all, wk_wa)] = wa
+        return pa.table({"week": pa.array(weeks_all),
+                         "day_actives": pa.array(da_full),
+                         "wau": pa.array(wa_full)})
+
+    agg = (events.map_batches(days, batch_format="pyarrow")
+           .groupby("_shard")
+           .map_groups(shard_weeks, batch_format="pyarrow")
+           .groupby("week")
+           .aggregate(Sum("day_actives", alias_name="day_actives"),
+                      Sum("wau", alias_name="wau")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "week": pc.cast(b["week"], pa.int64()),
+            "wau": pc.cast(b["wau"], pa.int64()),
+            "day_actives": pc.cast(b["day_actives"], pa.int64()),
+            "stickiness": pa.array(np.round(
+                np.asarray(b["day_actives"], dtype=np.float64)
+                / float(days_per_week)
+                / np.asarray(b["wau"], dtype=np.float64), 6)),
+        }), batch_format="pyarrow")

@@ -68,3 +68,25 @@ def test_benford_first_digit_planted(ray_session):
     assert out.loc[1, "pct"] == 0.5
     assert abs(out.loc[1, "expected"] - np.log10(2)) < 1e-6
     assert abs(out.loc[9, "expected"] - np.log10(10 / 9)) < 1e-6
+
+
+def test_dau_wau_stickiness_planted(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.funnel import dau_wau_stickiness
+
+    day = 86_400
+    # week 0: user 1 active on days 0,1 (twice on day 0); user 2 on day 2.
+    # week 1: user 1 active on day 7 only.
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 1],
+        "ts": pd.to_datetime(
+            [10, 20, day + 5, 2 * day + 3, 7 * day + 1], unit="s"),
+    })
+    out = (dau_wau_stickiness(rd.from_pandas(df).repartition(3),
+                              user_col="user_id", ts_col="ts")
+           .to_pandas().set_index("week"))
+    assert sorted(out.index) == [0, 1]
+    assert out.loc[0, "wau"] == 2 and out.loc[0, "day_actives"] == 3
+    assert out.loc[1, "wau"] == 1 and out.loc[1, "day_actives"] == 1
+    assert abs(out.loc[0, "stickiness"] - round(3 / 7 / 2, 6)) < 1e-9
