@@ -3657,6 +3657,20 @@ def q_dau_stickiness(sf_dir: str):
     return dau_wau_stickiness(ds, user_col="user_id", ts_col="ts")
 
 
+def q_event_gap_quantiles(sf_dir: str):
+    """Exact p25/median/p75 of same-user inter-event gaps per event type —
+    the inter-arrival profile (bot traffic collapses the median). Narrow
+    4-column shard pass emits gaps; the existing two-pass exact grouped
+    selection finishes."""
+    from schema_validator_ray.stages.analytics import grouped_gap_quantiles
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    return grouped_gap_quantiles(
+        ds, user_col="user_id", type_col="event_type", ts_col="ts",
+        tiebreak="event_id", qs=[0.25, 0.5, 0.75],
+        out_cols=["p25", "med", "p75"])
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -3874,6 +3888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_source_lang": q_fd_source_lang,
         "benford_prices": q_benford_prices,
         "dau_stickiness": q_dau_stickiness,
+        "event_gap_quantiles": q_event_gap_quantiles,
     }
 
 
@@ -6099,6 +6114,22 @@ def oracle_sql() -> dict[str, str]:
                    round_even(CAST(day_actives AS DOUBLE) / 7.0
                               / CAST(wau AS DOUBLE), 6) AS stickiness
               FROM agg
+        """,
+        "event_gap_quantiles": r"""
+            WITH g AS (
+              SELECT event_type,
+                     epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                         PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id) AS gap
+                FROM events
+               WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                 AND event_type IS NOT NULL)
+            SELECT event_type,
+                   quantile_disc(gap, 0.25) AS p25,
+                   quantile_disc(gap, 0.50) AS med,
+                   quantile_disc(gap, 0.75) AS p75
+              FROM g WHERE gap IS NOT NULL
+             GROUP BY event_type
         """,
     }
     # quarantine / annotate-mode oracle: valid rows = NOT IN the violation

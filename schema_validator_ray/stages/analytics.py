@@ -1187,3 +1187,55 @@ def global_rank(ds, *, order_col: str, bucket_width="auto",
         return b.select(in_cols + ["rank", "dense_rank", "pct_rank"])
 
     return out.map_batches(drop, batch_format="pyarrow")
+
+
+def grouped_gap_quantiles(ds, *, user_col: str, type_col: str, ts_col: str,
+                          tiebreak: str, qs, out_cols,
+                          n_shards: int = 64):
+    """Exact quantiles, per ``type_col``, of the µs gaps between CONSECUTIVE
+    events of the same (user, type) — the inter-arrival profile behind
+    bot / scraper detection and session-gap calibration (a type whose
+    median gap collapses is machine traffic).
+
+    Stage 1 ships only (user, type, epoch-µs, tiebreak) through a 64-way
+    USER-shard groupby (never per-user groups) and emits (type, gap) rows
+    with one vectorized lexsort + adjacent-diff per shard; stage 2 is the
+    existing two-pass exact grouped selection (`grouped_exact_quantiles`),
+    whose exchange is count partials + |types|×|qs| picked rows. Matches
+    ``quantile_disc`` over the SQL LAG gaps."""
+    from .stats import grouped_exact_quantiles
+
+    def part(b: pa.Table) -> pa.Table:
+        from .asof import _shard_of
+
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        t = pa.table({user_col: b[user_col], type_col: b[type_col],
+                      "_us": pc.cast(ts, pa.int64()),
+                      tiebreak: b[tiebreak]}).drop_null()
+        return t.append_column("_shard", pa.array(_shard_of(t[user_col],
+                                                            n_shards)))
+
+    def gaps(g: pa.Table) -> pa.Table:
+        empty = pa.table({type_col: pa.array([], g[type_col].type),
+                          "gap_us": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        users, _ = pd.factorize(g[user_col].to_numpy(zero_copy_only=False))
+        types, _ = pd.factorize(g[type_col].to_numpy(zero_copy_only=False))
+        us = g["_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tie = g[tiebreak].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, us, types, users))
+        same = (users[order][1:] == users[order][:-1]) & (
+            types[order][1:] == types[order][:-1])
+        gap = us[order][1:] - us[order][:-1]
+        idx = order[1:][same]
+        return pa.table({type_col: g[type_col].take(pa.array(idx)),
+                         "gap_us": pa.array(gap[same])})
+
+    gap_ds = (ds.map_batches(part, batch_format="pyarrow")
+              .groupby("_shard")
+              .map_groups(gaps, batch_format="pyarrow"))
+    return grouped_exact_quantiles(gap_ds, type_col, "gap_us", list(qs),
+                                   out_cols=list(out_cols))

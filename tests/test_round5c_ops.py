@@ -90,3 +90,27 @@ def test_dau_wau_stickiness_planted(ray_session):
     assert out.loc[0, "wau"] == 2 and out.loc[0, "day_actives"] == 3
     assert out.loc[1, "wau"] == 1 and out.loc[1, "day_actives"] == 1
     assert abs(out.loc[0, "stickiness"] - round(3 / 7 / 2, 6)) < 1e-9
+
+
+def test_grouped_gap_quantiles_planted(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.analytics import grouped_gap_quantiles
+
+    # user 1 type a at 0,10,30 -> gaps 10,20; user 2 type a at 100,105
+    # -> gap 5; user 1 type b at 0,1 -> gap 1. Cross-user/type never mixes.
+    df = pd.DataFrame({
+        "event_id": np.arange(9, dtype=np.int64),
+        "user_id": [1, 1, 1, 2, 2, 1, 1, 3, 3],
+        "event_type": ["a", "a", "a", "a", "a", "b", "b", "c", "c"],
+        "ts": pd.to_datetime([0, 10, 30, 100, 105, 0, 1, 7, 7],
+                             unit="s"),
+    })
+    out = (grouped_gap_quantiles(
+        rd.from_pandas(df).repartition(3), user_col="user_id",
+        type_col="event_type", ts_col="ts", tiebreak="event_id",
+        qs=[0.5], out_cols=["med"]).to_pandas().set_index("event_type"))
+    # type a gaps {10s,20s,5s} -> disc median 10s; b {1s}; c {0s} (ts tie)
+    assert out.loc["a", "med"] == 10_000_000
+    assert out.loc["b", "med"] == 1_000_000
+    assert out.loc["c", "med"] == 0
