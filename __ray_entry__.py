@@ -3671,6 +3671,16 @@ def q_event_gap_quantiles(sf_dir: str):
         out_cols=["p25", "med", "p75"])
 
 
+def q_label_confusion(sf_dir: str):
+    """Class-confusability matrix: pairwise cosine between label centroids.
+    Exchange = |labels|×dim sufficient-stats partials; the pair matmul is
+    label-alphabet-bounded driver floats."""
+    from schema_validator_ray.stages.similarity import label_confusion_pairs
+
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
+    return label_confusion_pairs(ds, emb_col="embedding", label_col="label")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -3889,6 +3899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_prices": q_benford_prices,
         "dau_stickiness": q_dau_stickiness,
         "event_gap_quantiles": q_event_gap_quantiles,
+        "label_confusion": q_label_confusion,
     }
 
 
@@ -6130,6 +6141,19 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(gap, 0.75) AS p75
               FROM g WHERE gap IS NOT NULL
              GROUP BY event_type
+        """,
+        "label_confusion": r"""
+            WITH dims AS (
+              SELECT label, i, avg(v) AS m
+                FROM (SELECT label, unnest(embedding) AS v,
+                             generate_subscripts(embedding, 1) AS i
+                        FROM embeddings)
+               GROUP BY label, i),
+            cent AS (SELECT label, list(m ORDER BY i) AS c
+                       FROM dims GROUP BY label)
+            SELECT x.label AS label_a, y.label AS label_b,
+                   round_even(list_cosine_similarity(x.c, y.c), 6) AS cosine
+              FROM cent x JOIN cent y ON x.label < y.label
         """,
     }
     # quarantine / annotate-mode oracle: valid rows = NOT IN the violation

@@ -1350,3 +1350,36 @@ def knn_hard_negatives(ds, *, emb_col: str = "embedding",
     return clean.map_batches(
         _SelfJoinTopK(emb_col, id_col, ref, k, label_col=label_col),
         batch_format="pyarrow", batch_size=batch_size)
+
+
+def label_confusion_pairs(ds, *, emb_col: str, label_col: str):
+    """Pairwise cosine similarity between LABEL CENTROIDS — the class
+    confusability matrix (a pair whose centroids nearly coincide is where
+    mislabels hide and contrastive sampling should focus).
+
+    Reuses :func:`grouped_dim_stats`: the only exchange is the
+    |labels| x dim sufficient-stats partials; the centroid table collected
+    on the driver is |labels| x dim rows (label-alphabet-bounded, never
+    data-bounded) and the pair matmul is |labels|^2 driver-side floats.
+    Output: (label_a < label_b, cosine rounded to 6)."""
+    import ray.data as rd
+
+    stats = grouped_dim_stats(ds, emb_col=emb_col, group_col=label_col)
+    rows = stats.to_pandas()  # |labels| x dim — alphabet-bounded
+    if not len(rows):
+        return rd.from_arrow(pa.table({
+            "label_a": pa.array([], pa.int64()),
+            "label_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64())}))
+    piv = rows.pivot(index=label_col, columns="pos", values="mean_v")
+    piv = piv.sort_index()
+    labels = piv.index.to_numpy()
+    cents = piv.to_numpy(dtype=np.float64)
+    normed = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    ia, ib = np.triu_indices(len(labels), k=1)
+    return rd.from_arrow(pa.table({
+        "label_a": pa.array(labels[ia]),
+        "label_b": pa.array(labels[ib]),
+        "cosine": pa.array(np.round(sims[ia, ib], 6), pa.float64()),
+    }))

@@ -114,3 +114,24 @@ def test_grouped_gap_quantiles_planted(ray_session):
     assert out.loc["a", "med"] == 10_000_000
     assert out.loc["b", "med"] == 1_000_000
     assert out.loc["c", "med"] == 0
+
+
+def test_label_confusion_pairs_planted(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.similarity import label_confusion_pairs
+
+    # label 0 centroid -> x axis, label 1 -> y axis (orthogonal),
+    # label 2 -> exactly the 45-degree diagonal
+    df = pd.DataFrame({
+        "embedding": [[1.0, 0.0], [3.0, 0.0], [0.0, 2.0], [0.0, 4.0],
+                      [2.0, 2.0]],
+        "label": np.array([0, 0, 1, 1, 2], dtype=np.int32),
+    })
+    out = (label_confusion_pairs(rd.from_pandas(df).repartition(2),
+                                 emb_col="embedding", label_col="label")
+           .to_pandas().set_index(["label_a", "label_b"]))
+    assert len(out) == 3
+    assert out.loc[(0, 1), "cosine"] == 0.0
+    assert abs(out.loc[(0, 2), "cosine"] - round(1 / np.sqrt(2), 6)) < 1e-9
+    assert abs(out.loc[(1, 2), "cosine"] - round(1 / np.sqrt(2), 6)) < 1e-9
