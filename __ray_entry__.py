@@ -3681,6 +3681,39 @@ def q_label_confusion(sf_dir: str):
     return label_confusion_pairs(ds, emb_col="embedding", label_col="label")
 
 
+def q_violations_by_month(sf_dir: str):
+    """Validation-observability trend: per-MONTH verdict counts + fail rate
+    for the rules_orders rule set (the per-partition pass/fail surface keyed
+    by time instead of segment — how a feed's quality drifts release over
+    release). Month is derived map-side; the exchange is per-batch verdict
+    partials into a |months|-row merge."""
+    from schema_validator_ray.engine import validate
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderstatus", "o_totalprice",
+                "o_orderpriority", "o_orderdate"])
+    ds = ds.map_batches(
+        lambda b: b.append_column(
+            "o_month", pc.strftime(b["o_orderdate"], format="%Y-%m")),
+        batch_format="pyarrow")
+    spec = {
+        "o_orderstatus": "required|oneof=O,F",
+        "o_totalprice": "gt=0",
+        "o_orderpriority": "required|contains=-",
+    }
+    verdicts = validate(ds, spec, id_column="o_orderkey",
+                        partition_column="o_month")["verdicts"]
+    return verdicts.map_batches(
+        lambda b: pa.table({
+            "month": b["partition"],
+            "n_rows": pc.cast(b["rows"], pa.int64()),
+            "n_failed": pc.cast(b["failed_rows"], pa.int64()),
+            "fail_rate": pa.array(np.round(
+                np.asarray(b["failed_rows"], dtype=np.float64)
+                / np.asarray(b["rows"], dtype=np.float64), 6)),
+        }), batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -3900,6 +3933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dau_stickiness": q_dau_stickiness,
         "event_gap_quantiles": q_event_gap_quantiles,
         "label_confusion": q_label_confusion,
+        "violations_by_month": q_violations_by_month,
     }
 
 
@@ -6162,4 +6196,18 @@ def oracle_sql() -> dict[str, str]:
     o["customers_valid"] = (
         "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
         "(SELECT c_custkey FROM (" + o["rules_customer"] + "))")
+    # validation-observability trend: per-month verdict counts derived from
+    # the SAME rules_orders oracle string, so the rule set cannot drift
+    o["violations_by_month"] = """
+        WITH viol AS (""" + o["rules_orders"] + """),
+        f AS (SELECT DISTINCT o_orderkey FROM viol)
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM((o_orderkey IN (SELECT o_orderkey FROM f))::int)
+                    AS BIGINT) AS n_failed,
+               round_even(CAST(SUM((o_orderkey IN
+                              (SELECT o_orderkey FROM f))::int) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE), 6) AS fail_rate
+          FROM orders GROUP BY 1
+    """
     return o

@@ -135,3 +135,22 @@ def test_label_confusion_pairs_planted(ray_session):
     assert out.loc[(0, 1), "cosine"] == 0.0
     assert abs(out.loc[(0, 2), "cosine"] - round(1 / np.sqrt(2), 6)) < 1e-9
     assert abs(out.loc[(1, 2), "cosine"] - round(1 / np.sqrt(2), 6)) < 1e-9
+
+
+def test_monthly_verdict_trend_planted(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.engine import validate
+
+    df = pd.DataFrame({
+        "k": np.arange(4, dtype=np.int64),
+        "v": [5.0, -1.0, 3.0, 4.0],
+        "month": ["2024-01", "2024-01", "2024-02", "2024-02"],
+    })
+    verdicts = validate(rd.from_pandas(df).repartition(2), {"v": "gt=0"},
+                        id_column="k",
+                        partition_column="month")["verdicts"].to_pandas()
+    got = verdicts.set_index("partition")
+    assert got.loc["2024-01", "rows"] == 2
+    assert got.loc["2024-01", "failed_rows"] == 1
+    assert got.loc["2024-02", "failed_rows"] == 0
