@@ -3714,6 +3714,16 @@ def q_violations_by_month(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def q_docs_gopher_filter(sf_dir: str):
+    """Gopher word-level quality gate: word count in [15,500], mean word
+    length in [2,10], ≥2 stop-word tokens. Map-only vectorized screen —
+    the cheap pre-model filter of a 100-TB curation run."""
+    from schema_validator_ray.functions.text import gopher_word_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return gopher_word_filter(ds, "text", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -3934,6 +3944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gap_quantiles": q_event_gap_quantiles,
         "label_confusion": q_label_confusion,
         "violations_by_month": q_violations_by_month,
+        "docs_gopher_filter": q_docs_gopher_filter,
     }
 
 
@@ -6188,6 +6199,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT x.label AS label_a, y.label AS label_b,
                    round_even(list_cosine_similarity(x.c, y.c), 6) AS cosine
               FROM cent x JOIN cent y ON x.label < y.label
+        """,
+        "docs_gopher_filter": r"""
+            WITH tok AS (
+              SELECT doc_id, list_filter(
+                  regexp_split_to_array(lower(coalesce(text, '')),
+                                        '[^a-z0-9]+'),
+                  t -> t <> '') AS toks
+                FROM documents),
+            m AS (
+              SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+                     CAST(len(array_to_string(toks, '')) AS DOUBLE)
+                         / len(toks) AS mwl,
+                     CAST(len(list_filter(toks, t -> t IN
+                         ('a','and','for','in','is','it','of','that',
+                          'the','to'))) AS BIGINT) AS n_stop
+                FROM tok WHERE len(toks) > 0)
+            SELECT doc_id, n_words, round_even(mwl, 6) AS mean_word_len,
+                   n_stop
+              FROM m
+             WHERE n_words BETWEEN 15 AND 500
+               AND mwl BETWEEN 2 AND 10
+               AND n_stop >= 2
         """,
     }
     # quarantine / annotate-mode oracle: valid rows = NOT IN the violation

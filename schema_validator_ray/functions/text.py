@@ -990,3 +990,58 @@ def bigram_pmi_topk(ds, text_col: str, *, k: int = 50,
         return b.append_column("pmi", pa.array(pmi, pa.float64()))
 
     return top.map_batches(attach_pmi, batch_format="pyarrow")
+
+
+GOPHER_STOPWORDS = ("a", "and", "for", "in", "is", "it", "of", "that",
+                    "the", "to")
+
+
+def gopher_word_filter(ds, text_col: str, id_col: str, *,
+                       min_words: int = 15, max_words: int = 500,
+                       min_mean_len: float = 2.0, max_mean_len: float = 10.0,
+                       min_stopwords: int = 2,
+                       stopwords: tuple = GOPHER_STOPWORDS):
+    """Gopher-style word-level quality gate (Rae et al. 2021 §A1.1, public
+    paper): keep documents whose word count lies in [min_words, max_words],
+    whose MEAN word length lies in [min_mean_len, max_mean_len], and that
+    contain at least ``min_stopwords`` stop-word tokens — the cheap
+    boilerplate/gibberish screen run before any scoring model.
+
+    Map-only and fully vectorized: one regex split per batch, per-row word
+    and character totals via bincount over the flattened token array, and
+    stop-word membership via one sorted searchsorted probe. No exchange.
+    Emits ``(id, n_words, mean_word_len, n_stop)`` for surviving docs."""
+    sw = np.sort(np.array(list(stopwords), dtype=object))
+
+    def score(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(b[text_col], "")), WORD_SPLIT_RE)
+        tp = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        flat = pc.list_flatten(toks)
+        lens = np.asarray(pc.utf8_length(flat), dtype=np.int64)
+        tflat = flat.to_numpy(zero_copy_only=False)
+        keep = tflat != ""
+        tp, tflat, lens = tp[keep], tflat[keep], lens[keep]
+        n = np.bincount(tp, minlength=b.num_rows).astype(np.int64)
+        chars = np.bincount(tp, weights=lens.astype(np.float64),
+                            minlength=b.num_rows)
+        mwl = chars / np.maximum(n, 1).astype(np.float64)
+        if len(tflat):
+            pos = np.searchsorted(sw, tflat)
+            pos[pos == len(sw)] = 0
+            is_stop = sw[pos] == tflat
+        else:
+            is_stop = np.zeros(0, bool)
+        n_stop = np.bincount(tp[is_stop], minlength=b.num_rows).astype(
+            np.int64)
+        mask = ((n >= min_words) & (n <= max_words)
+                & (mwl >= min_mean_len) & (mwl <= max_mean_len)
+                & (n_stop >= min_stopwords))
+        out = pa.table({id_col: b[id_col],
+                        "n_words": pa.array(n, pa.int64()),
+                        "mean_word_len": pa.array(np.round(mwl, 6),
+                                                  pa.float64()),
+                        "n_stop": pa.array(n_stop, pa.int64())})
+        return out.filter(pa.array(mask))
+
+    return ds.map_batches(score, batch_format="pyarrow")

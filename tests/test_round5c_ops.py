@@ -154,3 +154,24 @@ def test_monthly_verdict_trend_planted(ray_session):
     assert got.loc["2024-01", "rows"] == 2
     assert got.loc["2024-01", "failed_rows"] == 1
     assert got.loc["2024-02", "failed_rows"] == 0
+
+
+def test_gopher_word_filter_planted(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.functions.text import gopher_word_filter
+
+    good = "the cat sat on a mat and it was that good for " \
+           "everyone in town today"                      # 16 words, 2+ stops
+    short = "the cat sat"                                 # < min_words
+    nostop = " ".join(["zwxq"] * 20)                      # no stopwords
+    longwords = " ".join(["supercalifragilistic"] * 20) + " the a"  # mwl > 10
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [good, short, nostop, longwords],
+    })
+    out = (gopher_word_filter(rd.from_pandas(df).repartition(2), "text",
+                              "doc_id").to_pandas().set_index("doc_id"))
+    assert list(out.index) == [0]
+    assert out.loc[0, "n_words"] == 16
+    assert out.loc[0, "n_stop"] >= 2
