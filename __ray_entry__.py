@@ -3724,6 +3724,17 @@ def q_docs_gopher_filter(sf_dir: str):
     return gopher_word_filter(ds, "text", "doc_id")
 
 
+def q_events_minmax_norm(sf_dir: str):
+    """Per-type min-max feature scaling of event values — |types|-row
+    (min,max) broadcast + map-only scale; the normalization stage of a
+    feature pipeline."""
+    from schema_validator_ray.stages.analytics import group_minmax_scale
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return group_minmax_scale(ds, value_col="value", group_col="event_type",
+                              keep_cols=["event_id", "event_type", "value"])
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -3945,6 +3956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_confusion": q_label_confusion,
         "violations_by_month": q_violations_by_month,
         "docs_gopher_filter": q_docs_gopher_filter,
+        "events_minmax_norm": q_events_minmax_norm,
     }
 
 
@@ -6221,6 +6233,20 @@ def oracle_sql() -> dict[str, str]:
              WHERE n_words BETWEEN 15 AND 500
                AND mwl BETWEEN 2 AND 10
                AND n_stop >= 2
+        """,
+        "events_minmax_norm": r"""
+            WITH s AS (
+              SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+                FROM events
+               WHERE event_type IS NOT NULL AND value IS NOT NULL
+               GROUP BY 1)
+            SELECT e.event_id, e.event_type, e.value,
+                   CASE WHEN e.value IS NULL OR e.event_type IS NULL
+                             THEN NULL
+                        WHEN s.hi = s.lo THEN 0.0
+                        ELSE round_even((e.value - s.lo) / (s.hi - s.lo), 6)
+                   END AS scaled
+              FROM events e LEFT JOIN s USING (event_type)
         """,
     }
     # quarantine / annotate-mode oracle: valid rows = NOT IN the violation

@@ -1239,3 +1239,58 @@ def grouped_gap_quantiles(ds, *, user_col: str, type_col: str, ts_col: str,
               .map_groups(gaps, batch_format="pyarrow"))
     return grouped_exact_quantiles(gap_ds, type_col, "gap_us", list(qs),
                                    out_cols=list(out_cols))
+
+
+def group_minmax_scale(ds, *, value_col: str, group_col: str,
+                       out_col: str = "scaled", keep_cols=None):
+    """Per-group min-max feature scaling: ``(v - min) / (max - min)`` within
+    each group (0.0 for a constant group) — the normalization transform a
+    feature-engineering pipeline applies before training. Two passes, zero
+    wide shuffle: a |groups|-row (min, max) aggregate broadcast via
+    ``ray.put``, then a map-only scale. Scaled values round to 6 digits
+    (matching the oracle's ``round_even``); null keys/values pass through
+    with a null scaled value, as SQL arithmetic would produce."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.select([group_col, value_col]).drop_null()
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        keys = b[group_col].to_numpy(zero_copy_only=False)
+        fin = ~np.isnan(v)
+        v, keys = v[fin], keys[fin]
+        codes, uniq = pd.factorize(keys)
+        lo = np.full(len(uniq), np.inf); np.minimum.at(lo, codes, v)
+        hi = np.full(len(uniq), -np.inf); np.maximum.at(hi, codes, v)
+        return pa.table({group_col: pa.array(uniq, b[group_col].type),
+                         "lo": pa.array(lo, pa.float64()),
+                         "hi": pa.array(hi, pa.float64())})
+
+    stats = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(group_col)
+             .aggregate(Min("lo", alias_name="lo"),
+                        Max("hi", alias_name="hi")))
+    bounds = {r[group_col]: (r["lo"], r["hi"])
+              for r in stats.take_all()}   # |groups| rows — tiny
+    ref = ray.put(bounds)
+
+    def scale(b: pa.Table) -> pa.Table:
+        bd = ray.get(ref)
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        keys = b[group_col].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(keys)
+        out = np.full(len(codes), np.nan)
+        valid = (codes >= 0) & ~np.isnan(v)
+        if len(uniq) and valid.any():
+            lo = np.array([bd.get(u, (np.nan, np.nan))[0] for u in uniq])
+            hi = np.array([bd.get(u, (np.nan, np.nan))[1] for u in uniq])
+            cv = codes[valid]
+            rng = hi[cv] - lo[cv]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = (v[valid] - lo[cv]) / rng
+            s[rng == 0] = 0.0
+            out[valid] = np.round(s, 6)
+        cols = b.select(keep_cols) if keep_cols else b
+        return cols.append_column(out_col, pa.array(out, from_pandas=True))
+
+    return ds.map_batches(scale, batch_format="pyarrow")

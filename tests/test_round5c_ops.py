@@ -175,3 +175,26 @@ def test_gopher_word_filter_planted(ray_session):
     assert list(out.index) == [0]
     assert out.loc[0, "n_words"] == 16
     assert out.loc[0, "n_stop"] >= 2
+
+
+def test_group_minmax_scale_planted(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.analytics import group_minmax_scale
+
+    df = pd.DataFrame({
+        "event_id": np.arange(6, dtype=np.int64),
+        "event_type": ["a", "a", "a", "b", "b", "a"],
+        "value": [0.0, 5.0, 10.0, 7.0, 7.0, None],
+    })
+    out = (group_minmax_scale(
+        rd.from_pandas(df).repartition(3), value_col="value",
+        group_col="event_type",
+        keep_cols=["event_id", "value"]).to_pandas()
+        .set_index("event_id"))
+    assert out.loc[0, "scaled"] == 0.0
+    assert out.loc[1, "scaled"] == 0.5
+    assert out.loc[2, "scaled"] == 1.0
+    # constant group scales to 0.0; null value stays null
+    assert out.loc[3, "scaled"] == 0.0 and out.loc[4, "scaled"] == 0.0
+    assert pd.isna(out.loc[5, "scaled"])
