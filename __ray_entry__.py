@@ -3735,6 +3735,52 @@ def q_events_minmax_norm(sf_dir: str):
                               keep_cols=["event_id", "event_type", "value"])
 
 
+def q_customer_reorder_interval(sf_dir: str):
+    """Mean days between a customer's consecutive orders, by market segment
+    — the repeat-purchase cadence feature. keyed_gaps ships a narrow
+    3-column shard pass; the hash join carries only (custkey, gap) against
+    (custkey, segment); the finish is |segments|-row sufficient-stats."""
+    from ray.data.aggregate import Sum
+
+    from schema_validator_ray.stages.analytics import keyed_gaps
+    from schema_validator_ray.stages.referential import (
+        default_join_partitions,
+    )
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_orderkey"])
+    gaps = keyed_gaps(orders, key="o_custkey", ts_col="o_orderdate",
+                      tiebreak="o_orderkey", out_col="gap_days",
+                      unit_us=86_400_000_000)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(
+            lambda b: b.rename_columns(["o_custkey", "c_mktsegment"]),
+            batch_format="pyarrow")
+    j = gaps.join(cust, join_type="inner",
+                  num_partitions=default_join_partitions(),
+                  on=("o_custkey",))
+    def _part(b: pa.Table) -> pa.Table:
+        agg = b.group_by("c_mktsegment").aggregate(
+            [("gap_days", "count"), ("gap_days", "sum")])
+        return pa.table({
+            "c_mktsegment": agg["c_mktsegment"],
+            "n": pc.cast(agg["gap_days_count"], pa.int64()),
+            "s": pc.cast(agg["gap_days_sum"], pa.int64())})
+
+    partials = j.map_batches(_part, batch_format="pyarrow")
+    agg = (partials.groupby("c_mktsegment")
+           .aggregate(Sum("n", alias_name="n_gaps"),
+                      Sum("s", alias_name="s")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "c_mktsegment": b["c_mktsegment"],
+            "n_gaps": pc.cast(b["n_gaps"], pa.int64()),
+            "avg_gap_days": pa.array(np.round(
+                np.asarray(b["s"], dtype=np.float64)
+                / np.asarray(b["n_gaps"], dtype=np.float64), 6)),
+        }), batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -3957,6 +4003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "violations_by_month": q_violations_by_month,
         "docs_gopher_filter": q_docs_gopher_filter,
         "events_minmax_norm": q_events_minmax_norm,
+        "customer_reorder_interval": q_customer_reorder_interval,
     }
 
 
@@ -6247,6 +6294,23 @@ def oracle_sql() -> dict[str, str]:
                         ELSE round_even((e.value - s.lo) / (s.hi - s.lo), 6)
                    END AS scaled
               FROM events e LEFT JOIN s USING (event_type)
+        """,
+        "customer_reorder_interval": r"""
+            WITH g AS (
+              SELECT o_custkey,
+                     (epoch_us(o_orderdate) - LAG(epoch_us(o_orderdate))
+                          OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey))
+                     // 86400000000 AS gap_days
+                FROM orders)
+            SELECT c.c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   round_even(CAST(SUM(g.gap_days) AS DOUBLE)
+                              / CAST(COUNT(*) AS DOUBLE), 6)
+                       AS avg_gap_days
+              FROM g JOIN customer c ON g.o_custkey = c.c_custkey
+             WHERE g.gap_days IS NOT NULL
+             GROUP BY 1
         """,
     }
     # quarantine / annotate-mode oracle: valid rows = NOT IN the violation

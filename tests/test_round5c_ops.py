@@ -198,3 +198,25 @@ def test_group_minmax_scale_planted(ray_session):
     # constant group scales to 0.0; null value stays null
     assert out.loc[3, "scaled"] == 0.0 and out.loc[4, "scaled"] == 0.0
     assert pd.isna(out.loc[5, "scaled"])
+
+
+def test_keyed_gaps_planted(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.analytics import keyed_gaps
+
+    day = 86_400
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 3],
+        "ts": pd.to_datetime([0, 3 * day, 10 * day, 5 * day,
+                              5 * day + 3600, 0], unit="s"),
+        "tie": np.arange(6, dtype=np.int64),
+    })
+    out = (keyed_gaps(rd.from_pandas(df).repartition(3), key="k",
+                      ts_col="ts", tiebreak="tie", out_col="gap_days",
+                      unit_us=86_400_000_000)
+           .to_pandas().sort_values(["k", "gap_days"]))
+    # key 1: gaps 3 and 7 days; key 2: one sub-day gap -> floor 0 days;
+    # key 3 has a single record, no gap
+    assert out["k"].tolist() == [1, 1, 2]
+    assert out["gap_days"].tolist() == [3, 7, 0]
