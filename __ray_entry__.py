@@ -3781,6 +3781,45 @@ def q_customer_reorder_interval(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def q_customer_ltv_deciles(sf_dir: str):
+    """Customer lifetime-value deciles: exact integer-cents spend per
+    customer, then a GLOBAL NTILE(10) via the calibrated value-bucket
+    machinery (constant partition key — parallelism comes from the spend
+    buckets, the carry-in is one summary row per bucket)."""
+    from ray.data.aggregate import Sum
+
+    from schema_validator_ray.stages.analytics import ntile
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents_part(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_custkey": b["o_custkey"],
+            "cents": pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                             pa.int64())})
+        agg = t.group_by("o_custkey").aggregate([("cents", "sum")])
+        return pa.table({"o_custkey": agg["o_custkey"],
+                         "cents": agg["cents_sum"]})
+
+    spend = (orders.map_batches(cents_part, batch_format="pyarrow")
+             .groupby("o_custkey")
+             .aggregate(Sum("cents", alias_name="spend_cents")))
+    tagged = spend.map_batches(
+        lambda b: pa.table({
+            "o_custkey": b["o_custkey"],
+            "spend_cents": pc.cast(b["spend_cents"], pa.int64()),
+            "_g": pa.array(np.zeros(b.num_rows, np.int8)),
+        }), batch_format="pyarrow")
+    out = ntile(tagged, key="_g", order_col="spend_cents",
+                tiebreak="o_custkey", n=10, out_col="decile", n_shards=1)
+    return out.map_batches(
+        lambda b: pa.table({
+            "o_custkey": b["o_custkey"],
+            "spend_cents": b["spend_cents"],
+            "decile": pc.cast(b["decile"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -4004,6 +4043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_gopher_filter": q_docs_gopher_filter,
         "events_minmax_norm": q_events_minmax_norm,
         "customer_reorder_interval": q_customer_reorder_interval,
+        "customer_ltv_deciles": q_customer_ltv_deciles,
     }
 
 
@@ -6311,6 +6351,17 @@ def oracle_sql() -> dict[str, str]:
               FROM g JOIN customer c ON g.o_custkey = c.c_custkey
              WHERE g.gap_days IS NOT NULL
              GROUP BY 1
+        """,
+        "customer_ltv_deciles": r"""
+            WITH s AS (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(round(o_totalprice * 100)
+                                   AS BIGINT)) AS BIGINT) AS spend_cents
+                FROM orders GROUP BY 1)
+            SELECT o_custkey, spend_cents,
+                   CAST(NTILE(10) OVER (ORDER BY spend_cents, o_custkey)
+                        AS BIGINT) AS decile
+              FROM s
         """,
     }
     # quarantine / annotate-mode oracle: valid rows = NOT IN the violation

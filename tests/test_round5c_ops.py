@@ -220,3 +220,21 @@ def test_keyed_gaps_planted(ray_session):
     # key 3 has a single record, no gap
     assert out["k"].tolist() == [1, 1, 2]
     assert out["gap_days"].tolist() == [3, 7, 0]
+
+
+def test_ltv_deciles_query_shape(ray_session, tmp_path):
+    import ray.data as rd
+
+    import __ray_entry__ as entrymod
+
+    # 12 customers, one order each, spends 1..12 dollars: NTILE(10) puts
+    # 2 rows in each of the first two tiles, 1 in the rest
+    df = pd.DataFrame({
+        "o_custkey": np.arange(12, dtype=np.int64),
+        "o_totalprice": (np.arange(12) + 1).astype(np.float64),
+    })
+    df.to_parquet(tmp_path / "orders.parquet")
+    out = (entrymod.q_customer_ltv_deciles(str(tmp_path))
+           .to_pandas().sort_values("o_custkey"))
+    assert out["spend_cents"].tolist() == [(i + 1) * 100 for i in range(12)]
+    assert out["decile"].tolist() == [1, 1, 2, 2, 3, 4, 5, 6, 7, 8, 9, 10]
