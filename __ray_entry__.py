@@ -3801,9 +3801,26 @@ def q_customer_ltv_deciles(sf_dir: str):
         return pa.table({"o_custkey": agg["o_custkey"],
                          "cents": agg["cents_sum"]})
 
-    spend = (orders.map_batches(cents_part, batch_format="pyarrow")
-             .groupby("o_custkey")
-             .aggregate(Sum("cents", alias_name="spend_cents")))
+    import ray.data as rd
+
+    from schema_validator_ray.stages._collect import collect_up_to
+
+    partials = orders.map_batches(cents_part, batch_format="pyarrow")
+    # guarded driver merge (the duplicate_keys pattern): per-batch combine
+    # bounds partials at customers-per-batch; below the budget ONE pyarrow
+    # group_by beats Ray's sort-aggregate fixed costs, above it the
+    # distributed groupby runs
+    parts, over = collect_up_to(partials, 5_000_000)
+    if not over:
+        agg = (pa.concat_tables(parts).group_by("o_custkey")
+               .aggregate([("cents", "sum")]))
+        spend = rd.from_arrow(pa.table({
+            "o_custkey": agg["o_custkey"],
+            "spend_cents": agg["cents_sum"]}))
+    else:
+        spend = (orders.map_batches(cents_part, batch_format="pyarrow")
+                 .groupby("o_custkey")
+                 .aggregate(Sum("cents", alias_name="spend_cents")))
     tagged = spend.map_batches(
         lambda b: pa.table({
             "o_custkey": b["o_custkey"],

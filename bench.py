@@ -173,6 +173,16 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_value_emd",
         "hapax_rate_by_source",
         "orders_flagged_cust_rate",
+        "fd_source_lang",
+        "benford_prices",
+        "dau_stickiness",
+        "event_gap_quantiles",
+        "label_confusion",
+        "violations_by_month",
+        "docs_gopher_filter",
+        "events_minmax_norm",
+        "customer_reorder_interval",
+        "customer_ltv_deciles",
     ]
     qs = m.queries()
     # warm best-of-N per query (default 2 passes over the whole list):
