@@ -3837,6 +3837,45 @@ def q_customer_ltv_deciles(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_events_iqr_outliers(sf_dir: str):
+    """Tukey box-plot outliers per event type: values outside
+    [q1 − 1.5·IQR, q3 + 1.5·IQR] of their OWN type's exact quartiles —
+    the robust-fence complement of the z-score (events_value_outliers)
+    and MAD (events_mad_outliers) detectors. One multi-quantile selection,
+    a |types|×2 fence broadcast, then a map-only filter."""
+    from schema_validator_ray.stages.stats import iqr_outliers_by_group
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return iqr_outliers_by_group(
+        ds, "event_type", "value",
+        keep_cols=["event_id", "event_type", "value"])
+
+
+def q_lineitem_trimmed_mean(sf_dir: str):
+    """Exact 5–95% interquantile (trimmed) mean of quantity per return
+    flag — the robust-location aggregate that DROPS tail values where
+    winsorize clamps them. Bounds via one multi-quantile selection;
+    conditional (n, Σ) partials; |groups|-row finish. Quantities are small
+    integers, so the double sum is exact and the division matches SQL
+    bit-for-bit."""
+    from schema_validator_ray.stages.stats import trimmed_mean_by_group
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return trimmed_mean_by_group(ds, "l_returnflag", "l_quantity")
+
+
+def q_orders_custkey_skew(sf_dir: str):
+    """Key-cardinality histogram of orders per customer — the shuffle-skew
+    / record-linkage-blocking profile: for each group size, how many keys
+    have it and how many candidate pairs s·(s−1)/2 blocking on the key
+    would enumerate. Two bounded exchanges (keys-per-batch partials, then
+    the tiny size alphabet)."""
+    from schema_validator_ray.stages.stats import key_size_histogram
+
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    return key_size_histogram(ds, ["o_custkey"])
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -4061,6 +4100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_minmax_norm": q_events_minmax_norm,
         "customer_reorder_interval": q_customer_reorder_interval,
         "customer_ltv_deciles": q_customer_ltv_deciles,
+        "events_iqr_outliers": q_events_iqr_outliers,
+        "lineitem_trimmed_mean": q_lineitem_trimmed_mean,
+        "orders_custkey_skew": q_orders_custkey_skew,
     }
 
 
@@ -6379,6 +6421,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NTILE(10) OVER (ORDER BY spend_cents, o_custkey)
                         AS BIGINT) AS decile
               FROM s
+        """,
+        "events_iqr_outliers": r"""
+            WITH q AS (
+              SELECT event_type,
+                     quantile_disc(value, 0.25) AS q1,
+                     quantile_disc(value, 0.75) AS q3
+                FROM events
+               WHERE value IS NOT NULL AND event_type IS NOT NULL
+               GROUP BY 1)
+            SELECT e.event_id, e.event_type, e.value
+              FROM events e JOIN q USING (event_type)
+             WHERE e.value IS NOT NULL
+               AND (e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                    OR e.value > q.q3 + 1.5 * (q.q3 - q.q1))
+        """,
+        "lineitem_trimmed_mean": r"""
+            WITH q AS (
+              SELECT l_returnflag,
+                     quantile_disc(l_quantity, 0.05) AS lo,
+                     quantile_disc(l_quantity, 0.95) AS hi
+                FROM lineitem GROUP BY 1)
+            SELECT l.l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   round_even(SUM(l.l_quantity) / COUNT(*), 6)
+                       AS trimmed_mean
+              FROM lineitem l JOIN q USING (l_returnflag)
+             WHERE l.l_quantity BETWEEN q.lo AND q.hi
+             GROUP BY 1
+        """,
+        "orders_custkey_skew": r"""
+            WITH c AS (
+              SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+                FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1)
+            SELECT n AS cluster_size,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(n * (n - 1) // 2 * COUNT(*) AS BIGINT)
+                       AS candidate_pairs
+              FROM c GROUP BY 1
         """,
     }
     # quarantine / annotate-mode oracle: valid rows = NOT IN the violation

@@ -183,6 +183,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_minmax_norm",
         "customer_reorder_interval",
         "customer_ltv_deciles",
+        "events_iqr_outliers",
+        "lineitem_trimmed_mean",
+        "orders_custkey_skew",
     ]
     qs = m.queries()
     # warm best-of-N per query (default 2 passes over the whole list):

@@ -690,6 +690,181 @@ def filter_by_group_quantile(ds, key: str, col: str, *, q: float = 0.25,
     return ds.map_batches(gate, batch_format="pyarrow")
 
 
+def iqr_outliers_by_group(ds, key: str, col: str, *, k: float = 1.5,
+                          keep_cols=None, bucket_width="auto"):
+    """Tukey-fence robust outliers per group: rows whose ``col`` falls
+    outside [q1 − k·IQR, q3 + k·IQR] of their OWN group's exact quartiles —
+    the box-plot rule, complementing the z-score (mean/σ, skew-sensitive)
+    and MAD outlier detectors. Matches the SQL
+    ``quantile_disc(0.25/0.75) GROUP BY key`` + fence-filter formulation
+    bit-for-bit (both sides compute ``q1 − k·(q3 − q1)`` in doubles).
+
+    Same distributed shape as ``winsorize_by_group``: ONE multi-quantile
+    exact selection (2 passes, q1 and q3 probed together), the |groups|×2
+    fence table broadcast once via ``ray.put``, then a map-only filter.
+    Rows with a null key or null value are dropped (SQL inner-JOIN
+    semantics)."""
+    import pandas as pd
+    import ray
+
+    from ._collect import collect_up_to
+
+    bands = grouped_exact_quantiles(ds, key, col, [0.25, 0.75],
+                                    out_cols=["_q1", "_q3"],
+                                    bucket_width=bucket_width)
+    bparts, over = collect_up_to(bands, 5_000_000)
+    if over:
+        raise ValueError("iqr_outliers_by_group: per-group fence table "
+                         "exceeds the 5M-row broadcast budget — bucket the "
+                         "key space first")
+    lut = {}
+    for p in bparts:                               # |groups| rows
+        for kv, q1, q3 in zip(p[key].to_pylist(),
+                              p["_q1"].to_pylist(), p["_q3"].to_pylist()):
+            q1 = float(q1)
+            q3 = float(q3)
+            iqr = q3 - q1
+            lut[kv] = (q1 - k * iqr, q3 + k * iqr)
+    ref = ray.put(lut)
+    cols = list(keep_cols) if keep_cols is not None else None
+
+    def gate(b: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        keys = b[key].to_numpy(zero_copy_only=False)
+        v = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        codes, uniq = pd.factorize(keys)
+        keep = (codes >= 0) & ~np.isnan(v)
+        if len(uniq):
+            lo = np.array([m.get(u, (np.nan, np.nan))[0] for u in uniq])
+            hi = np.array([m.get(u, (np.nan, np.nan))[1] for u in uniq])
+            lov = lo[np.maximum(codes, 0)]
+            hiv = hi[np.maximum(codes, 0)]
+            keep &= ~np.isnan(lov) & ((v < lov) | (v > hiv))
+        out = b.filter(pa.array(keep))
+        return out.select(cols) if cols else out
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+def trimmed_mean_by_group(ds, key: str, col: str, *, lo_q: float = 0.05,
+                          hi_q: float = 0.95, out_col: str = "trimmed_mean",
+                          n_col: str = "n_kept", bucket_width="auto"):
+    """Exact interquantile (trimmed) mean per group: the mean of values
+    inside the group's own [quantile_disc(lo_q), quantile_disc(hi_q)] band
+    — the robust-location aggregate that, unlike ``winsorize_by_group``
+    (which CLAMPS tail values), DROPS them. Value-based trimming, so it is
+    deterministic under ties and matches the SQL
+    ``AVG(col) FILTER (col BETWEEN lo AND hi)`` formulation.
+
+    Distributed shape: ONE multi-quantile selection for both bounds, the
+    |groups|×2 band table broadcast once, then conditional (n, Σ) partials
+    per batch → one tiny |groups|-row groupby → map-only divide. The value
+    column itself never re-shuffles."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ._collect import collect_up_to
+
+    bands = grouped_exact_quantiles(ds, key, col, [lo_q, hi_q],
+                                    out_cols=["_lo", "_hi"],
+                                    bucket_width=bucket_width)
+    bparts, over = collect_up_to(bands, 5_000_000)
+    if over:
+        raise ValueError("trimmed_mean_by_group: per-group band table "
+                         "exceeds the 5M-row broadcast budget — bucket the "
+                         "key space first")
+    lut = {}
+    for p in bparts:                               # |groups| rows
+        for kv, lo, hi in zip(p[key].to_pylist(),
+                              p["_lo"].to_pylist(), p["_hi"].to_pylist()):
+            lut[kv] = (float(lo), float(hi))
+    ref = ray.put(lut)
+
+    def part(b: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        t = b.select([key, col]).drop_null()
+        keys = t[key].to_numpy(zero_copy_only=False)
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        codes, uniq = pd.factorize(keys)
+        if len(uniq):
+            lo = np.array([m.get(u, (np.nan, np.nan))[0] for u in uniq])
+            hi = np.array([m.get(u, (np.nan, np.nan))[1] for u in uniq])
+            keep = (~np.isnan(lo[codes])) & (v >= lo[codes]) & (v <= hi[codes])
+        else:
+            keep = np.zeros(0, bool)
+        kk = keys[keep]
+        vv = v[keep]
+        codes2, uniq2 = pd.factorize(kk)
+        n = np.bincount(codes2, minlength=len(uniq2)).astype(np.int64)
+        s = np.zeros(len(uniq2), np.float64)
+        np.add.at(s, codes2, vv)
+        return pa.table({key: pa.array(uniq2),
+                         "_n": pa.array(n), "_s": pa.array(s)})
+
+    agg = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby(key)
+           .aggregate(Sum("_n", alias_name="_n"), Sum("_s", alias_name="_s")))
+
+    def fin(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["_n"], dtype=np.float64)
+        s = np.asarray(b["_s"], dtype=np.float64)
+        return pa.table({key: b[key],
+                         n_col: pc.cast(b["_n"], pa.int64()),
+                         out_col: pa.array(np.round(s / n, 6))})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def key_size_histogram(ds, key_cols, *, size_col: str = "cluster_size",
+                       n_col: str = "n_keys",
+                       pairs_col: str = "candidate_pairs"):
+    """Key-cardinality (skew / duplication) profile: for each distinct
+    group size s, how many keys have exactly s rows, plus the blocking
+    candidate-pair count s·(s−1)/2 · n_keys — the reduction-ratio input of
+    a record-linkage blocking scheme, and the straight answer to "is this
+    join/shuffle key skewed, and how much pairwise work would blocking on
+    it create?".
+
+    Two bounded exchanges: per-batch (key, cnt) partials (keys-per-batch
+    rows, never the input) → groupby sum → per-batch (size, 1) partials →
+    a second groupby over the tiny distinct-size alphabet. Rows with any
+    null key column are excluded (SQL GROUP BY drops them via the WHERE)."""
+    from ray.data.aggregate import Sum
+
+    key_cols = list(key_cols)
+
+    def cnt_part(b: pa.Table) -> pa.Table:
+        t = b.select(key_cols).drop_null()
+        agg = t.group_by(key_cols).aggregate([([], "count_all")])
+        return agg.set_column(
+            agg.schema.get_field_index("count_all"), "cnt",
+            pc.cast(agg["count_all"], pa.int64()))
+
+    per_key = (ds.map_batches(cnt_part, batch_format="pyarrow")
+               .groupby(key_cols)
+               .aggregate(Sum("cnt", alias_name="cnt")))
+
+    def size_part(b: pa.Table) -> pa.Table:
+        sizes = b["cnt"].to_numpy(zero_copy_only=False)
+        uniq, n = np.unique(sizes, return_counts=True)
+        return pa.table({size_col: pa.array(uniq.astype(np.int64)),
+                         "_n": pa.array(n.astype(np.int64))})
+
+    hist = (per_key.map_batches(size_part, batch_format="pyarrow")
+            .groupby(size_col)
+            .aggregate(Sum("_n", alias_name=n_col)))
+
+    def fin(b: pa.Table) -> pa.Table:
+        s = np.asarray(b[size_col], dtype=np.int64)
+        n = np.asarray(b[n_col], dtype=np.int64)
+        return pa.table({size_col: b[size_col],
+                         n_col: pc.cast(b[n_col], pa.int64()),
+                         pairs_col: pa.array(s * (s - 1) // 2 * n)})
+
+    return hist.map_batches(fin, batch_format="pyarrow")
+
+
 def grouped_entropy(ds, key: str, col: str, *, out_col: str = "entropy"):
     """Shannon entropy (bits) of ``col``'s value distribution per ``key`` —
     e.g. behavioural diversity per user, class balance per source. Matches

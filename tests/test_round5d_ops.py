@@ -1,0 +1,106 @@
+"""Round-5 batch-4 operators: Tukey IQR outliers, exact trimmed mean,
+key-size (skew/blocking) histogram, bigram LM scoring, int8 embedding
+quantization error profile."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def test_iqr_outliers_planted(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.stats import iqr_outliers_by_group
+
+    # group a: 1..9 plus a far outlier 100 and a low outlier -50.
+    # group b: constant (IQR 0 -> only values != the constant flag).
+    df = pd.DataFrame({
+        "k": ["a"] * 11 + ["b"] * 4 + [None],
+        "v": list(range(1, 10)) + [100.0, -50.0] + [5.0, 5.0, 5.0, 9.0]
+             + [1.0],
+        "id": range(16),
+    })
+    out = (iqr_outliers_by_group(rd.from_pandas(df).repartition(3),
+                                 "k", "v", keep_cols=["id", "k", "v"])
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    # a: q1=3, q3=7 (quantile_disc over 11 values), IQR=4,
+    # fences [-3, 13] -> 100 and -50 flagged
+    assert set(out[out.k == "a"]["v"]) == {100.0, -50.0}
+    # b: q1=q3=5 -> fences [5,5] -> 9 flagged
+    assert set(out[out.k == "b"]["v"]) == {9.0}
+    assert not out["k"].isna().any()
+
+
+def test_iqr_outliers_matches_brute(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.stats import iqr_outliers_by_group
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "k": rng.choice(["x", "y", "z"], 400),
+        "v": rng.standard_cauchy(400),
+        "id": range(400),
+    })
+    out = (iqr_outliers_by_group(rd.from_pandas(df).repartition(4),
+                                 "k", "v", keep_cols=["id"])
+           .to_pandas())
+    expect = set()
+    for k, sub in df.groupby("k"):
+        v = np.sort(sub["v"].to_numpy())
+        q1 = v[max(int(np.ceil(0.25 * len(v))) - 1, 0)]
+        q3 = v[max(int(np.ceil(0.75 * len(v))) - 1, 0)]
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        expect |= set(sub[(sub.v < lo) | (sub.v > hi)]["id"])
+    assert set(out["id"]) == expect and len(expect) > 0
+
+
+def test_trimmed_mean_planted(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.stats import trimmed_mean_by_group
+
+    # 1..20 with a giant tail value; 5%/95% disc quantiles over 21 values
+    # are the 2nd and 20th order stats -> band [2, 20]
+    df = pd.DataFrame({"k": ["g"] * 21,
+                       "v": list(range(1, 21)) + [10_000.0]})
+    out = (trimmed_mean_by_group(rd.from_pandas(df).repartition(3),
+                                 "k", "v")
+           .to_pandas())
+    assert out.loc[0, "n_kept"] == 19
+    assert out.loc[0, "trimmed_mean"] == round(sum(range(2, 21)) / 19, 6)
+
+
+def test_trimmed_mean_matches_brute(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.stats import trimmed_mean_by_group
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"k": rng.choice(["x", "y"], 300),
+                       "v": rng.exponential(5.0, 300)})
+    out = (trimmed_mean_by_group(rd.from_pandas(df).repartition(4), "k", "v")
+           .to_pandas().set_index("k"))
+    for k, sub in df.groupby("k"):
+        v = np.sort(sub["v"].to_numpy())
+        lo = v[max(int(np.ceil(0.05 * len(v))) - 1, 0)]
+        hi = v[max(int(np.ceil(0.95 * len(v))) - 1, 0)]
+        kept = sub["v"][(sub.v >= lo) & (sub.v <= hi)]
+        assert out.loc[k, "n_kept"] == len(kept)
+        assert out.loc[k, "trimmed_mean"] == round(kept.mean(), 6)
+
+
+def test_key_size_histogram_planted(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.stats import key_size_histogram
+
+    # sizes: a->3, b->3, c->1, d->2; null keys dropped
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "b", "b", "b", "c", "d", "d", None]})
+    out = (key_size_histogram(rd.from_pandas(df).repartition(3), ["k"])
+           .to_pandas().set_index("cluster_size"))
+    assert out.loc[1, "n_keys"] == 1 and out.loc[1, "candidate_pairs"] == 0
+    assert out.loc[2, "n_keys"] == 1 and out.loc[2, "candidate_pairs"] == 1
+    assert out.loc[3, "n_keys"] == 2 and out.loc[3, "candidate_pairs"] == 6
+    assert out["n_keys"].sum() == 4
