@@ -3876,6 +3876,28 @@ def q_orders_custkey_skew(sf_dir: str):
     return key_size_histogram(ds, ["o_custkey"])
 
 
+def q_docs_bigram_logprob(sf_dir: str):
+    """Bigram-LM quality score per doc (mean ln P(w2|w1) under the corpus
+    MLE) — the order-2 CCNet signal that catches shuffled word soup the
+    unigram score cannot. One bigram-count pass (batch-vocab-bounded
+    partials), denominators derived on the driver, map-only scoring."""
+    from schema_validator_ray.functions.text import bigram_logprob_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bigram_logprob_score(ds, "text", "doc_id")
+
+
+def q_embedding_int8_quant(sf_dir: str):
+    """Int8 scalar-quantization feasibility report per embedding dim:
+    symmetric max-abs scale + worst round-trip error — the go/no-go check
+    before shipping a 4× smaller embedding table. Two map-only passes,
+    dim-sized merges, max-only (order-independent, bit-deterministic)."""
+    from schema_validator_ray.stages.pq import scalar_quant_profile
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    return scalar_quant_profile(ds)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -4103,6 +4125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_iqr_outliers": q_events_iqr_outliers,
         "lineitem_trimmed_mean": q_lineitem_trimmed_mean,
         "orders_custkey_skew": q_orders_custkey_skew,
+        "docs_bigram_logprob": q_docs_bigram_logprob,
+        "embedding_int8_quant": q_embedding_int8_quant,
     }
 
 
@@ -6459,6 +6483,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n * (n - 1) // 2 * COUNT(*) AS BIGINT)
                        AS candidate_pairs
               FROM c GROUP BY 1
+        """,
+        "docs_bigram_logprob": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(coalesce(text, '')),
+                                           '[^a-z0-9]+') AS ws
+                FROM documents
+            ), tok AS (
+              SELECT doc_id, u.w, u.i
+                FROM t, LATERAL (SELECT unnest(ws) AS w,
+                                        generate_subscripts(ws, 1) AS i) u
+               WHERE u.w <> ''
+            ), seq AS (
+              SELECT doc_id, w,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                         AS pos
+                FROM tok
+            ), bg AS (
+              SELECT a.doc_id, a.w AS w1, b.w AS w2
+                FROM seq a JOIN seq b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            ), cnt AS (
+              SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c
+                FROM bg GROUP BY 1, 2
+            ), uni AS (
+              SELECT w1, SUM(c) AS c1 FROM cnt GROUP BY 1
+            )
+            SELECT g.doc_id, avg(ln(cnt.c / uni.c1)) AS avg_bigram_logprob
+              FROM bg g JOIN cnt USING (w1, w2) JOIN uni USING (w1)
+             GROUP BY 1
+        """,
+        "embedding_int8_quant": r"""
+            WITH e AS (
+              SELECT u.pos, CAST(u.v AS DOUBLE) AS v
+                FROM embeddings,
+                     LATERAL (SELECT unnest(embedding) AS v,
+                              generate_subscripts(embedding, 1) AS pos) u
+            ), s AS (
+              SELECT pos, MAX(abs(v)) AS scale FROM e GROUP BY 1
+            )
+            SELECT e.pos, s.scale,
+                   MAX(CASE WHEN s.scale = 0 THEN 0.0
+                            ELSE abs(e.v - round_even(e.v / s.scale * 127.0,
+                                                      0)
+                                            * s.scale / 127.0)
+                       END) AS max_abs_err
+              FROM e JOIN s USING (pos)
+             GROUP BY 1, 2
         """,
     }
     # quarantine / annotate-mode oracle: valid rows = NOT IN the violation

@@ -186,6 +186,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_iqr_outliers",
         "lineitem_trimmed_mean",
         "orders_custkey_skew",
+        "docs_bigram_logprob",
+        "embedding_int8_quant",
     ]
     qs = m.queries()
     # warm best-of-N per query (default 2 passes over the whole list):

@@ -667,6 +667,114 @@ def unigram_logprob_score(ds, text_col: str, id_col: str, *,
     return narrow.map_batches(score, batch_format="pyarrow")
 
 
+def _bigram_arrays(col):
+    """Tokenize a string column (lower, split on non-[a-z0-9], drop
+    empties) and return the surviving-token adjacency pairs as
+    (w1, w2, parent_doc_index) numpy arrays — the shared kernel of both
+    bigram passes, so counting and scoring cannot drift apart."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(col, "")), WORD_SPLIT_RE)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    fw = flat.to_numpy(zero_copy_only=False)[keep]
+    parents = parents[keep]
+    if len(fw) < 2:
+        e = np.array([], object)
+        return e, e, np.array([], np.int64)
+    adj = parents[1:] == parents[:-1]
+    return fw[:-1][adj], fw[1:][adj], parents[:-1][adj]
+
+
+def bigram_logprob_score(ds, text_col: str, id_col: str, *,
+                         vocab_max: int = 4_000_000,
+                         out_col: str = "avg_bigram_logprob"):
+    """CCNet-style LM quality score, one order up from
+    ``unigram_logprob_score``: each doc's MEAN ln P(w2 | w1) under the
+    corpus's own bigram MLE — repetitive or formulaic text scores high,
+    shuffled/garbled word soup scores low even when every individual
+    word is common (which the unigram score cannot see). Docs with <2
+    tokens are excluded (no pairs; SQL join semantics).
+
+    Pass 1: per-batch (w1, w2, cnt) partials bounded by batch BIGRAM
+    vocabulary (never pair count) → groupby sum → driver merge under a
+    loud ``vocab_max`` budget; the conditional denominator c(w1·) is a
+    per-w1 sum over the collected table (no second counting pass). The
+    sorted pair-key + logprob arrays broadcast once. Pass 2 is map-only:
+    pairs resolve by searchsorted, per-doc means by ``np.add.at``.
+    Unseen pairs (scoring outside the training corpus) take the floor
+    ln(0.5 / total_pairs)."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages._collect import collect_up_to
+
+    narrow = ds.select_columns([id_col, text_col])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        w1, w2, _ = _bigram_arrays(b[text_col])
+        t = pa.table({"w1": pa.array(w1, pa.string()),
+                      "w2": pa.array(w2, pa.string())})
+        agg = t.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return pa.table({"w1": agg["w1"], "w2": agg["w2"],
+                         "cnt": pc.cast(agg["count_all"], pa.int64())})
+
+    counts = (narrow.map_batches(pair_partial, batch_format="pyarrow")
+              .groupby(["w1", "w2"]).aggregate(Sum("cnt", alias_name="cnt")))
+    parts, over = collect_up_to(counts, vocab_max)
+    if over:
+        raise ValueError(
+            f"bigram_logprob_score: corpus bigram vocabulary exceeds "
+            f"vocab_max={vocab_max} — raise the budget or pre-trim")
+    if not parts:
+        return narrow.map_batches(
+            lambda b: pa.table({id_col: b[id_col].slice(0, 0),
+                                out_col: pa.array([], pa.float64())}),
+            batch_format="pyarrow")
+    vt = pa.concat_tables(parts)
+    w1 = vt["w1"].to_numpy(zero_copy_only=False)
+    w2 = vt["w2"].to_numpy(zero_copy_only=False)
+    cnt = vt["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+    # conditional denominator c(w1·): per-w1 sum over the (vocab-bounded)
+    # collected table — not a second distributed pass
+    codes, uniq = pd.factorize(w1)
+    denom = np.zeros(len(uniq))
+    np.add.at(denom, codes, cnt)
+    logp = np.log(cnt / denom[codes])
+    keys = w1 + " " + w2                        # tokens never contain ' '
+    order = np.argsort(keys, kind="stable")
+    keys, logp = keys[order], logp[order]
+    floor = float(np.log(0.5 / cnt.sum()))
+    ref = ray.put((keys, logp))
+
+    def score(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        k_sorted, lp = _ray.get(ref)
+        p1, p2, parents = _bigram_arrays(b[text_col])
+        n_docs = b.num_rows
+        s = np.zeros(n_docs)
+        c = np.zeros(n_docs)
+        if len(p1):
+            pk = p1 + " " + p2
+            idx = np.searchsorted(k_sorted, pk)
+            idx[idx == len(k_sorted)] = 0
+            v = np.where(k_sorted[idx] == pk, lp[idx], floor)
+            np.add.at(s, parents, v)
+            np.add.at(c, parents, 1.0)
+        has = c > 0
+        out = pa.table({id_col: b[id_col],
+                        out_col: pa.array(
+                            np.divide(s, c, out=np.zeros(n_docs),
+                                      where=has))})
+        return out.filter(pa.array(has))
+
+    return narrow.map_batches(score, batch_format="pyarrow")
+
+
 def source_unigram_jsd(ds, text_col: str, group_col: str, *,
                        cell_max: int = 5_000_000):
     """Pairwise Jensen–Shannon divergence between the unigram

@@ -236,3 +236,78 @@ def pq_knn_rerank(codes_ds, full_ds, queries: np.ndarray,
 
     return scored.groupby("query_id").map_groups(topk_group,
                                                  batch_format="pandas")
+
+
+def scalar_quant_profile(ds, *, emb_col: str = "embedding",
+                         dim_max: int = 65_536):
+    """Per-dimension int8 scalar-quantization error profile: for each
+    embedding dimension, the symmetric max-abs scale and the worst
+    round-trip reconstruction error |v − round_even(v/scale·127)·scale/127|
+    — the go/no-go report before shipping a 4× smaller int8 embedding
+    table (PQ above is the 64× path; scalar int8 is the cheap first rung).
+
+    Two bounded passes, both map-only plus a dim-sized merge: (1) per-batch
+    per-dim max|v| partials (dim rows per batch) → driver max under a loud
+    ``dim_max`` budget → scales broadcast once; (2) per-batch per-dim max
+    round-trip error partials → the same dim-sized merge. max is
+    order-independent, so the result is bit-deterministic and matches the
+    SQL unnest formulation exactly (values promote f32→f64 on both
+    sides)."""
+    import ray
+    from ray.data.aggregate import Max
+
+    from ._collect import collect_up_to
+
+    def _mat(b: pa.Table) -> np.ndarray:
+        return _to_matrix(b[emb_col])           # f32 -> f64, exact
+
+    def max_part(b: pa.Table) -> pa.Table:
+        v = _mat(b)
+        if v.shape[1] > dim_max:
+            raise ValueError(
+                f"scalar_quant_profile: dim {v.shape[1]} > dim_max={dim_max}")
+        return pa.table({
+            "pos": pa.array(np.arange(1, v.shape[1] + 1, dtype=np.int64)),
+            "m": pa.array(np.abs(v).max(axis=0))})
+
+    scales = (ds.map_batches(max_part, batch_format="pyarrow")
+              .groupby("pos").aggregate(Max("m", alias_name="scale")))
+    sparts, over = collect_up_to(scales, dim_max)
+    if over:
+        raise ValueError("scalar_quant_profile: per-dim scale table "
+                         "exceeds dim_max")
+    st = pa.concat_tables(sparts)
+    pos = st["pos"].to_numpy(zero_copy_only=False)
+    sc = st["scale"].to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.argsort(pos)
+    sc = sc[order]                                  # scale[d] at index d-1
+    ref = ray.put(sc)
+
+    def err_part(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        s = _ray.get(ref)
+        v = _mat(b)
+        with np.errstate(invalid="ignore"):
+            q = np.round(v / s * 127.0)             # banker's == round_even
+            err = np.abs(v - q * s / 127.0)
+        err = np.where(np.isnan(err), 0.0, err)     # dims with scale 0
+        return pa.table({
+            "pos": pa.array(np.arange(1, v.shape[1] + 1, dtype=np.int64)),
+            "e": pa.array(err.max(axis=0))})
+
+    errs = (ds.map_batches(err_part, batch_format="pyarrow")
+            .groupby("pos").aggregate(Max("e", alias_name="max_abs_err")))
+    sref = ray.put((pos[order], sc))
+
+    def fin(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        p_sorted, s_sorted = _ray.get(sref)
+        p = b["pos"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(p_sorted, p)
+        return pa.table({"pos": b["pos"],
+                         "scale": pa.array(s_sorted[idx]),
+                         "max_abs_err": b["max_abs_err"]})
+
+    return errs.map_batches(fin, batch_format="pyarrow")

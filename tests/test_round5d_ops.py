@@ -104,3 +104,65 @@ def test_key_size_histogram_planted(ray_session):
     assert out.loc[2, "n_keys"] == 1 and out.loc[2, "candidate_pairs"] == 1
     assert out.loc[3, "n_keys"] == 2 and out.loc[3, "candidate_pairs"] == 6
     assert out["n_keys"].sum() == 4
+
+
+def test_bigram_logprob_matches_brute(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.functions.text import bigram_logprob_score
+
+    docs = [
+        "the cat sat on the mat",
+        "the cat sat on the cat",
+        "mat the on sat cat the",   # same unigrams, different bigrams
+        "solo",                     # <2 tokens -> excluded
+        "punct, only; here!",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    out = (bigram_logprob_score(rd.from_pandas(df).repartition(2),
+                                "text", "doc_id")
+           .to_pandas().set_index("doc_id")["avg_bigram_logprob"])
+
+    # brute force
+    import re
+    from collections import Counter
+    tok = {i: [w for w in re.split(r"[^a-z0-9]+", d.lower()) if w]
+           for i, d in enumerate(docs)}
+    pairs = Counter(p for ws in tok.values() for p in zip(ws, ws[1:]))
+    first = Counter()
+    for (a, _), c in pairs.items():
+        first[a] += c
+    for i, ws in tok.items():
+        ps = list(zip(ws, ws[1:]))
+        if not ps:
+            assert i not in out.index
+            continue
+        exp = np.mean([np.log(pairs[p] / first[p[0]]) for p in ps])
+        assert abs(out.loc[i] - exp) < 1e-12
+    # the shuffled doc must score strictly below the natural ones
+    assert out.loc[2] < out.loc[0] and out.loc[2] < out.loc[1]
+
+
+def test_scalar_quant_profile_matches_brute(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.pq import scalar_quant_profile
+
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal((50, 5)).astype(np.float32)
+    v[:, 4] = 0.0                                  # zero dim -> scale 0
+    df = pd.DataFrame({"embedding": list(v)})
+    out = (scalar_quant_profile(rd.from_pandas(df).repartition(3))
+           .to_pandas().sort_values("pos").reset_index(drop=True))
+    v64 = v.astype(np.float64)
+    scale = np.abs(v64).max(axis=0)
+    with np.errstate(invalid="ignore"):
+        q = np.round(v64 / scale * 127.0)
+        err = np.abs(v64 - q * scale / 127.0)
+    err = np.where(np.isnan(err), 0.0, err).max(axis=0)
+    assert list(out["pos"]) == [1, 2, 3, 4, 5]
+    np.testing.assert_allclose(out["scale"], scale, rtol=0, atol=0)
+    np.testing.assert_allclose(out["max_abs_err"], err, rtol=0, atol=0)
+    assert out.loc[4, "scale"] == 0.0 and out.loc[4, "max_abs_err"] == 0.0
+    # int8 round-trip error is bounded by scale/254
+    assert (out["max_abs_err"] <= out["scale"] / 254.0 + 1e-12).all()
