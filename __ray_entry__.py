@@ -3898,6 +3898,46 @@ def q_embedding_int8_quant(sf_dir: str):
     return scalar_quant_profile(ds)
 
 
+def q_images_ar_buckets(sf_dir: str):
+    """SDXL-style aspect-ratio bucketing of the image table — per-image
+    nearest log-ratio ladder bucket, the grouped-batching key of a
+    diffusion training job. Map-only, vectorized, no shuffle. Rows-only
+    (binary-backed synth table; brute parity pinned in tests)."""
+    import ray.data as rd
+
+    from schema_validator_ray.stages.multimodal import ar_bucket_assign
+
+    d = _images_dir(sf_dir, _images_rows_for(sf_dir))
+    ds = rd.read_parquet(d, columns=["image_id", "w", "h"])
+    return ar_bucket_assign(ds)
+
+
+def q_images_byte_dedup(sf_dir: str):
+    """Exact binary-payload dedup (blake2b-128 digest, keep min image_id)
+    over the image table UNIONed with a '_copy'-suffixed clone of itself —
+    the cheapest rung of the image dedup ladder, exercised with a 100%
+    duplication rate: every clone must lose to its original, so the
+    survivor count equals the original row count. Rows-only (binary
+    payloads are not SQL-accessible); planted-duplicate parity pinned in
+    tests."""
+    import ray.data as rd
+
+    from schema_validator_ray.stages.multimodal import byte_exact_dedup
+
+    d = _images_dir(sf_dir, _images_rows_for(sf_dir))
+    ds = rd.read_parquet(d, columns=["image_id", "bytes"])
+    clones = ds.map_batches(
+        lambda b: pa.table({
+            "image_id": pc.binary_join_element_wise(
+                pc.cast(b["image_id"], pa.string()), "_copy", ""),
+            "bytes": b["bytes"]}),
+        batch_format="pyarrow")
+    survivors = byte_exact_dedup(ds.union(clones))
+    return survivors.map_batches(
+        lambda b: pa.table({"image_id": pc.cast(b["image_id"], pa.string())}),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -4127,6 +4167,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_custkey_skew": q_orders_custkey_skew,
         "docs_bigram_logprob": q_docs_bigram_logprob,
         "embedding_int8_quant": q_embedding_int8_quant,
+        "images_ar_buckets": q_images_ar_buckets,
+        "images_byte_dedup": q_images_byte_dedup,
     }
 
 

@@ -188,6 +188,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "orders_custkey_skew",
         "docs_bigram_logprob",
         "embedding_int8_quant",
+        "images_ar_buckets",
+        "images_byte_dedup",
     ]
     qs = m.queries()
     # warm best-of-N per query (default 2 passes over the whole list):

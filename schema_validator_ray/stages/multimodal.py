@@ -20,6 +20,7 @@ import struct
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions import imagecodec as codec
 from .images import _binary_views
@@ -305,3 +306,86 @@ class ImageEmbedStage:
             "image_id": pa.array(ids, pa.string()),
             "embedding": pa.array(out, pa.list_(pa.float32())),
         })
+
+
+# SDXL-style aspect-ratio ladder around a 1024x1024 training area: each
+# (w, h) keeps w*h close to 2^20 while stepping the ratio from 1:4 to 4:1.
+DEFAULT_AR_BUCKETS: tuple[tuple[int, int], ...] = (
+    (512, 2048), (576, 1728), (640, 1536), (704, 1408), (768, 1344),
+    (832, 1216), (896, 1152), (960, 1088), (1024, 1024), (1088, 960),
+    (1152, 896), (1216, 832), (1344, 768), (1408, 704), (1536, 640),
+    (1728, 576), (2048, 512),
+)
+
+
+def ar_bucket_assign(ds, *, w_col: str = "w", h_col: str = "h",
+                     id_col: str = "image_id", buckets=None):
+    """Aspect-ratio bucketing (the SDXL / NovelAI training-prep step):
+    assign every image to the ladder bucket whose aspect ratio is nearest
+    its own in log space, so a training job can batch same-bucket images
+    and resize without letterboxing. Map-only and fully vectorized — the
+    |ladder|-column distance matrix is tiny; no shuffle, no state. Rows
+    with a null or non-positive dimension are dropped (they fail the
+    dims rule upstream; bucketing them is meaningless). Ties in log-ratio
+    distance resolve to the FIRST ladder entry (deterministic).
+
+    Emits (id, w, h, bucket_w, bucket_h, bucket_id) — the per-image
+    assignment a downstream grouped-batching stage keys on; a bucket
+    histogram is one tiny groupby away."""
+    ladder = list(buckets) if buckets is not None else list(DEFAULT_AR_BUCKETS)
+    bw = np.array([b[0] for b in ladder], np.int64)
+    bh = np.array([b[1] for b in ladder], np.int64)
+    bar = np.log(bw.astype(np.float64) / bh.astype(np.float64))
+
+    def assign(b: pa.Table) -> pa.Table:
+        w = b[w_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = b[h_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = np.isfinite(w) & np.isfinite(h) & (w > 0) & (h > 0)
+        t = b.filter(pa.array(ok))
+        ar = np.log(w[ok] / h[ok])
+        idx = np.abs(ar[:, None] - bar[None, :]).argmin(axis=1)
+        return pa.table({
+            id_col: t[id_col],
+            w_col: pc.cast(t[w_col], pa.int64()),
+            h_col: pc.cast(t[h_col], pa.int64()),
+            "bucket_w": pa.array(bw[idx]),
+            "bucket_h": pa.array(bh[idx]),
+            "bucket_id": pa.array(idx.astype(np.int64)),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def byte_exact_dedup(ds, *, bytes_col: str = "bytes",
+                     id_col: str = "image_id",
+                     driver_merge_max: int = 5_000_000):
+    """EXACT binary-payload dedup: one survivor (min id) per distinct byte
+    string — the first, cheapest rung of the image dedup ladder (below
+    phash near-dup and embedding semdedup): identical re-crawled bytes
+    never reach the decoder twice.
+
+    Per-batch: blake2b-128 digest of each payload (per-byte hashing work
+    dominates; the row loop is not the cost), then the batch reduces to
+    one (digest, id) winner per local digest before anything shuffles —
+    ``keep_best_rows`` semantics, exchange bounded by distinct digests per
+    batch. Null payloads are dropped. Collision risk at 128 bits is
+    ~2^-64 at 10^12 rows — below hardware error rates."""
+    import hashlib
+
+    from .dedup import keep_best_rows
+
+    def digest(b: pa.Table) -> pa.Table:
+        blobs = _binary_views(b[bytes_col])
+        ids = b[id_col]
+        dg = np.fromiter(
+            (hashlib.blake2b(v, digest_size=16).digest() if v is not None
+             else b"" for v in blobs),
+            dtype=object, count=len(blobs))
+        keep = pa.array([v is not None for v in blobs])
+        return pa.table({"_digest": pa.array(list(dg), pa.binary()),
+                         id_col: ids}).filter(keep)
+
+    digests = ds.map_batches(digest, batch_format="pyarrow")
+    winners = keep_best_rows(digests, "_digest", [(id_col, False)],
+                             driver_merge_max=driver_merge_max)
+    return winners.select_columns([id_col])

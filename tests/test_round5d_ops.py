@@ -166,3 +166,72 @@ def test_scalar_quant_profile_matches_brute(ray_session):
     assert out.loc[4, "scale"] == 0.0 and out.loc[4, "max_abs_err"] == 0.0
     # int8 round-trip error is bounded by scale/254
     assert (out["max_abs_err"] <= out["scale"] / 254.0 + 1e-12).all()
+
+
+def test_ar_bucket_assign_brute(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.multimodal import (
+        DEFAULT_AR_BUCKETS, ar_bucket_assign)
+
+    rng = np.random.default_rng(5)
+    w = rng.integers(16, 96, 200).astype(np.int64)
+    h = rng.integers(16, 96, 200).astype(np.int64)
+    df = pd.DataFrame({"image_id": [f"i{i}" for i in range(200)],
+                       "w": w, "h": h})
+    df.loc[0, "w"] = 0          # dropped
+    out = (ar_bucket_assign(rd.from_pandas(df).repartition(3))
+           .to_pandas().set_index("image_id"))
+    assert "i0" not in out.index and len(out) == 199
+    bar = np.log([bw / bh for bw, bh in DEFAULT_AR_BUCKETS])
+    for i in (1, 7, 42, 199):
+        exp = int(np.abs(np.log(w[i] / h[i]) - bar).argmin())
+        assert out.loc[f"i{i}", "bucket_id"] == exp
+        assert (out.loc[f"i{i}", "bucket_w"], out.loc[f"i{i}", "bucket_h"]) \
+            == DEFAULT_AR_BUCKETS[exp]
+    # square-ish images land on the 1024x1024 bucket
+    sq = out[(out.w == out.h)]
+    assert (sq["bucket_w"] == 1024).all() and (sq["bucket_h"] == 1024).all()
+
+
+def test_ar_bucket_tie_breaks_to_first(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.multimodal import ar_bucket_assign
+
+    # ladder 2:1 and 1:2 -> ratio 1:1 is equidistant; first entry wins
+    df = pd.DataFrame({"image_id": ["a"], "w": [100], "h": [100]})
+    out = ar_bucket_assign(rd.from_pandas(df),
+                           buckets=[(200, 100), (100, 200)]).to_pandas()
+    assert out.loc[0, "bucket_id"] == 0
+
+
+def test_byte_exact_dedup_planted(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.multimodal import byte_exact_dedup
+
+    df = pd.DataFrame({
+        "image_id": ["z", "a", "m", "b", "q"],
+        "bytes": [b"xx", b"xx", b"yy", b"zz", None],
+    })
+    out = byte_exact_dedup(rd.from_pandas(df).repartition(3)).to_pandas()
+    # "xx" -> min id "a"; null payload dropped
+    assert sorted(out["image_id"]) == ["a", "b", "m"]
+
+
+def test_byte_exact_dedup_distributed_path(ray_session):
+    import ray.data as rd
+
+    from schema_validator_ray.stages.multimodal import byte_exact_dedup
+
+    df = pd.DataFrame({
+        "image_id": [f"i{i:03d}" for i in range(60)],
+        "bytes": [bytes([i % 20]) * 10 for i in range(60)],
+    })
+    a = sorted(byte_exact_dedup(rd.from_pandas(df).repartition(4))
+               .to_pandas()["image_id"])
+    b = sorted(byte_exact_dedup(rd.from_pandas(df).repartition(4),
+                                driver_merge_max=0)
+               .to_pandas()["image_id"])
+    assert a == b == [f"i{i:03d}" for i in range(20)]
