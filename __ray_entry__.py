@@ -3938,6 +3938,334 @@ def q_images_byte_dedup(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _customer_spend_cents(sf_dir: str):
+    """Shared helper: per-customer exact integer-cents spend
+    (o_custkey, spend_cents) with the guarded driver-merge fast path —
+    the LTV partials reused by the gini / RFM queries."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from schema_validator_ray.stages._collect import collect_up_to
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents_part(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_custkey": b["o_custkey"],
+            "cents": pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                             pa.int64())})
+        agg = t.group_by("o_custkey").aggregate([("cents", "sum")])
+        return pa.table({"o_custkey": agg["o_custkey"],
+                         "cents": agg["cents_sum"]})
+
+    partials = orders.map_batches(cents_part, batch_format="pyarrow")
+    parts, over = collect_up_to(partials, 5_000_000)
+    if not over:
+        agg = (pa.concat_tables(parts).group_by("o_custkey")
+               .aggregate([("cents", "sum")]))
+        return rd.from_arrow(pa.table({
+            "o_custkey": agg["o_custkey"],
+            "spend_cents": agg["cents_sum"]}))
+    return (orders.map_batches(cents_part, batch_format="pyarrow")
+            .groupby("o_custkey")
+            .aggregate(Sum("cents", alias_name="spend_cents")))
+
+
+def q_spend_gini_by_segment(sf_dir: str):
+    """Gini coefficient of customer lifetime spend per market segment —
+    the inequality / concentration profile of a revenue base (training-data
+    analogue: how concentrated is a source's token mass across documents).
+    Exact integer-cents spends feed the sorted-rank identity; the only wide
+    steps are the spend partials and the calibrated position scan — the
+    finish is one (n, Σx, Σi·x) sufficient-stats row per segment."""
+    from schema_validator_ray.stages.referential import default_join_partitions
+    from schema_validator_ray.stages.stats import gini_by_group
+
+    spend = _customer_spend_cents(sf_dir)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(
+            lambda b: pa.table({"o_custkey": b["c_custkey"],
+                                "c_mktsegment": b["c_mktsegment"]}),
+            batch_format="pyarrow")
+    j = spend.join(cust, join_type="inner",
+                   num_partitions=default_join_partitions(8),
+                   on=("o_custkey",))
+    return gini_by_group(j, "c_mktsegment", "spend_cents",
+                         tiebreak="o_custkey")
+
+
+def q_events_mann_whitney(sf_dir: str):
+    """Mann–Whitney U / AUC between click and purchase event values — the
+    nonparametric distribution-shift companion to events_ab_ttest. The
+    exchange carries only the distinct-value (count_a, count) stream; ranks
+    come from one calibrated running-count scan; the finish is four scalar
+    sufficient statistics."""
+    from schema_validator_ray.stages.stats import mann_whitney_u
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return mann_whitney_u(ds, "event_type", "value", "click", "purchase")
+
+
+def q_user_lifetime_survival(sf_dir: str):
+    """User-lifetime survival curve: fraction of users whose observed
+    lifetime (last − first event) spans ≥ k weeks, k = 0..12 — the
+    retention-longevity profile. Per-batch (user → min,max) partials with
+    the guarded driver merge; ints exact end-to-end."""
+    from schema_validator_ray.stages.stats import survival_curve
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return survival_curve(ds, "user_id", "ts",
+                          unit_us=7 * 86_400 * 1_000_000, max_k=12)
+
+
+def q_events_cramers_v(sf_dir: str):
+    """Cramér's V of event_type × hour-of-day — the [0,1] effect-size
+    normalization of events_chi2, comparable across column pairs. Same
+    distributed cell pipeline; V is one scalar transform of the published
+    χ² row."""
+    from schema_validator_ray.stages.stats import cramers_v
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "hod": pc.cast(pc.hour(b["ts"]), pa.int64())})
+
+    return cramers_v(ds.map_batches(derive, batch_format="pyarrow"),
+                     "event_type", "hod")
+
+
+def q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape: revenue from lineitems where the customer and the
+    supplier sit in the same ASIA nation, orders from 1995. Region/nation
+    prune at the read; the supplier side is a guarded broadcast lookup
+    (hash-join fallback above the budget) so the lineitem stream never
+    shuffles for a dimension; revenue is exact integer cents
+    (round_even(extprice·(1−disc)·100))."""
+    import datetime as _dt
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from schema_validator_ray.stages._collect import collect_up_to
+    from schema_validator_ray.stages.referential import default_join_partitions
+
+    import pyarrow.parquet as pq
+
+    # nation/region dims: tiny, driver-side
+    nt = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    rt = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    asia_key = [k for k, nm in zip(rt["r_regionkey"].to_pylist(),
+                                   rt["r_name"].to_pylist())
+                if nm == "ASIA"][0]
+    asia_nations = {int(k): nm for k, nm, rk in zip(
+        nt["n_nationkey"].to_pylist(), nt["n_name"].to_pylist(),
+        nt["n_regionkey"].to_pylist()) if rk == asia_key}
+    nat_keys = np.sort(np.array(list(asia_nations), np.int64))
+    nat_ref = ray.put(nat_keys)
+
+    lo = pa.scalar(_dt.datetime(1995, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1996, 1, 1), type=pa.timestamp("us"))
+
+    def cust_narrow(b: pa.Table) -> pa.Table:
+        keys = ray.get(nat_ref)
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = keys[np.searchsorted(keys, nk) % len(keys)] == nk
+        t = b.filter(pa.array(keep))
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_nat": pc.cast(t["c_nationkey"], pa.int64())})
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(cust_narrow, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(
+            lambda b: (lambda t: pa.table({
+                "l_orderkey": t["o_orderkey"],
+                "c_custkey": t["o_custkey"]}))(
+                b.filter(pc.and_(
+                    pc.greater_equal(pc.cast(b["o_orderdate"],
+                                             pa.timestamp("us")), lo),
+                    pc.less(pc.cast(b["o_orderdate"],
+                                    pa.timestamp("us")), hi)))),
+            batch_format="pyarrow")
+    nparts = default_join_partitions(8)
+    oc = orders.join(cust, join_type="inner", num_partitions=nparts,
+                     on=("c_custkey",)) \
+        .map_batches(lambda b: pa.table({"l_orderkey": b["l_orderkey"],
+                                         "c_nat": b["c_nat"]}),
+                     batch_format="pyarrow")
+
+    # supplier dim: guarded broadcast (s_suppkey -> nationkey, ASIA only)
+    def supp_narrow(b: pa.Table) -> pa.Table:
+        keys = ray.get(nat_ref)
+        nk = b["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = keys[np.searchsorted(keys, nk) % len(keys)] == nk
+        t = b.filter(pa.array(keep))
+        return pa.table({
+            "s_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+            "s_nat": pc.cast(t["s_nationkey"], pa.int64())})
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .map_batches(supp_narrow, batch_format="pyarrow")
+
+    def li_narrow(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(pc.multiply(
+            b["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), b["l_discount"])), pa.scalar(100.0))
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "s_suppkey": pc.cast(b["l_suppkey"], pa.int64()),
+            "rev_cents": pc.cast(pc.round(rev), pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"]).map_batches(li_narrow, batch_format="pyarrow")
+
+    sparts, over = collect_up_to(supp, 5_000_000)
+    if not over:
+        st = pa.concat_tables(sparts)
+        sk = st["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sv = st["s_nat"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(sk)
+        sk, sv = sk[order], sv[order]
+        sref = ray.put((sk, sv))
+
+        def tag(b: pa.Table) -> pa.Table:
+            k, v = ray.get(sref)
+            a = b["s_suppkey"].to_numpy(zero_copy_only=False)
+            if len(k) == 0:
+                return pa.table({"l_orderkey": b["l_orderkey"],
+                                 "s_nat": pa.array(np.empty(0, np.int64)),
+                                 "rev_cents": b["rev_cents"]}).slice(0, 0)
+            idx = np.searchsorted(k, a) % len(k)
+            keep = k[idx] == a
+            t = pa.table({"l_orderkey": b["l_orderkey"],
+                          "s_nat": pa.array(v[idx]),
+                          "rev_cents": b["rev_cents"]})
+            return t.filter(pa.array(keep))
+
+        li_tag = li.map_batches(tag, batch_format="pyarrow")
+    else:                          # supplier side too big to broadcast
+        li_tag = li.join(supp, join_type="inner", num_partitions=nparts,
+                         on=("s_suppkey",)) \
+            .map_batches(lambda b: pa.table({
+                "l_orderkey": b["l_orderkey"], "s_nat": b["s_nat"],
+                "rev_cents": b["rev_cents"]}), batch_format="pyarrow")
+
+    j = li_tag.join(oc, join_type="inner", num_partitions=nparts,
+                    on=("l_orderkey",)) \
+        .map_batches(
+            lambda b: (lambda t: pa.table({
+                "s_nat": t["s_nat"], "rev_cents": t["rev_cents"]}))(
+                b.filter(pc.equal(b["s_nat"], b["c_nat"]))),
+            batch_format="pyarrow")
+    agg = j.groupby("s_nat").aggregate(Sum("rev_cents",
+                                           alias_name="revenue_cents"))
+
+    def name_of(b: pa.Table) -> pa.Table:     # <=25 rows
+        names = [asia_nations[int(k)] for k in b["s_nat"].to_pylist()]
+        return pa.table({
+            "n_name": pa.array(names, pa.string()),
+            "revenue_cents": pc.cast(b["revenue_cents"], pa.int64())})
+
+    return (agg.map_batches(name_of, batch_format="pyarrow")
+            .sort(["revenue_cents", "n_name"], descending=[True, False]))
+
+
+def q_customer_rfm(sf_dir: str):
+    """RFM segmentation: per-customer recency (latest order epoch-day),
+    frequency (order count) and monetary (exact cents spend), each scored
+    NTILE(4) globally, aggregated to (r,f,m)-cell counts — the classic
+    marketing-mix table. Three chained calibrated ntile scans over the
+    customers-sized aggregate (constant partition key; parallelism comes
+    from the value buckets), then one 64-cell groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    from schema_validator_ray.stages._collect import collect_up_to
+    from schema_validator_ray.stages.analytics import ntile
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate",
+                                      "o_totalprice"])
+
+    def part(b: pa.Table) -> pa.Table:
+        days = (b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+                .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        t = pa.table({
+            "o_custkey": b["o_custkey"],
+            "days": pa.array(days),
+            "one": pa.array(np.ones(b.num_rows, np.int64)),
+            "cents": pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                             pa.int64())})
+        agg = t.group_by("o_custkey").aggregate(
+            [("days", "max"), ("one", "sum"), ("cents", "sum")])
+        return pa.table({"o_custkey": agg["o_custkey"],
+                         "rec_days": agg["days_max"],
+                         "n_orders": agg["one_sum"],
+                         "cents": agg["cents_sum"]})
+
+    partials = orders.map_batches(part, batch_format="pyarrow")
+    parts, over = collect_up_to(partials, 5_000_000)
+    if not over:
+        agg = (pa.concat_tables(parts).group_by("o_custkey")
+               .aggregate([("rec_days", "max"), ("n_orders", "sum"),
+                           ("cents", "sum")]))
+        per_cust = rd.from_arrow(pa.table({
+            "o_custkey": agg["o_custkey"],
+            "rec_days": agg["rec_days_max"],
+            "n_orders": agg["n_orders_sum"],
+            "spend_cents": agg["cents_sum"]}))
+    else:
+        per_cust = (orders.map_batches(part, batch_format="pyarrow")
+                    .groupby("o_custkey")
+                    .aggregate(Max("rec_days", alias_name="rec_days"),
+                               Sum("n_orders", alias_name="n_orders"),
+                               Sum("cents", alias_name="spend_cents")))
+    tagged = per_cust.map_batches(
+        lambda b: b.append_column("_g", pa.array(
+            np.zeros(b.num_rows, np.int8))),
+        batch_format="pyarrow")
+    t1 = ntile(tagged, key="_g", order_col="rec_days", tiebreak="o_custkey",
+               n=4, out_col="r_score", n_shards=1)
+    t2 = ntile(t1, key="_g", order_col="n_orders", tiebreak="o_custkey",
+               n=4, out_col="f_score", n_shards=1)
+    t3 = ntile(t2, key="_g", order_col="spend_cents", tiebreak="o_custkey",
+               n=4, out_col="m_score", n_shards=1)
+    out = (t3.groupby(["r_score", "f_score", "m_score"])
+           .aggregate(Count(alias_name="n_customers")))
+    return out.map_batches(
+        lambda b: pa.table({
+            "r_score": pc.cast(b["r_score"], pa.int64()),
+            "f_score": pc.cast(b["f_score"], pa.int64()),
+            "m_score": pc.cast(b["m_score"], pa.int64()),
+            "n_customers": pc.cast(b["n_customers"], pa.int64())}),
+        batch_format="pyarrow").sort(["r_score", "f_score", "m_score"])
+
+
+def q_docs_readability(sf_dir: str):
+    """Coleman–Liau readability per source from pooled int64 sufficient
+    statistics (letters / words / sentence runs) — the grade-level quality
+    gate of a crawl source. Map-only partials, |sources|-row finish."""
+    from schema_validator_ray.functions.text import readability_by_group
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    return readability_by_group(ds, "text", "source")
+
+
+def q_docs_pii_census(sf_dir: str):
+    """PII exposure census per source (docs containing emails / phones and
+    total match counts) — the routing signal in front of the redaction
+    stage, computed with the redactor's own RE2 patterns."""
+    from schema_validator_ray.functions.text import pii_census_by_group
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    return pii_census_by_group(ds, "text", "source")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -4169,6 +4497,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_int8_quant": q_embedding_int8_quant,
         "images_ar_buckets": q_images_ar_buckets,
         "images_byte_dedup": q_images_byte_dedup,
+        "spend_gini_by_segment": q_spend_gini_by_segment,
+        "events_mann_whitney": q_events_mann_whitney,
+        "user_lifetime_survival": q_user_lifetime_survival,
+        "events_cramers_v": q_events_cramers_v,
+        "local_supplier_volume": q_local_supplier_volume,
+        "customer_rfm": q_customer_rfm,
+        "docs_readability": q_docs_readability,
+        "docs_pii_census": q_docs_pii_census,
     }
 
 
@@ -6573,6 +6909,171 @@ def oracle_sql() -> dict[str, str]:
                        END) AS max_abs_err
               FROM e JOIN s USING (pos)
              GROUP BY 1, 2
+        """,
+        "spend_gini_by_segment": r"""
+            WITH s AS (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS v
+                FROM orders GROUP BY 1),
+            x AS (SELECT c.c_mktsegment AS seg, s.v
+                    FROM s JOIN customer c ON s.o_custkey = c.c_custkey),
+            r AS (SELECT seg, v,
+                         CAST(ROW_NUMBER() OVER (PARTITION BY seg
+                                                 ORDER BY v) AS BIGINT) AS i
+                    FROM x)
+            SELECT seg AS c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   round_even((2.0 * SUM(i * v)) / (COUNT(*) * SUM(v))
+                              - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+              FROM r GROUP BY seg
+        """,
+        "events_mann_whitney": r"""
+            WITH x AS (
+              SELECT value AS v, event_type AS g
+                FROM events
+               WHERE value IS NOT NULL
+                 AND event_type IN ('click', 'purchase')),
+            d AS (SELECT v,
+                         CAST(COUNT(*) FILTER (g = 'click') AS BIGINT) AS ca,
+                         CAST(COUNT(*) AS BIGINT) AS c
+                    FROM x GROUP BY v),
+            r AS (SELECT v, ca, c, SUM(c) OVER (ORDER BY v) AS cum FROM d),
+            s AS (SELECT CAST(SUM(ca) AS DOUBLE) AS na,
+                         CAST(SUM(c) AS DOUBLE) AS n,
+                         SUM(ca * ((cum - c) + (c + 1) / 2.0)) AS ra,
+                         CAST(SUM(c * c * c - c) AS DOUBLE) AS tie
+                    FROM r)
+            SELECT CAST(na AS BIGINT) AS n_a,
+                   CAST(n - na AS BIGINT) AS n_b,
+                   round_even(ra - na * (na + 1.0) / 2.0, 6) AS u_a,
+                   round_even((ra - na * (na + 1.0) / 2.0
+                               - na * (n - na) / 2.0)
+                              / sqrt(na * (n - na) / 12.0
+                                     * ((n + 1.0)
+                                        - tie / (n * (n - 1.0)))), 6) AS z,
+                   round_even((ra - na * (na + 1.0) / 2.0)
+                              / (na * (n - na)), 6) AS auc
+              FROM s
+        """,
+        "user_lifetime_survival": r"""
+            WITH s AS (
+              SELECT user_id, min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+                FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL
+               GROUP BY 1),
+            w AS (SELECT LEAST((mx - mn) // 604800000000, 12) AS wk FROM s),
+            k AS (SELECT unnest(generate_series(0, 12)) AS k)
+            SELECT CAST(k.k AS BIGINT) AS k,
+                   CAST(COUNT(*) FILTER (w.wk >= k.k) AS BIGINT) AS n,
+                   round_even(COUNT(*) FILTER (w.wk >= k.k)
+                              / CAST(COUNT(*) AS DOUBLE), 6) AS frac
+              FROM k CROSS JOIN w
+             GROUP BY k.k
+        """,
+        "events_cramers_v": r"""
+            WITH o AS (SELECT event_type AS a,
+                              CAST(hour(ts) AS BIGINT) AS b,
+                              CAST(count(*) AS DOUBLE) AS cnt
+                         FROM events
+                        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                        GROUP BY 1, 2),
+                 ra AS (SELECT a, sum(cnt) AS na FROM o GROUP BY 1),
+                 rb AS (SELECT b, sum(cnt) AS nb FROM o GROUP BY 1),
+                 t AS (SELECT sum(cnt) AS tot FROM o),
+                 cells AS (SELECT ra.a, rb.b,
+                                  coalesce(o.cnt, 0.0) AS obs,
+                                  ra.na * rb.nb / t.tot AS exp
+                             FROM ra CROSS JOIN rb CROSS JOIN t
+                             LEFT JOIN o ON o.a = ra.a AND o.b = rb.b),
+                 c2 AS (SELECT round(sum((obs - exp) * (obs - exp) / exp), 6)
+                                   AS chi2,
+                               CAST(((SELECT count(*) FROM ra) - 1)
+                                    * ((SELECT count(*) FROM rb) - 1)
+                                    AS BIGINT) AS dof,
+                               CAST((SELECT tot FROM t) AS BIGINT) AS n,
+                               (SELECT count(*) FROM ra) AS ka,
+                               (SELECT count(*) FROM rb) AS kb
+                          FROM cells)
+            SELECT round_even(sqrt(chi2 / (n * (least(ka, kb) - 1.0))), 6)
+                       AS cramers_v,
+                   chi2, dof, n
+              FROM c2
+        """,
+        "local_supplier_volume": r"""
+            SELECT n_name,
+                   CAST(SUM(CAST(round_even(l_extendedprice
+                                            * (1 - l_discount) * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents
+              FROM customer, orders, lineitem, supplier, nation, region
+             WHERE c_custkey = o_custkey
+               AND l_orderkey = o_orderkey
+               AND l_suppkey = s_suppkey
+               AND c_nationkey = s_nationkey
+               AND s_nationkey = n_nationkey
+               AND n_regionkey = r_regionkey
+               AND r_name = 'ASIA'
+               AND o_orderdate >= TIMESTAMP '1995-01-01'
+               AND o_orderdate <  TIMESTAMP '1996-01-01'
+             GROUP BY n_name
+             ORDER BY revenue_cents DESC, n_name
+        """,
+        "customer_rfm": r"""
+            WITH s AS (
+              SELECT o_custkey,
+                     MAX(epoch_us(o_orderdate) // 86400000000) AS rec_days,
+                     CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS spend_cents
+                FROM orders GROUP BY 1),
+            t AS (SELECT NTILE(4) OVER (ORDER BY rec_days, o_custkey)
+                             AS r_score,
+                         NTILE(4) OVER (ORDER BY n_orders, o_custkey)
+                             AS f_score,
+                         NTILE(4) OVER (ORDER BY spend_cents, o_custkey)
+                             AS m_score
+                    FROM s)
+            SELECT CAST(r_score AS BIGINT) AS r_score,
+                   CAST(f_score AS BIGINT) AS f_score,
+                   CAST(m_score AS BIGINT) AS m_score,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers
+              FROM t GROUP BY 1, 2, 3
+        """,
+        "docs_readability": r"""
+            WITH s AS (
+              SELECT source,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(len(regexp_extract_all(COALESCE(text, ''),
+                              '[A-Za-z]'))) AS BIGINT) AS letters,
+                     CAST(SUM(len(regexp_extract_all(COALESCE(text, ''),
+                              '\S+'))) AS BIGINT) AS words,
+                     CAST(SUM(len(regexp_extract_all(COALESCE(text, ''),
+                              '[.!?]+'))) AS BIGINT) AS sentences
+                FROM documents GROUP BY 1)
+            SELECT source, n_docs, letters, words, sentences,
+                   round_even(0.0588 * (letters / words * 100.0)
+                              - 0.296 * (sentences / words * 100.0)
+                              - 15.8, 6) AS cli
+              FROM s
+        """,
+        "docs_pii_census": r"""
+            WITH c AS (
+              SELECT source,
+                     len(regexp_extract_all(COALESCE(text, ''),
+                         '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'
+                         )) AS ne,
+                     len(regexp_extract_all(COALESCE(text, ''),
+                         '\+?[0-9][0-9()\-\. ]{5,}[0-9]')) AS np
+                FROM documents)
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) FILTER (ne > 0) AS BIGINT)
+                       AS docs_with_email,
+                   CAST(COUNT(*) FILTER (np > 0) AS BIGINT)
+                       AS docs_with_phone,
+                   CAST(SUM(ne) AS BIGINT) AS n_emails,
+                   CAST(SUM(np) AS BIGINT) AS n_phones
+              FROM c GROUP BY 1
         """,
     }
     # quarantine / annotate-mode oracle: valid rows = NOT IN the violation

@@ -1153,3 +1153,110 @@ def gopher_word_filter(ds, text_col: str, id_col: str, *,
         return out.filter(pa.array(mask))
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+LETTER_RE = r"[A-Za-z]"
+NONSPACE_RE = r"\S+"
+SENTENCE_RE = r"[.!?]+"
+
+
+def readability_by_group(ds, text_col: str, group_col: str):
+    """Coleman–Liau readability of each group's pooled text: per-source
+    int64 sufficient statistics (letters, non-space words, sentence-ending
+    punctuation runs — all RE2 ``count_substring_regex`` counts, so the SQL
+    oracle's ``len(regexp_extract_all(...))`` counts the same leftmost
+    non-overlapping matches) and the CLI index computed ONCE per group from
+    the aggregate ratios (L = letters-per-100-words, S =
+    sentences-per-100-words; CLI = 0.0588·L − 0.296·S − 15.8). Integer sums
+    are exact and order-independent; the finish is three float ops mirrored
+    verbatim in the oracle. Map-only partials, one |groups|-row exchange."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = pc.fill_null(b[text_col], "")
+        t = pa.table({
+            "g": pc.fill_null(pc.cast(b[group_col], pa.string()), ""),
+            "_d": pa.array(np.ones(b.num_rows, np.int64)),
+            "_l": pc.cast(pc.count_substring_regex(s, LETTER_RE), pa.int64()),
+            "_w": pc.cast(pc.count_substring_regex(s, NONSPACE_RE),
+                          pa.int64()),
+            "_s": pc.cast(pc.count_substring_regex(s, SENTENCE_RE),
+                          pa.int64())})
+        agg = t.group_by("g").aggregate(
+            [("_d", "sum"), ("_l", "sum"), ("_w", "sum"), ("_s", "sum")])
+        return pa.table({"g": agg["g"], "d": agg["_d_sum"],
+                         "l": agg["_l_sum"], "w": agg["_w_sum"],
+                         "s": agg["_s_sum"]})
+
+    agg = (ds.select_columns([group_col, text_col])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("g")
+           .aggregate(Sum("d", alias_name="n_docs"),
+                      Sum("l", alias_name="letters"),
+                      Sum("w", alias_name="words"),
+                      Sum("s", alias_name="sentences")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        let = b["letters"].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = b["words"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sent = (b["sentences"].to_numpy(zero_copy_only=False)
+                .astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lper = let / w * 100.0
+            sper = sent / w * 100.0
+            cli = np.round(0.0588 * lper - 0.296 * sper - 15.8, 6)
+        return pa.table({
+            "source": b["g"],
+            "n_docs": pc.cast(b["n_docs"], pa.int64()),
+            "letters": pc.cast(b["letters"], pa.int64()),
+            "words": pc.cast(b["words"], pa.int64()),
+            "sentences": pc.cast(b["sentences"], pa.int64()),
+            "cli": pa.array(cli, pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def pii_census_by_group(ds, text_col: str, group_col: str):
+    """PII exposure census per group: how many docs contain ≥1 email / ≥1
+    phone match and the total match counts — the "should this source go
+    through the redaction stage at all" routing signal in front of
+    ``redact_pii`` (which pays the rewrite). Both counts run on the RAW
+    text with the same RE2 patterns the redactor uses, so the census is an
+    exact preview of what redaction would touch. Int64 sums only — exact,
+    order-independent; map-only partials, one |groups|-row exchange."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = pc.fill_null(b[text_col], "")
+        ne = pc.cast(pc.count_substring_regex(s, EMAIL_RE), pa.int64())
+        np_ = pc.cast(pc.count_substring_regex(s, PHONE_RE), pa.int64())
+        t = pa.table({
+            "g": pc.fill_null(pc.cast(b[group_col], pa.string()), ""),
+            "_d": pa.array(np.ones(b.num_rows, np.int64)),
+            "_de": pc.cast(pc.greater(ne, pa.scalar(0)), pa.int64()),
+            "_dp": pc.cast(pc.greater(np_, pa.scalar(0)), pa.int64()),
+            "_ne": ne, "_np": np_})
+        agg = t.group_by("g").aggregate(
+            [("_d", "sum"), ("_de", "sum"), ("_dp", "sum"),
+             ("_ne", "sum"), ("_np", "sum")])
+        return pa.table({"g": agg["g"], "d": agg["_d_sum"],
+                         "de": agg["_de_sum"], "dp": agg["_dp_sum"],
+                         "ne": agg["_ne_sum"], "np": agg["_np_sum"]})
+
+    agg = (ds.select_columns([group_col, text_col])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("g")
+           .aggregate(Sum("d", alias_name="n_docs"),
+                      Sum("de", alias_name="docs_with_email"),
+                      Sum("dp", alias_name="docs_with_phone"),
+                      Sum("ne", alias_name="n_emails"),
+                      Sum("np", alias_name="n_phones")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "source": b["g"],
+            "n_docs": pc.cast(b["n_docs"], pa.int64()),
+            "docs_with_email": pc.cast(b["docs_with_email"], pa.int64()),
+            "docs_with_phone": pc.cast(b["docs_with_phone"], pa.int64()),
+            "n_emails": pc.cast(b["n_emails"], pa.int64()),
+            "n_phones": pc.cast(b["n_phones"], pa.int64())}),
+        batch_format="pyarrow")

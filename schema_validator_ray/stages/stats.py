@@ -1076,7 +1076,8 @@ def grouped_corr(ds, key: str, x: str, y: str):
 
 
 def chi2_independence(ds, col_a: str, col_b: str, *,
-                      level_budget: int = 2_000_000):
+                      level_budget: int = 2_000_000,
+                      with_levels: bool = False):
     """Pearson chi-square test of independence between two categorical
     columns — the "did the distribution of B shift across A" validation
     check (drift across sources, time buckets, shards).
@@ -1131,6 +1132,9 @@ def chi2_independence(ds, col_a: str, col_b: str, *,
     empty = pa.table({"chi2": pa.array([], pa.float64()),
                       "dof": pa.array([], pa.int64()),
                       "n": pa.array([], pa.int64())})
+    if with_levels:
+        empty = (empty.append_column("ka", pa.array([], pa.int64()))
+                 .append_column("kb", pa.array([], pa.int64())))
     n = float(n_a)
     if n == 0:
         return rd.from_arrow(empty)
@@ -1157,10 +1161,14 @@ def chi2_independence(ds, col_a: str, col_b: str, *,
     e_obs = float(pc.sum(st["esum"]).as_py() or 0.0)
     chi2 = chi_obs + (n - e_obs)                  # zero-observed cells
     dof = (len(ma) - 1) * (len(mb) - 1)
-    return rd.from_arrow(pa.table({
+    out = pa.table({
         "chi2": pa.array([round(chi2, 6)], pa.float64()),
         "dof": pa.array([dof], pa.int64()),
-        "n": pa.array([int(n)], pa.int64())}))
+        "n": pa.array([int(n)], pa.int64())})
+    if with_levels:
+        out = (out.append_column("ka", pa.array([len(ma)], pa.int64()))
+               .append_column("kb", pa.array([len(mb)], pa.int64())))
+    return rd.from_arrow(out)
 
 
 def grouped_linreg(ds, key: str, x: str, y: str):
@@ -1428,3 +1436,243 @@ def column_format_census(ds, specs: list):
             .groupby(["column", "pattern"])
             .aggregate(Sum("n_match", alias_name="n_match"),
                        Sum("n", alias_name="n")))
+
+
+def gini_by_group(ds, key: str, value_col: str, tiebreak: str):
+    """Exact per-group Gini coefficient of ``value_col`` (int64 values —
+    callers pass exact integer units, e.g. cents) — the inequality /
+    concentration check of a spend or contribution distribution
+    (training-data analogue: how concentrated is a source's token mass?).
+
+    Uses the sorted-rank identity G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n with
+    1-based positions i. Positions come from the ``running_sum`` scan
+    machinery (cumulative count of ones per key ordered by value,tiebreak),
+    so the wide step is the calibrated (shard, bucket) exchange — never a
+    per-key group call; the finish is one tiny sufficient-stats row per key
+    (n, Σx, Σ i·x). All sums are int64-exact; Σ i·x overflows int64 only
+    past ~9.2e18 (≈1e9 rows × 1e7-unit values × mid positions) — switch the
+    product column to float64 beyond that regime (documented, not hit by
+    any supported profile).
+    """
+    from ray.data.aggregate import Sum
+
+    from .analytics import running_sum
+
+    ones = ds.map_batches(
+        lambda b: b.append_column(
+            "_one", pa.array(np.ones(b.num_rows, np.int64))),
+        batch_format="pyarrow")
+    pos = running_sum(ones, key=key, order_col=value_col, value="_one",
+                      tiebreak=tiebreak, out_col="_pos")
+
+    def part(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = b["_pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({key: b[key], "_n": pa.array(
+            np.ones(b.num_rows, np.int64)),
+            "_t": pa.array(v), "_s": pa.array(i * v)})
+        agg = t.group_by(key).aggregate(
+            [("_n", "sum"), ("_t", "sum"), ("_s", "sum")])
+        return pa.table({key: agg[key], "_n": agg["_n_sum"],
+                         "_t": agg["_t_sum"], "_s": agg["_s_sum"]})
+
+    agg = (pos.map_batches(part, batch_format="pyarrow")
+           .groupby(key)
+           .aggregate(Sum("_n", alias_name="n"),
+                      Sum("_t", alias_name="t"),
+                      Sum("_s", alias_name="s")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = b["t"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = b["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        gini = np.round((2.0 * s) / (n * t) - (n + 1.0) / n, 6)
+        return pa.table({key: b[key],
+                         "n": pc.cast(b["n"], pa.int64()),
+                         "gini": pa.array(gini)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def mann_whitney_u(ds, group_col: str, value_col: str, group_a, group_b):
+    """Mann–Whitney U (Wilcoxon rank-sum) test between two groups — the
+    nonparametric "did the value distribution shift" check that the Welch
+    t-test (``welch_ttest``) can't answer under heavy tails.
+
+    Rank computation never ships rows: per-batch (value → count_a, count)
+    partials collapse to the DISTINCT-value stream, a single calibrated
+    running-count scan yields each value's cumulative count (→ midrank
+    = cum − c + (c+1)/2), and the finish is a handful of scalar sufficient
+    stats (Σ count_a·midrank is a sum of exact half-integers, so the
+    distributed float sum is order-independent below 2^52). Tie correction
+    Σ(t³−t) is int64-exact. Returns one row:
+    (n_a, n_b, u_a, z, auc) with the normal-approximation z under the
+    tie-corrected variance and AUC = U/(n_a·n_b).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .analytics import running_sum
+
+    def part(b: pa.Table) -> pa.Table:
+        g = b[group_col]
+        keep = pc.and_(pc.is_valid(b[value_col]),
+                       pc.or_(pc.equal(g, pa.scalar(group_a)),
+                              pc.equal(g, pa.scalar(group_b))))
+        t = b.filter(keep)
+        ia = pc.cast(pc.equal(t[group_col], pa.scalar(group_a)), pa.int64())
+        tt = pa.table({"v": t[value_col], "_a": ia,
+                       "_c": pa.array(np.ones(t.num_rows, np.int64))})
+        agg = tt.group_by("v").aggregate([("_a", "sum"), ("_c", "sum")])
+        return pa.table({"v": agg["v"], "ca": agg["_a_sum"],
+                         "c": agg["_c_sum"]})
+
+    dv = (ds.map_batches(part, batch_format="pyarrow")
+          .groupby("v")
+          .aggregate(Sum("ca", alias_name="ca"), Sum("c", alias_name="c")))
+    tagged = dv.map_batches(
+        lambda b: b.append_column("_g", pa.array(
+            np.zeros(b.num_rows, np.int8))),
+        batch_format="pyarrow")
+    cum = running_sum(tagged, key="_g", order_col="v", value="c",
+                      tiebreak="v", out_col="_cum")
+
+    def suff(b: pa.Table) -> pa.Table:
+        ca = b["ca"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cm = b["_cum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mr = (cm - c).astype(np.float64) + (c + 1).astype(np.float64) / 2.0
+        ci = c.astype(np.float64)
+        return pa.table({
+            "na": pa.array([float((ca * 1.0).sum())]),
+            "n": pa.array([float(ci.sum())]),
+            "ra": pa.array([float((ca * mr).sum())]),
+            "tie": pa.array([int((c * c * c - c).sum())], pa.int64())})
+
+    sp = cum.map_batches(suff, batch_format="pyarrow")
+    from ._collect import collect_up_to
+    parts, _ = collect_up_to(sp, 10_000_000)    # one row per batch
+    if parts:
+        st = pa.concat_tables(parts)
+        na = float(pc.sum(st["na"]).as_py() or 0.0)
+        n = float(pc.sum(st["n"]).as_py() or 0.0)
+        ra = float(pc.sum(st["ra"]).as_py() or 0.0)
+        tie = float(pc.sum(st["tie"]).as_py() or 0)
+    else:
+        na = n = ra = tie = 0.0
+    nb = n - na
+    empty = pa.table({"n_a": pa.array([], pa.int64()),
+                      "n_b": pa.array([], pa.int64()),
+                      "u_a": pa.array([], pa.float64()),
+                      "z": pa.array([], pa.float64()),
+                      "auc": pa.array([], pa.float64())})
+    if na == 0 or nb == 0:
+        return rd.from_arrow(empty)
+    u = ra - na * (na + 1.0) / 2.0
+    mu = na * nb / 2.0
+    sig2 = na * nb / 12.0 * ((n + 1.0) - tie / (n * (n - 1.0)))
+    z = (u - mu) / np.sqrt(sig2) if sig2 > 0 else float("nan")
+    return rd.from_arrow(pa.table({
+        "n_a": pa.array([int(na)], pa.int64()),
+        "n_b": pa.array([int(nb)], pa.int64()),
+        "u_a": pa.array([round(u, 6)], pa.float64()),
+        "z": pa.array([round(float(z), 6)], pa.float64()),
+        "auc": pa.array([round(u / (na * nb), 6)], pa.float64())}))
+
+
+def survival_curve(ds, key: str, ts_col: str, *, unit_us: int,
+                   max_k: int = 12, merge_budget: int = 5_000_000):
+    """Per-entity lifetime survival curve: for k = 0..max_k, the fraction of
+    entities whose observed lifetime (last − first event) spans ≥ k units —
+    the retention/longevity profile of a user base (or a crawl source's
+    document-recency spread). Per-batch (key → min,max) partials bound the
+    exchange at distinct-keys-per-batch; under ``merge_budget`` one driver
+    merge finishes (the duplicate-keys fast-path pattern), above it the
+    distributed groupby runs and only (max_k+1)-long histogram partials
+    reach the driver. Output ints are exact; frac = n_ge / n_total.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    from ._collect import collect_up_to
+
+    def part(b: pa.Table) -> pa.Table:
+        t = pa.table({key: b[key],
+                      "_ts": pc.cast(b[ts_col], pa.int64())})
+        agg = t.group_by(key).aggregate([("_ts", "min"), ("_ts", "max")])
+        return pa.table({key: agg[key], "mn": agg["_ts_min"],
+                         "mx": agg["_ts_max"]})
+
+    partials = ds.map_batches(part, batch_format="pyarrow")
+    parts, over = collect_up_to(partials, merge_budget)
+
+    def hist_of(mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
+        wk = np.minimum((mx - mn) // unit_us, max_k)
+        return np.bincount(wk, minlength=max_k + 1)
+
+    if not over:
+        if parts:
+            t = pa.concat_tables(parts)
+            agg = t.group_by(key).aggregate([("mn", "min"), ("mx", "max")])
+            hist = hist_of(
+                agg["mn_min"].to_numpy(zero_copy_only=False).astype(np.int64),
+                agg["mx_max"].to_numpy(zero_copy_only=False).astype(np.int64))
+        else:
+            hist = np.zeros(max_k + 1, np.int64)
+    else:
+        merged = (ds.map_batches(part, batch_format="pyarrow")
+                  .groupby(key)
+                  .aggregate(Min("mn", alias_name="mn"),
+                             Max("mx", alias_name="mx")))
+
+        def hpart(b: pa.Table) -> pa.Table:
+            h = hist_of(
+                b["mn"].to_numpy(zero_copy_only=False).astype(np.int64),
+                b["mx"].to_numpy(zero_copy_only=False).astype(np.int64))
+            return pa.table({"k": pa.array(np.arange(max_k + 1, dtype=np.int64)),
+                             "cnt": pa.array(h.astype(np.int64))})
+
+        hp, _ = collect_up_to(merged.map_batches(
+            hpart, batch_format="pyarrow"), 10_000_000)
+        hist = np.zeros(max_k + 1, np.int64)
+        for t in hp:
+            hist[t["k"].to_numpy(zero_copy_only=False)] += \
+                t["cnt"].to_numpy(zero_copy_only=False)
+
+    total = int(hist.sum())
+    n_ge = np.cumsum(hist[::-1])[::-1]           # suffix counts
+    if total == 0:
+        frac = np.zeros(max_k + 1, np.float64)
+    else:
+        frac = np.round(n_ge.astype(np.float64) / float(total), 6)
+    return rd.from_arrow(pa.table({
+        "k": pa.array(np.arange(max_k + 1, dtype=np.int64)),
+        "n": pa.array(n_ge.astype(np.int64)),
+        "frac": pa.array(frac)}))
+
+
+def cramers_v(ds, col_a: str, col_b: str, *,
+              level_budget: int = 2_000_000):
+    """Cramér's V — the [0,1] effect-size normalization of the chi-square
+    independence statistic (``chi2_independence``), so association strength
+    is comparable across column pairs with different level counts:
+    V = sqrt(χ² / (n · (min(|A|,|B|) − 1))). Same fully-distributed cell
+    pipeline; the finish is one scalar transform of the chi2 row (computed
+    from the 6-dp-rounded χ² so the value is an exact function of the
+    published statistic). Returns (cramers_v, chi2, dof, n).
+    """
+    base = chi2_independence(ds, col_a, col_b, level_budget=level_budget,
+                             with_levels=True)
+
+    def finish(b: pa.Table) -> pa.Table:
+        chi2 = b["chi2"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ka = b["ka"].to_numpy(zero_copy_only=False).astype(np.float64)
+        kb = b["kb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mind = np.minimum(ka, kb) - 1.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            v = np.round(np.sqrt(chi2 / (n * mind)), 6)
+        return pa.table({"cramers_v": pa.array(v),
+                         "chi2": b["chi2"], "dof": b["dof"], "n": b["n"]})
+
+    return base.map_batches(finish, batch_format="pyarrow")
