@@ -3990,6 +3990,11 @@ def q_spend_gini_by_segment(sf_dir: str):
     j = spend.join(cust, join_type="inner",
                    num_partitions=default_join_partitions(8),
                    on=("o_custkey",))
+    # Checkpoint before the multi-pass gini scan (calibration + scan):
+    # re-executing the hash join per pass costs more than holding the
+    # per-customer (segment, cents) rows — one narrow row per customer —
+    # in the object store.
+    j = j.materialize()
     return gini_by_group(j, "c_mktsegment", "spend_cents",
                          tiebreak="o_custkey")
 
@@ -4229,10 +4234,14 @@ def q_customer_rfm(sf_dir: str):
         lambda b: b.append_column("_g", pa.array(
             np.zeros(b.num_rows, np.int8))),
         batch_format="pyarrow")
+    # Checkpoint between the chained ntile scans: each ntile is
+    # multi-pass (width calibration + scan), so without a materialize the
+    # previous scan re-executes per pass — compounding down the chain.
+    # Each checkpoint holds one narrow row per customer.
     t1 = ntile(tagged, key="_g", order_col="rec_days", tiebreak="o_custkey",
-               n=4, out_col="r_score", n_shards=1)
+               n=4, out_col="r_score", n_shards=1).materialize()
     t2 = ntile(t1, key="_g", order_col="n_orders", tiebreak="o_custkey",
-               n=4, out_col="f_score", n_shards=1)
+               n=4, out_col="f_score", n_shards=1).materialize()
     t3 = ntile(t2, key="_g", order_col="spend_cents", tiebreak="o_custkey",
                n=4, out_col="m_score", n_shards=1)
     out = (t3.groupby(["r_score", "f_score", "m_score"])

@@ -190,6 +190,14 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "embedding_int8_quant",
         "images_ar_buckets",
         "images_byte_dedup",
+        "spend_gini_by_segment",
+        "events_mann_whitney",
+        "user_lifetime_survival",
+        "events_cramers_v",
+        "local_supplier_volume",
+        "customer_rfm",
+        "docs_readability",
+        "docs_pii_census",
     ]
     qs = m.queries()
     # warm best-of-N per query (default 2 passes over the whole list):

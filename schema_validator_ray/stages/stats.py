@@ -1530,10 +1530,15 @@ def mann_whitney_u(ds, group_col: str, value_col: str, group_a, group_b):
     dv = (ds.map_batches(part, batch_format="pyarrow")
           .groupby("v")
           .aggregate(Sum("ca", alias_name="ca"), Sum("c", alias_name="c")))
+    # Checkpoint the distinct-value alphabet: the running scan below is
+    # multi-pass (bucket calibration + scan), and without this the whole
+    # upstream read + all-to-all aggregate re-executes per pass. The
+    # materialized set is |distinct values| rows — already reduced, never
+    # row-count — so the object store holds it cheaply at any scale.
     tagged = dv.map_batches(
         lambda b: b.append_column("_g", pa.array(
             np.zeros(b.num_rows, np.int8))),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
     cum = running_sum(tagged, key="_g", order_col="v", value="c",
                       tiebreak="v", out_col="_cum")
 
