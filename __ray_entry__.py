@@ -4275,6 +4275,630 @@ def q_docs_pii_census(sf_dir: str):
     return pii_census_by_group(ds, "text", "source")
 
 
+def q_orders_lineitem_reconcile(sf_dir: str):
+    """Cross-table totals reconciliation — the classic warehouse audit:
+    does each order's header total equal the sum of its line items
+    (exact integer cents, per-line half-even rounding)?  Reported per
+    order status as matched / mismatched / line-less counts. Instead of
+    an aggregate+join (two exchanges — and Ray 2.49's hash-shuffle join
+    loses its schema broadcast when a heavily-filtered side's first
+    block is empty, hash_shuffle.py:223), both tables UNION into one
+    keyed stream of int64 partials and reconcile in a SINGLE groupby:
+    lineitem collapses to per-order (cents, line-count) partials inside
+    each batch, the header contributes (ord_cents, status) on the same
+    key, and one exchange on o_orderkey resolves the verdict. Orders
+    with no lines surface naturally (n_lines = 0). Validation parity:
+    the reference validates rows one table at a time (validator.go);
+    cross-table reconciliation is the distributed extension of its
+    crossfield pack (rule/field.go)."""
+    from ray.data.aggregate import Max, Sum
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_tax"])
+
+    def li_part(b: pa.Table) -> pa.Table:
+        # (((price * (1-disc)) * (1+tax)) * 100) — association order is
+        # mirrored verbatim in the oracle so the float64 product is
+        # bit-identical before the half-even round.
+        cents = pc.cast(pc.round(pc.multiply(pc.multiply(
+            pc.multiply(b["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), b["l_discount"])),
+            pc.add(pa.scalar(1.0), b["l_tax"])), pa.scalar(100.0))),
+            pa.int64())
+        t = pa.table({"o_orderkey": b["l_orderkey"], "cents": cents,
+                      "one": pa.array(np.ones(b.num_rows, np.int64))})
+        agg = t.group_by("o_orderkey").aggregate(
+            [("cents", "sum"), ("one", "sum")])
+        n = agg.num_rows
+        return pa.table({"o_orderkey": agg["o_orderkey"],
+                         "li_cents": agg["cents_sum"],
+                         "n_lines": agg["one_sum"],
+                         "ord_cents": pa.array(np.zeros(n, np.int64)),
+                         "status": pa.array([""] * n, pa.string())})
+
+    headers = _read(sf_dir, "orders",
+                    ["o_orderkey", "o_orderstatus", "o_totalprice"]) \
+        .map_batches(
+            lambda b: pa.table({
+                "o_orderkey": b["o_orderkey"],
+                "li_cents": pa.array(np.zeros(b.num_rows, np.int64)),
+                "n_lines": pa.array(np.zeros(b.num_rows, np.int64)),
+                "ord_cents": pc.cast(pc.round(pc.multiply(
+                    b["o_totalprice"], pa.scalar(100.0))), pa.int64()),
+                "status": b["o_orderstatus"]}),
+            batch_format="pyarrow")
+
+    merged = (li.map_batches(li_part, batch_format="pyarrow")
+              .union(headers)
+              .groupby("o_orderkey")
+              .aggregate(Sum("li_cents", alias_name="li_cents"),
+                         Sum("n_lines", alias_name="n_lines"),
+                         Sum("ord_cents", alias_name="ord_cents"),
+                         Max("status", alias_name="status")))
+
+    def verdict(b: pa.Table) -> pa.Table:
+        has = pc.greater(b["n_lines"], pa.scalar(0, pa.int64()))
+        eq = pc.equal(b["li_cents"], b["ord_cents"])
+        t = pa.table({
+            "o_orderstatus": b["status"],
+            "_n": pa.array(np.ones(b.num_rows, np.int64)),
+            "_w": pc.cast(has, pa.int64()),
+            "_m": pc.cast(pc.and_(has, eq), pa.int64()),
+            "_x": pc.cast(pc.and_(has, pc.invert(eq)), pa.int64())})
+        agg = t.group_by("o_orderstatus").aggregate(
+            [("_n", "sum"), ("_w", "sum"), ("_m", "sum"), ("_x", "sum")])
+        return pa.table({"o_orderstatus": agg["o_orderstatus"],
+                         "n": agg["_n_sum"], "w": agg["_w_sum"],
+                         "m": agg["_m_sum"], "x": agg["_x_sum"]})
+
+    out = (merged.map_batches(verdict, batch_format="pyarrow")
+           .groupby("o_orderstatus")
+           .aggregate(Sum("n", alias_name="n_orders"),
+                      Sum("w", alias_name="n_with_lines"),
+                      Sum("m", alias_name="n_matched"),
+                      Sum("x", alias_name="n_mismatched")))
+    return out.map_batches(
+        lambda b: pa.table({
+            "o_orderstatus": b["o_orderstatus"],
+            "n_orders": pc.cast(b["n_orders"], pa.int64()),
+            "n_with_lines": pc.cast(b["n_with_lines"], pa.int64()),
+            "n_matched": pc.cast(b["n_matched"], pa.int64()),
+            "n_mismatched": pc.cast(b["n_mismatched"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_inclusion_deps(sf_dir: str):
+    """Inclusion-dependency (FK-discovery) census: for each declared
+    child→parent key pair, the distinct child-key count, how many of
+    those appear in the parent, and the containment coefficient — the
+    profiling step that decides whether a referential rule is even worth
+    declaring. Child keys dedup per batch before the distinct groupby
+    (exchange is bounded by distinct keys, not rows); membership runs
+    through the referential semi-join stage (broadcast / Bloom / shuffle
+    auto). Extends the reference's referential intent (validator.go
+    validates one row at a time; containment is corpus-level)."""
+    from ray.data.aggregate import Count
+
+    from schema_validator_ray.stages.referential import semi_join_filter
+
+    pairs = [
+        ("orders.o_custkey->customer.c_custkey",
+         "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_partkey->part.p_partkey",
+         "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier.s_suppkey",
+         "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ]
+    names, n_child, n_cont = [], [], []
+    for dep, child_t, child_k, parent_t, parent_k in pairs:
+        child = _read(sf_dir, child_t, [child_k])
+        distinct = (child.map_batches(
+            lambda b, k=child_k: pa.table(
+                {k: pc.unique(pc.cast(b[k], pa.int64()))}),
+            batch_format="pyarrow")
+            .groupby(child_k).aggregate(Count(alias_name="_c"))
+            .select_columns([child_k]))
+        parent = _read(sf_dir, parent_t, [parent_k]).map_batches(
+            lambda b, pk=parent_k, ck=child_k: pa.table(
+                {ck: pc.cast(b[pk], pa.int64())}),
+            batch_format="pyarrow")
+        # |distinct| and the contained subset are scalar counts; the
+        # datasets themselves never land on the driver.
+        contained = semi_join_filter(distinct, parent, child_k)
+        names.append(dep)
+        n_child.append(distinct.count())
+        n_cont.append(contained.count())
+    nc = np.asarray(n_child, np.int64)
+    nk = np.asarray(n_cont, np.int64)
+    coef = np.round(nk / nc, 6)
+    return pa.table({
+        "dependency": pa.array(names, pa.string()),
+        "n_child": pa.array(nc),
+        "n_contained": pa.array(nk),
+        "containment": pa.array(coef, pa.float64(), from_pandas=True)})
+
+
+def q_order_priority_check(sf_dir: str):
+    """TPC-H Q4 shape: per-priority count of one quarter's orders with at
+    least one late line (shipped >30 days after the order date). EXISTS
+    reduces to max(ship) > orderdate + 30d, so instead of a join the two
+    tables UNION into one keyed int64 stream resolved by a SINGLE
+    groupby on o_orderkey: lineitem collapses to per-order max-shipdate
+    partials inside each batch; the window-filtered header contributes
+    (orderdate, priority) on the same key. Orders outside the window
+    drop after the exchange (no header row ⟹ hdr = 0); a 0 sentinel
+    stands for "no lines" since all real epochs are positive."""
+    import datetime as _dt
+
+    from ray.data.aggregate import Count, Max, Sum
+
+    lo = pa.scalar(_dt.datetime(1997, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1997, 4, 1), type=pa.timestamp("us"))
+
+    def hdr(b: pa.Table) -> pa.Table:
+        od = pc.cast(b["o_orderdate"], pa.timestamp("us"))
+        t = b.filter(pc.and_(pc.greater_equal(od, lo), pc.less(od, hi)))
+        n = t.num_rows
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "ship_us": pa.array(np.zeros(n, np.int64)),
+            "od_us": pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                             pa.int64()),
+            "o_orderpriority": t["o_orderpriority"],
+            "hdr": pa.array(np.ones(n, np.int64))})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(hdr, batch_format="pyarrow")
+
+    def li_part(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_orderkey": b["l_orderkey"],
+            "ship_us": pc.cast(pc.cast(b["l_shipdate"], pa.timestamp("us")),
+                               pa.int64())})
+        agg = t.group_by("o_orderkey").aggregate([("ship_us", "max")])
+        n = agg.num_rows
+        return pa.table({
+            "o_orderkey": agg["o_orderkey"],
+            "ship_us": agg["ship_us_max"],
+            "od_us": pa.array(np.zeros(n, np.int64)),
+            "o_orderpriority": pa.array([""] * n, pa.string()),
+            "hdr": pa.array(np.zeros(n, np.int64))})
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]) \
+        .map_batches(li_part, batch_format="pyarrow")
+
+    merged = (li.union(orders)
+              .groupby("o_orderkey")
+              .aggregate(Max("ship_us", alias_name="ship_us"),
+                         Max("od_us", alias_name="od_us"),
+                         Max("o_orderpriority",
+                             alias_name="o_orderpriority"),
+                         Sum("hdr", alias_name="hdr")))
+
+    def late(b: pa.Table) -> pa.Table:
+        cut = pc.add(b["od_us"], pa.scalar(30 * 86_400_000_000, pa.int64()))
+        keep = pc.and_(pc.greater(b["hdr"], pa.scalar(0, pa.int64())),
+                       pc.greater(b["ship_us"], cut))
+        return b.filter(keep).select(["o_orderpriority"])
+
+    out = (merged.map_batches(late, batch_format="pyarrow")
+           .groupby("o_orderpriority")
+           .aggregate(Count(alias_name="order_count")))
+    return out.map_batches(
+        lambda b: pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "order_count": pc.cast(b["order_count"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: per ship-month promo-type revenue share. The part
+    dimension collapses to (partkey, is_promo) and broadcasts once via
+    ``ray.put`` (sorted-key searchsorted probe per batch — no shuffle
+    join for a catalog-sized side); revenue is exact int64 cents with
+    per-line half-even rounding so the distributed sum is
+    order-independent and the share is bit-stable."""
+    from ray.data.aggregate import Sum
+
+    from schema_validator_ray.stages._collect import collect_up_to
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda b: pa.table({
+            "p_partkey": pc.cast(b["p_partkey"], pa.int64()),
+            "promo": pc.equal(b["p_type"], pa.scalar("PROMO"))}),
+        batch_format="pyarrow")
+    parts, over = collect_up_to(part, 20_000_000)
+    if over:  # catalog exploded past the broadcast budget: shuffle join
+        return _promo_revenue_shuffle(sf_dir, part)
+    tbl = pa.concat_tables(parts)
+    keys = tbl["p_partkey"].to_numpy(zero_copy_only=False)
+    promo = tbl["promo"].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    keys, promo = keys[order], promo[order]
+    import ray as _ray
+    side_ref = _ray.put((keys, promo))
+
+    def li_part(b: pa.Table, side=side_ref) -> pa.Table:
+        k, pr = side if isinstance(side, tuple) else _ray.get(side)
+        cents = pc.cast(pc.round(pc.multiply(pc.multiply(
+            b["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), b["l_discount"])),
+            pa.scalar(100.0))), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(k, pk)
+        pos = np.clip(pos, 0, len(k) - 1)
+        is_promo = (k[pos] == pk) & pr[pos]
+        month = pc.strftime(pc.floor_temporal(
+            pc.cast(b["l_shipdate"], pa.timestamp("us")), unit="month"),
+            format="%Y-%m")
+        t = pa.table({"month": month,
+                      "total": pa.array(cents),
+                      "promo": pa.array(np.where(is_promo, cents, 0))})
+        agg = t.group_by("month").aggregate(
+            [("total", "sum"), ("promo", "sum")])
+        return pa.table({"month": agg["month"],
+                         "total": agg["total_sum"],
+                         "promo": agg["promo_sum"]})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    agg = (li.map_batches(li_part, batch_format="pyarrow")
+           .groupby("month")
+           .aggregate(Sum("total", alias_name="total_cents"),
+                      Sum("promo", alias_name="promo_cents")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        tot = b["total_cents"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        pr = b["promo_cents"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        share = np.round(100.0 * pr / tot, 6)
+        return pa.table({
+            "month": b["month"],
+            "total_cents": pc.cast(b["total_cents"], pa.int64()),
+            "promo_cents": pc.cast(b["promo_cents"], pa.int64()),
+            "promo_share": pa.array(share, pa.float64(), from_pandas=True)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _promo_revenue_shuffle(sf_dir: str, part_ds):
+    """Shuffle-join fallback for q_promo_revenue when the part dimension
+    outgrows the broadcast budget."""
+    from ray.data.aggregate import Sum
+
+    from schema_validator_ray.stages.referential import default_join_partitions
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount",
+                "l_shipdate"]).map_batches(
+        lambda b: pa.table({
+            "p_partkey": pc.cast(b["l_partkey"], pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(pc.multiply(
+                b["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), b["l_discount"])),
+                pa.scalar(100.0))), pa.int64()),
+            "month": pc.strftime(pc.floor_temporal(
+                pc.cast(b["l_shipdate"], pa.timestamp("us")),
+                unit="month"), format="%Y-%m")}),
+        batch_format="pyarrow")
+    joined = li.join(part_ds, join_type="inner",
+                     num_partitions=default_join_partitions(16),
+                     on=("p_partkey",))
+    agg = (joined.map_batches(
+        lambda b: pa.table({
+            "month": b["month"], "total": b["cents"],
+            "promo": pc.if_else(b["promo"], b["cents"],
+                                pa.scalar(0, pa.int64()))}),
+        batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Sum("total", alias_name="total_cents"),
+                   Sum("promo", alias_name="promo_cents")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        tot = b["total_cents"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        pr = b["promo_cents"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "month": b["month"],
+            "total_cents": pc.cast(b["total_cents"], pa.int64()),
+            "promo_cents": pc.cast(b["promo_cents"], pa.int64()),
+            "promo_share": pa.array(np.round(100.0 * pr / tot, 6),
+                                    pa.float64(), from_pandas=True)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_large_volume_customers(sf_dir: str):
+    """TPC-H Q18 shape: customers with any order whose total quantity
+    exceeds 300 units. Lineitem pre-aggregates per batch so the one
+    groupby exchanges per-order partials; the >300 HAVING filter makes
+    the qualifying set top-0.01%-small by construction, so it collects
+    behind a loud budget and BROADCASTS (``ray.put`` once, searchsorted
+    probe per batch) through orders and customer — two map-side hops,
+    zero join shuffles. NOTE: Dataset.join is deliberately avoided on
+    the tiny side — Ray 2.49's hash-shuffle join loses the schema
+    broadcast when the first shuffled block is empty
+    (ray/data/_internal/execution/operators/hash_shuffle.py:223), which
+    a heavily-filtered aggregate output reliably produces. Quantities
+    are small integers stored as float64, so sums are exact in any
+    order."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from schema_validator_ray.stages._collect import collect_up_to
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def part(b: pa.Table) -> pa.Table:
+        agg = b.group_by("l_orderkey").aggregate([("l_quantity", "sum")])
+        return pa.table({"o_orderkey": agg["l_orderkey"],
+                         "total_qty": agg["l_quantity_sum"]})
+
+    big = (li.map_batches(part, batch_format="pyarrow")
+           .groupby("o_orderkey")
+           .aggregate(Sum("total_qty", alias_name="total_qty"))
+           .map_batches(
+               lambda b: b.filter(pc.greater(b["total_qty"],
+                                             pa.scalar(300.0))),
+               batch_format="pyarrow"))
+    parts, over = collect_up_to(big, 20_000_000)
+    if over:
+        raise RuntimeError(
+            "qualifying-order set exceeded the broadcast budget; raise "
+            "the quantity threshold or add a shuffle-join fallback")
+    qual = pa.concat_tables(parts) if parts else pa.table(
+        {"o_orderkey": pa.array([], pa.int64()),
+         "total_qty": pa.array([], pa.float64())})
+    okeys = qual["o_orderkey"].to_numpy(zero_copy_only=False)
+    qtys = qual["total_qty"].to_numpy(zero_copy_only=False)
+    o_ord = np.argsort(okeys, kind="stable")
+    okeys, qtys = okeys[o_ord], qtys[o_ord]
+    side1 = _ray.put((okeys, qtys))
+
+    def pick_orders(b: pa.Table, side=side1) -> pa.Table:
+        k, q = _ray.get(side) if not isinstance(side, tuple) else side
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(k, ok), 0, max(len(k) - 1, 0))
+        hit = (k[pos] == ok) if len(k) else np.zeros(len(ok), bool)
+        t = b.filter(pa.array(hit))
+        tq = q[np.searchsorted(k, t["o_orderkey"]
+                               .to_numpy(zero_copy_only=False))] \
+            if len(k) else np.array([], np.float64)
+        return pa.table({
+            "c_custkey": t["o_custkey"],
+            "o_orderkey": t["o_orderkey"],
+            "o_orderdate": t["o_orderdate"],
+            "o_totalprice": t["o_totalprice"],
+            "total_qty": pa.array(tq)})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_totalprice"])
+    qual_orders = orders.map_batches(pick_orders, batch_format="pyarrow")
+    q_parts, q_over = collect_up_to(qual_orders, 20_000_000)
+    if q_over:
+        raise RuntimeError("qualifying orders exceeded broadcast budget")
+    qo = pa.concat_tables(q_parts) if q_parts else pa.table({
+        "c_custkey": pa.array([], pa.int64()),
+        "o_orderkey": pa.array([], pa.int64()),
+        "o_orderdate": pa.array([], pa.timestamp("us")),
+        "o_totalprice": pa.array([], pa.float64()),
+        "total_qty": pa.array([], pa.float64())})
+    ck = qo["c_custkey"].to_numpy(zero_copy_only=False)
+    c_ord = np.argsort(ck, kind="stable")
+    side2 = _ray.put((ck[c_ord], qo.take(pa.array(c_ord))))
+
+    def pick_cust(b: pa.Table, side=side2) -> pa.Table:
+        k, rows = _ray.get(side) if not isinstance(side, tuple) else side
+        cks = b["c_custkey"].to_numpy(zero_copy_only=False)
+        if not len(k):
+            idx = np.array([], np.int64)
+            src_rows = np.array([], np.int64)
+        else:
+            lo = np.searchsorted(k, cks, side="left")
+            hi = np.searchsorted(k, cks, side="right")
+            reps = (hi - lo).astype(np.int64)
+            idx = np.repeat(np.arange(len(cks), dtype=np.int64), reps)
+            # expand each customer's [lo, hi) run of qualifying orders
+            src_rows = (np.repeat(lo, reps)
+                        + _run_offsets(reps)) if reps.sum() else \
+                np.array([], np.int64)
+        cust = b.take(pa.array(idx))
+        picked = rows.take(pa.array(src_rows))
+        return pa.table({
+            "c_name": cust["c_name"],
+            "c_custkey": cust["c_custkey"],
+            "o_orderkey": picked["o_orderkey"],
+            "o_orderdate": picked["o_orderdate"],
+            "o_totalprice": picked["o_totalprice"],
+            "total_qty": picked["total_qty"]})
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    out = cust.map_batches(pick_cust, batch_format="pyarrow")
+    return out.sort(["total_qty", "o_orderkey"],
+                    descending=[True, False]).limit(100)
+
+
+def _run_offsets(reps: np.ndarray) -> np.ndarray:
+    """0,1,..,reps[i]-1 within each run of a repeat expansion."""
+    total = int(reps.sum())
+    starts = np.repeat(np.cumsum(reps) - reps, reps)
+    return np.arange(total, dtype=np.int64) - starts
+
+
+def q_session_bounce_rate(sf_dir: str):
+    """Per-day session bounce rate (30-min-gap sessions with exactly one
+    event) — the engagement-quality trend. Rides the fused one-shuffle
+    sessionizer; the day aggregate is a |days|-row groupby over the
+    already-small session table. The oracle is DERIVED from the
+    events_sessions_30m oracle string so the session definition can
+    never drift between the two queries."""
+    from ray.data.aggregate import Sum
+
+    from schema_validator_ray.stages.windows import session_windows
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    sess = session_windows(ev, key="user_id", ts="ts", gap="30min")
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(
+            pc.cast(b["session_start"], pa.timestamp("us")), unit="day"),
+            format="%Y-%m-%d")
+        t = pa.table({
+            "day": day,
+            "_s": pa.array(np.ones(b.num_rows, np.int64)),
+            "_b": pc.cast(pc.equal(b["n_events"], pa.scalar(1)),
+                          pa.int64())})
+        agg = t.group_by("day").aggregate([("_s", "sum"), ("_b", "sum")])
+        return pa.table({"day": agg["day"], "s": agg["_s_sum"],
+                         "b": agg["_b_sum"]})
+
+    agg = (sess.map_batches(per_batch, batch_format="pyarrow")
+           .groupby("day")
+           .aggregate(Sum("s", alias_name="n_sessions"),
+                      Sum("b", alias_name="n_bounce")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = b["n_sessions"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        bb = b["n_bounce"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "day": b["day"],
+            "n_sessions": pc.cast(b["n_sessions"], pa.int64()),
+            "n_bounce": pc.cast(b["n_bounce"], pa.int64()),
+            "bounce_rate": pa.array(np.round(bb / s, 6), pa.float64(),
+                                    from_pandas=True)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_events_hourly_autocorr(sf_dir: str):
+    """Lag-1 Pearson autocorrelation of each event type's hourly count
+    series over its dense [first, last] hour grid (missing hours count
+    0) — the "is this feed periodic or bursting" drift signal. The
+    distributed part is one (type, hour) count groupby (exchange bounded
+    by observed types × hours); the series finish is driver-side behind
+    a loud budget — at any horizon the series is hours-long, not
+    rows-long. Counts are integers, so sums/means are exact in float64
+    and the correlation matches SQL's corr() to well past 6 decimals."""
+    from ray.data.aggregate import Count
+
+    from schema_validator_ray.stages._collect import collect_up_to
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+    hourly = (ev.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"],
+            "hr_us": pc.cast(pc.floor_temporal(
+                pc.cast(b["ts"], pa.timestamp("us")), unit="hour"),
+                pa.int64())}),
+        batch_format="pyarrow")
+        .groupby(["event_type", "hr_us"])
+        .aggregate(Count(alias_name="n")))
+    # |types| × |hours| rows — a census-sized result by construction
+    parts, over = collect_up_to(hourly, 5_000_000)
+    if over:
+        raise RuntimeError("hourly census exceeded driver budget; "
+                           "raise the cap or window the input")
+    tbl = pa.concat_tables(parts)
+    types = tbl["event_type"].to_numpy(zero_copy_only=False)
+    hrs = tbl["hr_us"].to_numpy(zero_copy_only=False)
+    ns = tbl["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    out_t, out_p, out_r = [], [], []
+    HOUR = 3_600_000_000
+    for t in sorted(set(types.tolist())):
+        m = types == t
+        h, c = hrs[m], ns[m]
+        lo_h, hi_h = h.min(), h.max()
+        dense = np.zeros(int((hi_h - lo_h) // HOUR) + 1, np.float64)
+        dense[((h - lo_h) // HOUR).astype(np.int64)] = c
+        x, y = dense[1:], dense[:-1]
+        n_pairs = len(x)
+        out_t.append(t)
+        out_p.append(n_pairs)
+        if n_pairs < 2 or x.std() == 0.0 or y.std() == 0.0:
+            out_r.append(np.nan)
+            continue
+        mx, my = x.sum() / n_pairs, y.sum() / n_pairs
+        num = ((x - mx) * (y - my)).sum()
+        den = np.sqrt(((x - mx) ** 2).sum() * ((y - my) ** 2).sum())
+        out_r.append(round(float(num / den), 6))
+    return pa.table({
+        "event_type": pa.array(out_t, pa.string()),
+        "n_pairs": pa.array(out_p, pa.int64()),
+        "autocorr": pa.array(out_r, pa.float64(), from_pandas=True)})
+
+
+def q_events_cusum_changepoint(sf_dir: str):
+    """CUSUM changepoint over the global hourly event-rate series: the
+    hour where the cumulative deviation from the overall mean peaks —
+    the classic "when did the feed change" alarm. One (hour, count)
+    groupby is the only exchange; counts are integers so the float64
+    prefix sum is bit-deterministic in hour order, matching the SQL
+    window-sum argmax exactly."""
+    from ray.data.aggregate import Count
+
+    from schema_validator_ray.stages._collect import collect_up_to
+
+    ev = _read(sf_dir, "events", ["ts"])
+    hourly = (ev.map_batches(
+        lambda b: pa.table({"hr_us": pc.cast(pc.floor_temporal(
+            pc.cast(b["ts"], pa.timestamp("us")), unit="hour"),
+            pa.int64())}),
+        batch_format="pyarrow")
+        .groupby("hr_us").aggregate(Count(alias_name="n")))
+    parts, over = collect_up_to(hourly, 5_000_000)
+    if over:
+        raise RuntimeError("hourly census exceeded driver budget")
+    tbl = pa.concat_tables(parts)
+    hrs = tbl["hr_us"].to_numpy(zero_copy_only=False)
+    ns = tbl["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.argsort(hrs, kind="stable")
+    hrs, ns = hrs[order], ns[order]
+    mu = ns.sum() / len(ns)
+    cusum = np.cumsum(ns - mu)
+    a = np.abs(cusum)
+    best = int(np.argmax(a))  # earliest hour on ties (argmax is first-max)
+    import datetime as _dt
+    hour = _dt.datetime.utcfromtimestamp(
+        int(hrs[best]) / 1e6).strftime("%Y-%m-%d %H:00")
+    return pa.table({
+        "hour": pa.array([hour], pa.string()),
+        "max_abs_cusum": pa.array([round(float(a[best]), 6)], pa.float64()),
+        "n_hours": pa.array([len(ns)], pa.int64())})
+
+
+def q_docs_c4_census(sf_dir: str):
+    """C4 heuristic-filter census per source (word-count bounds, >=3
+    sentence marks, no braces, no lorem-ipsum)."""
+    from schema_validator_ray.functions.text import c4_census_by_group
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    return c4_census_by_group(ds, "text", "source")
+
+
+def q_docs_charset_census(sf_dir: str):
+    """Character-class / encoding-health census per source (non-ASCII,
+    replacement-char, upper / digit / whitespace totals)."""
+    from schema_validator_ray.functions.text import charset_census_by_group
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    return charset_census_by_group(ds, "text", "source")
+
+
+def q_docs_ttr(sf_dir: str):
+    """Per-doc type-token ratio (lexical diversity) — low TTR flags
+    templated/repetitive documents before training."""
+    from schema_validator_ray.functions.text import doc_ttr
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=32)
+    return doc_ttr(ds, "text", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -4514,6 +5138,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rfm": q_customer_rfm,
         "docs_readability": q_docs_readability,
         "docs_pii_census": q_docs_pii_census,
+        "orders_lineitem_reconcile": q_orders_lineitem_reconcile,
+        "inclusion_deps": q_inclusion_deps,
+        "order_priority_check": q_order_priority_check,
+        "promo_revenue": q_promo_revenue,
+        "large_volume_customers": q_large_volume_customers,
+        "session_bounce_rate": q_session_bounce_rate,
+        "events_hourly_autocorr": q_events_hourly_autocorr,
+        "events_cusum_changepoint": q_events_cusum_changepoint,
+        "docs_c4_census": q_docs_c4_census,
+        "docs_charset_census": q_docs_charset_census,
+        "docs_ttr": q_docs_ttr,
     }
 
 
@@ -7065,6 +7700,188 @@ def oracle_sql() -> dict[str, str]:
                               - 15.8, 6) AS cli
               FROM s
         """,
+        "orders_lineitem_reconcile": r"""
+            WITH li AS (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(round_even(
+                         l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         * 100, 0) AS BIGINT)) AS BIGINT) AS li_cents
+                FROM lineitem GROUP BY 1)
+            SELECT o_orderstatus,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(COUNT(li_cents) AS BIGINT) AS n_with_lines,
+                   CAST(COUNT(*) FILTER (li_cents =
+                        CAST(round_even(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS n_matched,
+                   CAST(COUNT(*) FILTER (li_cents IS NOT NULL AND li_cents <>
+                        CAST(round_even(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS n_mismatched
+              FROM orders LEFT JOIN li ON o_orderkey = l_orderkey
+             GROUP BY 1
+        """,
+        "inclusion_deps": r"""
+            SELECT 'orders.o_custkey->customer.c_custkey' AS dependency,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_child,
+                   CAST(COUNT(DISTINCT o_custkey) FILTER (o_custkey IN
+                        (SELECT c_custkey FROM customer)) AS BIGINT)
+                       AS n_contained,
+                   round_even(CAST(COUNT(DISTINCT o_custkey) FILTER
+                        (o_custkey IN (SELECT c_custkey FROM customer))
+                        AS DOUBLE) / COUNT(DISTINCT o_custkey), 6)
+                       AS containment
+              FROM orders
+            UNION ALL
+            SELECT 'lineitem.l_partkey->part.p_partkey',
+                   CAST(COUNT(DISTINCT l_partkey) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_partkey) FILTER (l_partkey IN
+                        (SELECT p_partkey FROM part)) AS BIGINT),
+                   round_even(CAST(COUNT(DISTINCT l_partkey) FILTER
+                        (l_partkey IN (SELECT p_partkey FROM part))
+                        AS DOUBLE) / COUNT(DISTINCT l_partkey), 6)
+              FROM lineitem
+            UNION ALL
+            SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_suppkey) FILTER (l_suppkey IN
+                        (SELECT s_suppkey FROM supplier)) AS BIGINT),
+                   round_even(CAST(COUNT(DISTINCT l_suppkey) FILTER
+                        (l_suppkey IN (SELECT s_suppkey FROM supplier))
+                        AS DOUBLE) / COUNT(DISTINCT l_suppkey), 6)
+              FROM lineitem
+        """,
+        "order_priority_check": r"""
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS order_count
+              FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+               AND o_orderdate < TIMESTAMP '1997-04-01'
+               AND EXISTS (SELECT 1 FROM lineitem
+                            WHERE l_orderkey = o_orderkey
+                              AND l_shipdate > o_orderdate
+                                               + INTERVAL 30 DAY)
+             GROUP BY 1
+        """,
+        "promo_revenue": r"""
+            WITH j AS (
+              SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m')
+                         AS month,
+                     CAST(round_even(l_extendedprice * (1 - l_discount)
+                          * 100, 0) AS BIGINT) AS cents,
+                     (p_type = 'PROMO') AS promo
+                FROM lineitem JOIN part ON l_partkey = p_partkey)
+            SELECT month,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   CAST(COALESCE(SUM(cents) FILTER (promo), 0) AS BIGINT)
+                       AS promo_cents,
+                   round_even(100.0 * COALESCE(SUM(cents) FILTER (promo), 0)
+                              / SUM(cents), 6) AS promo_share
+              FROM j GROUP BY 1
+        """,
+        "large_volume_customers": r"""
+            WITH q AS (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+                         FROM lineitem GROUP BY 1
+                       HAVING SUM(l_quantity) > 300)
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   total_qty
+              FROM q JOIN orders ON o_orderkey = l_orderkey
+                   JOIN customer ON c_custkey = o_custkey
+             ORDER BY total_qty DESC, o_orderkey LIMIT 100
+        """,
+        "events_hourly_autocorr": r"""
+            WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                              CAST(COUNT(*) AS DOUBLE) AS n
+                         FROM events GROUP BY 1, 2),
+            b AS (SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1
+                    FROM c GROUP BY 1),
+            g AS (SELECT event_type,
+                         unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                             AS hr
+                    FROM b),
+            f AS (SELECT g.event_type, g.hr, COALESCE(c.n, 0) AS n
+                    FROM g LEFT JOIN c ON g.event_type = c.event_type
+                                      AND g.hr = c.hr),
+            l AS (SELECT event_type, n,
+                         LAG(n) OVER (PARTITION BY event_type ORDER BY hr)
+                             AS pn
+                    FROM f)
+            SELECT event_type,
+                   CAST(COUNT(pn) AS BIGINT) AS n_pairs,
+                   round_even(corr(n, pn), 6) AS autocorr
+              FROM l WHERE pn IS NOT NULL GROUP BY 1
+        """,
+        "events_cusum_changepoint": r"""
+            WITH c AS (SELECT date_trunc('hour', ts) AS hr,
+                              CAST(COUNT(*) AS DOUBLE) AS n
+                         FROM events GROUP BY 1),
+            m AS (SELECT SUM(n) / COUNT(*) AS mu FROM c),
+            s AS (SELECT hr, SUM(n - mu) OVER (ORDER BY hr
+                          ROWS UNBOUNDED PRECEDING) AS cusum
+                    FROM c, m)
+            SELECT strftime(hr, '%Y-%m-%d %H:00') AS hour,
+                   round_even(abs(cusum), 6) AS max_abs_cusum,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_hours
+              FROM s ORDER BY abs(cusum) DESC, hr LIMIT 1
+        """,
+        "docs_c4_census": r"""
+            WITH c AS (
+              SELECT source,
+                     len(regexp_extract_all(COALESCE(text, ''), '\S+')) AS w,
+                     len(regexp_extract_all(COALESCE(text, ''), '[.!?]+'))
+                         AS sent,
+                     regexp_matches(COALESCE(text, ''), '[{}]') AS brace,
+                     regexp_matches(lower(COALESCE(text, '')), 'lorem ipsum')
+                         AS lorem
+                FROM documents)
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) FILTER (w < 50) AS BIGINT) AS n_short,
+                   CAST(COUNT(*) FILTER (w > 10000) AS BIGINT) AS n_long,
+                   CAST(COUNT(*) FILTER (sent < 3) AS BIGINT)
+                       AS n_few_sentences,
+                   CAST(COUNT(*) FILTER (brace) AS BIGINT) AS n_braces,
+                   CAST(COUNT(*) FILTER (lorem) AS BIGINT) AS n_lorem,
+                   CAST(COUNT(*) FILTER (w >= 50 AND w <= 10000
+                        AND sent >= 3 AND NOT brace AND NOT lorem)
+                        AS BIGINT) AS n_kept
+              FROM c GROUP BY 1
+        """,
+        "docs_charset_census": r"""
+            WITH c AS (
+              SELECT source,
+                     len(regexp_extract_all(COALESCE(text, ''),
+                         '[^\x00-\x7F]')) AS na,
+                     (strpos(COALESCE(text, ''), '�') > 0) AS rep,
+                     len(regexp_extract_all(COALESCE(text, ''), '[A-Z]'))
+                         AS up,
+                     len(regexp_extract_all(COALESCE(text, ''), '[0-9]'))
+                         AS dg,
+                     len(regexp_extract_all(COALESCE(text, ''), '\s')) AS ws
+                FROM documents)
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) FILTER (na > 0) AS BIGINT) AS docs_nonascii,
+                   CAST(SUM(na) AS BIGINT) AS chars_nonascii,
+                   CAST(COUNT(*) FILTER (rep) AS BIGINT)
+                       AS docs_replacement,
+                   CAST(SUM(up) AS BIGINT) AS chars_upper,
+                   CAST(SUM(dg) AS BIGINT) AS chars_digit,
+                   CAST(SUM(ws) AS BIGINT) AS chars_space
+              FROM c GROUP BY 1
+        """,
+        "docs_ttr": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(lower(COALESCE(text, '')),
+                          '\S+')) AS BIGINT) AS n_tokens,
+                     CAST(len(list_distinct(regexp_extract_all(
+                          lower(COALESCE(text, '')), '\S+'))) AS BIGINT)
+                         AS n_types
+                FROM documents)
+            SELECT doc_id, n_tokens, n_types,
+                   round_even(CAST(n_types AS DOUBLE) / NULLIF(n_tokens, 0),
+                              6) AS ttr
+              FROM t
+        """,
         "docs_pii_census": r"""
             WITH c AS (
               SELECT source,
@@ -7104,5 +7921,14 @@ def oracle_sql() -> dict[str, str]:
                               (SELECT o_orderkey FROM f))::int) AS DOUBLE)
                           / CAST(COUNT(*) AS DOUBLE), 6) AS fail_rate
           FROM orders GROUP BY 1
+    """
+    o["session_bounce_rate"] = """
+        WITH s AS (""" + o["events_sessions_30m"] + """)
+        SELECT strftime(date_trunc('day', session_start), '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(COUNT(*) FILTER (n_events = 1) AS BIGINT) AS n_bounce,
+               round_even(CAST(COUNT(*) FILTER (n_events = 1) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
+          FROM s GROUP BY 1
     """
     return o

@@ -198,6 +198,14 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "customer_rfm",
         "docs_readability",
         "docs_pii_census",
+        "orders_lineitem_reconcile",
+        "inclusion_deps",
+        "order_priority_check",
+        "promo_revenue",
+        "large_volume_customers",
+        "session_bounce_rate",
+        "docs_c4_census",
+        "docs_ttr",
     ]
     qs = m.queries()
     # warm best-of-N per query (default 2 passes over the whole list):

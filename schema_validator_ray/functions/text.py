@@ -1260,3 +1260,161 @@ def pii_census_by_group(ds, text_col: str, group_col: str):
             "n_emails": pc.cast(b["n_emails"], pa.int64()),
             "n_phones": pc.cast(b["n_phones"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def c4_census_by_group(ds, text_col: str, group_col: str):
+    """C4-style heuristic-filter census per group (Raffel et al. 2020
+    shapes): per-doc pass/fail against word-count bounds [50, 10000],
+    ">=3 sentence marks", "no curly braces" and "no 'lorem ipsum'",
+    aggregated to per-source drop counts so the routing decision ("does
+    this source survive a C4 pass at all") costs one map-only scan —
+    not a doc-level rewrite. Every predicate is an RE2
+    ``count_substring_regex`` / ``match_substring`` the SQL oracle
+    reproduces verbatim. Map-only partials, one |groups|-row exchange."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = pc.fill_null(b[text_col], "")
+        w = pc.cast(pc.count_substring_regex(s, NONSPACE_RE), pa.int64())
+        sent = pc.cast(pc.count_substring_regex(s, SENTENCE_RE), pa.int64())
+        short = pc.less(w, pa.scalar(50, pa.int64()))
+        long_ = pc.greater(w, pa.scalar(10_000, pa.int64()))
+        few = pc.less(sent, pa.scalar(3, pa.int64()))
+        brace = pc.match_substring_regex(s, r"[{}]")
+        lorem = pc.match_substring_regex(pc.utf8_lower(s), r"lorem ipsum")
+        bad = pc.or_(pc.or_(pc.or_(short, long_), few),
+                     pc.or_(brace, lorem))
+        t = pa.table({
+            "g": pc.fill_null(pc.cast(b[group_col], pa.string()), ""),
+            "_d": pa.array(np.ones(b.num_rows, np.int64)),
+            "_s": pc.cast(short, pa.int64()),
+            "_l": pc.cast(long_, pa.int64()),
+            "_f": pc.cast(few, pa.int64()),
+            "_b": pc.cast(brace, pa.int64()),
+            "_o": pc.cast(lorem, pa.int64()),
+            "_k": pc.cast(pc.invert(bad), pa.int64())})
+        agg = t.group_by("g").aggregate(
+            [("_d", "sum"), ("_s", "sum"), ("_l", "sum"), ("_f", "sum"),
+             ("_b", "sum"), ("_o", "sum"), ("_k", "sum")])
+        return pa.table({"g": agg["g"], "d": agg["_d_sum"],
+                         "s": agg["_s_sum"], "l": agg["_l_sum"],
+                         "f": agg["_f_sum"], "b": agg["_b_sum"],
+                         "o": agg["_o_sum"], "k": agg["_k_sum"]})
+
+    agg = (ds.select_columns([group_col, text_col])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("g")
+           .aggregate(Sum("d", alias_name="n_docs"),
+                      Sum("s", alias_name="n_short"),
+                      Sum("l", alias_name="n_long"),
+                      Sum("f", alias_name="n_few_sentences"),
+                      Sum("b", alias_name="n_braces"),
+                      Sum("o", alias_name="n_lorem"),
+                      Sum("k", alias_name="n_kept")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "source": b["g"],
+            "n_docs": pc.cast(b["n_docs"], pa.int64()),
+            "n_short": pc.cast(b["n_short"], pa.int64()),
+            "n_long": pc.cast(b["n_long"], pa.int64()),
+            "n_few_sentences": pc.cast(b["n_few_sentences"], pa.int64()),
+            "n_braces": pc.cast(b["n_braces"], pa.int64()),
+            "n_lorem": pc.cast(b["n_lorem"], pa.int64()),
+            "n_kept": pc.cast(b["n_kept"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def charset_census_by_group(ds, text_col: str, group_col: str):
+    """Character-class census per group: non-ASCII exposure (docs and
+    total chars), U+FFFD replacement-char docs (mojibake signal), plus
+    uppercase / digit / whitespace char totals — the encoding-health
+    profile a crawl source is admitted on. All counts are RE2 char-class
+    ``count_substring_regex`` totals (int64, order-independent) that the
+    SQL oracle reproduces with ``len(regexp_extract_all(...))``.
+    Map-only partials, one |groups|-row exchange."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = pc.fill_null(b[text_col], "")
+        nonascii = pc.cast(pc.count_substring_regex(s, r"[^\x00-\x7F]"),
+                           pa.int64())
+        t = pa.table({
+            "g": pc.fill_null(pc.cast(b[group_col], pa.string()), ""),
+            "_d": pa.array(np.ones(b.num_rows, np.int64)),
+            "_nad": pc.cast(pc.greater(nonascii, 0), pa.int64()),
+            "_nac": nonascii,
+            "_rep": pc.cast(pc.match_substring(s, "�"), pa.int64()),
+            "_up": pc.cast(pc.count_substring_regex(s, r"[A-Z]"), pa.int64()),
+            "_dg": pc.cast(pc.count_substring_regex(s, r"[0-9]"), pa.int64()),
+            "_ws": pc.cast(pc.count_substring_regex(s, r"\s"), pa.int64())})
+        agg = t.group_by("g").aggregate(
+            [("_d", "sum"), ("_nad", "sum"), ("_nac", "sum"),
+             ("_rep", "sum"), ("_up", "sum"), ("_dg", "sum"), ("_ws", "sum")])
+        return pa.table({"g": agg["g"], "d": agg["_d_sum"],
+                         "nad": agg["_nad_sum"], "nac": agg["_nac_sum"],
+                         "rep": agg["_rep_sum"], "up": agg["_up_sum"],
+                         "dg": agg["_dg_sum"], "ws": agg["_ws_sum"]})
+
+    agg = (ds.select_columns([group_col, text_col])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("g")
+           .aggregate(Sum("d", alias_name="n_docs"),
+                      Sum("nad", alias_name="docs_nonascii"),
+                      Sum("nac", alias_name="chars_nonascii"),
+                      Sum("rep", alias_name="docs_replacement"),
+                      Sum("up", alias_name="chars_upper"),
+                      Sum("dg", alias_name="chars_digit"),
+                      Sum("ws", alias_name="chars_space")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "source": b["g"],
+            "n_docs": pc.cast(b["n_docs"], pa.int64()),
+            "docs_nonascii": pc.cast(b["docs_nonascii"], pa.int64()),
+            "chars_nonascii": pc.cast(b["chars_nonascii"], pa.int64()),
+            "docs_replacement": pc.cast(b["docs_replacement"], pa.int64()),
+            "chars_upper": pc.cast(b["chars_upper"], pa.int64()),
+            "chars_digit": pc.cast(b["chars_digit"], pa.int64()),
+            "chars_space": pc.cast(b["chars_space"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def doc_ttr(ds, text_col: str, id_col: str):
+    """Per-doc type-token ratio (distinct lowercased ``\\S+`` tokens /
+    tokens) — the lexical-diversity quality signal (low TTR = templated /
+    repetitive text). Vectorized per batch: one flat token explode, one
+    ``np.unique`` factorize, doc×vocab pair codes deduped with a second
+    ``np.unique`` and counted per doc with ``np.bincount`` — no per-doc
+    Python loop, no exchange at all (doc-local metric, map-only)."""
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(pc.fill_null(b[text_col], ""))
+        # Arrow has no per-row findall; split on whitespace runs and drop
+        # empties — identical token set to the \S+ oracle.
+        parts = pc.split_pattern_regex(s, r"\s+")
+        flat = pc.list_flatten(parts)
+        lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        words = flat.to_numpy(zero_copy_only=False)
+        keep = words != ""
+        words = words[keep]
+        doc_idx = doc_idx[keep]
+        n = b.num_rows
+        n_tokens = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        if len(words):
+            _, codes = np.unique(words, return_inverse=True)
+            pair = doc_idx * np.int64(len(_)) + codes
+            uniq = np.unique(pair)
+            n_types = np.bincount(uniq // np.int64(len(_)),
+                                  minlength=n).astype(np.int64)
+        else:
+            n_types = np.zeros(n, np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ttr = np.round(n_types / n_tokens, 6)
+        return pa.table({
+            id_col: b[id_col],
+            "n_tokens": pa.array(n_tokens),
+            "n_types": pa.array(n_types),
+            "ttr": pa.array(ttr, pa.float64(), from_pandas=True)})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        per_batch, batch_format="pyarrow")
