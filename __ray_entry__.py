@@ -4899,6 +4899,347 @@ def q_docs_ttr(sf_dir: str):
     return doc_ttr(ds, "text", "doc_id")
 
 
+def q_candidate_keys_orders(sf_dir: str):
+    """Candidate-key discovery census over the orders table: per column,
+    exact distinct count vs non-null count — the profiling pass that
+    decides which uniqueness rules are worth declaring (the reference's
+    `unique` tag assumes the key is known; discovery is the corpus-level
+    extension). Values cast to strings per batch (shortest-roundtrip
+    float repr is injective) and dedup per batch, so the one exchange
+    carries distinct (column, value) pairs — the honest lower bound for
+    exact distinct counting. Null/total counts ride int64 partials."""
+    from ray.data.aggregate import Count, Sum
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    ds = _read(sf_dir, "orders", cols)
+
+    def pairs(b: pa.Table) -> pa.Table:
+        outs = []
+        for c in cols:
+            arr = b[c]
+            if pa.types.is_timestamp(arr.type):
+                arr = pc.cast(arr, pa.int64())
+            s = pc.cast(arr, pa.string())
+            s = pc.drop_null(s.combine_chunks() if hasattr(s, "chunks")
+                             else s)
+            u = pc.unique(s)
+            outs.append(pa.table({
+                "column_name": pa.array([c] * len(u), pa.string()),
+                "v": u}))
+        return pa.concat_tables(outs)
+
+    distinct = (ds.map_batches(pairs, batch_format="pyarrow")
+                .groupby(["column_name", "v"])
+                .aggregate(Count(alias_name="_c"))
+                .groupby("column_name")
+                .aggregate(Count(alias_name="n_distinct")))
+
+    def counts(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "column_name": pa.array(cols, pa.string()),
+            "n_rows": pa.array([b.num_rows] * len(cols), pa.int64()),
+            "n_nonnull": pa.array(
+                [b.num_rows - b[c].null_count for c in cols], pa.int64())})
+
+    totals = (ds.map_batches(counts, batch_format="pyarrow")
+              .groupby("column_name")
+              .aggregate(Sum("n_rows", alias_name="n_rows"),
+                         Sum("n_nonnull", alias_name="n_nonnull")))
+    # |columns|-row join: both sides are column-census-sized
+    joined = totals.join(distinct, join_type="inner", num_partitions=2,
+                         on=("column_name",))
+    return joined.map_batches(
+        lambda b: pa.table({
+            "column_name": b["column_name"],
+            "n_rows": pc.cast(b["n_rows"], pa.int64()),
+            "n_nonnull": pc.cast(b["n_nonnull"], pa.int64()),
+            "n_distinct": pc.cast(b["n_distinct"], pa.int64()),
+            "is_unique": pc.equal(pc.cast(b["n_distinct"], pa.int64()),
+                                  pc.cast(b["n_nonnull"], pa.int64()))}),
+        batch_format="pyarrow")
+
+
+def q_langid_confusion(sf_dir: str):
+    """Label-vs-prediction confusion counts: the declared `lang` column
+    against the heuristic language-ID — the labeling-QA census that
+    decides whether a source's language metadata can be trusted. One
+    map-side prediction pass, per-batch (lang, pred) count partials,
+    one |langs|²-bounded groupby. Oracle DERIVED from the doc_langid
+    oracle string so the heuristic cannot drift between queries."""
+    from ray.data.aggregate import Sum
+
+    from schema_validator_ray.functions.text import lang_id
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def part(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "lang": pc.fill_null(pc.cast(b["lang"], pa.string()), ""),
+            "lang_pred": lang_id(b["text"]),
+            "_n": pa.array(np.ones(b.num_rows, np.int64))})
+        agg = t.group_by(["lang", "lang_pred"]).aggregate([("_n", "sum")])
+        return pa.table({"lang": agg["lang"],
+                         "lang_pred": agg["lang_pred"],
+                         "n": agg["_n_sum"]})
+
+    out = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby(["lang", "lang_pred"])
+           .aggregate(Sum("n", alias_name="n")))
+    return out.map_batches(
+        lambda b: pa.table({"lang": b["lang"],
+                            "lang_pred": b["lang_pred"],
+                            "n": pc.cast(b["n"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_revenue_yoy(sf_dir: str):
+    """Yearly revenue with year-over-year growth — the trend report every
+    warehouse runs. One |years|-row groupby of exact int64 cents; the
+    LAG finish is driver-side over the years alphabet (time-bounded, not
+    row-bounded) behind the collect budget."""
+    from ray.data.aggregate import Sum
+
+    from schema_validator_ray.stages._collect import collect_up_to
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def part(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "year": pc.cast(pc.year(pc.cast(b["o_orderdate"],
+                                            pa.timestamp("us"))),
+                            pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(b["o_totalprice"],
+                                                  pa.scalar(100.0))),
+                             pa.int64())})
+        agg = t.group_by("year").aggregate([("cents", "sum")])
+        return pa.table({"year": agg["year"], "cents": agg["cents_sum"]})
+
+    agg = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby("year").aggregate(Sum("cents",
+                                          alias_name="revenue_cents")))
+    parts, over = collect_up_to(agg, 1_000_000)
+    if over:
+        raise RuntimeError("year census exceeded driver budget")
+    tbl = pa.concat_tables(parts)
+    yr = tbl["year"].to_numpy(zero_copy_only=False)
+    rev = tbl["revenue_cents"].to_numpy(zero_copy_only=False)
+    order = np.argsort(yr, kind="stable")
+    yr, rev = yr[order], rev[order]
+    yoy = np.full(len(yr), np.nan)
+    if len(yr) > 1:
+        prev_ok = yr[1:] == yr[:-1] + 1  # gap years get NULL growth
+        yoy[1:][prev_ok] = np.round(
+            rev[1:][prev_ok] / rev[:-1][prev_ok].astype(np.float64) - 1.0, 6)
+    return pa.table({
+        "year": pa.array(yr),
+        "revenue_cents": pa.array(rev),
+        "yoy": pa.array(yoy, pa.float64(), from_pandas=True)})
+
+
+def q_nation_pair_revenue(sf_dir: str):
+    """TPC-H Q7 shape: shipped revenue per (customer nation, supplier
+    nation, ship year) — the cross-border trade matrix. The 25-row
+    nation table reads on the driver; the supplier→nation map broadcasts
+    once (catalog-sized, ray.put + searchsorted probe); customer nation
+    arrives through one orders⋈customer hash join whose output is
+    narrow (orderkey, nation string); lineitem collapses to exact int64
+    cents and joins on orderkey. Revenue sums are order-independent."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from schema_validator_ray.stages._collect import collect_up_to
+    from schema_validator_ray.stages.referential import default_join_partitions
+
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    nkeys = nation["n_nationkey"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    nnames = nation["n_name"].to_numpy(zero_copy_only=False)
+    n_ord = np.argsort(nkeys, kind="stable")
+    nkeys, nnames = nkeys[n_ord], nnames[n_ord]
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    s_parts, over = collect_up_to(supp, 20_000_000)
+    if over:
+        raise RuntimeError("supplier dim exceeded broadcast budget")
+    st = pa.concat_tables(s_parts)
+    skeys = st["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    snat = st["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s_ord = np.argsort(skeys, kind="stable")
+    skeys = skeys[s_ord]
+    snames = nnames[np.searchsorted(nkeys, snat[s_ord])]
+    side = _ray.put((skeys, snames))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(
+            lambda b: pa.table({
+                "c_custkey": b["c_custkey"],
+                "cust_nation": pa.array(nnames[np.searchsorted(
+                    nkeys, b["c_nationkey"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64))])}),
+            batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(
+            lambda b: pa.table({"o_orderkey": b["o_orderkey"],
+                                "c_custkey": b["o_custkey"]}),
+            batch_format="pyarrow")
+    nparts = default_join_partitions(8)
+    ord_nat = orders.join(cust, join_type="inner", num_partitions=nparts,
+                          on=("c_custkey",)) \
+        .map_batches(lambda b: b.select(["o_orderkey", "cust_nation"]),
+                     batch_format="pyarrow")
+
+    def li_narrow(b: pa.Table, s=side) -> pa.Table:
+        k, names = _ray.get(s) if not isinstance(s, tuple) else s
+        cents = pc.cast(pc.round(pc.multiply(pc.multiply(
+            b["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), b["l_discount"])),
+            pa.scalar(100.0))), pa.int64())
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        supp_nation = names[np.searchsorted(k, sk)]
+        return pa.table({
+            "o_orderkey": b["l_orderkey"],
+            "supp_nation": pa.array(supp_nation),
+            "year": pc.cast(pc.year(pc.cast(b["l_shipdate"],
+                                            pa.timestamp("us"))),
+                            pa.int64()),
+            "cents": cents})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                "l_shipdate"]).map_batches(li_narrow,
+                                           batch_format="pyarrow")
+    joined = li.join(ord_nat, join_type="inner", num_partitions=nparts,
+                     on=("o_orderkey",))
+    out = (joined.map_batches(
+        lambda b: pa.table({"cust_nation": b["cust_nation"],
+                            "supp_nation": b["supp_nation"],
+                            "year": b["year"], "cents": b["cents"]}),
+        batch_format="pyarrow")
+        .groupby(["cust_nation", "supp_nation", "year"])
+        .aggregate(Sum("cents", alias_name="revenue_cents")))
+    return out.map_batches(
+        lambda b: pa.table({
+            "cust_nation": b["cust_nation"],
+            "supp_nation": b["supp_nation"],
+            "year": pc.cast(b["year"], pa.int64()),
+            "revenue_cents": pc.cast(b["revenue_cents"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_returned_item_losses(sf_dir: str):
+    """TPC-H Q10 shape: revenue lost to returned items per customer over
+    one half-year of orders, top 20. Return-flag and date filters run
+    map-side at the reads; lineitem collapses to per-order cents
+    partials before the one orderkey join; the per-customer aggregate
+    (dense output, no empty-first-block hazard) joins customer and the
+    25-row nation map broadcasts driver-side."""
+    import datetime as _dt
+
+    from ray.data.aggregate import Sum
+
+    from schema_validator_ray.stages.referential import default_join_partitions
+
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    nkeys = nation["n_nationkey"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    nnames = nation["n_name"].to_numpy(zero_copy_only=False)
+    n_ord = np.argsort(nkeys, kind="stable")
+    nkeys, nnames = nkeys[n_ord], nnames[n_ord]
+
+    lo = pa.scalar(_dt.datetime(1997, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1997, 7, 1), type=pa.timestamp("us"))
+
+    def li_part(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["l_returnflag"], pa.scalar("R")))
+        cents = pc.cast(pc.round(pc.multiply(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0))), pa.int64())
+        g = pa.table({"o_orderkey": t["l_orderkey"], "cents": cents}) \
+            .group_by("o_orderkey").aggregate([("cents", "sum")])
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "cents": g["cents_sum"]})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_discount"]).map_batches(li_part, batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(
+            lambda b: b.filter(pc.and_(
+                pc.greater_equal(pc.cast(b["o_orderdate"],
+                                         pa.timestamp("us")), lo),
+                pc.less(pc.cast(b["o_orderdate"], pa.timestamp("us")),
+                        hi))).select(["o_orderkey", "o_custkey"]),
+            batch_format="pyarrow")
+
+    nparts = default_join_partitions(8)
+    per_cust = (li.join(orders, join_type="inner", num_partitions=nparts,
+                        on=("o_orderkey",))
+                .map_batches(
+                    lambda b: pa.table({"c_custkey": b["o_custkey"],
+                                        "cents": b["cents"]}),
+                    batch_format="pyarrow")
+                .groupby("c_custkey")
+                .aggregate(Sum("cents", alias_name="revenue_cents")))
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+    joined = per_cust.join(cust, join_type="inner", num_partitions=nparts,
+                           on=("c_custkey",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        nn = nnames[np.searchsorted(
+            nkeys,
+            b["c_nationkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64))]
+        return pa.table({
+            "c_custkey": b["c_custkey"],
+            "c_name": b["c_name"],
+            "revenue_cents": pc.cast(b["revenue_cents"], pa.int64()),
+            "c_acctbal": b["c_acctbal"],
+            "n_name": pa.array(nn)})
+
+    return (joined.map_batches(finish, batch_format="pyarrow")
+            .sort(["revenue_cents", "c_custkey"], descending=[True, False])
+            .limit(20))
+
+
+def q_session_duration_quantiles(sf_dir: str):
+    """Exact session-duration quartiles per ISO weekday — the engagement
+    profile over the week. Sessions come from the fused one-shuffle
+    sessionizer; durations are int64 microseconds so the grouped exact
+    selection matches quantile_disc bit-for-bit. Oracle derived from
+    the events_sessions_30m oracle string."""
+    from schema_validator_ray.stages.stats import grouped_exact_quantiles
+    from schema_validator_ray.stages.windows import session_windows
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    sess = session_windows(ev, key="user_id", ts="ts", gap="30min")
+
+    def derive(b: pa.Table) -> pa.Table:
+        start = pc.cast(b["session_start"], pa.timestamp("us"))
+        end = pc.cast(b["session_end"], pa.timestamp("us"))
+        # Arrow day_of_week counts Mon=0; +1 matches DuckDB isodow
+        dow = pc.add(pc.cast(pc.day_of_week(start), pa.int64()),
+                     pa.scalar(1, pa.int64()))
+        dur = pc.subtract(pc.cast(end, pa.int64()),
+                          pc.cast(start, pa.int64()))
+        return pa.table({"isodow": dow, "duration_us": dur})
+
+    durs = sess.map_batches(derive, batch_format="pyarrow")
+    return grouped_exact_quantiles(durs, "isodow", "duration_us",
+                                   [0.25, 0.5, 0.75],
+                                   out_cols=["p25", "med", "p75"])
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -5149,6 +5490,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_c4_census": q_docs_c4_census,
         "docs_charset_census": q_docs_charset_census,
         "docs_ttr": q_docs_ttr,
+        "candidate_keys_orders": q_candidate_keys_orders,
+        "langid_confusion": q_langid_confusion,
+        "revenue_yoy": q_revenue_yoy,
+        "nation_pair_revenue": q_nation_pair_revenue,
+        "returned_item_losses": q_returned_item_losses,
+        "session_duration_quantiles": q_session_duration_quantiles,
     }
 
 
@@ -7700,6 +8047,96 @@ def oracle_sql() -> dict[str, str]:
                               - 15.8, 6) AS cli
               FROM s
         """,
+        "candidate_keys_orders": r"""
+            SELECT 'o_orderkey' AS column_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(o_orderkey) AS BIGINT) AS n_nonnull,
+                   CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+                   (COUNT(DISTINCT o_orderkey) = COUNT(o_orderkey))
+                       AS is_unique
+              FROM orders
+            UNION ALL
+            SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(o_custkey) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+                   (COUNT(DISTINCT o_custkey) = COUNT(o_custkey))
+              FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(o_orderstatus) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+                   (COUNT(DISTINCT o_orderstatus) = COUNT(o_orderstatus))
+              FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(o_totalprice) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+                   (COUNT(DISTINCT o_totalprice) = COUNT(o_totalprice))
+              FROM orders
+            UNION ALL
+            SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(o_orderdate) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+                   (COUNT(DISTINCT o_orderdate) = COUNT(o_orderdate))
+              FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(o_orderpriority) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+                   (COUNT(DISTINCT o_orderpriority) = COUNT(o_orderpriority))
+              FROM orders
+        """,
+        "revenue_yoy": r"""
+            WITH y AS (
+              SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+                     CAST(SUM(CAST(round_even(o_totalprice * 100, 0)
+                          AS BIGINT)) AS BIGINT) AS revenue_cents
+                FROM orders GROUP BY 1)
+            SELECT year, revenue_cents,
+                   CASE WHEN LAG(year) OVER (ORDER BY year) = year - 1
+                        THEN round_even(CAST(revenue_cents AS DOUBLE)
+                             / LAG(revenue_cents) OVER (ORDER BY year)
+                             - 1.0, 6)
+                        ELSE NULL END AS yoy
+              FROM y
+        """,
+        "nation_pair_revenue": r"""
+            WITH li AS (
+              SELECT l_orderkey, l_suppkey,
+                     CAST(round_even(l_extendedprice * (1 - l_discount)
+                          * 100, 0) AS BIGINT) AS cents,
+                     CAST(year(l_shipdate) AS BIGINT) AS year
+                FROM lineitem)
+            SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+                   year, CAST(SUM(cents) AS BIGINT) AS revenue_cents
+              FROM li
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation cn ON cn.n_nationkey = c_nationkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation sn ON sn.n_nationkey = s_nationkey
+             GROUP BY 1, 2, 3
+        """,
+        "returned_item_losses": r"""
+            WITH li AS (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(round_even(l_extendedprice
+                          * (1 - l_discount) * 100, 0) AS BIGINT))
+                          AS BIGINT) AS cents
+                FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+            per AS (
+              SELECT o_custkey AS c_custkey,
+                     CAST(SUM(cents) AS BIGINT) AS revenue_cents
+                FROM li JOIN orders ON o_orderkey = l_orderkey
+               WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                 AND o_orderdate < TIMESTAMP '1997-07-01'
+               GROUP BY 1)
+            SELECT c.c_custkey, c.c_name, p.revenue_cents, c.c_acctbal,
+                   n.n_name
+              FROM per p JOIN customer c USING (c_custkey)
+              JOIN nation n ON n.n_nationkey = c.c_nationkey
+             ORDER BY p.revenue_cents DESC, c.c_custkey LIMIT 20
+        """,
         "orders_lineitem_reconcile": r"""
             WITH li AS (
               SELECT l_orderkey,
@@ -7930,5 +8367,23 @@ def oracle_sql() -> dict[str, str]:
                round_even(CAST(COUNT(*) FILTER (n_events = 1) AS DOUBLE)
                           / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
           FROM s GROUP BY 1
+    """
+    o["langid_confusion"] = """
+        WITH p AS (""" + o["doc_langid"] + """)
+        SELECT COALESCE(d.lang, '') AS lang, p.lang_pred,
+               CAST(COUNT(*) AS BIGINT) AS n
+          FROM documents d JOIN p USING (doc_id) GROUP BY 1, 2
+    """
+    o["session_duration_quantiles"] = """
+        WITH s AS (""" + o["events_sessions_30m"] + """),
+        d AS (SELECT CAST(isodow(session_start) AS BIGINT) AS isodow,
+                     epoch_us(session_end) - epoch_us(session_start)
+                         AS duration_us
+                FROM s)
+        SELECT isodow,
+               quantile_disc(duration_us, 0.25) AS p25,
+               quantile_disc(duration_us, 0.50) AS med,
+               quantile_disc(duration_us, 0.75) AS p75
+          FROM d GROUP BY 1
     """
     return o

@@ -206,6 +206,12 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "session_bounce_rate",
         "docs_c4_census",
         "docs_ttr",
+        "candidate_keys_orders",
+        "langid_confusion",
+        "revenue_yoy",
+        "nation_pair_revenue",
+        "returned_item_losses",
+        "session_duration_quantiles",
     ]
     qs = m.queries()
     # warm best-of-N per query (default 2 passes over the whole list):
