@@ -4942,14 +4942,28 @@ def q_candidate_keys_orders(sf_dir: str):
             "n_nonnull": pa.array(
                 [b.num_rows - b[c].null_count for c in cols], pa.int64())})
 
-    totals = (ds.map_batches(counts, batch_format="pyarrow")
-              .groupby("column_name")
+    totals = ds.map_batches(counts, batch_format="pyarrow")
+    # union the two |columns|-row censuses onto one key and resolve with
+    # a single groupby — no join (Ray 2.49 empty-first-block hazard)
+    dz = distinct.map_batches(
+        lambda b: pa.table({
+            "column_name": b["column_name"],
+            "n_rows": pa.array(np.zeros(b.num_rows, np.int64)),
+            "n_nonnull": pa.array(np.zeros(b.num_rows, np.int64)),
+            "n_distinct": pc.cast(b["n_distinct"], pa.int64())}),
+        batch_format="pyarrow")
+    tz = totals.map_batches(
+        lambda b: pa.table({
+            "column_name": b["column_name"],
+            "n_rows": pc.cast(b["n_rows"], pa.int64()),
+            "n_nonnull": pc.cast(b["n_nonnull"], pa.int64()),
+            "n_distinct": pa.array(np.zeros(b.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    merged = (tz.union(dz).groupby("column_name")
               .aggregate(Sum("n_rows", alias_name="n_rows"),
-                         Sum("n_nonnull", alias_name="n_nonnull")))
-    # |columns|-row join: both sides are column-census-sized
-    joined = totals.join(distinct, join_type="inner", num_partitions=2,
-                         on=("column_name",))
-    return joined.map_batches(
+                         Sum("n_nonnull", alias_name="n_nonnull"),
+                         Sum("n_distinct", alias_name="n_distinct")))
+    return merged.map_batches(
         lambda b: pa.table({
             "column_name": b["column_name"],
             "n_rows": pc.cast(b["n_rows"], pa.int64()),
@@ -5240,6 +5254,209 @@ def q_session_duration_quantiles(sf_dir: str):
                                    out_cols=["p25", "med", "p75"])
 
 
+def q_source_dup_rate(sf_dir: str):
+    """Per-source exact-duplication census: how much of each source is
+    byte-identical repeats — the health signal that routes a crawl
+    source to the dedup stage. ONE exchange chain and no join: per-batch
+    (source, content-hash, count) partials (distinct texts per batch
+    bound the shuffle; the text itself never moves), a groupby resolves
+    per-text totals, and a second |texts|→|sources| groupby counts
+    uniques and docs together. The oracle compares COUNT(DISTINCT text)
+    directly — group structure, not hash values (blake2b-128-collision
+    odds are the same 2^-64-at-10^12 accepted by images_byte_dedup)."""
+    from ray.data.aggregate import Count, Sum
+
+    from schema_validator_ray.stages.dedup import AddContentHash
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    hashed = ds.map_batches(AddContentHash("text"), batch_format="pyarrow")
+
+    def part(b: pa.Table) -> pa.Table:
+        agg = (pa.table({"source": b["source"], "h": b["content_hash"]})
+               .group_by(["source", "h"]).aggregate([([], "count_all")]))
+        return pa.table({"source": agg["source"], "h": agg["h"],
+                         "c": pc.cast(agg["count_all"], pa.int64())})
+
+    per_text = (hashed.map_batches(part, batch_format="pyarrow")
+                .groupby(["source", "h"]).aggregate(Sum("c",
+                                                        alias_name="c")))
+    per_src = (per_text.map_batches(
+        lambda b: pa.table({
+            "source": b["source"],
+            "one": pa.array(np.ones(b.num_rows, np.int64)),
+            "c": pc.cast(b["c"], pa.int64())}),
+        batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Count(alias_name="n_unique"),
+                   Sum("c", alias_name="n_docs")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        nd = b["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nu = b["n_unique"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "source": b["source"],
+            "n_docs": pc.cast(b["n_docs"], pa.int64()),
+            "n_unique": pc.cast(b["n_unique"], pa.int64()),
+            "dup_frac": pa.array(np.round(1.0 - nu / nd, 6), pa.float64(),
+                                 from_pandas=True)})
+
+    return per_src.map_batches(finish, batch_format="pyarrow")
+
+
+def q_dup_sentences_topk(sf_dir: str):
+    """Corpus-level top-k duplicated sentences (the C4 / CCNet sentence
+    dedup pre-census): sentences (split on [.!?\\n]+ runs, space-trimmed,
+    ≥20 chars) occurring more than once, top 50 by count. Per-batch
+    (sentence, count) partials bound the exchange at distinct sentences
+    per batch; the top-50 is a sort+limit over the already-aggregated
+    (count>1) survivors. Zero rows on a clean corpus IS the signal; the
+    nonzero path is pinned by a seeded-duplicate fixture test."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def part(b: pa.Table) -> pa.Table:
+        s = pc.fill_null(b["text"], "")
+        parts = pc.split_pattern_regex(s, r"[.!?\n]+")
+        flat = pc.list_flatten(parts)
+        trimmed = pc.utf8_trim(flat, " ")
+        keep = pc.greater_equal(pc.utf8_length(trimmed),
+                                pa.scalar(20, pa.int32()))
+        sent = trimmed.filter(keep)
+        agg = pa.table({"sent": sent}).group_by("sent").aggregate(
+            [([], "count_all")])
+        return pa.table({"sent": agg["sent"],
+                         "n": pc.cast(agg["count_all"], pa.int64())})
+
+    agg = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby("sent").aggregate(Sum("n", alias_name="n")))
+    dups = agg.map_batches(
+        lambda b: pa.table({
+            "sent": b["sent"],
+            "n": pc.cast(b["n"], pa.int64())}).filter(
+            pc.greater(pc.cast(b["n"], pa.int64()),
+                       pa.scalar(1, pa.int64()))),
+        batch_format="pyarrow")
+    # a clean corpus yields zero rows and Ray drops the schema of an
+    # all-empty Dataset — pin it through _collect
+    return _collect(dups.sort(["n", "sent"], descending=[True, False])
+                    .limit(50),
+                    pa.schema([("sent", pa.string()), ("n", pa.int64())]))
+
+
+def q_events_rolling_7d_users(sf_dir: str):
+    """Rolling 7-day active users per observed day — the WAU trendline.
+    Exact sliding-window distinct by contribution expansion: the
+    (user, day) distinct pairs (bounded by users × days, not events)
+    each contribute to 7 target days; a second distinct + count gives
+    the trailing-window uniques, and a broadcast observed-day set drops
+    phantom targets. Exchange = 7 × distinct pairs, never event rows."""
+    import ray as _ray
+    from ray.data.aggregate import Count
+
+    from schema_validator_ray.stages._collect import collect_up_to
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(pc.floor_temporal(
+            pc.cast(b["ts"], pa.timestamp("us")), unit="day"),
+            pa.int64()), pa.int64())
+        agg = (pa.table({"user_id": b["user_id"], "day_us": day})
+               .group_by(["user_id", "day_us"])
+               .aggregate([([], "count_all")]))
+        return agg.select(["user_id", "day_us"])
+
+    ud = (ev.map_batches(pairs, batch_format="pyarrow")
+          .groupby(["user_id", "day_us"]).aggregate(Count(alias_name="_c")))
+
+    # observed-day set: time-bounded census, broadcast once
+    days_parts, over = collect_up_to(
+        ud.map_batches(
+            lambda b: pa.table({"day_us": pc.unique(b["day_us"])}),
+            batch_format="pyarrow")
+        .groupby("day_us").aggregate(Count(alias_name="_c")),
+        1_000_000)
+    if over:
+        raise RuntimeError("day census exceeded driver budget")
+    observed = np.sort(np.unique(pa.concat_tables(days_parts)["day_us"]
+                                 .to_numpy(zero_copy_only=False)))
+    obs_ref = _ray.put(observed)
+    DAY = 86_400_000_000
+
+    def expand(b: pa.Table, obs=obs_ref) -> pa.Table:
+        o = _ray.get(obs) if not isinstance(obs, np.ndarray) else obs
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        d = b["day_us"].to_numpy(zero_copy_only=False)
+        tu = np.repeat(u, 7)
+        td = (np.repeat(d, 7)
+              + np.tile(np.arange(7, dtype=np.int64) * DAY, len(d)))
+        pos = np.clip(np.searchsorted(o, td), 0, len(o) - 1)
+        keep = o[pos] == td
+        agg = (pa.table({"user_id": pa.array(tu[keep]),
+                         "day_us": pa.array(td[keep])})
+               .group_by(["user_id", "day_us"])
+               .aggregate([([], "count_all")]))
+        return agg.select(["user_id", "day_us"])
+
+    counts = (ud.map_batches(expand, batch_format="pyarrow")
+              .groupby(["user_id", "day_us"])
+              .aggregate(Count(alias_name="_c"))
+              .groupby("day_us").aggregate(Count(alias_name="n_users_7d")))
+    return counts.map_batches(
+        lambda b: pa.table({
+            "day": pc.strftime(pc.cast(b["day_us"], pa.timestamp("us")),
+                               format="%Y-%m-%d"),
+            "n_users_7d": pc.cast(b["n_users_7d"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_mix_docs_temperature(sf_dir: str):
+    """Temperature-scaled source mixing (the GPT-3 / multilingual-LM data
+    recipe): resample each source at a rate ∝ n^0.7 so head sources
+    shrink and tail sources keep share, under a 50%-of-corpus budget.
+    Deterministic-expectation sampling via the shared multiplicative
+    hash: a |sources|-row count census (the only exchange), driver
+    weight arithmetic in a pinned float-op order the oracle mirrors
+    verbatim, thresholds broadcast via ``ray.put``, map-only filter."""
+    import math
+
+    import ray as _ray
+
+    from schema_validator_ray.stages.sampling import (
+        M32,
+        _hash32,
+        stratum_counts,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    counts = stratum_counts(ds, "source")
+    sources = sorted(counts)
+    n = {s: counts[s] for s in sources}
+    wt = {s: int(round(math.pow(float(n[s]), 0.7) * 1_000_000))
+          for s in sources}
+    sw = sum(wt.values())
+    sn = sum(n.values())
+    thr = {}
+    for s in sources:
+        # ((0.5 * sn) * wt / sw) / n — mirrored verbatim in the oracle
+        rate = min(1.0, ((0.5 * sn) * wt[s] / sw) / n[s])
+        thr[s] = int(rate * M32)
+    thr_ref = _ray.put(thr)
+
+    def pick(b: pa.Table, t=thr_ref) -> pa.Table:
+        tm = _ray.get(t) if not isinstance(t, dict) else t
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        h = _hash32(ids, 0)
+        srcs = b["source"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(srcs, return_inverse=True)
+        lim = np.array([tm.get(s, 0) for s in uniq.tolist()],
+                       np.uint64)[inv]
+        return b.filter(pa.array(h < lim)).select(["doc_id", "source"])
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -5496,6 +5713,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_pair_revenue": q_nation_pair_revenue,
         "returned_item_losses": q_returned_item_losses,
         "session_duration_quantiles": q_session_duration_quantiles,
+        "source_dup_rate": q_source_dup_rate,
+        "dup_sentences_topk": q_dup_sentences_topk,
+        "events_rolling_7d_users": q_events_rolling_7d_users,
+        "mix_docs_temperature": q_mix_docs_temperature,
     }
 
 
@@ -8046,6 +8267,54 @@ def oracle_sql() -> dict[str, str]:
                               - 0.296 * (sentences / words * 100.0)
                               - 15.8, 6) AS cli
               FROM s
+        """,
+        "source_dup_rate": r"""
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT COALESCE(text, '')) AS BIGINT)
+                       AS n_unique,
+                   round_even(1.0 - CAST(COUNT(DISTINCT COALESCE(text, ''))
+                              AS DOUBLE) / COUNT(*), 6) AS dup_frac
+              FROM documents GROUP BY 1
+        """,
+        "dup_sentences_topk": r"""
+            WITH s AS (
+              SELECT trim(unnest(regexp_split_to_array(COALESCE(text, ''),
+                          '[.!?\n]+')), ' ') AS sent
+                FROM documents)
+            SELECT sent, CAST(COUNT(*) AS BIGINT) AS n
+              FROM s WHERE length(sent) >= 20
+             GROUP BY 1 HAVING COUNT(*) > 1
+             ORDER BY n DESC, sent LIMIT 50
+        """,
+        "events_rolling_7d_users": r"""
+            WITH ud AS (SELECT DISTINCT user_id,
+                               date_trunc('day', ts) AS day
+                          FROM events),
+            days AS (SELECT DISTINCT day FROM ud)
+            SELECT strftime(d.day, '%Y-%m-%d') AS day,
+                   CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_users_7d
+              FROM days d JOIN ud u
+                ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+             GROUP BY 1
+        """,
+        "mix_docs_temperature": r"""
+            WITH cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                           FROM documents GROUP BY 1),
+            w AS (SELECT source, n,
+                         CAST(round_even(pow(CAST(n AS DOUBLE), 0.7)
+                              * 1000000, 0) AS BIGINT) AS wt
+                    FROM cnt),
+            tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS sw,
+                           CAST(SUM(n) AS BIGINT) AS sn
+                      FROM w),
+            thr AS (SELECT source,
+                           CAST(least(1.0, ((0.5 * sn) * wt / sw) / n)
+                                * 4294967296 AS BIGINT) AS t
+                      FROM w, tot)
+            SELECT d.doc_id, d.source
+              FROM documents d JOIN thr USING (source)
+             WHERE (d.doc_id * 2654435761) % 4294967296 < t
         """,
         "candidate_keys_orders": r"""
             SELECT 'o_orderkey' AS column_name,

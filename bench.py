@@ -212,6 +212,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "nation_pair_revenue",
         "returned_item_losses",
         "session_duration_quantiles",
+        "source_dup_rate",
+        "dup_sentences_topk",
+        "events_rolling_7d_users",
+        "mix_docs_temperature",
     ]
     qs = m.queries()
     # warm best-of-N per query (default 2 passes over the whole list):
