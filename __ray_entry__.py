@@ -5457,6 +5457,247 @@ def q_mix_docs_temperature(sf_dir: str):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+def q_customer_order_distribution(sf_dir: str):
+    """TPC-H Q13 shape: the distribution of customers by order count,
+    INCLUDING zero-order customers. No join: customers contribute a
+    zero row and orders contribute per-batch count partials on the same
+    key, one groupby on custkey resolves per-customer totals, and a
+    second |counts|-alphabet groupby builds the histogram."""
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda b: pa.table({
+            "c_custkey": b["c_custkey"],
+            "n": pa.array(np.zeros(b.num_rows, np.int64))}),
+        batch_format="pyarrow")
+
+    def ord_part(b: pa.Table) -> pa.Table:
+        agg = (pa.table({"c_custkey": b["o_custkey"]})
+               .group_by("c_custkey").aggregate([([], "count_all")]))
+        return pa.table({"c_custkey": agg["c_custkey"],
+                         "n": pc.cast(agg["count_all"], pa.int64())})
+
+    orders = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        ord_part, batch_format="pyarrow")
+    per_cust = (cust.union(orders).groupby("c_custkey")
+                .aggregate(Sum("n", alias_name="c_count")))
+    out = (per_cust.map_batches(
+        lambda b: pa.table({"c_count": pc.cast(b["c_count"], pa.int64())}),
+        batch_format="pyarrow")
+        .groupby("c_count").aggregate(Count(alias_name="custdist")))
+    return out.map_batches(
+        lambda b: pa.table({
+            "c_count": pc.cast(b["c_count"], pa.int64()),
+            "custdist": pc.cast(b["custdist"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape: yearly-ized revenue locked in small orders —
+    lineitems whose quantity is below 20% of their part's average.
+    Two passes over lineitem: a per-part (Σqty, n) census (bounded by
+    the part catalog, exact integer-valued sums) that broadcasts via
+    ``ray.put``, then a map-only filter + exact-cents sum. The cutoff
+    0.2 * (sum/cnt) is computed in one pinned float-op order mirrored
+    in the oracle, so the row set is bit-identical."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from schema_validator_ray.stages._collect import collect_up_to
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+
+    def census(b: pa.Table) -> pa.Table:
+        t = pa.table({"p": b["l_partkey"], "q": b["l_quantity"],
+                      "one": pa.array(np.ones(b.num_rows, np.int64))})
+        agg = t.group_by("p").aggregate([("q", "sum"), ("one", "sum")])
+        return pa.table({"p": agg["p"], "qs": agg["q_sum"],
+                         "cnt": agg["one_sum"]})
+
+    per_part = (_read(sf_dir, "lineitem", li_cols[:2])
+                .map_batches(census, batch_format="pyarrow")
+                .groupby("p")
+                .aggregate(Sum("qs", alias_name="qs"),
+                           Sum("cnt", alias_name="cnt")))
+    parts, over = collect_up_to(per_part, 30_000_000)
+    if over:
+        raise RuntimeError("part census exceeded broadcast budget; "
+                           "bucket the catalog or raise the cap")
+    t = pa.concat_tables(parts)
+    keys = t["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+    qs = t["qs"].to_numpy(zero_copy_only=False)
+    cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    # 0.2 * (sum / cnt) — mirrored verbatim in the oracle
+    cutoff = 0.2 * (qs[order] / cnt[order])
+    side = _ray.put((keys, cutoff))
+
+    def pick(b: pa.Table, s=side) -> pa.Table:
+        k, cut = _ray.get(s) if not isinstance(s, tuple) else s
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(k, pk)
+        keep = q < cut[pos]
+        t = b.filter(pa.array(keep))
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        return pa.table({
+            "cents": cents,
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    picked = (_read(sf_dir, "lineitem", li_cols)
+              .map_batches(pick, batch_format="pyarrow")
+              .map_batches(
+                  lambda b: pa.table({
+                      "cents": pa.array(
+                          [pc.sum(b["cents"]).as_py() or 0], pa.int64()),
+                      "n": pa.array([pc.sum(b["one"]).as_py() or 0],
+                                    pa.int64())}),
+                  batch_format="pyarrow"))
+    ps, _ = collect_up_to(picked, 1_000_000)
+    tot = pa.concat_tables(ps) if ps else pa.table(
+        {"cents": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+    total_cents = int(pc.sum(tot["cents"]).as_py() or 0)
+    n_lines = int(pc.sum(tot["n"]).as_py() or 0)
+    return pa.table({
+        "small_qty_cents": pa.array([total_cents], pa.int64()),
+        "n_lines": pa.array([n_lines], pa.int64()),
+        "avg_yearly_cents": pa.array(
+            [round(total_cents / 7.0, 6)], pa.float64())})
+
+
+def q_idle_rich_customers(sf_dir: str):
+    """TPC-H Q22 shape: per nation, the count and total balance of
+    customers with above-average positive balance and no RECENT orders
+    (none on/after 2000-10-01; the synthetic feed gives every customer
+    at least one lifetime order, so Q22's literal "no orders ever" is
+    vacuous here) — the dormant-capital report. The global average is a
+    sufficient-stats scalar (exact cents); the idle test is a broadcast
+    anti-join
+    (orders' distinct custkeys are far smaller than the order stream,
+    shipped once via ``ray.put``, probed with ``np.isin`` per batch so
+    the customer payload columns survive); the finish is a
+    |nations|-row groupby."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from schema_validator_ray.stages._collect import collect_up_to
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_part(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["c_acctbal"],
+                                             pa.scalar(100.0))), pa.int64())
+        pos = pc.greater(cents, pa.scalar(0, pa.int64()))
+        return pa.table({
+            "s": pa.array([pc.sum(pc.if_else(pos, cents,
+                                             pa.scalar(0, pa.int64())))
+                           .as_py() or 0], pa.int64()),
+            "n": pa.array([pc.sum(pc.cast(pos, pa.int64())).as_py() or 0],
+                          pa.int64())})
+
+    ps, _ = collect_up_to(cust.map_batches(bal_part,
+                                           batch_format="pyarrow"),
+                          1_000_000)
+    t = pa.concat_tables(ps)
+    s = int(pc.sum(t["s"]).as_py() or 0)
+    n = int(pc.sum(t["n"]).as_py() or 0)
+    # average positive balance in cents — (s / n), pinned float order
+    avg = s / n if n else 0.0
+
+    cutoff = pa.scalar(np.datetime64("2000-10-01", "us"))
+
+    def key_part(b: pa.Table) -> pa.Table:
+        recent = b.filter(pc.greater_equal(b["o_orderdate"], cutoff))
+        return pa.table({"k": pc.unique(recent["o_custkey"]
+                                        .combine_chunks())})
+
+    kp, over = collect_up_to(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+            key_part, batch_format="pyarrow"), 50_000_000)
+    if over:
+        raise RuntimeError("orders custkey census exceeded broadcast "
+                           "budget; use the shuffle anti-join instead")
+    with_orders = np.unique(pa.concat_tables(kp)["k"]
+                            .to_numpy(zero_copy_only=False).astype(np.int64))
+    side = _ray.put(with_orders)
+
+    def idle_filter(b: pa.Table, s=side) -> pa.Table:
+        haves = _ray.get(s) if not isinstance(s, np.ndarray) else s
+        cents = pc.cast(pc.round(pc.multiply(b["c_acctbal"],
+                                             pa.scalar(100.0))), pa.int64())
+        rich = pc.greater(pc.cast(cents, pa.float64()),
+                          pa.scalar(avg)).to_numpy(zero_copy_only=False)
+        ck = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(haves, ck)
+        pos[pos >= len(haves)] = 0
+        no_orders = (haves[pos] != ck) if len(haves) else \
+            np.ones(len(ck), bool)
+        return b.filter(pa.array(rich & no_orders))
+
+    idle = cust.map_batches(idle_filter, batch_format="pyarrow")
+
+    def finish_part(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["c_acctbal"],
+                                             pa.scalar(100.0))), pa.int64())
+        t = pa.table({"c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+                      "one": pa.array(np.ones(b.num_rows, np.int64)),
+                      "cents": cents})
+        agg = t.group_by("c_nationkey").aggregate(
+            [("one", "sum"), ("cents", "sum")])
+        return pa.table({"c_nationkey": agg["c_nationkey"],
+                         "numcust": agg["one_sum"],
+                         "totacctbal_cents": agg["cents_sum"]})
+
+    out = (idle.map_batches(finish_part, batch_format="pyarrow")
+           .groupby("c_nationkey")
+           .aggregate(Sum("numcust", alias_name="numcust"),
+                      Sum("totacctbal_cents",
+                          alias_name="totacctbal_cents")))
+    return out.map_batches(
+        lambda b: pa.table({
+            "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+            "numcust": pc.cast(b["numcust"], pa.int64()),
+            "totacctbal_cents": pc.cast(b["totacctbal_cents"],
+                                        pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_user_activity_histogram(sf_dir: str):
+    """Users by activity band (⌊log2(event count)⌋ buckets) — the
+    engagement-distribution census. Per-batch (user, count) partials,
+    one groupby on user, then a ≤64-bucket histogram groupby. log2 of a
+    positive integer is libm-exact at powers of two, so the bucket edges
+    agree with SQL exactly."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", ["user_id"])
+
+    def part(b: pa.Table) -> pa.Table:
+        agg = (b.select(["user_id"]).group_by("user_id")
+               .aggregate([([], "count_all")]))
+        return pa.table({"user_id": agg["user_id"],
+                         "n": pc.cast(agg["count_all"], pa.int64())})
+
+    per_user = (ev.map_batches(part, batch_format="pyarrow")
+                .groupby("user_id").aggregate(Sum("n", alias_name="n")))
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"bucket": pa.array(
+            np.floor(np.log2(n)).astype(np.int64))})
+
+    out = (per_user.map_batches(bucketize, batch_format="pyarrow")
+           .groupby("bucket").aggregate(Count(alias_name="n_users")))
+    return out.map_batches(
+        lambda b: pa.table({
+            "bucket": pc.cast(b["bucket"], pa.int64()),
+            "n_users": pc.cast(b["n_users"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -5717,6 +5958,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_sentences_topk": q_dup_sentences_topk,
         "events_rolling_7d_users": q_events_rolling_7d_users,
         "mix_docs_temperature": q_mix_docs_temperature,
+        "customer_order_distribution": q_customer_order_distribution,
+        "small_qty_revenue": q_small_qty_revenue,
+        "idle_rich_customers": q_idle_rich_customers,
+        "user_activity_histogram": q_user_activity_histogram,
     }
 
 
@@ -8267,6 +8512,58 @@ def oracle_sql() -> dict[str, str]:
                               - 0.296 * (sentences / words * 100.0)
                               - 15.8, 6) AS cli
               FROM s
+        """,
+        "customer_order_distribution": r"""
+            WITH j AS (
+              SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+               GROUP BY 1)
+            SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+              FROM j GROUP BY 1
+        """,
+        "small_qty_revenue": r"""
+            WITH pcs AS (
+              SELECT l_partkey, SUM(l_quantity) AS qs,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM lineitem GROUP BY 1),
+            sm AS (
+              SELECT CAST(round_even(l.l_extendedprice * 100, 0) AS BIGINT)
+                         AS cents
+                FROM lineitem l JOIN pcs p ON l.l_partkey = p.l_partkey
+               WHERE l.l_quantity < 0.2 * (p.qs / p.cnt))
+            SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT)
+                       AS small_qty_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   round_even(COALESCE(SUM(cents), 0) / 7.0, 6)
+                       AS avg_yearly_cents
+              FROM sm
+        """,
+        "idle_rich_customers": r"""
+            WITH pos AS (
+              SELECT c_custkey, c_nationkey,
+                     CAST(round_even(c_acctbal * 100, 0) AS BIGINT) AS cents
+                FROM customer),
+            a AS (SELECT CAST(SUM(CASE WHEN cents > 0 THEN cents ELSE 0 END)
+                         AS BIGINT) AS s,
+                         CAST(COUNT(*) FILTER (cents > 0) AS BIGINT) AS n
+                    FROM pos),
+            idle AS (
+              SELECT p.* FROM pos p, a
+               WHERE CAST(p.cents AS DOUBLE) > CAST(a.s AS DOUBLE) / a.n
+                 AND p.c_custkey NOT IN
+                     (SELECT o_custkey FROM orders
+                       WHERE o_orderdate >= TIMESTAMP '2000-10-01'))
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS numcust,
+                   CAST(SUM(cents) AS BIGINT) AS totacctbal_cents
+              FROM idle GROUP BY 1
+        """,
+        "user_activity_histogram": r"""
+            WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+                         FROM events GROUP BY 1)
+            SELECT CAST(floor(log2(CAST(n AS DOUBLE))) AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+              FROM u GROUP BY 1
         """,
         "source_dup_rate": r"""
             SELECT source,

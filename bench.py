@@ -216,6 +216,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "dup_sentences_topk",
         "events_rolling_7d_users",
         "mix_docs_temperature",
+        "customer_order_distribution",
+        "small_qty_revenue",
+        "idle_rich_customers",
+        "user_activity_histogram",
     ]
     qs = m.queries()
     # warm best-of-N per query (default 2 passes over the whole list):
