@@ -5698,6 +5698,521 @@ def q_user_activity_histogram(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_forecast_revenue_discount(sf_dir: str):
+    """TPC-H Q6 shape: revenue that would be gained by eliminating a
+    band of small discounts in one ship year — the pure filter-and-sum
+    probe. Map-only: each batch filters on (shipdate window, discount
+    band, quantity cap) and emits a single (Σ price_cents × disc_pct,
+    count) partial, so nothing but a per-batch scalar pair crosses the
+    exchange. Revenue uses exact integer e4 units (cents × discount
+    percentage points, both half-even rounded) so the distributed sum
+    is order-independent and bit-equal to the oracle."""
+    import datetime as _dt
+
+    from schema_validator_ray.stages._collect import collect_up_to
+
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1997, 1, 1), type=pa.timestamp("us"))
+
+    def part(b: pa.Table) -> pa.Table:
+        ship = pc.cast(b["l_shipdate"], pa.timestamp("us"))
+        disc_pct = pc.cast(pc.round(pc.multiply(b["l_discount"],
+                                                pa.scalar(100.0))),
+                           pa.int64())
+        keep = pc.and_(pc.and_(
+            pc.and_(pc.greater_equal(ship, lo), pc.less(ship, hi)),
+            pc.and_(pc.greater_equal(disc_pct, pa.scalar(5, pa.int64())),
+                    pc.less_equal(disc_pct, pa.scalar(7, pa.int64())))),
+            pc.less(b["l_quantity"], pa.scalar(24.0)))
+        t = b.filter(keep)
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        e4 = pc.multiply(cents, pc.cast(pc.round(pc.multiply(
+            t["l_discount"], pa.scalar(100.0))), pa.int64()))
+        return pa.table({
+            "e4": pa.array([pc.sum(e4).as_py() or 0], pa.int64()),
+            "n": pa.array([t.num_rows], pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+    ps, _ = collect_up_to(li.map_batches(part, batch_format="pyarrow"),
+                          1_000_000)
+    t = pa.concat_tables(ps) if ps else pa.table(
+        {"e4": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+    return pa.table({
+        "revenue_e4": pa.array([int(pc.sum(t["e4"]).as_py() or 0)],
+                               pa.int64()),
+        "n_lines": pa.array([int(pc.sum(t["n"]).as_py() or 0)], pa.int64())})
+
+
+def q_late_shipment_priority(sf_dir: str):
+    """TPC-H Q12 shape (adapted to the available columns: no shipmode /
+    commit / receipt dates, so "late" = shipped more than 90 days after
+    the order date): per order priority, line count, late-line count and
+    late rate. Both join sides are narrowed to 2–3 int64/string columns
+    before the one orderkey hash join (dense sides — no 2.49
+    empty-first-block hazard); the per-priority finish is a ≤5-row
+    groupby over per-batch partials."""
+    from ray.data.aggregate import Sum
+
+    from schema_validator_ray.stages.referential import default_join_partitions
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]) \
+        .map_batches(
+            lambda b: pa.table({
+                "o_orderkey": b["l_orderkey"],
+                "ship_us": pc.cast(pc.cast(b["l_shipdate"],
+                                           pa.timestamp("us")), pa.int64())}),
+            batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(
+            lambda b: pa.table({
+                "o_orderkey": b["o_orderkey"],
+                "ord_us": pc.cast(pc.cast(b["o_orderdate"],
+                                          pa.timestamp("us")), pa.int64()),
+                "o_orderpriority": b["o_orderpriority"]}),
+            batch_format="pyarrow")
+
+    nparts = default_join_partitions(8)
+    joined = li.join(orders, join_type="inner", num_partitions=nparts,
+                     on=("o_orderkey",))
+    grace_us = 90 * 86_400_000_000  # 90 days in microseconds
+
+    def part(b: pa.Table) -> pa.Table:
+        late = pc.greater(b["ship_us"],
+                          pc.add(b["ord_us"],
+                                 pa.scalar(grace_us, pa.int64())))
+        t = pa.table({"o_orderpriority": b["o_orderpriority"],
+                      "one": pa.array(np.ones(b.num_rows, np.int64)),
+                      "late": pc.cast(late, pa.int64())})
+        agg = t.group_by("o_orderpriority").aggregate(
+            [("one", "sum"), ("late", "sum")])
+        return pa.table({"o_orderpriority": agg["o_orderpriority"],
+                         "n": agg["one_sum"], "late": agg["late_sum"]})
+
+    out = (joined.map_batches(part, batch_format="pyarrow")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("n", alias_name="n_lines"),
+                      Sum("late", alias_name="n_late")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n_lines"].to_numpy(zero_copy_only=False).astype(np.float64)
+        late = b["n_late"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "n_lines": pc.cast(b["n_lines"], pa.int64()),
+            "n_late": pc.cast(b["n_late"], pa.int64()),
+            "late_rate": pa.array(np.round(late / n, 6), pa.float64(),
+                                  from_pandas=True)})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_top_supplier_revenue(sf_dir: str):
+    """TPC-H Q15 shape: the supplier(s) with the maximum shipped revenue
+    in one quarter, ties kept. Per-batch (suppkey, e4) partials bound
+    the exchange at suppliers-per-batch; the grouped result is
+    catalog-sized, so the argmax and the name join both happen on a
+    guarded driver collect (supplier dim broadcast, no shuffle join).
+    Revenue is exact integer e4 (cents × (100 − disc_pct))."""
+    import datetime as _dt
+
+    from ray.data.aggregate import Sum
+
+    from schema_validator_ray.stages._collect import collect_up_to
+
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1996, 4, 1), type=pa.timestamp("us"))
+
+    def part(b: pa.Table) -> pa.Table:
+        ship = pc.cast(b["l_shipdate"], pa.timestamp("us"))
+        t = b.filter(pc.and_(pc.greater_equal(ship, lo),
+                             pc.less(ship, hi)))
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        e4 = pc.multiply(cents, pc.subtract(
+            pa.scalar(100, pa.int64()),
+            pc.cast(pc.round(pc.multiply(t["l_discount"],
+                                         pa.scalar(100.0))), pa.int64())))
+        g = pa.table({"s_suppkey": t["l_suppkey"], "e4": e4}) \
+            .group_by("s_suppkey").aggregate([("e4", "sum")])
+        return pa.table({"s_suppkey": g["s_suppkey"], "e4": g["e4_sum"]})
+
+    per_supp = (_read(sf_dir, "lineitem",
+                      ["l_suppkey", "l_shipdate", "l_extendedprice",
+                       "l_discount"])
+                .map_batches(part, batch_format="pyarrow")
+                .groupby("s_suppkey")
+                .aggregate(Sum("e4", alias_name="total_revenue_e4")))
+    rp, over = collect_up_to(per_supp, 30_000_000)
+    if over:
+        raise RuntimeError("supplier revenue census exceeded broadcast "
+                           "budget; take a distributed max instead")
+    rev = pa.concat_tables(rp) if rp else pa.table(
+        {"s_suppkey": pa.array([], pa.int64()),
+         "total_revenue_e4": pa.array([], pa.int64())})
+    e4 = rev["total_revenue_e4"].to_numpy(zero_copy_only=False)
+    if len(e4) == 0:
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "total_revenue_e4": pa.array([], pa.int64())})
+    best = int(e4.max())
+    keys = rev["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    winners = np.sort(keys[e4 == best])
+
+    import pyarrow.parquet as pq
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name"])
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s_ord = np.argsort(sk, kind="stable")
+    sk = sk[s_ord]
+    snames = supp["s_name"].to_numpy(zero_copy_only=False)[s_ord]
+    names = snames[np.searchsorted(sk, winners)]
+    return pa.table({
+        "s_suppkey": pa.array(winners, pa.int64()),
+        "s_name": pa.array(names),
+        "total_revenue_e4": pa.array([best] * len(winners), pa.int64())})
+
+
+def q_brand_size_revenue(sf_dir: str):
+    """TPC-H Q19 shape (adapted: no p_container / l_shipmode columns, so
+    the three OR branches predicate on brand + size band + quantity
+    band): total discounted revenue over the disjunction. The part
+    dimension filters to the three brands and broadcasts (partkey,
+    branch, size) once via ``ray.put``; each lineitem batch resolves its
+    branch by searchsorted probe and applies the per-branch quantity
+    band — map-only, one scalar partial per batch."""
+    import ray as _ray
+
+    from schema_validator_ray.stages._collect import collect_up_to
+
+    # (brand, size_lo, size_hi, qty_lo, qty_hi) per OR branch
+    branches = [("Brand#12", 1, 5, 1.0, 11.0),
+                ("Brand#23", 1, 10, 10.0, 20.0),
+                ("Brand#4", 1, 15, 20.0, 30.0)]
+
+    part_ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    pp, over = collect_up_to(part_ds, 30_000_000)
+    if over:
+        raise RuntimeError("part dim exceeded broadcast budget")
+    pt = pa.concat_tables(pp)
+    pk = pt["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    brand = pt["p_brand"].to_numpy(zero_copy_only=False)
+    size = pt["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+    branch = np.full(len(pk), -1, np.int8)
+    for i, (bname, s_lo, s_hi, _, _) in enumerate(branches):
+        branch[(brand == bname) & (size >= s_lo) & (size <= s_hi)] = i
+    keep = branch >= 0
+    pk, branch = pk[keep], branch[keep]
+    order = np.argsort(pk, kind="stable")
+    pk, branch = pk[order], branch[order]
+    side = _ray.put((pk, branch))
+    qlo = np.array([b[3] for b in branches])
+    qhi = np.array([b[4] for b in branches])
+
+    def pick(b: pa.Table, s=side) -> pa.Table:
+        k, br = _ray.get(s) if not isinstance(s, tuple) else s
+        lpk = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(k, lpk)
+        pos_c = np.clip(pos, 0, max(len(k) - 1, 0))
+        hit = (len(k) > 0) & (k[pos_c] == lpk) if len(k) else \
+            np.zeros(len(lpk), bool)
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        bi = np.where(hit, br[pos_c], 0)
+        ok = hit & (q >= qlo[bi]) & (q <= qhi[bi])
+        t = b.filter(pa.array(ok))
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        e4 = pc.multiply(cents, pc.subtract(
+            pa.scalar(100, pa.int64()),
+            pc.cast(pc.round(pc.multiply(t["l_discount"],
+                                         pa.scalar(100.0))), pa.int64())))
+        return pa.table({
+            "e4": pa.array([pc.sum(e4).as_py() or 0], pa.int64()),
+            "n": pa.array([t.num_rows], pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+    ps, _ = collect_up_to(li.map_batches(pick, batch_format="pyarrow"),
+                          1_000_000)
+    t = pa.concat_tables(ps) if ps else pa.table(
+        {"e4": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+    return pa.table({
+        "revenue_e4": pa.array([int(pc.sum(t["e4"]).as_py() or 0)],
+                               pa.int64()),
+        "n_lines": pa.array([int(pc.sum(t["n"]).as_py() or 0)], pa.int64())})
+
+
+def q_nation_market_share(sf_dir: str):
+    """TPC-H Q8 shape: the target nation's share of shipped volume into
+    one region's market for one part type, by order year. Join-free at
+    the orderkey level: orders (date-windowed, in-region via a broadcast
+    custkey probe) and lineitem (part-type filtered via a broadcast
+    partkey set, supplier→nation via the catalog broadcast) union into
+    one orderkey-keyed stream; a single groupby resolves each order's
+    year and volume, then a |years|-row census finishes. This is the
+    union-instead-of-join pattern (see svr gotchas: 2.49 Dataset.join
+    empty-first-block hazard on heavily filtered sides)."""
+    import datetime as _dt
+
+    import ray as _ray
+    from ray.data.aggregate import Max, Sum
+
+    from schema_validator_ray.stages._collect import collect_up_to
+
+    import pyarrow.parquet as pq
+
+    target_nation, region_name, part_type = "NATION_9", "AMERICA", "PROMO"
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rkeys = region.filter(pc.equal(region["r_name"],
+                                   pa.scalar(region_name)))["r_regionkey"] \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    nk = nation["n_nationkey"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    nrk = nation["n_regionkey"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    nname = nation["n_name"].to_numpy(zero_copy_only=False)
+    region_nations = np.sort(nk[np.isin(nrk, rkeys)])
+    n_ord = np.argsort(nk, kind="stable")
+    nk_s, nname_s = nk[n_ord], nname[n_ord]
+
+    # in-region custkeys: customer dim probe, broadcast once
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(
+            lambda b: pa.table({"c_custkey": b["c_custkey"].filter(
+                pa.array(np.isin(b["c_nationkey"]
+                                 .to_numpy(zero_copy_only=False)
+                                 .astype(np.int64), region_nations)))}),
+            batch_format="pyarrow")
+    cp, over = collect_up_to(cust, 50_000_000)
+    if over:
+        raise RuntimeError("in-region custkey census exceeded broadcast "
+                           "budget; route orders through the union stream "
+                           "keyed by custkey instead")
+    ck = np.sort(pa.concat_tables(cp)["c_custkey"]
+                 .to_numpy(zero_copy_only=False).astype(np.int64)) \
+        if cp else np.array([], np.int64)
+    cust_side = _ray.put(ck)
+
+    # part-type partkeys + supplier→nation, broadcast once
+    part_ds = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda b: pa.table({"p_partkey": b["p_partkey"].filter(
+            pc.equal(b["p_type"], pa.scalar(part_type)))}),
+        batch_format="pyarrow")
+    pp, over = collect_up_to(part_ds, 30_000_000)
+    if over:
+        raise RuntimeError("part-type partkey census exceeded broadcast "
+                           "budget")
+    pk = np.sort(pa.concat_tables(pp)["p_partkey"]
+                 .to_numpy(zero_copy_only=False).astype(np.int64)) \
+        if pp else np.array([], np.int64)
+    supp_p, over = collect_up_to(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]), 20_000_000)
+    if over:
+        raise RuntimeError("supplier dim exceeded broadcast budget")
+    st = pa.concat_tables(supp_p)
+    sk = st["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    snat = st["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s_ord = np.argsort(sk, kind="stable")
+    sk = sk[s_ord]
+    s_is_target = (nname_s[np.searchsorted(nk_s, snat[s_ord])]
+                   == target_nation)
+    li_side = _ray.put((pk, sk, s_is_target))
+
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1998, 1, 1), type=pa.timestamp("us"))
+
+    def ord_part(b: pa.Table, s=cust_side) -> pa.Table:
+        keys = _ray.get(s) if not isinstance(s, np.ndarray) else s
+        od = pc.cast(b["o_orderdate"], pa.timestamp("us"))
+        t = b.filter(pc.and_(pc.greater_equal(od, lo), pc.less(od, hi)))
+        oc = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(keys, oc), 0, max(len(keys) - 1, 0))
+        in_region = (keys[pos] == oc) if len(keys) else \
+            np.zeros(len(oc), bool)
+        t = t.filter(pa.array(in_region))
+        year = pc.cast(pc.year(pc.cast(t["o_orderdate"],
+                                       pa.timestamp("us"))), pa.int64())
+        z = pa.array(np.zeros(t.num_rows, np.int64))
+        return pa.table({"o_orderkey": t["o_orderkey"], "year": year,
+                         "total_e4": z, "target_e4": z})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(ord_part, batch_format="pyarrow")
+
+    def li_part(b: pa.Table, s=li_side) -> pa.Table:
+        pkeys, skeys, target = _ray.get(s) if not isinstance(s, tuple) else s
+        lpk = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(pkeys, lpk), 0,
+                      max(len(pkeys) - 1, 0))
+        hit = (pkeys[pos] == lpk) if len(pkeys) else np.zeros(len(lpk), bool)
+        t = b.filter(pa.array(hit))
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        e4 = pc.multiply(cents, pc.subtract(
+            pa.scalar(100, pa.int64()),
+            pc.cast(pc.round(pc.multiply(t["l_discount"],
+                                         pa.scalar(100.0))), pa.int64()))) \
+            .to_numpy(zero_copy_only=False)
+        lsk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_t = target[np.searchsorted(skeys, lsk)]
+        g = pa.table({
+            "o_orderkey": t["l_orderkey"],
+            "year": pa.array(np.full(t.num_rows, -1, np.int64)),
+            "total_e4": pa.array(e4),
+            "target_e4": pa.array(np.where(is_t, e4, 0))}) \
+            .group_by("o_orderkey").aggregate(
+                [("year", "max"), ("total_e4", "sum"),
+                 ("target_e4", "sum")])
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "year": g["year_max"],
+                         "total_e4": g["total_e4_sum"],
+                         "target_e4": g["target_e4_sum"]})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+                "l_discount"]).map_batches(li_part, batch_format="pyarrow")
+
+    per_order = (orders.union(li).groupby("o_orderkey")
+                 .aggregate(Max("year", alias_name="year"),
+                            Sum("total_e4", alias_name="total_e4"),
+                            Sum("target_e4", alias_name="target_e4")))
+
+    def year_part(b: pa.Table) -> pa.Table:
+        # year == -1 ⟹ lineitems whose order fell outside the window /
+        # region (no orders-side row) — drop them
+        t = b.filter(pc.greater(b["year"], pa.scalar(0, pa.int64())))
+        g = pa.table({"year": pc.cast(t["year"], pa.int64()),
+                      "total_e4": pc.cast(t["total_e4"], pa.int64()),
+                      "target_e4": pc.cast(t["target_e4"], pa.int64())}) \
+            .group_by("year").aggregate(
+                [("total_e4", "sum"), ("target_e4", "sum")])
+        return pa.table({"year": g["year"],
+                         "total_e4": g["total_e4_sum"],
+                         "target_e4": g["target_e4_sum"]})
+
+    out = (per_order.map_batches(year_part, batch_format="pyarrow")
+           .groupby("year")
+           .aggregate(Sum("total_e4", alias_name="total_e4"),
+                      Sum("target_e4", alias_name="target_e4")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b["total_e4"], pa.scalar(0, pa.int64())))
+        tot = t["total_e4"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        tgt = t["target_e4"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "year": pc.cast(t["year"], pa.int64()),
+            "target_e4": pc.cast(t["target_e4"], pa.int64()),
+            "total_e4": pc.cast(t["total_e4"], pa.int64()),
+            "mkt_share": pa.array(np.round(tgt / tot, 6), pa.float64(),
+                                  from_pandas=True)})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_sole_late_supplier(sf_dir: str):
+    """TPC-H Q21 shape (adapted: no commit/receipt dates, so "late" =
+    last ship more than 60 days after the order date): suppliers who
+    were the ONLY late supplier on a multi-supplier order, ranked by how
+    often. lineitem collapses to per-(order, supplier) max-shipdate
+    partials before the one orderkey join (dense sides); the per-order
+    verdict is three scalars (supplier count, late count, the late
+    suppkey); the finish is a catalog-sized census with the supplier
+    name map broadcast driver-side."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from schema_validator_ray.stages.referential import default_join_partitions
+
+    import pyarrow.parquet as pq
+
+    def ls_part(b: pa.Table) -> pa.Table:
+        g = pa.table({
+            "o_orderkey": b["l_orderkey"], "s_suppkey": b["l_suppkey"],
+            "ship_us": pc.cast(pc.cast(b["l_shipdate"], pa.timestamp("us")),
+                               pa.int64())}) \
+            .group_by(["o_orderkey", "s_suppkey"]).aggregate(
+                [("ship_us", "max")])
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "s_suppkey": g["s_suppkey"],
+                         "ship_us": g["ship_us_max"]})
+
+    per_os = (_read(sf_dir, "lineitem",
+                    ["l_orderkey", "l_suppkey", "l_shipdate"])
+              .map_batches(ls_part, batch_format="pyarrow")
+              .groupby(["o_orderkey", "s_suppkey"])
+              .aggregate(Max("ship_us", alias_name="ship_us")))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]) \
+        .map_batches(
+            lambda b: pa.table({
+                "o_orderkey": b["o_orderkey"],
+                "ord_us": pc.cast(pc.cast(b["o_orderdate"],
+                                          pa.timestamp("us")), pa.int64())}),
+            batch_format="pyarrow")
+    nparts = default_join_partitions(8)
+    joined = per_os.join(orders, join_type="inner", num_partitions=nparts,
+                         on=("o_orderkey",))
+    grace_us = 60 * 86_400_000_000
+
+    def verdict_part(b: pa.Table) -> pa.Table:
+        late = pc.greater(b["ship_us"],
+                          pc.add(b["ord_us"],
+                                 pa.scalar(grace_us, pa.int64()))) \
+            .to_numpy(zero_copy_only=False)
+        sk = b["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "one": pa.array(np.ones(b.num_rows, np.int64)),
+            "late": pa.array(late.astype(np.int64)),
+            "late_sk": pa.array(np.where(late, sk, -1))})
+        g = t.group_by("o_orderkey").aggregate(
+            [("one", "sum"), ("late", "sum"), ("late_sk", "max")])
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "n_supp": g["one_sum"], "n_late": g["late_sum"],
+                         "late_sk": g["late_sk_max"]})
+
+    per_order = (joined.map_batches(verdict_part, batch_format="pyarrow")
+                 .groupby("o_orderkey")
+                 .aggregate(Sum("n_supp", alias_name="n_supp"),
+                            Sum("n_late", alias_name="n_late"),
+                            Max("late_sk", alias_name="late_sk")))
+
+    def sole_part(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater(b["n_supp"], pa.scalar(1, pa.int64())),
+                       pc.equal(b["n_late"], pa.scalar(1, pa.int64())))
+        return pa.table({"s_suppkey": pc.cast(b.filter(keep)["late_sk"],
+                                              pa.int64())})
+
+    counts = (per_order.map_batches(sole_part, batch_format="pyarrow")
+              .groupby("s_suppkey").aggregate(Count(alias_name="numwait")))
+
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name"])
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s_ord = np.argsort(sk, kind="stable")
+    sk_s = sk[s_ord]
+    snames = supp["s_name"].to_numpy(zero_copy_only=False)[s_ord]
+
+    def finish(b: pa.Table) -> pa.Table:
+        keys = b["s_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "s_suppkey": pa.array(keys, pa.int64()),
+            "s_name": pa.array(snames[np.searchsorted(sk_s, keys)]),
+            "numwait": pc.cast(b["numwait"], pa.int64())})
+
+    return (counts.map_batches(finish, batch_format="pyarrow")
+            .sort(["numwait", "s_suppkey"], descending=[True, False])
+            .limit(100))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -5962,6 +6477,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_revenue": q_small_qty_revenue,
         "idle_rich_customers": q_idle_rich_customers,
         "user_activity_histogram": q_user_activity_histogram,
+        "forecast_revenue_discount": q_forecast_revenue_discount,
+        "late_shipment_priority": q_late_shipment_priority,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "brand_size_revenue": q_brand_size_revenue,
+        "nation_market_share": q_nation_market_share,
+        "sole_late_supplier": q_sole_late_supplier,
     }
 
 
@@ -8564,6 +9085,113 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(log2(CAST(n AS DOUBLE))) AS BIGINT) AS bucket,
                    CAST(COUNT(*) AS BIGINT) AS n_users
               FROM u GROUP BY 1
+        """,
+        "forecast_revenue_discount": r"""
+            SELECT CAST(COALESCE(SUM(
+                       CAST(round_even(l_extendedprice * 100, 0) AS BIGINT) *
+                       CAST(round_even(l_discount * 100, 0) AS BIGINT)), 0)
+                       AS BIGINT) AS revenue_e4,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+              FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l_shipdate < TIMESTAMP '1997-01-01'
+               AND CAST(round_even(l_discount * 100, 0) AS BIGINT)
+                       BETWEEN 5 AND 7
+               AND l_quantity < 24
+        """,
+        "late_shipment_priority": r"""
+            WITH j AS (
+              SELECT o_orderpriority,
+                     CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                          THEN 1 ELSE 0 END AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(late) AS BIGINT) AS n_late,
+                   round_even(SUM(late) * 1.0 / COUNT(*), 6) AS late_rate
+              FROM j GROUP BY 1
+        """,
+        "top_supplier_revenue": r"""
+            WITH rev AS (
+              SELECT l_suppkey AS s_suppkey,
+                     CAST(SUM(
+                         CAST(round_even(l_extendedprice * 100, 0) AS BIGINT)
+                         * (100 - CAST(round_even(l_discount * 100, 0)
+                                       AS BIGINT))) AS BIGINT)
+                         AS total_revenue_e4
+                FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l_shipdate < TIMESTAMP '1996-04-01'
+               GROUP BY 1)
+            SELECT r.s_suppkey, s.s_name, r.total_revenue_e4
+              FROM rev r JOIN supplier s ON r.s_suppkey = s.s_suppkey
+             WHERE r.total_revenue_e4 =
+                   (SELECT MAX(total_revenue_e4) FROM rev)
+             ORDER BY r.s_suppkey
+        """,
+        "brand_size_revenue": r"""
+            WITH sel AS (
+              SELECT CAST(round_even(l_extendedprice * 100, 0) AS BIGINT) *
+                     (100 - CAST(round_even(l_discount * 100, 0) AS BIGINT))
+                         AS e4
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+               WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                      AND l_quantity BETWEEN 1 AND 11)
+                  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                      AND l_quantity BETWEEN 10 AND 20)
+                  OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+                      AND l_quantity BETWEEN 20 AND 30))
+            SELECT CAST(COALESCE(SUM(e4), 0) AS BIGINT) AS revenue_e4,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+              FROM sel
+        """,
+        "nation_market_share": r"""
+            WITH vol AS (
+              SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS year,
+                     CAST(round_even(l_extendedprice * 100, 0) AS BIGINT) *
+                     (100 - CAST(round_even(l_discount * 100, 0) AS BIGINT))
+                         AS v,
+                     n2.n_name AS supp_nation
+                FROM lineitem
+                JOIN orders    ON l_orderkey = o_orderkey
+                JOIN customer  ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region    ON n1.n_regionkey = r_regionkey
+                JOIN supplier  ON l_suppkey = s_suppkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                JOIN part      ON l_partkey = p_partkey
+               WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+                 AND o_orderdate >= TIMESTAMP '1996-01-01'
+                 AND o_orderdate < TIMESTAMP '1998-01-01')
+            SELECT year,
+                   CAST(SUM(CASE WHEN supp_nation = 'NATION_9'
+                                 THEN v ELSE 0 END) AS BIGINT) AS target_e4,
+                   CAST(SUM(v) AS BIGINT) AS total_e4,
+                   round_even(SUM(CASE WHEN supp_nation = 'NATION_9'
+                                       THEN v ELSE 0 END) * 1.0 / SUM(v), 6)
+                       AS mkt_share
+              FROM vol GROUP BY 1
+        """,
+        "sole_late_supplier": r"""
+            WITH ls AS (
+              SELECT l_orderkey AS ok, l_suppkey AS sk,
+                     MAX(l_shipdate) AS maxship
+                FROM lineitem GROUP BY 1, 2),
+            lat AS (
+              SELECT ls.ok, ls.sk,
+                     CASE WHEN ls.maxship > o.o_orderdate + INTERVAL 60 DAY
+                          THEN 1 ELSE 0 END AS late
+                FROM ls JOIN orders o ON ls.ok = o.o_orderkey),
+            po AS (
+              SELECT ok, COUNT(*) AS n_supp, SUM(late) AS n_late,
+                     MAX(CASE WHEN late = 1 THEN sk ELSE -1 END) AS late_sk
+                FROM lat GROUP BY ok)
+            SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+              FROM po JOIN supplier ON late_sk = s_suppkey
+             WHERE n_supp > 1 AND n_late = 1
+             GROUP BY 1, 2
+             ORDER BY numwait DESC, s_suppkey
+             LIMIT 100
         """,
         "source_dup_rate": r"""
             SELECT source,

@@ -220,6 +220,12 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "small_qty_revenue",
         "idle_rich_customers",
         "user_activity_histogram",
+        "forecast_revenue_discount",
+        "late_shipment_priority",
+        "top_supplier_revenue",
+        "brand_size_revenue",
+        "nation_market_share",
+        "sole_late_supplier",
     ]
     qs = m.queries()
     # warm best-of-N per query (default 2 passes over the whole list):
