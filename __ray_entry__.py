@@ -6213,6 +6213,199 @@ def q_sole_late_supplier(sf_dir: str):
             .limit(100))
 
 
+def q_part_typo_triangles(sf_dir: str):
+    """Graph census (nodes / edges / wedges / triangles / clustering)
+    over the part-name typo graph (Levenshtein ≤ 1 pairs — the same
+    SymDelete-blocked edge stage as `part_name_typo_pairs`). A dense
+    similarity graph is a catalog-health alarm; the census is the
+    validation readout. Adjacency is vocabulary-bounded and broadcasts
+    once; the triangle scan streams the edge set through map_batches
+    with one vectorized packed-edge searchsorted probe per batch."""
+    from schema_validator_ray.stages.fuzzy import edit_distance_pairs
+    from schema_validator_ray.stages.graph import undirected_edge_census
+
+    ds = _read(sf_dir, "part", ["p_name"])
+    edges = edit_distance_pairs(ds, "p_name")
+    return undirected_edge_census(edges, "a", "b")
+
+
+def q_events_dedup_hourly(sf_dir: str):
+    """Windowed dedup: the FIRST event per (user, type, hour) — the
+    at-most-once-per-window admission rule of metering / notification
+    pipelines. Reuses the argmin dedup machinery on a composite string
+    key built map-side (user|type|hour), so the exchange is bounded at
+    keys-per-batch winner rows; min ts, ties to min event_id."""
+    from schema_validator_ray.stages.dedup import keep_best_rows
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["ts"], pa.timestamp("us"))
+        hour = pc.strftime(pc.floor_temporal(ts, unit="hour"),
+                           format="%Y-%m-%dT%H")
+        k = pc.binary_join_element_wise(
+            pc.cast(b["user_id"], pa.string()), b["event_type"], hour, "|")
+        return pa.table({"_k": k, "_ts": pc.cast(ts, pa.int64()),
+                         "event_id": b["event_id"],
+                         "user_id": b["user_id"],
+                         "event_type": b["event_type"]})
+
+    winners = keep_best_rows(ev.map_batches(keyed, batch_format="pyarrow"),
+                             "_k", [("_ts", False), ("event_id", False)])
+    return winners.map_batches(
+        lambda b: b.select(["event_id", "user_id", "event_type"]),
+        batch_format="pyarrow")
+
+
+def q_dominant_supplier_parts(sf_dir: str):
+    """Supply-concentration census (TPC-H Q20 flavor over the available
+    columns): (part, supplier) pairs where one supplier shipped more
+    than 20% of the part's total quantity — the supply-chain
+    concentration risk report. Per-batch (part, supplier) quantity
+    partials bound the exchange; the grouped result is catalog-bounded
+    so the threshold test and share land on one guarded driver collect.
+    The >20% test is integer (5·q > total) on both engines; quantities
+    are integral doubles so sums are exact."""
+    from ray.data.aggregate import Sum
+
+    from schema_validator_ray.stages._collect import collect_up_to
+
+    def part(b: pa.Table) -> pa.Table:
+        g = pa.table({"l_partkey": b["l_partkey"],
+                      "l_suppkey": b["l_suppkey"],
+                      "q": b["l_quantity"]}) \
+            .group_by(["l_partkey", "l_suppkey"]).aggregate([("q", "sum")])
+        return pa.table({"l_partkey": g["l_partkey"],
+                         "l_suppkey": g["l_suppkey"], "q": g["q_sum"]})
+
+    per_ps = (_read(sf_dir, "lineitem",
+                    ["l_partkey", "l_suppkey", "l_quantity"])
+              .map_batches(part, batch_format="pyarrow")
+              .groupby(["l_partkey", "l_suppkey"])
+              .aggregate(Sum("q", alias_name="q")))
+    # catalog-bounded: ≤ |parts| × suppliers-per-part rows
+    ps, over = collect_up_to(per_ps, 30_000_000)
+    if over:
+        raise RuntimeError("part×supplier census exceeded the collect "
+                           "budget; broadcast per-part totals and filter "
+                           "distributed instead")
+    t = pa.concat_tables(ps) if ps else pa.table(
+        {"l_partkey": pa.array([], pa.int64()),
+         "l_suppkey": pa.array([], pa.int64()),
+         "q": pa.array([], pa.float64())})
+    pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    q = np.rint(t["q"].to_numpy(zero_copy_only=False)).astype(np.int64)
+    order = np.argsort(pk, kind="stable")
+    pk, sk, q = pk[order], sk[order], q[order]
+    uniq, inv = np.unique(pk, return_inverse=True)
+    tot = np.zeros(len(uniq), np.int64)
+    np.add.at(tot, inv, q)
+    tq = tot[inv]
+    keep = 5 * q > tq
+    share = np.round(q[keep].astype(np.float64)
+                     / tq[keep].astype(np.float64), 6)
+    return pa.table({
+        "l_partkey": pa.array(pk[keep], pa.int64()),
+        "l_suppkey": pa.array(sk[keep], pa.int64()),
+        "qty": pa.array(q[keep], pa.int64()),
+        "total_qty": pa.array(tq[keep], pa.int64()),
+        "share": pa.array(share, pa.float64(), from_pandas=True)})
+
+
+def q_event_trigram_topk(sf_dir: str):
+    """Top-25 consecutive event-type trigrams across all user journeys —
+    the n=3 path-mining generalization of the transition matrix. One
+    narrow 64-way user-shard exchange; per-shard packed-code np.unique
+    partials; the census alphabet is |types|³ so the top-k sort is
+    tiny. Full (cnt DESC, t1, t2, t3) tiebreak keeps LIMIT
+    deterministic on both engines."""
+    from schema_validator_ray.stages.funnel import sequence_ngram_counts
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+    out = sequence_ngram_counts(ev, user_col="user_id", ts_col="ts",
+                                type_col="event_type",
+                                tiebreak_col="event_id", n=3)
+    return (out.map_batches(
+        lambda b: pa.table({"t1": b["t1"], "t2": b["t2"], "t3": b["t3"],
+                            "cnt": pc.cast(b["cnt"], pa.int64())}),
+        batch_format="pyarrow")
+        .sort(["cnt", "t1", "t2", "t3"],
+              descending=[True, False, False, False])
+        .limit(25))
+
+
+def q_docs_jsonl_roundtrip(sf_dir: str):
+    """JSON-lines ingestion proof: documents flow parquet → JSONL (a
+    deterministic cached copy — test plumbing; production corpora
+    arrive as JSONL already) → ``ray.data.read_json`` → the engine, and
+    the oracle reads the original parquet. The value hash covers the
+    full text column, so any escaping / unicode / null infidelity in
+    the JSONL path fails the gate."""
+    from schema_validator_ray.sources.text_io import (
+        jsonl_from_parquet_cached, read_jsonl)
+
+    path = jsonl_from_parquet_cached(
+        os.path.join(sf_dir, "documents.parquet"), ["doc_id", "text"])
+    ds = read_jsonl(path)
+
+    def norm(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        n = pc.utf8_length(pc.coalesce(text, pa.scalar("")))
+        return pa.table({"doc_id": pc.cast(b["doc_id"], pa.int64()),
+                         "text": text,
+                         "n_chars": pc.cast(n, pa.int64())})
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def q_orders_csv_priority(sf_dir: str):
+    """CSV ingestion proof: orders flow parquet → CSV (deterministic
+    cached copy with prices pre-converted to integer cents so the CSV
+    carries no float round-trip risk) → ``ray.data.read_csv`` → a
+    per-priority census; the oracle reads the original parquet and
+    derives the same cents."""
+    from ray.data.aggregate import Sum
+
+    from schema_validator_ray.sources.text_io import (
+        csv_from_parquet_cached, read_csv)
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_orderpriority": t["o_orderpriority"],
+                         "cents": cents})
+
+    path = csv_from_parquet_cached(
+        os.path.join(sf_dir, "orders.parquet"),
+        ["o_orderkey", "o_orderpriority", "o_totalprice"],
+        transform=to_cents, tag="cents")
+    ds = read_csv(path)
+
+    def part(b: pa.Table) -> pa.Table:
+        g = pa.table({"o_orderpriority": b["o_orderpriority"],
+                      "one": pa.array(np.ones(b.num_rows, np.int64)),
+                      "cents": pc.cast(b["cents"], pa.int64())}) \
+            .group_by("o_orderpriority").aggregate(
+                [("one", "sum"), ("cents", "sum")])
+        return pa.table({"o_orderpriority": g["o_orderpriority"],
+                         "n": g["one_sum"], "cents": g["cents_sum"]})
+
+    out = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("cents", alias_name="total_cents")))
+    return out.map_batches(
+        lambda b: pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "n": pc.cast(b["n"], pa.int64()),
+            "total_cents": pc.cast(b["total_cents"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -6483,6 +6676,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_size_revenue": q_brand_size_revenue,
         "nation_market_share": q_nation_market_share,
         "sole_late_supplier": q_sole_late_supplier,
+        "part_typo_triangles": q_part_typo_triangles,
+        "events_dedup_hourly": q_events_dedup_hourly,
+        "dominant_supplier_parts": q_dominant_supplier_parts,
+        "event_trigram_topk": q_event_trigram_topk,
+        "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
+        "orders_csv_priority": q_orders_csv_priority,
     }
 
 
@@ -9192,6 +9391,72 @@ def oracle_sql() -> dict[str, str]:
              GROUP BY 1, 2
              ORDER BY numwait DESC, s_suppkey
              LIMIT 100
+        """,
+        "part_typo_triangles": r"""
+            WITH names AS (SELECT DISTINCT p_name FROM part),
+            e AS (SELECT a.p_name AS x, b.p_name AS y
+                    FROM names a JOIN names b
+                      ON a.p_name < b.p_name
+                     AND levenshtein(a.p_name, b.p_name) <= 1),
+            d AS (SELECT nd, COUNT(*) AS c
+                    FROM (SELECT x AS nd FROM e
+                          UNION ALL SELECT y FROM e) GROUP BY 1),
+            w AS (SELECT CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS n_wedges
+                    FROM d),
+            tri AS (SELECT COUNT(*) AS t
+                      FROM e e1 JOIN e e2 ON e1.y = e2.x
+                           JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y)
+            SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_nodes,
+                   CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+                   (SELECT n_wedges FROM w) AS n_wedges,
+                   CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+                   round_even(3.0 * (SELECT t FROM tri)
+                              / (SELECT n_wedges FROM w), 6) AS clustering
+        """,
+        "events_dedup_hourly": r"""
+            WITH r AS (
+              SELECT event_id, user_id, event_type,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY user_id, event_type,
+                                      date_trunc('hour', ts)
+                         ORDER BY ts, event_id) AS rn
+                FROM events)
+            SELECT event_id, user_id, event_type FROM r WHERE rn = 1
+        """,
+        "dominant_supplier_parts": r"""
+            WITH t AS (SELECT l_partkey, l_suppkey, SUM(l_quantity) AS q
+                         FROM lineitem GROUP BY 1, 2),
+            tot AS (SELECT l_partkey, SUM(q) AS tq FROM t GROUP BY 1)
+            SELECT t.l_partkey, t.l_suppkey,
+                   CAST(t.q AS BIGINT) AS qty,
+                   CAST(tot.tq AS BIGINT) AS total_qty,
+                   round_even(t.q / tot.tq, 6) AS share
+              FROM t JOIN tot ON t.l_partkey = tot.l_partkey
+             WHERE 5 * t.q > tot.tq
+        """,
+        "event_trigram_topk": r"""
+            WITH s AS (
+              SELECT event_type AS t1,
+                     LEAD(event_type, 1) OVER w AS t2,
+                     LEAD(event_type, 2) OVER w AS t3
+                FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM s WHERE t3 IS NOT NULL
+             GROUP BY 1, 2, 3
+             ORDER BY cnt DESC, t1, t2, t3
+             LIMIT 25
+        """,
+        "docs_jsonl_roundtrip": r"""
+            SELECT doc_id, text,
+                   CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars
+              FROM documents
+        """,
+        "orders_csv_priority": r"""
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(round_even(o_totalprice * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS total_cents
+              FROM orders GROUP BY 1
         """,
         "source_dup_rate": r"""
             SELECT source,

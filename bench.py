@@ -226,6 +226,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "brand_size_revenue",
         "nation_market_share",
         "sole_late_supplier",
+        "part_typo_triangles",
+        "events_dedup_hourly",
+        "dominant_supplier_parts",
+        "event_trigram_topk",
+        "orders_csv_priority",
     ]
     qs = m.queries()
     # warm best-of-N per query (default 2 passes over the whole list):

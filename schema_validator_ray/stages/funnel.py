@@ -236,6 +236,79 @@ def transition_counts(events, *, user_col: str, ts_col: str, type_col: str,
             .aggregate(Sum("n", alias_name="n")))
 
 
+def sequence_ngram_counts(events, *, user_col: str, ts_col: str,
+                          type_col: str, tiebreak_col: str, n: int = 3):
+    """Counts of length-``n`` consecutive type sequences within each
+    user's event stream (ordered by ``ts_col`` then ``tiebreak_col`` —
+    the same total order as SQL's chained ``LEAD() OVER (PARTITION BY
+    user ORDER BY ts, id)``). Returns a Dataset of (t1..tn, cnt), at
+    most |types|ⁿ rows — the path-mining generalization of
+    ``transition_counts`` (n=2).
+
+    Same distributed shape as transition_counts: one narrow 64-way
+    user-shard exchange; each shard lexsorts once, dictionary-encodes
+    the types and reduces every same-user n-window to per-shard packed
+    int-code partials via one ``np.unique``; the final groupby sums
+    |shards| × |types|ⁿ partial rows."""
+    from ray.data.aggregate import Sum
+
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    out_cols = [f"t{i + 1}" for i in range(n)]
+
+    def narrow(b: pa.Table) -> pa.Table:
+        from .asof import _shard_of
+
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        return pa.table({
+            user_col: b[user_col],
+            "_ts": pc.cast(ts, pa.int64()),
+            "_tb": b[tiebreak_col],
+            "_ty": b[type_col],
+            "_shard": pa.array(_shard_of(b[user_col], 64))})
+
+    def count_shard(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {c: pa.array([], pa.string()) for c in out_cols}
+            | {"cnt": pa.array([], pa.int64())})
+        if g.num_rows < n:
+            return empty
+        codes, _ = pd.factorize(g[user_col].to_numpy(zero_copy_only=False))
+        ts = g["_ts"].to_numpy(zero_copy_only=False)
+        tb = g["_tb"].to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(g["_ty"].combine_chunks())
+        ty = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        k = len(vocab)
+        if k ** n >= 2 ** 62:  # packed-code overflow guard
+            raise ValueError(f"type vocabulary too large to pack: {k}^{n}")
+        order = np.lexsort((tb, ts, codes))
+        cs, tys = codes[order], ty[order]
+        w = len(cs) - (n - 1)
+        # window is within one user iff its first and last rows share it
+        m = cs[:w] == cs[n - 1:]
+        if not m.any():
+            return empty
+        key = np.zeros(int(m.sum()), np.int64)
+        for j in range(n):
+            key = key * k + tys[j:j + w][m]
+        uk, cnt = np.unique(key, return_counts=True)
+        cols = {}
+        for j in range(n - 1, -1, -1):
+            cols[out_cols[j]] = vocab.take(pa.array(uk % k))
+            uk = uk // k
+        cols["cnt"] = pa.array(cnt.astype(np.int64))
+        return pa.table({c: cols[c] for c in out_cols} | {"cnt": cols["cnt"]})
+
+    return (events.map_batches(narrow, batch_format="pyarrow")
+            .groupby("_shard")
+            .map_groups(count_shard, batch_format="pyarrow")
+            .groupby(out_cols)
+            .aggregate(Sum("cnt", alias_name="cnt")))
+
+
 def conversion_latency(events, *, user_col: str, ts_col: str, type_col: str,
                        first: str, then: str, out_col: str = "latency_s"):
     """Per-user conversion latency: seconds from the user's FIRST

@@ -1,0 +1,131 @@
+"""Graph analytics over edge lists: triangle / wedge census.
+
+The reference has no graph surface; this serves the training-data side
+(duplicate-cluster topology, co-occurrence graph health) and general
+data-validation (an unexpectedly dense similarity graph is a corpus
+alarm). Reference for the counting scheme: the standard edge-iterator
+algorithm (each triangle {a<b<c} counted exactly once from its (a,b)
+edge by common neighbors z > b).
+
+Distributed shape: the EDGE STREAM is the dataset; the adjacency (CSR
+over the node vocabulary) broadcasts once via ``ray.put``. That is the
+right trade when nodes come from a bounded vocabulary (names, catalog
+keys, duplicate-cluster reps) — the usual case for validation graphs.
+For graphs whose adjacency outgrows a broadcast, the census raises
+loudly; the scale path would co-partition wedges by hash of their
+center (documented, not built — no caller needs it yet).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ._collect import collect_up_to
+
+
+def undirected_edge_census(edges, a_col: str, b_col: str, *,
+                           broadcast_max: int = 50_000_000):
+    """One-row census of an undirected simple graph given as an edge
+    Dataset with string or integer endpoints (each undirected edge once,
+    any orientation): node count, edge count, wedge count
+    (Σ deg·(deg−1)/2), triangle count, and the global clustering
+    coefficient 3·triangles / wedges (6dp half-even, null when the graph
+    has no wedge).
+
+    The edge list is collected once under ``broadcast_max`` to build the
+    CSR + packed sorted edge array (vocabulary-bounded by contract —
+    loud failure beyond the budget); the triangle scan itself runs
+    distributed: a Dataset re-materialized from the edge table streams
+    through ``map_batches``, each batch expanding its edges' candidate
+    common-neighbors against the broadcast CSR with one vectorized
+    ``searchsorted`` membership probe into the packed edge array — no
+    per-edge Python loop.  Returns a one-row ``pyarrow.Table``.
+    """
+    import ray
+    import ray.data as rd
+
+    parts, over = collect_up_to(edges, broadcast_max)
+    if over:
+        raise RuntimeError(
+            "edge list exceeded the adjacency broadcast budget; this census "
+            "expects a vocabulary-bounded graph — co-partition wedges by "
+            "center-node hash for larger graphs")
+    et = pa.concat_tables(parts) if parts else None
+    empty = pa.table({
+        "n_nodes": pa.array([0], pa.int64()),
+        "n_edges": pa.array([0], pa.int64()),
+        "n_wedges": pa.array([0], pa.int64()),
+        "n_triangles": pa.array([0], pa.int64()),
+        "clustering": pa.array([None], pa.float64())})
+    if et is None or et.num_rows == 0:
+        return empty
+
+    import pandas as pd
+    a_raw = et[a_col].to_numpy(zero_copy_only=False)
+    b_raw = et[b_col].to_numpy(zero_copy_only=False)
+    codes, _uniques = pd.factorize(np.concatenate([a_raw, b_raw]))
+    n = int(codes.max()) + 1
+    u = codes[:len(a_raw)].astype(np.int64)
+    v = codes[len(a_raw):].astype(np.int64)
+    # canonical (lo, hi), dedup defensively (callers pass simple graphs)
+    lo = np.minimum(u, v)
+    hi = np.maximum(u, v)
+    keep = lo != hi  # drop self-loops
+    lo, hi = lo[keep], hi[keep]
+    packed = np.unique(lo * np.int64(n) + hi)
+    lo = (packed // n).astype(np.int64)
+    hi = (packed % n).astype(np.int64)
+    n_edges = len(packed)
+
+    deg = np.bincount(np.concatenate([lo, hi]), minlength=n) \
+        .astype(np.int64)
+    n_nodes = int((deg > 0).sum())
+    n_wedges = int((deg * (deg - 1) // 2).sum())
+
+    # CSR over BOTH directions, neighbor lists sorted by construction
+    heads = np.concatenate([lo, hi])
+    tails = np.concatenate([hi, lo])
+    order = np.lexsort((tails, heads))
+    heads, tails = heads[order], tails[order]
+    indptr = np.zeros(n + 1, np.int64)
+    np.add.at(indptr, heads + 1, 1)
+    indptr = np.cumsum(indptr)
+    side = ray.put((indptr, tails, packed, np.int64(n)))
+
+    def tri_part(b: pa.Table, s=side) -> pa.Table:
+        ip, nbr, pk, nn = ray.get(s) if not isinstance(s, tuple) else s
+        x = b["lo"].to_numpy(zero_copy_only=False)
+        y = b["hi"].to_numpy(zero_copy_only=False)
+        cnt = ip[x + 1] - ip[x]
+        total = int(cnt.sum())
+        if total == 0:
+            return pa.table({"t": pa.array([0], pa.int64())})
+        eidx = np.repeat(np.arange(len(x), dtype=np.int64), cnt)
+        # flat gather of every edge's adj[x] slice
+        starts = ip[x]
+        flat = np.arange(total, dtype=np.int64) \
+            - np.repeat(np.cumsum(cnt) - cnt, cnt) + np.repeat(starts, cnt)
+        z = nbr[flat]
+        m = z > y[eidx]                      # z > max(x, y): count once
+        if not m.any():
+            return pa.table({"t": pa.array([0], pa.int64())})
+        probe = y[eidx][m] * nn + z[m]       # is (y, z) an edge?
+        pos = np.searchsorted(pk, probe)
+        pos_c = np.clip(pos, 0, len(pk) - 1)
+        t = int((pk[pos_c] == probe).sum())
+        return pa.table({"t": pa.array([t], pa.int64())})
+
+    edge_ds = rd.from_arrow(pa.table({"lo": pa.array(lo), "hi": pa.array(hi)}))
+    tp, _ = collect_up_to(edge_ds.map_batches(tri_part,
+                                              batch_format="pyarrow"),
+                          1_000_000)
+    n_tri = int(pc.sum(pa.concat_tables(tp)["t"]).as_py() or 0) if tp else 0
+    clus = (round(3.0 * n_tri / n_wedges, 6) if n_wedges else None)
+    return pa.table({
+        "n_nodes": pa.array([n_nodes], pa.int64()),
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_wedges": pa.array([n_wedges], pa.int64()),
+        "n_triangles": pa.array([n_tri], pa.int64()),
+        "clustering": pa.array([clus], pa.float64())})
