@@ -6406,6 +6406,44 @@ def q_orders_csv_priority(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_part_typo_pagerank(sf_dir: str):
+    """Fixed-3-iteration PageRank over the part-name typo graph — the
+    iterative-algorithm shape on Ray Data (per iteration: node-bounded
+    vertex state broadcasts, the edge stream reduces per-batch (dst,
+    contribution) partials into one node-bounded groupby). Fixing the
+    iteration count keeps it SQL-expressible; the oracle unrolls the
+    identical three updates and both sides round half-even to 6dp."""
+    from schema_validator_ray.stages.fuzzy import edit_distance_pairs
+    from schema_validator_ray.stages.graph import pagerank_on_edges
+
+    ds = _read(sf_dir, "part", ["p_name"])
+    edges = edit_distance_pairs(ds, "p_name")
+    return pagerank_on_edges(edges, "a", "b", iters=3, damping=0.85)
+
+
+def q_lineitem_unpivot_metrics(sf_dir: str):
+    """Unpivot / melt (wide→long): the four lineitem measures become
+    (l_orderkey, l_linenumber, metric, value) rows — the reshape feeding
+    generic per-metric profilers. Map-only: each batch emits its four
+    stacked projections, values pass through untouched (bit-exact), so
+    the 4× fan-out never shuffles."""
+    metrics = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+    def melt(b: pa.Table) -> pa.Table:
+        out = []
+        for m in metrics:
+            out.append(pa.table({
+                "l_orderkey": b["l_orderkey"],
+                "l_linenumber": b["l_linenumber"],
+                "metric": pa.array(np.repeat(m, b.num_rows)),
+                "value": pc.cast(b[m], pa.float64())}))
+        return pa.concat_tables(out)
+
+    return _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_linenumber"] + metrics) \
+        .map_batches(melt, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -6682,6 +6720,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_trigram_topk": q_event_trigram_topk,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
         "orders_csv_priority": q_orders_csv_priority,
+        "part_typo_pagerank": q_part_typo_pagerank,
+        "lineitem_unpivot_metrics": q_lineitem_unpivot_metrics,
     }
 
 
@@ -9457,6 +9497,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(round_even(o_totalprice * 100, 0)
                                  AS BIGINT)) AS BIGINT) AS total_cents
               FROM orders GROUP BY 1
+        """,
+        "part_typo_pagerank": r"""
+            WITH names AS (SELECT DISTINCT p_name FROM part),
+            e0 AS (SELECT a.p_name AS x, b.p_name AS y
+                     FROM names a JOIN names b
+                       ON a.p_name < b.p_name
+                      AND levenshtein(a.p_name, b.p_name) <= 1),
+            e AS (SELECT x, y FROM e0
+                  UNION ALL SELECT y AS x, x AS y FROM e0),
+            d AS (SELECT x, CAST(COUNT(*) AS DOUBLE) AS deg
+                    FROM e GROUP BY 1),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM d),
+            p0 AS (SELECT x, 1.0 / (SELECT c FROM nn) AS pr FROM d),
+            s1 AS (SELECT e.y AS x, SUM(p0.pr / d.deg) AS s
+                     FROM e JOIN p0 ON e.x = p0.x JOIN d ON e.x = d.x
+                    GROUP BY 1),
+            p1 AS (SELECT d.x, (1.0 - 0.85) / (SELECT c FROM nn)
+                              + 0.85 * COALESCE(s1.s, 0) AS pr
+                     FROM d LEFT JOIN s1 ON d.x = s1.x),
+            s2 AS (SELECT e.y AS x, SUM(p1.pr / d.deg) AS s
+                     FROM e JOIN p1 ON e.x = p1.x JOIN d ON e.x = d.x
+                    GROUP BY 1),
+            p2 AS (SELECT d.x, (1.0 - 0.85) / (SELECT c FROM nn)
+                              + 0.85 * COALESCE(s2.s, 0) AS pr
+                     FROM d LEFT JOIN s2 ON d.x = s2.x),
+            s3 AS (SELECT e.y AS x, SUM(p2.pr / d.deg) AS s
+                     FROM e JOIN p2 ON e.x = p2.x JOIN d ON e.x = d.x
+                    GROUP BY 1),
+            p3 AS (SELECT d.x, (1.0 - 0.85) / (SELECT c FROM nn)
+                              + 0.85 * COALESCE(s3.s, 0) AS pr
+                     FROM d LEFT JOIN s3 ON d.x = s3.x)
+            SELECT x AS node, round_even(pr, 6) AS pr FROM p3
+        """,
+        "lineitem_unpivot_metrics": r"""
+            SELECT l_orderkey, l_linenumber,
+                   'l_quantity' AS metric, l_quantity AS value
+              FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'l_extendedprice', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'l_discount', l_discount FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
         """,
         "source_dup_rate": r"""
             SELECT source,

@@ -231,6 +231,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "dominant_supplier_parts",
         "event_trigram_topk",
         "orders_csv_priority",
+        "part_typo_pagerank",
+        "lineitem_unpivot_metrics",
     ]
     qs = m.queries()
     # warm best-of-N per query (default 2 passes over the whole list):

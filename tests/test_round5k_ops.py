@@ -50,6 +50,35 @@ def test_edge_census_orientation_and_dup_invariant(ray_session):
     assert t["n_triangles"][0].as_py() == 2
 
 
+def test_pagerank_uniform_on_regular_graph(ray_session):
+    # triangle (2-regular): uniform 1/3 is stationary at every iteration
+    from schema_validator_ray.stages.graph import pagerank_on_edges
+
+    edges = rd.from_arrow(pa.table({"a": ["a", "b", "a"],
+                                    "b": ["b", "c", "c"]}))
+    t = pagerank_on_edges(edges, "a", "b", iters=3)
+    assert sorted(t["pr"].to_pylist()) == [round(1 / 3, 6)] * 3
+
+
+def test_pagerank_path_matches_numpy_reference(ray_session):
+    from schema_validator_ray.stages.graph import pagerank_on_edges
+
+    edges = rd.from_arrow(pa.table({"a": ["a", "b"], "b": ["b", "c"]}))
+    t = pagerank_on_edges(edges, "a", "b", iters=3)
+    got = dict(zip(t["node"].to_pylist(), t["pr"].to_pylist()))
+
+    # plain-numpy unrolled reference (same update rule)
+    deg = {"a": 1.0, "b": 2.0, "c": 1.0}
+    pr = {k: 1 / 3 for k in deg}
+    for _ in range(3):
+        s = {"a": pr["b"] / deg["b"],
+             "b": pr["a"] / deg["a"] + pr["c"] / deg["c"],
+             "c": pr["b"] / deg["b"]}
+        pr = {k: 0.15 / 3 + 0.85 * s[k] for k in deg}
+    assert got == {k: round(v, 6) for k, v in pr.items()}
+    assert abs(sum(got.values()) - 1.0) < 1e-5
+
+
 def test_sequence_ngram_counts_matches_manual(ray_session):
     from schema_validator_ray.stages.funnel import sequence_ngram_counts
 
