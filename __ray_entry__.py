@@ -6444,6 +6444,73 @@ def q_lineitem_unpivot_metrics(sf_dir: str):
         .map_batches(melt, batch_format="pyarrow")
 
 
+def q_events_daily_psi(sf_dir: str):
+    """Daily drift monitor: PSI of each day's event-type mix vs the first
+    observed day (clamp-at-1e-6 convention shared with lang_drift_psi) —
+    per-batch (day, type) count partials, one tiny groupby, vectorized PSI
+    on the days x types census."""
+    from schema_validator_ray.stages.drift import daily_categorical_psi
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    return daily_categorical_psi(ds, ts_col="ts", cat_col="event_type")
+
+
+def q_events_session_paths(sf_dir: str):
+    """Session entry/exit path census: 30-min-gap sessions per user, counted
+    by (first event type, last event type) — the landing/leaving-page
+    census, shard-grouped like transition_counts."""
+    from schema_validator_ray.stages.funnel import session_entry_exit
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_type", "event_id"])
+    out = session_entry_exit(ds, user_col="user_id", ts_col="ts",
+                             type_col="event_type",
+                             tiebreak_col="event_id", gap="30min")
+    return out.map_batches(
+        lambda b: pa.table({
+            "entry_type": b["entry_type"],
+            "exit_type": b["exit_type"],
+            "n": pc.cast(b["n"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_customer_spend_lorenz(sf_dir: str):
+    """Lorenz concentration curve of customer spend: per NTILE(10) decile
+    (reusing the customer_ltv_deciles machinery), customer count, exact
+    integer-cents decile spend, and the cumulative spend share — the
+    "top decile carries X% of revenue" Pareto summary. The <=10-row
+    decile census folds on the driver; the share divides exact int64
+    sums so engine and oracle operate on identical doubles."""
+    deciles = q_customer_ltv_deciles(sf_dir)
+
+    def part(b: pa.Table) -> pa.Table:
+        agg = (pa.table({"decile": b["decile"], "cents": b["spend_cents"]})
+               .group_by("decile")
+               .aggregate([("cents", "sum"), ([], "count_all")]))
+        return pa.table({"decile": agg["decile"],
+                         "spend_cents": agg["cents_sum"],
+                         "n_customers": agg["count_all"]})
+
+    from schema_validator_ray.stages._collect import collect_up_to
+
+    parts, over = collect_up_to(
+        deciles.map_batches(part, batch_format="pyarrow"), 1_000_000)
+    if over:
+        raise RuntimeError("decile census exceeded driver budget")
+    agg = (pa.concat_tables(parts).group_by("decile")
+           .aggregate([("spend_cents", "sum"), ("n_customers", "sum")])
+           .to_pandas().sort_values("decile"))
+    cents = agg["spend_cents_sum"].to_numpy(np.int64)
+    cum = np.cumsum(cents)
+    share = np.round(cum.astype(np.float64) / float(cents.sum()), 6)
+    import pandas as pd
+    return pd.DataFrame({
+        "decile": agg["decile"].to_numpy(np.int64),
+        "n_customers": agg["n_customers_sum"].to_numpy(np.int64),
+        "spend_cents": cents,
+        "cum_share": share})
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -6722,6 +6789,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_csv_priority": q_orders_csv_priority,
         "part_typo_pagerank": q_part_typo_pagerank,
         "lineitem_unpivot_metrics": q_lineitem_unpivot_metrics,
+        "events_daily_psi": q_events_daily_psi,
+        "events_session_paths": q_events_session_paths,
+        "customer_spend_lorenz": q_customer_spend_lorenz,
     }
 
 
@@ -9881,6 +9951,83 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(ne) AS BIGINT) AS n_emails,
                    CAST(SUM(np) AS BIGINT) AS n_phones
               FROM c GROUP BY 1
+        """,
+        # PSI convention shared with lang_drift_psi (clamp at 1e-6 over the
+        # global alphabet); round_even = numpy half-to-even
+        "events_daily_psi": """
+            WITH c AS (SELECT strftime(date_trunc('day', ts),
+                                       '%Y-%m-%d') AS day,
+                              event_type, CAST(COUNT(*) AS DOUBLE) AS n
+                         FROM events GROUP BY 1, 2),
+            days AS (SELECT DISTINCT day FROM c),
+            types AS (SELECT DISTINCT event_type FROM c),
+            f AS (SELECT d.day, t.event_type, COALESCE(c.n, 0) AS n
+                    FROM days d CROSS JOIN types t
+                    LEFT JOIN c ON c.day = d.day
+                               AND c.event_type = t.event_type),
+            p AS (SELECT day, event_type,
+                         GREATEST(n / SUM(n) OVER (PARTITION BY day),
+                                  1e-6) AS pp
+                    FROM f),
+            r AS (SELECT event_type, pp AS qq FROM p
+                   WHERE day = (SELECT MIN(day) FROM p)),
+            j AS (SELECT p.day, (p.pp - r.qq) * LN(p.pp / r.qq) AS term
+                    FROM p JOIN r USING (event_type))
+            SELECT day, round_even(SUM(term), 6) AS psi,
+                   round_even(SUM(term), 6) <= 0.25 AS drift_ok
+              FROM j GROUP BY day
+        """,
+        # same strictly-greater 30-min gap as events_sessions_30m, ordered
+        # by (ts, event_id) like the engine's lexsort
+        "events_session_paths": """
+            WITH s AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+                FROM events),
+            g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM s),
+            fl AS (SELECT user_id, sid,
+                          FIRST_VALUE(event_type) OVER
+                            (PARTITION BY user_id, sid
+                             ORDER BY ts, event_id) AS entry_type,
+                          LAST_VALUE(event_type) OVER
+                            (PARTITION BY user_id, sid
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING) AS exit_type
+                     FROM g),
+            u AS (SELECT DISTINCT user_id, sid, entry_type, exit_type
+                    FROM fl)
+            SELECT entry_type, exit_type, CAST(COUNT(*) AS BIGINT) AS n
+              FROM u GROUP BY 1, 2
+        """,
+        # decile definition = the customer_ltv_deciles oracle; cum_share
+        # divides exact int64 sums cast to double on both sides
+        "customer_spend_lorenz": """
+            WITH s AS (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(round(o_totalprice * 100)
+                                   AS BIGINT)) AS BIGINT) AS spend_cents
+                FROM orders GROUP BY 1),
+            d AS (SELECT o_custkey, spend_cents,
+                         CAST(NTILE(10) OVER (ORDER BY spend_cents,
+                                              o_custkey)
+                              AS BIGINT) AS decile
+                    FROM s),
+            a AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+                         CAST(SUM(spend_cents) AS BIGINT) AS spend_cents
+                    FROM d GROUP BY 1)
+            SELECT decile, n_customers, spend_cents,
+                   round_even(CAST(SUM(spend_cents) OVER
+                                     (ORDER BY decile
+                                      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                              / CAST((SELECT SUM(spend_cents) FROM a)
+                                     AS DOUBLE), 6) AS cum_share
+              FROM a
         """,
     }
     # quarantine / annotate-mode oracle: valid rows = NOT IN the violation

@@ -193,3 +193,61 @@ def value_emd(ds, *, value_col: str, group_col: str, a, b,
     return pd.DataFrame({"emd": [float(np.round(parts["part"].sum(), 6))],
                          "n_a": pd.array([na], dtype="int64"),
                          "n_b": pd.array([nb], dtype="int64")})
+
+
+def daily_categorical_psi(ds, *, ts_col: str, cat_col: str):
+    """Daily drift monitor: PSI of each day's categorical distribution of
+    ``cat_col`` against the FIRST observed day (the reference slice) — the
+    production "is today's event mix still shaped like launch day" alarm,
+    the per-period generalization of the split-half ``lang_drift_psi``
+    check. Same convention as :func:`psi`: probabilities over the global
+    category alphabet, clamped at 1e-6 so zero-count categories contribute
+    finite terms.
+
+    Distributed shape: rows reduce map-side to per-batch (day, category)
+    count partials (bounded by days x |alphabet| per batch, never event
+    rows); one groupby-sum merges them; the resulting census is tiny
+    (days x categories) so the PSI table computes vectorized on the
+    driver. Returns a pandas DataFrame (day str 'YYYY-MM-DD', psi double
+    6dp, drift_ok bool vs PSI_THRESHOLD), reference day included (psi 0).
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ._collect import collect_up_to
+
+    def narrow(b: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(
+            pc.cast(b[ts_col], pa.timestamp("us")), unit="day"),
+            format="%Y-%m-%d")
+        agg = (pa.table({"day": day, "cat": b[cat_col]})
+               .group_by(["day", "cat"]).aggregate([([], "count_all")]))
+        return pa.table({"day": agg["day"], "cat": agg["cat"],
+                         "n": agg["count_all"]})
+
+    parts, over = collect_up_to(
+        ds.map_batches(narrow, batch_format="pyarrow"), 2_000_000)
+    if not over:
+        census = (pa.concat_tables(parts).group_by(["day", "cat"])
+                  .aggregate([("n", "sum")]).rename_columns(
+                      ["day", "cat", "n"]).to_pandas())
+    else:
+        census = (ds.map_batches(narrow, batch_format="pyarrow")
+                  .groupby(["day", "cat"])
+                  .aggregate(Sum("n", alias_name="n")).to_pandas())
+    if census.empty:
+        return pd.DataFrame({"day": pd.Series([], dtype="object"),
+                             "psi": pd.Series([], dtype="float64"),
+                             "drift_ok": pd.Series([], dtype="bool")})
+    # pivot to days x global alphabet; absent cells are zero counts
+    grid = (census.pivot_table(index="day", columns="cat", values="n",
+                               aggfunc="sum", fill_value=0)
+            .sort_index().sort_index(axis=1))
+    counts = grid.to_numpy(np.float64)
+    p = np.maximum(counts / counts.sum(axis=1, keepdims=True), _EPS)
+    q = p[0]                                    # first observed day
+    vals = np.round(np.sum((p - q) * np.log(p / q), axis=1), 6)
+    return pd.DataFrame({"day": list(grid.index), "psi": vals,
+                         "drift_ok": vals <= PSI_THRESHOLD})

@@ -503,3 +503,73 @@ def dau_wau_stickiness(events, *, user_col: str, ts_col: str,
                 / float(days_per_week)
                 / np.asarray(b["wau"], dtype=np.float64), 6)),
         }), batch_format="pyarrow")
+
+
+def session_entry_exit(events, *, user_col: str, ts_col: str,
+                       type_col: str, tiebreak_col: str,
+                       gap: str = "30min"):
+    """Session entry/exit path census: sessionize each user's events with a
+    ``gap`` inactivity cutoff (a strictly-larger gap starts a new session —
+    the :func:`windows.session_windows` convention), then count sessions by
+    their (first event type, last event type) pair, events ordered by
+    ``ts_col`` then ``tiebreak_col`` (SQL's ``PARTITION BY user ORDER BY
+    ts, id`` total order). Returns a Dataset of (entry_type, exit_type, n)
+    — at most |types|² rows; the landing/leaving-page census of web
+    analytics.
+
+    Distributed shape, one narrow exchange (the transition_counts
+    skeleton): events project map-side to four columns, hash-partition by
+    user SHARD (64 shards, never per-user groups); each shard lexsorts
+    once, splits sessions with one vectorized gap comparison, picks the
+    first/last row of each session via the break-flag cumsum, and reduces
+    to per-shard (entry, exit, count) partials via one ``np.unique`` over
+    packed int codes. The final groupby sums |shards| × |types|² rows."""
+    from ray.data.aggregate import Sum
+
+    gap_us = int(pd.Timedelta(gap).value // 1_000)
+
+    def narrow(b: pa.Table) -> pa.Table:
+        from .asof import _shard_of
+
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        return pa.table({
+            user_col: b[user_col],
+            "_ts": pc.cast(ts, pa.int64()),
+            "_tb": b[tiebreak_col],
+            "_ty": b[type_col],
+            "_shard": pa.array(_shard_of(b[user_col], 64))})
+
+    def count_shard(g: pa.Table) -> pa.Table:
+        empty = pa.table({"entry_type": pa.array([], pa.string()),
+                          "exit_type": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        codes, _ = pd.factorize(g[user_col].to_numpy(zero_copy_only=False))
+        ts = g["_ts"].to_numpy(zero_copy_only=False)
+        tb = g["_tb"].to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(g["_ty"].combine_chunks())
+        ty = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        k = len(vocab)
+        order = np.lexsort((tb, ts, codes))
+        cs, tss, tys = codes[order], ts[order], ty[order]
+        brk = np.ones(len(cs), dtype=bool)      # row 0 always starts one
+        brk[1:] = (cs[1:] != cs[:-1]) | (tss[1:] - tss[:-1] > gap_us)
+        starts = np.flatnonzero(brk)            # first row of each session
+        ends = np.empty_like(starts)            # last row of each session
+        ends[:-1] = starts[1:] - 1
+        ends[-1] = len(cs) - 1
+        key = tys[starts] * k + tys[ends]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"entry_type": vocab.take(pa.array(uk // k)),
+                         "exit_type": vocab.take(pa.array(uk % k)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    return (events.map_batches(narrow, batch_format="pyarrow")
+            .groupby("_shard")
+            .map_groups(count_shard, batch_format="pyarrow")
+            .groupby(["entry_type", "exit_type"])
+            .aggregate(Sum("n", alias_name="n")))

@@ -1,0 +1,93 @@
+"""Round-5 batch-13 primitives: daily PSI drift monitor, session entry/exit
+path census, Lorenz spend-concentration curve."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+T0 = 1_700_000_000_000_000  # µs epoch base for handmade timestamps
+
+
+def _ev(rows):
+    """rows: list of (event_id, user_id, minutes_offset, event_type)."""
+    return rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([T0 + r[2] * 60_000_000 for r in rows],
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string())}))
+
+
+def test_daily_psi_identical_days_zero(ray_session):
+    from schema_validator_ray.stages.drift import daily_categorical_psi
+
+    rows = [(i, 1, d * 1440 + i, t)
+            for d in range(3) for i, t in enumerate(["a", "a", "b", "b"])]
+    df = daily_categorical_psi(_ev(rows), ts_col="ts", cat_col="event_type")
+    assert list(df["psi"]) == [0.0, 0.0, 0.0]
+    assert list(df["drift_ok"]) == [True, True, True]
+    assert len(df["day"]) == 3 and df["day"].iloc[0] < df["day"].iloc[2]
+
+
+def test_daily_psi_vanished_category_matches_formula(ray_session):
+    from schema_validator_ray.stages.drift import daily_categorical_psi
+
+    # day 0: a,a,b,b (the reference); day 1: a,a,a,a (b vanished)
+    rows = [(0, 1, 0, "a"), (1, 1, 1, "b"), (2, 1, 2, "a"), (3, 1, 3, "b"),
+            (4, 1, 1440, "a"), (5, 1, 1441, "a"),
+            (6, 1, 1442, "a"), (7, 1, 1443, "a")]
+    df = daily_categorical_psi(_ev(rows), ts_col="ts", cat_col="event_type")
+    p = np.array([1.0, 1e-6])          # day-1 [a, b], clamped
+    q = np.array([0.5, 0.5])           # reference day
+    want = round(float(np.sum((p - q) * np.log(p / q))), 6)
+    assert df["psi"].iloc[0] == 0.0
+    assert df["psi"].iloc[1] == want
+    assert not df["drift_ok"].iloc[1]
+
+
+def test_session_entry_exit_gap_split_and_boundary(ray_session):
+    from schema_validator_ray.stages.funnel import session_entry_exit
+
+    # user 1: view@0, click@10 (same session), purchase@50 (gap 40 > 30
+    # splits); user 2: error@0 singleton; user 3: a@0, b@30 — gap EXACTLY
+    # 30min stays one session (strictly-greater convention)
+    rows = [(0, 1, 0, "view"), (1, 1, 10, "click"), (2, 1, 50, "purchase"),
+            (3, 2, 0, "error"), (4, 3, 0, "a"), (5, 3, 30, "b")]
+    out = session_entry_exit(_ev(rows), user_col="user_id", ts_col="ts",
+                             type_col="event_type", tiebreak_col="event_id",
+                             gap="30min").to_pandas()
+    got = {(r.entry_type, r.exit_type): r.n for r in out.itertuples()}
+    assert got == {("view", "click"): 1, ("purchase", "purchase"): 1,
+                   ("error", "error"): 1, ("a", "b"): 1}
+
+
+def test_session_entry_exit_tiebreak_on_equal_ts(ray_session):
+    from schema_validator_ray.stages.funnel import session_entry_exit
+
+    # two events at the SAME ts: event_id orders them (entry=id 0's type)
+    rows = [(1, 7, 0, "second"), (0, 7, 0, "first")]
+    out = session_entry_exit(_ev(rows), user_col="user_id", ts_col="ts",
+                             type_col="event_type", tiebreak_col="event_id",
+                             gap="30min").to_pandas()
+    assert len(out) == 1
+    assert out["entry_type"].iloc[0] == "first"
+    assert out["exit_type"].iloc[0] == "second"
+    assert out["n"].iloc[0] == 1
+
+
+def test_spend_lorenz_invariants(ray_session):
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "_entry_l", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    sys.modules["_entry_l"] = m
+    spec.loader.exec_module(m)
+    df = m.q_customer_spend_lorenz("/root/testdata/sf0.001")
+    assert list(df["decile"]) == list(range(1, 11))
+    assert (np.diff(df["cum_share"].to_numpy()) >= 0).all()
+    assert df["cum_share"].iloc[-1] == 1.0
+    # deciles order by spend ascending: the top decile carries the most
+    assert df["spend_cents"].iloc[-1] == df["spend_cents"].max()
+    assert int(df["n_customers"].sum()) > 0
