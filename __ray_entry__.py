@@ -6511,6 +6511,44 @@ def q_customer_spend_lorenz(sf_dir: str):
         "cum_share": share})
 
 
+def q_customers_k_anonymity(sf_dir: str):
+    """k-anonymity census over the (nation, market-segment) quasi-identifier
+    — equivalence-class sizes + the k>=10 privacy flag."""
+    from schema_validator_ray.stages.uniqueness import k_anonymity
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+    return k_anonymity(ds, ["c_nationkey", "c_mktsegment"], k=10)
+
+
+def q_events_type_hour_mi(sf_dir: str):
+    """Mutual information (nats) between event type and hour-of-day — the
+    information-theoretic 'does the event mix depend on time of day'
+    audit, complementing events_chi2 / events_cramers_v."""
+    from schema_validator_ray.stages.stats import mutual_information
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    withhour = ds.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"],
+            "hour_of_day": pc.cast(pc.hour(b["ts"]), pa.int64())}),
+        batch_format="pyarrow")
+    return mutual_information(withhour, "event_type", "hour_of_day")
+
+
+def q_click_id_islands(sf_dir: str):
+    """Sequence-integrity audit: maximal runs of consecutive event_ids
+    within the 'click' stream (gaps = ids consumed by other types) — the
+    distributed gaps-and-islands collapse."""
+    from schema_validator_ray.stages.analytics import id_islands
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    clicks = ds.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], pa.scalar("click")))
+        .select(["event_id"]),
+        batch_format="pyarrow")
+    return id_islands(clicks, "event_id")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -6792,6 +6830,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_psi": q_events_daily_psi,
         "events_session_paths": q_events_session_paths,
         "customer_spend_lorenz": q_customer_spend_lorenz,
+        "customers_k_anonymity": q_customers_k_anonymity,
+        "events_type_hour_mi": q_events_type_hour_mi,
+        "click_id_islands": q_click_id_islands,
     }
 
 
@@ -10028,6 +10069,44 @@ def oracle_sql() -> dict[str, str]:
                               / CAST((SELECT SUM(spend_cents) FROM a)
                                      AS DOUBLE), 6) AS cum_share
               FROM a
+        """,
+        "customers_k_anonymity": """
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   COUNT(*) >= 10 AS k_ok
+              FROM customer GROUP BY 1, 2
+        """,
+        # MI over OBSERVED cells only (zero cells contribute 0); per-term
+        # operands are exact-integer-over-total doubles on both sides
+        "events_type_hour_mi": """
+            WITH c AS (SELECT event_type AS a,
+                              CAST(hour(ts) AS BIGINT) AS b,
+                              CAST(COUNT(*) AS DOUBLE) AS n
+                         FROM events
+                        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                        GROUP BY 1, 2),
+            tot AS (SELECT SUM(n) AS t FROM c),
+            ma AS (SELECT a, SUM(n) AS na FROM c GROUP BY 1),
+            mb AS (SELECT b, SUM(n) AS nb FROM c GROUP BY 1)
+            SELECT round_even(SUM((c.n / tot.t)
+                       * LN((c.n / tot.t)
+                            / ((ma.na / tot.t) * (mb.nb / tot.t)))), 6)
+                       AS mi,
+                   CAST(tot.t AS BIGINT) AS n
+              FROM c JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+             GROUP BY tot.t
+        """,
+        "click_id_islands": """
+            WITH ids AS (SELECT DISTINCT event_id FROM events
+                          WHERE event_type = 'click'),
+            r AS (SELECT event_id,
+                         event_id - ROW_NUMBER() OVER (ORDER BY event_id)
+                             AS grp
+                    FROM ids)
+            SELECT CAST(MIN(event_id) AS BIGINT) AS island_start,
+                   CAST(MAX(event_id) AS BIGINT) AS island_end,
+                   CAST(COUNT(*) AS BIGINT) AS island_len
+              FROM r GROUP BY grp
         """,
     }
     # quarantine / annotate-mode oracle: valid rows = NOT IN the violation

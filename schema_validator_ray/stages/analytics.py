@@ -1337,3 +1337,52 @@ def keyed_gaps(ds, *, key: str, ts_col: str, tiebreak: str,
     return (ds.map_batches(part, batch_format="pyarrow")
             .groupby("_shard")
             .map_groups(gaps, batch_format="pyarrow"))
+
+
+def id_islands(ds, col: str):
+    """Gaps-and-islands sequence-integrity check: collapse the DISTINCT
+    integer values of ``col`` into maximal runs of consecutive values and
+    return one row per run (island_start, island_end, island_len) — the
+    "which id ranges are missing from this feed" audit (the gaps are the
+    complement between consecutive islands).
+
+    Fully distributed, no driver pass: per-batch unique partials + one
+    groupby dedupe the ids; :func:`global_rank` (rank == row_number on
+    distinct values) assigns each id its global position through the
+    calibrated value-bucket carry-in chain, so ``id − rank`` is constant
+    exactly within an island (the classic SQL trick, made distributed);
+    a final groupby over that constant emits min/max/count per island.
+    Every exchange is bounded by distinct ids, and the output by the
+    island count."""
+    from ray.data.aggregate import Count, Max, Min
+
+    def uniq(b: pa.Table) -> pa.Table:
+        arr = pc.unique(pc.drop_null(b[col].combine_chunks()))
+        return pa.table({col: pc.cast(arr, pa.int64())})
+
+    import ray.data as rd
+
+    empty = pa.table({"island_start": pa.array([], pa.int64()),
+                      "island_end": pa.array([], pa.int64()),
+                      "island_len": pa.array([], pa.int64())})
+    distinct = (ds.map_batches(uniq, batch_format="pyarrow")
+                .groupby(col).aggregate(Count(alias_name="_c")))
+    if distinct.schema() is None:              # empty input short-circuit
+        return rd.from_arrow(empty)
+    ranked = global_rank(distinct.map_batches(
+        lambda b: b.select([col]), batch_format="pyarrow"), order_col=col)
+    grouped = ranked.map_batches(
+        lambda b: pa.table({
+            col: b[col],
+            "_grp": pc.subtract(b[col], pc.cast(b["rank"], pa.int64()))}),
+        batch_format="pyarrow")
+    agg = (grouped.groupby("_grp")
+           .aggregate(Min(col, alias_name="island_start"),
+                      Max(col, alias_name="island_end"),
+                      Count(alias_name="island_len")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "island_start": pc.cast(b["island_start"], pa.int64()),
+            "island_end": pc.cast(b["island_end"], pa.int64()),
+            "island_len": pc.cast(b["island_len"], pa.int64())}),
+        batch_format="pyarrow")

@@ -1681,3 +1681,52 @@ def cramers_v(ds, col_a: str, col_b: str, *,
                          "chi2": b["chi2"], "dof": b["dof"], "n": b["n"]})
 
     return base.map_batches(finish, batch_format="pyarrow")
+
+
+def mutual_information(ds, col_a: str, col_b: str, *,
+                       level_budget: int = 2_000_000):
+    """Mutual information (nats) between two categorical columns — the
+    information-theoretic dependence audit that complements the
+    chi-square / Cramér's-V tests: MI = Σ_observed p(a,b) ln(p(a,b) /
+    (p(a)p(b))). Zero-count cells contribute exactly 0 (lim x→0 x ln x),
+    so unlike chi-square no full-grid correction is needed.
+
+    Distributed shape (the chi2_independence census): per-batch (a, b)
+    count partials bound the exchange at distinct-pairs-per-batch; one
+    groupby-sum builds the contingency cells; marginals + total derive
+    from the cell census, which comes to the driver behind the loud
+    ``level_budget`` (a million-level alphabet isn't an MI-shaped
+    question — bucket first). Rows with a null in either column are
+    excluded. Returns a one-row pandas DataFrame (mi 6dp, n)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ._collect import collect_up_to
+
+    def part(b: pa.Table) -> pa.Table:
+        t = b.select([col_a, col_b]).drop_null()
+        agg = t.group_by([col_a, col_b]).aggregate([([], "count_all")])
+        return pa.table({"a": agg[col_a], "b": agg[col_b],
+                         "cnt": pc.cast(agg["count_all"], pa.int64())})
+
+    cells = (ds.map_batches(part, batch_format="pyarrow")
+             .groupby(["a", "b"]).aggregate(Sum("cnt", alias_name="cnt")))
+    parts, over = collect_up_to(cells, level_budget)
+    if over:
+        raise ValueError("mutual_information: cell census exceeds the "
+                         "level budget — bucket the columns first")
+    empty = pd.DataFrame({"mi": pd.Series([], dtype="float64"),
+                          "n": pd.Series([], dtype="int64")})
+    if not parts:
+        return empty
+    df = pa.concat_tables(parts).to_pandas()
+    if df.empty:
+        return empty
+    n = float(df["cnt"].sum())
+    pab = df["cnt"].to_numpy(np.float64) / n
+    pa_ = (df.groupby("a")["cnt"].transform("sum").to_numpy(np.float64)
+           / n)
+    pb_ = (df.groupby("b")["cnt"].transform("sum").to_numpy(np.float64)
+           / n)
+    mi = float(np.round(np.sum(pab * np.log(pab / (pa_ * pb_))), 6))
+    return pd.DataFrame({"mi": [mi], "n": [np.int64(n)]})

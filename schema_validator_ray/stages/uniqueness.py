@@ -291,3 +291,30 @@ def dedup_exact(ds, key: str, *, order_col: str | None = None,
             .map_groups(pick, batch_format="pandas")
             .map_batches(lambda b: b.drop(columns=["_shard"]),
                          batch_format="pandas"))
+
+
+def k_anonymity(ds, cols: list[str], *, k: int = 10):
+    """k-anonymity census over quasi-identifier columns ``cols``: the size
+    of every equivalence class (distinct quasi-identifier tuple) plus a
+    ``k_ok`` flag — classes with fewer than ``k`` members re-identify
+    their rows and fail the privacy gate (Sweeney's criterion; the privacy
+    companion of the PII census).
+
+    Distributed shape (the duplicate_keys partial pattern): per-batch
+    group_by bounds the exchange at distinct-tuples-per-batch, one
+    groupby-sum merges, a map flags. Nulls form their own class (an
+    unknown quasi-identifier still partitions the table)."""
+    from ray.data.aggregate import Sum
+
+    def part(b: pa.Table) -> pa.Table:
+        agg = b.select(cols).group_by(cols).aggregate([([], "count_all")])
+        return agg.rename_columns(cols + ["n"])
+
+    agg = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby(cols).aggregate(Sum("n", alias_name="n")))
+    return agg.map_batches(
+        lambda b: pa.table({**{c: b[c] for c in cols},
+                            "n": pc.cast(b["n"], pa.int64()),
+                            "k_ok": pc.greater_equal(b["n"],
+                                                     pa.scalar(k))}),
+        batch_format="pyarrow")

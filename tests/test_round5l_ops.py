@@ -91,3 +91,63 @@ def test_spend_lorenz_invariants(ray_session):
     # deciles order by spend ascending: the top decile carries the most
     assert df["spend_cents"].iloc[-1] == df["spend_cents"].max()
     assert int(df["n_customers"].sum()) > 0
+
+
+def test_k_anonymity_flags_small_classes(ray_session):
+    from schema_validator_ray.stages.uniqueness import k_anonymity
+
+    ds = rd.from_arrow(pa.table({
+        "zip": ["a", "a", "a", "b", None],
+        "age": [1, 1, 1, 2, 2]}))
+    out = k_anonymity(ds, ["zip", "age"], k=3).to_pandas()
+    got = {(r.zip, r.age): (r.n, r.k_ok) for r in out.itertuples()}
+    assert got[("a", 1)] == (3, True)
+    assert got[("b", 2)] == (1, False)
+    assert got[(None, 2)] == (1, False)      # null is its own class
+
+
+def test_mutual_information_independent_and_identical(ray_session):
+    from schema_validator_ray.stages.stats import mutual_information
+
+    # perfectly independent uniform 2x2 -> MI = 0
+    ind = rd.from_arrow(pa.table({
+        "a": ["x", "x", "y", "y"], "b": [0, 1, 0, 1]}))
+    df = mutual_information(ind, "a", "b")
+    assert df["mi"].iloc[0] == 0.0 and df["n"].iloc[0] == 4
+
+    # b == a (deterministic) -> MI = H(a) = ln 2 for a uniform binary a
+    det = rd.from_arrow(pa.table({
+        "a": ["x", "x", "y", "y"], "b": ["x", "x", "y", "y"]}))
+    df = mutual_information(det, "a", "b")
+    assert df["mi"].iloc[0] == round(float(np.log(2)), 6)
+
+
+def test_mutual_information_drops_nulls(ray_session):
+    from schema_validator_ray.stages.stats import mutual_information
+
+    ds = rd.from_arrow(pa.table({
+        "a": ["x", "x", None, "y"], "b": [0, 1, 0, None]}))
+    df = mutual_information(ds, "a", "b")
+    assert df["n"].iloc[0] == 2                # only fully-non-null rows
+
+
+def test_id_islands_known_runs(ray_session):
+    from schema_validator_ray.stages.analytics import id_islands
+
+    # ids 1,2,3, 7, 10,11 (with a duplicate 2) -> three islands
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array([3, 1, 2, 2, 7, 10, 11], pa.int64())}))
+    out = id_islands(ds, "id").to_pandas().sort_values("island_start")
+    assert out[["island_start", "island_end", "island_len"]].values.tolist() \
+        == [[1, 3, 3], [7, 7, 1], [10, 11, 2]]
+
+
+def test_id_islands_single_run_and_empty(ray_session):
+    from schema_validator_ray.stages.analytics import id_islands
+
+    one = rd.from_arrow(pa.table({"id": pa.array([5, 6, 7], pa.int64())}))
+    out = id_islands(one, "id").to_pandas()
+    assert out.values.tolist() == [[5, 7, 3]]
+
+    empty = rd.from_arrow(pa.table({"id": pa.array([], pa.int64())}))
+    assert id_islands(empty, "id").count() == 0
