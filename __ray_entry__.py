@@ -6549,6 +6549,66 @@ def q_click_id_islands(sf_dir: str):
     return id_islands(clicks, "event_id")
 
 
+def q_orders_price_woe(sf_dir: str):
+    """Weight-of-evidence / information-value scorecard report: decile bins
+    of order price (exact cents — rank integers) vs the 'F' order-status
+    target; per-bin WOE + IV term."""
+    from schema_validator_ray.stages.analytics import woe_iv
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    prepped = ds.map_batches(
+        lambda b: pa.table({
+            "cents": pc.cast(pc.round(pc.multiply(b["o_totalprice"],
+                                                  100.0)), pa.int64()),
+            "o_orderkey": b["o_orderkey"],
+            "is_f": pc.equal(b["o_orderstatus"], pa.scalar("F"))}),
+        batch_format="pyarrow")
+    return woe_iv(prepped, order_col="cents", tiebreak="o_orderkey",
+                  target_col="is_f", n_bins=10)
+
+
+def q_lineitem_mahalanobis(sf_dir: str):
+    """Multivariate outlier score: squared Mahalanobis distance of every
+    (quantity, price-cents) pair from the global 2-D mean — integer
+    sufficient statistics make the covariance (and every d²) bit-identical
+    to the SQL closed form."""
+    from schema_validator_ray.stages.stats import mahalanobis2
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice"])
+    prepped = ds.map_batches(
+        lambda b: pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_linenumber": b["l_linenumber"],
+            "x": pc.cast(b["l_quantity"], pa.int64()),
+            "y": pc.cast(pc.round(pc.multiply(b["l_extendedprice"],
+                                              100.0)), pa.int64())}),
+        batch_format="pyarrow")
+    return mahalanobis2(prepped, "x", "y",
+                        keep_cols=["l_orderkey", "l_linenumber"])
+
+
+def q_lineitem_weighted_median(sf_dir: str):
+    """Quantity-WEIGHTED median price per return flag: each line counts
+    as many times as its units — distinct-value (flag, price, Σqty) cells,
+    never the expanded multiset."""
+    from schema_validator_ray.stages.stats import grouped_weighted_median
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+    prepped = ds.map_batches(
+        lambda b: pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "cents": pc.cast(pc.round(pc.multiply(b["l_extendedprice"],
+                                                  100.0)), pa.int64()),
+            "qty": pc.cast(b["l_quantity"], pa.int64())}),
+        batch_format="pyarrow")
+    return grouped_weighted_median(prepped, group_col="l_returnflag",
+                                   value_col="cents", weight_col="qty")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -6833,6 +6893,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_k_anonymity": q_customers_k_anonymity,
         "events_type_hour_mi": q_events_type_hour_mi,
         "click_id_islands": q_click_id_islands,
+        "orders_price_woe": q_orders_price_woe,
+        "lineitem_mahalanobis": q_lineitem_mahalanobis,
+        "lineitem_weighted_median": q_lineitem_weighted_median,
     }
 
 
@@ -10107,6 +10170,80 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(event_id) AS BIGINT) AS island_end,
                    CAST(COUNT(*) AS BIGINT) AS island_len
               FROM r GROUP BY grp
+        """,
+        # ratio shapes mirror the engine exactly: exact-int counts cast to
+        # double, same expression tree, round_even = numpy half-to-even
+        "orders_price_woe": """
+            WITH s AS (SELECT o_orderkey,
+                              CAST(round(o_totalprice * 100) AS BIGINT)
+                                  AS cents,
+                              CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0
+                                   END AS pos
+                         FROM orders),
+            b AS (SELECT *, CAST(NTILE(10) OVER (ORDER BY cents,
+                                                 o_orderkey)
+                                 AS BIGINT) AS bin
+                    FROM s),
+            a AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(pos) AS BIGINT) AS n_pos
+                    FROM b GROUP BY 1),
+            t AS (SELECT CAST(SUM(n_pos) AS DOUBLE) AS pt,
+                         CAST(SUM(n - n_pos) AS DOUBLE) AS nt
+                    FROM a)
+            SELECT bin, n, n_pos,
+                   CASE WHEN n_pos = 0 OR n = n_pos THEN NULL
+                        ELSE round_even(LN((n_pos / pt)
+                                           / ((n - n_pos) / nt)), 6)
+                   END AS woe,
+                   CASE WHEN n_pos = 0 OR n = n_pos THEN NULL
+                        ELSE round_even(((n_pos / pt) - ((n - n_pos) / nt))
+                                        * LN((n_pos / pt)
+                                             / ((n - n_pos) / nt)), 6)
+                   END AS iv_term
+              FROM a CROSS JOIN t
+        """,
+        "lineitem_mahalanobis": """
+            WITH s AS (SELECT l_orderkey, l_linenumber,
+                              CAST(l_quantity AS BIGINT) AS x,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                                  AS y
+                         FROM lineitem),
+            m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                         CAST(SUM(x) AS DOUBLE) AS sx,
+                         CAST(SUM(y) AS DOUBLE) AS sy,
+                         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                         CAST(SUM(y * y) AS DOUBLE) AS syy,
+                         CAST(SUM(x * y) AS DOUBLE) AS sxy
+                    FROM s),
+            p AS (SELECT sx / n AS mx, sy / n AS my,
+                         sxx / n - (sx / n) * (sx / n) AS vx,
+                         syy / n - (sy / n) * (sy / n) AS vy,
+                         sxy / n - (sx / n) * (sy / n) AS cxy
+                    FROM m)
+            SELECT l_orderkey, l_linenumber,
+                   round_even(((x - mx) * (x - mx) * vy
+                               - 2 * (x - mx) * (y - my) * cxy
+                               + (y - my) * (y - my) * vx)
+                              / (vx * vy - cxy * cxy), 6) AS d2
+              FROM s CROSS JOIN p
+        """,
+        # weighted LOWER median: smallest v with 2*cum_weight >= total
+        "lineitem_weighted_median": """
+            WITH c AS (SELECT l_returnflag,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                                  AS v,
+                              CAST(SUM(CAST(l_quantity AS BIGINT))
+                                   AS BIGINT) AS w
+                         FROM lineitem GROUP BY 1, 2),
+            r AS (SELECT l_returnflag, v, w,
+                         SUM(w) OVER (PARTITION BY l_returnflag
+                                      ORDER BY v
+                                      ROWS UNBOUNDED PRECEDING) AS cw,
+                         SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+                    FROM c)
+            SELECT l_returnflag, CAST(MIN(v) AS BIGINT) AS wmedian,
+                   CAST(MAX(tot) AS BIGINT) AS total_w
+              FROM r WHERE 2 * cw >= tot GROUP BY 1
         """,
     }
     # quarantine / annotate-mode oracle: valid rows = NOT IN the violation

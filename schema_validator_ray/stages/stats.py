@@ -1730,3 +1730,113 @@ def mutual_information(ds, col_a: str, col_b: str, *,
            / n)
     mi = float(np.round(np.sum(pab * np.log(pab / (pa_ * pb_))), 6))
     return pd.DataFrame({"mi": [mi], "n": [np.int64(n)]})
+
+
+def mahalanobis2(ds, x_col: str, y_col: str, *, keep_cols: list[str]):
+    """Squared Mahalanobis distance of every row from the global mean of the
+    2-D point (``x_col``, ``y_col``) — the MULTIVARIATE outlier score that
+    catches rows whose (x, y) COMBINATION is anomalous even when each
+    marginal is ordinary (a tiny quantity at a huge price), complementing
+    the univariate z-score / MAD / IQR detectors. Both columns must be
+    int64 (exact cents/units): the sufficient statistics (n, Σx, Σy, Σx²,
+    Σy², Σxy) accumulate as EXACT integers, so mean/covariance — and hence
+    every per-row d² — are bit-identical between the engine and a SQL
+    oracle that spells the same closed-form 2×2 inverse from the same
+    integer sums.
+
+    Distributed shape: one pass of per-batch integer partials (6 numbers
+    per batch) folds on the driver; the 5 broadcast doubles then drive a
+    map-only second pass. Returns keep_cols + d2 (6dp)."""
+    import ray
+    import ray.data as rd
+
+    from ._collect import collect_up_to
+
+    def part(b: pa.Table) -> pa.Table:
+        x = b[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64())})
+
+    parts, over = collect_up_to(
+        ds.map_batches(part, batch_format="pyarrow"), 10_000_000)
+    if over:
+        raise RuntimeError("mahalanobis2: partials exceeded driver budget")
+    empty = pa.table({**{c: pa.array([]) for c in keep_cols},
+                      "d2": pa.array([], pa.float64())})
+    if not parts:
+        return rd.from_arrow(empty)
+    t = pa.concat_tables(parts)
+    n = float(pc.sum(t["n"]).as_py() or 0)
+    if n < 2:
+        return rd.from_arrow(empty)
+    sx, sy = float(pc.sum(t["sx"]).as_py()), float(pc.sum(t["sy"]).as_py())
+    sxx = float(pc.sum(t["sxx"]).as_py())
+    syy = float(pc.sum(t["syy"]).as_py())
+    sxy = float(pc.sum(t["sxy"]).as_py())
+    # population moments — the SQL oracle spells these same expressions
+    mx, my = sx / n, sy / n
+    vx, vy = sxx / n - mx * mx, syy / n - my * my
+    cxy = sxy / n - mx * my
+    det = vx * vy - cxy * cxy
+    if det <= 0:
+        raise ValueError("mahalanobis2: singular covariance — the two "
+                         "columns are perfectly collinear or constant")
+    params = ray.put((mx, my, vx, vy, cxy, det))
+
+    def score(b: pa.Table, ref=params) -> pa.Table:
+        mx, my, vx, vy, cxy, det = ray.get(ref)
+        x = b[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = b[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        dx, dy = x - mx, y - my
+        d2 = (dx * dx * vy - 2 * dx * dy * cxy + dy * dy * vx) / det
+        return pa.table({**{c: b[c] for c in keep_cols},
+                         "d2": pa.array(np.round(d2, 6))})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def grouped_weighted_median(ds, *, group_col: str, value_col: str,
+                            weight_col: str):
+    """WEIGHTED lower median of int64 ``value_col`` per group: the smallest
+    value v with 2·(cumulative weight through v) ≥ total weight — e.g. the
+    quantity-weighted median price, where each line counts as many times
+    as its units (``quantile_disc`` semantics over the weight-expanded
+    multiset, computed without ever expanding it).
+
+    Distributed shape: rows reduce to DISTINCT-value (group, v, Σw) cells
+    via per-batch group_by partials + one groupby-sum; per-group selection
+    sorts its own cells (bounded by the group's distinct values, never its
+    rows) inside ``map_groups`` and picks the crossing cell with one
+    ``searchsorted`` over the cumsum. Returns (group, wmedian, total_w)."""
+    from ray.data.aggregate import Sum
+
+    def part(b: pa.Table) -> pa.Table:
+        agg = (pa.table({group_col: b[group_col],
+                         "v": pc.cast(b[value_col], pa.int64()),
+                         "w": pc.cast(b[weight_col], pa.int64())})
+               .group_by([group_col, "v"]).aggregate([("w", "sum")]))
+        return pa.table({group_col: agg[group_col], "v": agg["v"],
+                         "w": agg["w_sum"]})
+
+    cells = (ds.map_batches(part, batch_format="pyarrow")
+             .groupby([group_col, "v"])
+             .aggregate(Sum("w", alias_name="w")))
+
+    def pick(g: pa.Table) -> pa.Table:
+        t = g.take(pc.sort_indices(g, sort_keys=[("v", "ascending")]))
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cw = np.cumsum(w)
+        tot = int(cw[-1])
+        idx = int(np.searchsorted(2 * cw, tot))   # first 2·cw >= tot
+        return pa.table({group_col: t[group_col][:1],
+                         "wmedian": t["v"][idx:idx + 1],
+                         "total_w": pa.array([tot], pa.int64())})
+
+    return cells.groupby(group_col).map_groups(pick,
+                                               batch_format="pyarrow")

@@ -151,3 +151,92 @@ def test_id_islands_single_run_and_empty(ray_session):
 
     empty = rd.from_arrow(pa.table({"id": pa.array([], pa.int64())}))
     assert id_islands(empty, "id").count() == 0
+
+
+def test_woe_iv_known_2bin(ray_session):
+    from schema_validator_ray.stages.analytics import woe_iv
+
+    # 8 rows, 2 bins of 4: bin1 = values 1-4 (3 pos), bin2 = 5-8 (1 pos)
+    ds = rd.from_arrow(pa.table({
+        "v": pa.array(range(1, 9), pa.int64()),
+        "id": pa.array(range(8), pa.int64()),
+        "y": pa.array([1, 1, 1, 0, 0, 0, 1, 0], pa.int64())}))
+    df = woe_iv(ds, order_col="v", tiebreak="id", target_col="y", n_bins=2)
+    assert list(df["bin"]) == [1, 2]
+    assert list(df["n"]) == [4, 4] and list(df["n_pos"]) == [3, 1]
+    woe1 = round(float(np.log((3 / 4) / (1 / 4))), 6)
+    assert df["woe"].iloc[0] == woe1
+    assert df["iv_term"].iloc[0] == round(float((3 / 4 - 1 / 4)
+                                                * np.log(3)), 6)
+
+
+def test_woe_iv_degenerate_bin_is_null(ray_session):
+    from schema_validator_ray.stages.analytics import woe_iv
+
+    # bin1 all positive -> unsmoothed WOE undefined -> NaN/null
+    ds = rd.from_arrow(pa.table({
+        "v": pa.array(range(1, 5), pa.int64()),
+        "id": pa.array(range(4), pa.int64()),
+        "y": pa.array([1, 1, 0, 0], pa.int64())}))
+    df = woe_iv(ds, order_col="v", tiebreak="id", target_col="y", n_bins=2)
+    assert np.isnan(df["woe"].iloc[0]) and np.isnan(df["woe"].iloc[1])
+
+
+def test_mahalanobis2_matches_numpy(ray_session):
+    from schema_validator_ray.stages.stats import mahalanobis2
+
+    rng = np.random.RandomState(7)
+    x = rng.randint(0, 50, 200).astype(np.int64)
+    y = (x * 3 + rng.randint(0, 40, 200)).astype(np.int64)
+    ds = rd.from_arrow(pa.table({
+        "rid": pa.array(range(200), pa.int64()),
+        "x": pa.array(x), "y": pa.array(y)}))
+    out = (mahalanobis2(ds, "x", "y", keep_cols=["rid"])
+           .to_pandas().sort_values("rid"))
+    pts = np.stack([x, y]).astype(np.float64)
+    cov = np.cov(pts, bias=True)
+    inv = np.linalg.inv(cov)
+    d = pts - pts.mean(axis=1, keepdims=True)
+    want = np.einsum("in,ij,jn->n", d, inv, d)
+    assert np.allclose(out["d2"].to_numpy(), np.round(want, 6), atol=2e-6)
+
+
+def test_mahalanobis2_collinear_raises(ray_session):
+    import pytest
+
+    from schema_validator_ray.stages.stats import mahalanobis2
+
+    ds = rd.from_arrow(pa.table({
+        "rid": pa.array(range(4), pa.int64()),
+        "x": pa.array([1, 2, 3, 4], pa.int64()),
+        "y": pa.array([2, 4, 6, 8], pa.int64())}))
+    with pytest.raises(ValueError, match="singular"):
+        mahalanobis2(ds, "x", "y", keep_cols=["rid"])
+
+
+def test_grouped_weighted_median_known(ray_session):
+    from schema_validator_ray.stages.stats import grouped_weighted_median
+
+    # group g: values 10 (w=1), 20 (w=1), 30 (w=10) -> weighted median 30;
+    # unweighted median would be 20. group h: single cell.
+    ds = rd.from_arrow(pa.table({
+        "g": ["g", "g", "g", "h"],
+        "v": pa.array([10, 20, 30, 5], pa.int64()),
+        "w": pa.array([1, 1, 10, 3], pa.int64())}))
+    out = grouped_weighted_median(ds, group_col="g", value_col="v",
+                                  weight_col="w").to_pandas()
+    got = {r.g: (r.wmedian, r.total_w) for r in out.itertuples()}
+    assert got == {"g": (30, 12), "h": (5, 3)}
+
+
+def test_grouped_weighted_median_even_split_lower(ray_session):
+    from schema_validator_ray.stages.stats import grouped_weighted_median
+
+    # equal halves: 2*cw at v=1 equals total -> LOWER median (1) wins
+    ds = rd.from_arrow(pa.table({
+        "g": ["a", "a"],
+        "v": pa.array([1, 2], pa.int64()),
+        "w": pa.array([5, 5], pa.int64())}))
+    out = grouped_weighted_median(ds, group_col="g", value_col="v",
+                                  weight_col="w").to_pandas()
+    assert out["wmedian"].iloc[0] == 1
