@@ -6609,6 +6609,70 @@ def q_lineitem_weighted_median(sf_dir: str):
                                    value_col="cents", weight_col="qty")
 
 
+_CANON_TABLES = ["region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents", "embeddings"]
+
+_ARROW_TO_SQL_TYPE = {
+    "int64": "BIGINT", "int32": "INTEGER", "double": "DOUBLE",
+    "float": "FLOAT", "string": "VARCHAR", "large_string": "VARCHAR",
+    "timestamp[us]": "TIMESTAMP", "timestamp[ns]": "TIMESTAMP",
+    "date32[day]": "DATE", "bool": "BOOLEAN", "binary": "BLOB",
+    "list<item: float>": "FLOAT[]", "list<element: float>": "FLOAT[]",
+    "list<item: double>": "DOUBLE[]", "list<element: double>": "DOUBLE[]",
+    "list<item: int64>": "BIGINT[]", "list<element: int64>": "BIGINT[]",
+    "list<item: string>": "VARCHAR[]",
+    "list<element: string>": "VARCHAR[]",
+}
+
+
+def q_schema_census(sf_dir: str):
+    """Data-contract audit: the live schema of every canonical table —
+    (tbl, pos, column_name, col_type) from the parquet FOOTERS only (a
+    metadata op, no row is read; at fleet scale one footer per shard).
+    Types map to the SQL vocabulary so the oracle is
+    information_schema.columns verbatim — diff two runs of this census to
+    catch column adds/drops/retypes between snapshots."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    rows = []
+    for tbl in _CANON_TABLES:
+        sch = pq.read_schema(os.path.join(sf_dir, f"{tbl}.parquet"))
+        for pos, f in enumerate(sch, start=1):
+            ts = str(f.type)
+            if ts not in _ARROW_TO_SQL_TYPE:
+                raise ValueError(f"unmapped arrow type {ts!r} in {tbl}")
+            rows.append((tbl, pos, f.name, _ARROW_TO_SQL_TYPE[ts]))
+    return pd.DataFrame(rows, columns=["tbl", "pos", "column_name",
+                                       "col_type"])
+
+
+def q_session_conversion(sf_dir: str):
+    """Conversion rate by session entry type: which landing event leads to
+    a purchase in the same 30-min session."""
+    from schema_validator_ray.stages.funnel import session_conversion
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_type", "event_id"])
+    return session_conversion(ds, user_col="user_id", ts_col="ts",
+                              type_col="event_type",
+                              tiebreak_col="event_id",
+                              target_type="purchase", gap="30min")
+
+
+def q_events_value_ks(sf_dir: str):
+    """EXACT two-sample KS between click and view value distributions —
+    the worst-CDF-gap companion of events_value_emd, same distinct-value
+    cell + calibrated-bucket carry-in shape."""
+    from schema_validator_ray.stages.drift import value_ks
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return value_ks(ds, value_col="value", group_col="event_type",
+                    a="click", b="view")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -6896,6 +6960,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_woe": q_orders_price_woe,
         "lineitem_mahalanobis": q_lineitem_mahalanobis,
         "lineitem_weighted_median": q_lineitem_weighted_median,
+        "schema_census": q_schema_census,
+        "session_conversion": q_session_conversion,
+        "events_value_ks": q_events_value_ks,
     }
 
 
@@ -10244,6 +10311,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, CAST(MIN(v) AS BIGINT) AS wmedian,
                    CAST(MAX(tot) AS BIGINT) AS total_w
               FROM r WHERE 2 * cw >= tot GROUP BY 1
+        """,
+        "schema_census": """
+            SELECT table_name AS tbl,
+                   CAST(ordinal_position AS BIGINT) AS pos,
+                   column_name, data_type AS col_type
+              FROM information_schema.columns
+             WHERE table_name IN ('region', 'nation', 'customer',
+                                  'supplier', 'part', 'orders', 'lineitem',
+                                  'events', 'documents', 'embeddings')
+        """,
+        # sessions as in events_session_paths; conversion = any 'purchase'
+        # in the session; rate divides exact int64 counts
+        "session_conversion": """
+            WITH s AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+                FROM events),
+            g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM s),
+            fl AS (SELECT user_id, sid,
+                          FIRST_VALUE(event_type) OVER
+                            (PARTITION BY user_id, sid
+                             ORDER BY ts, event_id) AS entry_type,
+                          MAX(CASE WHEN event_type = 'purchase' THEN 1
+                                   ELSE 0 END) OVER
+                            (PARTITION BY user_id, sid) AS conv
+                     FROM g),
+            u AS (SELECT DISTINCT user_id, sid, entry_type, conv FROM fl),
+            a AS (SELECT entry_type,
+                         CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                         CAST(SUM(conv) AS BIGINT) AS n_converted
+                    FROM u GROUP BY 1)
+            SELECT entry_type, n_sessions, n_converted,
+                   round_even(CAST(n_converted AS DOUBLE)
+                              / CAST(n_sessions AS DOUBLE), 6) AS conv_rate
+              FROM a
+        """,
+        "events_value_ks": """
+            WITH c AS (SELECT value AS v,
+                              SUM(CASE WHEN event_type = 'click' THEN 1
+                                       ELSE 0 END) AS ca,
+                              SUM(CASE WHEN event_type = 'view' THEN 1
+                                       ELSE 0 END) AS cb
+                         FROM events
+                        WHERE value IS NOT NULL
+                          AND event_type IN ('click', 'view')
+                        GROUP BY 1),
+            r AS (SELECT v,
+                         SUM(ca) OVER (ORDER BY v
+                                       ROWS UNBOUNDED PRECEDING) AS cca,
+                         SUM(cb) OVER (ORDER BY v
+                                       ROWS UNBOUNDED PRECEDING) AS ccb
+                    FROM c),
+            t AS (SELECT CAST(SUM(ca) AS DOUBLE) AS na,
+                         CAST(SUM(cb) AS DOUBLE) AS nb
+                    FROM c)
+            SELECT round_even(MAX(ABS(cca / na - ccb / nb)), 6) AS ks,
+                   CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+              FROM r CROSS JOIN t GROUP BY na, nb
         """,
     }
     # quarantine / annotate-mode oracle: valid rows = NOT IN the violation

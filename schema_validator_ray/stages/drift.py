@@ -251,3 +251,99 @@ def daily_categorical_psi(ds, *, ts_col: str, cat_col: str):
     vals = np.round(np.sum((p - q) * np.log(p / q), axis=1), 6)
     return pd.DataFrame({"day": list(grid.index), "psi": vals,
                          "drift_ok": vals <= PSI_THRESHOLD})
+
+
+def value_ks(ds, *, value_col: str, group_col: str, a, b,
+             bucket_width="auto"):
+    """EXACT two-sample Kolmogorov–Smirnov statistic between the empirical
+    distributions of ``value_col`` for groups ``a`` and ``b``:
+    KS = max_v |F_a(v) − F_b(v)| evaluated at every distinct value — the
+    exactness companion of the t-digest KS in :func:`compare_profiles`,
+    and the worst-gap complement of :func:`value_emd` (which integrates
+    the same CDF difference instead of maxing it).
+
+    Same distributed shape as value_emd: rows reduce to distinct-value
+    (v, count_a, count_b) cells; cells hash-partition by calibrated VALUE
+    BUCKET; per-bucket carry-in cumulative counts come from the bucket
+    summaries; each bucket maxes its own |F_a − F_b| locally and the
+    ≤ |buckets| partial maxima fold on the driver. Every CDF value divides
+    exact int64 cumulative counts, so engine and SQL operate on identical
+    doubles. Returns a 1-row pandas DataFrame (ks 6dp, n_a, n_b)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ._calibrate import resolve_bucket_width
+    from .analytics import _bucket_of_col
+
+    empty = pd.DataFrame({"ks": pd.Series([], dtype="float64"),
+                          "n_a": pd.Series([], dtype="int64"),
+                          "n_b": pd.Series([], dtype="int64")})
+
+    def narrow(batch):
+        import pyarrow as pa
+
+        m = pc.is_in(batch[group_col], value_set=pa.array([a, b]))
+        t = batch.filter(m)
+        t = t.filter(pc.is_valid(t[value_col]))
+        ca = pc.cast(pc.equal(t[group_col], pa.scalar(a)), pa.int64())
+        cb = pc.cast(pc.equal(t[group_col], pa.scalar(b)), pa.int64())
+        per = pa.table({"v": pc.cast(t[value_col], pa.float64()),
+                        "ca": ca, "cb": cb})
+        agg = per.group_by("v").aggregate([("ca", "sum"), ("cb", "sum")])
+        return pa.table({"v": agg["v"], "ca": agg["ca_sum"],
+                         "cb": agg["cb_sum"]})
+
+    cells = (ds.map_batches(narrow, batch_format="pyarrow")
+             .groupby("v")
+             .aggregate(Sum("ca", alias_name="ca"),
+                        Sum("cb", alias_name="cb")))
+    width = resolve_bucket_width(cells, "v", bucket_width,
+                                 target_buckets=256)
+
+    def bucketize(batch):
+        import pyarrow as pa
+
+        return batch.append_column(
+            "_bkt", pa.array(_bucket_of_col(batch["v"], width), pa.int64()))
+
+    tagged = cells.map_batches(bucketize, batch_format="pyarrow") \
+                  .materialize()
+    s = (tagged.groupby("_bkt")
+         .aggregate(Sum("ca", alias_name="sa"), Sum("cb", alias_name="sb"))
+         .to_pandas())
+    if not len(s):
+        return empty
+    s = s.sort_values("_bkt").reset_index(drop=True)
+    na, nb = int(s["sa"].sum()), int(s["sb"].sum())
+    if na == 0 or nb == 0:
+        return empty
+    cum_a = np.r_[0, np.cumsum(s["sa"].to_numpy())[:-1]]
+    cum_b = np.r_[0, np.cumsum(s["sb"].to_numpy())[:-1]]
+    carry = {int(k): (int(ca0), int(cb0))
+             for k, ca0, cb0 in zip(s["_bkt"], cum_a, cum_b)}
+    ref = ray.put((carry, float(na), float(nb)))
+
+    def bucket_max(g):
+        import pyarrow as pa
+
+        out_empty = pa.table({"_bkt": pa.array([], pa.int64()),
+                              "part": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return out_empty
+        c, fa_n, fb_n = ray.get(ref)
+        bkt = int(g["_bkt"][0].as_py())
+        ca0, cb0 = c[bkt]
+        t = g.take(pc.sort_indices(g, sort_keys=[("v", "ascending")]))
+        fa = (ca0 + np.cumsum(t["ca"].to_numpy(zero_copy_only=False))) / fa_n
+        fb = (cb0 + np.cumsum(t["cb"].to_numpy(zero_copy_only=False))) / fb_n
+        part = float(np.max(np.abs(fa - fb)))
+        return pa.table({"_bkt": pa.array([bkt], pa.int64()),
+                         "part": pa.array([part], pa.float64())})
+
+    parts = (tagged.groupby("_bkt")
+             .map_groups(bucket_max, batch_format="pyarrow").to_pandas())
+    return pd.DataFrame({"ks": [float(np.round(parts["part"].max(), 6))],
+                         "n_a": pd.array([na], dtype="int64"),
+                         "n_b": pd.array([nb], dtype="int64")})

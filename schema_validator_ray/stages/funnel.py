@@ -573,3 +573,85 @@ def session_entry_exit(events, *, user_col: str, ts_col: str,
             .map_groups(count_shard, batch_format="pyarrow")
             .groupby(["entry_type", "exit_type"])
             .aggregate(Sum("n", alias_name="n")))
+
+
+def session_conversion(events, *, user_col: str, ts_col: str,
+                       type_col: str, tiebreak_col: str,
+                       target_type: str, gap: str = "30min"):
+    """Conversion rate by session ENTRY type: sessionize (``gap``
+    inactivity cutoff, strictly-greater convention) and, for each entry
+    event type, count sessions and sessions containing at least one
+    ``target_type`` event — "which landing event leads to a purchase".
+    Returns a Dataset (entry_type, n_sessions, n_converted, conv_rate 6dp);
+    the rate divides exact int64 counts.
+
+    Distributed shape = the :func:`session_entry_exit` skeleton (64-way
+    user-shard exchange, one lexsort per shard); conversion is one
+    ``np.logical_or.at`` scatter over session ids, and the final groupby
+    sums |shards| × |types| partial rows."""
+    from ray.data.aggregate import Sum
+
+    gap_us = int(pd.Timedelta(gap).value // 1_000)
+
+    def narrow(b: pa.Table) -> pa.Table:
+        from .asof import _shard_of
+
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        return pa.table({
+            user_col: b[user_col],
+            "_ts": pc.cast(ts, pa.int64()),
+            "_tb": b[tiebreak_col],
+            "_ty": b[type_col],
+            "_shard": pa.array(_shard_of(b[user_col], 64))})
+
+    def count_shard(g: pa.Table) -> pa.Table:
+        empty = pa.table({"entry_type": pa.array([], pa.string()),
+                          "n_sessions": pa.array([], pa.int64()),
+                          "n_converted": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        codes, _ = pd.factorize(g[user_col].to_numpy(zero_copy_only=False))
+        ts = g["_ts"].to_numpy(zero_copy_only=False)
+        tb = g["_tb"].to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(g["_ty"].combine_chunks())
+        ty = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        hit = pc.equal(g["_ty"], pa.scalar(target_type)) \
+            .combine_chunks().to_numpy(zero_copy_only=False).astype(bool)
+        order = np.lexsort((tb, ts, codes))
+        cs, tss = codes[order], ts[order]
+        tys, hits = ty[order], hit[order]
+        brk = np.ones(len(cs), dtype=bool)
+        brk[1:] = (cs[1:] != cs[:-1]) | (tss[1:] - tss[:-1] > gap_us)
+        sid = np.cumsum(brk) - 1                # 0-based session ids
+        n_sess = int(sid[-1]) + 1
+        conv = np.zeros(n_sess, dtype=bool)
+        np.logical_or.at(conv, sid, hits)
+        entry = tys[np.flatnonzero(brk)]        # per-session entry code
+        n = np.zeros(len(vocab), dtype=np.int64)
+        nc = np.zeros(len(vocab), dtype=np.int64)
+        np.add.at(n, entry, 1)
+        np.add.at(nc, entry, conv.astype(np.int64))
+        keep = n > 0
+        idx = np.flatnonzero(keep)
+        return pa.table({"entry_type": vocab.take(pa.array(idx)),
+                         "n_sessions": pa.array(n[idx]),
+                         "n_converted": pa.array(nc[idx])})
+
+    agg = (events.map_batches(narrow, batch_format="pyarrow")
+           .groupby("_shard")
+           .map_groups(count_shard, batch_format="pyarrow")
+           .groupby("entry_type")
+           .aggregate(Sum("n_sessions", alias_name="n_sessions"),
+                      Sum("n_converted", alias_name="n_converted")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "entry_type": b["entry_type"],
+            "n_sessions": pc.cast(b["n_sessions"], pa.int64()),
+            "n_converted": pc.cast(b["n_converted"], pa.int64()),
+            "conv_rate": pa.array(np.round(
+                np.asarray(b["n_converted"], dtype=np.float64)
+                / np.asarray(b["n_sessions"], dtype=np.float64), 6))}),
+        batch_format="pyarrow")

@@ -240,3 +240,77 @@ def test_grouped_weighted_median_even_split_lower(ray_session):
     out = grouped_weighted_median(ds, group_col="g", value_col="v",
                                   weight_col="w").to_pandas()
     assert out["wmedian"].iloc[0] == 1
+
+
+def test_session_conversion_known(ray_session):
+    from schema_validator_ray.stages.funnel import session_conversion
+
+    # user 1 session A: view->purchase (converted, entry view);
+    # user 1 session B (gap 40min): view only (not converted);
+    # user 2: click->click (not converted, entry click)
+    rows = [(0, 1, 0, "view"), (1, 1, 5, "purchase"),
+            (2, 1, 60, "view"),
+            (3, 2, 0, "click"), (4, 2, 10, "click")]
+    out = session_conversion(_ev(rows), user_col="user_id", ts_col="ts",
+                             type_col="event_type",
+                             tiebreak_col="event_id",
+                             target_type="purchase",
+                             gap="30min").to_pandas()
+    got = {r.entry_type: (r.n_sessions, r.n_converted, r.conv_rate)
+           for r in out.itertuples()}
+    assert got == {"view": (2, 1, 0.5), "click": (1, 0, 0.0)}
+
+
+def test_session_conversion_entry_is_purchase(ray_session):
+    from schema_validator_ray.stages.funnel import session_conversion
+
+    # a session that ENTERS with the target converts trivially
+    rows = [(0, 9, 0, "purchase")]
+    out = session_conversion(_ev(rows), user_col="user_id", ts_col="ts",
+                             type_col="event_type",
+                             tiebreak_col="event_id",
+                             target_type="purchase").to_pandas()
+    assert out["n_converted"].iloc[0] == 1 and out["conv_rate"].iloc[0] == 1.0
+
+
+def test_value_ks_known_and_identical(ray_session):
+    from schema_validator_ray.stages.drift import value_ks
+
+    # a: {1,2,3,4}; b: {3,4,5,6} -> max gap at v=2: |2/4 - 0/4| = 0.5
+    ds = rd.from_arrow(pa.table({
+        "g": ["a"] * 4 + ["b"] * 4,
+        "v": pa.array([1.0, 2.0, 3.0, 4.0, 3.0, 4.0, 5.0, 6.0])}))
+    df = value_ks(ds, value_col="v", group_col="g", a="a", b="b")
+    assert df["ks"].iloc[0] == 0.5
+    assert df["n_a"].iloc[0] == 4 and df["n_b"].iloc[0] == 4
+
+    same = rd.from_arrow(pa.table({
+        "g": ["a", "b", "a", "b"], "v": pa.array([1.0, 1.0, 2.0, 2.0])}))
+    df = value_ks(same, value_col="v", group_col="g", a="a", b="b")
+    assert df["ks"].iloc[0] == 0.0
+
+
+def test_value_ks_empty_group(ray_session):
+    from schema_validator_ray.stages.drift import value_ks
+
+    ds = rd.from_arrow(pa.table({"g": ["a", "a"], "v": [1.0, 2.0]}))
+    df = value_ks(ds, value_col="v", group_col="g", a="a", b="b")
+    assert len(df) == 0
+
+
+def test_value_ks_matches_scipy(ray_session):
+    from schema_validator_ray.stages.drift import value_ks
+
+    rng = np.random.RandomState(3)
+    va = np.round(rng.normal(0, 1, 300), 2)
+    vb = np.round(rng.normal(0.4, 1.3, 200), 2)
+    ds = rd.from_arrow(pa.table({
+        "g": ["a"] * 300 + ["b"] * 200,
+        "v": pa.array(np.r_[va, vb])}))
+    df = value_ks(ds, value_col="v", group_col="g", a="a", b="b")
+    # pure-numpy reference: max |F_a - F_b| over the pooled sample points
+    pooled = np.sort(np.unique(np.r_[va, vb]))
+    fa = np.searchsorted(np.sort(va), pooled, side="right") / len(va)
+    fb = np.searchsorted(np.sort(vb), pooled, side="right") / len(vb)
+    want = float(np.max(np.abs(fa - fb)))
+    assert abs(df["ks"].iloc[0] - want) < 1e-6
