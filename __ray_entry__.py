@@ -6673,6 +6673,45 @@ def q_events_value_ks(sf_dir: str):
                     a="click", b="view")
 
 
+def q_lineitem_spearman(sf_dir: str):
+    """EXACT Spearman rank correlation between quantity and price —
+    midrank ties in doubled-integer ranks, integer sufficient statistics,
+    bit-identical to the SQL RANK()-based closed form."""
+    from schema_validator_ray.stages.stats import spearman_corr
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+    prepped = ds.map_batches(
+        lambda b: pa.table({
+            "x": pc.cast(b["l_quantity"], pa.int64()),
+            "y": pc.cast(pc.round(pc.multiply(b["l_extendedprice"],
+                                              100.0)), pa.int64())}),
+        batch_format="pyarrow")
+    return spearman_corr(prepped, "x", "y")
+
+
+def q_source_vocab_jaccard(sf_dir: str):
+    """Pairwise vocabulary Jaccard between document sources — corpus-level
+    feed-similarity census via word-shard bitmask folding."""
+    from schema_validator_ray.functions.text import vocab_jaccard_by_group
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    return vocab_jaccard_by_group(ds, "text", "source")
+
+
+def q_orders_systematic_sample(sf_dir: str):
+    """Systematic every-97th sample of orders by global key position —
+    even-coverage sampling for audits (hash sampling is even only in
+    expectation)."""
+    from schema_validator_ray.stages.sampling import systematic_sample
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+    out = systematic_sample(ds, "o_orderkey", k=97, offset=1)
+    return out.map_batches(
+        lambda b: pa.table({"o_orderkey": b["o_orderkey"],
+                            "pos": b["pos"]}),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -6963,6 +7002,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "schema_census": q_schema_census,
         "session_conversion": q_session_conversion,
         "events_value_ks": q_events_value_ks,
+        "lineitem_spearman": q_lineitem_spearman,
+        "source_vocab_jaccard": q_source_vocab_jaccard,
+        "orders_systematic_sample": q_orders_systematic_sample,
     }
 
 
@@ -10374,6 +10416,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT round_even(MAX(ABS(cca / na - ccb / nb)), 6) AS ks,
                    CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
               FROM r CROSS JOIN t GROUP BY na, nb
+        """,
+        # doubled midranks: 2*avg_rank = 2*RANK() + tie_count - 1, exact
+        # integers; the factor 2 cancels in the correlation
+        "lineitem_spearman": """
+            WITH s AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                                  AS y
+                         FROM lineitem
+                        WHERE l_quantity IS NOT NULL
+                          AND l_extendedprice IS NOT NULL),
+            r AS (SELECT 2 * RANK() OVER (ORDER BY x)
+                             + COUNT(*) OVER (PARTITION BY x) - 1 AS rx,
+                         2 * RANK() OVER (ORDER BY y)
+                             + COUNT(*) OVER (PARTITION BY y) - 1 AS ry
+                    FROM s),
+            t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                         CAST(SUM(rx) AS DOUBLE) AS sx,
+                         CAST(SUM(ry) AS DOUBLE) AS sy,
+                         CAST(SUM(rx * rx) AS DOUBLE) AS sxx,
+                         CAST(SUM(ry * ry) AS DOUBLE) AS syy,
+                         CAST(SUM(rx * ry) AS DOUBLE) AS sxy
+                    FROM r)
+            SELECT round_even((n * sxy - sx * sy)
+                              / (sqrt(n * sxx - sx * sx)
+                                 * sqrt(n * syy - sy * sy)), 6)
+                       AS spearman,
+                   CAST(n AS BIGINT) AS n
+              FROM t
+        """,
+        # tokenization = the vocab_topk / hapax convention; pairs with an
+        # empty intersection are omitted on both sides
+        "source_vocab_jaccard": r"""
+            WITH c AS (SELECT DISTINCT source AS g, word AS w
+                         FROM (SELECT COALESCE(source, '') AS source,
+                                      unnest(regexp_split_to_array(
+                                          lower(COALESCE(text, '')),
+                                          '[^a-z0-9]+')) AS word
+                                 FROM documents) t
+                        WHERE word <> ''),
+            sz AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n
+                     FROM c GROUP BY 1),
+            sh AS (SELECT a.g AS sa, b.g AS sb,
+                          CAST(COUNT(*) AS BIGINT) AS shared
+                     FROM c a JOIN c b ON a.w = b.w AND a.g < b.g
+                    GROUP BY 1, 2)
+            SELECT sa AS source_a, sb AS source_b,
+                   x.n AS n_a, y.n AS n_b, shared AS n_shared,
+                   round_even(CAST(shared AS DOUBLE)
+                              / CAST(x.n + y.n - shared AS DOUBLE), 6)
+                       AS jaccard
+              FROM sh JOIN sz x ON sa = x.g JOIN sz y ON sb = y.g
+        """,
+        "orders_systematic_sample": """
+            SELECT o_orderkey, pos FROM (
+              SELECT o_orderkey,
+                     CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey)
+                          AS BIGINT) AS pos
+                FROM orders)
+             WHERE pos % 97 = 1
         """,
     }
     # quarantine / annotate-mode oracle: valid rows = NOT IN the violation

@@ -1418,3 +1418,92 @@ def doc_ttr(ds, text_col: str, id_col: str):
 
     return ds.select_columns([id_col, text_col]).map_batches(
         per_batch, batch_format="pyarrow")
+
+
+def vocab_jaccard_by_group(ds, text_col: str, group_col: str):
+    """Pairwise Jaccard similarity between the unigram VOCABULARIES of
+    each pair of groups (sources) — the corpus-level "are these two feeds
+    the same kind of text" signal (near 1: mirrored scrapes; near 0:
+    different domains/languages). Tokenization = the shared WORD_SPLIT_RE
+    convention. Returns (source_a, source_b, n_a, n_b, n_shared, jaccard
+    6dp) for unordered pairs with n_shared > 0, names sorted a < b;
+    ratios divide exact int64 counts.
+
+    Distributed shape: per-batch DISTINCT (group, word) partials → one
+    groupby-sum dedupe → a 64-way WORD-shard exchange where each shard
+    folds its words into per-group-set BITMASK counts (vectorized scatter
+    over factorized words; |groups| ≤ 63 enforced) → the ≤ shards × 2^|G|
+    mask census folds on the driver into all pairwise intersections and
+    per-group sizes. No word self-join, no pair explosion."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.asof import _shard_of
+
+    def cells(b: pa.Table) -> pa.Table:
+        grp = pc.fill_null(pc.cast(b[group_col], pa.string()), "")
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(b[text_col], "")), WORD_SPLIT_RE)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        g = pc.take(grp, parents)
+        t = pa.table({"g": g, "w": flat}).filter(pc.not_equal(flat, ""))
+        return (t.group_by(["g", "w"]).aggregate([([], "count_all")])
+                .select(["g", "w"]))
+
+    pairs = (ds.select_columns([group_col, text_col])
+             .map_batches(cells, batch_format="pyarrow")
+             .groupby(["g", "w"]).aggregate(Count(alias_name="_c")))
+
+    # tiny group census -> fixed bit positions, broadcast by value
+    gparts = (pairs.map_batches(
+        lambda b: pa.table({"g": pc.unique(b["g"].combine_chunks())}),
+        batch_format="pyarrow")
+        .groupby("g").aggregate(Count(alias_name="_c")).to_pandas())
+    groups = sorted(gparts["g"].tolist())
+    if len(groups) > 63:
+        raise ValueError("vocab_jaccard_by_group: more than 63 groups — "
+                         "bitmask folding needs a wider type")
+    bit_of = {g: 1 << i for i, g in enumerate(groups)}
+
+    def shard_tag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_shard", pa.array(_shard_of(b["w"], 64)))
+
+    def masks(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"mask": pa.array([], pa.int64()),
+                             "n_words": pa.array([], pa.int64())})
+        codes, _ = __import__("pandas").factorize(
+            g["w"].to_numpy(zero_copy_only=False))
+        bits = np.array([bit_of[x] for x in g["g"].to_pylist()],
+                        dtype=np.int64)
+        m = np.zeros(codes.max() + 1, dtype=np.int64)
+        np.bitwise_or.at(m, codes, bits)
+        mk, cnt = np.unique(m, return_counts=True)
+        return pa.table({"mask": pa.array(mk),
+                         "n_words": pa.array(cnt.astype(np.int64))})
+
+    census = (pairs.map_batches(shard_tag, batch_format="pyarrow")
+              .groupby("_shard").map_groups(masks, batch_format="pyarrow")
+              .groupby("mask").aggregate(Sum("n_words",
+                                             alias_name="n_words"))
+              .to_pandas())
+    mk = census["mask"].to_numpy(np.int64)
+    nw = census["n_words"].to_numpy(np.int64)
+    size = {g: int(nw[(mk & bit_of[g]) != 0].sum()) for g in groups}
+    rows = []
+    for i, a in enumerate(groups):
+        for b_ in groups[i + 1:]:
+            both = bit_of[a] | bit_of[b_]
+            shared = int(nw[(mk & both) == both].sum())
+            if shared == 0:
+                continue
+            na, nb = size[a], size[b_]
+            rows.append((a, b_, na, nb, shared,
+                         float(np.round(float(shared)
+                                        / float(na + nb - shared), 6))))
+    import pandas as pd
+    return pd.DataFrame(rows, columns=["source_a", "source_b", "n_a",
+                                       "n_b", "n_shared", "jaccard"])

@@ -396,3 +396,27 @@ def balanced_resample(ds, label_col: str, *, factor_cap: int = 8,
             "rep", pa.array(rep_no.astype(np.int64)))
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def systematic_sample(ds, key_col: str, *, k: int, offset: int = 1):
+    """Systematic (every-k-th) sample by GLOBAL position over ``key_col``
+    order: keep the rows whose 1-based row number ≡ ``offset`` (mod k) —
+    the survey-sampling design that guarantees perfectly even coverage of
+    the key range (hash sampling guarantees only expectation). Requires a
+    unique key (rank == row_number then); returns keep-all-columns + pos.
+
+    Distributed shape: the calibrated-value-bucket :func:`global_rank`
+    chain assigns positions (one narrow exchange, carry-in summaries),
+    then a map-only modulo filter."""
+    from .analytics import global_rank
+
+    in_cols = list(ds.schema().names)
+    ranked = global_rank(ds, order_col=key_col)
+
+    def pick(b: pa.Table) -> pa.Table:
+        pos = pc.cast(b["rank"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(pos % k == (offset % k)))
+        return pa.table({**{c: t[c] for c in in_cols},
+                         "pos": pc.cast(t["rank"], pa.int64())})
+
+    return ranked.map_batches(pick, batch_format="pyarrow")

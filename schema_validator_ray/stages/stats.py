@@ -1840,3 +1840,99 @@ def grouped_weighted_median(ds, *, group_col: str, value_col: str,
 
     return cells.groupby(group_col).map_groups(pick,
                                                batch_format="pyarrow")
+
+
+def spearman_corr(ds, x_col: str, y_col: str, *,
+                  level_budget: int = 20_000_000):
+    """EXACT Spearman rank correlation between two int64 columns: Pearson
+    correlation of the AVERAGE (midrank) ranks, the tie convention every
+    statistics package uses. Works in DOUBLED ranks so everything stays
+    integer: for a value with c occurrences and C predecessors, the
+    midrank is C + (c+1)/2, i.e. 2·midrank = 2C + c + 1 exactly — the
+    factor 2 cancels in the correlation. All sufficient statistics
+    (n, Σrx, Σry, Σrx², Σry², Σrxry) accumulate as exact integers
+    (int64 per batch, Python ints across batches), so the final closed
+    form runs on identical doubles engine- and SQL-side.
+
+    Distributed shape: pass 1 reduces rows to per-column distinct-value
+    (v, cnt) cells (per-batch partials + one groupby-sum); the cell
+    censuses come to the driver behind ``level_budget`` and broadcast as
+    two sorted arrays with their doubled-rank lookups; pass 2 is map-only
+    (two searchsorted probes per batch + six integer sums). Exactness
+    budget: per-batch int64 products need n ≲ 5e6 rows per 64Ki batch —
+    beyond that, lower the batch size. Rows with a null in either column
+    are excluded. Returns a 1-row pandas DataFrame (spearman 6dp, n)."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ._collect import collect_up_to
+
+    def cells_part(b: pa.Table) -> pa.Table:
+        t = b.select([x_col, y_col]).drop_null()
+        out = []
+        for tag, col in (("x", x_col), ("y", y_col)):
+            agg = (pa.table({"v": pc.cast(t[col], pa.int64())})
+                   .group_by("v").aggregate([([], "count_all")]))
+            out.append(pa.table({
+                "tag": pa.array(np.repeat(tag, agg.num_rows)),
+                "v": agg["v"],
+                "cnt": pc.cast(agg["count_all"], pa.int64())}))
+        return pa.concat_tables(out)
+
+    cells = (ds.map_batches(cells_part, batch_format="pyarrow")
+             .groupby(["tag", "v"]).aggregate(Sum("cnt", alias_name="cnt")))
+    parts, over = collect_up_to(cells, level_budget)
+    if over:
+        raise ValueError("spearman_corr: distinct-value census exceeds "
+                         "the level budget")
+    empty = pd.DataFrame({"spearman": pd.Series([], dtype="float64"),
+                          "n": pd.Series([], dtype="int64")})
+    if not parts:
+        return empty
+    cen = pa.concat_tables(parts)
+
+    def lookup(tag: str):
+        t = cen.filter(pc.equal(cen["tag"], pa.scalar(tag)))
+        t = t.take(pc.sort_indices(t, sort_keys=[("v", "ascending")]))
+        v = t["v"].to_numpy(zero_copy_only=False)
+        c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cprev = np.r_[0, np.cumsum(c)[:-1]]
+        return v, 2 * cprev + c + 1             # doubled midranks
+
+    vx, r2x = lookup("x")
+    vy, r2y = lookup("y")
+    if len(vx) == 0 or len(vy) == 0:
+        return empty
+    ref = ray.put((vx, r2x, vy, r2y))
+
+    def sums(b: pa.Table) -> pa.Table:
+        gvx, gr2x, gvy, gr2y = ray.get(ref)
+        t = b.select([x_col, y_col]).drop_null()
+        x = pc.cast(t[x_col], pa.int64()).to_numpy(zero_copy_only=False)
+        y = pc.cast(t[y_col], pa.int64()).to_numpy(zero_copy_only=False)
+        rx = gr2x[np.searchsorted(gvx, x)]
+        ry = gr2y[np.searchsorted(gvy, y)]
+        return pa.table({k: pa.array([int(s)], pa.int64()) for k, s in (
+            ("n", len(rx)), ("sx", rx.sum()), ("sy", ry.sum()),
+            ("sxx", (rx * rx).sum()), ("syy", (ry * ry).sum()),
+            ("sxy", (rx * ry).sum()))})
+
+    sparts, over = collect_up_to(
+        ds.map_batches(sums, batch_format="pyarrow"), 10_000_000)
+    if over:
+        raise RuntimeError("spearman_corr: sum partials exceeded budget")
+    st = pa.concat_tables(sparts)
+    # fold in Python ints: exact at any scale, then one cast to double
+    n = float(sum(st["n"].to_pylist()))
+    sx, sy = float(sum(st["sx"].to_pylist())), float(sum(st["sy"].to_pylist()))
+    sxx = float(sum(st["sxx"].to_pylist()))
+    syy = float(sum(st["syy"].to_pylist()))
+    sxy = float(sum(st["sxy"].to_pylist()))
+    if n < 2:
+        return empty
+    denom = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+    if denom == 0:
+        return empty
+    rho = float(np.round((n * sxy - sx * sy) / denom, 6))
+    return pd.DataFrame({"spearman": [rho], "n": [np.int64(n)]})

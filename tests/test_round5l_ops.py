@@ -314,3 +314,70 @@ def test_value_ks_matches_scipy(ray_session):
     fb = np.searchsorted(np.sort(vb), pooled, side="right") / len(vb)
     want = float(np.max(np.abs(fa - fb)))
     assert abs(df["ks"].iloc[0] - want) < 1e-6
+
+
+def test_spearman_perfect_monotone_and_inverse(ray_session):
+    from schema_validator_ray.stages.stats import spearman_corr
+
+    x = pa.array([1, 2, 3, 4, 5], pa.int64())
+    up = rd.from_arrow(pa.table({"x": x,
+                                 "y": pa.array([10, 20, 40, 80, 160],
+                                               pa.int64())}))
+    assert spearman_corr(up, "x", "y")["spearman"].iloc[0] == 1.0
+    dn = rd.from_arrow(pa.table({"x": x,
+                                 "y": pa.array([9, 7, 5, 3, 1],
+                                               pa.int64())}))
+    assert spearman_corr(dn, "x", "y")["spearman"].iloc[0] == -1.0
+
+
+def test_spearman_ties_midrank_formula(ray_session):
+    from schema_validator_ray.stages.stats import spearman_corr
+
+    # hand check vs the midrank definition with ties in both columns
+    xs = np.array([1, 1, 2, 3, 3, 3], dtype=np.int64)
+    ys = np.array([5, 5, 5, 7, 7, 9], dtype=np.int64)
+
+    def midranks(v):
+        order = np.argsort(v, kind="stable")
+        r = np.empty(len(v), dtype=np.float64)
+        sv = v[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            r[order[i:j]] = (i + j + 1) / 2.0
+            i = j
+        return r
+
+    rx, ry = midranks(xs), midranks(ys)
+    want = np.corrcoef(rx, ry)[0, 1]
+    ds = rd.from_arrow(pa.table({"x": pa.array(xs), "y": pa.array(ys)}))
+    got = spearman_corr(ds, "x", "y")["spearman"].iloc[0]
+    assert abs(got - want) < 1e-6
+
+
+def test_vocab_jaccard_known_sets(ray_session):
+    from schema_validator_ray.functions.text import vocab_jaccard_by_group
+
+    # a: {red, green, blue}; b: {blue, red, pink}; c: {zzz}
+    ds = rd.from_arrow(pa.table({
+        "source": ["a", "a", "b", "c"],
+        "text": ["Red green BLUE", "red", "blue red. pink", "zzz"]}))
+    df = vocab_jaccard_by_group(ds, "text", "source")
+    got = {(r.source_a, r.source_b):
+           (r.n_a, r.n_b, r.n_shared, r.jaccard)
+           for r in df.itertuples()}
+    # shared {red, blue} of union {red, green, blue, pink} -> 2/4
+    assert got == {("a", "b"): (3, 3, 2, 0.5)}   # c shares nothing
+
+
+def test_systematic_sample_every_k(ray_session):
+    from schema_validator_ray.stages.sampling import systematic_sample
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(range(100, 0, -1), pa.int64())}))
+    out = (systematic_sample(ds, "k", k=10, offset=1)
+           .to_pandas().sort_values("pos"))
+    assert list(out["pos"]) == [1, 11, 21, 31, 41, 51, 61, 71, 81, 91]
+    assert list(out["k"]) == [1, 11, 21, 31, 41, 51, 61, 71, 81, 91]
