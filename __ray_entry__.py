@@ -6712,6 +6712,88 @@ def q_orders_systematic_sample(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_ship_lag_quartiles(sf_dir: str):
+    """Exact p25/median/p75 of the order→ship lag (whole days) per order
+    priority: broadcast-dim join (sorted orderkey + searchsorted probe —
+    orders is the small side; co-partition by orderkey instead when it
+    outgrows broadcast) feeding the one-pass grouped multi-quantile
+    selection."""
+    import ray as _ray
+
+    from schema_validator_ray.stages._collect import collect_up_to
+    from schema_validator_ray.stages.stats import grouped_exact_quantiles
+
+    DAY = 86_400_000_000
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def dim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": b["o_orderkey"],
+            "day": pc.cast(pc.cast(pc.cast(b["o_orderdate"],
+                                           pa.timestamp("us")),
+                                   pa.int64()), pa.int64()),
+            "prio": b["o_orderpriority"]})
+
+    parts, over = collect_up_to(
+        orders.map_batches(dim, batch_format="pyarrow"), 20_000_000)
+    if over:
+        raise RuntimeError("ship_lag: orders exceeded broadcast budget — "
+                           "use the co-partitioned join path")
+    d = pa.concat_tables(parts)
+    order = pc.sort_indices(d, sort_keys=[("k", "ascending")])
+    d = d.take(order)
+    keys = d["k"].to_numpy(zero_copy_only=False)
+    days = d["day"].to_numpy(zero_copy_only=False) // DAY
+    enc = pc.dictionary_encode(d["prio"].combine_chunks())
+    prio_codes = enc.indices.to_numpy(zero_copy_only=False)
+    vocab = enc.dictionary.to_pylist()
+    ref = _ray.put((keys, days, prio_codes, vocab))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def lag(b: pa.Table) -> pa.Table:
+        keys, days, codes, vocab = _ray.get(ref)
+        k = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, k)
+        ship = pc.cast(pc.cast(b["l_shipdate"], pa.timestamp("us")),
+                       pa.int64()).to_numpy(zero_copy_only=False) // DAY
+        lagd = ship - days[pos]
+        prio = pa.array(np.asarray(vocab, dtype=object)[codes[pos]])
+        return pa.table({"o_orderpriority": prio,
+                         "lag_days": pa.array(lagd)})
+
+    lags = li.map_batches(lag, batch_format="pyarrow")
+    return grouped_exact_quantiles(lags, "o_orderpriority", "lag_days",
+                                   [0.25, 0.5, 0.75],
+                                   out_cols=["p25", "med", "p75"])
+
+
+def q_customer_km_survival(sf_dir: str):
+    """Kaplan–Meier CUSTOMER-lifetime curve (first order → last order,
+    whole days) with 365-day right-censoring: customers still ordering in
+    the final year are censored, not counted as churned — the
+    censoring-aware upgrade of the naive user_lifetime_survival frequency
+    curve."""
+    from schema_validator_ray.stages.funnel import km_survival
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    return km_survival(ds, user_col="o_custkey", ts_col="o_orderdate",
+                       censor_days=365)
+
+
+def q_customer_blocking_audit(sf_dir: str):
+    """ER blocking-key audit over customer: candidate-pair workload and
+    hot-block size for three candidate blocking keys."""
+    from schema_validator_ray.stages.uniqueness import blocking_key_audit
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+    return blocking_key_audit(ds, {
+        "nation": ["c_nationkey"],
+        "segment": ["c_mktsegment"],
+        "nation_segment": ["c_nationkey", "c_mktsegment"]})
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -7005,6 +7087,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_spearman": q_lineitem_spearman,
         "source_vocab_jaccard": q_source_vocab_jaccard,
         "orders_systematic_sample": q_orders_systematic_sample,
+        "ship_lag_quartiles": q_ship_lag_quartiles,
+        "customer_km_survival": q_customer_km_survival,
+        "customer_blocking_audit": q_customer_blocking_audit,
     }
 
 
@@ -10475,6 +10560,71 @@ def oracle_sql() -> dict[str, str]:
                           AS BIGINT) AS pos
                 FROM orders)
              WHERE pos % 97 = 1
+        """,
+        # whole-day lag = epoch-day difference (both sides floor µs // day)
+        "ship_lag_quartiles": """
+            WITH j AS (
+              SELECT o.o_orderpriority,
+                     (epoch_us(l.l_shipdate) // 86400000000)
+                     - (epoch_us(o.o_orderdate) // 86400000000) AS lag_days
+                FROM lineitem l JOIN orders o
+                  ON l.l_orderkey = o.o_orderkey)
+            SELECT o_orderpriority,
+                   quantile_disc(lag_days, 0.25) AS p25,
+                   quantile_disc(lag_days, 0.5) AS med,
+                   quantile_disc(lag_days, 0.75) AS p75
+              FROM j GROUP BY 1
+        """,
+        # KM product-limit over death times; windowed product() is a left
+        # fold like np.cumprod; (1 - d/n) divides exact int64 counts
+        "customer_km_survival": """
+            WITH u AS (SELECT o_custkey,
+                              MIN(epoch_us(o_orderdate)) AS f,
+                              MAX(epoch_us(o_orderdate)) AS l
+                         FROM orders GROUP BY 1),
+            mx AS (SELECT MAX(l) AS m FROM u),
+            d AS (SELECT (l - f) // 86400000000 AS t_days,
+                         CASE WHEN l <= m - 365 * 86400000000
+                              THEN 1 ELSE 0 END AS obs
+                    FROM u CROSS JOIN mx),
+            c AS (SELECT t_days, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(obs) AS BIGINT) AS d
+                    FROM d GROUP BY 1),
+            r AS (SELECT t_days, d,
+                         SUM(n) OVER (ORDER BY t_days DESC
+                                      ROWS UNBOUNDED PRECEDING) AS n_risk
+                    FROM c),
+            k AS (SELECT t_days, CAST(n_risk AS BIGINT) AS n_risk, d,
+                         product(1 - d / CAST(n_risk AS DOUBLE)) OVER
+                           (ORDER BY t_days ROWS UNBOUNDED PRECEDING)
+                             AS surv
+                    FROM r WHERE d > 0)
+            SELECT t_days, n_risk, d AS n_events,
+                   round_even(surv, 6) AS surv
+              FROM k
+        """,
+        "customer_blocking_audit": """
+            WITH k1 AS (SELECT COUNT(*) AS c FROM customer
+                         GROUP BY c_nationkey),
+            k2 AS (SELECT COUNT(*) AS c FROM customer
+                    GROUP BY c_mktsegment),
+            k3 AS (SELECT COUNT(*) AS c FROM customer
+                    GROUP BY c_nationkey, c_mktsegment)
+            SELECT 'nation' AS key_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                   CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_pairs,
+                   CAST(MAX(c) AS BIGINT) AS max_block
+              FROM k1
+            UNION ALL
+            SELECT 'segment', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(c * (c - 1) // 2) AS BIGINT),
+                   CAST(MAX(c) AS BIGINT)
+              FROM k2
+            UNION ALL
+            SELECT 'nation_segment', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(c * (c - 1) // 2) AS BIGINT),
+                   CAST(MAX(c) AS BIGINT)
+              FROM k3
         """,
     }
     # quarantine / annotate-mode oracle: valid rows = NOT IN the violation

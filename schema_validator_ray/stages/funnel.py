@@ -655,3 +655,88 @@ def session_conversion(events, *, user_col: str, ts_col: str,
                 np.asarray(b["n_converted"], dtype=np.float64)
                 / np.asarray(b["n_sessions"], dtype=np.float64), 6))}),
         batch_format="pyarrow")
+
+
+def km_survival(events, *, user_col: str, ts_col: str,
+                censor_days: int = 7):
+    """Kaplan–Meier user-lifetime curve WITH right-censoring: a user's
+    lifetime is last-event − first-event (whole days); users still active
+    within ``censor_days`` of the corpus's last timestamp are CENSORED
+    (their death is unobserved — dropping them, as the naive survival
+    curve does, biases lifetimes down). Returns one row per observed
+    death time: (t_days, n_risk, n_events, surv 6dp) where surv is the
+    product-limit estimator Π(1 − d/n) over death times ≤ t.
+
+    Distributed shape: per-batch (user, min µs, max µs) partials → one
+    groupby min/max (exchange bounded by users-per-batch); the corpus max
+    comes from the same partials; per-user rows reduce AGAIN map-side to
+    (duration, n, d) cells bounded by distinct durations, and the tiny
+    census (≤ observation-window days) folds into the KM table on the
+    driver. Every (1 − d/n) divides exact int64 counts and the ascending
+    cumulative product is a left fold — matching SQL's windowed
+    ``product()`` bit for bit."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ._collect import collect_up_to
+
+    DAY = 86_400_000_000
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        t = pa.table({user_col: b[user_col],
+                      "_us": pc.cast(ts, pa.int64())})
+        agg = t.group_by(user_col).aggregate([("_us", "min"),
+                                              ("_us", "max")])
+        return pa.table({user_col: agg[user_col],
+                         "first_us": agg["_us_min"],
+                         "last_us": agg["_us_max"]})
+
+    users = (events.map_batches(narrow, batch_format="pyarrow")
+             .groupby(user_col)
+             .aggregate(Min("first_us", alias_name="first_us"),
+                        Max("last_us", alias_name="last_us"))
+             .materialize())                    # reused: corpus max + cells
+    mx_t = users.aggregate(Max("last_us"))
+    empty = pd.DataFrame({"t_days": pd.Series([], dtype="int64"),
+                          "n_risk": pd.Series([], dtype="int64"),
+                          "n_events": pd.Series([], dtype="int64"),
+                          "surv": pd.Series([], dtype="float64")})
+    if not mx_t or mx_t.get("max(last_us)") is None:
+        return empty
+    corpus_max = int(mx_t["max(last_us)"])
+    cutoff = corpus_max - censor_days * DAY
+
+    def cells(b: pa.Table) -> pa.Table:
+        first = b["first_us"].to_numpy(zero_copy_only=False)
+        last = b["last_us"].to_numpy(zero_copy_only=False)
+        t = (last - first) // DAY
+        obs = (last <= cutoff).astype(np.int64)
+        agg = (pa.table({"t_days": pa.array(t), "obs": pa.array(obs)})
+               .group_by("t_days")
+               .aggregate([("obs", "sum"), ([], "count_all")]))
+        return pa.table({"t_days": agg["t_days"], "d": agg["obs_sum"],
+                         "n": agg["count_all"]})
+
+    parts, over = collect_up_to(
+        users.map_batches(cells, batch_format="pyarrow"), 2_000_000)
+    if over:
+        raise RuntimeError("km_survival: duration census exceeded the "
+                           "driver budget — bucket durations first")
+    cen = (pa.concat_tables(parts).group_by("t_days")
+           .aggregate([("d", "sum"), ("n", "sum")]).to_pandas()
+           .sort_values("t_days"))
+    n = cen["n_sum"].to_numpy(np.int64)
+    d = cen["d_sum"].to_numpy(np.int64)
+    # at-risk = everyone with duration >= t (censored count until their
+    # censor time, the KM convention)
+    n_risk = np.cumsum(n[::-1])[::-1]
+    keep = d > 0                                # curve steps at death times
+    factors = 1.0 - d[keep] / n_risk[keep].astype(np.float64)
+    return pd.DataFrame({
+        "t_days": cen["t_days"].to_numpy(np.int64)[keep],
+        "n_risk": n_risk[keep],
+        "n_events": d[keep],
+        "surv": np.round(np.cumprod(factors), 6)})

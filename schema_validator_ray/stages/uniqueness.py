@@ -318,3 +318,44 @@ def k_anonymity(ds, cols: list[str], *, k: int = 10):
                             "k_ok": pc.greater_equal(b["n"],
                                                      pa.scalar(k))}),
         batch_format="pyarrow")
+
+
+def blocking_key_audit(ds, specs: dict[str, list[str]]):
+    """Entity-resolution blocking-key audit: for each candidate blocking
+    key (a named column set), the block count, the total candidate-pair
+    workload Σ c·(c−1)/2, and the largest block — the numbers that decide
+    whether a linkage run is feasible (pairs) and whether one hot block
+    will straggle it (max_block). Returns one row per key:
+    (key_name, n_blocks, n_pairs, max_block).
+
+    Distributed shape: per key, per-batch tuple-count partials (the
+    k_anonymity pattern) → one groupby-sum → a 3-number fold; the audits
+    for all keys share the single input read."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    rows = []
+    for name, cols in specs.items():
+        def part(b: pa.Table, cols=cols) -> pa.Table:
+            agg = (b.select(cols).group_by(cols)
+                   .aggregate([([], "count_all")]))
+            return agg.rename_columns(cols + ["c"])
+
+        agg = (ds.map_batches(part, batch_format="pyarrow")
+               .groupby(cols).aggregate(Sum("c", alias_name="c")))
+
+        def fold(b: pa.Table) -> pa.Table:
+            c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "n_blocks": pa.array([len(c)], pa.int64()),
+                "n_pairs": pa.array([int((c * (c - 1) // 2).sum())],
+                                    pa.int64()),
+                "max_block": pa.array([int(c.max()) if len(c) else 0],
+                                      pa.int64())})
+
+        t = (agg.map_batches(fold, batch_format="pyarrow").to_pandas())
+        rows.append((name, int(t["n_blocks"].sum()),
+                     int(t["n_pairs"].sum()),
+                     int(t["max_block"].max()) if len(t) else 0))
+    return pd.DataFrame(rows, columns=["key_name", "n_blocks", "n_pairs",
+                                       "max_block"])

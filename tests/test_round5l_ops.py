@@ -381,3 +381,45 @@ def test_systematic_sample_every_k(ray_session):
            .to_pandas().sort_values("pos"))
     assert list(out["pos"]) == [1, 11, 21, 31, 41, 51, 61, 71, 81, 91]
     assert list(out["k"]) == [1, 11, 21, 31, 41, 51, 61, 71, 81, 91]
+
+
+def test_km_survival_hand_computed(ray_session):
+    from schema_validator_ray.stages.funnel import km_survival
+
+    # days-scale fabricated "orders": corpus max = day 100.
+    # u1: d0..d10 (t=10, last<=93 -> death); u2: d0..d5 (t=5, death);
+    # u3: d50..d60 (t=10, death at 60<=93); u4: d90..d100 (t=10, censored)
+    D = 1440  # minutes per day
+    rows = [(0, 1, 0, "x"), (1, 1, 10 * D, "x"),
+            (2, 2, 0, "x"), (3, 2, 5 * D, "x"),
+            (4, 3, 50 * D, "x"), (5, 3, 60 * D, "x"),
+            (6, 4, 90 * D, "x"), (7, 4, 100 * D, "x")]
+    df = km_survival(_ev(rows), user_col="user_id", ts_col="ts",
+                     censor_days=7)
+    # death times: t=5 (n_risk 4, d 1), t=10 (n_risk 3, d 2)
+    assert list(df["t_days"]) == [5, 10]
+    assert list(df["n_risk"]) == [4, 3]
+    assert list(df["n_events"]) == [1, 2]
+    assert list(df["surv"]) == [0.75, round(0.75 * (1 / 3), 6)]
+
+
+def test_km_survival_all_censored_empty(ray_session):
+    from schema_validator_ray.stages.funnel import km_survival
+
+    rows = [(0, 1, 0, "x"), (1, 1, 10, "x")]   # everyone near corpus end
+    df = km_survival(_ev(rows), user_col="user_id", ts_col="ts",
+                     censor_days=7)
+    assert len(df) == 0
+
+
+def test_blocking_key_audit_known(ray_session):
+    from schema_validator_ray.stages.uniqueness import blocking_key_audit
+
+    ds = rd.from_arrow(pa.table({
+        "a": ["x", "x", "x", "y"],
+        "b": [1, 1, 2, 2]}))
+    df = blocking_key_audit(ds, {"a": ["a"], "ab": ["a", "b"]})
+    got = {r.key_name: (r.n_blocks, r.n_pairs, r.max_block)
+           for r in df.itertuples()}
+    # a: blocks {x:3, y:1} -> pairs 3+0; ab: {x1:2, x2:1, y2:1} -> 1
+    assert got == {"a": (2, 3, 3), "ab": (3, 1, 2)}
