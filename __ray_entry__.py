@@ -6794,6 +6794,76 @@ def q_customer_blocking_audit(sf_dir: str):
         "nation_segment": ["c_nationkey", "c_mktsegment"]})
 
 
+def q_partsupp_degree_census(sf_dir: str):
+    """Degree distribution of both sides of the part—supplier bipartite
+    relation observed in lineitem — the fat-node diagnostic for
+    co-occurrence joins."""
+    from schema_validator_ray.stages.graph import bipartite_degree_census
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    return bipartite_degree_census(ds, "l_partkey", "l_suppkey")
+
+
+def q_reconcile_error_quartiles(sf_dir: str):
+    """Amount-reconciliation error distribution: exact quartiles of
+    |o_totalprice − Σ lineitem gross| in cents per order. Uses the
+    union-into-one-keyed-stream + single groupby shape (the empty-block
+    join workaround is also the cheaper plan: one exchange, no join) and
+    the block-pruned exact-quantile selection."""
+    from schema_validator_ray.stages.stats import exact_quantiles
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def li_part(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "k": b["l_orderkey"],
+            "s_line": pc.cast(pc.round(pc.multiply(
+                b["l_extendedprice"], 100.0)), pa.int64())})
+        agg = t.group_by("k").aggregate([("s_line", "sum")])
+        return pa.table({"k": agg["k"], "s_line": agg["s_line_sum"],
+                         "s_total": pa.array(
+                             np.zeros(agg.num_rows, np.int64))})
+
+    def o_part(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": b["o_orderkey"],
+            "s_line": pa.array(np.zeros(b.num_rows, np.int64)),
+            "s_total": pc.cast(pc.round(pc.multiply(
+                b["o_totalprice"], 100.0)), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    keyed = (li.map_batches(li_part, batch_format="pyarrow")
+             .union(orders.map_batches(o_part, batch_format="pyarrow"))
+             .groupby("k")
+             .aggregate(Sum("s_line", alias_name="s_line"),
+                        Sum("s_total", alias_name="s_total")))
+    errs = keyed.map_batches(
+        lambda b: pa.table({"err": pc.abs(pc.subtract(
+            pc.cast(b["s_line"], pa.int64()),
+            pc.cast(b["s_total"], pa.int64())))}),
+        batch_format="pyarrow")
+    return exact_quantiles(errs, "err", [0.25, 0.5, 0.75])
+
+
+def q_rare_level_coverage(sf_dir: str):
+    """Long-tail alphabet census: levels needed to cover 99% of rows for
+    four categorical columns across three tables."""
+    from schema_validator_ray.stages.stats import rare_level_coverage
+
+    return rare_level_coverage([
+        ("events.event_type",
+         _read(sf_dir, "events", ["event_type"]), "event_type"),
+        ("orders.o_orderpriority",
+         _read(sf_dir, "orders", ["o_orderpriority"]), "o_orderpriority"),
+        ("documents.lang",
+         _read(sf_dir, "documents", ["lang"]), "lang"),
+        ("documents.source",
+         _read(sf_dir, "documents", ["source"]), "source"),
+    ], pct=99)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -7090,6 +7160,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_lag_quartiles": q_ship_lag_quartiles,
         "customer_km_survival": q_customer_km_survival,
         "customer_blocking_audit": q_customer_blocking_audit,
+        "partsupp_degree_census": q_partsupp_degree_census,
+        "reconcile_error_quartiles": q_reconcile_error_quartiles,
+        "rare_level_coverage": q_rare_level_coverage,
     }
 
 
@@ -10625,6 +10698,95 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c * (c - 1) // 2) AS BIGINT),
                    CAST(MAX(c) AS BIGINT)
               FROM k3
+        """,
+        "partsupp_degree_census": """
+            WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+                        WHERE l_partkey IS NOT NULL
+                          AND l_suppkey IS NOT NULL),
+            da AS (SELECT CAST(COUNT(*) AS BIGINT) AS degree
+                     FROM e GROUP BY l_partkey),
+            db AS (SELECT CAST(COUNT(*) AS BIGINT) AS degree
+                     FROM e GROUP BY l_suppkey)
+            SELECT 'l_partkey' AS side, degree,
+                   CAST(COUNT(*) AS BIGINT) AS n_nodes
+              FROM da GROUP BY 2
+            UNION ALL
+            SELECT 'l_suppkey', degree, CAST(COUNT(*) AS BIGINT)
+              FROM db GROUP BY 2
+        """,
+        "reconcile_error_quartiles": """
+            WITH l AS (SELECT l_orderkey AS k,
+                              CAST(SUM(CAST(round(l_extendedprice * 100)
+                                            AS BIGINT)) AS BIGINT) AS s
+                         FROM lineitem GROUP BY 1),
+            o AS (SELECT o_orderkey AS k,
+                         CAST(round(o_totalprice * 100) AS BIGINT) AS t
+                    FROM orders),
+            e AS (SELECT ABS(COALESCE(l.s, 0) - o.t) AS err
+                    FROM o LEFT JOIN l USING (k))
+            SELECT q, value FROM (
+                SELECT 0.25 AS q, quantile_disc(err, 0.25) AS value FROM e
+                UNION ALL
+                SELECT 0.5, quantile_disc(err, 0.5) FROM e
+                UNION ALL
+                SELECT 0.75, quantile_disc(err, 0.75) FROM e) t
+        """,
+        # head order: count DESC then value ASC; coverage compares exact
+        # integers (100*cum >= 99*total)
+        "rare_level_coverage": """
+            WITH c1 AS (SELECT event_type AS v, COUNT(*) AS cnt
+                          FROM events WHERE event_type IS NOT NULL
+                         GROUP BY 1),
+            r1 AS (SELECT SUM(cnt) OVER (ORDER BY cnt DESC, v ASC
+                                         ROWS UNBOUNDED PRECEDING) AS cum,
+                          SUM(cnt) OVER () AS tot,
+                          ROW_NUMBER() OVER (ORDER BY cnt DESC, v ASC)
+                              AS rn
+                     FROM c1),
+            c2 AS (SELECT o_orderpriority AS v, COUNT(*) AS cnt
+                     FROM orders WHERE o_orderpriority IS NOT NULL
+                    GROUP BY 1),
+            r2 AS (SELECT SUM(cnt) OVER (ORDER BY cnt DESC, v ASC
+                                         ROWS UNBOUNDED PRECEDING) AS cum,
+                          SUM(cnt) OVER () AS tot,
+                          ROW_NUMBER() OVER (ORDER BY cnt DESC, v ASC)
+                              AS rn
+                     FROM c2),
+            c3 AS (SELECT lang AS v, COUNT(*) AS cnt
+                     FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+            r3 AS (SELECT SUM(cnt) OVER (ORDER BY cnt DESC, v ASC
+                                         ROWS UNBOUNDED PRECEDING) AS cum,
+                          SUM(cnt) OVER () AS tot,
+                          ROW_NUMBER() OVER (ORDER BY cnt DESC, v ASC)
+                              AS rn
+                     FROM c3),
+            c4 AS (SELECT source AS v, COUNT(*) AS cnt
+                     FROM documents WHERE source IS NOT NULL GROUP BY 1),
+            r4 AS (SELECT SUM(cnt) OVER (ORDER BY cnt DESC, v ASC
+                                         ROWS UNBOUNDED PRECEDING) AS cum,
+                          SUM(cnt) OVER () AS tot,
+                          ROW_NUMBER() OVER (ORDER BY cnt DESC, v ASC)
+                              AS rn
+                     FROM c4)
+            SELECT 'events.event_type' AS col_name,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM c1) AS n_levels,
+                   (SELECT CAST(MIN(rn) AS BIGINT) FROM r1
+                     WHERE 100 * cum >= 99 * tot) AS k99
+            UNION ALL
+            SELECT 'orders.o_orderpriority',
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM c2),
+                   (SELECT CAST(MIN(rn) AS BIGINT) FROM r2
+                     WHERE 100 * cum >= 99 * tot)
+            UNION ALL
+            SELECT 'documents.lang',
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM c3),
+                   (SELECT CAST(MIN(rn) AS BIGINT) FROM r3
+                     WHERE 100 * cum >= 99 * tot)
+            UNION ALL
+            SELECT 'documents.source',
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM c4),
+                   (SELECT CAST(MIN(rn) AS BIGINT) FROM r4
+                     WHERE 100 * cum >= 99 * tot)
         """,
     }
     # quarantine / annotate-mode oracle: valid rows = NOT IN the violation

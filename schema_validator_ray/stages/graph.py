@@ -206,3 +206,50 @@ def pagerank_on_edges(edges, a_col: str, b_col: str, *, iters: int = 3,
     return pa.table({
         "node": pa.array(uniques),
         "pr": pa.array(np.round(pr, 6), pa.float64(), from_pandas=True)})
+
+
+def bipartite_degree_census(ds, a_col: str, b_col: str):
+    """Degree distribution of BOTH sides of a bipartite relation (e.g.
+    part—supplier from lineitem): one row per (side, degree) with the node
+    count — the shape diagnostic for co-occurrence joins (a fat-degree
+    node is the block that straggles them). Returns (side, degree,
+    n_nodes) with side ∈ {a_col, b_col}.
+
+    Distributed shape: per-batch DISTINCT (a, b) partials + one groupby
+    dedupe the edges (exchange bounded by distinct pairs); the edge set
+    materializes once and feeds two grouped counts, each reduced to
+    per-batch (degree, n) histogram partials before a tiny final sum."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    def dedup(b: pa.Table) -> pa.Table:
+        return (b.select([a_col, b_col]).drop_null()
+                .group_by([a_col, b_col]).aggregate([([], "count_all")])
+                .select([a_col, b_col]))
+
+    edges = (ds.map_batches(dedup, batch_format="pyarrow")
+             .groupby([a_col, b_col]).aggregate(Count(alias_name="_c"))
+             .materialize())
+
+    def side_census(node_col: str, label: str):
+        deg = (edges.map_batches(
+            lambda b: b.select([a_col, b_col]), batch_format="pyarrow")
+            .groupby(node_col).aggregate(Count(alias_name="deg")))
+
+        def hist(b: pa.Table) -> pa.Table:
+            agg = (pa.table({"degree": pc.cast(b["deg"], pa.int64())})
+                   .group_by("degree").aggregate([([], "count_all")]))
+            return pa.table({"degree": agg["degree"],
+                             "n": agg["count_all"]})
+
+        out = (deg.map_batches(hist, batch_format="pyarrow")
+               .groupby("degree").aggregate(Sum("n", alias_name="n")))
+        return out.map_batches(
+            lambda b: pa.table({
+                "side": pa.array(np.repeat(label, b.num_rows)),
+                "degree": b["degree"],
+                "n_nodes": pc.cast(b["n"], pa.int64())}),
+            batch_format="pyarrow")
+
+    return side_census(a_col, a_col).union(side_census(b_col, b_col))

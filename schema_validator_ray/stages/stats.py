@@ -1936,3 +1936,50 @@ def spearman_corr(ds, x_col: str, y_col: str, *,
         return empty
     rho = float(np.round((n * sxy - sx * sy) / denom, 6))
     return pd.DataFrame({"spearman": [rho], "n": [np.int64(n)]})
+
+
+def rare_level_coverage(censuses: list, *, pct: int = 99):
+    """Long-tail coverage census: for each named categorical census
+    (a (name, Dataset, col) triple), the total level count and k_pct —
+    how many of the most frequent levels cover ≥ ``pct``% of the rows
+    (ties broken by value ascending, the deterministic head order). A
+    k99 close to n_levels means no usable head; a tiny k99 flags a
+    skewed alphabet that one-hot/salting strategies must special-case.
+    Returns a pandas DataFrame (col_name, n_levels, k{pct}) — coverage
+    compares exact integers (100·cum ≥ pct·total), no float cliffs.
+
+    Distributed shape: per input, per-batch value-count partials + one
+    groupby-sum; only the level census (bounded by the alphabet, behind
+    a loud budget) reaches the driver for the sort/cumsum."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ._collect import collect_up_to
+
+    rows = []
+    for name, ds, col in censuses:
+        def part(b: pa.Table, col=col) -> pa.Table:
+            agg = (pa.table({"v": pc.cast(b[col], pa.string())})
+                   .drop_null().group_by("v")
+                   .aggregate([([], "count_all")]))
+            return pa.table({"v": agg["v"], "cnt": agg["count_all"]})
+
+        cen = (ds.map_batches(part, batch_format="pyarrow")
+               .groupby("v").aggregate(Sum("cnt", alias_name="cnt")))
+        parts, over = collect_up_to(cen, 2_000_000)
+        if over:
+            raise ValueError(f"rare_level_coverage: {name} exceeds the "
+                             "level budget")
+        if not parts:
+            rows.append((name, 0, 0))
+            continue
+        t = pa.concat_tables(parts)
+        df = t.to_pandas().sort_values(
+            ["cnt", "v"], ascending=[False, True])
+        cnt = df["cnt"].to_numpy(np.int64)
+        cum = np.cumsum(cnt)
+        tot = int(cum[-1])
+        k = int(np.searchsorted(100 * cum, pct * tot)) + 1
+        rows.append((name, len(cnt), k))
+    return pd.DataFrame(rows, columns=["col_name", "n_levels",
+                                       f"k{pct}"])

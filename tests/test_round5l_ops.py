@@ -423,3 +423,29 @@ def test_blocking_key_audit_known(ray_session):
            for r in df.itertuples()}
     # a: blocks {x:3, y:1} -> pairs 3+0; ab: {x1:2, x2:1, y2:1} -> 1
     assert got == {"a": (2, 3, 3), "ab": (3, 1, 2)}
+
+
+def test_bipartite_degree_census_known(ray_session):
+    from schema_validator_ray.stages.graph import bipartite_degree_census
+
+    # parts p1:{s1,s2}, p2:{s1}; supps s1:{p1,p2}, s2:{p1}; dup edge noise
+    ds = rd.from_arrow(pa.table({
+        "p": ["p1", "p1", "p2", "p1"],
+        "s": ["s1", "s2", "s1", "s1"]}))
+    out = bipartite_degree_census(ds, "p", "s").to_pandas()
+    got = {(r.side, r.degree): r.n_nodes for r in out.itertuples()}
+    assert got == {("p", 2): 1, ("p", 1): 1, ("s", 2): 1, ("s", 1): 1}
+
+
+def test_rare_level_coverage_known(ray_session):
+    from schema_validator_ray.stages.stats import rare_level_coverage
+
+    # 98 'a' + 1 'b' + 1 'c': a covers 98% < 99 -> k99 = 2 (a + b by tie
+    # order); uniform 4 levels at pct=50 -> k = 2
+    skew = rd.from_arrow(pa.table({"v": ["a"] * 98 + ["b", "c"]}))
+    df = rare_level_coverage([("skew", skew, "v")], pct=99)
+    assert df.values.tolist() == [["skew", 3, 2]]
+
+    uni = rd.from_arrow(pa.table({"v": ["a", "b", "c", "d"]}))
+    df = rare_level_coverage([("uni", uni, "v")], pct=50)
+    assert df.values.tolist() == [["uni", 4, 2]]
