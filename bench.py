@@ -233,6 +233,26 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "orders_csv_priority",
         "part_typo_pagerank",
         "lineitem_unpivot_metrics",
+        "events_daily_psi",
+        "events_session_paths",
+        "customer_spend_lorenz",
+        "customers_k_anonymity",
+        "events_type_hour_mi",
+        "click_id_islands",
+        "orders_price_woe",
+        "lineitem_mahalanobis",
+        "lineitem_weighted_median",
+        "session_conversion",
+        "events_value_ks",
+        "lineitem_spearman",
+        "source_vocab_jaccard",
+        "orders_systematic_sample",
+        "ship_lag_quartiles",
+        "customer_km_survival",
+        "customer_blocking_audit",
+        "partsupp_degree_census",
+        "reconcile_error_quartiles",
+        "rare_level_coverage",
     ]
     qs = m.queries()
     # warm best-of-N per query (default 2 passes over the whole list):
