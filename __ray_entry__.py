@@ -6864,6 +6864,62 @@ def q_rare_level_coverage(sf_dir: str):
     ], pct=99)
 
 
+def q_join_size_orders_lineitem(sf_dir: str):
+    """Planner-style exact join-size report for lineitem ⨝ orders on
+    orderkey — Σ f_a·f_b over matched keys plus the hottest key's
+    contribution, computed from two key censuses without moving any
+    payload."""
+    from schema_validator_ray.stages.joins import join_cardinality_report
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+        lambda b: pa.table({"k": b["l_orderkey"]}),
+        batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        lambda b: pa.table({"k": b["o_orderkey"]}),
+        batch_format="pyarrow")
+    return join_cardinality_report(li, orders, "k")
+
+
+def q_events_chi2_residuals(sf_dir: str):
+    """Standardized Pearson residuals per (event_type, hour) cell — which
+    cells drive the events_chi2 dependence."""
+    from schema_validator_ray.stages.stats import chi2_residuals
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    prepped = ds.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"],
+            "hour_of_day": pc.cast(pc.hour(b["ts"]), pa.int64())}),
+        batch_format="pyarrow")
+    return chi2_residuals(prepped, "event_type", "hour_of_day")
+
+
+def q_session_length_histogram(sf_dir: str):
+    """Distribution of session sizes (events per 30-min session) — the
+    engagement-depth histogram over the fused sessionize machinery."""
+    from ray.data.aggregate import Sum
+
+    from schema_validator_ray.stages.windows import session_windows
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    sessions = session_windows(ds, key="user_id", ts="ts", gap="30min")
+
+    def hist(b: pa.Table) -> pa.Table:
+        agg = (pa.table({"n_events": pc.cast(b["n_events"], pa.int64())})
+               .group_by("n_events").aggregate([([], "count_all")]))
+        return pa.table({"n_events": agg["n_events"],
+                         "n_sessions": agg["count_all"]})
+
+    out = (sessions.map_batches(hist, batch_format="pyarrow")
+           .groupby("n_events")
+           .aggregate(Sum("n_sessions", alias_name="n_sessions")))
+    return out.map_batches(
+        lambda b: pa.table({
+            "n_events": b["n_events"],
+            "n_sessions": pc.cast(b["n_sessions"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -7163,6 +7219,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partsupp_degree_census": q_partsupp_degree_census,
         "reconcile_error_quartiles": q_reconcile_error_quartiles,
         "rare_level_coverage": q_rare_level_coverage,
+        "join_size_orders_lineitem": q_join_size_orders_lineitem,
+        "events_chi2_residuals": q_events_chi2_residuals,
+        "session_length_histogram": q_session_length_histogram,
     }
 
 
@@ -10787,6 +10846,57 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(COUNT(*) AS BIGINT) FROM c4),
                    (SELECT CAST(MIN(rn) AS BIGINT) FROM r4
                      WHERE 100 * cum >= 99 * tot)
+        """,
+        "join_size_orders_lineitem": """
+            WITH fa AS (SELECT l_orderkey AS k,
+                               CAST(COUNT(*) AS BIGINT) AS f
+                          FROM lineitem WHERE l_orderkey IS NOT NULL
+                         GROUP BY 1),
+            fb AS (SELECT o_orderkey AS k,
+                          CAST(COUNT(*) AS BIGINT) AS f
+                     FROM orders WHERE o_orderkey IS NOT NULL
+                    GROUP BY 1),
+            j AS (SELECT fa.f * fb.f AS p FROM fa JOIN fb USING (k))
+            SELECT CAST(COALESCE(SUM(p), 0) AS BIGINT) AS est_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_matched_keys,
+                   CAST(COALESCE(MAX(p), 0) AS BIGINT) AS max_key_rows
+              FROM j
+        """,
+        # expected = row_marginal * col_marginal / n from exact ints;
+        # identical doubles both sides
+        "events_chi2_residuals": """
+            WITH c AS (SELECT event_type AS a,
+                              CAST(hour(ts) AS VARCHAR) AS b,
+                              CAST(COUNT(*) AS BIGINT) AS o
+                         FROM events
+                        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                        GROUP BY 1, 2),
+            ma AS (SELECT a, CAST(SUM(o) AS DOUBLE) AS m FROM c
+                    GROUP BY 1),
+            mb AS (SELECT b, CAST(SUM(o) AS DOUBLE) AS m FROM c
+                    GROUP BY 1),
+            t AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM c)
+            SELECT c.a, c.b, c.o,
+                   round_even(ma.m * mb.m / t.n, 6) AS e,
+                   round_even((CAST(c.o AS DOUBLE) - ma.m * mb.m / t.n)
+                              / sqrt(ma.m * mb.m / t.n), 6) AS resid
+              FROM c JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN t
+        """,
+        "session_length_histogram": """
+            WITH s AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts)
+                          > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+                FROM events),
+            g AS (SELECT user_id,
+                         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM s),
+            ses AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events
+                      FROM g GROUP BY user_id, sid)
+            SELECT n_events, CAST(COUNT(*) AS BIGINT) AS n_sessions
+              FROM ses GROUP BY 1
         """,
     }
     # quarantine / annotate-mode oracle: valid rows = NOT IN the violation

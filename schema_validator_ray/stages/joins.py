@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def salted_inner_join(left, right, *, left_on: str, right_on: str,
@@ -50,3 +51,59 @@ def salted_inner_join(left, right, *, left_on: str, right_on: str,
                on=(left_on, "_salt"), right_on=(right_on, "_salt"))
     return j.map_batches(lambda b: b.drop_columns(["_salt"]),
                          batch_format="pyarrow")
+
+
+def join_cardinality_report(left, right, key: str, *,
+                            level_budget: int = 20_000_000):
+    """EXACT size of the inner equi-join on ``key`` WITHOUT executing it —
+    |A ⨝ B| = Σ_k f_A(k)·f_B(k) over matched keys — plus the hottest
+    key's contribution: the planner-style diagnostic that tells you
+    whether a join is safe to run and whether one key will straggle it
+    (pair it with the salted-join path when max_key_rows dominates).
+    Returns a 1-row pandas DataFrame (est_rows, n_matched_keys,
+    max_key_rows).
+
+    Distributed shape: each side reduces to a per-batch key-frequency
+    partial + one groupby-sum (exchange bounded by distinct keys, never
+    rows); the two key censuses meet on the driver behind a loud
+    ``level_budget`` via one sorted merge — the joined PAYLOAD never
+    moves at all."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ._collect import collect_up_to
+
+    def census(ds):
+        def part(b: pa.Table) -> pa.Table:
+            agg = (pa.table({"k": b[key]}).drop_null()
+                   .group_by("k").aggregate([([], "count_all")]))
+            return pa.table({"k": agg["k"], "f": agg["count_all"]})
+
+        cen = (ds.map_batches(part, batch_format="pyarrow")
+               .groupby("k").aggregate(Sum("f", alias_name="f")))
+        parts, over = collect_up_to(cen, level_budget)
+        if over:
+            raise ValueError("join_cardinality_report: key census "
+                             "exceeds the level budget")
+        if not parts:
+            return np.array([], np.int64), np.array([], np.int64)
+        t = pa.concat_tables(parts)
+        order = pc.sort_indices(t, sort_keys=[("k", "ascending")])
+        t = t.take(order)
+        return (t["k"].to_numpy(zero_copy_only=False),
+                t["f"].to_numpy(zero_copy_only=False).astype(np.int64))
+
+    ka, fa = census(left)
+    kb, fb = census(right)
+    if len(ka) == 0 or len(kb) == 0:
+        return pd.DataFrame({"est_rows": [0], "n_matched_keys": [0],
+                             "max_key_rows": [0]}).astype("int64")
+    pos = np.searchsorted(ka, kb)
+    valid = pos < len(ka)
+    match = np.zeros(len(kb), dtype=bool)
+    match[valid] = ka[pos[valid]] == kb[valid]
+    prod = fa[pos[match]] * fb[match]
+    return pd.DataFrame({
+        "est_rows": [int(prod.sum())],
+        "n_matched_keys": [int(match.sum())],
+        "max_key_rows": [int(prod.max()) if len(prod) else 0]})

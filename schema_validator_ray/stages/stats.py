@@ -1746,22 +1746,52 @@ def mahalanobis2(ds, x_col: str, y_col: str, *, keep_cols: list[str]):
 
     Distributed shape: one pass of per-batch integer partials (6 numbers
     per batch) folds on the driver; the 5 broadcast doubles then drive a
-    map-only second pass. Returns keep_cols + d2 (6dp)."""
+    map-only second pass. Returns keep_cols + d2 (6dp).
+
+    The second-moment sums overflow int64 long before 100 TB (price-cents
+    ~1e7 → Σy² wraps at ~900k rows), so per-batch partials accumulate via
+    a hi/lo 32-bit split (every intermediate stays inside int64 for any
+    batch under 2³¹ rows) and travel as decimal STRINGS; the driver folds
+    arbitrary-precision Python ints — matching DuckDB, whose SUM(BIGINT)
+    is exact HUGEINT before the CAST to DOUBLE."""
     import ray
     import ray.data as rd
 
     from ._collect import collect_up_to
 
+    def _exact_sum(a: np.ndarray) -> int:
+        # exact even when the aggregate exceeds int64: arithmetic-shift
+        # hi + masked lo, each partial bounded by n·2³² < 2⁶³
+        lo = int((a & np.int64(0xFFFFFFFF)).sum(dtype=np.int64))
+        hi = int((a >> np.int64(32)).sum(dtype=np.int64))
+        return (hi << 32) + lo
+
     def part(b: pa.Table) -> pa.Table:
         x = b[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
         y = b[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(x):
+            xm = int(np.abs(x).max())
+            ym = int(np.abs(y).max())
+            if max(xm * xm, ym * ym, xm * ym) >= 2**63:
+                # element-wise PRODUCT would wrap — exact slow path
+                xs, ys = x.tolist(), y.tolist()
+                sxx = sum(v * v for v in xs)
+                syy = sum(v * v for v in ys)
+                sxy = sum(u * v for u, v in zip(xs, ys))
+            else:
+                sxx = _exact_sum(x * x)
+                syy = _exact_sum(y * y)
+                sxy = _exact_sum(x * y)
+            sx, sy = _exact_sum(x), _exact_sum(y)
+        else:
+            sx = sy = sxx = syy = sxy = 0
         return pa.table({
             "n": pa.array([len(x)], pa.int64()),
-            "sx": pa.array([int(x.sum())], pa.int64()),
-            "sy": pa.array([int(y.sum())], pa.int64()),
-            "sxx": pa.array([int((x * x).sum())], pa.int64()),
-            "syy": pa.array([int((y * y).sum())], pa.int64()),
-            "sxy": pa.array([int((x * y).sum())], pa.int64())})
+            "sx": pa.array([str(sx)], pa.string()),
+            "sy": pa.array([str(sy)], pa.string()),
+            "sxx": pa.array([str(sxx)], pa.string()),
+            "syy": pa.array([str(syy)], pa.string()),
+            "sxy": pa.array([str(sxy)], pa.string())})
 
     parts, over = collect_up_to(
         ds.map_batches(part, batch_format="pyarrow"), 10_000_000)
@@ -1775,10 +1805,14 @@ def mahalanobis2(ds, x_col: str, y_col: str, *, keep_cols: list[str]):
     n = float(pc.sum(t["n"]).as_py() or 0)
     if n < 2:
         return rd.from_arrow(empty)
-    sx, sy = float(pc.sum(t["sx"]).as_py()), float(pc.sum(t["sy"]).as_py())
-    sxx = float(pc.sum(t["sxx"]).as_py())
-    syy = float(pc.sum(t["syy"]).as_py())
-    sxy = float(pc.sum(t["sxy"]).as_py())
+
+    def _fold(col: str) -> float:
+        # arbitrary-precision fold, then one int→double rounding — the
+        # same place DuckDB's CAST(SUM(...) AS DOUBLE) rounds
+        return float(sum(int(s) for s in t[col].to_pylist()))
+
+    sx, sy = _fold("sx"), _fold("sy")
+    sxx, syy, sxy = _fold("sxx"), _fold("syy"), _fold("sxy")
     # population moments — the SQL oracle spells these same expressions
     mx, my = sx / n, sy / n
     vx, vy = sxx / n - mx * mx, syy / n - my * my
@@ -1983,3 +2017,83 @@ def rare_level_coverage(censuses: list, *, pct: int = 99):
         rows.append((name, len(cnt), k))
     return pd.DataFrame(rows, columns=["col_name", "n_levels",
                                        f"k{pct}"])
+
+
+def chi2_residuals(ds, col_a: str, col_b: str, *,
+                   level_budget: int = 2_000_000):
+    """Standardized Pearson residuals (O − E)/√E for every OBSERVED cell
+    of the col_a × col_b contingency table — the interpretability
+    companion of :func:`chi2_independence`: the test says THAT the
+    columns are dependent, the residuals say WHICH cells drive it
+    (|resid| ≳ 2 is the classic callout). Returns a Dataset
+    (a, b, o, e 6dp, resid 6dp).
+
+    Distributed shape: the chi2 cell census (per-batch (a, b) count
+    partials, one groupby-sum); marginals fold on the driver behind the
+    loud ``level_budget`` and broadcast via ``ray.put``; the residual
+    pass maps over the DISTRIBUTED cell table. Expected counts divide
+    exact int64 marginals, so engine and SQL operate on identical
+    doubles. Null in either column excludes the row."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ._collect import collect_up_to
+
+    def part(b: pa.Table) -> pa.Table:
+        t = b.select([col_a, col_b]).drop_null()
+        agg = t.group_by([col_a, col_b]).aggregate([([], "count_all")])
+        return pa.table({"a": pc.cast(agg[col_a], pa.string()),
+                         "b": pc.cast(agg[col_b], pa.string()),
+                         "o": pc.cast(agg["count_all"], pa.int64())})
+
+    cells = (ds.map_batches(part, batch_format="pyarrow")
+             .groupby(["a", "b"]).aggregate(Sum("o", alias_name="o"))
+             .materialize())
+    parts, over = collect_up_to(
+        cells.map_batches(
+            lambda t: (pa.table({"a": t["a"], "o": t["o"]})
+                       .group_by("a").aggregate([("o", "sum")])
+                       .rename_columns(["a", "m"])),
+            batch_format="pyarrow")
+        .groupby("a").aggregate(Sum("m", alias_name="m")), level_budget)
+    if over:
+        raise ValueError("chi2_residuals: marginal census exceeds budget")
+    ta = pa.concat_tables(parts) if parts else pa.table(
+        {"a": pa.array([], pa.string()), "m": pa.array([], pa.int64())})
+    parts, over = collect_up_to(
+        cells.map_batches(
+            lambda t: (pa.table({"b": t["b"], "o": t["o"]})
+                       .group_by("b").aggregate([("o", "sum")])
+                       .rename_columns(["b", "m"])),
+            batch_format="pyarrow")
+        .groupby("b").aggregate(Sum("m", alias_name="m")), level_budget)
+    if over:
+        raise ValueError("chi2_residuals: marginal census exceeds budget")
+    tb = pa.concat_tables(parts) if parts else pa.table(
+        {"b": pa.array([], pa.string()), "m": pa.array([], pa.int64())})
+    ma = dict(zip(ta["a"].to_pylist(),
+                  ta["m"].to_numpy(zero_copy_only=False).tolist()))
+    mb = dict(zip(tb["b"].to_pylist(),
+                  tb["m"].to_numpy(zero_copy_only=False).tolist()))
+    n = float(sum(ma.values()))
+    ref = ray.put((ma, mb, n))
+
+    def resid(t: pa.Table) -> pa.Table:
+        gma, gmb, gn = ray.get(ref)
+        if t.num_rows == 0 or gn == 0:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "o": pa.array([], pa.int64()),
+                             "e": pa.array([], pa.float64()),
+                             "resid": pa.array([], pa.float64())})
+        fa = np.array([float(gma[x]) for x in t["a"].to_pylist()])
+        fb = np.array([float(gmb[x]) for x in t["b"].to_pylist()])
+        o = t["o"].to_numpy(zero_copy_only=False).astype(np.float64)
+        e = fa * fb / gn
+        return pa.table({"a": t["a"], "b": t["b"],
+                         "o": pc.cast(t["o"], pa.int64()),
+                         "e": pa.array(np.round(e, 6)),
+                         "resid": pa.array(np.round((o - e) / np.sqrt(e),
+                                                    6))})
+
+    return cells.map_batches(resid, batch_format="pyarrow")

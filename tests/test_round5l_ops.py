@@ -201,6 +201,50 @@ def test_mahalanobis2_matches_numpy(ray_session):
     assert np.allclose(out["d2"].to_numpy(), np.round(want, 6), atol=2e-6)
 
 
+def test_mahalanobis2_sum_overflows_int64(ray_session):
+    """Σy² beyond int64 (the sf0.1 price-cents regime that wrapped the old
+    int64 partials negative): exact big-int partials must keep the
+    covariance positive and the scores equal to the numpy closed form."""
+    from schema_validator_ray.stages.stats import mahalanobis2
+
+    rng = np.random.RandomState(11)
+    # y ~ 3e9 → y² ~ 9e18 ≈ int64 max; 40 rows pushes Σy² to ~3.6e20
+    y = (rng.randint(0, 10**6, 40) + 3 * 10**9).astype(np.int64)
+    x = rng.randint(0, 50, 40).astype(np.int64)
+    ds = rd.from_arrow(pa.table({
+        "rid": pa.array(range(40), pa.int64()),
+        "x": pa.array(x), "y": pa.array(y)}))
+    out = (mahalanobis2(ds, "x", "y", keep_cols=["rid"])
+           .to_pandas().sort_values("rid"))
+    pts = np.stack([x, y]).astype(np.float64)
+    inv = np.linalg.inv(np.cov(pts, bias=True))
+    d = pts - pts.mean(axis=1, keepdims=True)
+    want = np.einsum("in,ij,jn->n", d, inv, d)
+    assert np.allclose(out["d2"].to_numpy(), np.round(want, 6), atol=1e-4)
+
+
+def test_mahalanobis2_element_product_overflow_path(ray_session):
+    """Values whose element-wise PRODUCT exceeds int64 route through the
+    exact Python-int slow path instead of wrapping."""
+    from schema_validator_ray.stages.stats import mahalanobis2
+
+    base = np.int64(4 * 10**9)  # base² = 1.6e19 > int64 max
+    x = np.array([1, 2, 3, 4, 5], np.int64)
+    # spread ≫ the float64 ulp at Σy² scale: the closed form (like its
+    # SQL twin) cancels catastrophically when var(y) ≪ ulp(Σy²/n)
+    y = base + np.array([0, 5, 1, 9, 4], np.int64) * np.int64(10**7)
+    ds = rd.from_arrow(pa.table({
+        "rid": pa.array(range(5), pa.int64()),
+        "x": pa.array(x), "y": pa.array(y)}))
+    out = (mahalanobis2(ds, "x", "y", keep_cols=["rid"])
+           .to_pandas().sort_values("rid"))
+    pts = np.stack([x, y]).astype(np.float64)
+    inv = np.linalg.inv(np.cov(pts, bias=True))
+    d = pts - pts.mean(axis=1, keepdims=True)
+    want = np.einsum("in,ij,jn->n", d, inv, d)
+    assert np.allclose(out["d2"].to_numpy(), np.round(want, 6), atol=1e-3)
+
+
 def test_mahalanobis2_collinear_raises(ray_session):
     import pytest
 
@@ -449,3 +493,48 @@ def test_rare_level_coverage_known(ray_session):
     uni = rd.from_arrow(pa.table({"v": ["a", "b", "c", "d"]}))
     df = rare_level_coverage([("uni", uni, "v")], pct=50)
     assert df.values.tolist() == [["uni", 4, 2]]
+
+
+def test_join_cardinality_report_known(ray_session):
+    from schema_validator_ray.stages.joins import join_cardinality_report
+
+    # left keys: a x3, b x2, c x1; right: a x2, b x1, d x5
+    left = rd.from_arrow(pa.table({"k": list("aaabbc")}))
+    right = rd.from_arrow(pa.table({"k": list("aabddddd")}))
+    df = join_cardinality_report(left, right, "k")
+    # a: 3*2=6, b: 2*1=2 -> est 8, 2 matched keys, max 6
+    assert df.values.tolist() == [[8, 2, 6]]
+
+
+def test_join_cardinality_report_disjoint(ray_session):
+    from schema_validator_ray.stages.joins import join_cardinality_report
+
+    left = rd.from_arrow(pa.table({"k": ["x"]}))
+    right = rd.from_arrow(pa.table({"k": ["y"]}))
+    df = join_cardinality_report(left, right, "k")
+    assert df.values.tolist() == [[0, 0, 0]]
+
+
+def test_chi2_residuals_uniform_zero(ray_session):
+    from schema_validator_ray.stages.stats import chi2_residuals
+
+    # perfectly independent 2x2 -> every expected == observed, resid 0
+    ds = rd.from_arrow(pa.table({
+        "a": ["x", "x", "y", "y"], "b": ["0", "1", "0", "1"]}))
+    out = chi2_residuals(ds, "a", "b").to_pandas()
+    assert len(out) == 4
+    assert (out["resid"] == 0.0).all() and (out["e"] == 1.0).all()
+
+
+def test_chi2_residuals_hand_value(ray_session):
+    from schema_validator_ray.stages.stats import chi2_residuals
+
+    # cells: (x,0)=3, (x,1)=1, (y,0)=1, (y,1)=3; n=8, marginals all 4
+    ds = rd.from_arrow(pa.table({
+        "a": ["x"] * 4 + ["y"] * 4,
+        "b": ["0", "0", "0", "1", "0", "1", "1", "1"]}))
+    out = chi2_residuals(ds, "a", "b").to_pandas()
+    got = {(r.a, r.b): (r.o, r.e, r.resid) for r in out.itertuples()}
+    want_r = round((3 - 2.0) / np.sqrt(2.0), 6)
+    assert got[("x", "0")] == (3, 2.0, want_r)
+    assert got[("x", "1")] == (1, 2.0, -want_r)
