@@ -6920,6 +6920,235 @@ def q_session_length_histogram(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_part_abc_classes(sf_dir: str):
+    """ABC / Pareto inventory classification: parts ranked by exact-cents
+    gross revenue; class A covers the first 80% of cumulative revenue, B
+    to 95%, C the tail. Per-batch per-part partials bound the first
+    exchange at keys-per-batch; the global cumulative share reuses the
+    running_sum local-scan machinery (one logical partition, parallel
+    over calibrated revenue buckets); the finish is a 3-row groupby.
+    Class boundaries are exact-integer tests (cum*5 <= tot*4 — safe in
+    int64 up to ~$4.6e15 total revenue)."""
+    from ray.data.aggregate import Sum
+
+    from schema_validator_ray.stages.analytics import running_sum
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+
+    def part(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "k": b["l_partkey"],
+            "cents": pc.cast(pc.round(pc.multiply(
+                b["l_extendedprice"], 100.0)), pa.int64())})
+        agg = t.group_by("k").aggregate([("cents", "sum")])
+        return pa.table({"l_partkey": agg["k"],
+                         "cents": pc.cast(agg["cents_sum"], pa.int64())})
+
+    per_part = (li.map_batches(part, batch_format="pyarrow")
+                .groupby("l_partkey")
+                .aggregate(Sum("cents", alias_name="cents"))
+                .map_batches(lambda b: pa.table({
+                    "l_partkey": b["l_partkey"],
+                    "cents": pc.cast(b["cents"], pa.int64()),
+                    "neg": pc.multiply(pc.cast(b["cents"], pa.int64()),
+                                       pa.scalar(-1, pa.int64())),
+                    "_g": pa.array(np.zeros(b.num_rows, np.int8))}),
+                    batch_format="pyarrow")
+                .materialize())  # |parts|-row summary, scanned twice below
+    total = int(per_part.sum("cents"))
+
+    ranked = running_sum(per_part, key="_g", order_col="neg",
+                         value="cents", tiebreak="l_partkey",
+                         out_col="cum")
+
+    def classify(b: pa.Table) -> pa.Table:
+        cum = b["cum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cls = np.where(cum * 5 <= total * 4, "A",
+                       np.where(cum * 20 <= total * 19, "B", "C"))
+        g = (pa.table({"abc_class": pa.array(cls), "cents": b["cents"]})
+             .group_by("abc_class")
+             .aggregate([("cents", "sum"), ([], "count_all")]))
+        return pa.table({
+            "abc_class": g["abc_class"],
+            "revenue_cents": pc.cast(g["cents_sum"], pa.int64()),
+            "n_parts": pc.cast(g["count_all"], pa.int64())})
+
+    out = (ranked.map_batches(classify, batch_format="pyarrow")
+           .groupby("abc_class")
+           .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
+                      Sum("n_parts", alias_name="n_parts")))
+    return out.map_batches(lambda b: pa.table({
+        "abc_class": b["abc_class"],
+        "n_parts": pc.cast(b["n_parts"], pa.int64()),
+        "revenue_cents": pc.cast(b["revenue_cents"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_basket_pair_lift(sf_dir: str):
+    """Market-basket association over order baskets: top-15 part pairs by
+    shared-order support with lift = N·c(a,b)/(c(a)·c(b)). Pair
+    generation rides cooccurrence_pairs (item-boundary blocks, degree
+    cap — an order holds ≤7 distinct parts so the pair stream stays
+    linear in |lineitem|); the lift denominators come from a degree scan
+    FILTERED to the ≤30 involved parts before any exchange; N is a
+    distinct-orderkey count off per-batch unique partials. Lift divides
+    two exact int64 products in ONE float64 op, matching SQL bit for
+    bit; rounded to 6 (np.round == round_even)."""
+    from ray.data.aggregate import Min, Sum
+
+    from schema_validator_ray.stages.cooccur import cooccurrence_pairs
+
+    empty = pa.table({"part_a": pa.array([], pa.int64()),
+                      "part_b": pa.array([], pa.int64()),
+                      "n_orders_shared": pa.array([], pa.int64()),
+                      "lift": pa.array([], pa.float64())})
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_orderkey"])
+    pairs = cooccurrence_pairs(li, key_col="l_partkey",
+                               item_col="l_orderkey", min_shared=2)
+    top = (pairs.sort(["n_shared", "a", "b"],
+                      descending=[True, False, False])
+           .limit(15).take_all())  # k-bounded driver collect
+    if not top:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    keys = sorted({int(r["a"]) for r in top} | {int(r["b"]) for r in top})
+    kset = pa.array(keys, pa.int64())
+
+    def dpart(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b["l_partkey"], value_set=kset)).drop_null()
+        d = t.group_by(["l_partkey", "l_orderkey"]).aggregate([])
+        return d.append_column("_one",
+                               pa.array(np.ones(d.num_rows, np.int64)))
+
+    deg_rows = (li.map_batches(dpart, batch_format="pyarrow")
+                .groupby(["l_partkey", "l_orderkey"])
+                .aggregate(Min("_one", alias_name="_one"))
+                .map_batches(lambda b: pa.table({
+                    "p": b["l_partkey"],
+                    "one": pa.array(np.ones(b.num_rows, np.int64))}),
+                    batch_format="pyarrow")
+                .groupby("p").aggregate(Sum("one", alias_name="c"))
+                .take_all())  # ≤30 rows
+    deg = {int(r["p"]): int(r["c"]) for r in deg_rows}
+
+    def opart(b: pa.Table) -> pa.Table:
+        u = pc.unique(b["l_orderkey"])
+        return pa.table({"o": u,
+                         "one": pa.array(np.ones(len(u), np.int8))})
+
+    n_total = (li.map_batches(opart, batch_format="pyarrow")
+               .groupby("o").aggregate(Min("one", alias_name="one"))
+               .count())
+
+    pa_l = [int(r["a"]) for r in top]
+    pb_l = [int(r["b"]) for r in top]
+    ns = [int(r["n_shared"]) for r in top]
+    lifts = [float(np.round((n * n_total) / (deg[a] * deg[b]), 6))
+             for a, b, n in zip(pa_l, pb_l, ns)]
+    return pa.table({"part_a": pa.array(pa_l, pa.int64()),
+                     "part_b": pa.array(pb_l, pa.int64()),
+                     "n_orders_shared": pa.array(ns, pa.int64()),
+                     "lift": pa.array(lifts, pa.float64())})
+
+
+def q_daily_new_returning(sf_dir: str):
+    """New-vs-returning daily active users — the acquisition/retention
+    split every growth dashboard opens with. Per-batch distinct
+    (user, day) partials bound the exchange; one (user, day) groupby
+    feeds BOTH per-day actives and the per-user first-day reduction;
+    the two |days|-row summaries merge on the driver."""
+    from ray.data.aggregate import Count, Min
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def part(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "u": b["user_id"],
+            "d": pc.floor_temporal(b["ts"], unit="day")}).drop_null()
+        d = t.group_by(["u", "d"]).aggregate([])
+        return d.append_column("_one",
+                               pa.array(np.ones(d.num_rows, np.int8)))
+
+    pairs = (ev.map_batches(part, batch_format="pyarrow")
+             .groupby(["u", "d"]).aggregate(Min("_one", alias_name="_one"))
+             .materialize())  # distinct user-days, scanned twice
+
+    active = {r["d"]: int(r["count()"]) for r in
+              pairs.groupby("d").aggregate(Count()).take_all()}
+    new = {r["first_day"]: int(r["count()"]) for r in
+           pairs.groupby("u").aggregate(Min("d", alias_name="first_day"))
+           .groupby("first_day").aggregate(Count()).take_all()}
+    days = sorted(active)
+    newu = [new.get(d, 0) for d in days]
+    return pa.table({
+        "day": pa.array(days, pa.timestamp("us")),
+        "new_users": pa.array(newu, pa.int64()),
+        "returning_users": pa.array(
+            [active[d] - n for d, n in zip(days, newu)], pa.int64()),
+        "active_users": pa.array([active[d] for d in days], pa.int64())})
+
+
+def q_order_line_integrity(sf_dir: str):
+    """Sequence-completeness census on lineitem linenumbers — the
+    validation check that each order's lines form exactly 1..n (no
+    gaps, no duplicates, no offset start). Per-batch (order, linenumber)
+    partials, one two-key groupby, per-order reduction to four int64
+    sufficient stats, then a global 4-counter sum — nothing wider than
+    the distinct (order, line) stream ever moves."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def part(b: pa.Table) -> pa.Table:
+        t = pa.table({"k": b["l_orderkey"],
+                      "ln": pc.cast(b["l_linenumber"], pa.int64())})
+        g = t.group_by(["k", "ln"]).aggregate([([], "count_all")])
+        return pa.table({"k": g["k"], "ln": g["ln"],
+                         "cnt": pc.cast(g["count_all"], pa.int64())})
+
+    def per_order_part(b: pa.Table) -> pa.Table:
+        g = (pa.table({"k": b["k"], "ln": b["ln"],
+                       "cnt": pc.cast(b["cnt"], pa.int64())})
+             .group_by("k")
+             .aggregate([("cnt", "sum"), ("ln", "max"), ("ln", "min"),
+                         ([], "count_all")]))
+        return pa.table({"k": g["k"],
+                         "n_rows": pc.cast(g["cnt_sum"], pa.int64()),
+                         "mx": g["ln_max"], "mn": g["ln_min"],
+                         "n_distinct": pc.cast(g["count_all"], pa.int64())})
+
+    per_order = (li.map_batches(part, batch_format="pyarrow")
+                 .groupby(["k", "ln"]).aggregate(Sum("cnt",
+                                                     alias_name="cnt"))
+                 .map_batches(per_order_part, batch_format="pyarrow")
+                 .groupby("k")
+                 .aggregate(Sum("n_rows", alias_name="n_rows"),
+                            Max("mx", alias_name="mx"),
+                            Min("mn", alias_name="mn"),
+                            Sum("n_distinct", alias_name="n_distinct")))
+
+    def census(b: pa.Table) -> pa.Table:
+        n_rows = b["n_rows"].to_numpy(zero_copy_only=False)
+        mx = b["mx"].to_numpy(zero_copy_only=False)
+        mn = b["mn"].to_numpy(zero_copy_only=False)
+        nd = b["n_distinct"].to_numpy(zero_copy_only=False)
+        complete = (mn == 1) & (mx == nd) & (n_rows == nd)
+        dups = n_rows > nd
+        gaps = (mn != 1) | (mx != nd)
+        return pa.table({
+            "n_orders": pa.array([b.num_rows], pa.int64()),
+            "n_complete": pa.array([int(complete.sum())], pa.int64()),
+            "n_with_dups": pa.array([int(dups.sum())], pa.int64()),
+            "n_with_gaps": pa.array([int(gaps.sum())], pa.int64())})
+
+    parts = (per_order.map_batches(census, batch_format="pyarrow")
+             .take_all())  # one 4-int row per block
+    return pa.table({
+        c: pa.array([sum(int(r[c]) for r in parts)], pa.int64())
+        for c in ("n_orders", "n_complete", "n_with_dups", "n_with_gaps")})
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -7222,6 +7451,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_orders_lineitem": q_join_size_orders_lineitem,
         "events_chi2_residuals": q_events_chi2_residuals,
         "session_length_histogram": q_session_length_histogram,
+        "part_abc_classes": q_part_abc_classes,
+        "basket_pair_lift": q_basket_pair_lift,
+        "daily_new_returning": q_daily_new_returning,
+        "order_line_integrity": q_order_line_integrity,
     }
 
 
@@ -10897,6 +11130,91 @@ def oracle_sql() -> dict[str, str]:
                       FROM g GROUP BY user_id, sid)
             SELECT n_events, CAST(COUNT(*) AS BIGINT) AS n_sessions
               FROM ses GROUP BY 1
+        """,
+        # exact-cents Pareto: identical total order (cents DESC, partkey
+        # ASC) and exact-integer 80/95% boundary tests on both sides
+        "part_abc_classes": """
+            WITH pr AS (SELECT l_partkey,
+                               CAST(SUM(CAST(round(l_extendedprice * 100)
+                                             AS BIGINT)) AS BIGINT) AS cents
+                          FROM lineitem GROUP BY 1),
+            r AS (SELECT cents,
+                         SUM(cents) OVER (ORDER BY cents DESC,
+                                          l_partkey ASC
+                                          ROWS UNBOUNDED PRECEDING) AS cum,
+                         SUM(cents) OVER () AS tot
+                    FROM pr)
+            SELECT CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+                        WHEN cum * 20 <= tot * 19 THEN 'B'
+                        ELSE 'C' END AS abc_class,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(SUM(cents) AS BIGINT) AS revenue_cents
+              FROM r GROUP BY 1
+        """,
+        # lift = (n*N)/(c_a*c_b): exact BIGINT products, ONE double
+        # division — bit-identical to the engine's computation
+        "basket_pair_lift": """
+            WITH e AS (SELECT DISTINCT l_partkey AS p, l_orderkey AS o
+                         FROM lineitem
+                        WHERE l_partkey IS NOT NULL
+                          AND l_orderkey IS NOT NULL),
+            pairs AS (SELECT a.p AS pa, b.p AS pb,
+                             CAST(COUNT(*) AS BIGINT) AS n
+                        FROM e a JOIN e b
+                          ON a.o = b.o AND a.p < b.p
+                       GROUP BY 1, 2),
+            top AS (SELECT * FROM pairs WHERE n >= 2
+                     ORDER BY n DESC, pa ASC, pb ASC LIMIT 15),
+            deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c
+                      FROM e GROUP BY 1),
+            nn AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+                          AS n_total FROM lineitem)
+            SELECT t.pa AS part_a, t.pb AS part_b,
+                   t.n AS n_orders_shared,
+                   round_even((t.n * nn.n_total) / (da.c * db.c), 6)
+                       AS lift
+              FROM top t
+              CROSS JOIN nn
+              JOIN deg da ON da.p = t.pa
+              JOIN deg db ON db.p = t.pb
+        """,
+        "daily_new_returning": """
+            WITH p AS (SELECT DISTINCT user_id AS u,
+                              date_trunc('day', ts) AS d
+                         FROM events
+                        WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            f AS (SELECT u, MIN(d) AS fd FROM p GROUP BY 1),
+            a AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS active
+                    FROM p GROUP BY 1),
+            n AS (SELECT fd AS d, CAST(COUNT(*) AS BIGINT) AS newu
+                    FROM f GROUP BY 1)
+            SELECT a.d AS day,
+                   COALESCE(n.newu, 0) AS new_users,
+                   a.active - COALESCE(n.newu, 0) AS returning_users,
+                   a.active AS active_users
+              FROM a LEFT JOIN n USING (d)
+        """,
+        "order_line_integrity": """
+            WITH pl AS (SELECT l_orderkey AS k,
+                               CAST(l_linenumber AS BIGINT) AS ln,
+                               CAST(COUNT(*) AS BIGINT) AS cnt
+                          FROM lineitem GROUP BY 1, 2),
+            o AS (SELECT k, SUM(cnt) AS n_rows,
+                         COUNT(*) AS n_distinct,
+                         MAX(ln) AS mx, MIN(ln) AS mn
+                    FROM pl GROUP BY 1)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CASE WHEN mn = 1 AND mx = n_distinct
+                                  AND n_rows = n_distinct
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_complete,
+                   CAST(SUM(CASE WHEN n_rows > n_distinct
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_with_dups,
+                   CAST(SUM(CASE WHEN mn <> 1 OR mx <> n_distinct
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_with_gaps
+              FROM o
         """,
     }
     # quarantine / annotate-mode oracle: valid rows = NOT IN the violation
