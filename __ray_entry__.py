@@ -7149,6 +7149,85 @@ def q_order_line_integrity(sf_dir: str):
         for c in ("n_orders", "n_complete", "n_with_dups", "n_with_gaps")})
 
 
+def q_embedding_kcore(sf_dir: str):
+    """3-core (three fixed peels) of the cosine>=0.3 embedding similarity
+    graph — the dense-cluster extractor that separates genuinely
+    clustered vectors from chains of incidental similarity (the typo
+    graph is a perfect matching, so THIS graph carries the repo's real
+    peel structure: 483 -> 377 -> 345 -> 330 nodes at sf0.01). Same
+    iterative-algorithm shape as part_typo_pagerank: node-bounded alive
+    mask broadcast per peel, edge-stream degree partials, exact ints."""
+    from schema_validator_ray.stages.graph import kcore_on_edges
+
+    edges = q_embedding_pairs_cos03(sf_dir)
+    return kcore_on_edges(edges, "a", "b", k=3, iters=3)
+
+
+def q_spend_theil_by_segment(sf_dir: str):
+    """Theil-T inequality index of customer lifetime spend per market
+    segment — the entropy-based, subgroup-decomposable companion to
+    spend_gini_by_segment (same spend partials, same broadcast-dim
+    join; the finish is three sufficient stats per segment instead of
+    a rank scan)."""
+    from schema_validator_ray.stages.referential import \
+        default_join_partitions
+    from schema_validator_ray.stages.stats import theil_by_group
+
+    spend = _customer_spend_cents(sf_dir)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(
+            lambda b: pa.table({"o_custkey": b["c_custkey"],
+                                "c_mktsegment": b["c_mktsegment"]}),
+            batch_format="pyarrow")
+    j = spend.join(cust, join_type="inner",
+                   num_partitions=default_join_partitions(8),
+                   on=("o_custkey",))
+    return theil_by_group(j, "c_mktsegment", "spend_cents")
+
+
+def q_user_streak_histogram(sf_dir: str):
+    """Histogram of each user's longest consecutive-active-day streak —
+    the habit-strength census behind dau_stickiness, shard-grouped like
+    transition_counts (never per-user groups)."""
+    from schema_validator_ray.stages.funnel import max_streak_histogram
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    out = max_streak_histogram(ds, user_col="user_id", ts_col="ts")
+    return out.map_batches(
+        lambda b: pa.table({
+            "streak_days": b["streak_days"],
+            "n_users": pc.cast(b["n_users"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_events_seq_cond_entropy(sf_dir: str):
+    """Conditional entropy H(next | prev) of the per-user event-type
+    Markov chain — the one-number sequence-predictability signal on top
+    of events_transition_matrix (0 = deterministic flows, ln|types| =
+    memoryless). The |types|²-row transition census folds on the
+    driver."""
+    from schema_validator_ray.stages.funnel import transition_counts
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_type", "event_id"])
+    cells = transition_counts(ds, user_col="user_id", ts_col="ts",
+                              type_col="event_type",
+                              tiebreak_col="event_id").take_all()
+    n = np.array([int(r["n"]) for r in cells], np.int64)
+    if not len(n):
+        return pa.table({"n_transitions": pa.array([0], pa.int64()),
+                         "cond_entropy": pa.array([0.0], pa.float64())})
+    prev = pd.factorize(np.array([r["prev_type"] for r in cells]))[0]
+    total = float(n.sum())
+    marg = np.zeros(int(prev.max()) + 1, np.float64)
+    np.add.at(marg, prev, n.astype(np.float64))
+    nf = n.astype(np.float64)
+    h = -np.sum((nf / total) * np.log(nf / marg[prev]))
+    return pa.table({
+        "n_transitions": pa.array([int(n.sum())], pa.int64()),
+        "cond_entropy": pa.array([float(np.round(h, 6))], pa.float64())})
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -7455,6 +7534,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_pair_lift": q_basket_pair_lift,
         "daily_new_returning": q_daily_new_returning,
         "order_line_integrity": q_order_line_integrity,
+        "embedding_kcore": q_embedding_kcore,
+        "spend_theil_by_segment": q_spend_theil_by_segment,
+        "user_streak_histogram": q_user_streak_histogram,
+        "events_seq_cond_entropy": q_events_seq_cond_entropy,
     }
 
 
@@ -11215,6 +11298,93 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_with_gaps
               FROM o
+        """,
+        # three unrolled peels of the 3-core (same fixed-iteration
+        # SQL-expressibility trick as part_typo_pagerank)
+        "embedding_kcore": r"""
+            WITH e0 AS (SELECT a.vec_id AS x, b.vec_id AS y
+                          FROM embeddings a JOIN embeddings b
+                            ON a.vec_id < b.vec_id
+                         WHERE list_cosine_similarity(
+                                   CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.3),
+            e AS (SELECT x, y FROM e0
+                  UNION ALL SELECT y AS x, x AS y FROM e0),
+            d1 AS (SELECT x, COUNT(*) AS deg FROM e GROUP BY 1),
+            n1 AS (SELECT x FROM d1 WHERE deg >= 3),
+            e1 AS (SELECT x, y FROM e
+                    WHERE x IN (SELECT x FROM n1)
+                      AND y IN (SELECT x FROM n1)),
+            d2 AS (SELECT x, COUNT(*) AS deg FROM e1 GROUP BY 1),
+            n2 AS (SELECT x FROM d2 WHERE deg >= 3),
+            e2 AS (SELECT x, y FROM e1
+                    WHERE x IN (SELECT x FROM n2)
+                      AND y IN (SELECT x FROM n2)),
+            d3 AS (SELECT x, COUNT(*) AS deg FROM e2 GROUP BY 1),
+            n3 AS (SELECT x FROM d3 WHERE deg >= 3),
+            e3 AS (SELECT x, y FROM e2
+                    WHERE x IN (SELECT x FROM n3)
+                      AND y IN (SELECT x FROM n3))
+            SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS degree
+              FROM e3 GROUP BY 1
+        """,
+        # Theil-T = Σx·ln(x)/Σx − ln(Σx/n) over exact-cents spend; the
+        # identical double arithmetic both sides, rounded half-even 6dp
+        "spend_theil_by_segment": """
+            WITH s AS (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS v
+                FROM orders GROUP BY 1),
+            x AS (SELECT c.c_mktsegment AS seg, s.v
+                    FROM s JOIN customer c ON s.o_custkey = c.c_custkey
+                   WHERE s.v > 0)
+            SELECT seg AS c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   round_even(SUM(CAST(v AS DOUBLE) * ln(CAST(v AS DOUBLE)))
+                                  / SUM(CAST(v AS DOUBLE))
+                              - ln(SUM(CAST(v AS DOUBLE)) / COUNT(*)), 6)
+                       AS theil
+              FROM x GROUP BY seg
+        """,
+        # islands trick: day-ordinal minus per-user row number groups
+        # consecutive days; engine day ordinal = epoch_us // 86400e6
+        "user_streak_histogram": """
+            WITH p AS (SELECT DISTINCT user_id AS u,
+                              epoch_us(ts) // 86400000000 AS d
+                         FROM events
+                        WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            r AS (SELECT u, d,
+                         d - ROW_NUMBER() OVER (PARTITION BY u ORDER BY d)
+                             AS grp
+                    FROM p),
+            runs AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS len
+                       FROM r GROUP BY u, grp),
+            m AS (SELECT u, MAX(len) AS streak_days FROM runs GROUP BY 1)
+            SELECT streak_days, CAST(COUNT(*) AS BIGINT) AS n_users
+              FROM m GROUP BY 1
+        """,
+        "events_seq_cond_entropy": """
+            WITH seq AS (
+              SELECT user_id, event_type,
+                     LAG(event_type) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id)
+                         AS prev_type
+                FROM events),
+            c AS (SELECT prev_type, event_type AS next_type,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                    FROM seq WHERE prev_type IS NOT NULL
+                   GROUP BY 1, 2),
+            t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot,
+                         CAST(SUM(n) AS BIGINT) AS tot_i FROM c),
+            px AS (SELECT prev_type, CAST(SUM(n) AS DOUBLE) AS m
+                     FROM c GROUP BY 1)
+            SELECT t.tot_i AS n_transitions,
+                   round_even(-SUM((CAST(c.n AS DOUBLE) / t.tot)
+                                   * ln(CAST(c.n AS DOUBLE) / px.m)), 6)
+                       AS cond_entropy
+              FROM c JOIN px USING (prev_type) CROSS JOIN t
+             GROUP BY 1
         """,
     }
     # quarantine / annotate-mode oracle: valid rows = NOT IN the violation

@@ -740,3 +740,65 @@ def km_survival(events, *, user_col: str, ts_col: str,
         "n_risk": n_risk[keep],
         "n_events": d[keep],
         "surv": np.round(np.cumprod(factors), 6)})
+
+
+def max_streak_histogram(events, *, user_col: str, ts_col: str):
+    """Histogram of each user's LONGEST run of consecutive active days —
+    the habit-strength census behind DAU stickiness. Returns a Dataset of
+    (streak_days, n_users), exact integers.
+
+    Distributed shape, one narrow exchange: batches project map-side to
+    per-batch-DISTINCT (user, day-ordinal, shard) triples (the partial
+    bounds the exchange at user-days-per-batch), hash-partition by user
+    SHARD (64 shards — never per-user groups), and each shard lexsorts
+    once, dedupes repeated user-days vectorially, run-lengths the
+    consecutive-day segments, reduces to per-user max via
+    ``np.maximum.at``, and emits a (streak, n_users) partial. The final
+    groupby sums |shards| × |streak-lengths| rows — tiny at any scale.
+    """
+    from ray.data.aggregate import Sum
+
+    DAY_US = 86_400_000_000
+
+    def narrow(b: pa.Table) -> pa.Table:
+        from .asof import _shard_of
+
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        # integer µs // DAY_US (ts >= epoch, so truncation == floor) —
+        # float division could misplace exact-midnight boundaries
+        t = pa.table({
+            "u": b[user_col],
+            "d": pc.divide(pc.cast(ts, pa.int64()),
+                           pa.scalar(DAY_US, pa.int64()))}).drop_null()
+        d = t.group_by(["u", "d"]).aggregate([])
+        return d.append_column("_shard",
+                               pa.array(_shard_of(d["u"], 64)))
+
+    def scan_shard(g: pa.Table) -> pa.Table:
+        empty = pa.table({"streak_days": pa.array([], pa.int64()),
+                          "n_users": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        codes, _ = pd.factorize(g["u"].to_numpy(zero_copy_only=False))
+        day = g["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((day, codes))
+        c, d = codes[order], day[order]
+        keep = np.r_[True, (c[1:] != c[:-1]) | (d[1:] != d[:-1])]
+        c, d = c[keep], d[keep]          # global dedupe: a user is whole here
+        brk = np.r_[True, (c[1:] != c[:-1]) | (d[1:] - d[:-1] != 1)]
+        seg_id = np.cumsum(brk) - 1
+        lens = np.bincount(seg_id)
+        seg_user = c[np.flatnonzero(brk)]
+        umax = np.zeros(int(c.max()) + 1, np.int64)
+        np.maximum.at(umax, seg_user, lens)
+        uk, cnt = np.unique(umax[umax > 0], return_counts=True)
+        return pa.table({"streak_days": pa.array(uk),
+                         "n_users": pa.array(cnt.astype(np.int64))})
+
+    return (events.map_batches(narrow, batch_format="pyarrow")
+            .groupby("_shard")
+            .map_groups(scan_shard, batch_format="pyarrow")
+            .groupby("streak_days")
+            .aggregate(Sum("n_users", alias_name="n_users")))

@@ -208,6 +208,89 @@ def pagerank_on_edges(edges, a_col: str, b_col: str, *, iters: int = 3,
         "pr": pa.array(np.round(pr, 6), pa.float64(), from_pandas=True)})
 
 
+def kcore_on_edges(edges, a_col: str, b_col: str, *, k: int = 2,
+                   iters: int = 3, broadcast_max: int = 50_000_000):
+    """Fixed-iteration k-core peeling over an undirected edge list — the
+    degeneracy-ordering shape on Ray Data: per iteration the ALIVE
+    vertex mask (node-bounded, one byte per node) broadcasts via
+    ``ray.put`` and the EDGE STREAM reduces per-batch (node, degree)
+    partials into one node-bounded groupby; nodes whose degree in the
+    surviving subgraph falls below ``k`` die. A fixed ``iters`` keeps
+    the result SQL-expressible (the oracle unrolls the same subgraph
+    restrictions). Exact integers end to end.
+
+    Returns a ``pyarrow.Table`` of (node, degree): each node still
+    incident to an edge after ``iters`` peels, with its degree in that
+    final subgraph (isolated survivors drop out, matching the SQL
+    degree-table form).
+    """
+    import pandas as pd
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    empty = pa.table({"node": pa.array([], pa.string()),
+                      "degree": pa.array([], pa.int64())})
+    parts, over = collect_up_to(edges, broadcast_max)
+    if over:
+        raise RuntimeError(
+            "edge list exceeded the vertex-state broadcast budget; "
+            "co-partition by node hash for larger graphs")
+    et = pa.concat_tables(parts) if parts else None
+    if et is None or et.num_rows == 0:
+        return empty
+
+    a_raw = et[a_col].to_numpy(zero_copy_only=False)
+    b_raw = et[b_col].to_numpy(zero_copy_only=False)
+    codes, uniques = pd.factorize(np.concatenate([a_raw, b_raw]))
+    n = int(codes.max()) + 1
+    u = codes[:len(a_raw)].astype(np.int64)
+    v = codes[len(a_raw):].astype(np.int64)
+    lo, hi = np.minimum(u, v), np.maximum(u, v)
+    keep = lo != hi
+    packed = np.unique(lo[keep] * np.int64(n) + hi[keep])
+    if not len(packed):
+        return empty
+    lo = (packed // n).astype(np.int64)
+    hi = (packed % n).astype(np.int64)
+    edge_ds = rd.from_arrow(pa.table({
+        "src": pa.array(np.concatenate([lo, hi])),
+        "dst": pa.array(np.concatenate([hi, lo]))}))
+
+    def degrees(mask: np.ndarray) -> np.ndarray:
+        ref = ray.put(mask)
+
+        def degp(b: pa.Table, s=ref) -> pa.Table:
+            m = ray.get(s) if not isinstance(s, np.ndarray) else s
+            su = b["src"].to_numpy(zero_copy_only=False)
+            sv = b["dst"].to_numpy(zero_copy_only=False)
+            live = m[su] & m[sv]
+            uk, cnt = np.unique(su[live], return_counts=True)
+            return pa.table({"node": pa.array(uk),
+                             "c": pa.array(cnt.astype(np.int64))})
+
+        agg = (edge_ds.map_batches(degp, batch_format="pyarrow")
+               .groupby("node").aggregate(Sum("c", alias_name="c")))
+        ap, _ = collect_up_to(agg, broadcast_max)  # node-bounded
+        deg = np.zeros(n, np.int64)
+        if ap:
+            at = pa.concat_tables(ap)
+            idx = at["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            deg[idx] = at["c"].to_numpy(zero_copy_only=False)
+        return deg
+
+    alive = np.ones(n, bool)
+    for _ in range(iters):
+        nxt = alive & (degrees(alive) >= k)
+        if (nxt == alive).all():
+            break                 # fixed point: further peels are no-ops
+        alive = nxt
+    deg = degrees(alive)
+    out = alive & (deg > 0)
+    return pa.table({"node": pa.array(np.asarray(uniques)[out]),
+                     "degree": pa.array(deg[out])})
+
+
 def bipartite_degree_census(ds, a_col: str, b_col: str):
     """Degree distribution of BOTH sides of a bipartite relation (e.g.
     part—supplier from lineitem): one row per (side, degree) with the node

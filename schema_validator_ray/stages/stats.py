@@ -1438,6 +1438,56 @@ def column_format_census(ds, specs: list):
                        Sum("n", alias_name="n")))
 
 
+def theil_by_group(ds, key: str, value_col: str):
+    """Exact-sufficient-stats Theil-T inequality index per group over
+    POSITIVE integer values (callers pass exact units, e.g. cents):
+    T = Σx·ln(x)/Σx − ln(Σx/n), the entropy-based companion to
+    ``gini_by_group`` (decomposable across subgroups, which Gini is not).
+    Nulls and non-positive values drop (ln undefined), mirroring the
+    oracle's WHERE.
+
+    Distributed shape: per-batch (group → n, Σx, Σ x·ln x) partials, one
+    |groups|-row groupby-sum, map-only finish. Σx and n are int64-exact;
+    Σ x·ln x is a float64 sum whose partial order differs from a
+    sequential scan by ulps — absorbed by the half-even 6dp rounding
+    both sides apply.
+
+    Returns a Dataset of (key, n, theil).
+    """
+    from ray.data.aggregate import Sum
+
+    def part(b: pa.Table) -> pa.Table:
+        t = pa.table({"g": b[key],
+                      "x": pc.cast(b[value_col], pa.int64())}).drop_null()
+        t = t.filter(pc.greater(t["x"], pa.scalar(0, pa.int64())))
+        x = t["x"].to_numpy(zero_copy_only=False).astype(np.float64)
+        g = (t.append_column("_xlnx", pa.array(x * np.log(x)))
+             .group_by("g")
+             .aggregate([("x", "sum"), ("_xlnx", "sum"), ([], "count_all")]))
+        return pa.table({"g": g["g"],
+                         "sx": pc.cast(g["x_sum"], pa.int64()),
+                         "sxlnx": g["_xlnx_sum"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    agg = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby("g")
+           .aggregate(Sum("sx", alias_name="sx"),
+                      Sum("sxlnx", alias_name="sxlnx"),
+                      Sum("n", alias_name="n")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        sx = b["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxlnx = b["sxlnx"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            key: b["g"],
+            "n": pc.cast(b["n"], pa.int64()),
+            "theil": pa.array(np.round(sxlnx / sx - np.log(sx / n), 6),
+                              pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def gini_by_group(ds, key: str, value_col: str, tiebreak: str):
     """Exact per-group Gini coefficient of ``value_col`` (int64 values —
     callers pass exact integer units, e.g. cents) — the inequality /
