@@ -7228,6 +7228,215 @@ def q_events_seq_cond_entropy(sf_dir: str):
         "cond_entropy": pa.array([float(np.round(h, 6))], pa.float64())})
 
 
+def q_linkage_block_recall(sf_dir: str):
+    """Entity-resolution blocking-quality audit: recall and precision of
+    two-pass prefix-4 / suffix-4 blocking against the TRUE edit-distance
+    <=1 pair set (the multi-pass-blocking lesson in one row — prefix
+    blocks miss leading-character typos, the suffix pass recovers them).
+    Candidate generation rides cooccurrence_pairs over (name, block-key)
+    edges; the truth set rides the deletion-bucket ed<=1 join. Both
+    streams are name-ALPHABET-bounded (distinct names, not rows), so the
+    driver-side intersection is a census, not a data collect."""
+    from ray.data.aggregate import Min
+
+    from schema_validator_ray.stages.cooccur import cooccurrence_pairs
+    from schema_validator_ray.stages.fuzzy import edit_distance_pairs
+
+    ds = _read(sf_dir, "part", ["p_name"])
+    names = (ds.map_batches(
+        lambda b: pa.table({
+            "p_name": pc.unique(b["p_name"].drop_null()),
+        }).append_column("_c", pa.array(
+            np.ones(len(pc.unique(b["p_name"].drop_null())), np.int8))),
+        batch_format="pyarrow")
+        .groupby("p_name").aggregate(Min("_c", alias_name="_c")))
+
+    def blocks(b: pa.Table) -> pa.Table:
+        nm = b["p_name"].to_pylist()       # alphabet-bounded, not hot path
+        return pa.table({
+            "p_name": pa.array(nm + nm, pa.string()),
+            "k": pa.array(["p:" + s[:4] for s in nm]
+                          + ["s:" + s[-4:] for s in nm], pa.string())})
+
+    cand = cooccurrence_pairs(names.map_batches(blocks,
+                                                batch_format="pyarrow"),
+                              key_col="p_name", item_col="k", min_shared=1)
+    truth = {(r["a"], r["b"])
+             for r in edit_distance_pairs(ds, "p_name").take_all()}
+    n_cand = 0
+    n_caught = 0
+    for r in cand.take_all():              # alphabet²-bounded census
+        n_cand += 1
+        if (r["a"], r["b"]) in truth:
+            n_caught += 1
+    n_true = len(truth)
+    return pa.table({
+        "n_true": pa.array([n_true], pa.int64()),
+        "n_candidates": pa.array([n_cand], pa.int64()),
+        "n_caught": pa.array([n_caught], pa.int64()),
+        "recall": pa.array(
+            [float(np.round(n_caught / n_true, 6)) if n_true else None],
+            pa.float64()),
+        "precision": pa.array(
+            [float(np.round(n_caught / n_cand, 6)) if n_cand else None],
+            pa.float64())})
+
+
+def q_purchase_gap_cv_bands(sf_dir: str):
+    """Purchase-regularity census: each repeat buyer's coefficient of
+    variation of inter-purchase gaps (whole minutes), banded into
+    regular (<0.5) / moderate (<1) / bursty (>=1) / instant (all gaps
+    0). keyed_gaps ships the narrow shard pass; per-user sufficient
+    stats (n, Σg, Σg²) are int64-exact (documented bound: Σg² overflows
+    past ~3e9 gap-minutes² per user), so both sides band identical
+    doubles — no float cliff."""
+    from ray.data.aggregate import Sum
+
+    from schema_validator_ray.stages.analytics import keyed_gaps
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    purchases = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"],
+                                    pa.scalar("purchase")))
+        .select(["user_id", "ts", "event_id"]),
+        batch_format="pyarrow")
+    gaps = keyed_gaps(purchases, key="user_id", ts_col="ts",
+                      tiebreak="event_id", out_col="g",
+                      unit_us=60_000_000)
+
+    def part(b: pa.Table) -> pa.Table:
+        g = pc.cast(b["g"], pa.int64())
+        t = pa.table({"u": b["user_id"], "g": g,
+                      "g2": pc.multiply(g, g)})
+        a = t.group_by("u").aggregate([("g", "sum"), ("g2", "sum"),
+                                       ([], "count_all")])
+        return pa.table({"u": a["u"],
+                         "sg": pc.cast(a["g_sum"], pa.int64()),
+                         "sg2": pc.cast(a["g2_sum"], pa.int64()),
+                         "n": pc.cast(a["count_all"], pa.int64())})
+
+    per_user = (gaps.map_batches(part, batch_format="pyarrow")
+                .groupby("u")
+                .aggregate(Sum("sg", alias_name="sg"),
+                           Sum("sg2", alias_name="sg2"),
+                           Sum("n", alias_name="n")))
+
+    def band(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        sg = b["sg"].to_numpy(zero_copy_only=False)
+        sg2 = b["sg2"].to_numpy(zero_copy_only=False)
+        keep = n >= 2
+        n, sg, sg2 = n[keep], sg[keep], sg2[keep]
+        nf, sgf, sg2f = (a.astype(np.float64) for a in (n, sg, sg2))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cv = np.sqrt(nf * sg2f / (sgf * sgf) - 1.0)
+        lab = np.where(sg == 0, "instant",
+                       np.where(cv < 0.5, "regular",
+                                np.where(cv < 1.0, "moderate", "bursty")))
+        a = (pa.table({"band": pa.array(lab)})
+             .group_by("band").aggregate([([], "count_all")]))
+        return pa.table({"band": a["band"],
+                         "n_users": pc.cast(a["count_all"], pa.int64())})
+
+    return (per_user.map_batches(band, batch_format="pyarrow")
+            .groupby("band").aggregate(Sum("n_users",
+                                           alias_name="n_users"))
+            .map_batches(lambda b: pa.table({
+                "band": b["band"],
+                "n_users": pc.cast(b["n_users"], pa.int64())}),
+                batch_format="pyarrow"))
+
+
+def q_revenue_seasonal_decomp(sf_dir: str):
+    """Two-way seasonal decomposition of monthly revenue: per
+    month-of-year, the mean deviation from each year's own monthly mean
+    (the ANOVA-style month effect that survives yearly trend). The
+    (year, month) exact-cents census (<=84 cells) folds on the driver;
+    both sides run the identical double arithmetic, rounded half-even."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def part(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "y": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
+            "m": pc.cast(pc.month(b["o_orderdate"]), pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(
+                b["o_totalprice"], 100.0)), pa.int64())})
+        a = t.group_by(["y", "m"]).aggregate([("cents", "sum")])
+        return pa.table({"y": a["y"], "m": a["m"],
+                         "cents": pc.cast(a["cents_sum"], pa.int64())})
+
+    cells = (orders.map_batches(part, batch_format="pyarrow")
+             .groupby(["y", "m"]).aggregate(Sum("cents",
+                                                alias_name="cents"))
+             .take_all())                     # <= years x 12 cells
+    y = np.array([int(r["y"]) for r in cells], np.int64)
+    m = np.array([int(r["m"]) for r in cells], np.int64)
+    v = np.array([int(r["cents"]) for r in cells], np.int64)
+    out_m, out_n, out_eff = [], [], []
+    years = np.unique(y)
+    ymean = {int(yy): float(v[y == yy].sum()) / int((y == yy).sum())
+             for yy in years}
+    dev = v.astype(np.float64) - np.array([ymean[int(a)] for a in y])
+    for mm in np.unique(m):
+        sel = m == mm
+        out_m.append(int(mm))
+        out_n.append(int(sel.sum()))
+        # dollars, not cents: keeps the pre-rounding magnitude ~100x
+        # below the 6dp round-off cliff at every supported sf
+        out_eff.append(float(np.round(
+            dev[sel].sum() / sel.sum() / 100.0, 6)))
+    return pa.table({"month": pa.array(out_m, pa.int64()),
+                     "n_years": pa.array(out_n, pa.int64()),
+                     "month_effect_dollars": pa.array(out_eff,
+                                                      pa.float64())})
+
+
+def q_events_value_anova(sf_dir: str):
+    """One-way ANOVA F across event types on `value` — does the payload
+    distribution differ by type at all (the omnibus companion to the
+    pairwise t-test / Mann-Whitney checks). Per-type sufficient stats
+    (n, Σx, Σx²) partials, |types|-row groupby, driver finish with the
+    identical double formula both sides."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def part(b: pa.Table) -> pa.Table:
+        t = pa.table({"ty": b["event_type"],
+                      "x": pc.cast(b["value"], pa.float64())}).drop_null()
+        x = t["x"].to_numpy(zero_copy_only=False)
+        g = (t.append_column("_x2", pa.array(x * x))
+             .group_by("ty")
+             .aggregate([("x", "sum"), ("_x2", "sum"), ([], "count_all")]))
+        return pa.table({"ty": g["ty"], "s": g["x_sum"],
+                         "s2": g["_x2_sum"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    rows = (ev.map_batches(part, batch_format="pyarrow")
+            .groupby("ty")
+            .aggregate(Sum("s", alias_name="s"),
+                       Sum("s2", alias_name="s2"),
+                       Sum("n", alias_name="n"))
+            .take_all())                       # |types| rows
+    n = np.array([int(r["n"]) for r in rows], np.float64)
+    s = np.array([float(r["s"]) for r in rows])
+    s2 = np.array([float(r["s2"]) for r in rows])
+    k = len(rows)
+    nn = n.sum()
+    grand = s.sum() / nn
+    mean = s / n
+    ssb = float(np.sum(n * (mean - grand) * (mean - grand)))
+    ssw = float(np.sum(s2 - s * s / n))
+    f = (ssb / (k - 1)) / (ssw / (nn - k))
+    return pa.table({
+        "k": pa.array([k], pa.int64()),
+        "n": pa.array([int(nn)], pa.int64()),
+        "f_stat": pa.array([float(np.round(f, 6))], pa.float64())})
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -7538,6 +7747,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spend_theil_by_segment": q_spend_theil_by_segment,
         "user_streak_histogram": q_user_streak_histogram,
         "events_seq_cond_entropy": q_events_seq_cond_entropy,
+        "linkage_block_recall": q_linkage_block_recall,
+        "purchase_gap_cv_bands": q_purchase_gap_cv_bands,
+        "revenue_seasonal_decomp": q_revenue_seasonal_decomp,
+        "events_value_anova": q_events_value_anova,
     }
 
 
@@ -11385,6 +11598,99 @@ def oracle_sql() -> dict[str, str]:
                        AS cond_entropy
               FROM c JOIN px USING (prev_type) CROSS JOIN t
              GROUP BY 1
+        """,
+        "linkage_block_recall": """
+            WITH n AS (SELECT DISTINCT p_name FROM part
+                        WHERE p_name IS NOT NULL),
+            keys AS (SELECT p_name, concat('p:', substr(p_name, 1, 4))
+                            AS k FROM n
+                     UNION ALL
+                     SELECT p_name, concat('s:', substr(p_name, -4, 4))
+                       FROM n),
+            cand AS (SELECT DISTINCT a.p_name AS x, b.p_name AS y
+                       FROM keys a JOIN keys b
+                         ON a.k = b.k AND a.p_name < b.p_name),
+            tru AS (SELECT a.p_name AS x, b.p_name AS y
+                      FROM n a JOIN n b
+                        ON a.p_name < b.p_name
+                       AND levenshtein(a.p_name, b.p_name) <= 1),
+            c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+                         CAST(COALESCE(SUM(CASE WHEN t.x IS NOT NULL
+                                                THEN 1 ELSE 0 END), 0)
+                              AS BIGINT) AS n_caught
+                    FROM cand LEFT JOIN tru t USING (x, y)),
+            t2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM tru)
+            SELECT t2.n_true, c.n_candidates, c.n_caught,
+                   round_even(CAST(c.n_caught AS DOUBLE)
+                              / NULLIF(t2.n_true, 0), 6) AS recall,
+                   round_even(CAST(c.n_caught AS DOUBLE)
+                              / NULLIF(c.n_candidates, 0), 6)
+                       AS "precision"
+              FROM c CROSS JOIN t2
+        """,
+        # n/sg/sg2 are exact int64 both sides, so the CV doubles (and the
+        # band cut at 0.5 / 1.0) are bit-identical — no float cliff
+        "purchase_gap_cv_bands": """
+            WITH p AS (SELECT user_id, ts, event_id FROM events
+                        WHERE event_type = 'purchase'
+                          AND user_id IS NOT NULL AND ts IS NOT NULL),
+            l AS (SELECT user_id,
+                         (epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                              PARTITION BY user_id
+                              ORDER BY ts, event_id))) // 60000000 AS g
+                    FROM p),
+            s AS (SELECT user_id, CAST(COUNT(g) AS BIGINT) AS n,
+                         CAST(SUM(g) AS BIGINT) AS sg,
+                         CAST(SUM(g * g) AS BIGINT) AS sg2
+                    FROM l WHERE g IS NOT NULL GROUP BY 1),
+            c AS (SELECT CASE
+                      WHEN sg = 0 THEN 'instant'
+                      WHEN sqrt(CAST(n AS DOUBLE) * CAST(sg2 AS DOUBLE)
+                                / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                                - 1.0) < 0.5 THEN 'regular'
+                      WHEN sqrt(CAST(n AS DOUBLE) * CAST(sg2 AS DOUBLE)
+                                / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                                - 1.0) < 1.0 THEN 'moderate'
+                      ELSE 'bursty' END AS band
+                    FROM s WHERE n >= 2)
+            SELECT band, CAST(COUNT(*) AS BIGINT) AS n_users
+              FROM c GROUP BY 1
+        """,
+        "revenue_seasonal_decomp": """
+            WITH c AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+                              CAST(month(o_orderdate) AS BIGINT) AS m,
+                              CAST(SUM(CAST(round(o_totalprice * 100)
+                                            AS BIGINT)) AS BIGINT) AS cents
+                         FROM orders GROUP BY 1, 2),
+            ym AS (SELECT y, CAST(SUM(cents) AS DOUBLE) / COUNT(*)
+                          AS ymean
+                     FROM c GROUP BY 1)
+            SELECT c.m AS month, CAST(COUNT(*) AS BIGINT) AS n_years,
+                   round_even(SUM(CAST(c.cents AS DOUBLE) - ym.ymean)
+                              / COUNT(*) / 100.0, 6)
+                       AS month_effect_dollars
+              FROM c JOIN ym USING (y) GROUP BY 1
+        """,
+        "events_value_anova": """
+            WITH g AS (SELECT event_type,
+                              CAST(COUNT(value) AS BIGINT) AS n,
+                              SUM(value) AS s,
+                              SUM(value * value) AS s2
+                         FROM events
+                        WHERE value IS NOT NULL
+                          AND event_type IS NOT NULL
+                        GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn, SUM(s) AS ss,
+                         CAST(COUNT(*) AS BIGINT) AS k,
+                         CAST(SUM(n) AS BIGINT) AS n_i FROM g)
+            SELECT t.k, t.n_i AS n,
+                   round_even(
+                       (SUM(CAST(g.n AS DOUBLE)
+                            * (g.s / g.n - t.ss / t.nn)
+                            * (g.s / g.n - t.ss / t.nn)) / (t.k - 1))
+                       / (SUM(g.s2 - g.s * g.s / g.n) / (t.nn - t.k)), 6)
+                       AS f_stat
+              FROM g CROSS JOIN t GROUP BY 1, 2, t.nn, t.ss
         """,
     }
     # quarantine / annotate-mode oracle: valid rows = NOT IN the violation
