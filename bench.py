@@ -253,6 +253,18 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "partsupp_degree_census",
         "reconcile_error_quartiles",
         "rare_level_coverage",
+        "part_abc_classes",
+        "basket_pair_lift",
+        "daily_new_returning",
+        "order_line_integrity",
+        "embedding_kcore",
+        "spend_theil_by_segment",
+        "user_streak_histogram",
+        "events_seq_cond_entropy",
+        "linkage_block_recall",
+        "purchase_gap_cv_bands",
+        "revenue_seasonal_decomp",
+        "events_value_anova",
     ]
     qs = m.queries()
     # warm best-of-N per query (default 2 passes over the whole list):
