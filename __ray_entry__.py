@@ -7437,6 +7437,168 @@ def q_events_value_anova(sf_dir: str):
         "f_stat": pa.array([float(np.round(f, 6))], pa.float64())})
 
 
+def q_lineitem_corr_matrix(sf_dir: str):
+    """Full pairwise Pearson correlation matrix of the four lineitem
+    measures in ONE pass — the profiling matrix a column-stats engine
+    feeds to feature selection. Each batch emits a single 15-number
+    sufficient-stats row (4 sums, 4 sum-squares, 6 cross-sums, n); the
+    driver folds num_blocks rows and finishes all six pairs with the
+    grouped_corr closed form. Null when a variance term is <= 0."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    prs = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+
+    def part(b: pa.Table) -> pa.Table:
+        x = [pc.cast(b[c], pa.float64()).to_numpy(zero_copy_only=False)
+             for c in cols]
+        row = {"n": pa.array([b.num_rows], pa.int64())}
+        for i, c in enumerate(cols):
+            row[f"s{i}"] = pa.array([float(x[i].sum())])
+            row[f"q{i}"] = pa.array([float((x[i] * x[i]).sum())])
+        for i, j in prs:
+            row[f"c{i}{j}"] = pa.array([float((x[i] * x[j]).sum())])
+        return pa.table(row)
+
+    ds = _read(sf_dir, "lineitem", cols)
+    parts = ds.map_batches(part, batch_format="pyarrow").take_all()
+    n = float(sum(r["n"] for r in parts))
+    s = [sum(r[f"s{i}"] for r in parts) for i in range(4)]
+    q = [sum(r[f"q{i}"] for r in parts) for i in range(4)]
+    out_x, out_y, out_c = [], [], []
+    for i, j in prs:
+        cxy = sum(r[f"c{i}{j}"] for r in parts)
+        vx = n * q[i] - s[i] * s[i]
+        vy = n * q[j] - s[j] * s[j]
+        corr = ((n * cxy - s[i] * s[j]) / np.sqrt(vx * vy)
+                if vx * vy > 0 else None)
+        out_x.append(cols[i])
+        out_y.append(cols[j])
+        out_c.append(None if corr is None else float(np.round(corr, 6)))
+    return pa.table({"metric_x": pa.array(out_x, pa.string()),
+                     "metric_y": pa.array(out_y, pa.string()),
+                     "n": pa.array([int(n)] * len(prs), pa.int64()),
+                     "corr": pa.array(out_c, pa.float64())})
+
+
+def q_purchase_share_pchart(sf_dir: str):
+    """p-chart (proportion control chart) of the daily purchase share
+    with 3-sigma limits around the pooled share — the SPC-style
+    anomaly monitor for a categorical rate. (day, n, k) exact-int
+    census; center/limits/flags computed from identical doubles both
+    sides, so the out-of-control flag has no float cliff."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def part(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "d": pc.floor_temporal(b["ts"], unit="day"),
+            "k": pc.cast(pc.equal(b["event_type"],
+                                  pa.scalar("purchase")), pa.int64()),
+        }).drop_null()
+        a = t.group_by("d").aggregate([("k", "sum"), ([], "count_all")])
+        return pa.table({"d": a["d"],
+                         "k": pc.cast(a["k_sum"], pa.int64()),
+                         "n": pc.cast(a["count_all"], pa.int64())})
+
+    cells = (ev.map_batches(part, batch_format="pyarrow")
+             .groupby("d")
+             .aggregate(Sum("k", alias_name="k"),
+                        Sum("n", alias_name="n"))
+             .take_all())                     # |days| rows
+    cells.sort(key=lambda r: r["d"])
+    d = [r["d"] for r in cells]
+    k = np.array([int(r["k"]) for r in cells], np.int64)
+    n = np.array([int(r["n"]) for r in cells], np.int64)
+    pbar = float(k.sum()) / float(n.sum())
+    phat = k.astype(np.float64) / n.astype(np.float64)
+    sig = np.sqrt(pbar * (1.0 - pbar) / n.astype(np.float64))
+    ucl = pbar + 3.0 * sig
+    lcl = pbar - 3.0 * sig
+    out = (phat > ucl) | (phat < lcl)
+    return pa.table({
+        "day": pa.array(d, pa.timestamp("us")),
+        "n": pa.array(n), "k": pa.array(k),
+        "share": pa.array(np.round(phat, 6), pa.float64()),
+        "ucl": pa.array(np.round(ucl, 6), pa.float64()),
+        "lcl": pa.array(np.round(lcl, 6), pa.float64()),
+        "out_of_control": pa.array(out)})
+
+
+def q_order_price_geomean(sf_dir: str):
+    """Geometric mean of order price per priority — the multiplicative
+    central tendency (log-mean) that the arithmetic mean overstates on
+    skewed spend. (n, Σ ln x) partials per group; intensive output, so
+    6dp rounding headroom is scale-independent."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def part(b: pa.Table) -> pa.Table:
+        t = pa.table({"g": b["o_orderpriority"],
+                      "x": pc.cast(b["o_totalprice"],
+                                   pa.float64())}).drop_null()
+        t = t.filter(pc.greater(t["x"], pa.scalar(0.0)))
+        x = t["x"].to_numpy(zero_copy_only=False)
+        a = (t.append_column("_lx", pa.array(np.log(x)))
+             .group_by("g").aggregate([("_lx", "sum"), ([], "count_all")]))
+        return pa.table({"g": a["g"], "slx": a["_lx_sum"],
+                         "n": pc.cast(a["count_all"], pa.int64())})
+
+    agg = (orders.map_batches(part, batch_format="pyarrow")
+           .groupby("g")
+           .aggregate(Sum("slx", alias_name="slx"),
+                      Sum("n", alias_name="n")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        slx = b["slx"].to_numpy(zero_copy_only=False)
+        nn = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "o_orderpriority": b["g"],
+            "n": pc.cast(b["n"], pa.int64()),
+            "geomean": pa.array(np.round(np.exp(slx / nn), 6),
+                                pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_neardup_cluster_census(sf_dir: str):
+    """Cluster-size histogram of MinHash near-duplicate components — the
+    duplication-structure report a dedup pass is judged by (a few huge
+    clusters vs many pairs changes the keep strategy). Components ride
+    the distributed min-label propagation; the oracle closes the SAME
+    seeded-LSH pair set with a recursive CTE. Singleton docs (no pairs)
+    are out of scope on both sides."""
+    from ray.data.aggregate import Count, Sum
+
+    from schema_validator_ray.stages.dedup import (
+        connected_components_ds,
+        minhash_lsh_pairs,
+    )
+
+    import ray.data as rd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).repartition(32)
+    pairs = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.4,
+                              batch_size=256)       # duplicate-rate-bounded
+    comps = connected_components_ds(rd.from_arrow(pairs))   # (id, rep)
+    sizes = comps.groupby("rep").aggregate(Count())
+
+    def hist(b: pa.Table) -> pa.Table:
+        a = (pa.table({"cluster_size": pc.cast(b["count()"], pa.int64())})
+             .group_by("cluster_size").aggregate([([], "count_all")]))
+        return pa.table({"cluster_size": a["cluster_size"],
+                         "n_clusters": pc.cast(a["count_all"],
+                                               pa.int64())})
+
+    return (sizes.map_batches(hist, batch_format="pyarrow")
+            .groupby("cluster_size")
+            .aggregate(Sum("n_clusters", alias_name="n_clusters"))
+            .map_batches(lambda b: pa.table({
+                "cluster_size": b["cluster_size"],
+                "n_clusters": pc.cast(b["n_clusters"], pa.int64())}),
+                batch_format="pyarrow"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -7751,6 +7913,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_gap_cv_bands": q_purchase_gap_cv_bands,
         "revenue_seasonal_decomp": q_revenue_seasonal_decomp,
         "events_value_anova": q_events_value_anova,
+        "lineitem_corr_matrix": q_lineitem_corr_matrix,
+        "purchase_share_pchart": q_purchase_share_pchart,
+        "order_price_geomean": q_order_price_geomean,
+        "neardup_cluster_census": q_neardup_cluster_census,
     }
 
 
@@ -11691,6 +11857,110 @@ def oracle_sql() -> dict[str, str]:
                        / (SUM(g.s2 - g.s * g.s / g.n) / (t.nn - t.k)), 6)
                        AS f_stat
               FROM g CROSS JOIN t GROUP BY 1, 2, t.nn, t.ss
+        """,
+        "lineitem_corr_matrix": """
+            WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    SUM(l_quantity) AS s0, SUM(l_extendedprice) AS s1,
+                    SUM(l_discount) AS s2, SUM(l_tax) AS s3,
+                    SUM(l_quantity * l_quantity) AS q0,
+                    SUM(l_extendedprice * l_extendedprice) AS q1,
+                    SUM(l_discount * l_discount) AS q2,
+                    SUM(l_tax * l_tax) AS q3,
+                    SUM(l_quantity * l_extendedprice) AS c01,
+                    SUM(l_quantity * l_discount) AS c02,
+                    SUM(l_quantity * l_tax) AS c03,
+                    SUM(l_extendedprice * l_discount) AS c12,
+                    SUM(l_extendedprice * l_tax) AS c13,
+                    SUM(l_discount * l_tax) AS c23
+                 FROM lineitem)
+            SELECT 'l_quantity' AS metric_x, 'l_extendedprice' AS metric_y,
+                   n, CASE WHEN (n*q0 - s0*s0) * (n*q1 - s1*s1) > 0
+                           THEN round_even((n*c01 - s0*s1)
+                                / sqrt((n*q0 - s0*s0) * (n*q1 - s1*s1)), 6)
+                      END AS corr FROM s
+            UNION ALL
+            SELECT 'l_quantity', 'l_discount', n,
+                   CASE WHEN (n*q0 - s0*s0) * (n*q2 - s2*s2) > 0
+                        THEN round_even((n*c02 - s0*s2)
+                             / sqrt((n*q0 - s0*s0) * (n*q2 - s2*s2)), 6)
+                   END FROM s
+            UNION ALL
+            SELECT 'l_quantity', 'l_tax', n,
+                   CASE WHEN (n*q0 - s0*s0) * (n*q3 - s3*s3) > 0
+                        THEN round_even((n*c03 - s0*s3)
+                             / sqrt((n*q0 - s0*s0) * (n*q3 - s3*s3)), 6)
+                   END FROM s
+            UNION ALL
+            SELECT 'l_extendedprice', 'l_discount', n,
+                   CASE WHEN (n*q1 - s1*s1) * (n*q2 - s2*s2) > 0
+                        THEN round_even((n*c12 - s1*s2)
+                             / sqrt((n*q1 - s1*s1) * (n*q2 - s2*s2)), 6)
+                   END FROM s
+            UNION ALL
+            SELECT 'l_extendedprice', 'l_tax', n,
+                   CASE WHEN (n*q1 - s1*s1) * (n*q3 - s3*s3) > 0
+                        THEN round_even((n*c13 - s1*s3)
+                             / sqrt((n*q1 - s1*s1) * (n*q3 - s3*s3)), 6)
+                   END FROM s
+            UNION ALL
+            SELECT 'l_discount', 'l_tax', n,
+                   CASE WHEN (n*q2 - s2*s2) * (n*q3 - s3*s3) > 0
+                        THEN round_even((n*c23 - s2*s3)
+                             / sqrt((n*q2 - s2*s2) * (n*q3 - s3*s3)), 6)
+                   END FROM s
+        """,
+        # pooled-share center + 3σ limits from exact-int (day, n, k):
+        # identical doubles both sides, flag has no float cliff
+        "purchase_share_pchart": """
+            WITH c AS (SELECT date_trunc('day', ts) AS d,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(CASE WHEN event_type = 'purchase'
+                                            THEN 1 ELSE 0 END) AS BIGINT)
+                                  AS k
+                         FROM events
+                        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                        GROUP BY 1),
+            t AS (SELECT CAST(SUM(k) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+                         AS pbar FROM c)
+            SELECT c.d AS day, c.n, c.k,
+                   round_even(CAST(c.k AS DOUBLE) / CAST(c.n AS DOUBLE), 6)
+                       AS share,
+                   round_even(t.pbar + 3.0 * sqrt(t.pbar * (1.0 - t.pbar)
+                              / CAST(c.n AS DOUBLE)), 6) AS ucl,
+                   round_even(t.pbar - 3.0 * sqrt(t.pbar * (1.0 - t.pbar)
+                              / CAST(c.n AS DOUBLE)), 6) AS lcl,
+                   (CAST(c.k AS DOUBLE) / CAST(c.n AS DOUBLE)
+                    > t.pbar + 3.0 * sqrt(t.pbar * (1.0 - t.pbar)
+                                          / CAST(c.n AS DOUBLE)))
+                   OR (CAST(c.k AS DOUBLE) / CAST(c.n AS DOUBLE)
+                       < t.pbar - 3.0 * sqrt(t.pbar * (1.0 - t.pbar)
+                                             / CAST(c.n AS DOUBLE)))
+                       AS out_of_control
+              FROM c CROSS JOIN t
+        """,
+        "order_price_geomean": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+                   round_even(exp(SUM(ln(o_totalprice)) / COUNT(*)), 6)
+                       AS geomean
+              FROM orders
+             WHERE o_totalprice > 0 AND o_orderpriority IS NOT NULL
+             GROUP BY 1
+        """,
+        "neardup_cluster_census": """
+            WITH RECURSIVE """ + _minhash_pairs_ctes("documents") + r""",
+            mp AS (SELECT a, b FROM est WHERE jaccard_est >= 0.4),
+            edges AS (SELECT a, b FROM mp UNION SELECT b, a FROM mp),
+            reach(s, t) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a),
+            rep AS (SELECT s AS id, LEAST(s, MIN(t)) AS root FROM reach
+                     GROUP BY s),
+            sizes AS (SELECT root, CAST(COUNT(*) AS BIGINT) AS sz
+                        FROM rep GROUP BY 1)
+            SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT)
+                       AS n_clusters
+              FROM sizes GROUP BY 1
         """,
     }
     # quarantine / annotate-mode oracle: valid rows = NOT IN the violation
