@@ -7599,6 +7599,116 @@ def q_neardup_cluster_census(sf_dir: str):
                 batch_format="pyarrow"))
 
 
+def q_customer_tier_migration(sf_dir: str):
+    """Year-over-year spend-tier migration matrix: each customer's
+    quartile of total spend in 1999 vs 2000 (NTILE(4) within each year),
+    counted per (from, to) cell — the churn/upgrade flow report. Two
+    calibrated ntile scans partitioned by year; the pivot is a
+    conditional-max groupby, never a join."""
+    from ray.data.aggregate import Max, Sum
+
+    from schema_validator_ray.stages.analytics import ntile
+
+    y0, y1 = 1999, 2000
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def part(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "c": b["o_custkey"],
+            "y": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(
+                b["o_totalprice"], 100.0)), pa.int64())})
+        t = t.filter(pc.is_in(t["y"], value_set=pa.array([y0, y1],
+                                                         pa.int64())))
+        a = t.group_by(["c", "y"]).aggregate([("cents", "sum")])
+        return pa.table({"c": a["c"], "y": a["y"],
+                         "cents": pc.cast(a["cents_sum"], pa.int64())})
+
+    spend = (orders.map_batches(part, batch_format="pyarrow")
+             .groupby(["c", "y"])
+             .aggregate(Sum("cents", alias_name="cents")))
+    tiers = ntile(spend, key="y", order_col="cents", tiebreak="c",
+                  n=4, out_col="tier")
+
+    def pivot(b: pa.Table) -> pa.Table:
+        y = b["y"].to_numpy(zero_copy_only=False)
+        tier = b["tier"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({
+            "c": b["c"],
+            "t_from": pa.array(np.where(y == y0, tier, 0)),
+            "t_to": pa.array(np.where(y == y1, tier, 0))})
+        a = t.group_by("c").aggregate([("t_from", "max"),
+                                       ("t_to", "max")])
+        return pa.table({"c": a["c"], "t_from": a["t_from_max"],
+                         "t_to": a["t_to_max"]})
+
+    per_c = (tiers.map_batches(pivot, batch_format="pyarrow")
+             .groupby("c")
+             .aggregate(Max("t_from", alias_name="t_from"),
+                        Max("t_to", alias_name="t_to")))
+
+    def census(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.greater(b["t_from"], pa.scalar(0)),
+                             pc.greater(b["t_to"], pa.scalar(0))))
+        a = t.group_by(["t_from", "t_to"]).aggregate([([], "count_all")])
+        return pa.table({
+            "tier_from": pc.cast(a["t_from"], pa.int64()),
+            "tier_to": pc.cast(a["t_to"], pa.int64()),
+            "n_customers": pc.cast(a["count_all"], pa.int64())})
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (per_c.map_batches(census, batch_format="pyarrow")
+            .groupby(["tier_from", "tier_to"])
+            .aggregate(_Sum("n_customers", alias_name="n_customers"))
+            .map_batches(lambda b: pa.table({
+                "tier_from": b["tier_from"], "tier_to": b["tier_to"],
+                "n_customers": pc.cast(b["n_customers"], pa.int64())}),
+                batch_format="pyarrow"))
+
+
+def q_minhash_est_calibration(sf_dir: str):
+    """Sketch-quality audit: MinHash-estimated vs TRUE 5-gram Jaccard,
+    banded by estimate decile — the calibration report that justifies
+    trusting the sketch at scale (est = k/128 is an exact double, so the
+    floor(est·10) banding has no float cliff). Candidates ride the
+    seeded LSH; truth rides the distributed exact-Jaccard verify over
+    ONLY the candidate docs; both tables are duplicate-rate-bounded."""
+    from schema_validator_ray.stages.dedup import (
+        minhash_lsh_pairs,
+        verify_pairs_exact_jaccard,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).repartition(32)
+    pairs = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.4,
+                              batch_size=256)
+    truth = verify_pairs_exact_jaccard(ds, pairs, "text", "doc_id",
+                                       shingle_k=5, threshold=0.0)
+    pe = pairs.to_pandas()
+    pt = truth.to_pandas()
+    m = pe.merge(pt, on=["a", "b"], how="inner")
+    if not len(m):
+        return pa.table({"est_band": pa.array([], pa.float64()),
+                         "n_pairs": pa.array([], pa.int64()),
+                         "mean_est": pa.array([], pa.float64()),
+                         "mean_true": pa.array([], pa.float64())})
+    est = m["jaccard_est"].to_numpy()
+    tru = m["jaccard"].to_numpy()
+    band = np.floor(est * 10.0)
+    out_b, out_n, out_e, out_t = [], [], [], []
+    for bb in np.unique(band):
+        sel = band == bb
+        out_b.append(float(bb / 10.0))
+        out_n.append(int(sel.sum()))
+        out_e.append(float(np.round(est[sel].sum() / sel.sum(), 6)))
+        out_t.append(float(np.round(tru[sel].sum() / sel.sum(), 6)))
+    return pa.table({"est_band": pa.array(out_b, pa.float64()),
+                     "n_pairs": pa.array(out_n, pa.int64()),
+                     "mean_est": pa.array(out_e, pa.float64()),
+                     "mean_true": pa.array(out_t, pa.float64())})
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -7917,6 +8027,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_share_pchart": q_purchase_share_pchart,
         "order_price_geomean": q_order_price_geomean,
         "neardup_cluster_census": q_neardup_cluster_census,
+        "customer_tier_migration": q_customer_tier_migration,
+        "minhash_est_calibration": q_minhash_est_calibration,
     }
 
 
@@ -11961,6 +12073,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT)
                        AS n_clusters
               FROM sizes GROUP BY 1
+        """,
+        "customer_tier_migration": """
+            WITH s AS (SELECT o_custkey AS c,
+                              CAST(year(o_orderdate) AS BIGINT) AS y,
+                              CAST(SUM(CAST(round(o_totalprice * 100)
+                                            AS BIGINT)) AS BIGINT) AS cents
+                         FROM orders
+                        WHERE year(o_orderdate) IN (1999, 2000)
+                        GROUP BY 1, 2),
+            t AS (SELECT c, y,
+                         CAST(NTILE(4) OVER (PARTITION BY y
+                                             ORDER BY cents ASC, c ASC)
+                              AS BIGINT) AS tier
+                    FROM s),
+            p AS (SELECT c,
+                         MAX(CASE WHEN y = 1999 THEN tier ELSE 0 END)
+                             AS t_from,
+                         MAX(CASE WHEN y = 2000 THEN tier ELSE 0 END)
+                             AS t_to
+                    FROM t GROUP BY 1)
+            SELECT t_from AS tier_from, t_to AS tier_to,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers
+              FROM p WHERE t_from > 0 AND t_to > 0 GROUP BY 1, 2
+        """,
+        # est = k/128 is an exact double (power-of-two denominator), so
+        # floor(est*10) bands identically; truth = substring-set Jaccard
+        "minhash_est_calibration": """
+            WITH """ + _minhash_pairs_ctes("documents") + r""",
+            mp AS (SELECT a, b, jaccard_est FROM est
+                    WHERE jaccard_est >= 0.4),
+            jbase AS (
+              SELECT doc_id,
+                     CASE WHEN length(coalesce(text, '')) < 5
+                          THEN rpad(coalesce(text, ''), 5, ' ')
+                          ELSE text END AS txt
+                FROM documents),
+            jpos AS (
+              SELECT doc_id, txt,
+                     unnest(generate_series(1, length(txt) - 4)) AS i
+                FROM jbase),
+            jsh AS (SELECT DISTINCT doc_id, substring(txt, i, 5) AS g
+                      FROM jpos),
+            jsz AS (SELECT doc_id, COUNT(*) AS n FROM jsh GROUP BY 1),
+            jinter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+                FROM jsh x JOIN jsh y
+                  ON x.g = y.g AND x.doc_id < y.doc_id
+               GROUP BY 1, 2),
+            tj AS (SELECT mp.jaccard_est,
+                          COALESCE(ji.i, 0)::DOUBLE
+                          / (sa.n + sb.n - COALESCE(ji.i, 0)) AS tru
+                     FROM mp
+                     LEFT JOIN jinter ji ON ji.a = mp.a AND ji.b = mp.b
+                     JOIN jsz sa ON mp.a = sa.doc_id
+                     JOIN jsz sb ON mp.b = sb.doc_id)
+            SELECT FLOOR(jaccard_est * 10) / 10 AS est_band,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   round_even(SUM(jaccard_est) / COUNT(*), 6) AS mean_est,
+                   round_even(SUM(tru) / COUNT(*), 6) AS mean_true
+              FROM tj GROUP BY 1
         """,
     }
     # quarantine / annotate-mode oracle: valid rows = NOT IN the violation
