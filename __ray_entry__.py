@@ -7709,6 +7709,225 @@ def q_minhash_est_calibration(sf_dir: str):
                      "mean_true": pa.array(out_t, pa.float64())})
 
 
+def q_money_grid_census(sf_dir: str):
+    """Money-grid conformance census: are the money-typed doubles really
+    on the cent grid (|x·100 − round(x·100)| < 1e-6), plus negative and
+    null counts — the storage-contract check that catches float drift
+    from upstream arithmetic. Map-only int partials per column; the
+    driver folds one 4-int row per (column, block)."""
+    specs = [("orders.o_totalprice", "orders", "o_totalprice"),
+             ("lineitem.l_extendedprice", "lineitem", "l_extendedprice"),
+             ("customer.c_acctbal", "customer", "c_acctbal")]
+    names, n_l, grid_l, neg_l, null_l = [], [], [], [], []
+    for label, table, col in specs:
+        ds = _read(sf_dir, table, [col])
+
+        def part(b: pa.Table, col=col) -> pa.Table:
+            x = b[col]
+            nulls = int(pc.sum(pc.cast(pc.is_null(x), pa.int64()))
+                        .as_py() or 0)
+            v = x.drop_null().to_numpy(zero_copy_only=False)
+            cents = v * 100.0
+            on_grid = int((np.abs(cents - np.round(cents)) < 1e-6).sum())
+            return pa.table({
+                "n": pa.array([len(v) + nulls], pa.int64()),
+                "grid": pa.array([on_grid], pa.int64()),
+                "neg": pa.array([int((v < 0).sum())], pa.int64()),
+                "nul": pa.array([nulls], pa.int64())})
+
+        parts = ds.map_batches(part, batch_format="pyarrow").take_all()
+        names.append(label)
+        n_l.append(sum(int(r["n"]) for r in parts))
+        grid_l.append(sum(int(r["grid"]) for r in parts))
+        neg_l.append(sum(int(r["neg"]) for r in parts))
+        null_l.append(sum(int(r["nul"]) for r in parts))
+    return pa.table({"column": pa.array(names, pa.string()),
+                     "n": pa.array(n_l, pa.int64()),
+                     "n_on_cent_grid": pa.array(grid_l, pa.int64()),
+                     "n_negative": pa.array(neg_l, pa.int64()),
+                     "n_null": pa.array(null_l, pa.int64())})
+
+
+def q_sentinel_value_census(sf_dir: str):
+    """Sentinel / placeholder-value census: counts of the classic
+    dirty-data stand-ins (zero money, empty or 'null'-ish strings, empty
+    JSON props) per column — the completeness check null counts miss.
+    Map-only int partials; output is |checks| rows."""
+    rows = []
+
+    ev = _read(sf_dir, "events", ["value", "props"])
+
+    def evp(b: pa.Table) -> pa.Table:
+        v = b["value"].drop_null().to_numpy(zero_copy_only=False)
+        p = b["props"].drop_null()
+        lp = pc.utf8_trim_whitespace(p)
+        return pa.table({
+            "zero_value": pa.array([int((v == 0.0).sum())], pa.int64()),
+            "empty_props": pa.array(
+                [int(pc.sum(pc.cast(pc.is_in(
+                    lp, value_set=pa.array(["", "{}"])), pa.int64()))
+                     .as_py() or 0)], pa.int64())})
+
+    evs = ev.map_batches(evp, batch_format="pyarrow").take_all()
+    rows.append(("events.value", "0.0",
+                 sum(int(r["zero_value"]) for r in evs)))
+    rows.append(("events.props", "empty/{}",
+                 sum(int(r["empty_props"]) for r in evs)))
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def dp(b: pa.Table) -> pa.Table:
+        t = b["text"].drop_null()
+        trimmed = pc.utf8_trim_whitespace(t)
+        empty = pc.sum(pc.cast(pc.equal(trimmed, pa.scalar("")),
+                               pa.int64())).as_py() or 0
+        nullish = pc.sum(pc.cast(pc.is_in(
+            pc.utf8_lower(trimmed),
+            value_set=pa.array(["null", "n/a", "none", "nan"])),
+            pa.int64())).as_py() or 0
+        return pa.table({"empty": pa.array([int(empty)], pa.int64()),
+                         "nullish": pa.array([int(nullish)], pa.int64())})
+
+    dps = docs.map_batches(dp, batch_format="pyarrow").take_all()
+    rows.append(("documents.text", "blank",
+                 sum(int(r["empty"]) for r in dps)))
+    rows.append(("documents.text", "null-word",
+                 sum(int(r["nullish"]) for r in dps)))
+
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def op(b: pa.Table) -> pa.Table:
+        v = b["o_totalprice"].drop_null().to_numpy(zero_copy_only=False)
+        return pa.table({"z": pa.array([int((v == 0.0).sum())],
+                                       pa.int64())})
+
+    ops = orders.map_batches(op, batch_format="pyarrow").take_all()
+    rows.append(("orders.o_totalprice", "0.0",
+                 sum(int(r["z"]) for r in ops)))
+    return pa.table({
+        "column": pa.array([r[0] for r in rows], pa.string()),
+        "sentinel": pa.array([r[1] for r in rows], pa.string()),
+        "n": pa.array([r[2] for r in rows], pa.int64())})
+
+
+def q_dedup_normalization_gain(sf_dir: str):
+    """How many extra duplicates does normalization expose: per source,
+    distinct raw texts vs distinct NORMALIZED texts (trim → whitespace
+    collapse → lower → NFC, the docs_nfc convention) — the census that
+    justifies a canonicalization pass before exact dedup. Texts never
+    move: both distinct counts ride (source, blake2b-128) hash partials
+    through one two-key groupby (the source_dup_rate pattern)."""
+    import hashlib
+    import re as _re
+    import unicodedata
+
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    # explicit class (not \s): python's \s includes \v, RE2's does not —
+    # the explicit class keeps engine and oracle character-identical
+    ws = _re.compile(r"[ \t\n\f\r\v]+")
+
+    def part(b: pa.Table) -> pa.Table:
+        src = b["source"].to_pylist()
+        txt = b["text"].to_pylist()
+        hr, hn = [], []
+        for t in txt:
+            t = t or ""
+            norm = unicodedata.normalize(
+                "NFC", ws.sub(" ", t).strip(" ").lower())
+            hr.append(hashlib.blake2b(t.encode(), digest_size=16)
+                      .digest())
+            hn.append(hashlib.blake2b(norm.encode(), digest_size=16)
+                      .digest())
+        t1 = pa.table({"source": pa.array(src + src, pa.string()),
+                       "tag": pa.array(["r"] * len(src) + ["n"] * len(src),
+                                       pa.string()),
+                       "h": pa.array(hr + hn, pa.binary(16))})
+        return t1.group_by(["source", "tag", "h"]).aggregate([])
+
+    distinct = (ds.map_batches(part, batch_format="pyarrow")
+                .groupby(["source", "tag", "h"])
+                .aggregate(Count(alias_name="_c")))
+    counts = (distinct.map_batches(
+        lambda b: pa.table({
+            "source": b["source"], "tag": b["tag"],
+            "one": pa.array(np.ones(b.num_rows, np.int64))}),
+        batch_format="pyarrow")
+        .groupby(["source", "tag"])
+        .aggregate(Count(alias_name="n"))
+        .take_all())                    # |sources| x 2 rows
+    raw = {r["source"]: int(r["n"]) for r in counts if r["tag"] == "r"}
+    nrm = {r["source"]: int(r["n"]) for r in counts if r["tag"] == "n"}
+    srcs = sorted(raw)
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "distinct_raw": pa.array([raw[s] for s in srcs], pa.int64()),
+        "distinct_norm": pa.array([nrm.get(s, 0) for s in srcs],
+                                  pa.int64()),
+        "extra_dups": pa.array([raw[s] - nrm.get(s, 0) for s in srcs],
+                               pa.int64())})
+
+
+def q_source_stylometry_profile(sf_dir: str):
+    """Function-word stylometry profile: each source's usage share of ten
+    high-frequency English function words (authorship/provenance drift
+    signal — content words shift with topic, function words with
+    generator). Batch-vocab count partials restricted to the fixed
+    10-word alphabet + per-source totals; shares divide exact ints."""
+    from ray.data.aggregate import Sum
+
+    WORDS = ["the", "of", "and", "to", "a", "in", "is", "it", "that",
+             "for"]
+    wset = pa.array(WORDS, pa.string())
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def part(b: pa.Table) -> pa.Table:
+        from schema_validator_ray.functions.text import WORD_SPLIT_RE
+
+        grp = pc.fill_null(pc.cast(b["source"], pa.string()), "")
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(b["text"], "")), WORD_SPLIT_RE)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        g = pc.take(grp, pc.list_parent_indices(toks))
+        t = pa.table({"g": g, "w": flat}).filter(pc.not_equal(flat, ""))
+        tot = t.group_by("g").aggregate([([], "count_all")])
+        aw = (t.filter(pc.is_in(t["w"], value_set=wset))
+              .group_by(["g", "w"]).aggregate([([], "count_all")]))
+        return pa.concat_tables([
+            pa.table({"source": tot["g"],
+                      "word": pa.array(["__total__"] * tot.num_rows,
+                                       pa.string()),
+                      "c": pc.cast(tot["count_all"], pa.int64())}),
+            pa.table({"source": aw["g"], "word": aw["w"],
+                      "c": pc.cast(aw["count_all"], pa.int64())})])
+
+    agg = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby(["source", "word"])
+           .aggregate(Sum("c", alias_name="c"))
+           .take_all())                  # |sources| x 11 rows
+    totals = {r["source"]: int(r["c"]) for r in agg
+              if r["word"] == "__total__"}
+    cells = {(r["source"], r["word"]): int(r["c"]) for r in agg
+             if r["word"] != "__total__"}
+    srcs = sorted(totals)
+    out_s, out_w, out_n, out_sh = [], [], [], []
+    for s in srcs:
+        for w in WORDS:
+            n = cells.get((s, w), 0)
+            out_s.append(s)
+            out_w.append(w)
+            out_n.append(n)
+            out_sh.append(float(np.round(n / totals[s], 6))
+                          if totals[s] else None)
+    return pa.table({"source": pa.array(out_s, pa.string()),
+                     "word": pa.array(out_w, pa.string()),
+                     "n": pa.array(out_n, pa.int64()),
+                     "share": pa.array(out_sh, pa.float64())})
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -8029,6 +8248,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_cluster_census": q_neardup_cluster_census,
         "customer_tier_migration": q_customer_tier_migration,
         "minhash_est_calibration": q_minhash_est_calibration,
+        "money_grid_census": q_money_grid_census,
+        "sentinel_value_census": q_sentinel_value_census,
+        "dedup_normalization_gain": q_dedup_normalization_gain,
+        "source_stylometry_profile": q_source_stylometry_profile,
     }
 
 
@@ -12133,6 +12356,118 @@ def oracle_sql() -> dict[str, str]:
                    round_even(SUM(jaccard_est) / COUNT(*), 6) AS mean_est,
                    round_even(SUM(tru) / COUNT(*), 6) AS mean_true
               FROM tj GROUP BY 1
+        """,
+        # |x*100 - round(x*100)| < 1e-6: a .5-boundary value is ~0.5 off
+        # either rounding mode, so half-even vs half-away cannot flip it
+        "money_grid_census": """
+            SELECT 'orders.o_totalprice' AS "column",
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                             AND ABS(o_totalprice * 100
+                                     - round(o_totalprice * 100)) < 0.000001
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_on_cent_grid,
+                   CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_negative,
+                   CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_null
+              FROM orders
+            UNION ALL
+            SELECT 'lineitem.l_extendedprice', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN l_extendedprice IS NOT NULL
+                             AND ABS(l_extendedprice * 100
+                                     - round(l_extendedprice * 100))
+                                 < 0.000001
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0
+                            END) AS BIGINT),
+                   CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT)
+              FROM lineitem
+            UNION ALL
+            SELECT 'customer.c_acctbal', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN c_acctbal IS NOT NULL
+                             AND ABS(c_acctbal * 100
+                                     - round(c_acctbal * 100)) < 0.000001
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0
+                            END) AS BIGINT)
+              FROM customer
+        """,
+        "sentinel_value_census": """
+            SELECT 'events.value' AS "column", '0.0' AS sentinel,
+                   CAST(SUM(CASE WHEN value = 0.0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n
+              FROM events
+            UNION ALL
+            SELECT 'events.props', 'empty/{}',
+                   CAST(SUM(CASE WHEN trim(props,
+                                 ' ' || chr(9) || chr(10) || chr(13))
+                                 IN ('', '{}') THEN 1 ELSE 0 END)
+                        AS BIGINT)
+              FROM events
+            UNION ALL
+            SELECT 'documents.text', 'blank',
+                   CAST(SUM(CASE WHEN trim(text,
+                                 ' ' || chr(9) || chr(10) || chr(13)) = ''
+                            THEN 1 ELSE 0 END) AS BIGINT)
+              FROM documents
+            UNION ALL
+            SELECT 'documents.text', 'null-word',
+                   CAST(SUM(CASE WHEN lower(trim(text,
+                                 ' ' || chr(9) || chr(10) || chr(13)))
+                                 IN ('null', 'n/a', 'none', 'nan')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+              FROM documents
+            UNION ALL
+            SELECT 'orders.o_totalprice', '0.0',
+                   CAST(SUM(CASE WHEN o_totalprice = 0.0 THEN 1 ELSE 0
+                            END) AS BIGINT)
+              FROM orders
+        """,
+        # normalization chain char-identical to the engine: collapse
+        # [ \t\n\f\r\v]+ -> ' ', strip spaces, lower, NFC
+        "dedup_normalization_gain": r"""
+            WITH base AS (SELECT source, coalesce(text, '') AS t
+                            FROM documents),
+            norm AS (SELECT source, t,
+                            nfc_normalize(lower(trim(regexp_replace(
+                                t, '[ \t\n\f\r\v]+', ' ', 'g'), ' ')))
+                                AS tn
+                       FROM base)
+            SELECT source,
+                   CAST(COUNT(DISTINCT t) AS BIGINT) AS distinct_raw,
+                   CAST(COUNT(DISTINCT tn) AS BIGINT) AS distinct_norm,
+                   CAST(COUNT(DISTINCT t) - COUNT(DISTINCT tn) AS BIGINT)
+                       AS extra_dups
+              FROM norm GROUP BY 1
+        """,
+        "source_stylometry_profile": """
+            WITH w AS (SELECT coalesce(source, '') AS source,
+                              unnest(regexp_split_to_array(
+                                  lower(coalesce(text, '')),
+                                  '[^a-z0-9]+')) AS word
+                         FROM documents),
+            f AS (SELECT source, word FROM w WHERE word <> ''),
+            tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS t
+                      FROM f GROUP BY 1),
+            c AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM f
+                   WHERE word IN ('the','of','and','to','a','in','is',
+                                  'it','that','for')
+                   GROUP BY 1, 2),
+            grid AS (SELECT tot.source, v.word
+                       FROM tot CROSS JOIN (VALUES ('the'),('of'),('and'),
+                            ('to'),('a'),('in'),('is'),('it'),('that'),
+                            ('for')) v(word))
+            SELECT g.source, g.word, COALESCE(c.n, 0) AS n,
+                   round_even(CAST(COALESCE(c.n, 0) AS DOUBLE) / tot.t, 6)
+                       AS share
+              FROM grid g
+              JOIN tot ON tot.source = g.source
+              LEFT JOIN c ON c.source = g.source AND c.word = g.word
         """,
     }
     # quarantine / annotate-mode oracle: valid rows = NOT IN the violation
