@@ -7928,6 +7928,179 @@ def q_source_stylometry_profile(sf_dir: str):
                      "share": pa.array(out_sh, pa.float64())})
 
 
+def q_events_value_qq(sf_dir: str):
+    """QQ drift table: the nine deciles of click vs purchase `value` side
+    by side with their ratio — WHERE the distributions diverge, not just
+    whether (the per-quantile companion to KS/EMD). Two block-pruned
+    exact-quantile selections; the ratio divides the two exact order
+    statistics, so engine and oracle emit identical doubles."""
+    from schema_validator_ray.stages.stats import exact_quantiles
+
+    qs = [round(0.1 * i, 1) for i in range(1, 10)]
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def side(ty: str):
+        def pick(b: pa.Table, ty=ty) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["value"]),
+                        pc.equal(b["event_type"], pa.scalar(ty)))
+            return pa.table({"v": b.filter(m)["value"]})
+
+        t = exact_quantiles(ev.map_batches(pick, batch_format="pyarrow"),
+                            "v", qs)
+        t = t.to_pandas() if hasattr(t, "to_pandas") else t
+        return dict(zip(t["q"], t["value"]))
+
+    a = side("click")
+    b = side("purchase")
+    ratio = [float(np.round(b[q] / a[q], 6)) if a.get(q) else None
+             for q in qs]
+    return pa.table({
+        "q": pa.array(qs, pa.float64()),
+        "q_click": pa.array([a[q] for q in qs], pa.float64()),
+        "q_purchase": pa.array([b[q] for q in qs], pa.float64()),
+        "ratio": pa.array(ratio, pa.float64())})
+
+
+def q_cohort_ltv_curve(sf_dir: str):
+    """Cohort lifetime-value curve: customers grouped by first-order
+    year, average spend per account-age year — the revenue-retention
+    triangle. Per-(customer, year) exact-cents partials, then a 64-way
+    customer-shard groupby (a shard holds ALL of a customer's year rows,
+    so the per-customer min-year and the (cohort, age) census are one
+    vectorized scan — no join, dodging the Ray 2.49 empty-block join
+    hazard); avg divides exact int64 sums."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def part(b: pa.Table) -> pa.Table:
+        from schema_validator_ray.stages.asof import _shard_of
+
+        t = pa.table({
+            "c": b["o_custkey"],
+            "y": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(
+                b["o_totalprice"], 100.0)), pa.int64())})
+        a = t.group_by(["c", "y"]).aggregate([("cents", "sum")])
+        out = pa.table({"c": a["c"], "y": a["y"],
+                        "cents": pc.cast(a["cents_sum"], pa.int64())})
+        return out.append_column("_shard",
+                                 pa.array(_shard_of(out["c"], 64)))
+
+    def shard_scan(g: pa.Table) -> pa.Table:
+        empty = pa.table({"cohort_year": pa.array([], pa.int64()),
+                          "age": pa.array([], pa.int64()),
+                          "cents": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        codes, _ = pd.factorize(g["c"].to_numpy(zero_copy_only=False))
+        y = g["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # the partial pre-sums (c, y) cells per batch, but a customer's
+        # cells can still arrive from several batches — re-sum here
+        t = (pa.table({"code": pa.array(codes), "y": pa.array(y),
+                       "cents": pc.cast(g["cents"], pa.int64())})
+             .group_by(["code", "y"]).aggregate([("cents", "sum")]))
+        codes2 = t["code"].to_numpy(zero_copy_only=False)
+        y2 = t["y"].to_numpy(zero_copy_only=False)
+        cents2 = t["cents_sum"].to_numpy(zero_copy_only=False)
+        mn = np.full(int(codes.max()) + 1, np.iinfo(np.int64).max,
+                     np.int64)
+        np.minimum.at(mn, codes2, y2)
+        a = (pa.table({"cohort_year": pa.array(mn[codes2]),
+                       "age": pa.array(y2 - mn[codes2]),
+                       "cents": pa.array(cents2)})
+             .group_by(["cohort_year", "age"])
+             .aggregate([("cents", "sum"), ([], "count_all")]))
+        return pa.table({
+            "cohort_year": a["cohort_year"], "age": a["age"],
+            "cents": pc.cast(a["cents_sum"], pa.int64()),
+            "n": pc.cast(a["count_all"], pa.int64())})
+
+    agg = (orders.map_batches(part, batch_format="pyarrow")
+           .groupby("_shard")
+           .map_groups(shard_scan, batch_format="pyarrow")
+           .groupby(["cohort_year", "age"])
+           .aggregate(Sum("cents", alias_name="cents"),
+                      Sum("n", alias_name="n")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        cents = b["cents"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cohort_year": pc.cast(b["cohort_year"], pa.int64()),
+            "age": pc.cast(b["age"], pa.int64()),
+            "n_customers": pc.cast(b["n"], pa.int64()),
+            "spend_cents": pc.cast(b["cents"], pa.int64()),
+            "avg_spend_cents": pa.array(np.round(
+                cents.astype(np.float64) / n.astype(np.float64), 6),
+                pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_lang_distinctive_terms(sf_dir: str):
+    """Keyness: the 10 most distinctive terms of the 'en' slice vs the
+    rest by Dunning's log-likelihood G² over the 2x2 (term x slice)
+    table — the corpus-comparison primitive behind contamination and
+    domain-shift reports. Batch-vocab (term, en?, count) partials, one
+    vocabulary groupby, vectorized G²; ranking sorts the ROUNDED G²
+    with a term tie-break so float ulps cannot reorder the cut."""
+    from ray.data.aggregate import Sum
+
+    from schema_validator_ray.functions.text import WORD_SPLIT_RE
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def part(b: pa.Table) -> pa.Table:
+        en = pc.equal(pc.fill_null(b["lang"], ""), pa.scalar("en"))
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(b["text"], "")), WORD_SPLIT_RE)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        e = pc.take(pc.cast(en, pa.int64()), pc.list_parent_indices(toks))
+        t = (pa.table({"w": flat, "a": e,
+                       "b": pc.subtract(pa.scalar(1, pa.int64()), e)})
+             .filter(pc.not_equal(flat, "")))
+        g = t.group_by("w").aggregate([("a", "sum"), ("b", "sum")])
+        return pa.table({"w": g["w"],
+                         "a": pc.cast(g["a_sum"], pa.int64()),
+                         "b": pc.cast(g["b_sum"], pa.int64())})
+
+    cells = (ds.map_batches(part, batch_format="pyarrow")
+             .groupby("w")
+             .aggregate(Sum("a", alias_name="a"),
+                        Sum("b", alias_name="b"))
+             .take_all())                    # vocabulary-bounded
+    w = np.array([r["w"] for r in cells])
+    a = np.array([int(r["a"]) for r in cells], np.float64)
+    bb = np.array([int(r["b"]) for r in cells], np.float64)
+    n1, n2 = a.sum(), bb.sum()
+    nn = n1 + n2
+    c = n1 - a
+    dd = n2 - bb
+    row = a + bb
+
+    def term(obs, exp):
+        out = np.zeros_like(obs)
+        m = obs > 0
+        out[m] = obs[m] * np.log(obs[m] / exp[m])
+        return out
+
+    g2 = 2.0 * (term(a, n1 * row / nn) + term(bb, n2 * row / nn)
+                + term(c, n1 * (nn - row) / nn)
+                + term(dd, n2 * (nn - row) / nn))
+    g2r = np.round(g2, 6)
+    order = np.lexsort((w, -g2r))[:10]
+    return pa.table({
+        "term": pa.array(w[order], pa.string()),
+        "n_en": pa.array(a[order].astype(np.int64)),
+        "n_rest": pa.array(bb[order].astype(np.int64)),
+        "g2": pa.array(g2r[order], pa.float64())})
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -8252,6 +8425,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentinel_value_census": q_sentinel_value_census,
         "dedup_normalization_gain": q_dedup_normalization_gain,
         "source_stylometry_profile": q_source_stylometry_profile,
+        "events_value_qq": q_events_value_qq,
+        "cohort_ltv_curve": q_cohort_ltv_curve,
+        "lang_distinctive_terms": q_lang_distinctive_terms,
     }
 
 
@@ -12468,6 +12644,75 @@ def oracle_sql() -> dict[str, str]:
               FROM grid g
               JOIN tot ON tot.source = g.source
               LEFT JOIN c ON c.source = g.source AND c.word = g.word
+        """,
+        "events_value_qq": """
+            WITH c AS (SELECT value FROM events
+                        WHERE event_type = 'click' AND value IS NOT NULL),
+            p AS (SELECT value FROM events
+                   WHERE event_type = 'purchase' AND value IS NOT NULL),
+            lc AS (SELECT quantile_disc(value, [0.1,0.2,0.3,0.4,0.5,
+                                                0.6,0.7,0.8,0.9]) AS ql
+                     FROM c),
+            lp AS (SELECT quantile_disc(value, [0.1,0.2,0.3,0.4,0.5,
+                                                0.6,0.7,0.8,0.9]) AS ql
+                     FROM p),
+            r AS (SELECT unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+                             AS q,
+                         unnest(lc.ql) AS qc, unnest(lp.ql) AS qp
+                    FROM lc, lp)
+            SELECT q, qc AS q_click, qp AS q_purchase,
+                   round_even(qp / NULLIF(qc, 0), 6) AS ratio
+              FROM r
+        """,
+        "cohort_ltv_curve": """
+            WITH s AS (SELECT o_custkey AS c,
+                              CAST(year(o_orderdate) AS BIGINT) AS y,
+                              CAST(SUM(CAST(round(o_totalprice * 100)
+                                            AS BIGINT)) AS BIGINT) AS cents
+                         FROM orders GROUP BY 1, 2),
+            f AS (SELECT c, MIN(y) AS cohort FROM s GROUP BY 1)
+            SELECT f.cohort AS cohort_year, s.y - f.cohort AS age,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(s.cents) AS BIGINT) AS spend_cents,
+                   round_even(CAST(SUM(s.cents) AS DOUBLE) / COUNT(*), 6)
+                       AS avg_spend_cents
+              FROM s JOIN f USING (c) GROUP BY 1, 2
+        """,
+        # Dunning G² keyness; rank on the ROUNDED statistic with a term
+        # tie-break so summation-order ulps cannot reorder the top-10 cut
+        "lang_distinctive_terms": """
+            WITH tok AS (SELECT lang,
+                                unnest(regexp_split_to_array(
+                                    lower(coalesce(text, '')),
+                                    '[^a-z0-9]+')) AS w
+                           FROM documents),
+            f AS (SELECT CASE WHEN coalesce(lang, '') = 'en'
+                              THEN 1 ELSE 0 END AS e, w
+                    FROM tok WHERE w <> ''),
+            cells AS (SELECT w, CAST(SUM(e) AS BIGINT) AS a,
+                             CAST(SUM(1 - e) AS BIGINT) AS b
+                        FROM f GROUP BY 1),
+            t AS (SELECT CAST(SUM(a) AS DOUBLE) AS n1,
+                         CAST(SUM(b) AS DOUBLE) AS n2 FROM cells),
+            g AS (SELECT w, a, b,
+                    2.0 * (
+                      CASE WHEN a > 0 THEN a * ln(a / (t.n1 * (a + b)
+                           / (t.n1 + t.n2))) ELSE 0 END
+                    + CASE WHEN b > 0 THEN b * ln(b / (t.n2 * (a + b)
+                           / (t.n1 + t.n2))) ELSE 0 END
+                    + CASE WHEN (t.n1 - a) > 0 THEN (t.n1 - a)
+                           * ln((t.n1 - a) / (t.n1 * ((t.n1 + t.n2)
+                           - (a + b)) / (t.n1 + t.n2))) ELSE 0 END
+                    + CASE WHEN (t.n2 - b) > 0 THEN (t.n2 - b)
+                           * ln((t.n2 - b) / (t.n2 * ((t.n1 + t.n2)
+                           - (a + b)) / (t.n1 + t.n2))) ELSE 0 END)
+                        AS g2
+                    FROM cells CROSS JOIN t)
+            SELECT w AS term, a AS n_en, b AS n_rest,
+                   round_even(g2, 6) AS g2
+              FROM g
+             ORDER BY round_even(g2, 6) DESC, w ASC
+             LIMIT 10
         """,
     }
     # quarantine / annotate-mode oracle: valid rows = NOT IN the violation
