@@ -8101,6 +8101,107 @@ def q_lang_distinctive_terms(sf_dir: str):
         "g2": pa.array(g2r[order], pa.float64())})
 
 
+def q_events_value_kruskal(sf_dir: str):
+    """Kruskal–Wallis H across ALL event types on `value` — the k-group
+    rank-based omnibus (the nonparametric sibling of events_value_anova,
+    robust to the heavy tails that break F). Midranks ride the
+    Mann-Whitney distinct-value machinery; per-group rank sums come from
+    a value-sharded zip, never a join."""
+    from schema_validator_ray.stages.stats import kruskal_wallis
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return kruskal_wallis(ds, "event_type", "value")
+
+
+def q_daily_revenue_theilsen(sf_dir: str):
+    """Theil–Sen robust trend of daily revenue: the median of all
+    pairwise day-to-day slopes — outlier days cannot drag it the way
+    they drag OLS. The (day, cents) census is calendar-bounded (loud
+    budget), pair slopes are generated vectorially on the driver, and
+    the median follows the quantile_disc convention
+    (index max(ceil(q·n)−1, 0)) so both sides pick the same slope."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def part(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "d": pc.floor_temporal(b["o_orderdate"], unit="day"),
+            "cents": pc.cast(pc.round(pc.multiply(
+                b["o_totalprice"], 100.0)), pa.int64())}).drop_null()
+        a = t.group_by("d").aggregate([("cents", "sum")])
+        return pa.table({"d": a["d"],
+                         "cents": pc.cast(a["cents_sum"], pa.int64())})
+
+    cells = (orders.map_batches(part, batch_format="pyarrow")
+             .groupby("d").aggregate(Sum("cents", alias_name="cents"))
+             .take_all())                   # calendar-bounded
+    if len(cells) > 100_000:
+        raise ValueError("daily_revenue_theilsen: day census exceeds the "
+                         "pairwise budget — bucket to weeks first")
+    cells.sort(key=lambda r: r["d"])
+    d = (np.array([r["d"] for r in cells], dtype="datetime64[us]")
+         .astype(np.int64) // 86_400_000_000)
+    v = np.array([int(r["cents"]) for r in cells], np.int64)
+    n = len(d)
+    if n < 2:
+        return pa.table({"n_days": pa.array([n], pa.int64()),
+                         "n_pairs": pa.array([0], pa.int64()),
+                         "slope_cents_per_day": pa.array([None],
+                                                         pa.float64())})
+    ii, jj = np.triu_indices(n, k=1)
+    slopes = (v[jj] - v[ii]).astype(np.float64) / (d[jj] - d[ii])
+    slopes.sort(kind="stable")
+    idx = max(int(np.ceil(0.5 * len(slopes))) - 1, 0)
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "n_pairs": pa.array([len(slopes)], pa.int64()),
+        "slope_cents_per_day": pa.array(
+            [float(np.round(slopes[idx], 6))], pa.float64())})
+
+
+def q_event_type_daily_fano(sf_dir: str):
+    """Fano factor (variance/mean) of DAILY counts per event type over
+    the zero-filled observed-day grid — over-dispersion flags bursty
+    injection, under-dispersion flags rate-limited feeds (the temporal
+    sibling of term_burstiness). (day, type) exact-int census; identical
+    double arithmetic both sides."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def part(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "d": pc.floor_temporal(b["ts"], unit="day"),
+            "g": b["event_type"]}).drop_null()
+        a = t.group_by(["d", "g"]).aggregate([([], "count_all")])
+        return pa.table({"d": a["d"], "g": a["g"],
+                         "c": pc.cast(a["count_all"], pa.int64())})
+
+    cells = (ev.map_batches(part, batch_format="pyarrow")
+             .groupby(["d", "g"]).aggregate(Sum("c", alias_name="c"))
+             .take_all())                  # days x alphabet census
+    days = sorted({r["d"] for r in cells})
+    types = sorted({r["g"] for r in cells})
+    nd = len(days)
+    got = {(r["d"], r["g"]): int(r["c"]) for r in cells}
+    out_g, out_n, out_mean, out_vmr = [], [], [], []
+    for g in types:
+        c = np.array([got.get((dd, g), 0) for dd in days], np.int64)
+        s = int(c.sum())
+        s2 = int((c * c).sum())
+        mean = s / nd
+        var = s2 / nd - mean * mean
+        out_g.append(g)
+        out_n.append(s)
+        out_mean.append(float(np.round(mean, 6)))
+        out_vmr.append(float(np.round(var / mean, 6)) if s else None)
+    return pa.table({"event_type": pa.array(out_g, pa.string()),
+                     "n_events": pa.array(out_n, pa.int64()),
+                     "mean_daily": pa.array(out_mean, pa.float64()),
+                     "fano": pa.array(out_vmr, pa.float64())})
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -8428,6 +8529,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_qq": q_events_value_qq,
         "cohort_ltv_curve": q_cohort_ltv_curve,
         "lang_distinctive_terms": q_lang_distinctive_terms,
+        "events_value_kruskal": q_events_value_kruskal,
+        "daily_revenue_theilsen": q_daily_revenue_theilsen,
+        "event_type_daily_fano": q_event_type_daily_fano,
     }
 
 
@@ -12713,6 +12817,81 @@ def oracle_sql() -> dict[str, str]:
               FROM g
              ORDER BY round_even(g2, 6) DESC, w ASC
              LIMIT 10
+        """,
+        # midranks over the distinct-value stream (the mann_whitney
+        # convention); H with the tie-corrected denominator
+        "events_value_kruskal": """
+            WITH f AS (SELECT event_type AS g, value AS v FROM events
+                        WHERE value IS NOT NULL
+                          AND event_type IS NOT NULL),
+            cells AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
+                        FROM f GROUP BY 1, 2),
+            tot AS (SELECT v, CAST(SUM(c) AS BIGINT) AS ct
+                      FROM cells GROUP BY 1),
+            rk AS (SELECT v, ct,
+                          CAST(SUM(ct) OVER (ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                     FROM tot),
+            mr AS (SELECT v, (cum - ct) + (ct + 1.0) / 2.0 AS m FROM rk),
+            rg AS (SELECT cells.g, SUM(cells.c * mr.m) AS r,
+                          CAST(SUM(cells.c) AS BIGINT) AS n
+                     FROM cells JOIN mr USING (v) GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn,
+                         CAST(SUM(n) AS BIGINT) AS n_i,
+                         CAST(COUNT(*) AS BIGINT) AS k FROM rg),
+            tie AS (SELECT CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS s
+                      FROM tot)
+            SELECT t.k, t.n_i AS n,
+                   round_even((12.0 / (t.nn * (t.nn + 1.0))
+                               * (SELECT SUM(r * r / n) FROM rg)
+                               - 3.0 * (t.nn + 1.0))
+                              / (1.0 - (SELECT s FROM tie)
+                                 / (t.nn * t.nn * t.nn - t.nn)), 6) AS h
+              FROM t
+        """,
+        "daily_revenue_theilsen": """
+            WITH c AS (SELECT date_trunc('day', o_orderdate) AS d,
+                              CAST(SUM(CAST(round(o_totalprice * 100)
+                                            AS BIGINT)) AS BIGINT) AS cents
+                         FROM orders WHERE o_orderdate IS NOT NULL
+                        GROUP BY 1),
+            dd AS (SELECT epoch_us(d) // 86400000000 AS di, cents FROM c),
+            s AS (SELECT CAST(b.cents - a.cents AS DOUBLE)
+                         / (b.di - a.di) AS sl
+                    FROM dd a JOIN dd b ON a.di < b.di)
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dd) AS n_days,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   round_even(quantile_disc(sl, 0.5), 6)
+                       AS slope_cents_per_day
+              FROM s
+        """,
+        "event_type_daily_fano": """
+            WITH cells AS (SELECT date_trunc('day', ts) AS d,
+                                  event_type AS g,
+                                  CAST(COUNT(*) AS BIGINT) AS c
+                             FROM events
+                            WHERE ts IS NOT NULL
+                              AND event_type IS NOT NULL
+                            GROUP BY 1, 2),
+            days AS (SELECT DISTINCT d FROM cells),
+            ty AS (SELECT DISTINCT g FROM cells),
+            grid AS (SELECT days.d, ty.g FROM days CROSS JOIN ty),
+            f AS (SELECT grid.g, COALESCE(cells.c, 0) AS c
+                    FROM grid LEFT JOIN cells
+                      ON grid.d = cells.d AND grid.g = cells.g),
+            agg AS (SELECT g, CAST(SUM(c) AS BIGINT) AS s,
+                           CAST(SUM(c * c) AS BIGINT) AS s2,
+                           CAST(COUNT(*) AS BIGINT) AS nd
+                      FROM f GROUP BY 1)
+            SELECT g AS event_type, s AS n_events,
+                   round_even(CAST(s AS DOUBLE) / nd, 6) AS mean_daily,
+                   CASE WHEN s > 0 THEN
+                       round_even((CAST(s2 AS DOUBLE) / nd
+                                   - (CAST(s AS DOUBLE) / nd)
+                                     * (CAST(s AS DOUBLE) / nd))
+                                  / (CAST(s AS DOUBLE) / nd), 6)
+                   END AS fano
+              FROM agg
         """,
     }
     # quarantine / annotate-mode oracle: valid rows = NOT IN the violation

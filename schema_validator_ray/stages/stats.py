@@ -1635,6 +1635,142 @@ def mann_whitney_u(ds, group_col: str, value_col: str, group_a, group_b):
         "auc": pa.array([round(u / (na * nb), 6)], pa.float64())}))
 
 
+def kruskal_wallis(ds, group_col: str, value_col: str):
+    """Kruskal–Wallis H (rank-based one-way ANOVA across k groups) — the
+    k-group extension of ``mann_whitney_u``, sharing its machinery: the
+    exchange collapses to the DISTINCT-value stream, one calibrated
+    running-count scan yields midranks (exact half-integers, so the
+    distributed float sums are order-independent below 2^52), and the
+    per-group rank sums come from a value-sharded zip (never a join —
+    Ray 2.49 acero joins reject schema-less empty blocks). Tie
+    correction Σ(t³−t)/(N³−N) is int64-exact. Returns one row
+    (k, n, h) with h rounded half-even to 6dp.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .analytics import running_sum
+
+    def _vshard(col, n: int = 64) -> np.ndarray:
+        # values may be float64 (unsupported by the key hasher): shard on
+        # the raw bit pattern — equal doubles have equal bits
+        v = col.to_numpy(zero_copy_only=False)
+        if v.dtype.kind == "f":
+            u = v.view(np.uint64) * np.uint64(0xFF51AFD7ED558CCD)
+            u = u ^ (u >> np.uint64(33))
+            return (u % np.uint64(n)).astype(np.int32)
+        from .asof import _shard_of
+
+        return _shard_of(col if isinstance(col, pa.Array)
+                         else col.combine_chunks(), n)
+
+    def part(b: pa.Table) -> pa.Table:
+        t = pa.table({"v": b[value_col], "g": b[group_col]}).drop_null()
+        agg = (t.append_column("_c", pa.array(
+            np.ones(t.num_rows, np.int64)))
+            .group_by(["v", "g"]).aggregate([("_c", "sum")]))
+        return pa.table({"v": agg["v"], "g": agg["g"],
+                         "c": pc.cast(agg["_c_sum"], pa.int64())})
+
+    cells = (ds.map_batches(part, batch_format="pyarrow")
+             .groupby(["v", "g"])
+             .aggregate(Sum("c", alias_name="c"))
+             .materialize())               # (value, group) cells, reused
+    totals = (cells.map_batches(
+        lambda b: pa.table({"v": b["v"],
+                            "ct": pc.cast(b["c"], pa.int64())}),
+        batch_format="pyarrow")
+        .groupby("v").aggregate(Sum("ct", alias_name="ct"))
+        .map_batches(lambda b: pa.table({
+            "v": b["v"], "ct": pc.cast(b["ct"], pa.int64())})
+            .append_column("_g", pa.array(np.zeros(b.num_rows, np.int8))),
+            batch_format="pyarrow")
+        .materialize())
+    ranked = running_sum(totals, key="_g", order_col="v", value="ct",
+                         tiebreak="v", out_col="_cum")
+
+    # value-sharded zip: cells (side 0) meet their value's midrank
+    # (side 1) inside one shard group; in-shard searchsorted lookup
+    def tag_cells(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": b["v"], "gg": pc.cast(b["g"], pa.string()),
+            "c": pc.cast(b["c"], pa.int64()),
+            "m": pa.array(np.zeros(b.num_rows, np.float64)),
+            "_side": pa.array(np.zeros(b.num_rows, np.int8)),
+            "_shard": pa.array(_vshard(b["v"]))})
+
+    def tag_ranks(b: pa.Table) -> pa.Table:
+        ct = b["ct"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = b["_cum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mr = (cum - ct).astype(np.float64) \
+            + (ct + 1).astype(np.float64) / 2.0
+        return pa.table({
+            "v": b["v"], "gg": pa.array([""] * b.num_rows, pa.string()),
+            "c": pa.array(np.zeros(b.num_rows, np.int64)),
+            "m": pa.array(mr),
+            "_side": pa.array(np.ones(b.num_rows, np.int8)),
+            "_shard": pa.array(_vshard(b["v"]))})
+
+    def zip_shard(g: pa.Table) -> pa.Table:
+        empty = pa.table({"gg": pa.array([], pa.string()),
+                          "r": pa.array([], pa.float64()),
+                          "n": pa.array([], pa.int64())})
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        cells_t = g.filter(pa.array(side == 0))
+        ranks_t = g.filter(pa.array(side == 1))
+        if cells_t.num_rows == 0 or ranks_t.num_rows == 0:
+            return empty
+        rv = ranks_t["v"].to_numpy(zero_copy_only=False)
+        rm = ranks_t["m"].to_numpy(zero_copy_only=False)
+        o = np.argsort(rv, kind="stable")
+        rv, rm = rv[o], rm[o]
+        cv = cells_t["v"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(rv, cv)
+        m = rm[pos]
+        c = cells_t["c"].to_numpy(zero_copy_only=False)
+        t = (pa.table({"gg": cells_t["gg"],
+                       "_rc": pa.array(c.astype(np.float64) * m),
+                       "_n": pa.array(c)})
+             .group_by("gg").aggregate([("_rc", "sum"), ("_n", "sum")]))
+        return pa.table({"gg": t["gg"], "r": t["_rc_sum"],
+                         "n": pc.cast(t["_n_sum"], pa.int64())})
+
+    rg = (cells.map_batches(tag_cells, batch_format="pyarrow")
+          .union(ranked.map_batches(tag_ranks, batch_format="pyarrow"))
+          .groupby("_shard").map_groups(zip_shard, batch_format="pyarrow")
+          .groupby("gg")
+          .aggregate(Sum("r", alias_name="r"), Sum("n", alias_name="n"))
+          .take_all())                     # |groups| rows
+
+    tie_parts = totals.map_batches(
+        lambda b: pa.table({"s": pa.array([int(np.sum(
+            (lambda ct: ct * ct * ct - ct)(
+                b["ct"].to_numpy(zero_copy_only=False)
+                .astype(np.int64))))], pa.int64())}),
+        batch_format="pyarrow").take_all()
+    tie = float(sum(int(r["s"]) for r in tie_parts))
+
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64()),
+                      "h": pa.array([], pa.float64())})
+    if not rg:
+        return rd.from_arrow(empty)
+    r = np.array([float(x["r"]) for x in rg])
+    n = np.array([int(x["n"]) for x in rg], np.float64)
+    k = len(rg)
+    nn = n.sum()
+    if nn <= 1 or k < 2:
+        return rd.from_arrow(empty)
+    h_raw = 12.0 / (nn * (nn + 1.0)) * float(np.sum(r * r / n)) \
+        - 3.0 * (nn + 1.0)
+    corr = 1.0 - tie / (nn * nn * nn - nn)
+    h = h_raw / corr if corr > 0 else float("nan")
+    return rd.from_arrow(pa.table({
+        "k": pa.array([k], pa.int64()),
+        "n": pa.array([int(nn)], pa.int64()),
+        "h": pa.array([float(np.round(h, 6))], pa.float64())}))
+
+
 def survival_curve(ds, key: str, ts_col: str, *, unit_us: int,
                    max_k: int = 12, merge_budget: int = 5_000_000):
     """Per-entity lifetime survival curve: for k = 0..max_k, the fraction of
