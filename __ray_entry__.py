@@ -8202,6 +8202,132 @@ def q_event_type_daily_fano(sf_dir: str):
                      "fano": pa.array(out_vmr, pa.float64())})
 
 
+def q_part_skyline(sf_dir: str):
+    """Pareto-skyline operator: parts not dominated on (retail price low,
+    size high) — the multi-criteria shortlist no single ORDER BY can
+    produce. Two-phase distributed skyline: each batch prunes to its
+    LOCAL skyline (a local survivor can only be killed by another
+    survivor, so pruning is lossless), the skyline-bounded candidate set
+    folds on the driver, and one price-sorted sweep finishes. Exact
+    integer cents/size — dominance has no float boundary."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+
+    def _skyline_mask(c: np.ndarray, s: np.ndarray) -> np.ndarray:
+        # non-dominated mask for (min c, max s): die iff another point
+        # has c<= AND s>= with one strict; price-sorted sweep, ties kept.
+        # Nested (not module-level) so cloudpickle ships it BY VALUE to
+        # workers even when this module is loaded under an ad-hoc name.
+        n = len(c)
+        keep = np.zeros(n, bool)
+        order = np.lexsort((-s, c))         # price asc, size desc
+        best = np.iinfo(np.int64).min       # max size among CHEAPER rows
+        i = 0
+        co, so = c[order], s[order]
+        while i < n:
+            j = i
+            while j < n and co[j] == co[i]:
+                j += 1
+            smax = so[i]                    # sizes sorted desc in group
+            grp = order[i:j]
+            if smax > best:
+                keep[grp[so[i:j] == smax]] = True
+            best = max(best, smax)
+            i = j
+        return keep
+
+    def local_skyline(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "p_partkey": b["p_partkey"],
+            "cents": pc.cast(pc.round(pc.multiply(
+                b["p_retailprice"], 100.0)), pa.int64()),
+            "p_size": pc.cast(b["p_size"], pa.int64())}).drop_null()
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        s = t["p_size"].to_numpy(zero_copy_only=False)
+        keep = _skyline_mask(c, s)
+        return t.filter(pa.array(keep))
+
+    parts = part.map_batches(local_skyline,
+                             batch_format="pyarrow").take_all()
+    if not parts:
+        return pa.table({"p_partkey": pa.array([], pa.int64()),
+                         "price_cents": pa.array([], pa.int64()),
+                         "p_size": pa.array([], pa.int64())})
+    c = np.array([int(r["cents"]) for r in parts], np.int64)
+    s = np.array([int(r["p_size"]) for r in parts], np.int64)
+    k = np.array([int(r["p_partkey"]) for r in parts], np.int64)
+    keep = _skyline_mask(c, s)
+    order = np.lexsort((k[keep], s[keep] * -1, c[keep]))
+    return pa.table({
+        "p_partkey": pa.array(k[keep][order]),
+        "price_cents": pa.array(c[keep][order]),
+        "p_size": pa.array(s[keep][order])})
+
+
+
+def q_supplier_rank_stability(sf_dir: str):
+    """Kendall τ-b between suppliers' 1999 and 2000 revenue rankings —
+    does the supply base keep its pecking order year over year (τ≈1) or
+    reshuffle (τ≈0)? Per-(supplier, year) exact-cents partials; the
+    catalog-bounded vector pair folds on the driver (loud budget) where
+    concordant/discordant/tie counts are exact ints, matching the SQL
+    pairwise self-join bit for bit."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_shipdate", "l_extendedprice",
+                "l_discount"])
+    y0, y1 = 1999, 2000
+
+    def part(b: pa.Table) -> pa.Table:
+        gross = pc.multiply(b["l_extendedprice"],
+                            pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        t = pa.table({
+            "s": b["l_suppkey"],
+            "y": pc.cast(pc.year(b["l_shipdate"]), pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(gross, 100.0)),
+                             pa.int64())})
+        t = t.filter(pc.is_in(t["y"], value_set=pa.array([y0, y1],
+                                                         pa.int64())))
+        a = t.group_by(["s", "y"]).aggregate([("cents", "sum")])
+        return pa.table({"s": a["s"], "y": a["y"],
+                         "cents": pc.cast(a["cents_sum"], pa.int64())})
+
+    cells = (li.map_batches(part, batch_format="pyarrow")
+             .groupby(["s", "y"]).aggregate(Sum("cents",
+                                                alias_name="cents"))
+             .take_all())                    # supplier-catalog-bounded
+    x = {}
+    y = {}
+    for r in cells:
+        (x if int(r["y"]) == y0 else y)[int(r["s"])] = int(r["cents"])
+    ks = sorted(set(x) & set(y))
+    n = len(ks)
+    if n > 20_000:
+        raise ValueError("supplier_rank_stability: catalog exceeds the "
+                         "pairwise budget — switch to the inversion-"
+                         "count merge path")
+    if n < 2:
+        return pa.table({"n_suppliers": pa.array([n], pa.int64()),
+                         "tau_b": pa.array([None], pa.float64())})
+    xv = np.array([x[k] for k in ks], np.int64)
+    yv = np.array([y[k] for k in ks], np.int64)
+    dx = np.sign(xv[:, None] - xv[None, :])
+    dy = np.sign(yv[:, None] - yv[None, :])
+    iu = np.triu_indices(n, k=1)
+    prod = dx[iu] * dy[iu]
+    conc = int((prod > 0).sum())
+    disc = int((prod < 0).sum())
+    n0 = n * (n - 1) // 2
+    tx = n0 - int((dx[iu] != 0).sum())      # x-tied pairs
+    ty = n0 - int((dy[iu] != 0).sum())
+    denom = np.sqrt(float(n0 - tx) * float(n0 - ty))
+    tau = (conc - disc) / denom if denom > 0 else None
+    return pa.table({
+        "n_suppliers": pa.array([n], pa.int64()),
+        "tau_b": pa.array([None if tau is None
+                           else float(np.round(tau, 6))], pa.float64())})
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -8532,6 +8658,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_kruskal": q_events_value_kruskal,
         "daily_revenue_theilsen": q_daily_revenue_theilsen,
         "event_type_daily_fano": q_event_type_daily_fano,
+        "part_skyline": q_part_skyline,
+        "supplier_rank_stability": q_supplier_rank_stability,
     }
 
 
@@ -12892,6 +13020,53 @@ def oracle_sql() -> dict[str, str]:
                                   / (CAST(s AS DOUBLE) / nd), 6)
                    END AS fano
               FROM agg
+        """,
+        "part_skyline": """
+            WITH p AS (SELECT p_partkey,
+                              CAST(round(p_retailprice * 100) AS BIGINT)
+                                  AS cents,
+                              CAST(p_size AS BIGINT) AS sz
+                         FROM part
+                        WHERE p_retailprice IS NOT NULL
+                          AND p_size IS NOT NULL)
+            SELECT a.p_partkey, a.cents AS price_cents, a.sz AS p_size
+              FROM p a
+             WHERE NOT EXISTS (
+                 SELECT 1 FROM p b
+                  WHERE b.cents <= a.cents AND b.sz >= a.sz
+                    AND (b.cents < a.cents OR b.sz > a.sz))
+        """,
+        "supplier_rank_stability": """
+            WITH r AS (SELECT l_suppkey AS s,
+                              CAST(year(l_shipdate) AS BIGINT) AS y,
+                              CAST(SUM(CAST(round(l_extendedprice
+                                   * (1 - l_discount) * 100) AS BIGINT))
+                                   AS BIGINT) AS cents
+                         FROM lineitem
+                        WHERE year(l_shipdate) IN (1999, 2000)
+                        GROUP BY 1, 2),
+            xy AS (SELECT a.s, a.cents AS x, b.cents AS y
+                     FROM r a JOIN r b
+                       ON a.s = b.s AND a.y = 1999 AND b.y = 2000),
+            pr AS (SELECT sign(a.x - b.x) AS dx, sign(a.y - b.y) AS dy
+                     FROM xy a JOIN xy b ON a.s < b.s),
+            agg AS (SELECT
+                      CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS c,
+                      CAST(SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS d,
+                      CAST(SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS tx,
+                      CAST(SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS ty,
+                      CAST(COUNT(*) AS BIGINT) AS n0 FROM pr),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM xy)
+            SELECT nn.n AS n_suppliers,
+                   round_even((agg.c - agg.d)
+                              / sqrt(CAST(agg.n0 - agg.tx AS DOUBLE)
+                                     * CAST(agg.n0 - agg.ty AS DOUBLE)),
+                              6) AS tau_b
+              FROM agg CROSS JOIN nn
         """,
     }
     # quarantine / annotate-mode oracle: valid rows = NOT IN the violation
