@@ -265,6 +265,23 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "purchase_gap_cv_bands",
         "revenue_seasonal_decomp",
         "events_value_anova",
+        "lineitem_corr_matrix",
+        "purchase_share_pchart",
+        "order_price_geomean",
+        "neardup_cluster_census",
+        "customer_tier_migration",
+        "minhash_est_calibration",
+        "money_grid_census",
+        "dedup_normalization_gain",
+        "source_stylometry_profile",
+        "events_value_qq",
+        "cohort_ltv_curve",
+        "lang_distinctive_terms",
+        "events_value_kruskal",
+        "daily_revenue_theilsen",
+        "event_type_daily_fano",
+        "part_skyline",
+        "supplier_rank_stability",
     ]
     qs = m.queries()
     # warm best-of-N per query (default 2 passes over the whole list):
