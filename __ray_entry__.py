@@ -8328,6 +8328,95 @@ def q_supplier_rank_stability(sf_dir: str):
                            else float(np.round(tau, 6))], pa.float64())})
 
 
+def q_order_f_share_trend(sf_dir: str):
+    """Cochran–Armitage trend test: is the share of 'F'-status orders
+    drifting monotonically across years — the ordered-categories trend
+    check a plain χ² cannot see. (year → n, k) exact-int census with
+    year-index scores; T, its variance and z come from the identical
+    double arithmetic both sides."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_orderstatus"])
+
+    def part(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "y": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
+            "k": pc.cast(pc.equal(b["o_orderstatus"], pa.scalar("F")),
+                         pa.int64())}).drop_null()
+        a = t.group_by("y").aggregate([("k", "sum"), ([], "count_all")])
+        return pa.table({"y": a["y"],
+                         "k": pc.cast(a["k_sum"], pa.int64()),
+                         "n": pc.cast(a["count_all"], pa.int64())})
+
+    cells = (orders.map_batches(part, batch_format="pyarrow")
+             .groupby("y")
+             .aggregate(Sum("k", alias_name="k"),
+                        Sum("n", alias_name="n"))
+             .take_all())                   # |years| rows
+    cells.sort(key=lambda r: int(r["y"]))
+    y = np.array([int(r["y"]) for r in cells], np.int64)
+    k = np.array([int(r["k"]) for r in cells], np.float64)
+    n = np.array([int(r["n"]) for r in cells], np.float64)
+    t_sc = (y - y.min()).astype(np.float64)  # 0-based year scores
+    nn = n.sum()
+    pbar = k.sum() / nn
+    t_stat = float(np.sum(t_sc * (k - n * pbar)))
+    var = pbar * (1.0 - pbar) * (float(np.sum(n * t_sc * t_sc))
+                                 - float(np.sum(n * t_sc)) ** 2 / nn)
+    z = t_stat / np.sqrt(var) if var > 0 else float("nan")
+    return pa.table({
+        "n_years": pa.array([len(y)], pa.int64()),
+        "n": pa.array([int(nn)], pa.int64()),
+        "t_stat": pa.array([float(np.round(t_stat, 6))], pa.float64()),
+        "z": pa.array([float(np.round(z, 6))], pa.float64())})
+
+
+def q_lineitem_qty_mode(sf_dir: str):
+    """Grouped MODE with a deterministic tie-break (smallest value wins)
+    — the categorical central tendency DuckDB's mode() leaves
+    tie-unspecified, pinned here via an explicit rank. (group, value)
+    exact-int census; the per-group argmax folds map-side then once."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def part(b: pa.Table) -> pa.Table:
+        t = pa.table({"g": b["l_returnflag"],
+                      "v": pc.cast(b["l_quantity"],
+                                   pa.float64())}).drop_null()
+        a = t.group_by(["g", "v"]).aggregate([([], "count_all")])
+        return pa.table({"g": a["g"], "v": a["v"],
+                         "c": pc.cast(a["count_all"], pa.int64())})
+
+    def best(b: pa.Table) -> pa.Table:
+        # per-group argmax partial: count DESC, value ASC
+        g = b["g"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        c = b["c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -c))
+        go = g[order]
+        first = np.r_[True, go[1:] != go[:-1]]
+        return pa.table({"g": pa.array(go[first]),
+                         "v": pa.array(v[order][first]),
+                         "c": pa.array(c[order][first])})
+
+    cells = (li.map_batches(part, batch_format="pyarrow")
+             .groupby(["g", "v"]).aggregate(Sum("c", alias_name="c")))
+    winners = (cells.map_batches(best, batch_format="pyarrow")
+               .take_all())                 # ≤ |groups| per block
+    out = {}
+    for r in winners:
+        cur = out.get(r["g"])
+        cand = (-int(r["c"]), float(r["v"]))
+        if cur is None or cand < cur:
+            out[r["g"]] = cand
+    gs = sorted(out)
+    return pa.table({
+        "l_returnflag": pa.array(gs, pa.string()),
+        "mode_qty": pa.array([out[g][1] for g in gs], pa.float64()),
+        "n": pa.array([-out[g][0] for g in gs], pa.int64())})
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -8660,6 +8749,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_daily_fano": q_event_type_daily_fano,
         "part_skyline": q_part_skyline,
         "supplier_rank_stability": q_supplier_rank_stability,
+        "order_f_share_trend": q_order_f_share_trend,
+        "lineitem_qty_mode": q_lineitem_qty_mode,
     }
 
 
@@ -13067,6 +13158,48 @@ def oracle_sql() -> dict[str, str]:
                                      * CAST(agg.n0 - agg.ty AS DOUBLE)),
                               6) AS tau_b
               FROM agg CROSS JOIN nn
+        """,
+        "order_f_share_trend": """
+            WITH c AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+                              CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS k,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                         FROM orders
+                        WHERE o_orderdate IS NOT NULL
+                          AND o_orderstatus IS NOT NULL
+                        GROUP BY 1),
+            m AS (SELECT MIN(y) AS my FROM c),
+            s AS (SELECT CAST(y - m.my AS DOUBLE) AS t,
+                         CAST(k AS DOUBLE) AS k, CAST(n AS DOUBLE) AS n
+                    FROM c CROSS JOIN m),
+            p AS (SELECT SUM(k) / SUM(n) AS pbar,
+                         SUM(n) AS nn FROM s),
+            agg AS (SELECT SUM(s.t * (s.k - s.n * p.pbar)) AS tstat,
+                           SUM(s.n * s.t * s.t) AS sntt,
+                           SUM(s.n * s.t) AS snt,
+                           CAST(COUNT(*) AS BIGINT) AS ny
+                      FROM s CROSS JOIN p GROUP BY p.pbar, p.nn)
+            SELECT agg.ny AS n_years, CAST(p.nn AS BIGINT) AS n,
+                   round_even(agg.tstat, 6) AS t_stat,
+                   round_even(agg.tstat
+                              / sqrt(p.pbar * (1.0 - p.pbar)
+                                     * (agg.sntt
+                                        - agg.snt * agg.snt / p.nn)), 6)
+                       AS z
+              FROM agg CROSS JOIN p
+        """,
+        # mode with the tie pinned (count DESC, value ASC) — DuckDB's
+        # mode() leaves ties unspecified, so the oracle ranks explicitly
+        "lineitem_qty_mode": """
+            WITH c AS (SELECT l_returnflag AS g, l_quantity AS v,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                         FROM lineitem
+                        WHERE l_returnflag IS NOT NULL
+                          AND l_quantity IS NOT NULL
+                        GROUP BY 1, 2)
+            SELECT g AS l_returnflag, v AS mode_qty, c AS n FROM c
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY g
+                                       ORDER BY c DESC, v ASC) = 1
         """,
     }
     # quarantine / annotate-mode oracle: valid rows = NOT IN the violation
