@@ -282,6 +282,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "event_type_daily_fano",
         "part_skyline",
         "supplier_rank_stability",
+        "order_f_share_trend",
+        "lineitem_qty_mode",
     ]
     qs = m.queries()
     # warm best-of-N per query (default 2 passes over the whole list):
