@@ -4328,13 +4328,19 @@ def q_orders_lineitem_reconcile(sf_dir: str):
                 "status": b["o_orderstatus"]}),
             batch_format="pyarrow")
 
-    merged = (li.map_batches(li_part, batch_format="pyarrow")
-              .union(headers)
-              .groupby("o_orderkey")
-              .aggregate(Sum("li_cents", alias_name="li_cents"),
-                         Sum("n_lines", alias_name="n_lines"),
-                         Sum("ord_cents", alias_name="ord_cents"),
-                         Max("status", alias_name="status")))
+    from schema_validator_ray.stages._collect import guarded_groupby
+
+    merged = guarded_groupby(
+        li.map_batches(li_part, batch_format="pyarrow").union(headers),
+        ["o_orderkey"],
+        [("li_cents", "sum"), ("n_lines", "sum"),
+         ("ord_cents", "sum"), ("status", "max")]) \
+        .map_batches(lambda b: pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "li_cents": b["li_cents_sum"],
+            "n_lines": b["n_lines_sum"],
+            "ord_cents": b["ord_cents_sum"],
+            "status": b["status_max"]}), batch_format="pyarrow")
 
     def verdict(b: pa.Table) -> pa.Table:
         has = pc.greater(b["n_lines"], pa.scalar(0, pa.int64()))
@@ -4468,19 +4474,20 @@ def q_order_priority_check(sf_dir: str):
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]) \
         .map_batches(li_part, batch_format="pyarrow")
 
-    merged = (li.union(orders)
-              .groupby("o_orderkey")
-              .aggregate(Max("ship_us", alias_name="ship_us"),
-                         Max("od_us", alias_name="od_us"),
-                         Max("o_orderpriority",
-                             alias_name="o_orderpriority"),
-                         Sum("hdr", alias_name="hdr")))
+    from schema_validator_ray.stages._collect import guarded_groupby
+
+    merged = guarded_groupby(
+        li.union(orders), ["o_orderkey"],
+        [("ship_us", "max"), ("od_us", "max"),
+         ("o_orderpriority", "max"), ("hdr", "sum")])
 
     def late(b: pa.Table) -> pa.Table:
-        cut = pc.add(b["od_us"], pa.scalar(30 * 86_400_000_000, pa.int64()))
-        keep = pc.and_(pc.greater(b["hdr"], pa.scalar(0, pa.int64())),
-                       pc.greater(b["ship_us"], cut))
-        return b.filter(keep).select(["o_orderpriority"])
+        cut = pc.add(b["od_us_max"],
+                     pa.scalar(30 * 86_400_000_000, pa.int64()))
+        keep = pc.and_(pc.greater(b["hdr_sum"], pa.scalar(0, pa.int64())),
+                       pc.greater(b["ship_us_max"], cut))
+        return pa.table(
+            {"o_orderpriority": b.filter(keep)["o_orderpriority_max"]})
 
     out = (merged.map_batches(late, batch_format="pyarrow")
            .groupby("o_orderpriority")
@@ -4638,9 +4645,13 @@ def q_large_volume_customers(sf_dir: str):
         return pa.table({"o_orderkey": agg["l_orderkey"],
                          "total_qty": agg["l_quantity_sum"]})
 
-    big = (li.map_batches(part, batch_format="pyarrow")
-           .groupby("o_orderkey")
-           .aggregate(Sum("total_qty", alias_name="total_qty"))
+    from schema_validator_ray.stages._collect import guarded_groupby
+
+    big = (guarded_groupby(li.map_batches(part, batch_format="pyarrow"),
+                           ["o_orderkey"], [("total_qty", "sum")])
+           .map_batches(lambda b: pa.table({
+               "o_orderkey": b["o_orderkey"],
+               "total_qty": b["total_qty_sum"]}), batch_format="pyarrow")
            .map_batches(
                lambda b: b.filter(pc.greater(b["total_qty"],
                                              pa.scalar(300.0))),
@@ -4929,11 +4940,22 @@ def q_candidate_keys_orders(sf_dir: str):
                 "v": u}))
         return pa.concat_tables(outs)
 
-    distinct = (ds.map_batches(pairs, batch_format="pyarrow")
-                .groupby(["column_name", "v"])
-                .aggregate(Count(alias_name="_c"))
-                .groupby("column_name")
-                .aggregate(Count(alias_name="n_distinct")))
+    from schema_validator_ray.stages._collect import guarded_groupby
+
+    def one(b: pa.Table) -> pa.Table:
+        return b.append_column("_one",
+                               pa.array(np.ones(b.num_rows, np.int8)))
+
+    distinct = (guarded_groupby(
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .map_batches(one, batch_format="pyarrow"),
+        ["column_name", "v"], [("_one", "min")])
+        .map_batches(lambda b: pa.table({
+            "column_name": b["column_name"],
+            "n": pa.array(np.ones(b.num_rows, np.int64))}),
+            batch_format="pyarrow")
+        .groupby("column_name")
+        .aggregate(Sum("n", alias_name="n_distinct")))
 
     def counts(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -6143,11 +6165,16 @@ def q_sole_late_supplier(sf_dir: str):
                          "s_suppkey": g["s_suppkey"],
                          "ship_us": g["ship_us_max"]})
 
-    per_os = (_read(sf_dir, "lineitem",
-                    ["l_orderkey", "l_suppkey", "l_shipdate"])
-              .map_batches(ls_part, batch_format="pyarrow")
-              .groupby(["o_orderkey", "s_suppkey"])
-              .aggregate(Max("ship_us", alias_name="ship_us")))
+    from schema_validator_ray.stages._collect import guarded_groupby
+
+    per_os = guarded_groupby(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_shipdate"])
+        .map_batches(ls_part, batch_format="pyarrow"),
+        ["o_orderkey", "s_suppkey"], [("ship_us", "max")]) \
+        .map_batches(lambda b: pa.table({
+            "o_orderkey": b["o_orderkey"], "s_suppkey": b["s_suppkey"],
+            "ship_us": b["ship_us_max"]}), batch_format="pyarrow")
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]) \
         .map_batches(
@@ -6178,20 +6205,28 @@ def q_sole_late_supplier(sf_dir: str):
                          "n_supp": g["one_sum"], "n_late": g["late_sum"],
                          "late_sk": g["late_sk_max"]})
 
-    per_order = (joined.map_batches(verdict_part, batch_format="pyarrow")
-                 .groupby("o_orderkey")
-                 .aggregate(Sum("n_supp", alias_name="n_supp"),
-                            Sum("n_late", alias_name="n_late"),
-                            Max("late_sk", alias_name="late_sk")))
+    per_order = guarded_groupby(
+        joined.map_batches(verdict_part, batch_format="pyarrow"),
+        ["o_orderkey"], [("n_supp", "sum"), ("n_late", "sum"),
+                         ("late_sk", "max")])
 
     def sole_part(b: pa.Table) -> pa.Table:
-        keep = pc.and_(pc.greater(b["n_supp"], pa.scalar(1, pa.int64())),
-                       pc.equal(b["n_late"], pa.scalar(1, pa.int64())))
-        return pa.table({"s_suppkey": pc.cast(b.filter(keep)["late_sk"],
-                                              pa.int64())})
+        keep = pc.and_(pc.greater(b["n_supp_sum"],
+                                  pa.scalar(1, pa.int64())),
+                       pc.equal(b["n_late_sum"],
+                                pa.scalar(1, pa.int64())))
+        kept = b.filter(keep)
+        return pa.table({
+            "s_suppkey": pc.cast(kept["late_sk_max"], pa.int64()),
+            "one": pa.array(np.ones(kept.num_rows, np.int64))})
 
-    counts = (per_order.map_batches(sole_part, batch_format="pyarrow")
-              .groupby("s_suppkey").aggregate(Count(alias_name="numwait")))
+    counts = guarded_groupby(
+        per_order.map_batches(sole_part, batch_format="pyarrow"),
+        ["s_suppkey"], [("one", "sum")]) \
+        .map_batches(lambda b: pa.table({
+            "s_suppkey": b["s_suppkey"],
+            "numwait": pc.cast(b["one_sum"], pa.int64())}),
+            batch_format="pyarrow")
 
     supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
                          columns=["s_suppkey", "s_name"])
@@ -6279,11 +6314,16 @@ def q_dominant_supplier_parts(sf_dir: str):
         return pa.table({"l_partkey": g["l_partkey"],
                          "l_suppkey": g["l_suppkey"], "q": g["q_sum"]})
 
-    per_ps = (_read(sf_dir, "lineitem",
-                    ["l_partkey", "l_suppkey", "l_quantity"])
-              .map_batches(part, batch_format="pyarrow")
-              .groupby(["l_partkey", "l_suppkey"])
-              .aggregate(Sum("q", alias_name="q")))
+    from schema_validator_ray.stages._collect import guarded_groupby
+
+    per_ps = guarded_groupby(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_quantity"])
+        .map_batches(part, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"], [("q", "sum")]) \
+        .map_batches(lambda b: pa.table({
+            "l_partkey": b["l_partkey"], "l_suppkey": b["l_suppkey"],
+            "q": b["q_sum"]}), batch_format="pyarrow")
     # catalog-bounded: ≤ |parts| × suppliers-per-part rows
     ps, over = collect_up_to(per_ps, 30_000_000)
     if over:
@@ -6832,17 +6872,16 @@ def q_reconcile_error_quartiles(sf_dir: str):
             "s_total": pc.cast(pc.round(pc.multiply(
                 b["o_totalprice"], 100.0)), pa.int64())})
 
-    from ray.data.aggregate import Sum
+    from schema_validator_ray.stages._collect import guarded_groupby
 
-    keyed = (li.map_batches(li_part, batch_format="pyarrow")
-             .union(orders.map_batches(o_part, batch_format="pyarrow"))
-             .groupby("k")
-             .aggregate(Sum("s_line", alias_name="s_line"),
-                        Sum("s_total", alias_name="s_total")))
+    keyed = guarded_groupby(
+        li.map_batches(li_part, batch_format="pyarrow")
+        .union(orders.map_batches(o_part, batch_format="pyarrow")),
+        ["k"], [("s_line", "sum"), ("s_total", "sum")])
     errs = keyed.map_batches(
         lambda b: pa.table({"err": pc.abs(pc.subtract(
-            pc.cast(b["s_line"], pa.int64()),
-            pc.cast(b["s_total"], pa.int64())))}),
+            pc.cast(b["s_line_sum"], pa.int64()),
+            pc.cast(b["s_total_sum"], pa.int64())))}),
         batch_format="pyarrow")
     return exact_quantiles(errs, "err", [0.25, 0.5, 0.75])
 
@@ -7021,15 +7060,17 @@ def q_basket_pair_lift(sf_dir: str):
         return d.append_column("_one",
                                pa.array(np.ones(d.num_rows, np.int64)))
 
-    deg_rows = (li.map_batches(dpart, batch_format="pyarrow")
-                .groupby(["l_partkey", "l_orderkey"])
-                .aggregate(Min("_one", alias_name="_one"))
-                .map_batches(lambda b: pa.table({
-                    "p": b["l_partkey"],
-                    "one": pa.array(np.ones(b.num_rows, np.int64))}),
-                    batch_format="pyarrow")
-                .groupby("p").aggregate(Sum("one", alias_name="c"))
-                .take_all())  # ≤30 rows
+    from schema_validator_ray.stages._collect import guarded_groupby
+
+    deg_rows = (guarded_groupby(
+        li.map_batches(dpart, batch_format="pyarrow"),
+        ["l_partkey", "l_orderkey"], [("_one", "min")])
+        .map_batches(lambda b: pa.table({
+            "p": b["l_partkey"],
+            "one": pa.array(np.ones(b.num_rows, np.int64))}),
+            batch_format="pyarrow")
+        .groupby("p").aggregate(Sum("one", alias_name="c"))
+        .take_all())  # ≤30 rows
     deg = {int(r["p"]): int(r["c"]) for r in deg_rows}
 
     def opart(b: pa.Table) -> pa.Table:
@@ -7037,9 +7078,9 @@ def q_basket_pair_lift(sf_dir: str):
         return pa.table({"o": u,
                          "one": pa.array(np.ones(len(u), np.int8))})
 
-    n_total = (li.map_batches(opart, batch_format="pyarrow")
-               .groupby("o").aggregate(Min("one", alias_name="one"))
-               .count())
+    n_total = guarded_groupby(
+        li.map_batches(opart, batch_format="pyarrow"),
+        ["o"], [("one", "min")]).count()
 
     pa_l = [int(r["a"]) for r in top]
     pb_l = [int(r["b"]) for r in top]
@@ -7093,10 +7134,12 @@ def q_order_line_integrity(sf_dir: str):
     """Sequence-completeness census on lineitem linenumbers — the
     validation check that each order's lines form exactly 1..n (no
     gaps, no duplicates, no offset start). Per-batch (order, linenumber)
-    partials, one two-key groupby, per-order reduction to four int64
-    sufficient stats, then a global 4-counter sum — nothing wider than
-    the distinct (order, line) stream ever moves."""
-    from ray.data.aggregate import Max, Min, Sum
+    partials, guarded driver merges for the two reductions (a Ray hash
+    groupby at ~rows/4 key cardinality pays ~10s of shuffle-actor
+    latency at sf0.1 — the pyarrow fold is the measured fast path;
+    distributed fallback above the budget), then a global 4-counter
+    sum."""
+    from schema_validator_ray.stages._collect import guarded_groupby
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
 
@@ -7109,24 +7152,30 @@ def q_order_line_integrity(sf_dir: str):
 
     def per_order_part(b: pa.Table) -> pa.Table:
         g = (pa.table({"k": b["k"], "ln": b["ln"],
-                       "cnt": pc.cast(b["cnt"], pa.int64())})
+                       "cnt": pc.cast(b["cnt_sum"], pa.int64()),
+                       "one": pa.array(np.ones(b.num_rows, np.int64))})
              .group_by("k")
              .aggregate([("cnt", "sum"), ("ln", "max"), ("ln", "min"),
-                         ([], "count_all")]))
+                         ("one", "sum")]))
         return pa.table({"k": g["k"],
                          "n_rows": pc.cast(g["cnt_sum"], pa.int64()),
                          "mx": g["ln_max"], "mn": g["ln_min"],
-                         "n_distinct": pc.cast(g["count_all"], pa.int64())})
+                         "n_distinct": pc.cast(g["one_sum"], pa.int64())})
 
-    per_order = (li.map_batches(part, batch_format="pyarrow")
-                 .groupby(["k", "ln"]).aggregate(Sum("cnt",
-                                                     alias_name="cnt"))
-                 .map_batches(per_order_part, batch_format="pyarrow")
-                 .groupby("k")
-                 .aggregate(Sum("n_rows", alias_name="n_rows"),
-                            Max("mx", alias_name="mx"),
-                            Min("mn", alias_name="mn"),
-                            Sum("n_distinct", alias_name="n_distinct")))
+    pairs = guarded_groupby(
+        li.map_batches(part, batch_format="pyarrow"),
+        ["k", "ln"], [("cnt", "sum")])
+    per_order = guarded_groupby(
+        pairs.map_batches(per_order_part, batch_format="pyarrow"),
+        ["k"], [("n_rows", "sum"), ("mx", "max"), ("mn", "min"),
+                ("n_distinct", "sum")])
+    per_order = per_order.map_batches(
+        lambda b: pa.table({
+            "k": b["k"],
+            "n_rows": pc.cast(b["n_rows_sum"], pa.int64()),
+            "mx": b["mx_max"], "mn": b["mn_min"],
+            "n_distinct": pc.cast(b["n_distinct_sum"], pa.int64())}),
+        batch_format="pyarrow")
 
     def census(b: pa.Table) -> pa.Table:
         n_rows = b["n_rows"].to_numpy(zero_copy_only=False)

@@ -304,24 +304,40 @@ def bipartite_degree_census(ds, a_col: str, b_col: str):
     per-batch (degree, n) histogram partials before a tiny final sum."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
+
+    from ._collect import guarded_groupby
 
     def dedup(b: pa.Table) -> pa.Table:
-        return (b.select([a_col, b_col]).drop_null()
-                .group_by([a_col, b_col]).aggregate([([], "count_all")])
-                .select([a_col, b_col]))
+        d = (b.select([a_col, b_col]).drop_null()
+             .group_by([a_col, b_col]).aggregate([([], "count_all")])
+             .select([a_col, b_col]))
+        return d.append_column("_one",
+                               pa.array(np.ones(d.num_rows, np.int8)))
 
-    edges = (ds.map_batches(dedup, batch_format="pyarrow")
-             .groupby([a_col, b_col]).aggregate(Count(alias_name="_c"))
-             .materialize())
+    # high-cardinality reductions go through the guarded driver merge —
+    # a Ray hash groupby at ~|edges| key cardinality pays ~10 s of
+    # shuffle latency at sf0.1 (measured); distributed fallback above
+    # the budget
+    edges = guarded_groupby(ds.map_batches(dedup, batch_format="pyarrow"),
+                            [a_col, b_col],
+                            [("_one", "min")]).materialize()
 
     def side_census(node_col: str, label: str):
-        deg = (edges.map_batches(
-            lambda b: b.select([a_col, b_col]), batch_format="pyarrow")
-            .groupby(node_col).aggregate(Count(alias_name="deg")))
+        def degp(b: pa.Table) -> pa.Table:
+            agg = (b.select([node_col])
+                   .append_column("_c", pa.array(
+                       np.ones(b.num_rows, np.int64)))
+                   .group_by(node_col).aggregate([("_c", "sum")]))
+            return pa.table({node_col: agg[node_col],
+                             "c": pc.cast(agg["_c_sum"], pa.int64())})
+
+        deg = guarded_groupby(
+            edges.map_batches(degp, batch_format="pyarrow"),
+            [node_col], [("c", "sum")])
 
         def hist(b: pa.Table) -> pa.Table:
-            agg = (pa.table({"degree": pc.cast(b["deg"], pa.int64())})
+            agg = (pa.table({"degree": pc.cast(b["c_sum"], pa.int64())})
                    .group_by("degree").aggregate([([], "count_all")]))
             return pa.table({"degree": agg["degree"],
                              "n": agg["count_all"]})

@@ -2044,13 +2044,14 @@ def grouped_weighted_median(ds, *, group_col: str, value_col: str,
         return pa.table({group_col: agg[group_col], "v": agg["v"],
                          "w": agg["w_sum"]})
 
-    cells = (ds.map_batches(part, batch_format="pyarrow")
-             .groupby([group_col, "v"])
-             .aggregate(Sum("w", alias_name="w")))
+    from ._collect import collect_up_to, guarded_groupby
+
+    cells = guarded_groupby(ds.map_batches(part, batch_format="pyarrow"),
+                            [group_col, "v"], [("w", "sum")])
 
     def pick(g: pa.Table) -> pa.Table:
         t = g.take(pc.sort_indices(g, sort_keys=[("v", "ascending")]))
-        w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["w_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
         cw = np.cumsum(w)
         tot = int(cw[-1])
         idx = int(np.searchsorted(2 * cw, tot))   # first 2·cw >= tot
@@ -2058,6 +2059,25 @@ def grouped_weighted_median(ds, *, group_col: str, value_col: str,
                          "wmedian": t["v"][idx:idx + 1],
                          "total_w": pa.array([tot], pa.int64())})
 
+    # the merged cell census is distinct-value bounded: below the budget
+    # the per-group selection runs driver-side (a Ray sort-shuffle to
+    # |groups| map_groups costs seconds at 10^5 cells); above it, the
+    # distributed per-group path
+    parts2, over2 = collect_up_to(cells, 5_000_000)
+    if not over2:
+        import ray.data as rd
+
+        if not parts2:
+            return rd.from_arrow(pa.table({
+                group_col: pa.array([], pa.string()),
+                "wmedian": pa.array([], pa.int64()),
+                "total_w": pa.array([], pa.int64())}))
+        merged = pa.concat_tables(parts2)
+        outs = []
+        gcol = merged[group_col]
+        for gv in pc.unique(gcol).to_pylist():
+            outs.append(pick(merged.filter(pc.equal(gcol, pa.scalar(gv)))))
+        return rd.from_arrow(pa.concat_tables(outs))
     return cells.groupby(group_col).map_groups(pick,
                                                batch_format="pyarrow")
 
@@ -2100,8 +2120,14 @@ def spearman_corr(ds, x_col: str, y_col: str, *,
                 "cnt": pc.cast(agg["count_all"], pa.int64())}))
         return pa.concat_tables(out)
 
-    cells = (ds.map_batches(cells_part, batch_format="pyarrow")
-             .groupby(["tag", "v"]).aggregate(Sum("cnt", alias_name="cnt")))
+    from ._collect import guarded_groupby
+
+    cells = guarded_groupby(
+        ds.map_batches(cells_part, batch_format="pyarrow"),
+        ["tag", "v"], [("cnt", "sum")]).map_batches(
+            lambda b: pa.table({"tag": b["tag"], "v": b["v"],
+                                "cnt": b["cnt_sum"]}),
+            batch_format="pyarrow")
     parts, over = collect_up_to(cells, level_budget)
     if over:
         raise ValueError("spearman_corr: distinct-value census exceeds "
