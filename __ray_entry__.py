@@ -4396,14 +4396,18 @@ def q_inclusion_deps(sf_dir: str):
          "lineitem", "l_suppkey", "supplier", "s_suppkey"),
     ]
     names, n_child, n_cont = [], [], []
+    from schema_validator_ray.stages._collect import guarded_groupby
+
     for dep, child_t, child_k, parent_t, parent_k in pairs:
         child = _read(sf_dir, child_t, [child_k])
-        distinct = (child.map_batches(
+        distinct = guarded_groupby(child.map_batches(
             lambda b, k=child_k: pa.table(
-                {k: pc.unique(pc.cast(b[k], pa.int64()))}),
-            batch_format="pyarrow")
-            .groupby(child_k).aggregate(Count(alias_name="_c"))
-            .select_columns([child_k]))
+                {k: pc.unique(pc.cast(b[k], pa.int64()))})
+            .append_column("_one", pa.array(
+                np.ones(len(pc.unique(pc.cast(b[k], pa.int64()))),
+                        np.int8))),
+            batch_format="pyarrow"),
+            [child_k], [("_one", "min")]).select_columns([child_k])
         parent = _read(sf_dir, parent_t, [parent_k]).map_batches(
             lambda b, pk=parent_k, ck=child_k: pa.table(
                 {ck: pc.cast(b[pk], pa.int64())}),
