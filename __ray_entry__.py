@@ -8470,6 +8470,135 @@ def q_lineitem_qty_mode(sf_dir: str):
         "n": pa.array([-out[g][0] for g in gs], pa.int64())})
 
 
+def q_monthly_revenue_anomaly(sf_dir: str):
+    """Seasonally-adjusted monthly revenue anomaly: residual after
+    removing each year's own mean AND the month-of-year effect (the
+    revenue_seasonal_decomp composition), flagged at |residual| > 2σ of
+    the residual distribution — the monitor that does not re-alarm every
+    December. All from the ≤ years x 12 exact-cents census; identical
+    double arithmetic both sides."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def part(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "y": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
+            "m": pc.cast(pc.month(b["o_orderdate"]), pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(
+                b["o_totalprice"], 100.0)), pa.int64())})
+        a = t.group_by(["y", "m"]).aggregate([("cents", "sum")])
+        return pa.table({"y": a["y"], "m": a["m"],
+                         "cents": pc.cast(a["cents_sum"], pa.int64())})
+
+    cells = (orders.map_batches(part, batch_format="pyarrow")
+             .groupby(["y", "m"]).aggregate(Sum("cents",
+                                                alias_name="cents"))
+             .take_all())
+    y = np.array([int(r["y"]) for r in cells], np.int64)
+    m = np.array([int(r["m"]) for r in cells], np.int64)
+    v = np.array([int(r["cents"]) for r in cells], np.int64) \
+        .astype(np.float64) / 100.0          # dollars (6dp headroom)
+    years = np.unique(y)
+    ymean = {int(yy): v[y == yy].sum() / int((y == yy).sum())
+             for yy in years}
+    dev = v - np.array([ymean[int(a)] for a in y])
+    meff = {int(mm): dev[m == mm].sum() / int((m == mm).sum())
+            for mm in np.unique(m)}
+    resid = dev - np.array([meff[int(a)] for a in m])
+    n = len(resid)
+    sig = np.sqrt(np.sum(resid * resid) / n)
+    flag = np.abs(resid) > 2.0 * sig
+    order = np.lexsort((m, y))
+    return pa.table({
+        "year": pa.array(y[order]),
+        "month": pa.array(m[order]),
+        "revenue_dollars": pa.array(np.round(v[order], 6), pa.float64()),
+        "residual_dollars": pa.array(np.round(resid[order], 6),
+                                     pa.float64()),
+        "anomaly": pa.array(flag[order])})
+
+
+def q_part_price_dispersion(sf_dir: str):
+    """Procurement price-dispersion audit: per part, the spread of
+    per-unit prices across its order lines (round(100·extprice/qty)
+    cents) — a wide spread flags inconsistent pricing or unit mix-ups.
+    Top-20 by exact-integer spread, partkey tie-break; per-batch
+    per-part (min, max, n) partials through the guarded merge."""
+    from schema_validator_ray.stages._collect import guarded_groupby
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_quantity"])
+
+    def part(b: pa.Table) -> pa.Table:
+        unit = pc.cast(pc.round(pc.multiply(pc.divide(
+            b["l_extendedprice"], b["l_quantity"]), 100.0)), pa.int64())
+        t = pa.table({"k": b["l_partkey"], "u": unit,
+                      "one": pa.array(np.ones(b.num_rows, np.int64))})
+        a = t.group_by("k").aggregate([("u", "min"), ("u", "max"),
+                                       ("one", "sum")])
+        return pa.table({"k": a["k"], "lo": a["u_min"], "hi": a["u_max"],
+                         "n": pc.cast(a["one_sum"], pa.int64())})
+
+    agg = guarded_groupby(li.map_batches(part, batch_format="pyarrow"),
+                          ["k"], [("lo", "min"), ("hi", "max"),
+                                  ("n", "sum")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": b["k"],
+            "n_lines": pc.cast(b["n_sum"], pa.int64()),
+            "min_unit_cents": b["lo_min"],
+            "max_unit_cents": b["hi_max"],
+            "spread_cents": pc.subtract(b["hi_max"], b["lo_min"])})
+
+    return (agg.map_batches(finish, batch_format="pyarrow")
+            .sort(["spread_cents", "p_partkey"],
+                  descending=[True, False])
+            .limit(20))
+
+
+def q_weekend_lift_by_type(sf_dir: str):
+    """Calendar-normalized weekend lift per event type: (weekend events
+    / 2 days) over (weekday events / 5 days) — is a behavior leisure- or
+    work-shaped? |types|-row exact-int census; the lift divides two
+    exact ints in the identical double arrangement both sides."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def part(b: pa.Table) -> pa.Table:
+        dow = pc.day_of_week(b["ts"])      # Monday=0 .. Sunday=6
+        we = pc.cast(pc.greater_equal(dow, pa.scalar(5)), pa.int64())
+        t = pa.table({"g": b["event_type"], "we": we,
+                      "one": pa.array(np.ones(b.num_rows, np.int64))
+                      }).drop_null()
+        a = t.group_by("g").aggregate([("we", "sum"), ("one", "sum")])
+        return pa.table({"g": a["g"],
+                         "we": pc.cast(a["we_sum"], pa.int64()),
+                         "n": pc.cast(a["one_sum"], pa.int64())})
+
+    rows = (ev.map_batches(part, batch_format="pyarrow")
+            .groupby("g")
+            .aggregate(Sum("we", alias_name="we"),
+                       Sum("n", alias_name="n"))
+            .take_all())
+    g = [r["g"] for r in rows]
+    we = np.array([int(r["we"]) for r in rows], np.int64)
+    n = np.array([int(r["n"]) for r in rows], np.int64)
+    wd = n - we
+    lift = [float(np.round((float(a) / 2.0) / (float(b) / 5.0), 6))
+            if b else None for a, b in zip(we, wd)]
+    order = np.argsort(np.array(g, dtype=object))
+    return pa.table({
+        "event_type": pa.array(np.array(g, dtype=object)[order],
+                               pa.string()),
+        "n_weekday": pa.array(wd[order]),
+        "n_weekend": pa.array(we[order]),
+        "weekend_lift": pa.array(np.array(lift, dtype=object)[order],
+                                 pa.float64())})
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -8804,6 +8933,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_rank_stability": q_supplier_rank_stability,
         "order_f_share_trend": q_order_f_share_trend,
         "lineitem_qty_mode": q_lineitem_qty_mode,
+        "monthly_revenue_anomaly": q_monthly_revenue_anomaly,
+        "part_price_dispersion": q_part_price_dispersion,
+        "weekend_lift_by_type": q_weekend_lift_by_type,
     }
 
 
@@ -13253,6 +13385,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT g AS l_returnflag, v AS mode_qty, c AS n FROM c
             QUALIFY ROW_NUMBER() OVER (PARTITION BY g
                                        ORDER BY c DESC, v ASC) = 1
+        """,
+        "monthly_revenue_anomaly": """
+            WITH c AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+                              CAST(month(o_orderdate) AS BIGINT) AS m,
+                              CAST(SUM(CAST(round(o_totalprice * 100)
+                                            AS BIGINT)) AS BIGINT) AS cents
+                         FROM orders GROUP BY 1, 2),
+            d AS (SELECT y, m, CAST(cents AS DOUBLE) / 100.0 AS v FROM c),
+            ym AS (SELECT y, SUM(v) / COUNT(*) AS ymean FROM d
+                    GROUP BY 1),
+            dev AS (SELECT d.y, d.m, d.v, d.v - ym.ymean AS dv
+                      FROM d JOIN ym USING (y)),
+            me AS (SELECT m, SUM(dv) / COUNT(*) AS meff FROM dev
+                    GROUP BY 1),
+            r AS (SELECT dev.y, dev.m, dev.v, dev.dv - me.meff AS resid
+                    FROM dev JOIN me USING (m)),
+            s AS (SELECT sqrt(SUM(resid * resid) / COUNT(*)) AS sig
+                    FROM r)
+            SELECT r.y AS year, r.m AS month,
+                   round_even(r.v, 6) AS revenue_dollars,
+                   round_even(r.resid, 6) AS residual_dollars,
+                   (ABS(r.resid) > 2.0 * s.sig) AS anomaly
+              FROM r CROSS JOIN s
+        """,
+        "part_price_dispersion": """
+            WITH u AS (SELECT l_partkey,
+                              CAST(round(l_extendedprice / l_quantity
+                                         * 100) AS BIGINT) AS unit
+                         FROM lineitem),
+            a AS (SELECT l_partkey, MIN(unit) AS lo, MAX(unit) AS hi,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                    FROM u GROUP BY 1)
+            SELECT l_partkey AS p_partkey, n AS n_lines,
+                   lo AS min_unit_cents, hi AS max_unit_cents,
+                   hi - lo AS spread_cents
+              FROM a
+             ORDER BY spread_cents DESC, p_partkey ASC
+             LIMIT 20
+        """,
+        "weekend_lift_by_type": """
+            WITH c AS (SELECT event_type AS g,
+                              CAST(SUM(CASE WHEN isodow(ts) >= 6
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                                  AS we,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                         FROM events
+                        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                        GROUP BY 1)
+            SELECT g AS event_type, n - we AS n_weekday,
+                   we AS n_weekend,
+                   CASE WHEN n - we > 0 THEN
+                       round_even((CAST(we AS DOUBLE) / 2.0)
+                                  / (CAST(n - we AS DOUBLE) / 5.0), 6)
+                   END AS weekend_lift
+              FROM c
         """,
     }
     # quarantine / annotate-mode oracle: valid rows = NOT IN the violation

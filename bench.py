@@ -284,6 +284,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "supplier_rank_stability",
         "order_f_share_trend",
         "lineitem_qty_mode",
+        "monthly_revenue_anomaly",
+        "part_price_dispersion",
+        "weekend_lift_by_type",
     ]
     qs = m.queries()
     # warm best-of-N per query (default 2 passes over the whole list):
