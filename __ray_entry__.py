@@ -8599,6 +8599,115 @@ def q_weekend_lift_by_type(sf_dir: str):
                                  pa.float64())})
 
 
+def q_events_value_cohens_d(sf_dir: str):
+    """Cohen's d effect size between click and purchase values — the
+    "how big is the shift" companion to the t-test's "is there one"
+    (pooled-SD standardized mean difference). Two (n, Σx, Σx²)
+    sufficient-stat rows; identical double arithmetic both sides."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def part(b: pa.Table) -> pa.Table:
+        t = pa.table({"g": b["event_type"],
+                      "x": pc.cast(b["value"], pa.float64())}).drop_null()
+        t = t.filter(pc.is_in(t["g"], value_set=pa.array(
+            ["click", "purchase"])))
+        x = t["x"].to_numpy(zero_copy_only=False)
+        a = (t.append_column("_x2", pa.array(x * x))
+             .group_by("g")
+             .aggregate([("x", "sum"), ("_x2", "sum"), ([], "count_all")]))
+        return pa.table({"g": a["g"], "s": a["x_sum"],
+                         "s2": a["_x2_sum"],
+                         "n": pc.cast(a["count_all"], pa.int64())})
+
+    rows = (ev.map_batches(part, batch_format="pyarrow")
+            .groupby("g")
+            .aggregate(Sum("s", alias_name="s"),
+                       Sum("s2", alias_name="s2"),
+                       Sum("n", alias_name="n"))
+            .take_all())
+    st = {r["g"]: (float(r["n"]), float(r["s"]), float(r["s2"]))
+          for r in rows}
+    if "click" not in st or "purchase" not in st:
+        return pa.table({"n_click": pa.array([0], pa.int64()),
+                         "n_purchase": pa.array([0], pa.int64()),
+                         "cohens_d": pa.array([None], pa.float64())})
+    n1, s1, q1 = st["click"]
+    n2, s2, q2 = st["purchase"]
+    m1, m2 = s1 / n1, s2 / n2
+    v1 = (q1 - n1 * m1 * m1) / (n1 - 1.0)
+    v2 = (q2 - n2 * m2 * m2) / (n2 - 1.0)
+    sp = np.sqrt(((n1 - 1.0) * v1 + (n2 - 1.0) * v2) / (n1 + n2 - 2.0))
+    d = (m1 - m2) / sp
+    return pa.table({
+        "n_click": pa.array([int(n1)], pa.int64()),
+        "n_purchase": pa.array([int(n2)], pa.int64()),
+        "cohens_d": pa.array([float(np.round(d, 6))], pa.float64())})
+
+
+def q_first_touch_census(sf_dir: str):
+    """First-touch attribution: among users who ever purchased, the
+    census of their very FIRST event's type (ts, then event_id,
+    ordering) — which entry behavior acquires buyers. Shard-grouped
+    like transition_counts: a shard holds all of a user's rows, so the
+    per-user argmin and the purchased test are one vectorized scan."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+
+    def narrow(b: pa.Table) -> pa.Table:
+        from schema_validator_ray.stages.asof import _shard_of
+
+        t = pa.table({
+            "u": b["user_id"],
+            "_ts": pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                           pa.int64()),
+            "_id": b["event_id"], "_ty": b["event_type"]}).drop_null()
+        return t.append_column("_shard",
+                               pa.array(_shard_of(t["u"], 64)))
+
+    def scan(g: pa.Table) -> pa.Table:
+        empty = pa.table({"first_type": pa.array([], pa.string()),
+                          "n_buyers": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        codes, _ = pd.factorize(g["u"].to_numpy(zero_copy_only=False))
+        ts = g["_ts"].to_numpy(zero_copy_only=False)
+        ei = g["_id"].to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(g["_ty"].combine_chunks())
+        ty = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        order = np.lexsort((ei, ts, codes))
+        c = codes[order]
+        first = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        pur = None
+        for i, v in enumerate(vocab.to_pylist()):
+            if v == "purchase":
+                pur = i
+        if pur is None:
+            return empty
+        bought = np.zeros(int(codes.max()) + 1, bool)
+        np.logical_or.at(bought, codes, ty == pur)
+        ft = ty[order][first]                 # first event type per user
+        fu = c[first]
+        keep = bought[fu]
+        uk, cnt = np.unique(ft[keep], return_counts=True)
+        return pa.table({
+            "first_type": vocab.take(pa.array(uk)),
+            "n_buyers": pa.array(cnt.astype(np.int64))})
+
+    return (ev.map_batches(narrow, batch_format="pyarrow")
+            .groupby("_shard").map_groups(scan, batch_format="pyarrow")
+            .groupby("first_type")
+            .aggregate(Sum("n_buyers", alias_name="n_buyers"))
+            .map_batches(lambda b: pa.table({
+                "first_type": b["first_type"],
+                "n_buyers": pc.cast(b["n_buyers"], pa.int64())}),
+                batch_format="pyarrow"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -8936,6 +9045,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_revenue_anomaly": q_monthly_revenue_anomaly,
         "part_price_dispersion": q_part_price_dispersion,
         "weekend_lift_by_type": q_weekend_lift_by_type,
+        "events_value_cohens_d": q_events_value_cohens_d,
+        "first_touch_census": q_first_touch_census,
     }
 
 
@@ -13440,6 +13551,46 @@ def oracle_sql() -> dict[str, str]:
                                   / (CAST(n - we AS DOUBLE) / 5.0), 6)
                    END AS weekend_lift
               FROM c
+        """,
+        "events_value_cohens_d": """
+            WITH g AS (SELECT event_type AS g,
+                              CAST(COUNT(value) AS BIGINT) AS n,
+                              SUM(value) AS s,
+                              SUM(value * value) AS s2
+                         FROM events
+                        WHERE value IS NOT NULL
+                          AND event_type IN ('click', 'purchase')
+                        GROUP BY 1),
+            a AS (SELECT CAST(n AS DOUBLE) AS n, s, s2 FROM g
+                   WHERE g = 'click'),
+            b AS (SELECT CAST(n AS DOUBLE) AS n, s, s2 FROM g
+                   WHERE g = 'purchase')
+            SELECT CAST(a.n AS BIGINT) AS n_click,
+                   CAST(b.n AS BIGINT) AS n_purchase,
+                   round_even(
+                       (a.s / a.n - b.s / b.n)
+                       / sqrt((((a.n - 1.0)
+                                * ((a.s2 - a.n * (a.s / a.n)
+                                    * (a.s / a.n)) / (a.n - 1.0)))
+                               + ((b.n - 1.0)
+                                  * ((b.s2 - b.n * (b.s / b.n)
+                                      * (b.s / b.n)) / (b.n - 1.0))))
+                              / (a.n + b.n - 2.0)), 6) AS cohens_d
+              FROM a CROSS JOIN b
+        """,
+        "first_touch_census": """
+            WITH buyers AS (SELECT DISTINCT user_id FROM events
+                             WHERE event_type = 'purchase'),
+            firsts AS (
+              SELECT user_id, event_type FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND event_id IS NOT NULL AND event_type IS NOT NULL
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) = 1)
+            SELECT f.event_type AS first_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_buyers
+              FROM firsts f JOIN buyers USING (user_id)
+             GROUP BY 1
         """,
     }
     # quarantine / annotate-mode oracle: valid rows = NOT IN the violation

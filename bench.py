@@ -287,6 +287,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "monthly_revenue_anomaly",
         "part_price_dispersion",
         "weekend_lift_by_type",
+        "events_value_cohens_d",
+        "first_touch_census",
     ]
     qs = m.queries()
     # warm best-of-N per query (default 2 passes over the whole list):

@@ -81,3 +81,35 @@ def test_weekend_lift(ray_session, tmp_path):
     assert df.loc["click", "weekend_lift"] == 1.0  # (2/2) / (5/5)
     assert int(df.loc["wd", "n_weekend"]) == 0
     assert df.loc["wd", "weekend_lift"] == 0.0
+
+
+def test_cohens_d_matches_closed_form(ray_session, tmp_path):
+    a = [1.0, 2.0, 3.0, 4.0]
+    b = [5.0, 6.0, 7.0, 8.0]
+    pq.write_table(pa.table({
+        "event_type": pa.array(["click"] * 4 + ["purchase"] * 4),
+        "value": pa.array(a + b, pa.float64())}),
+        tmp_path / "events.parquet")
+    t = _entry().q_events_value_cohens_d(str(tmp_path))
+    av, bv = np.array(a), np.array(b)
+    sp = np.sqrt((3 * av.var(ddof=1) + 3 * bv.var(ddof=1)) / 6)
+    want = round(float((av.mean() - bv.mean()) / sp), 6)
+    assert t["cohens_d"][0].as_py() == want
+    assert t["n_click"][0].as_py() == 4
+
+
+def test_first_touch_census(ray_session, tmp_path):
+    # user 1: view -> purchase (buyer, first=view); user 2: click only
+    # (never buys, excluded); user 3: purchase first (first=purchase)
+    rows = [(0, 1, "view"), (1, 1, "purchase"), (2, 2, "click"),
+            (3, 3, "purchase"), (4, 3, "view")]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([T0 + r[0] * 1_000_000 for r in rows],
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string())}),
+        tmp_path / "events.parquet")
+    df = _entry().q_first_touch_census(str(tmp_path)).to_pandas()
+    got = dict(zip(df["first_type"], df["n_buyers"]))
+    assert got == {"view": 1, "purchase": 1}
